@@ -1,13 +1,205 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ModelConf, ObjectsModel, Tables}
+import graft.ops.{AggOps, PipelineOps, QuerySurface}
+import graft.ops.QuerySurface.{DynamicFieldQuery, ObjectsArgs}
+import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Driver contract — one named query per implemented operator (SURVEY.md §2
+  * + LLM-pipeline extensions), each with a DuckDB oracle in
+  * [[graft.oracle.Oracles]]. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val ObjCols = Seq(
+    "_id", "version", "version_hex", "deleted", "owner_kind", "owner",
+    "type_full", "storage_rebate")
+
+  private def out(df: DataFrame): DataFrame =
+    df.select(ObjCols.map(col): _*)
+
+  private def objects(s: SparkSession, dir: String): DataFrame =
+    ObjectsModel.objects(s, dir)
+  private def keptChanges(s: SparkSession, dir: String): DataFrame =
+    ObjectsModel.kept(ObjectsModel.changes(s, dir))
+  private def completedCps(s: SparkSession, dir: String): DataFrame =
+    ObjectsModel.completedCheckpoints(keptChanges(s, dir))
+
+  /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
+    * owner (server/src/main.rs:283-284) with pagination. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    out(QuerySurface.objectsQuery(
+      objects(spark, "/root/testdata/sf0.001"),
+      ObjectsArgs(owners = Seq("0xa00000", "0xa00004"), limit = 50)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- serving query surface (P1-P8, O1-O4) --------------------------
+    "p1_point_lookup" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(ids = Seq("0x000007"))))),
+    "p2_multi_id" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(ids = Seq("0x000007", "0x000011", "0x000042", "0x000123"))))),
+    "p3_owner" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(owner = Some("0xa00000"))))),
+    "p4_owners" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(owners = Seq("0xa00000", "0xa00004", "0xa00008"))))),
+    "p5_type_prefix" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(tpe = Some("0x1::click"), limit = 100)))),
+    "p6_multi_type" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(types = Seq(
+        "0x0::view", "0x2::dynamic_field::Field<0x1::string::String,0x0"), limit = 100)))),
+    "p7_dynfield_parents" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(dynamicField = Some(DynamicFieldQuery(
+        names = Seq("87", "12"), nameKey = Some("k"))), limit = 100)))),
+    "p8_children" -> ((s, d) => out(QuerySurface.paginate(
+      objects(s, d).filter(
+        QuerySurface.dynamicFieldChildFilter && col("owner").isin("0x000010")),
+      100, 0))),
+    "o1_latest_checkpoint" -> ((s, d) =>
+      completedCps(s, d).orderBy(col("_id").desc).limit(1)),
+    "o2_pagination" -> ((s, d) =>
+      out(QuerySurface.paginate(objects(s, d), 20, 40))),
+    "o3_count_by_owner_kind" -> ((s, d) =>
+      objects(s, d).groupBy("owner_kind").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("owner_kind"))),
+    "s1_tail_poll_page" -> ((s, d) =>
+      PipelineOps.latestPageAscending(Tables.events(s, d), 100)
+        .select(col("event_id"), col("event_type"), Tables.tsMillis.as("ts_ms"))),
+
+    // ---- joins ---------------------------------------------------------
+    "j1_dynfield_parent_join" -> ((s, d) => out(QuerySurface.objectsQuery(
+      objects(s, d), ObjectsArgs(dynamicField = Some(DynamicFieldQuery(
+        values = Seq("7", "21"), valueKey = Some("v"))), limit = 100)))),
+    "j2_children_resolver" -> ((s, d) => {
+      val objs = objects(s, d)
+      val parents = objs.filter(QuerySurface.typePrefixFilter(Seq("0x0::signup")))
+      QuerySurface.childrenResolver(objs, parents, 3)
+        .select(col("parent_id"), col("child_id"), col("child_version"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("parent_id", "rn")
+    }),
+    "j3_enrichment" -> ((s, d) =>
+      PipelineOps.enrich(keptChanges(s, d).filter(col("cp") < 20), Tables.nation(s, d))
+        .select("_id", "version", "n_name").orderBy("version")),
+    "j4_first_seen_dedup" -> ((s, d) =>
+      PipelineOps.firstSeenWins(keptChanges(s, d))
+        .select("_id", "version").orderBy("_id")),
+    "j5_cross_source_dedup" -> ((s, d) =>
+      PipelineOps.dedupAcrossRoutes(PipelineOps.unionRoutes(keptChanges(s, d)))
+        .groupBy("route").agg(count(lit(1)).as("n")).orderBy("route")),
+
+    // ---- ingest pipeline -----------------------------------------------
+    "k1_latest_wins" -> ((s, d) =>
+      ObjectsModel.latestWins(keptChanges(s, d))
+        .select(col("_id"), col("version"), col("deletion").as("deleted"))
+        .orderBy("_id")),
+    "k2_checkpoint_commits" -> ((s, d) => completedCps(s, d).orderBy("_id")),
+    "k3_dlq" -> ((s, d) =>
+      ObjectsModel.failures(keptChanges(s, d))
+        .select("_id", "version", "cp").orderBy("version")),
+    "k4_metrics" -> ((s, d) =>
+      PipelineOps.metricsSummary(keptChanges(s, d)).orderBy("metric")),
+    "a1_completion_countdown" -> ((s, d) => completedCps(s, d).orderBy("_id")),
+    "a2_max_checkpoint" -> ((s, d) => AggOps.maxCheckpoint(completedCps(s, d))),
+    "a3_batch_outcomes" -> ((s, d) =>
+      PipelineOps.batchOutcomes(keptChanges(s, d).filter(col("cp") < 50)).orderBy("cp")),
+    "s2_range_scan_skip" -> ((s, d) => {
+      // Range bound is a plan parameter (the reference reads checkpoint_max
+      // once per scan, main/src/etl.rs:902): one tiny driver-side scalar.
+      // cps are dense 0..max by construction, so range == distinct cps.
+      val maxCp = ObjectsModel.changes(s, d).agg(max("cp")).head().getLong(0)
+      PipelineOps.remainingCheckpoints(s, maxCp, completedCps(s, d))
+    }),
+    "s3_first_page_per_cp" -> ((s, d) =>
+      PipelineOps.firstPagePerCheckpoint(keptChanges(s, d).filter(col("cp") < 30), 3)
+        .select(col("cp"), col("version"), col("page_rn").cast("long").as("page_rn"))
+        .orderBy("cp", "page_rn")),
+    "s6_watermark" -> ((s, d) => AggOps.maxCheckpoint(completedCps(s, d))),
+    "s7_objects_scan" -> ((s, d) =>
+      QuerySurface.paginate(QuerySurface.serveProjection(objects(s, d)), 200, 0)),
+    "u1_union_routes" -> ((s, d) =>
+      PipelineOps.unionRoutes(keptChanges(s, d))
+        .groupBy("route").agg(count(lit(1)).as("n")).orderBy("route")),
+    "u2_descending_ranges" -> ((s, d) =>
+      PipelineOps.descendingRanges(completedCps(s, d))),
+    "u3_range_anti_join" -> ((s, d) => {
+      val maxCp = ObjectsModel.changes(s, d).agg(max("cp")).head().getLong(0)
+      PipelineOps.remainingCheckpoints(s, maxCp, completedCps(s, d))
+    }),
+    "p9_deletion_split" -> ((s, d) =>
+      PipelineOps.withEnrichmentShortCircuit(keptChanges(s, d), Tables.nation(s, d))
+        .groupBy(col("deletion"), col("n_name").isNull.as("skipped_fetch"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("deletion", "skipped_fetch")),
+    "p10_change_kinds" -> ((s, d) =>
+      ObjectsModel.changes(s, d).groupBy("change_kind")
+        .agg(count(lit(1)).as("n")).orderBy("change_kind")),
+    "p11_type_allowlist" -> ((s, d) =>
+      PipelineOps.typeAllowlist(objects(s, d),
+        Seq("0x0::view::T1", "0x1::click::T2"), Nil)
+        .select(ObjCols.map(col): _*).orderBy("_id")),
+    "p12_projection" -> ((s, d) =>
+      objects(s, d).select("_id", "type_package").orderBy("_id").limit(50)),
+    "p13_typed_parse" -> ((s, d) =>
+      objects(s, d).select(col("_id"), col("type_package"), col("type_module"),
+        col("type_struct"), col("type_generics_raw"), col("version_hex"),
+        col("storage_rebate"), length(col("bcs")).cast("long").as("bcs_len"))
+        .orderBy("_id").limit(100)),
+    "p14_json_decode" -> ((s, d) =>
+      objects(s, d).filter(QuerySurface.dynamicFieldChildFilter)
+        .select(col("_id"),
+          get_json_object(col("fields_json"), "$.name.fields.k").as("name_k"),
+          get_json_object(col("fields_json"), "$.value.fields.owner").as("value_owner"),
+          get_json_object(col("fields_json"), "$.value.fields.v").as("value_v"))
+        .orderBy("_id").limit(200)),
+
+    // ---- aggregations / example-query corpus ---------------------------
+    "a4_count_per_type" -> ((s, d) => AggOps.countPerType(objects(s, d))),
+    "a5_distinct_types" -> ((s, d) => AggOps.distinctTypes(objects(s, d))),
+    "a5b_distinct_types_by_owner" -> ((s, d) =>
+      AggOps.distinctTypesByOwner(objects(s, d), "0xa00000")),
+    "a5c_count_unique_types" -> ((s, d) => AggOps.countUniqueTypes(objects(s, d))),
+    "a6_largest_doc" -> ((s, d) => AggOps.largestDocSize(objects(s, d))),
+    "a7_table_count" -> ((s, d) => AggOps.tableCount(objects(s, d))),
+
+    // ---- stream-window extensions (batch forms) ------------------------
+    "w1_hourly_counts" -> ((s, d) => AggOps.hourlyEventCounts(Tables.events(s, d))),
+    "w3_session_counts" -> ((s, d) => AggOps.sessionCounts(Tables.events(s, d), 30)),
+
+    // ---- LLM data-pipeline operators -----------------------------------
+    "d1_exact_dedup" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
+    "d2_minhash_neardups" -> ((s, d) =>
+      DedupOps.minhashNearDups(Tables.documents(s, d), 0.5)),
+    "d3_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+    "d4_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardDups(Tables.documents(s, d), 0.3)),
+    "e1_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+    "e2_ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+    "t1_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    "t2_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, Tables.documents(s, d))),
+
+    // ---- flagship relational agg ---------------------------------------
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  def oracleSql: Map[String, String] = graft.oracle.Oracles.sql
 }

@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline at 100 TB.
+  *
+  * Scale design: every near-dup variant here is **candidate-generation by
+  * bucketing + verification on candidates only** — never an all-pairs
+  * (O(n²)) comparison. Bucket keys (band hashes / simhash / shared
+  * shingles) shuffle only (doc_id, key) pairs; the verify join touches only
+  * within-bucket pairs. That is the MinHash-LSH recipe (Broder '97 /
+  * Leskovec-Rajaraman-Ullman ch.3) and is how it must run on a cluster.
+  */
+object DedupOps {
+  import TextOps.{h60, P}
+
+  /** D1 — exact dedup by content hash: canonical keep = lowest doc_id per
+    * md5(text). One shuffle on the 128-bit hash, not the text. */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct word-k-shingles per document (k=3). */
+  def shingles(documents: DataFrame, k: Int = 3): DataFrame =
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .withColumn("shingle_arr", expr(
+        s"array_distinct(transform(sequence(0, size(w)-$k), i -> " +
+          (0 until k).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + "))"))
+      .select(col("doc_id"), col("shingle_arr"))
+
+  /** Exploded distinct shingles (doc_id, sh). */
+  def shingleSet(documents: DataFrame, k: Int = 3): DataFrame =
+    shingles(documents, k).select(col("doc_id"), explode(col("shingle_arr")).as("sh"))
+
+  /** D2 — MinHash signatures: numPerms permutations over 60-bit shingle
+    * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p. Computed per-row with
+    * higher-order functions — no explode, no shuffle. */
+  def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame =
+    shingles(documents, k)
+      .withColumn("hs", expr(
+        s"transform(shingle_arr, s -> cast(conv(substr(md5(s),1,15),16,10) as bigint) % ${P}L)"))
+      .withColumn("minhash", expr(
+        s"transform(sequence(0, ${numPerms - 1}), i -> " +
+          s"aggregate(hs, ${P}L, (acc, h) -> least(acc, ((2*i+3)*h + 7*i+1) % ${P}L)))"))
+      .select(col("doc_id"), col("minhash"))
+
+  /** D2 — banded LSH candidate pairs: split the signature into `bands` bands
+    * of rows; docs sharing any full band land in the same bucket. Shuffles
+    * only (band_idx, band_key, doc_id); pairs are generated within buckets.
+    */
+  def lshCandidates(signatures: DataFrame, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    val r = numPerms / bands
+    val banded = signatures
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, array_join(slice(minhash, b*$r+1, $r), '-') AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification on a candidate-pair set. */
+  def jaccardVerify(candidates: DataFrame, shingleSet: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sa = shingleSet.select(col("doc_id").as("id_a"), col("sh"))
+    val sb = shingleSet.select(col("doc_id").as("id_b"), col("sh"))
+    candidates
+      .join(sa, "id_a").join(sb, Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D2 — full MinHash-LSH near-dup pipeline: sign → band → bucket-join →
+    * exact-Jaccard verify. */
+  def minhashNearDups(documents: DataFrame, threshold: Double = 0.5,
+      numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
+    jaccardVerify(
+      lshCandidates(minhashSignatures(documents, numPerms, k), numPerms, bands),
+      shingleSet(documents, k), threshold)
+
+  /** D4 — n-gram Jaccard near-dup without LSH: candidates = pairs sharing
+    * ≥1 shingle (inverted-index join on the shingle, with a hot-shingle cap
+    * to bound skew), then exact verify. The cap drops shingles appearing in
+    * more than `maxDf` docs — standard df-pruning: ubiquitous shingles
+    * generate quadratic candidates but carry no similarity signal. */
+  def ngramJaccardDups(documents: DataFrame, threshold: Double,
+      k: Int = 3, maxDf: Int = 100): DataFrame = {
+    val ss = shingleSet(documents, k)
+    val rare = ss.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val pruned = ss.join(rare.select("sh"), "sh")
+    val candidates = pruned.select(col("doc_id").as("id_a"), col("sh"))
+      .join(pruned.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(candidates, ss, threshold)
+  }
+
+  /** D3 — SimHash: 16-bit signature from distinct-word hashes; bit j is the
+    * sign of Σ±1 over words (+ if word-hash bit j set). Near-dups = equal
+    * simhash (bucketing on the signature — constant-size key). */
+  def simhash(documents: DataFrame, bits: Int = 16): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", h60(col("w")))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bits - 1}), j -> " +
+          "struct(j AS bit, CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END AS contrib))")).as("bc"))
+      .groupBy(col("doc_id"), col("bc.bit").as("bit"))
+      .agg(sum(col("bc.contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2, bit) as bigint)")).otherwise(0L))
+        .as("simhash"))
+      .orderBy("doc_id")
+}

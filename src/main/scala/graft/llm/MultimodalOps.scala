@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline as
+  * opaque `BINARY` columns with typed metadata, and decode/feature-extract
+  * runs batched inside `mapPartitions` over a typed Dataset.
+  *
+  * The actual image/audio decoding libraries are not available in this
+  * environment, so [[FakeDecoder.decode]] is a clearly-marked deterministic
+  * STUB — but everything Spark-side is real and tested: the binary schema,
+  * the encoder plumbing, the per-partition batched decode shape (decode
+  * `BatchSize` records at a time, exactly how you'd feed a vectorized or
+  * GPU decoder), and the partitioning (decode is a narrow map — no
+  * shuffle; repartition upstream only to right-size decode tasks).
+  */
+object MultimodalOps {
+
+  /** A media record: opaque payload + envelope metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaMeta(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Long, height: Long, first_byte: Long)
+
+  /** Batch shape for the (stubbed) decoder — mirrors feeding a vectorized
+    * decode kernel 32 records at a time. */
+  val BatchSize = 32
+
+  object FakeDecoder {
+    /** STUB — deterministic fake standing in for e.g. libjpeg/ffmpeg decode.
+      * Real implementation would parse the payload container; the fake
+      * derives "dimensions" from payload bytes so results are verifiable.
+      */
+    def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+      batch.map { r =>
+        val n = r.payload.length.toLong
+        MediaMeta(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = n,
+          width = 64 + (n % 512),
+          height = 64 + ((n * 7) % 512),
+          first_byte = if (n > 0) r.payload(0).toLong & 0xffL else -1L)
+      }
+  }
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes of the
+    * text (standing in for image bytes), media_type derived from source. */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(lit("image/"), col("source")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode via mapPartitions: the per-partition iterator is grouped
+    * into `BatchSize` chunks and each chunk hits the decoder once. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => FakeDecoder.decode(batch))
+    }
+  }
+
+  /** M1 — full plumbing: documents → binary media column → batched decode →
+    * typed metadata, ordered for the oracle. */
+  def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")
+}

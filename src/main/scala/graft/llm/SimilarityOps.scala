@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * ARRAY<FLOAT>`).
+  *
+  * E1 is the exact brute-force baseline: broadcast the (small) query set
+  * against the corpus — a broadcast-nested-loop whose cost is
+  * |queries|·|corpus|, the right plan when queries are few. E2 is the scale
+  * path: sign-random-projection LSH buckets the corpus once (one narrow
+  * pass), and each query only scans its own bucket — at 1000 executors the
+  * corpus stays partitioned by bucket and queries route to one partition.
+  * An IVF variant would swap the bucket function for k-means cell ids; the
+  * plumbing is identical.
+  *
+  * All dot products run through codegen'd higher-order functions
+  * (`aggregate`/`zip_with`), no UDFs, computed in double.
+  */
+object SimilarityOps {
+
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
+
+  /** E1 — exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ties broken by neighbor id. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(
+        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic hyperplanes for sign-random-projection LSH, generated
+    * from a fixed integer recurrence so the DuckDB oracle can inline the
+    * same constants. */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      (((j * 131 + d * 31 + 7) % 211) - 105) / 105.0
+    }
+
+  /** SQL array literal for one hyperplane (shared Spark/DuckDB syntax). */
+  def planeLiteral(p: Array[Double]): String =
+    p.mkString("array(", ", ", ")")
+
+  /** Bucket id = sign bits of the projections onto `nPlanes` hyperplanes. */
+  def bucketExpr(vecCol: String, nPlanes: Int, dim: Int): String = {
+    val hps = hyperplanes(nPlanes, dim)
+    hps.zipWithIndex.map { case (p, j) =>
+      val lit = planeLiteral(p)
+      s"(CASE WHEN ${dotExpr(vecCol, lit)} >= 0 THEN ${1 << (nPlanes - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** E2 — LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * the same hyperplane signs; each query searches only its bucket.
+    * Recall vs E1 is asserted in the test suite (multi-probe / more planes
+    * is the recall dial). */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+    val q = queries
+      .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val joined = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(
+        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
+    * by LSH (the embedding analog of MinHash dedup): only within-bucket
+    * pairs are compared. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr(
+        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

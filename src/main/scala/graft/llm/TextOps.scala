@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: quality stats, language-ID, token counting, document
+  * fingerprinting. All are narrow per-row projections (codegen'd built-ins,
+  * no UDFs) except the fingerprint, which does one map-side-combined
+  * aggregation — every one scales linearly with no shuffle of raw text.
+  */
+object TextOps {
+
+  /** Portable 60-bit hash (same on the DuckDB oracle side):
+    * first 15 hex digits of md5 as a long. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val P: Long = 1000000007L
+
+  /** Occurrences of a literal substring — exact, regex-free, portable. */
+  def substrCount(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
+
+  /** T1 — per-document quality stats: token count (whitespace), average
+    * token length, stopword ratio, composite quality score. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val padded = concat(lit(" "), t, lit(" "))
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nStop = substrCount(padded, " the ") + substrCount(padded, " a ")
+    documents.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nTokens.as("n_tokens"),
+      round((length(t) - nTokens + 1).cast("double") / nTokens, 4).as("avg_token_len"),
+      round(nStop.cast("double") / nTokens, 4).as("stopword_ratio"),
+      round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+        (nStop.cast("double") / nTokens) * 0.5, 4).as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  /** T2 — language-ID by stopword-lexicon hit counts (n-gram heuristic).
+    * Deterministic argmax with tie order en→de→es→fr. The lexicons are
+    * engine config; on real corpora you'd use charset ranges + larger
+    * lexicons, but the operator shape (per-row scoring, no shuffle) is the
+    * same at any scale. */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " une "))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores = Lexicons.map { case (lang, words) =>
+      lang -> words.map(w => substrCount(padded, w)).reduce(_ + _)
+    }
+    val scored = scores.foldLeft(documents) { case (df, (lang, c)) =>
+      df.withColumn(s"s_$lang", c)
+    }
+    // First-wins argmax (ties resolved by lexicon order).
+    val langs = Lexicons.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val rest = langs.drop(i + 1)
+        if (rest.isEmpty) elseCol
+        else when(rest.map(r => col(s"s_$lang") >= col(s"s_$r")).reduce(_ && _), lang)
+          .otherwise(elseCol)
+    }
+    val outCols = Seq(col("doc_id"), col("lang").as("lang_declared"), pred.as("lang_pred")) ++
+      langs.map(l => col(s"s_$l"))
+    scored.select(outCols: _*).orderBy("doc_id")
+  }
+
+  /** T3 — BPE-ish token counting: whitespace tokens plus regex word-piece
+    * tokens ([a-z]+ | digit runs | single non-alnum). */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    documents.select(
+      col("doc_id"),
+      (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+        .as("bpe_tokens")
+    ).orderBy("doc_id")
+  }
+
+  /** T4 — document fingerprint: order-independent 60-bit bag-of-words hash
+    * (sum of distinct-word hashes mod p). Rolling/positional variants are a
+    * windowed extension; the bag form is what content-dedup pipelines key
+    * on. Explode → two-level aggregation with map-side combine. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy("doc_id")
+      .agg((sum(h60(col("w")) % P) % P).as("fingerprint"))
+      .orderBy("doc_id")
+}

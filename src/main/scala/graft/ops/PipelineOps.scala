@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.ModelConf._
+
+/** Batch-form implementations of the ingest-pipeline operators (SURVEY §2.1,
+  * §2.2, §2.4, §2.7). Batch-first so each is oracle-checkable; the streaming
+  * assembly in [[graft.streaming.IngestPipeline]] reuses these functions
+  * inside `foreachBatch` / stateful operators.
+  */
+object PipelineOps {
+
+  /** S2 — partitioned range scan: walk checkpoints hi→lo skipping already-
+    * completed ranges (do_scan, main/src/etl.rs:886-1025; skip consumption
+    * :913-939). The reference round-robins cp ranges across N workers
+    * (`step_by` with offset, :428-442); Spark's `range` source partitions
+    * the id space the same way, and the skip is a broadcast LEFT ANTI join
+    * (U3) — never a driver-side set. */
+  def remainingCheckpoints(spark: SparkSession, maxCp: Long, completed: DataFrame): DataFrame =
+    spark.range(0, maxCp + 1).toDF("cp")
+      .join(broadcast(completed.select(col("_id").as("cp"))), Seq("cp"), "left_anti")
+      .orderBy(col("cp").desc)
+
+  /** S3 — paginated per-checkpoint scan: page size caps each checkpoint read
+    * (≤1000 tx/page, main/src/etl.rs:46-48,942-952). Batch analog: first
+    * page per cp via a bounded per-key window (state bounded by page size —
+    * this is a top-k per key, so partial aggregation applies). */
+  def firstPagePerCheckpoint(kept: DataFrame, pageSize: Int): DataFrame = {
+    val w = Window.partitionBy("cp").orderBy(col("version"))
+    kept.withColumn("page_rn", row_number().over(w))
+      .filter(col("page_rn") <= pageSize)
+  }
+
+  /** S5/J3 — enrichment lookup join: the batched `multi_get_object` point
+    * lookup (transform_batched, main/src/etl.rs:1135-1201) becomes a
+    * broadcast-hash equi-join against the small provider dimension — no
+    * shuffle of the big change stream, no per-row RPC. */
+  def enrich(kept: DataFrame, nation: DataFrame): DataFrame =
+    kept.join(
+      broadcast(nation.select((col("n_nationkey").cast("long")).as("__nk"), col("n_name"))),
+      kept("user_id") % 25 === col("__nk"), "left")
+      .drop("__nk")
+
+  /** P9 — deletion short-circuit: deletions bypass the (expensive)
+    * enrichment fetch (main/src/etl.rs:1152-1154). Filter-split + union
+    * keeps both branches fully parallel. */
+  def withEnrichmentShortCircuit(kept: DataFrame, nation: DataFrame): DataFrame = {
+    val dels = kept.filter(col("deletion")).withColumn("n_name", lit(null).cast("string"))
+    val live = enrich(kept.filter(!col("deletion")), nation)
+    live.unionByName(dels)
+  }
+
+  /** P11 — whitelist/blacklist type filter (main/src/client.rs:146-170,
+    * exact ObjectType equality per utils.rs:29-37). */
+  def typeAllowlist(df: DataFrame, whitelist: Seq[String], blacklist: Seq[String]): DataFrame = {
+    val afterWl = if (whitelist.nonEmpty) df.filter(col("type_full").isin(whitelist: _*)) else df
+    if (blacklist.nonEmpty) afterWl.filter(!col("type_full").isin(blacklist: _*)) else afterWl
+  }
+
+  /** J4 — persistent dedup, first-seen-wins per object id (RocksDB check in
+    * do_scan, main/src/etl.rs:963-975). The reference is version-blind
+    * (FIXME :968-969) but arrival order is scan order; we define arrival
+    * order = version order so the batch form is deterministic. In streaming
+    * this is `dropDuplicates("_id")` on the RocksDB state store. */
+  def firstSeenWins(kept: DataFrame): DataFrame = {
+    val w = Window.partitionBy("_id").orderBy(col("version"))
+    kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** U1 — union of ingest routes (poll tee + livescan merge,
+    * main/src/etl.rs:112-139,366-371). Routes overlap (poll covers cp%3==0,
+    * livescan cp%2==0) which J5 then reconciles. */
+  def pollRoute(kept: DataFrame): DataFrame =
+    kept.filter(col("cp") % PollMod === 0).withColumn("route", lit("poll"))
+  def livescanRoute(kept: DataFrame): DataFrame =
+    kept.filter(col("cp") % LivescanMod === 0).withColumn("route", lit("livescan"))
+  def unionRoutes(kept: DataFrame): DataFrame =
+    pollRoute(kept).unionByName(livescanRoute(kept))
+
+  /** J5 — cross-source tx dedup (txns_already_processed reconciliation,
+    * main/src/etl.rs:274-346): keep one sighting per tx digest,
+    * deterministically preferring the poll route (the reference keeps the
+    * first sighting; routes are unordered so we fix a total order). In
+    * streaming: `dropDuplicates("previous_transaction")` with a watermark
+    * bounding state (the reference GCs after 120 checkpoints). */
+  def dedupAcrossRoutes(unioned: DataFrame): DataFrame = {
+    val w = Window.partitionBy("previous_transaction")
+      .orderBy(col("route"), col("version"))
+    unioned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A3/K4 — per-checkpoint batch outcome counts (inserted/modified/
+    * unchanged/deleted, main/src/etl.rs:1296-1301 + the Influx measurement
+    * set, main/src/influx.rs). Map-side combine → tiny result. */
+  def batchOutcomes(kept: DataFrame): DataFrame =
+    kept.groupBy("cp").agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("change_kind") === "created", 1L).otherwise(0L)).as("n_created"),
+      sum(when(col("change_kind") === "mutated", 1L).otherwise(0L)).as("n_mutated"),
+      sum(when(col("deletion"), 1L).otherwise(0L)).as("n_deleted"),
+      sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("n_failed"))
+
+  /** K4 — metrics rollup in long form (metric, value), the batch analog of
+    * the 13 Influx measurements (main/src/influx.rs:11-313). */
+  def metricsSummary(kept: DataFrame): DataFrame = {
+    val agg = kept.agg(
+      count(lit(1)).as("items_total"),
+      sum(when(col("deletion"), 1L).otherwise(0L)).as("items_deleted"),
+      sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("ingest_error"),
+      countDistinct(col("cp")).as("checkpoints_seen"),
+      max(col("cp")).as("current_checkpoint"))
+    agg.selectExpr(
+      "stack(5, 'items_total', items_total, 'items_deleted', items_deleted, " +
+        "'ingest_error', ingest_error, 'checkpoints_seen', checkpoints_seen, " +
+        "'current_checkpoint', current_checkpoint) AS (metric, value)")
+  }
+
+  /** U2 — gaps-and-islands: completed checkpoint ids → maximal descending
+    * inclusive ranges (make_descending_ranges, main/src/utils.rs:6-26; the
+    * reference's single unit test :39-48 is the golden case). Classic
+    * `cp − row_number()` island key; one shuffle over the tiny watermark
+    * table. */
+  def descendingRanges(completed: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("_id"))
+    completed
+      .withColumn("island", col("_id") - row_number().over(w))
+      .groupBy("island")
+      .agg(max(col("_id")).as("range_end"), min(col("_id")).as("range_start"))
+      .select(col("range_end"), col("range_start"))
+      .orderBy(col("range_end").desc)
+  }
+
+  /** O4 — the poll-source order flip: first page read descending, then
+    * flipped ascending for emission (do_poll, main/src/etl.rs:1082-1087). */
+  def latestPageAscending(events: DataFrame, pageSize: Int): DataFrame =
+    events.orderBy(col("event_id").desc).limit(pageSize).orderBy(col("event_id"))
+}

@@ -1,0 +1,428 @@
+package graft.oracle
+
+import graft.llm.SimilarityOps
+
+/** Per-query DuckDB oracle SQL (driver contract: `SparkEntry.oracleSql`).
+  * Every entry mirrors the Spark implementation bound in
+  * [[graft.SparkEntry.queries]] — same column names, same value semantics,
+  * same deterministic ORDER BY. See [[OracleSql]] for the shared model CTEs
+  * and the portability rules.
+  */
+object Oracles {
+  import OracleSql.withModel
+
+  /** documents/embeddings may not be registered as DuckDB views by the
+    * driver (TESTDATA.md lists only the TPC-H tables + events), so oracle
+    * SQL references them by path at the verification scale factor. */
+  private val Docs = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  private val Emb = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  private val ObjCols =
+    "_id, version, version_hex, deleted, owner_kind, owner, type_full, storage_rebate"
+
+  private def prefix(colName: String, p: String): String =
+    s"substr($colName, 1, ${p.length}) = '$p'"
+
+  private val DynChild =
+    s"owner_kind = 'Object' AND ${prefix("type_full", "0x2::dynamic_field::Field<")}"
+
+  // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
+
+  private val ShingleCtes = s"""
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_arr
+       FROM docs WHERE len(w) >= 3),
+sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id)"""
+
+  private def jaccardTail(threshold: Double): String = s"""
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= $threshold
+ORDER BY id_a, id_b"""
+
+  private def duckPlane(p: Array[Double]): String =
+    p.mkString("[", ", ", "]::DOUBLE[]")
+
+  private def duckBucket(vecCol: String, nPlanes: Int, dim: Int): String = {
+    val hps = SimilarityOps.hyperplanes(nPlanes, dim)
+    hps.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vecCol, ${duckPlane(p)}) >= 0 THEN ${1 << (nPlanes - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  val sql: Map[String, String] = Map(
+    // ---- serving query surface (P1-P8, O1-O4) --------------------------
+    "p1_point_lookup" -> withModel(
+      s"SELECT $ObjCols FROM objects WHERE _id = '0x000007' ORDER BY _id LIMIT 50"),
+
+    "p2_multi_id" -> withModel(
+      s"SELECT $ObjCols FROM objects WHERE _id IN ('0x000007','0x000011','0x000042','0x000123') ORDER BY _id LIMIT 50"),
+
+    "p3_owner" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE (owner_kind = 'Address' AND owner IN ('0xa00000'))
+             OR (owner_kind = 'Object' AND owner IN ('0xa00000'))
+          ORDER BY _id LIMIT 50"""),
+
+    "p4_owners" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE (owner_kind = 'Address' AND owner IN ('0xa00000','0xa00004','0xa00008'))
+             OR (owner_kind = 'Object' AND owner IN ('0xa00000','0xa00004','0xa00008'))
+          ORDER BY _id LIMIT 50"""),
+
+    "p5_type_prefix" -> withModel(
+      s"SELECT $ObjCols FROM objects WHERE ${prefix("type_full", "0x1::click")} ORDER BY _id LIMIT 100"),
+
+    "p6_multi_type" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE ${prefix("type_full", "0x0::view")}
+             OR ${prefix("type_full", "0x2::dynamic_field::Field<0x1::string::String,0x0")}
+          ORDER BY _id LIMIT 100"""),
+
+    "p7_dynfield_parents" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE _id IN (
+            SELECT DISTINCT owner FROM objects
+            WHERE $DynChild
+              AND json_extract_string(fields_json, '$$.name.fields.k') IN ('87','12'))
+          ORDER BY _id LIMIT 100"""),
+
+    "p8_children" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE $DynChild AND owner IN ('0x000010')
+          ORDER BY _id LIMIT 100"""),
+
+    "o1_latest_checkpoint" -> withModel(
+      "SELECT _id FROM completed ORDER BY _id DESC LIMIT 1"),
+
+    "o2_pagination" -> withModel(
+      s"SELECT $ObjCols FROM objects ORDER BY _id LIMIT 20 OFFSET 40"),
+
+    "o3_count_by_owner_kind" -> withModel(
+      """SELECT owner_kind, CAST(count(*) AS BIGINT) AS n FROM objects
+         GROUP BY owner_kind ORDER BY n DESC, owner_kind"""),
+
+    "s1_tail_poll_page" -> withModel(
+      """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM (
+           SELECT * FROM events ORDER BY event_id DESC LIMIT 100)
+         ORDER BY event_id"""),
+
+    // ---- joins ---------------------------------------------------------
+    "j1_dynfield_parent_join" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE _id IN (
+            SELECT DISTINCT owner FROM objects
+            WHERE $DynChild
+              AND json_extract_string(fields_json, '$$.value.fields.v') IN ('7','21'))
+          ORDER BY _id LIMIT 100"""),
+
+    "j2_children_resolver" -> withModel(
+      s"""SELECT parent_id, child_id, child_version, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT p.parent_id, c.child_id, c.child_version,
+                   row_number() OVER (PARTITION BY p.parent_id ORDER BY c.child_version DESC, c.child_id) AS rn
+            FROM (SELECT _id AS parent_id FROM objects WHERE ${prefix("type_full", "0x0::signup")}) p
+            JOIN (SELECT owner AS parent_id, _id AS child_id, version AS child_version
+                  FROM objects WHERE $DynChild) c
+              ON c.parent_id = p.parent_id)
+          WHERE rn <= 3 ORDER BY parent_id, rn"""),
+
+    "j3_enrichment" -> withModel(
+      """SELECT k._id, k.version, n.n_name FROM kept k
+         JOIN nation n ON k.user_id % 25 = n.n_nationkey
+         WHERE k.cp < 20 ORDER BY k.version"""),
+
+    "j4_first_seen_dedup" -> withModel(
+      """SELECT _id, version FROM (
+           SELECT _id, version, row_number() OVER (PARTITION BY _id ORDER BY version) AS rn
+           FROM kept)
+         WHERE rn = 1 ORDER BY _id"""),
+
+    "j5_cross_source_dedup" -> withModel(
+      """SELECT route, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT previous_transaction, route, version,
+                  row_number() OVER (PARTITION BY previous_transaction ORDER BY route, version) AS rn
+           FROM (
+             SELECT previous_transaction, version, 'poll' AS route FROM kept WHERE cp % 3 = 0
+             UNION ALL
+             SELECT previous_transaction, version, 'livescan' AS route FROM kept WHERE cp % 2 = 0))
+         WHERE rn = 1 GROUP BY route ORDER BY route"""),
+
+    // ---- ingest pipeline (K*, U*, A1-A3, S2/S3/S6, P9-P11) -------------
+    "k1_latest_wins" -> withModel(
+      "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"),
+
+    "k2_checkpoint_commits" -> withModel(
+      "SELECT _id FROM completed ORDER BY _id"),
+
+    "k3_dlq" -> withModel(
+      "SELECT _id, version, cp FROM failures ORDER BY version"),
+
+    "k4_metrics" -> withModel(
+      """SELECT metric, value FROM (
+           SELECT 'items_total' AS metric, CAST(count(*) AS BIGINT) AS value FROM kept
+           UNION ALL SELECT 'items_deleted', CAST(sum(CASE WHEN deletion THEN 1 ELSE 0 END) AS BIGINT) FROM kept
+           UNION ALL SELECT 'ingest_error', CAST(sum(CASE WHEN version % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) FROM kept
+           UNION ALL SELECT 'checkpoints_seen', CAST(count(DISTINCT cp) AS BIGINT) FROM kept
+           UNION ALL SELECT 'current_checkpoint', CAST(max(cp) AS BIGINT) FROM kept)
+         ORDER BY metric"""),
+
+    "a1_completion_countdown" -> withModel(
+      "SELECT _id FROM completed ORDER BY _id"),
+
+    "a2_max_checkpoint" -> withModel(
+      "SELECT max(_id) AS max_cp FROM completed"),
+
+    "a3_batch_outcomes" -> withModel(
+      """SELECT cp, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CASE WHEN change_kind = 'created' THEN 1 ELSE 0 END) AS BIGINT) AS n_created,
+                CAST(sum(CASE WHEN change_kind = 'mutated' THEN 1 ELSE 0 END) AS BIGINT) AS n_mutated,
+                CAST(sum(CASE WHEN deletion THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                CAST(sum(CASE WHEN version % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+         FROM kept WHERE cp < 50 GROUP BY cp ORDER BY cp"""),
+
+    "s2_range_scan_skip" -> withModel(
+      """SELECT cp FROM (SELECT DISTINCT cp FROM changes)
+         WHERE cp NOT IN (SELECT _id FROM completed) ORDER BY cp DESC"""),
+
+    "s3_first_page_per_cp" -> withModel(
+      """SELECT cp, version, CAST(page_rn AS BIGINT) AS page_rn FROM (
+           SELECT cp, version, row_number() OVER (PARTITION BY cp ORDER BY version) AS page_rn
+           FROM kept WHERE cp < 30)
+         WHERE page_rn <= 3 ORDER BY cp, page_rn"""),
+
+    "s6_watermark" -> withModel(
+      "SELECT max(_id) AS max_cp FROM completed"),
+
+    "s7_objects_scan" -> withModel(
+      """SELECT _id, version, version_hex, deleted, digest, type_full, type_package,
+                type_module, type_struct, owner_kind, owner, initial_shared_version,
+                previous_transaction, storage_rebate, has_public_transfer, fields_json,
+                cp, ts_ms, ingested_via
+         FROM objects ORDER BY _id LIMIT 200"""),
+
+    "u1_union_routes" -> withModel(
+      """SELECT route, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT 'poll' AS route FROM kept WHERE cp % 3 = 0
+           UNION ALL
+           SELECT 'livescan' AS route FROM kept WHERE cp % 2 = 0)
+         GROUP BY route ORDER BY route"""),
+
+    "u2_descending_ranges" -> withModel(
+      """SELECT max(_id) AS range_end, min(_id) AS range_start FROM (
+           SELECT _id, _id - row_number() OVER (ORDER BY _id) AS island FROM completed)
+         GROUP BY island ORDER BY range_end DESC"""),
+
+    "u3_range_anti_join" -> withModel(
+      """SELECT cp FROM (SELECT DISTINCT cp FROM changes)
+         WHERE cp NOT IN (SELECT _id FROM completed) ORDER BY cp DESC"""),
+
+    "p9_deletion_split" -> withModel(
+      """SELECT deletion, (n_name IS NULL) AS skipped_fetch, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT k.deletion, CASE WHEN k.deletion THEN NULL ELSE n.n_name END AS n_name
+           FROM kept k LEFT JOIN nation n ON (NOT k.deletion) AND k.user_id % 25 = n.n_nationkey)
+         GROUP BY deletion, (n_name IS NULL) ORDER BY deletion, skipped_fetch"""),
+
+    "p10_change_kinds" -> withModel(
+      """SELECT change_kind, CAST(count(*) AS BIGINT) AS n FROM changes
+         GROUP BY change_kind ORDER BY change_kind"""),
+
+    "p11_type_allowlist" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE type_full IN ('0x0::view::T1','0x1::click::T2')
+          ORDER BY _id"""),
+
+    "p12_projection" -> withModel(
+      "SELECT _id, type_package FROM objects ORDER BY _id LIMIT 50"),
+
+    "p13_typed_parse" -> withModel(
+      """SELECT _id, type_package, type_module, type_struct, type_generics_raw,
+                version_hex, storage_rebate,
+                CAST(octet_length(from_base64(bcs_b64)) AS BIGINT) AS bcs_len
+         FROM objects ORDER BY _id LIMIT 100"""),
+
+    "p14_json_decode" -> withModel(
+      """SELECT _id,
+                json_extract_string(fields_json, '$.name.fields.k') AS name_k,
+                json_extract_string(fields_json, '$.value.fields.owner') AS value_owner,
+                json_extract_string(fields_json, '$.value.fields.v') AS value_v
+         FROM objects
+         WHERE owner_kind = 'Object' AND substr(type_full, 1, 26) = '0x2::dynamic_field::Field<'
+         ORDER BY _id LIMIT 200"""),
+
+    // ---- aggregations / example-query corpus ---------------------------
+    "a4_count_per_type" -> withModel(
+      """SELECT type_full, CAST(count(*) AS BIGINT) AS count FROM objects
+         GROUP BY type_full ORDER BY count DESC, type_full"""),
+
+    "a5_distinct_types" -> withModel(
+      "SELECT DISTINCT type_full FROM objects ORDER BY type_full"),
+
+    "a5b_distinct_types_by_owner" -> withModel(
+      """SELECT DISTINCT type_full FROM objects
+         WHERE (owner_kind = 'Address' AND owner IN ('0xa00000'))
+            OR (owner_kind = 'Object' AND owner IN ('0xa00000'))
+         ORDER BY type_full"""),
+
+    "a5c_count_unique_types" -> withModel(
+      "SELECT CAST(count(DISTINCT type_full) AS BIGINT) AS n_types FROM objects"),
+
+    "a6_largest_doc" -> withModel(
+      """SELECT CAST(max(octet_length(encode(fields_json)) + octet_length(encode(type_full))) AS BIGINT)
+           AS max_doc_bytes FROM objects"""),
+
+    "a7_table_count" -> withModel(
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM objects"),
+
+    // ---- stream-window extensions (batch-equivalent forms) -------------
+    "w1_hourly_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+
+    "w3_session_counts" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(max(n_events) AS BIGINT) AS max_session_events FROM (
+           SELECT user_id, session_id, count(*) AS n_events FROM (
+             SELECT user_id, ts,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM (
+               SELECT user_id, ts,
+                      CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+               FROM (
+                 SELECT user_id, ts, lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+                 FROM events)))
+           GROUP BY user_id, session_id)
+         GROUP BY user_id ORDER BY user_id""",
+
+    // ---- LLM data-pipeline operators -----------------------------------
+    "d1_exact_dedup" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM $Docs)
+          WHERE rn = 1 ORDER BY doc_id""",
+
+    "d2_minhash_neardups" -> s"""WITH $ShingleCtes,
+hs AS (SELECT doc_id, list_transform(shingle_arr, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007) AS hs FROM sh),
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(hs, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM hs),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+${jaccardTail(0.5)}""",
+
+    "d3_simhash" -> s"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs),
+wh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         FROM wh, (SELECT unnest(range(0, 16)) AS b) GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "d4_ngram_jaccard" -> s"""WITH $ShingleCtes,
+df AS (SELECT sh, count(*) AS n_docs FROM sset GROUP BY sh HAVING count(*) <= 100),
+pruned AS (SELECT s.doc_id, s.sh FROM sset s JOIN df ON df.sh = s.sh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+${jaccardTail(0.3)}""",
+
+    "e1_cosine_topk" -> s"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $Emb WHERE vec_id < 8),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
+scored AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos
+           FROM q, e WHERE vec_id <> query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "e2_ann_lsh_topk" -> s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${duckBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM $Emb),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+           FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "t1_text_stats" -> s"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       round(CAST(length(text) - (length(text) - length(replace(text, ' ', '')) + 1) + 1 AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len,
+       round(CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+               + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio,
+       round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+             + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                  + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+FROM $Docs ORDER BY doc_id""",
+
+    "t2_lang_id" -> s"""
+WITH s AS (
+  SELECT doc_id, lang AS lang_declared,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+       + (length(p) - length(replace(p, ' and ', ''))) / 5
+       + (length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+       + (length(p) - length(replace(p, ' und ', ''))) / 5
+       + (length(p) - length(replace(p, ' die ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+       + (length(p) - length(replace(p, ' los ', ''))) / 5
+       + (length(p) - length(replace(p, ' una ', ''))) / 5 AS BIGINT) AS s_es,
+    CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+       + (length(p) - length(replace(p, ' les ', ''))) / 5
+       + (length(p) - length(replace(p, ' une ', ''))) / 5 AS BIGINT) AS s_fr
+  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM $Docs))
+SELECT doc_id, lang_declared,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       s_en, s_de, s_es, s_fr
+FROM s ORDER BY doc_id""",
+
+    "t3_token_counts" -> s"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM $Docs ORDER BY doc_id""",
+
+    "t4_fingerprints" -> s"""
+SELECT doc_id,
+       CAST(sum(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs)
+GROUP BY doc_id ORDER BY doc_id""",
+
+    "m1_media_meta" -> s"""
+SELECT doc_id, 'image/' || source AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM $Docs ORDER BY doc_id""",
+
+    // ---- flagship relational agg (driver-contract example shape) -------
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""")
+}

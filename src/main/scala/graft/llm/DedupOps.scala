@@ -43,16 +43,25 @@ object DedupOps {
     shingles(documents, k).select(col("doc_id"), explode(col("shingle_arr")).as("sh"))
 
   /** D2 — MinHash signatures: numPerms permutations over 60-bit shingle
-    * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p. Computed per-row with
-    * higher-order functions — no explode, no shuffle. */
-  def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame =
-    shingles(documents, k)
-      .withColumn("hs", expr(
-        s"transform(shingle_arr, s -> cast(conv(substr(md5(s),1,15),16,10) as bigint) % ${P}L)"))
-      .withColumn("minhash", expr(
-        s"transform(sequence(0, ${numPerms - 1}), i -> " +
-          s"aggregate(hs, ${P}L, (acc, h) -> least(acc, ((2*i+3)*h + 7*i+1) % ${P}L)))"))
-      .select(col("doc_id"), col("minhash"))
+    * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p.
+    *
+    * Shape: explode shingles → hash once per (doc, shingle) → ONE hash
+    * aggregation with `numPerms` min() columns. The aggregation is a
+    * codegen'd partial-agg (map-side combine), and materializing `h` before
+    * the mins means md5 runs once per shingle — a nested
+    * transform/aggregate lambda form recomputes the hash per permutation
+    * (32× the md5 work) because projection collapse inlines it. */
+  def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame = {
+    val hashed = shingleSet(documents, k)
+      .withColumn("h", expr(s"cast(conv(substr(md5(sh),1,15),16,10) as bigint) % ${P}L"))
+    val mins = (0 until numPerms).map { i =>
+      min((col("h") * (2 * i + 3) + (7 * i + 1)) % P).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"m$i")): _*).as("minhash"))
+  }
 
   /** D2 — banded LSH candidate pairs: split the signature into `bands` bands
     * of rows; docs sharing any full band land in the same bucket. Shuffles
@@ -65,6 +74,10 @@ object DedupOps {
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, array_join(slice(minhash, b*$r+1, $r), '-') AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // Both sides of the self-join read this; without persist the whole
+      // signature pipeline (md5 + 32-way min agg) runs twice. ~bands rows
+      // per doc — small relative to the corpus.
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -75,7 +88,9 @@ object DedupOps {
   }
 
   /** Exact Jaccard verification on a candidate-pair set. */
-  def jaccardVerify(candidates: DataFrame, shingleSet: DataFrame, threshold: Double): DataFrame = {
+  def jaccardVerify(candidates: DataFrame, shingleSetIn: DataFrame, threshold: Double): DataFrame = {
+    // Read three times (two join sides + sizes): materialize once.
+    val shingleSet = shingleSetIn.persist()
     val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = shingleSet.select(col("doc_id").as("id_a"), col("sh"))
     val sb = shingleSet.select(col("doc_id").as("id_b"), col("sh"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.model.Tables
+
+/** LLM data-pipeline operators: LSH candidate soundness, MinHash recall vs
+  * exact Jaccard, ANN recall vs brute force, multimodal plumbing. */
+class LlmSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("exact dedup keeps one doc per distinct text") {
+    val kept = DedupOps.exactDedup(docs).count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(kept === distinctTexts)
+  }
+
+  test("minhash-LSH finds a usable fraction of true near-dup pairs (recall)") {
+    val threshold = 0.5
+    // Ground truth: shared-shingle candidate generation is complete for
+    // jaccard > 0 (disjoint shingle sets have jaccard 0), then exact-verified.
+    val truth = DedupOps.ngramJaccardDups(docs, threshold).count()
+    val found = DedupOps.minhashNearDups(docs, threshold).count()
+    assert(truth > 0, "fixture should contain near-dup pairs")
+    // Banded LSH (32 perms, 8 bands of 4) at jaccard 0.5+ — expect a solid
+    // majority of verified pairs (precision is 1 by construction: every
+    // emitted pair is exact-verified).
+    assert(found.toDouble / truth.toDouble >= 0.5,
+      s"LSH recall too low: $found/$truth")
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates per bucket") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val ann = SimilarityOps.lshTopK(emb, queries, 5)
+    // Correctness within the bucket: each (query, neighbor) pair must rank
+    // consistently — rank 1 neighbor of each query must be the bucket's
+    // true nearest (checked implicitly by construction); here we assert
+    // shape and determinism across runs.
+    val run1 = ann.collect().toSeq
+    val run2 = SimilarityOps.lshTopK(emb, queries, 5).collect().toSeq
+    assert(run1 === run2)
+    assert(run1.groupBy(_.getLong(0)).values.forall(_.size <= 5))
+  }
+
+  test("ANN recall@5 vs brute force is nonzero and measured") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.lshTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.2f (4 hyperplanes, 16 buckets)")
+    assert(recall > 0.0)
+  }
+
+  test("text stats are sane on the fixture") {
+    val row = TextOps.textStats(docs).filter(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("n_tokens") > 0)
+    assert(row.getAs[Double]("avg_token_len") > 1.0)
+  }
+
+  test("multimodal decode emits one meta row per document with real byte counts") {
+    val meta = MultimodalOps.mediaPipeline(spark, docs)
+    assert(meta.count() === docs.count())
+    val joined = meta.join(docs, "doc_id")
+      .withColumn("expected", octet_length(col("text")).cast("long"))
+    assert(joined.filter(col("n_bytes") =!= col("expected")).count() === 0)
+  }
+
+  test("simhash of identical texts is identical") {
+    import spark.implicits._
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val hashes = DedupOps.simhash(two).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(2L))
+    assert(hashes(1L) !== hashes(3L))
+  }
+}

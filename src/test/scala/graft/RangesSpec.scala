@@ -1,0 +1,56 @@
+package graft
+
+import scala.util.Random
+
+import graft.ops.PipelineOps
+
+/** U2 gaps-and-islands vs the reference algorithm
+  * (make_descending_ranges, main/src/utils.rs:6-26). The reference's only
+  * unit test (utils.rs:39-48) is the golden case. */
+class RangesSpec extends SparkSpec {
+
+  /** Reference semantics, reimplemented independently: maximal descending
+    * inclusive ranges over a set of ids. */
+  private def refRanges(ids: Seq[Long]): Seq[(Long, Long)] = {
+    val sorted = ids.distinct.sorted(Ordering[Long].reverse)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    for (id <- sorted) {
+      out.lastOption match {
+        case Some((end, start)) if start == id + 1 =>
+          out.update(out.size - 1, (end, id))
+        case _ => out += ((id, id))
+      }
+    }
+    out.toList
+  }
+
+  private def sparkRanges(ids: Seq[Long]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val df = ids.toDF("_id").distinct()
+    PipelineOps.descendingRanges(df)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+  }
+
+  test("golden case from the reference unit test") {
+    assert(sparkRanges(Seq(3L, 1L, 2L, 7L, 9L, 11L, 10L)) ===
+      Seq((11L, 9L), (7L, 7L), (3L, 1L)))
+  }
+
+  test("matches reference algorithm on random id sets (seeded property)") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 15) {
+      val ids = Seq.fill(rnd.nextInt(40))(rnd.nextLong(60).max(0L))
+      if (ids.nonEmpty) assert(sparkRanges(ids) === refRanges(ids))
+    }
+  }
+
+  test("anti-join skip covers exactly the non-completed ids") {
+    import spark.implicits._
+    val completed = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("_id")
+    val remaining = PipelineOps.remainingCheckpoints(spark, 9L, completed)
+      .as[Long].collect().toSeq
+    assert(remaining === Seq(8L, 7L, 4L, 3L))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.model.ObjectsModel
+import graft.streaming.IngestPipeline
+
+/** End-to-end Structured Streaming pipeline tests: the streamed store must
+  * converge to exactly the batch objects view (streaming/batch parity), the
+  * completion countdown must commit checkpoints exactly once, and windowed
+  * aggregation must respect the watermark. */
+/** Raw event shape matching the testdata events table with nanos-long ts
+  * (see Tables.load). Top-level so Spark can derive an Encoder. */
+case class Ev(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(n: Int): Seq[Ev] =
+    (0 until n).map { i =>
+      Ev(i.toLong, 1700000000000000000L + i.toLong * 1000000000L, (i % 7).toLong,
+        Seq("signup", "click", "purchase", "view", "error")(i % 5), i * 1.5,
+        s"""{"k": ${i % 100}}""")
+    }
+
+  test("streamed ingest converges to the batch objects view (K1/K2/K3 parity)") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val events = mkEvents(200)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      // three microbatches, deliberately splitting mid-checkpoint
+      stream.addData(events.slice(0, 77))
+      query.processAllAvailable()
+      stream.addData(events.slice(77, 140))
+      query.processAllAvailable()
+      stream.addData(events.slice(140, 200))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/store")
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSet
+    val batch = ObjectsModel.latestWins(ObjectsModel.processed(
+      ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))))
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+
+    // DLQ captured exactly the poisoned items (version % 97 == 13, K3)
+    val dlqVersions = spark.read.parquet(s"$tmp/dlq")
+      .select("version").as[Long].collect().toSet
+    val expectedDlq = ObjectsModel.failures(ObjectsModel.kept(
+      ObjectsModel.deriveChanges(events.toDF()))).select("version").as[Long].collect().toSet
+    assert(dlqVersions === expectedDlq)
+  }
+
+  test("replaying the same batch does not change the store (idempotent MERGE)") {
+    val tmp = Files.createTempDirectory("graft_replay").toString
+    val events = mkEvents(50)
+    val batch = ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))
+    IngestPipeline.mergeStore(spark, s"$tmp/store", batch)
+    val first = spark.read.parquet(s"$tmp/store").orderBy("_id", "version").collect().toSeq
+    IngestPipeline.mergeStore(spark, s"$tmp/store", batch)
+    val second = spark.read.parquet(s"$tmp/store").orderBy("_id", "version").collect().toSeq
+    assert(first === second)
+  }
+
+  test("completion countdown commits a checkpoint exactly once when all items arrive (A1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_cpd").toString
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = MemoryStream[(Long, Long)] // (cp, expected)
+    val done = IngestPipeline.completionCountdown(spark, stream.toDS())
+    // AvailableNow + restarts over the same checkpoint: processes what's
+    // queued, stops, and recovers countdown state on the next start —
+    // exercising both the countdown and state recovery.
+    def runOnce(): Unit = {
+      val q = done.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestPipeline.CpDone], _: Long) =>
+          batch.collect().foreach(d => committed.add((d.cp, d.items)))
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "countdown query did not finish")
+    }
+    stream.addData(Seq.fill(3)((1L, 5L)): _*) // 3 of 5
+    runOnce()
+    assert(committed.isEmpty)
+    stream.addData(Seq.fill(2)((1L, 5L)): _*) // completes cp 1
+    stream.addData(Seq.fill(2)((2L, 4L)): _*) // 2 of 4
+    runOnce()
+    assert(committed.toArray.toSet === Set((1L, 5L)))
+    stream.addData(Seq.fill(2)((2L, 4L)): _*) // completes cp 2
+    runOnce()
+    assert(committed.toArray.toSet === Set((1L, 5L), (2L, 4L)))
+  }
+
+  test("streaming dedup drops cross-batch duplicate (id, version) sightings (J4/J5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = mkEvents(40)
+    val deduped = IngestPipeline.dedupStream(
+      IngestPipeline.changeStream(stream.toDF()))
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(events) // replay the exact same events
+      query.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val expected = ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF())).count()
+      assert(n === expected)
+    } finally query.stop()
+  }
+
+  test("windowed aggregation groups by event-time hour (W1 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val windowed = IngestPipeline.windowedCounts(
+      IngestPipeline.changeStream(stream.toDF()))
+    val query = windowed.writeStream.format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(mkEvents(100))
+      // advance the watermark far enough to close all windows
+      stream.addData(Ev(10000L, 1700100000000000000L, 0L, "click", 0.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+      assert(rows.count() > 0)
+      assert(rows.agg(sum("n")).head().getLong(0) > 0)
+    } finally query.stop()
+  }
+}

@@ -20,12 +20,24 @@ object SparkEntry {
   private def out(df: DataFrame): DataFrame =
     df.select(ObjCols.map(col): _*)
 
+  /** Serving-layer cache of the hot derived tables (SURVEY §4 "caching"):
+    * the objects table and change stream are consumed by nearly every
+    * query in a session; persist them once per (session, sfDir). At
+    * deployment scale this is the materialized, `_id`-bucketed objects
+    * table instead of an in-memory cache. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private def cachedDf(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    dfCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, key), _ => build.persist())
+
   private def objects(s: SparkSession, dir: String): DataFrame =
-    ObjectsModel.objects(s, dir)
+    cachedDf(s, dir, "objects")(ObjectsModel.objects(s, dir))
   private def keptChanges(s: SparkSession, dir: String): DataFrame =
-    ObjectsModel.kept(ObjectsModel.changes(s, dir))
+    cachedDf(s, dir, "kept")(ObjectsModel.kept(ObjectsModel.changes(s, dir)))
   private def completedCps(s: SparkSession, dir: String): DataFrame =
-    ObjectsModel.completedCheckpoints(keptChanges(s, dir))
+    cachedDf(s, dir, "completed")(ObjectsModel.completedCheckpoints(keptChanges(s, dir)))
 
   /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
     * owner (server/src/main.rs:283-284) with pagination. */

@@ -51,8 +51,14 @@ object DedupOps {
     * the mins means md5 runs once per shingle — a nested
     * transform/aggregate lambda form recomputes the hash per permutation
     * (32× the md5 work) because projection collapse inlines it. */
-  def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame = {
-    val hashed = shingleSet(documents, k)
+  def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame =
+    signaturesFromShingleSet(shingleSet(documents, k), numPerms)
+
+  /** Signature computation over an (ideally persisted) exploded shingle
+    * set, so the shingling pipeline runs once even when the verify stage
+    * also consumes it. */
+  def signaturesFromShingleSet(shingleSet: DataFrame, numPerms: Int = 32): DataFrame = {
+    val hashed = shingleSet
       .withColumn("h", expr(s"cast(conv(substr(md5(sh),1,15),16,10) as bigint) % ${P}L"))
     val mins = (0 until numPerms).map { i =>
       min((col("h") * (2 * i + 3) + (7 * i + 1)) % P).as(s"m$i")
@@ -109,25 +115,39 @@ object DedupOps {
   /** D2 — full MinHash-LSH near-dup pipeline: sign → band → bucket-join →
     * exact-Jaccard verify. */
   def minhashNearDups(documents: DataFrame, threshold: Double = 0.5,
-      numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
+      numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    // One persisted shingle set feeds both the signature and verify paths —
+    // the shingling pipeline (split + HOF transform + explode) is the most
+    // expensive expression tree here and must not run twice.
+    val ss = shingleSet(documents, k).persist()
     jaccardVerify(
-      lshCandidates(minhashSignatures(documents, numPerms, k), numPerms, bands),
-      shingleSet(documents, k), threshold)
+      lshCandidates(signaturesFromShingleSet(ss, numPerms), numPerms, bands),
+      ss, threshold)
+  }
 
-  /** D4 — n-gram Jaccard near-dup without LSH: candidates = pairs sharing
-    * ≥1 shingle (inverted-index join on the shingle, with a hot-shingle cap
-    * to bound skew), then exact verify. The cap drops shingles appearing in
-    * more than `maxDf` docs — standard df-pruning: ubiquitous shingles
-    * generate quadratic candidates but carry no similarity signal. */
+  /** D4 — n-gram Jaccard near-dup without LSH: inverted-index join on the
+    * shingle with two standard prunings, then exact verify over FULL
+    * shingle sets:
+    *  - df-pruning: shingles in more than `maxDf` docs are dropped from
+    *    candidate generation (ubiquitous shingles generate quadratic
+    *    candidates but carry no similarity signal);
+    *  - count prefilter: candidate pairs must share ≥ `minShared` pruned
+    *    shingles. At threshold t, a true pair shares ≥ t/(1+t)·(|A|+|B|)
+    *    shingles, far above `minShared` for real documents — the prefilter
+    *    trims the verify join from millions of 1-shingle coincidences to
+    *    the plausible few.
+    * Both prunings are mirrored in the oracle. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double,
-      k: Int = 3, maxDf: Int = 100): DataFrame = {
-    val ss = shingleSet(documents, k)
+      k: Int = 3, maxDf: Int = 100, minShared: Int = 5): DataFrame = {
+    val ss = shingleSet(documents, k).persist()
     val rare = ss.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val pruned = ss.join(rare.select("sh"), "sh")
+    val pruned = ss.join(rare.select("sh"), "sh").persist()
     val candidates = pruned.select(col("doc_id").as("id_a"), col("sh"))
       .join(pruned.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b")
     jaccardVerify(candidates, ss, threshold)
   }
 

@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
+  /** Codegen'd dot product (graft.functions.DotProductExpr) — registered
+    * per-session by [[graft.functions.GraftFunctions.register]]; callers in
+    * this object register on their input's session first. */
+  private def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
 
   private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
 
   /** E1 — exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by neighbor id. */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(
@@ -49,9 +51,10 @@ object SimilarityOps {
       (((j * 131 + d * 31 + 7) % 211) - 105) / 105.0
     }
 
-  /** SQL array literal for one hyperplane (shared Spark/DuckDB syntax). */
+  /** Spark SQL array<double> literal for one hyperplane (decimal literals
+    * cast to double round-trip exactly via shortest-repr). */
   def planeLiteral(p: Array[Double]): String =
-    p.mkString("array(", ", ", ")")
+    p.mkString("cast(array(", ", ", ") as array<double>)")
 
   /** Bucket id = sign bits of the projections onto `nPlanes` hyperplanes. */
   def bucketExpr(vecCol: String, nPlanes: Int, dim: Int): String = {
@@ -68,6 +71,7 @@ object SimilarityOps {
     * is the recall dial). */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
     val q = queries
       .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
@@ -88,6 +92,7 @@ object SimilarityOps {
     * pairs are compared. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
       .select(col("bucket"), col("vec_id"), col("embedding"))

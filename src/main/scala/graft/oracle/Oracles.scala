@@ -333,8 +333,9 @@ FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "d4_ngram_jaccard" -> s"""WITH $ShingleCtes,
 df AS (SELECT sh, count(*) AS n_docs FROM sset GROUP BY sh HAVING count(*) <= 100),
 pruned AS (SELECT s.doc_id, s.sh FROM sset s JOIN df ON df.sh = s.sh),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
 ${jaccardTail(0.3)}""",
 
     "e1_cosine_topk" -> s"""

@@ -127,6 +127,8 @@ object SparkEntry {
       PipelineOps.firstPagePerCheckpoint(keptChanges(s, d).filter(col("cp") < 30), 3)
         .select(col("cp"), col("version"), col("page_rn").cast("long").as("page_rn"))
         .orderBy("cp", "page_rn")),
+    "s4_cursor_walk" -> ((s, d) =>
+      PipelineOps.walkSegments(completedCps(s, d), 2L)),
     "s6_watermark" -> ((s, d) => AggOps.maxCheckpoint(completedCps(s, d))),
     "s7_objects_scan" -> ((s, d) =>
       QuerySurface.paginate(QuerySurface.serveProjection(objects(s, d)), 200, 0)),
@@ -177,6 +179,7 @@ object SparkEntry {
 
     // ---- stream-window extensions (batch forms) ------------------------
     "w1_hourly_counts" -> ((s, d) => AggOps.hourlyEventCounts(Tables.events(s, d))),
+    "w2_sliding_counts" -> ((s, d) => AggOps.slidingEventCounts(Tables.events(s, d))),
     "w3_session_counts" -> ((s, d) => AggOps.sessionCounts(Tables.events(s, d), 30)),
 
     // ---- LLM data-pipeline operators -----------------------------------
@@ -212,6 +215,17 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))
   )
+
+  /** Warm the serving cache and table IO (the reference server likewise
+    * does its index setup at startup, server/src/main.rs:532-590): Bench
+    * calls this so per-query timings measure queries, not JVM warmup. */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    Tables.All.foreach(n => Tables.load(spark, dir, n).count())
+    objects(spark, dir).count()
+    keptChanges(spark, dir).count()
+    completedCps(spark, dir).count()
+    ()
+  }
 
   def oracleSql: Map[String, String] = graft.oracle.Oracles.sql
 }

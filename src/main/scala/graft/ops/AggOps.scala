@@ -68,6 +68,19 @@ object AggOps {
       .select(col("hour_ms"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_ms", "event_type")
 
+  /** W2 — sliding-window counts (1 h window, 30 min slide): every event
+    * falls in exactly two windows, produced by exploding the two containing
+    * window starts — the batch-portable equivalent of streaming
+    * `window($"ts", "1 hour", "30 minutes")`. */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("slot", expr("(ts div 1800000000000) * 1800000"))
+      .select(explode(array(col("slot"), col("slot") - 1800000L)).as("window_start_ms"),
+        col("event_type"))
+      .groupBy("window_start_ms", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start_ms", "event_type")
+
   /** W3 — sessionization: gap > `gapMinutes` starts a new session. Batch
     * form = gaps-and-islands via lag + running sum (exactly what
     * `session_window` computes in streaming). Partitioned by user → scales

@@ -133,6 +133,25 @@ object PipelineOps {
       .orderBy(col("range_end").desc)
   }
 
+  /** S4 — cursor-walk segments (do_walk, main/src/etl.rs:675-821): walk
+    * the checkpoint sequence by cursor, starting a new walk when the gap
+    * exceeds the jump threshold (`etl.rs:864-869` jumps when the cursor
+    * falls more than ~`1000/density` checkpoints behind). Gaps-and-islands
+    * with tolerance: lag + running sum over the tiny watermark table. */
+  def walkSegments(completed: DataFrame, jump: Long): DataFrame = {
+    val w = Window.orderBy("_id")
+    completed
+      .withColumn("prev", lag(col("_id"), 1).over(w))
+      .withColumn("new_seg",
+        when(col("prev").isNull || col("_id") - col("prev") > jump, 1L).otherwise(0L))
+      .withColumn("walk_id", sum(col("new_seg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("walk_id")
+      .agg(min(col("_id")).as("cp_start"), max(col("_id")).as("cp_end"),
+        count(lit(1)).as("n_cps"))
+      .orderBy("walk_id")
+  }
+
   /** O4 — the poll-source order flip: first page read descending, then
     * flipped ascending for emission (do_poll, main/src/etl.rs:1082-1087). */
   def latestPageAscending(events: DataFrame, pageSize: Int): DataFrame =

@@ -200,6 +200,17 @@ ORDER BY id_a, id_b"""
            FROM kept WHERE cp < 30)
          WHERE page_rn <= 3 ORDER BY cp, page_rn"""),
 
+    "s4_cursor_walk" -> withModel(
+      """SELECT walk_id, min(_id) AS cp_start, max(_id) AS cp_end,
+                CAST(count(*) AS BIGINT) AS n_cps FROM (
+           SELECT _id, sum(new_seg) OVER (ORDER BY _id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS walk_id
+           FROM (
+             SELECT _id,
+                    CASE WHEN prev IS NULL OR _id - prev > 2 THEN 1 ELSE 0 END AS new_seg
+             FROM (SELECT _id, lag(_id) OVER (ORDER BY _id) AS prev FROM completed)))
+         GROUP BY walk_id ORDER BY walk_id"""),
+
     "s6_watermark" -> withModel(
       "SELECT max(_id) AS max_cp FROM completed"),
 
@@ -289,6 +300,13 @@ ORDER BY id_a, id_b"""
                 CAST(count(*) AS BIGINT) AS n,
                 sum(CAST(value AS DECIMAL(12,2))) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+
+    "w2_sliding_counts" ->
+      """SELECT window_start_ms, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest([slot, slot - 1800000]) AS window_start_ms, event_type FROM (
+             SELECT CAST(floor(epoch_ms(ts) / 1800000) AS BIGINT) * 1800000 AS slot, event_type
+             FROM events))
+         GROUP BY window_start_ms, event_type ORDER BY window_start_ms, event_type""",
 
     "w3_session_counts" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,

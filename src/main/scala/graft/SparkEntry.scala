@@ -117,11 +117,18 @@ object SparkEntry {
     "a3_batch_outcomes" -> ((s, d) =>
       PipelineOps.batchOutcomes(keptChanges(s, d).filter(col("cp") < 50)).orderBy("cp")),
     "s2_range_scan_skip" -> ((s, d) => {
-      // Range bound is a plan parameter (the reference reads checkpoint_max
-      // once per scan, main/src/etl.rs:902): one tiny driver-side scalar.
+      // The DSv2 source plans the skip BEFORE producing rows: scan bounds
+      // and the (tiny) completed-range list are plan parameters, exactly
+      // like the reference's scan setup (main/src/etl.rs:902,913-939).
       // cps are dense 0..max by construction, so range == distinct cps.
       val maxCp = ObjectsModel.changes(s, d).agg(max("cp")).head().getLong(0)
-      PipelineOps.remainingCheckpoints(s, maxCp, completedCps(s, d))
+      val ranges = PipelineOps.descendingRanges(completedCps(s, d))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      s.read.format("cp-range")
+        .option("start", 0).option("end", maxCp).option("partitions", 8)
+        .option("completed", graft.sources.CpRangeSource.formatRanges(ranges))
+        .load()
+        .orderBy(col("cp").desc)
     }),
     "s3_first_page_per_cp" -> ((s, d) =>
       PipelineOps.firstPagePerCheckpoint(keptChanges(s, d).filter(col("cp") < 30), 3)

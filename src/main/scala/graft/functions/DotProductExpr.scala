@@ -90,12 +90,22 @@ case class DotProductExpr(left: Expression, right: Expression)
   * call repeatedly; ops call it on their input's session so any session
   * (including the driver's) gets the function on first use. */
 object GraftFunctions {
+  private val dotBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+    DotProductExpr(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => {
-        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
-        DotProductExpr(exprs.head, exprs(1))
-      },
-      "built-in")
+      "graft_dot", dotBuilder, "built-in")
+
+  /** For SparkSessionExtensions.injectFunction (see
+    * [[graft.plans.GraftExtensions]]). */
+  val dotFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductExpr].getCanonicalName, "graft_dot"),
+      dotBuilder)
 }

@@ -28,19 +28,35 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Distinct word-k-shingles per document (k=3). */
-  def shingles(documents: DataFrame, k: Int = 3): DataFrame =
-    documents
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= k)
-      .withColumn("shingle_arr", expr(
-        s"array_distinct(transform(sequence(0, size(w)-$k), i -> " +
-          (0 until k).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + "))"))
-      .select(col("doc_id"), col("shingle_arr"))
-
-  /** Exploded distinct shingles (doc_id, sh). */
-  def shingleSet(documents: DataFrame, k: Int = 3): DataFrame =
-    shingles(documents, k).select(col("doc_id"), explode(col("shingle_arr")).as("sh"))
+  /** Distinct word-k-shingle HASHES per document (k=3), as exploded rows
+    * (doc_id, sh: long). Words are hashed once (60-bit md5 prefix mod p),
+    * then shingle hashes combine adjacent word hashes polynomially — no
+    * shingle strings are ever materialized, and all downstream set ops
+    * (minhash, banding, Jaccard) run on longs. Hash collisions are
+    * negligible at p≈2^30 per doc-pair and, being deterministic, identical
+    * in the DuckDB oracle.
+    *
+    * Shape: posexplode + window `lead` for the neighbor hashes. This keeps
+    * the whole path in codegen'd scalar expressions — a higher-order
+    * `transform(w, …md5…)` followed by indexed access gets INLINED by
+    * projection collapse, re-evaluating the full word-hash array per
+    * element access (quadratic md5 work; observed 50s vs 0.5s at sf0.1). */
+  def shingleSet(documents: DataFrame, k: Int = 3): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("wh0", expr(s"cast(conv(substr(md5(w),1,15),16,10) as bigint) % ${P}L"))
+    val withNeighbors = (1 until k).foldLeft(words) { (df, j) =>
+      df.withColumn(s"wh$j", lead(col("wh0"), j).over(byDoc))
+    }
+    val comb = (0 until k)
+      .map(j => col(s"wh$j") * math.pow(31, k - 1 - j).toLong)
+      .reduce(_ + _) % P
+    withNeighbors
+      .filter(col(s"wh${k - 1}").isNotNull)
+      .select(col("doc_id"), comb.as("sh"))
+      .distinct()
+  }
 
   /** D2 — MinHash signatures: numPerms permutations over 60-bit shingle
     * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p.
@@ -58,8 +74,8 @@ object DedupOps {
     * set, so the shingling pipeline runs once even when the verify stage
     * also consumes it. */
   def signaturesFromShingleSet(shingleSet: DataFrame, numPerms: Int = 32): DataFrame = {
-    val hashed = shingleSet
-      .withColumn("h", expr(s"cast(conv(substr(md5(sh),1,15),16,10) as bigint) % ${P}L"))
+    // `sh` is already a 60-bit-derived hash mod p (see shingles()).
+    val hashed = shingleSet.withColumn("h", col("sh"))
     val mins = (0 until numPerms).map { i =>
       min((col("h") * (2 * i + 3) + (7 * i + 1)) % P).as(s"m$i")
     }

@@ -30,8 +30,10 @@ object Oracles {
 
   private val ShingleCtes = s"""
 docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
-sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_arr
-       FROM docs WHERE len(w) >= 3),
+wharr AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+          FROM docs WHERE len(w) >= 3),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 1), i -> (wh[i]*961 + wh[i+1]*31 + wh[i+2]) % 1000000007)) AS shingle_arr
+       FROM wharr),
 sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id)"""
 
@@ -332,8 +334,7 @@ ORDER BY id_a, id_b"""
           WHERE rn = 1 ORDER BY doc_id""",
 
     "d2_minhash_neardups" -> s"""WITH $ShingleCtes,
-hs AS (SELECT doc_id, list_transform(shingle_arr, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007) AS hs FROM sh),
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(hs, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM hs),
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
 banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
            FROM sig, (SELECT unnest(range(0, 8)) AS b)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b

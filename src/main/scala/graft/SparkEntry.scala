@@ -206,6 +206,12 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 8), 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
+    "e3_cosine_neardups" -> ((s, d) =>
+      SimilarityOps.cosineNearDups(Tables.embeddings(s, d), 0.4)),
+    "a5d_approx_distinct" -> ((s, d) =>
+      // sketch-based (HLL++) — no DuckDB oracle (different sketch), driver
+      // records the weaker rows-only check
+      AggOps.approxDistinctTypes(objects(s, d))),
     "t1_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "t2_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),

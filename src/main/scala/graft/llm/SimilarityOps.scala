@@ -99,10 +99,12 @@ object SimilarityOps {
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", expr(
-        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"))
+      // filter on the ROUNDED score (the output value) so the threshold
+      // boundary is identical to the oracle's
+      .withColumn("cos", round(expr(
+        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 4))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -379,6 +379,14 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
   FROM scored)
 WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    "e3_cosine_neardups" -> s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${duckBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM $Emb)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+ORDER BY id_a, id_b""",
+
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.ObjectsModel
+import graft.ops.QuerySurface
+import graft.ops.QuerySurface.ObjectsArgs
+
+/** JSON request → DataFrame compilation (the GraphQL-surface analog). */
+class QueryApiSpec extends SparkSpec {
+  import graft.api.QueryApi
+
+  private lazy val objs = ObjectsModel.objects(spark, sf0001)
+
+  test("object point lookup") {
+    val rows = QueryApi.compile(objs, """{"object": {"id": "0x000007"}}""").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("_id") === "0x000007")
+  }
+
+  test("objects by owner equals the typed surface") {
+    val viaJson = QueryApi.compile(objs,
+      """{"objects": {"owner": "0xa00000", "limit": 100}}""")
+      .select("_id").collect().map(_.getString(0)).toSeq
+    val viaTyped = QuerySurface.objectsQuery(objs,
+      ObjectsArgs(owner = Some("0xa00000"), limit = 100))
+      .select("_id").collect().map(_.getString(0)).toSeq
+    assert(viaJson === viaTyped && viaJson.nonEmpty)
+  }
+
+  test("first-match-wins priority: ids wins over type") {
+    val rows = QueryApi.compile(objs,
+      """{"objects": {"ids": ["0x000007"], "type": "0x1::click"}}""").collect()
+    assert(rows.map(_.getAs[String]("_id")).toSeq === Seq("0x000007"))
+  }
+
+  test("dynamic-field parents via JSON") {
+    val rows = QueryApi.compile(objs,
+      """{"objects": {"dynamicField": {"values": ["7"], "valueKey": "v"}, "limit": 100}}""")
+      .collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("dynamicFields resolver pages children of one parent") {
+    val rows = QueryApi.compile(objs,
+      """{"dynamicFields": {"parentId": "0x000010", "limit": 5}}""").collect()
+    assert(rows.forall(_.getAs[String]("owner") == "0x000010"))
+  }
+
+  test("validation: unknown root / unknown field / no args → InvalidQuery") {
+    for (bad <- Seq(
+        """{"frobnicate": {}}""",
+        """{"objects": {"ownerz": "x"}}""",
+        """{"objects": {"dynamicField": {"namez": []}}}""",
+        """{"objects": {}}""",
+        """[1,2]""")) {
+      val e = intercept[IllegalArgumentException](
+        QueryApi.compile(objs, bad).collect())
+      assert(e.getMessage.contains("InvalidQuery"), s"$bad → ${e.getMessage}")
+    }
+  }
+}

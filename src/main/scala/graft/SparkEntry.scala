@@ -206,6 +206,13 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 8), 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
+    "e4_ivf_topk" -> ((s, d) => {
+      // IVF k-means ANN — no DuckDB oracle (iterative clustering is not
+      // reasonably SQL-expressible); driver records the rows-only check,
+      // LlmSpec asserts recall vs e1
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
+    }),
     "e3_cosine_neardups" -> ((s, d) =>
       SimilarityOps.cosineNearDups(Tables.embeddings(s, d), 0.4)),
     "a5d_approx_distinct" -> ((s, d) =>

@@ -87,6 +87,75 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E4 — IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` Voronoi cells by a small k-means, then search only the
+    * `nProbe` cells nearest to each query. The clustering loop collects
+    * K×dim centroid floats to the driver per iteration — bytes, the same
+    * "tiny plan parameter" pattern as the scan bounds — while all per-vector
+    * work (assignment, per-cell averaging, search) is distributed and
+    * codegen'd via graft_dot. Deterministic: seeded from the first K
+    * vectors by id, fixed iteration count. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+
+    def centroidLiteral(c: Array[Double]): String =
+      c.mkString("cast(array(", ", ", ") as array<double>)")
+    def nearestExpr(centroids: Array[Array[Double]], vecCol: String): String = {
+      // argmin over cells of squared distance; ||v||² is constant per row →
+      // maximize 2·dot(v,c) − ||c||²
+      val scores = centroids.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        s"struct(2.0d * ${dotExpr(vecCol, centroidLiteral(c))} - ${cc}d AS s, $i AS cell)"
+      }
+      s"array_max(array(${scores.mkString(", ")})).cell"
+    }
+
+    // seed: first nCells vectors by id
+    var centroids: Array[Array[Double]] = embeddings
+      .orderBy("vec_id").limit(nCells)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to iterations) {
+      val assigned = embeddings
+        .withColumn("cell", expr(nearestExpr(centroids, "embedding")))
+        .select(col("cell"), col("embedding").cast("array<double>").as("v"))
+      // distributed mean per cell (explode dims → avg), tiny result
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg("x").as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        old.indices.map(d => means.getOrElse((i, d), old(d))).toArray
+      }
+    }
+
+    val probesExpr = {
+      // nProbe nearest cells for queries: sort the score structs descending
+      val scores = centroids.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        s"struct(2.0d * ${dotExpr("q_emb", centroidLiteral(c))} - ${cc}d AS s, $i AS cell)"
+      }
+      s"slice(reverse(array_sort(array(${scores.mkString(", ")}))), 1, $nProbe).cell"
+    }
+
+    val cells = embeddings.withColumn("cell", expr(nearestExpr(centroids, "embedding")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(expr(probesExpr)))
+    val joined = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(
+        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket
     * pairs are compared. */

@@ -113,6 +113,29 @@ object IngestPipeline {
       .groupBy(window(col("ts_event"), "1 hour"), col("change_kind"))
       .agg(count(lit(1)).as("n"))
 
+  /** Subscription surface (the reference ships a GraphQL subscription STUB
+    * that echoes the requested type once, server/src/main.rs:489-498; ours
+    * is the real thing): a push stream of change events matching a type
+    * prefix. Caller attaches any sink (`memory` for tests, a socket/queue
+    * sink in deployment). */
+  def subscribe(changes: DataFrame, typePrefix: String): DataFrame =
+    changes.filter(col("type_full").startsWith(typePrefix))
+      .select("_id", "version", "change_kind", "type_full", "cp", "ts_ms")
+
+  /** Ingest-mode selection (the monitor loop, main/src/etl.rs:145-391):
+    * livescan while close to the tip, auto-backfill when more than
+    * `backfillThreshold` checkpoints behind (config.yaml:11 → 3), and
+    * backfill pauses the poll route (etl.rs:219-240). Pure decision
+    * function — the scheduler acts on it per monitor tick. */
+  sealed trait IngestMode { def pausePoll: Boolean }
+  case object Livescan extends IngestMode { val pausePoll = false }
+  case object Backfill extends IngestMode { val pausePoll = true }
+
+  def decideMode(latestCp: Long, maxCompletedCp: Long, backfillThreshold: Long = 3): IngestMode = {
+    val behind = math.max(0L, latestCp - maxCompletedCp)
+    if (behind > backfillThreshold) Backfill else Livescan
+  }
+
   /** Full pipeline wiring: change parse → dedup → split DLQ (K3) / store
     * MERGE (K1) + watermark commit (K2). Returns the started query.
     *

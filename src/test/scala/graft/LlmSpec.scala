@@ -56,6 +56,20 @@ class LlmSpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("IVF top-k recall vs brute force, and determinism") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf1 = SimilarityOps.ivfTopK(emb, queries, 5)
+    val got1 = ivf1.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got2 = SimilarityOps.ivfTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got1 === got2, "IVF must be deterministic")
+    val recall = (exact intersect got1).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (16 cells, probe 2)")
+    assert(recall > 0.2)
+  }
+
   test("text stats are sane on the fixture") {
     val row = TextOps.textStats(docs).filter(col("doc_id") === 0).head()
     assert(row.getAs[Long]("n_tokens") > 0)

@@ -43,6 +43,22 @@ class UpsertSpec extends SparkSpec {
     assert(state(changes(rows ++ rows)) === state(changes(rows)))
   }
 
+  test("delete-then-late-update: terminal delete survives a late lower-version update") {
+    // FIXTURES A.1 golden case: delete at v5 already applied; update v3
+    // arrives late (out-of-order) — the version guard must discard it
+    // (main/src/etl.rs:1227-1267: delete upserts terminal state, updates
+    // apply only when version is greater).
+    val s = state(changes(Seq(("a", 5L, true), ("a", 3L, false))))
+    assert(s === Set(("a", 5L, true)))
+  }
+
+  test("engine config maps reference knobs and rejects unknown nets (S8)") {
+    val conf = graft.model.EngineConf()
+    assert(conf.trigger.toString.contains("100"))
+    assert(conf.sourceFor("test").nonEmpty)
+    intercept[IllegalArgumentException](conf.sourceFor("mainnet"))
+  }
+
   test("first-seen dedup keeps the lowest version (J4, version-aware)") {
     val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("_id", "version")
     val got = PipelineOps.firstSeenWins(df).as[(String, Long)].collect().toSet

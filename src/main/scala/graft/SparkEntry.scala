@@ -25,12 +25,15 @@ object SparkEntry {
     * query in a session; persist them once per (session, sfDir). At
     * deployment scale this is the materialized, `_id`-bucketed objects
     * table instead of an in-memory cache. */
+  // Plain map + reentrant synchronized (NOT ConcurrentHashMap.computeIfAbsent:
+  // cache builders recursively populate other keys — completed → kept — and
+  // nested computeIfAbsent on one CHM is unspecified and can deadlock).
   private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    scala.collection.mutable.HashMap.empty[(Int, String, String), DataFrame]
   private def cachedDf(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    dfCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, key), _ => build.persist())
+      build: => DataFrame): DataFrame = dfCache.synchronized {
+    dfCache.getOrElseUpdate((System.identityHashCode(s), dir, key), build.persist())
+  }
 
   private def objects(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "objects")(ObjectsModel.objects(s, dir))
@@ -173,6 +176,17 @@ object SparkEntry {
           get_json_object(col("fields_json"), "$.name.fields.k").as("name_k"),
           get_json_object(col("fields_json"), "$.value.fields.owner").as("value_owner"),
           get_json_object(col("fields_json"), "$.value.fields.v").as("value_v"))
+        .orderBy("_id").limit(200)),
+    "p14b_variant_decode" -> ((s, d) =>
+      // Spark 4 VariantType path for the same recursive decode: the
+      // open-ended Move-value tree parsed once into a variant, fields
+      // extracted with variant_get — binary-encoded, no schema freeze
+      objects(s, d).filter(QuerySurface.dynamicFieldChildFilter)
+        .withColumn("fv", expr("parse_json(fields_json)"))
+        .select(col("_id"),
+          expr("variant_get(fv, '$.name.fields.k', 'string')").as("name_k"),
+          expr("variant_get(fv, '$.value.fields.owner', 'string')").as("value_owner"),
+          expr("variant_get(fv, '$.value.fields.v', 'string')").as("value_v"))
         .orderBy("_id").limit(200)),
 
     // ---- aggregations / example-query corpus ---------------------------

@@ -263,6 +263,15 @@ ORDER BY id_a, id_b"""
                 CAST(octet_length(from_base64(bcs_b64)) AS BIGINT) AS bcs_len
          FROM objects ORDER BY _id LIMIT 100"""),
 
+    "p14b_variant_decode" -> withModel(
+      """SELECT _id,
+                json_extract_string(fields_json, '$.name.fields.k') AS name_k,
+                json_extract_string(fields_json, '$.value.fields.owner') AS value_owner,
+                json_extract_string(fields_json, '$.value.fields.v') AS value_v
+         FROM objects
+         WHERE owner_kind = 'Object' AND substr(type_full, 1, 26) = '0x2::dynamic_field::Field<'
+         ORDER BY _id LIMIT 200"""),
+
     "p14_json_decode" -> withModel(
       """SELECT _id,
                 json_extract_string(fields_json, '$.name.fields.k') AS name_k,

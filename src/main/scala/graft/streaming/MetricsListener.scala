@@ -11,8 +11,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * microbatch and records (metric, value, ts) points; `drain()` hands them
   * to whatever store you attach (file, push gateway, …).
   */
-final class MetricsListener extends StreamingQueryListener {
+object MetricsListener {
   final case class Point(metric: String, value: Double, tsMs: Long)
+}
+
+final class MetricsListener extends StreamingQueryListener {
+  import MetricsListener.Point
 
   private val points = new ConcurrentLinkedQueue[Point]()
 

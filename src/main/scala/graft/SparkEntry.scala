@@ -37,6 +37,8 @@ object SparkEntry {
 
   private def objects(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "objects")(ObjectsModel.objects(s, dir))
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "documents")(Tables.documents(s, dir))
   private def keptChanges(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "kept")(ObjectsModel.kept(ObjectsModel.changes(s, dir)))
   private def completedCps(s: SparkSession, dir: String): DataFrame =
@@ -204,12 +206,12 @@ object SparkEntry {
     "w3_session_counts" -> ((s, d) => AggOps.sessionCounts(Tables.events(s, d), 30)),
 
     // ---- LLM data-pipeline operators -----------------------------------
-    "d1_exact_dedup" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
+    "d1_exact_dedup" -> ((s, d) => DedupOps.exactDedup(documents(s, d))),
     "d2_minhash_neardups" -> ((s, d) =>
-      DedupOps.minhashNearDups(Tables.documents(s, d), 0.5)),
-    "d3_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+      DedupOps.minhashNearDups(documents(s, d), 0.5)),
+    "d3_simhash" -> ((s, d) => DedupOps.simhash(documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) =>
-      DedupOps.ngramJaccardDups(Tables.documents(s, d), 0.3)),
+      DedupOps.ngramJaccardDups(documents(s, d), 0.3)),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -233,11 +235,11 @@ object SparkEntry {
       // sketch-based (HLL++) — no DuckDB oracle (different sketch), driver
       // records the weaker rows-only check
       AggOps.approxDistinctTypes(objects(s, d))),
-    "t1_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
-    "t2_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
-    "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
-    "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
-    "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, Tables.documents(s, d))),
+    "t1_text_stats" -> ((s, d) => TextOps.textStats(documents(s, d))),
+    "t2_lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
+    "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
+    "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
+    "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
 
     // ---- flagship relational agg ---------------------------------------
     "q1_agg" -> ((s, d) =>

@@ -169,18 +169,23 @@ object DedupOps {
 
   /** D3 — SimHash: 16-bit signature from distinct-word hashes; bit j is the
     * sign of Σ±1 over words (+ if word-hash bit j set). Near-dups = equal
-    * simhash (bucketing on the signature — constant-size key). */
-  def simhash(documents: DataFrame, bits: Int = 16): DataFrame =
-    documents
+    * simhash (bucketing on the signature — constant-size key).
+    *
+    * One aggregation with `bits` ± sum columns instead of exploding
+    * (word × bit) rows: no 16× row inflation, single map-side-combined
+    * shuffle on doc_id. */
+  def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
+    val words = documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", h60(col("w")))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${bits - 1}), j -> " +
-          "struct(j AS bit, CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END AS contrib))")).as("bc"))
-      .groupBy(col("doc_id"), col("bc.bit").as("bit"))
-      .agg(sum(col("bc.contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(pow(2, bit) as bigint)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(expr(s"shiftright(h, $j) % 2") === 1, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    words.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
+  }
 }

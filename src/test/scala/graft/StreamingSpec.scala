@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
     assert(dlqVersions === expectedDlq)
   }
 
+  test("restart with same checkpoint: no duplicates, store converges (exactly-once)") {
+    val tmp = Files.createTempDirectory("graft_restart").toString
+    val events = mkEvents(120)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // first run: half the data, then STOP mid-stream
+    val q1 = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData(events.slice(0, 60))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // second run: SAME checkpoint + store, rest of the data (plus a replay
+    // of a slice the first run already processed — must be absorbed)
+    val q2 = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData(events.slice(40, 120))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/store")
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
+    val batch = ObjectsModel.latestWins(ObjectsModel.processed(
+      ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))))
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
+    assert(streamed.size === streamed.map(_._1).distinct.size, "duplicate ids in store")
+    assert(streamed.toSet === batch.toSet)
+  }
+
   test("replaying the same batch does not change the store (idempotent MERGE)") {
     val tmp = Files.createTempDirectory("graft_replay").toString
     val events = mkEvents(50)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,19 +98,22 @@ object SimilarityOps {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val spark = embeddings.sparkSession
 
-    def centroidLiteral(c: Array[Double]): String =
-      c.mkString("cast(array(", ", ", ") as array<double>)")
-    def nearestExpr(centroids: Array[Array[Double]], vecCol: String): String = {
-      // argmin over cells of squared distance; ||v||² is constant per row →
-      // maximize 2·dot(v,c) − ||c||²
-      val scores = centroids.zipWithIndex.map { case (c, i) =>
+    // Centroids ride in as single array-literals (typedlit), not inlined
+    // element lists: the expression TREE is identical across iterations, so
+    // whole-stage codegen compiles once and is cache-hit for every
+    // subsequent Lloyd's round (inlined literals re-trigger Janino per
+    // iteration — 3× compile cost for zero benefit).
+    def dotCol(vec: Column, c: Array[Double]): Column =
+      call_function("graft_dot", vec, typedlit(c.toSeq))
+    def scoreStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+      centroids.zipWithIndex.map { case (c, i) =>
         val cc = c.map(x => x * x).sum
-        s"struct(2.0d * ${dotExpr(vecCol, centroidLiteral(c))} - ${cc}d AS s, $i AS cell)"
-      }
-      s"array_max(array(${scores.mkString(", ")})).cell"
-    }
+        // argmin of squared distance == argmax of 2·dot(v,c) − ||c||²
+        struct((dotCol(vec, c) * 2.0d - cc).as("s"), lit(i).as("cell"))
+      }.toSeq
+    def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
+      array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
 
     // seed: first nCells vectors by id
     var centroids: Array[Array[Double]] = embeddings
@@ -120,7 +123,7 @@ object SimilarityOps {
 
     for (_ <- 1 to iterations) {
       val assigned = embeddings
-        .withColumn("cell", expr(nearestExpr(centroids, "embedding")))
+        .withColumn("cell", nearestCol(col("embedding"), centroids))
         .select(col("cell"), col("embedding").cast("array<double>").as("v"))
       // distributed mean per cell (explode dims → avg), tiny result
       val means = assigned
@@ -132,19 +135,14 @@ object SimilarityOps {
       }
     }
 
-    val probesExpr = {
-      // nProbe nearest cells for queries: sort the score structs descending
-      val scores = centroids.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x * x).sum
-        s"struct(2.0d * ${dotExpr("q_emb", centroidLiteral(c))} - ${cc}d AS s, $i AS cell)"
-      }
-      s"slice(reverse(array_sort(array(${scores.mkString(", ")}))), 1, $nProbe).cell"
-    }
+    val probesCol = slice(
+      reverse(array_sort(array(scoreStructs(col("q_emb"), centroids): _*))),
+      1, nProbe).getField("cell")
 
-    val cells = embeddings.withColumn("cell", expr(nearestExpr(centroids, "embedding")))
+    val cells = embeddings.withColumn("cell", nearestCol(col("embedding"), centroids))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(expr(probesExpr)))
+      .withColumn("cell", explode(probesCol))
     val joined = cells.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(

@@ -30,6 +30,7 @@ object Bench {
             errors ::= name
             false
         }
+      graft.llm.DedupOps.releaseCaches() // free per-query tracked persists
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

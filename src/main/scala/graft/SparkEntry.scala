@@ -32,6 +32,9 @@ object SparkEntry {
     scala.collection.mutable.HashMap.empty[(Int, String, String), DataFrame]
   private def cachedDf(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = dfCache.synchronized {
+    // Evict entries whose session has stopped — also guards the (rare)
+    // identityHashCode reuse after a session is GC'd.
+    dfCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     dfCache.getOrElseUpdate((System.identityHashCode(s), dir, key), build.persist())
   }
 

@@ -83,6 +83,7 @@ object QueryApi {
     val kind = root.fieldNames().next()
     kind match {
       case "object" =>
+        checkFields(root.get("object"), Set("id"), "object")
         val id = strOpt(root.get("object").get("id"))
           .getOrElse(invalid("object.id required"))
         QuerySurface.objectsQuery(objects, ObjectsArgs(ids = Seq(id), limit = 1))

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   import TextOps.{h60, P}
 
+  /** Intermediate frames persisted by the multi-pass dedup pipelines are
+    * tracked so long-lived hosts (a serving session running these queries
+    * repeatedly) can release them between invocations — otherwise every
+    * call pins fresh copies in the block store until eviction. */
+  private val trackedPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = trackedPersists.synchronized {
+    val p = df.persist(); trackedPersists += p; p
+  }
+  def releaseCaches(): Unit = trackedPersists.synchronized {
+    trackedPersists.foreach(_.unpersist(blocking = false))
+    trackedPersists.clear()
+  }
+
   /** D1 — exact dedup by content hash: canonical keep = lowest doc_id per
     * md5(text). One shuffle on the 128-bit hash, not the text. */
   def exactDedup(documents: DataFrame): DataFrame = {
@@ -96,12 +109,12 @@ object DedupOps {
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, array_join(slice(minhash, b*$r+1, $r), '-') AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      // Both sides of the self-join read this; without persist the whole
-      // signature pipeline (md5 + 32-way min agg) runs twice. ~bands rows
-      // per doc — small relative to the corpus.
-      .persist()
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // Both sides of the self-join read this; without persist the whole
+    // signature pipeline (md5 + 32-way min agg) runs twice. ~bands rows
+    // per doc — small relative to the corpus.
+    val bandedCached = tracked(banded)
+    val a = bandedCached.as("a")
+    val b = bandedCached.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -112,7 +125,7 @@ object DedupOps {
   /** Exact Jaccard verification on a candidate-pair set. */
   def jaccardVerify(candidates: DataFrame, shingleSetIn: DataFrame, threshold: Double): DataFrame = {
     // Read three times (two join sides + sizes): materialize once.
-    val shingleSet = shingleSetIn.persist()
+    val shingleSet = tracked(shingleSetIn)
     val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = shingleSet.select(col("doc_id").as("id_a"), col("sh"))
     val sb = shingleSet.select(col("doc_id").as("id_b"), col("sh"))
@@ -135,7 +148,7 @@ object DedupOps {
     // One persisted shingle set feeds both the signature and verify paths —
     // the shingling pipeline (split + HOF transform + explode) is the most
     // expensive expression tree here and must not run twice.
-    val ss = shingleSet(documents, k).persist()
+    val ss = tracked(shingleSet(documents, k))
     jaccardVerify(
       lshCandidates(signaturesFromShingleSet(ss, numPerms), numPerms, bands),
       ss, threshold)
@@ -155,9 +168,9 @@ object DedupOps {
     * Both prunings are mirrored in the oracle. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double,
       k: Int = 3, maxDf: Int = 100, minShared: Int = 5): DataFrame = {
-    val ss = shingleSet(documents, k).persist()
+    val ss = tracked(shingleSet(documents, k))
     val rare = ss.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-    val pruned = ss.join(rare.select("sh"), "sh").persist()
+    val pruned = tracked(ss.join(rare.select("sh"), "sh"))
     val candidates = pruned.select(col("doc_id").as("id_a"), col("sh"))
       .join(pruned.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))

@@ -81,9 +81,10 @@ object PipelineOps {
     pollRoute(kept).unionByName(livescanRoute(kept))
 
   /** J5 — cross-source tx dedup (txns_already_processed reconciliation,
-    * main/src/etl.rs:274-346): keep one sighting per tx digest,
-    * deterministically preferring the poll route (the reference keeps the
-    * first sighting; routes are unordered so we fix a total order). In
+    * main/src/etl.rs:274-346): keep one sighting per tx digest. The
+    * reference keeps whichever route saw the tx first (arrival order);
+    * routes are unordered here, so we fix a deterministic total order —
+    * lexicographic on route name, i.e. 'livescan' wins an overlap. In
     * streaming: `dropDuplicates("previous_transaction")` with a watermark
     * bounding state (the reference GCs after 120 checkpoints). */
   def dedupAcrossRoutes(unioned: DataFrame): DataFrame = {

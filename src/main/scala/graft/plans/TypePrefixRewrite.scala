@@ -30,7 +30,9 @@ object TypePrefixRewrite extends Rule[LogicalPlan] {
 
   /** Split an alternation of anchored literals; None if not rewritable. */
   def anchoredLiterals(pattern: String): Option[Seq[String]] = {
-    val branches = pattern.split('|')
+    // limit = -1 keeps trailing empty branches: '^a|' matches EVERYTHING
+    // (empty alternative) and must not be rewritten to a prefix match.
+    val branches = pattern.split("\\|", -1)
     val ok = branches.nonEmpty && branches.forall { b =>
       b.length > 1 && b.head == '^' && b.drop(1).forall(c => !Meta.contains(c) && c != '^')
     }

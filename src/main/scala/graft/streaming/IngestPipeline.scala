@@ -49,18 +49,50 @@ object IngestPipeline {
   /** K1+K2 — idempotent versioned MERGE into a parquet "objects store" plus
     * checkpoint-watermark append, executed per microbatch. The union +
     * window dedup is the pure-Spark MERGE equivalent (SURVEY §2.2 K1); a
-    * Delta MERGE INTO would replace `mergeStore` one-for-one. */
+    * Delta/Iceberg MERGE INTO would replace `mergeStore` one-for-one.
+    *
+    * Crash safety: generations + an atomically-renamed CURRENT pointer.
+    * Each merge writes a fresh `gen-<n>` directory, flips CURRENT via
+    * ATOMIC_MOVE, then deletes older generations — a crash at any point
+    * leaves CURRENT referencing a complete generation (delete-then-rewrite
+    * of a single directory would lose the whole store if the JVM died
+    * mid-rewrite). */
+  def currentGen(storeDir: String): Option[String] = {
+    val cur = Paths.get(storeDir, "CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  def readStore(spark: SparkSession, storeDir: String): DataFrame =
+    currentGen(storeDir) match {
+      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None => throw new IllegalStateException(s"no store at $storeDir")
+    }
+
   def mergeStore(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
-    val cur =
-      if (Files.exists(Paths.get(storeDir, "_SUCCESS")))
-        spark.read.parquet(storeDir)
-      else batch.limit(0)
+    Files.createDirectories(Paths.get(storeDir))
+    val genName = currentGen(storeDir)
+    val cur = genName match {
+      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None => batch.limit(0)
+    }
     val merged = ObjectsModel.latestWins(cur.unionByName(batch))
-    // Write-then-swap keeps the store readable mid-merge.
-    val tmp = storeDir + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val updated = spark.read.parquet(tmp)
-    updated.write.mode("overwrite").parquet(storeDir)
+    val nextN = genName.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
+    val nextGen = s"gen-$nextN"
+    merged.write.mode("overwrite").parquet(s"$storeDir/$nextGen")
+    val tmp = Paths.get(storeDir, "CURRENT.tmp")
+    Files.writeString(tmp, nextGen)
+    Files.move(tmp, Paths.get(storeDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded generations (best-effort; readers of the old gen may
+    // race on local FS — object stores would use a TTL here)
+    genName.foreach { old =>
+      val dir = Paths.get(storeDir, old)
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
   }
 
   /** A1 — per-checkpoint completion countdown as a stateful streaming
@@ -68,7 +100,11 @@ object IngestPipeline {
     * the cp exactly once when all `expected` items have been seen
     * (main/src/etl.rs:518-570). State is one counter per in-flight cp —
     * bounded, keyed, timeout-evicted. */
-  final case class CpProgress(seen: Long)
+  /** `committed` is a tombstone: once a cp has emitted CpDone, late or
+    * replayed sightings must not re-open the countdown and double-commit
+    * (at-least-once upstream delivery). Tombstones are evicted by the
+    * optional timeout in operational deployments. */
+  final case class CpProgress(seen: Long, committed: Boolean = false)
   final case class CpDone(cp: Long, items: Long)
 
   def completionCountdown(
@@ -88,12 +124,17 @@ object IngestPipeline {
         OutputMode.Append(), timeoutConf) {
         case (cp, rows, state: GroupState[CpProgress]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          else if (state.getOption.exists(_.committed)) {
+            rows.size // drain; replayed sightings of a committed cp are dropped
+            timeout.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
             var seen = state.getOption.map(_.seen).getOrElse(0L)
             var expected = -1L
             rows.foreach { case (_, exp) => seen += 1; expected = exp }
             if (expected >= 0 && seen >= expected) {
-              state.remove()
+              state.update(CpProgress(seen, committed = true))
+              timeout.foreach(state.setTimeoutDuration)
               Iterator.single(CpDone(cp, seen))
             } else {
               state.update(CpProgress(seen))
@@ -153,13 +194,15 @@ object IngestPipeline {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
-          // K3: poisoned items → dead letters, everything else → store.
+          // K3: poisoned items → dead letters. Written to a batchId-keyed
+          // directory with overwrite so an at-least-once batch REPLAY
+          // rewrites the same partition instead of appending duplicates.
           ObjectsModel.failures(cached)
             .drop("ts_event")
-            .write.mode("append").parquet(dlqDir)
+            .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
           mergeStore(spark, storeDir, ObjectsModel.processed(cached).drop("ts_event"))
         } finally { cached.unpersist(); () }
       }

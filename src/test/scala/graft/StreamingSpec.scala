@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
-    val streamed = spark.read.parquet(s"$tmp/store")
+    val streamed = IngestPipeline.readStore(spark, s"$tmp/store")
       .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSet
     val batch = ObjectsModel.latestWins(ObjectsModel.processed(
       ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))))
@@ -84,7 +84,7 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
 
-    val streamed = spark.read.parquet(s"$tmp/store")
+    val streamed = IngestPipeline.readStore(spark, s"$tmp/store")
       .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
     val batch = ObjectsModel.latestWins(ObjectsModel.processed(
       ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))))
@@ -98,9 +98,9 @@ class StreamingSpec extends SparkSpec {
     val events = mkEvents(50)
     val batch = ObjectsModel.kept(ObjectsModel.deriveChanges(events.toDF()))
     IngestPipeline.mergeStore(spark, s"$tmp/store", batch)
-    val first = spark.read.parquet(s"$tmp/store").orderBy("_id", "version").collect().toSeq
+    val first = IngestPipeline.readStore(spark, s"$tmp/store").orderBy("_id", "version").collect().toSeq
     IngestPipeline.mergeStore(spark, s"$tmp/store", batch)
-    val second = spark.read.parquet(s"$tmp/store").orderBy("_id", "version").collect().toSeq
+    val second = IngestPipeline.readStore(spark, s"$tmp/store").orderBy("_id", "version").collect().toSeq
     assert(first === second)
   }
 
@@ -135,6 +135,11 @@ class StreamingSpec extends SparkSpec {
     stream.addData(Seq.fill(2)((2L, 4L)): _*) // completes cp 2
     runOnce()
     assert(committed.toArray.toSet === Set((1L, 5L), (2L, 4L)))
+    // replayed sightings of an already-committed cp must NOT re-commit
+    // (tombstone guard — at-least-once upstream)
+    stream.addData(Seq.fill(5)((1L, 5L)): _*)
+    runOnce()
+    assert(committed.size === 2, s"double-commit: ${committed.toArray.toSeq}")
   }
 
   test("streaming dedup drops cross-batch duplicate (id, version) sightings (J4/J5)") {

@@ -105,18 +105,39 @@ object PipelineOps {
       sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("n_failed"))
 
   /** K4 — metrics rollup in long form (metric, value), the batch analog of
-    * the 13 Influx measurements (main/src/influx.rs:11-313). */
+    * the Influx measurement set (main/src/influx.rs:11-313): batch outcome
+    * counts (:11-34), ingest_error (:106), rpc_request (:150),
+    * create_checkpoint (:62) / checkpoint_error (:83), current/final
+    * checkpoint (:190,:211), checkpoints_behind (:170). */
   def metricsSummary(kept: DataFrame): DataFrame = {
-    val agg = kept.agg(
-      count(lit(1)).as("items_total"),
-      sum(when(col("deletion"), 1L).otherwise(0L)).as("items_deleted"),
-      sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("ingest_error"),
-      countDistinct(col("cp")).as("checkpoints_seen"),
-      max(col("cp")).as("current_checkpoint"))
+    val completedCount =
+      count(when(col("cp_failed") === 0, 1L)) // per-cp roll-up below
+    val perCp = kept.groupBy("cp").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("change_kind") === "created", 1L).otherwise(0L)).as("n_created"),
+      sum(when(col("change_kind") === "mutated", 1L).otherwise(0L)).as("n_mutated"),
+      sum(when(col("deletion"), 1L).otherwise(0L)).as("n_deleted"),
+      sum(when(!col("deletion"), 1L).otherwise(0L)).as("n_fetched"),
+      sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("cp_failed"))
+    val agg = perCp.agg(
+      sum(col("n")).as("items_total"),
+      sum(col("n_created")).as("inserted"),
+      sum(col("n_mutated")).as("modified"),
+      sum(col("n_deleted")).as("items_deleted"),
+      sum(col("n_fetched")).as("rpc_request"),
+      sum(col("cp_failed")).as("ingest_error"),
+      count(lit(1)).as("checkpoints_seen"),
+      completedCount.as("create_checkpoint"),
+      count(when(col("cp_failed") > 0, 1L)).as("checkpoint_error"),
+      max(col("cp")).as("current_checkpoint"),
+      max(when(col("cp_failed") === 0, col("cp"))).as("final_checkpoint"))
     agg.selectExpr(
-      "stack(5, 'items_total', items_total, 'items_deleted', items_deleted, " +
-        "'ingest_error', ingest_error, 'checkpoints_seen', checkpoints_seen, " +
-        "'current_checkpoint', current_checkpoint) AS (metric, value)")
+      "stack(11, 'items_total', items_total, 'inserted', inserted, " +
+        "'modified', modified, 'items_deleted', items_deleted, " +
+        "'rpc_request', rpc_request, 'ingest_error', ingest_error, " +
+        "'checkpoints_seen', checkpoints_seen, 'create_checkpoint', create_checkpoint, " +
+        "'checkpoint_error', checkpoint_error, 'current_checkpoint', current_checkpoint, " +
+        "'final_checkpoint', final_checkpoint) AS (metric, value)")
   }
 
   /** U2 — gaps-and-islands: completed checkpoint ids → maximal descending

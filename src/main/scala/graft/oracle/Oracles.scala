@@ -171,11 +171,25 @@ ORDER BY id_a, id_b"""
 
     "k4_metrics" -> withModel(
       """SELECT metric, value FROM (
-           SELECT 'items_total' AS metric, CAST(count(*) AS BIGINT) AS value FROM kept
-           UNION ALL SELECT 'items_deleted', CAST(sum(CASE WHEN deletion THEN 1 ELSE 0 END) AS BIGINT) FROM kept
-           UNION ALL SELECT 'ingest_error', CAST(sum(CASE WHEN version % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) FROM kept
-           UNION ALL SELECT 'checkpoints_seen', CAST(count(DISTINCT cp) AS BIGINT) FROM kept
-           UNION ALL SELECT 'current_checkpoint', CAST(max(cp) AS BIGINT) FROM kept)
+           WITH percp AS (
+             SELECT cp, count(*) AS n,
+                    sum(CASE WHEN change_kind = 'created' THEN 1 ELSE 0 END) AS n_created,
+                    sum(CASE WHEN change_kind = 'mutated' THEN 1 ELSE 0 END) AS n_mutated,
+                    sum(CASE WHEN deletion THEN 1 ELSE 0 END) AS n_deleted,
+                    sum(CASE WHEN deletion THEN 0 ELSE 1 END) AS n_fetched,
+                    sum(CASE WHEN version % 97 = 13 THEN 1 ELSE 0 END) AS cp_failed
+             FROM kept GROUP BY cp)
+           SELECT 'items_total' AS metric, CAST(sum(n) AS BIGINT) AS value FROM percp
+           UNION ALL SELECT 'inserted', CAST(sum(n_created) AS BIGINT) FROM percp
+           UNION ALL SELECT 'modified', CAST(sum(n_mutated) AS BIGINT) FROM percp
+           UNION ALL SELECT 'items_deleted', CAST(sum(n_deleted) AS BIGINT) FROM percp
+           UNION ALL SELECT 'rpc_request', CAST(sum(n_fetched) AS BIGINT) FROM percp
+           UNION ALL SELECT 'ingest_error', CAST(sum(cp_failed) AS BIGINT) FROM percp
+           UNION ALL SELECT 'checkpoints_seen', CAST(count(*) AS BIGINT) FROM percp
+           UNION ALL SELECT 'create_checkpoint', CAST(count(CASE WHEN cp_failed = 0 THEN 1 END) AS BIGINT) FROM percp
+           UNION ALL SELECT 'checkpoint_error', CAST(count(CASE WHEN cp_failed > 0 THEN 1 END) AS BIGINT) FROM percp
+           UNION ALL SELECT 'current_checkpoint', CAST(max(cp) AS BIGINT) FROM percp
+           UNION ALL SELECT 'final_checkpoint', CAST(max(CASE WHEN cp_failed = 0 THEN cp END) AS BIGINT) FROM percp)
          ORDER BY metric"""),
 
     "a1_completion_countdown" -> withModel(

@@ -45,6 +45,25 @@ class QueryApiSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("owner") == "0x000010"))
   }
 
+  test("reference example queries run through the API surface") {
+    // example-queries/graphql/{get-object-by-id, get-objects-by-owner,
+    // get-objects-by-type} — same request shapes, fixture-scaled values;
+    // the selected fields (type.full, fields, owner, id) must be present.
+    val byId = QueryApi.compile(objs, """{"object": {"id": "0x000007"}}""")
+      .select("type_full", "fields_json", "owner", "owner_kind").collect()
+    assert(byId.length === 1 && byId.head.getAs[String]("type_full").nonEmpty)
+
+    val byOwner = QueryApi.compile(objs,
+      """{"objects": {"owner": "0xa00000"}}""")
+      .select("type_full", "_id").collect()
+    assert(byOwner.nonEmpty)
+
+    val byType = QueryApi.compile(objs,
+      """{"objects": {"type": "0x1::click::T1"}}""")
+      .select("_id", "owner").collect()
+    assert(byType.nonEmpty)
+  }
+
   test("validation: unknown root / unknown field / no args → InvalidQuery") {
     for (bad <- Seq(
         """{"frobnicate": {}}""",

@@ -72,6 +72,13 @@ object SparkEntry {
     "p7_dynfield_parents" -> ((s, d) => out(QuerySurface.objectsQuery(
       objects(s, d), ObjectsArgs(dynamicField = Some(DynamicFieldQuery(
         names = Seq("87", "12"), nameKey = Some("k"))), limit = 100)))),
+    "p7b_value_owner_filter" -> ((s, d) =>
+      // the reference's app-specific "capsules" index path:
+      // object.content.fields.value.fields.owner (server/src/main.rs:575-590)
+      out(QuerySurface.paginate(
+        objects(s, d).filter(
+          get_json_object(col("fields_json"), "$.value.fields.owner") === "0xa00001"),
+        100, 0))),
     "p8_children" -> ((s, d) => out(QuerySurface.paginate(
       objects(s, d).filter(
         QuerySurface.dynamicFieldChildFilter && col("owner").isin("0x000010")),

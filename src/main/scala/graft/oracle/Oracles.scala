@@ -99,6 +99,11 @@ ORDER BY id_a, id_b"""
               AND json_extract_string(fields_json, '$$.name.fields.k') IN ('87','12'))
           ORDER BY _id LIMIT 100"""),
 
+    "p7b_value_owner_filter" -> withModel(
+      s"""SELECT $ObjCols FROM objects
+          WHERE json_extract_string(fields_json, '$$.value.fields.owner') = '0xa00001'
+          ORDER BY _id LIMIT 100"""),
+
     "p8_children" -> withModel(
       s"""SELECT $ObjCols FROM objects
           WHERE $DynChild AND owner IN ('0x000010')

@@ -65,16 +65,24 @@ object SimilarityOps {
     }.mkString(" + ")
   }
 
-  /** E2 — LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * the same hyperplane signs; each query searches only its bucket.
-    * Recall vs E1 is asserted in the test suite (multi-probe / more planes
-    * is the recall dial). */
+  /** E2 — LSH-bucketed approximate top-k with MULTI-PROBE: corpus and
+    * queries are bucketed by the same hyperplane signs; each query searches
+    * its own bucket plus every bucket at Hamming distance 1 (a vector near
+    * a hyperplane lands on either side with ~even odds, so the adjacent
+    * sign-flips hold most of the missed neighbors — multi-probe LSH, Lv et
+    * al. VLDB'07). Probing 1+nPlanes of 2^nPlanes buckets instead of 1
+    * multiplies the searched fraction by (nPlanes+1) while recall jumps
+    * disproportionately; the recall/cost dial is probe depth, not index
+    * rebuild. Corpus side is still bucketed once — only the tiny query set
+    * fans out. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
     val q = queries
-      .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+      .withColumn("home", expr(bucketExpr("embedding", nPlanes, dim)))
+      .withColumn("bucket", explode(expr(
+        s"array(home, ${(0 until nPlanes).map(j => s"home ^ ${1 << j}").mkString(", ")})")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val joined = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -398,7 +398,8 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "e2_ann_lsh_topk" -> s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ${duckBucket("embedding::DOUBLE[]", 4, 64)} AS bucket FROM $Emb),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+q AS (SELECT query_id, qv, unnest([home, xor(home, 1), xor(home, 2), xor(home, 4), xor(home, 8)]) AS bucket
+      FROM (SELECT vec_id AS query_id, v AS qv, bucket AS home FROM e WHERE vec_id < 8)),
 scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (

@@ -52,8 +52,8 @@ class LlmSpec extends SparkSpec {
     val approx = SimilarityOps.lshTopK(emb, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"ANN recall@5 = $recall%.2f (4 hyperplanes, 16 buckets)")
-    assert(recall > 0.0)
+    info(f"ANN recall@5 = $recall%.2f (4 hyperplanes, 16 buckets, multi-probe d=1)")
+    assert(recall > 0.3)
   }
 
   test("IVF top-k recall vs brute force, and determinism") {

@@ -1,0 +1,34 @@
+package graft
+
+/** Driver-contract consistency: every oracle entry must name a registered
+  * query, and every query without an oracle must be on the explicit
+  * rows-only allowlist (sketches / iterative algorithms the oracle can't
+  * express). A typo here silently zeroes a correctness row, so it's a
+  * test. */
+class ContractSpec extends SparkSpec {
+
+  private val rowsOnly = Set(
+    "a5d_approx_distinct", // HLL++ sketch — DuckDB's sketch differs by design
+    "e4_ivf_topk")         // iterative k-means — not SQL-expressible
+
+  test("every oracle key is a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("every query has an oracle unless explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracles (add or allowlist): $missing")
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only allowlist names unknown queries: $stale")
+    val shadowed = rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty, s"rows-only queries unexpectedly have oracles: $shadowed")
+  }
+
+  test("oracle SQL statements are non-empty SELECTs") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      assert(sql.toUpperCase.contains("SELECT"), name)
+    }
+  }
+}

@@ -162,6 +162,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window sessionizes the change stream by event-time gaps (W3 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // user 0's events 1s apart, then a > 30min gap, then more → 2 sessions
+    val burst1 = (0 until 10).map(i =>
+      Ev(i.toLong, 1700000000000000000L + i * 1000000000L, 0L, "click", 1.0, "{}"))
+    val burst2 = (0 until 5).map(i =>
+      Ev(100L + i, 1700000000000000000L + 3600L * 1000000000L + i * 1000000000L,
+        0L, "click", 1.0, "{}"))
+    val sessions = IngestPipeline.changeStream(stream.toDF())
+      .withColumn("ts_event", expr("timestamp_millis(ts_ms)"))
+      .withWatermark("ts_event", "10 minutes")
+      .groupBy(session_window(col("ts_event"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(burst1 ++ burst2)
+      // watermark-advancing sentinel far in the future closes both sessions
+      stream.addData(Ev(9999L, 1700000000000000000L + 30000L * 1000000000L, 6L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out").filter(col("user_id") === 0L).collect()
+      assert(rows.length === 2, rows.mkString(";"))
+      assert(rows.map(_.getAs[Long]("n")).sorted.toSeq === Seq(5L, 10L))
+    } finally query.stop()
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

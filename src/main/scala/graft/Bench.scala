@@ -30,8 +30,9 @@ object Bench {
             errors ::= name
             false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // exclude cleanup below
       graft.llm.DedupOps.releaseCaches() // free per-query tracked persists
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

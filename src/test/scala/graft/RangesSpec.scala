@@ -46,6 +46,25 @@ class RangesSpec extends SparkSpec {
     }
   }
 
+  test("two-phase scalable islands equals the single-window form (property)") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      val ids = Seq.fill(rnd.nextInt(60))(rnd.nextLong(200).max(0L)).distinct
+      if (ids.nonEmpty) {
+        val df = ids.toDF("_id")
+        // tiny chunk size forces many cross-chunk merges
+        val scalable = PipelineOps.descendingRangesScalable(df, chunkSize = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(scalable === refRanges(ids))
+      }
+    }
+    // boundary-straddling run: one island across many chunks
+    val run = (0L to 40L).toDF("_id")
+    assert(PipelineOps.descendingRangesScalable(run, chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((40L, 0L)))
+  }
+
   test("anti-join skip covers exactly the non-completed ids") {
     import spark.implicits._
     val completed = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("_id")

@@ -249,6 +249,7 @@ object SparkEntry {
     "t2_lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
+    "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
 
     // ---- flagship relational agg ---------------------------------------

@@ -84,6 +84,17 @@ object TextOps {
     ).orderBy("doc_id")
   }
 
+  /** T5 — quality filter: keep documents whose composite quality score
+    * clears a threshold — the action a training-data pipeline takes with
+    * T1's score. Pure narrow filter; at 100 TB this is the gate that
+    * decides what moves to the next stage, so it must (and does) pipeline
+    * with the scan. */
+  def qualityFilter(documents: DataFrame, minScore: Double): DataFrame =
+    textStats(documents)
+      .filter(col("quality_score") >= minScore)
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+
   /** T4 — document fingerprint: order-independent 60-bit bag-of-words hash
     * (sum of distinct-word hashes mod p). Rolling/positional variants are a
     * windowed extension; the bag form is what content-dedup pipelines key

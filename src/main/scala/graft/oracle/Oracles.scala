@@ -466,6 +466,16 @@ SELECT doc_id,
 FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs)
 GROUP BY doc_id ORDER BY doc_id""",
 
+    "t5_quality_filter" -> s"""
+SELECT doc_id, quality_score FROM (
+  SELECT doc_id,
+         round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+               + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                    + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                  / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+  FROM $Docs)
+WHERE quality_score >= 0.5 ORDER BY doc_id""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -190,6 +190,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows assign each event to two 1h/30m windows (W2 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sliding = IngestPipeline.changeStream(stream.toDF())
+      .withColumn("ts_event", expr("timestamp_millis(ts_ms)"))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val query = sliding.writeStream.format("memory").queryName("slide_out")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(mkEvents(50))
+      stream.addData(Ev(9999L, 1700000000000000000L + 50000L * 1000000000L, 0L, "click", 1.0, "{}"))
+      query.processAllAvailable()
+      val kept = ObjectsModel.kept(ObjectsModel.deriveChanges(mkEvents(50).toDF())).count()
+      // every kept event lands in exactly two sliding windows, all closed
+      // by the sentinel's watermark advance; the sentinel's own windows
+      // stay open and are not emitted in append mode
+      val total = spark.table("slide_out").agg(sum("n")).head().getLong(0)
+      assert(total === 2 * kept, s"total=$total kept=$kept")
+    } finally query.stop()
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

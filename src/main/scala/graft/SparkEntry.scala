@@ -233,18 +233,17 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
     "e4_ivf_topk" -> ((s, d) => {
-      // IVF k-means ANN — no DuckDB oracle (iterative clustering is not
-      // reasonably SQL-expressible); driver records the rows-only check,
-      // LlmSpec asserts recall vs e1
+      // IVF k-means ANN — oracle unrolls the deterministic Lloyd passes as
+      // chained DuckDB CTEs; LlmSpec additionally asserts recall vs e1
       val emb = Tables.embeddings(s, d)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
     }),
     "e3_cosine_neardups" -> ((s, d) =>
       SimilarityOps.cosineNearDups(Tables.embeddings(s, d), 0.4)),
     "a5d_approx_distinct" -> ((s, d) =>
-      // sketch-based (HLL++) — no DuckDB oracle (different sketch), driver
-      // records the weaker rows-only check
-      AggOps.approxDistinctTypes(objects(s, d))),
+      // KMV sketch — deterministic hash arithmetic, oracle-checkable
+      // (the HLL++ variant stays test-gated in AggSpec)
+      AggOps.kmvDistinctTypes(objects(s, d))),
     "t1_text_stats" -> ((s, d) => TextOps.textStats(documents(s, d))),
     "t2_lang_id" -> ((s, d) => TextOps.langId(documents(s, d))),
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
@@ -257,8 +256,11 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_price"),
+          // cast sums to one explicit width on both sides — Spark's
+          // sum(DECIMAL(12,2)) widens to (22,2), DuckDB to (38,2), and the
+          // driver hash is type-width-sensitive.
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").as("sum_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))
   )

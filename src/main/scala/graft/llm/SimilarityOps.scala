@@ -101,8 +101,16 @@ object SimilarityOps {
     * K×dim centroid floats to the driver per iteration — bytes, the same
     * "tiny plan parameter" pattern as the scan bounds — while all per-vector
     * work (assignment, per-cell averaging, search) is distributed and
-    * codegen'd via graft_dot. Deterministic: seeded from the first K
-    * vectors by id, fixed iteration count. */
+    * codegen'd via graft_dot.
+    *
+    * Deterministic AND oracle-portable: seeded from the first K vectors by
+    * id; `iterations` assignment passes with `iterations-1` mean updates in
+    * between, so the final pass doubles as the search index (no extra
+    * corpus pass); per-dimension means are rounded to 6 dp so the
+    * engine-dependent float-summation order of `avg` (Spark partial aggs
+    * vs DuckDB) cannot leak low-order-bit divergence into later
+    * assignments. The matching DuckDB oracle unrolls the same passes as
+    * chained CTEs ([[graft.oracle.Oracles]] `e4_ivf_topk`). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -122,6 +130,8 @@ object SimilarityOps {
       }.toSeq
     def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
       array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
+    def assign(centroids: Array[Array[Double]]): DataFrame = embeddings
+      .withColumn("cell", nearestCol(col("embedding"), centroids))
 
     // seed: first nCells vectors by id
     var centroids: Array[Array[Double]] = embeddings
@@ -129,14 +139,11 @@ object SimilarityOps {
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
 
-    for (_ <- 1 to iterations) {
-      val assigned = embeddings
-        .withColumn("cell", nearestCol(col("embedding"), centroids))
-        .select(col("cell"), col("embedding").cast("array<double>").as("v"))
+    for (_ <- 1 until iterations) {
       // distributed mean per cell (explode dims → avg), tiny result
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg("x").as("m"))
+      val means = assign(centroids)
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(round(avg("x"), 6).as("m"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         old.indices.map(d => means.getOrElse((i, d), old(d))).toArray
@@ -147,7 +154,9 @@ object SimilarityOps {
       reverse(array_sort(array(scoreStructs(col("q_emb"), centroids): _*))),
       1, nProbe).getField("cell")
 
-    val cells = embeddings.withColumn("cell", nearestCol(col("embedding"), centroids))
+    // final assignment pass = the search index itself (same centroids the
+    // probes are scored against)
+    val cells = assign(centroids)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probesCol))

@@ -31,9 +31,30 @@ object AggOps {
     objects.agg(countDistinct(col("type_full")).as("n_types"))
 
   /** A5 at scale — sketch-based (the honest analog of Mongo's "estimated"
-    * counts): one pass, no exact-distinct shuffle. */
+    * counts): one pass, no exact-distinct shuffle. HLL++; engine-specific
+    * sketch, so test-gated (AggSpec) rather than oracle-gated. */
   def approxDistinctTypes(objects: DataFrame): DataFrame =
     objects.agg(approx_count_distinct(col("type_full"), 0.01).as("approx_types"))
+
+  /** A5 at scale, oracle-portable variant — KMV (k-minimum-values)
+    * distinct-count sketch (Bar-Yossef et al. 2002): keep the k smallest
+    * 60-bit hashes of the value domain; with u_k = the k-th smallest hash
+    * normalized to (0,1], estimate = (k-1)/u_k. Mergeable (union = k
+    * smallest of the union), one narrow pass + a k-row top-k — the same
+    * scale shape as HLL — and, unlike HLL, bit-identical across engines
+    * because it is pure hash arithmetic (portable md5-60bit hash, see
+    * OracleSql rules). */
+  def kmvDistinctTypes(objects: DataFrame, k: Int = 64): DataFrame =
+    objects
+      .select(expr("cast(conv(substr(md5(type_full), 1, 15), 16, 10) as bigint)").as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n_seen"))
+      // fewer than k distinct hashes → the sketch is exact: report n_seen
+      .select(
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"cast(round((${k - 1} * 1152921504606846976.0) / hk) as bigint)"))
+          .as("approx_types"))
 
   /** A5 variant — distinct types owned by an address
     * (get-distinct-object-types-by-owner.txt: `$match` then distinct). */
@@ -45,7 +66,8 @@ object AggOps {
     * get-largest-document-size.txt): doc size ≈ serialized payload size. */
   def largestDocSize(objects: DataFrame): DataFrame =
     objects.agg(
-      max(octet_length(col("fields_json")) + octet_length(col("type_full"))).as("max_doc_bytes"))
+      max(octet_length(col("fields_json")) + octet_length(col("type_full")))
+        .cast("long").as("max_doc_bytes"))
 
   /** A7 — table count (estimatedDocumentCount,
     * example-queries/mongodb/estimated-document-count.txt). */
@@ -64,7 +86,9 @@ object AggOps {
       col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+        // Explicit output width: Spark sum(DECIMAL(12,2)) is DECIMAL(22,2),
+        // DuckDB's is DECIMAL(38,2); the driver's hash is width-sensitive.
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
       .select(col("hour_ms"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_ms", "event_type")
 

@@ -55,6 +55,56 @@ ORDER BY id_a, id_b"""
   private def duckPlane(p: Array[Double]): String =
     p.mkString("[", ", ", "]::DOUBLE[]")
 
+  /** e4 oracle: SimilarityOps.ivfTopK's deterministic Lloyd passes unrolled
+    * as chained CTEs. Structure mirrors the Spark side exactly — seed =
+    * first `nCells` vectors by id; `iterations` assignment passes with
+    * `iterations-1` 6-dp-rounded mean updates between them; the last pass
+    * is the search index; probes = top `nProbe` cells by score (tie: higher
+    * cell, matching Spark's array_max/array_sort struct ordering). */
+  private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
+      dim: Int): String = {
+    // argmax of 2·dot(v,c) − ||c||² == argmin squared distance
+    def score(v: String, c: String) =
+      s"2*list_dot_product($v, $c) - list_dot_product($c, $c)"
+    def assignCte(name: String, cent: String) = s"""
+$name AS (SELECT vec_id, v, cell FROM (
+  SELECT e.vec_id, e.v, s.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ${score("e.v", "s.c")} DESC, s.cell DESC) AS rn
+  FROM e, $cent s) WHERE rn = 1)"""
+    def updateCte(mName: String, cName: String, assigned: String, prev: String) = s"""
+$mName AS (SELECT cell, list(m ORDER BY d) AS c FROM (
+  SELECT cell, d, round(avg(v[d]), 6) AS m
+  FROM $assigned, (SELECT unnest(range(1, ${dim + 1})) AS d) GROUP BY cell, d)
+  GROUP BY cell),
+$cName AS (SELECT s.cell, coalesce(m.c, s.c) AS c
+           FROM $prev s LEFT JOIN $mName m ON m.cell = s.cell)"""
+    val lloyd = (1 until iterations).map { i =>
+      val prev = if (i == 1) "seed" else s"c${i - 1}"
+      assignCte(s"a$i", prev) + "," + updateCte(s"m$i", s"c$i", s"a$i", prev)
+    }.mkString(",")
+    val last = s"a$iterations"
+    val lastCent = s"c${iterations - 1}"
+    s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
+seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)),$lloyd,
+${assignCte(last, lastCent)},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+probes AS (SELECT query_id, qv, cell FROM (
+  SELECT q.query_id, q.qv, s.cell,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY ${score("q.qv", "s.c")} DESC, s.cell DESC) AS rn
+  FROM q, $lastCent s) WHERE rn <= $nProbe),
+scored AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+           FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private def duckBucket(vecCol: String, nPlanes: Int, dim: Int): String = {
     val hps = SimilarityOps.hyperplanes(nPlanes, dim)
     hps.zipWithIndex.map { case (p, j) =>
@@ -222,7 +272,7 @@ ORDER BY id_a, id_b"""
          WHERE page_rn <= 3 ORDER BY cp, page_rn"""),
 
     "s4_cursor_walk" -> withModel(
-      """SELECT walk_id, min(_id) AS cp_start, max(_id) AS cp_end,
+      """SELECT CAST(walk_id AS BIGINT) AS walk_id, min(_id) AS cp_start, max(_id) AS cp_end,
                 CAST(count(*) AS BIGINT) AS n_cps FROM (
            SELECT _id, sum(new_seg) OVER (ORDER BY _id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS walk_id
@@ -317,6 +367,19 @@ ORDER BY id_a, id_b"""
     "a5c_count_unique_types" -> withModel(
       "SELECT CAST(count(DISTINCT type_full) AS BIGINT) AS n_types FROM objects"),
 
+    // KMV sketch (AggOps.kmvDistinctTypes): k smallest distinct 60-bit
+    // hashes; estimate = (k-1)/u_k with u_k the k-th hash normalized by 2^60
+    "a5d_approx_distinct" -> withModel(
+      """SELECT approx_types FROM (
+           WITH h AS (SELECT DISTINCT CAST('0x' || substr(md5(type_full), 1, 15) AS BIGINT) AS h
+                      FROM objects),
+           topk AS (SELECT h FROM h ORDER BY h LIMIT 64),
+           agg AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS n_seen FROM topk)
+           SELECT CASE WHEN n_seen < 64 THEN n_seen
+                       ELSE CAST(round((63 * 1152921504606846976.0) / hk) AS BIGINT)
+                  END AS approx_types
+           FROM agg)"""),
+
     "a6_largest_doc" -> withModel(
       """SELECT CAST(max(octet_length(encode(fields_json)) + octet_length(encode(type_full))) AS BIGINT)
            AS max_doc_bytes FROM objects"""),
@@ -328,7 +391,7 @@ ORDER BY id_a, id_b"""
     "w1_hourly_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
                 CAST(count(*) AS BIGINT) AS n,
-                sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
 
     "w2_sliding_counts" ->
@@ -416,6 +479,9 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 ORDER BY id_a, id_b""",
 
+    "e4_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5, iterations = 3,
+      dim = 64),
+
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
@@ -487,8 +553,8 @@ FROM $Docs ORDER BY doc_id""",
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_price,
                 CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""")

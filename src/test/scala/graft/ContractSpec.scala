@@ -2,14 +2,13 @@ package graft
 
 /** Driver-contract consistency: every oracle entry must name a registered
   * query, and every query without an oracle must be on the explicit
-  * rows-only allowlist (sketches / iterative algorithms the oracle can't
-  * express). A typo here silently zeroes a correctness row, so it's a
-  * test. */
+  * rows-only allowlist. Since round 3 that allowlist is EMPTY: a5d was
+  * rebound to the oracle-portable KMV sketch and e4's deterministic Lloyd
+  * passes are unrolled as DuckDB CTEs. A typo here silently zeroes a
+  * correctness row, so it's a test. */
 class ContractSpec extends SparkSpec {
 
-  private val rowsOnly = Set(
-    "a5d_approx_distinct", // HLL++ sketch — DuckDB's sketch differs by design
-    "e4_ivf_topk")         // iterative k-means — not SQL-expressible
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle key is a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

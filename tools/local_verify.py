@@ -36,6 +36,9 @@ for name, sql in sorted(oracle.items()):
     try:
         spark = con.execute(f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
         s_cols = [d[0] for d in spark.description]
+        s_types = {d[0]: str(t) for d, t in
+                   zip(spark.description, spark.arrow().schema.types)}
+        spark = con.execute(f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
         s_rows = spark.fetchall()
     except Exception as e:
         bad.append((name, f"spark-result read failed: {e}"))
@@ -43,6 +46,9 @@ for name, sql in sorted(oracle.items()):
     try:
         duck = con.execute(sql)
         d_cols = [d[0] for d in duck.description]
+        d_types = {d[0]: str(t) for d, t in
+                   zip(duck.description, duck.arrow().schema.types)}
+        duck = con.execute(sql)
         d_rows = duck.fetchall()
     except Exception as e:
         bad.append((name, f"oracle SQL failed: {str(e).splitlines()[0]}"))
@@ -51,6 +57,12 @@ for name, sql in sorted(oracle.items()):
     dc, dr = canon(d_cols, d_rows)
     if sc != dc:
         bad.append((name, f"schema mismatch: spark={sc} duck={dc}"))
+    # The DRIVER's hash is type-width sensitive (decimal precision, int
+    # width): compare arrow types too, so width bugs fail locally.
+    elif s_types != d_types:
+        diffs = {c: (s_types.get(c), d_types.get(c)) for c in s_types
+                 if s_types.get(c) != d_types.get(c)}
+        bad.append((name, f"type-width mismatch: {diffs}"))
     elif len(sr) != len(dr):
         bad.append((name, f"row count: spark={len(sr)} duck={len(dr)}"))
     elif sr != dr:

@@ -42,6 +42,8 @@ object SparkEntry {
     cachedDf(s, dir, "objects")(ObjectsModel.objects(s, dir))
   private def documents(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "documents")(Tables.documents(s, dir))
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "embeddings")(Tables.embeddings(s, dir))
   private def keptChanges(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "kept")(ObjectsModel.kept(ObjectsModel.changes(s, dir)))
   private def completedCps(s: SparkSession, dir: String): DataFrame =
@@ -223,23 +225,23 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDups(documents(s, d), 0.3)),
     "e1_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = embeddings(s, d)
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 8), 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
     "e4_ivf_topk" -> ((s, d) => {
       // IVF k-means ANN — oracle unrolls the deterministic Lloyd passes as
       // chained DuckDB CTEs; LlmSpec additionally asserts recall vs e1
-      val emb = Tables.embeddings(s, d)
+      val emb = embeddings(s, d)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
     }),
     "e3_cosine_neardups" -> ((s, d) =>
-      SimilarityOps.cosineNearDups(Tables.embeddings(s, d), 0.4)),
+      SimilarityOps.cosineNearDups(embeddings(s, d), 0.4)),
     "a5d_approx_distinct" -> ((s, d) =>
       // KMV sketch — deterministic hash arithmetic, oracle-checkable
       // (the HLL++ variant stays test-gated in AggSpec)
@@ -273,6 +275,10 @@ object SparkEntry {
     objects(spark, dir).count()
     keptChanges(spark, dir).count()
     completedCps(spark, dir).count()
+    // LLM-table caches too: the first d*/e* query otherwise pays the
+    // persist + first-compile inside its own timing
+    documents(spark, dir).count()
+    embeddings(spark, dir).count()
     ()
   }
 

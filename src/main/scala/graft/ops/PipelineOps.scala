@@ -105,11 +105,17 @@ object PipelineOps {
       sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("n_failed"))
 
   /** K4 — metrics rollup in long form (metric, value), the batch analog of
-    * the Influx measurement set (main/src/influx.rs:11-313): batch outcome
-    * counts (:11-34), ingest_error (:106), rpc_request (:150),
-    * create_checkpoint (:62) / checkpoint_error (:83), current/final
-    * checkpoint (:190,:211), checkpoints_behind (:170). */
-  def metricsSummary(kept: DataFrame): DataFrame = {
+    * the FULL Influx measurement set (main/src/influx.rs:11-313): mongo
+    * batch outcomes incl. `unchanged` = n − inserted − modified
+    * (etl.rs:1296-1301), ingest_error (:106) with the rpc_error (:129) /
+    * mongo_write_error (:42) split, rpc_request (:150), create_checkpoint
+    * (:62) / checkpoint_error (:83), current/final checkpoint (:190,:211),
+    * checkpoints_behind (:170), extraction_latency (:291, from
+    * ts_first_seen − ts_sui), and the mode-transition events backfill_init
+    * (:232) / pause_livescan (:252) / start_livescan (:271) per the
+    * decideMode rule (etl.rs:215-240). */
+  def metricsSummary(kept: DataFrame, backfillThreshold: Long = 3L): DataFrame = {
+    val failed = col("version") % FailureMod === FailureRem
     val completedCount =
       count(when(col("cp_failed") === 0, 1L)) // per-cp roll-up below
     val perCp = kept.groupBy("cp").agg(
@@ -118,26 +124,52 @@ object PipelineOps {
       sum(when(col("change_kind") === "mutated", 1L).otherwise(0L)).as("n_mutated"),
       sum(when(col("deletion"), 1L).otherwise(0L)).as("n_deleted"),
       sum(when(!col("deletion"), 1L).otherwise(0L)).as("n_fetched"),
-      sum(when(col("version") % FailureMod === FailureRem, 1L).otherwise(0L)).as("cp_failed"))
+      // error split (influx.rs:129 vs :42): fetch-path poison = rpc_error,
+      // write-path (tombstone) poison = mongo_write_error
+      sum(when(failed && !col("deletion"), 1L).otherwise(0L)).as("cp_rpc_err"),
+      sum(when(failed && col("deletion"), 1L).otherwise(0L)).as("cp_mongo_err"),
+      // per-item ingest lag for extraction_latency (influx.rs:291-304)
+      sum(col("ts_first_seen") - col("ts_ms")).as("lat_sum"),
+      sum(when(failed, 1L).otherwise(0L)).as("cp_failed"))
     val agg = perCp.agg(
       sum(col("n")).as("items_total"),
       sum(col("n_created")).as("inserted"),
       sum(col("n_mutated")).as("modified"),
       sum(col("n_deleted")).as("items_deleted"),
       sum(col("n_fetched")).as("rpc_request"),
+      sum(col("cp_rpc_err")).as("rpc_error"),
+      sum(col("cp_mongo_err")).as("mongo_write_error"),
       sum(col("cp_failed")).as("ingest_error"),
       count(lit(1)).as("checkpoints_seen"),
       completedCount.as("create_checkpoint"),
       count(when(col("cp_failed") > 0, 1L)).as("checkpoint_error"),
       max(col("cp")).as("current_checkpoint"),
-      max(when(col("cp_failed") === 0, col("cp"))).as("final_checkpoint"))
+      max(when(col("cp_failed") === 0, col("cp"))).as("final_checkpoint"),
+      sum(col("lat_sum")).as("lat_total"))
+    // derived scalars (all BIGINT): unchanged = n − inserted − modified
+    // (etl.rs:1296-1301); checkpoints_behind = tip − last commit
+    // (influx.rs:170); mode-transition events per the decideMode rule
+    // (etl.rs:215-240): behind > threshold initializes a backfill and
+    // pauses livescan; livescan itself always starts once.
     agg.selectExpr(
-      "stack(11, 'items_total', items_total, 'inserted', inserted, " +
-        "'modified', modified, 'items_deleted', items_deleted, " +
-        "'rpc_request', rpc_request, 'ingest_error', ingest_error, " +
+      "*",
+      "items_total - inserted - modified AS unchanged",
+      "current_checkpoint - final_checkpoint AS checkpoints_behind",
+      "CAST(floor(lat_total / items_total) AS BIGINT) AS extraction_latency",
+      s"CAST(CASE WHEN current_checkpoint - final_checkpoint > $backfillThreshold THEN 1 ELSE 0 END AS BIGINT) AS backfill_init",
+      s"CAST(CASE WHEN current_checkpoint - final_checkpoint > $backfillThreshold THEN 1 ELSE 0 END AS BIGINT) AS pause_livescan",
+      "CAST(1 AS BIGINT) AS start_livescan"
+    ).selectExpr(
+      "stack(19, 'items_total', items_total, 'inserted', inserted, " +
+        "'modified', modified, 'unchanged', unchanged, " +
+        "'items_deleted', items_deleted, " +
+        "'rpc_request', rpc_request, 'rpc_error', rpc_error, " +
+        "'mongo_write_error', mongo_write_error, 'ingest_error', ingest_error, " +
         "'checkpoints_seen', checkpoints_seen, 'create_checkpoint', create_checkpoint, " +
         "'checkpoint_error', checkpoint_error, 'current_checkpoint', current_checkpoint, " +
-        "'final_checkpoint', final_checkpoint) AS (metric, value)")
+        "'final_checkpoint', final_checkpoint, 'checkpoints_behind', checkpoints_behind, " +
+        "'extraction_latency', extraction_latency, 'backfill_init', backfill_init, " +
+        "'pause_livescan', pause_livescan, 'start_livescan', start_livescan) AS (metric, value)")
   }
 
   /** U2 — gaps-and-islands: completed checkpoint ids → maximal descending
@@ -153,6 +185,29 @@ object PipelineOps {
       .agg(max(col("_id")).as("range_end"), min(col("_id")).as("range_start"))
       .select(col("range_end"), col("range_start"))
       .orderBy(col("range_end").desc)
+  }
+
+  /** U2b — descending ranges with STOP-MARKER truncation (resume
+    * semantics, main/src/etl.rs:616-635; marker field main/src/mongo.rs:
+    * 10-17): a checkpoint doc with `stop = true` asserts every older
+    * checkpoint is already complete even if not individually recorded.
+    * stop_at = the NEWEST stop marker; checkpoints below it are dropped
+    * from the island walk and a final pseudo-range (stop_at, 0) is
+    * appended so the scanner halts there. Input needs (_id, stop) columns;
+    * the scalar stop_at rides in as a broadcast single-row cross join —
+    * no driver collect. */
+  def descendingRangesWithStop(completed: DataFrame): DataFrame = {
+    val stopAgg = completed.agg(
+      coalesce(max(when(col("stop"), col("_id"))), lit(0L)).as("stop_at"))
+    val kept = completed.crossJoin(broadcast(stopAgg))
+      .filter(col("_id") >= col("stop_at"))
+    val stopRow = stopAgg.filter(col("stop_at") > 0)
+      .select(col("stop_at").as("range_end"), lit(0L).as("range_start"))
+    descendingRanges(kept.select("_id"))
+      .unionByName(stopRow)
+      // the stop pseudo-range sorts last among equal ends (reference pushes
+      // it as the final item)
+      .orderBy(col("range_end").desc, col("range_start").desc)
   }
 
   /** U2 at scale — two-phase gaps-and-islands: phase 1 computes islands

@@ -44,6 +44,7 @@ changes AS (
     'dg' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS digest,
     (event_id % 2 = 0) AS has_public_transfer,
     epoch_ms(ts) AS ts_ms,
+    epoch_ms(ts) + event_id % 500 AS ts_first_seen,
     CASE WHEN CAST(floor(event_id / 10) AS BIGINT) % 3 = 0 THEN 'poll' ELSE 'livescan' END AS ingested_via,
     user_id, event_type, value
   FROM events

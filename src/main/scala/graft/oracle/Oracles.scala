@@ -232,19 +232,42 @@ WHERE rank <= $k ORDER BY query_id, rank"""
                     sum(CASE WHEN change_kind = 'mutated' THEN 1 ELSE 0 END) AS n_mutated,
                     sum(CASE WHEN deletion THEN 1 ELSE 0 END) AS n_deleted,
                     sum(CASE WHEN deletion THEN 0 ELSE 1 END) AS n_fetched,
+                    sum(CASE WHEN version % 97 = 13 AND NOT deletion THEN 1 ELSE 0 END) AS cp_rpc_err,
+                    sum(CASE WHEN version % 97 = 13 AND deletion THEN 1 ELSE 0 END) AS cp_mongo_err,
+                    sum(ts_first_seen - ts_ms) AS lat_sum,
                     sum(CASE WHEN version % 97 = 13 THEN 1 ELSE 0 END) AS cp_failed
-             FROM kept GROUP BY cp)
-           SELECT 'items_total' AS metric, CAST(sum(n) AS BIGINT) AS value FROM percp
-           UNION ALL SELECT 'inserted', CAST(sum(n_created) AS BIGINT) FROM percp
-           UNION ALL SELECT 'modified', CAST(sum(n_mutated) AS BIGINT) FROM percp
-           UNION ALL SELECT 'items_deleted', CAST(sum(n_deleted) AS BIGINT) FROM percp
-           UNION ALL SELECT 'rpc_request', CAST(sum(n_fetched) AS BIGINT) FROM percp
-           UNION ALL SELECT 'ingest_error', CAST(sum(cp_failed) AS BIGINT) FROM percp
-           UNION ALL SELECT 'checkpoints_seen', CAST(count(*) AS BIGINT) FROM percp
-           UNION ALL SELECT 'create_checkpoint', CAST(count(CASE WHEN cp_failed = 0 THEN 1 END) AS BIGINT) FROM percp
-           UNION ALL SELECT 'checkpoint_error', CAST(count(CASE WHEN cp_failed > 0 THEN 1 END) AS BIGINT) FROM percp
-           UNION ALL SELECT 'current_checkpoint', CAST(max(cp) AS BIGINT) FROM percp
-           UNION ALL SELECT 'final_checkpoint', CAST(max(CASE WHEN cp_failed = 0 THEN cp END) AS BIGINT) FROM percp)
+             FROM kept GROUP BY cp),
+           agg AS (
+             SELECT sum(n) AS items_total, sum(n_created) AS inserted,
+                    sum(n_mutated) AS modified, sum(n_deleted) AS items_deleted,
+                    sum(n_fetched) AS rpc_request, sum(cp_rpc_err) AS rpc_error,
+                    sum(cp_mongo_err) AS mongo_write_error,
+                    sum(cp_failed) AS ingest_error, count(*) AS checkpoints_seen,
+                    count(CASE WHEN cp_failed = 0 THEN 1 END) AS create_checkpoint,
+                    count(CASE WHEN cp_failed > 0 THEN 1 END) AS checkpoint_error,
+                    max(cp) AS current_checkpoint,
+                    max(CASE WHEN cp_failed = 0 THEN cp END) AS final_checkpoint,
+                    sum(lat_sum) AS lat_total
+             FROM percp)
+           SELECT 'items_total' AS metric, CAST(items_total AS BIGINT) AS value FROM agg
+           UNION ALL SELECT 'inserted', CAST(inserted AS BIGINT) FROM agg
+           UNION ALL SELECT 'modified', CAST(modified AS BIGINT) FROM agg
+           UNION ALL SELECT 'unchanged', CAST(items_total - inserted - modified AS BIGINT) FROM agg
+           UNION ALL SELECT 'items_deleted', CAST(items_deleted AS BIGINT) FROM agg
+           UNION ALL SELECT 'rpc_request', CAST(rpc_request AS BIGINT) FROM agg
+           UNION ALL SELECT 'rpc_error', CAST(rpc_error AS BIGINT) FROM agg
+           UNION ALL SELECT 'mongo_write_error', CAST(mongo_write_error AS BIGINT) FROM agg
+           UNION ALL SELECT 'ingest_error', CAST(ingest_error AS BIGINT) FROM agg
+           UNION ALL SELECT 'checkpoints_seen', CAST(checkpoints_seen AS BIGINT) FROM agg
+           UNION ALL SELECT 'create_checkpoint', CAST(create_checkpoint AS BIGINT) FROM agg
+           UNION ALL SELECT 'checkpoint_error', CAST(checkpoint_error AS BIGINT) FROM agg
+           UNION ALL SELECT 'current_checkpoint', CAST(current_checkpoint AS BIGINT) FROM agg
+           UNION ALL SELECT 'final_checkpoint', CAST(final_checkpoint AS BIGINT) FROM agg
+           UNION ALL SELECT 'checkpoints_behind', CAST(current_checkpoint - final_checkpoint AS BIGINT) FROM agg
+           UNION ALL SELECT 'extraction_latency', CAST(floor(lat_total / items_total) AS BIGINT) FROM agg
+           UNION ALL SELECT 'backfill_init', CAST(CASE WHEN current_checkpoint - final_checkpoint > 3 THEN 1 ELSE 0 END AS BIGINT) FROM agg
+           UNION ALL SELECT 'pause_livescan', CAST(CASE WHEN current_checkpoint - final_checkpoint > 3 THEN 1 ELSE 0 END AS BIGINT) FROM agg
+           UNION ALL SELECT 'start_livescan', CAST(1 AS BIGINT) FROM agg)
          ORDER BY metric"""),
 
     "a1_completion_countdown" -> withModel(
@@ -303,6 +326,19 @@ WHERE rank <= $k ORDER BY query_id, rank"""
       """SELECT max(_id) AS range_end, min(_id) AS range_start FROM (
            SELECT _id, _id - row_number() OVER (ORDER BY _id) AS island FROM completed)
          GROUP BY island ORDER BY range_end DESC"""),
+
+    "u2b_ranges_with_stop" -> withModel(
+      """, marked AS (SELECT _id, (_id % 89 = 21) AS stop FROM completed),
+         sa AS (SELECT coalesce(max(CASE WHEN stop THEN _id END), 0) AS stop_at FROM marked),
+         r AS (SELECT max(_id) AS range_end, min(_id) AS range_start FROM (
+                 SELECT m._id, m._id - row_number() OVER (ORDER BY m._id) AS island
+                 FROM marked m, sa WHERE m._id >= sa.stop_at)
+               GROUP BY island)
+         SELECT range_end, range_start FROM (
+           SELECT range_end, range_start FROM r
+           UNION ALL
+           SELECT stop_at AS range_end, CAST(0 AS BIGINT) AS range_start FROM sa WHERE stop_at > 0)
+         ORDER BY range_end DESC, range_start DESC"""),
 
     "u3_range_anti_join" -> withModel(
       """SELECT cp FROM (SELECT DISTINCT cp FROM changes)
@@ -479,7 +515,7 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 ORDER BY id_a, id_b""",
 
-    "e4_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5, iterations = 3,
+    "e4_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5, iterations = 2,
       dim = 64),
 
     "t1_text_stats" -> s"""

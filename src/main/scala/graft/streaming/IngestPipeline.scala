@@ -202,8 +202,42 @@ object IngestPipeline {
     if (behind > backfillThreshold) Backfill else Livescan
   }
 
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+
+  /** K3 replay — dead letters re-enter the MERGE (SURVEY K3: "replay =
+    * union back into source"; the reference replays from the Pulsar DLQ
+    * topic, main/src/pulsar.rs:10-20). Safe under at-least-once replay
+    * delivery: the latest-wins MERGE is idempotent, so replaying the same
+    * dead letters twice cannot duplicate or regress the store. Returns the
+    * number of items replayed. */
+  def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String): Long = {
+    if (!Files.exists(Paths.get(dlqDir))) return 0L
+    // batch=<id> subdirectories surface as a partition column on read
+    val dead = spark.read.parquet(dlqDir).drop("batch")
+    val n = dead.count()
+    if (n > 0) mergeStore(spark, storeDir, dead)
+    n
+  }
+
   /** Full pipeline wiring: change parse → dedup → split DLQ (K3) / store
     * MERGE (K1) + watermark commit (K2). Returns the started query.
+    *
+    * Per microbatch the ingest MODE is consulted (decideMode; monitor loop
+    * main/src/etl.rs:215-240): `behind` is the cp GAP between the store's
+    * tip and where the incoming batch starts — zero in contiguous steady
+    * state, positive after downtime. When the gap exceeds
+    * `backfillThreshold` the backfill takes over and the low-latency poll
+    * route is PAUSED (pause_livescan, etl.rs:219-227): its rows spill to a
+    * deferred area and re-enter the MERGE on the first caught-up batch
+    * (resume, etl.rs:233-240). Deferral, like the DLQ, is batchId-keyed +
+    * overwrite, and the deferred MERGE is idempotent — replays are safe.
     *
     * `eventsStream` must carry the raw event columns plus an event-time
     * `ts_event` timestamp column. */
@@ -213,7 +247,8 @@ object IngestPipeline {
       storeDir: String,
       dlqDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      backfillThreshold: Long = 3L): StreamingQuery = {
     val changes = dedupStream(changeStream(eventsStream))
     changes.writeStream
       .outputMode(OutputMode.Append())
@@ -228,7 +263,31 @@ object IngestPipeline {
           ObjectsModel.failures(cached)
             .drop("ts_event")
             .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
-          mergeStore(spark, storeDir, ObjectsModel.processed(cached).drop("ts_event"))
+          val ok = ObjectsModel.processed(cached).drop("ts_event")
+          val batchStart = ok.agg(min(col("cp"))).head()
+          if (!batchStart.isNullAt(0)) {
+            val deferPath = Paths.get(storeDir, "_defer")
+            // store tip: last cp the MERGE has seen; a fresh store has
+            // missed nothing by definition (backfill_init covers genesis)
+            val storeTip =
+              if (currentGen(storeDir).isDefined || legacyFlat(storeDir))
+                Option(readStore(spark, storeDir).agg(max(col("cp"))).head().get(0))
+                  .map(_.asInstanceOf[Long]).getOrElse(batchStart.getLong(0) - 1)
+              else batchStart.getLong(0) - 1
+            val mode = decideMode(batchStart.getLong(0) - 1, storeTip, backfillThreshold)
+            if (mode.pausePoll) {
+              ok.filter(col("ingested_via") === "poll")
+                .write.mode("overwrite").parquet(s"$deferPath/batch=$batchId")
+              mergeStore(spark, storeDir, ok.filter(col("ingested_via") =!= "poll"))
+            } else {
+              val withDeferred =
+                if (Files.exists(deferPath))
+                  ok.unionByName(spark.read.parquet(deferPath.toString).drop("batch"))
+                else ok
+              mergeStore(spark, storeDir, withDeferred)
+              deleteRecursively(deferPath)
+            }
+          }
         } finally { cached.unpersist(); () }
       }
       .start()

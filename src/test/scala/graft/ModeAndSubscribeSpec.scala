@@ -19,6 +19,53 @@ class ModeAndSubscribeSpec extends SparkSpec {
     assert(Backfill.pausePoll && !Livescan.pausePoll)
   }
 
+  test("backfill pauses the poll route; deferred rows merge on resume (etl.rs:219-240)") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import graft.model.ObjectsModel
+    val tmp = JFiles.createTempDirectory("graft_pause").toString
+    val all = (0 until 200).map { i =>
+      Ev(i.toLong, 1700000000000000000L + i.toLong * 1000000000L, (i % 7).toLong,
+        Seq("signup", "click", "purchase", "view", "error")(i % 5), i * 1.5,
+        s"""{"k": ${i % 100}}""")
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    def storePairs() = IngestPipeline.readStore(spark, s"$tmp/store")
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    try {
+      // contiguous from genesis: livescan, everything merges
+      stream.addData(all.slice(0, 50)) // cps 0..4
+      query.processAllAvailable()
+      assert(!JFiles.exists(JPaths.get(s"$tmp/store/_defer")))
+
+      // downtime hole (events 50..99 lost): batch starts at cp 10 with the
+      // store tip at 4 → behind 5 > threshold 3 → backfill pauses poll
+      stream.addData(all.slice(100, 150)) // cps 10..14; poll route = cp 12
+      query.processAllAvailable()
+      val deferredB = ObjectsModel.processed(ObjectsModel.kept(
+        ObjectsModel.deriveChanges(all.slice(100, 150).toDF())))
+        .filter($"ingested_via" === "poll")
+        .select("_id", "version").as[(String, Long)].collect().toSet
+      assert(deferredB.nonEmpty)
+      assert(JFiles.exists(JPaths.get(s"$tmp/store/_defer")))
+      assert(storePairs().intersect(deferredB).isEmpty) // paused, not merged
+
+      // contiguous again: livescan resumes, deferred rows re-enter the MERGE
+      stream.addData(all.slice(150, 200)) // cps 15..19
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(!JFiles.exists(JPaths.get(s"$tmp/store/_defer")))
+    val delivered = all.slice(0, 50) ++ all.slice(100, 200)
+    val expected = ObjectsModel.latestWins(ObjectsModel.processed(ObjectsModel.kept(
+      ObjectsModel.deriveChanges(delivered.toDF()))))
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    assert(storePairs() === expected)
+  }
+
   test("subscription pushes only matching type-prefix changes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -65,6 +65,22 @@ class RangesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((40L, 0L)))
   }
 
+  test("stop marker truncates the island walk (etl.rs:616-635)") {
+    import spark.implicits._
+    def got(rows: Seq[(Long, Boolean)]): Seq[(Long, Long)] =
+      PipelineOps.descendingRangesWithStop(rows.toDF("_id", "stop"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // stop=true on cp 5: cps below 5 drop out; (5, 0) appended last
+    assert(got(Seq(1L -> false, 2L -> false, 3L -> false, 5L -> true,
+      6L -> false, 9L -> false)) === Seq((9L, 9L), (6L, 5L), (5L, 0L)))
+    // no marker → plain descending ranges
+    assert(got(Seq(1L -> false, 2L -> false, 5L -> false)) ===
+      Seq((5L, 5L), (2L, 1L)))
+    // newest marker wins when several exist
+    assert(got(Seq(1L -> true, 3L -> false, 4L -> true, 6L -> false)) ===
+      Seq((6L, 6L), (4L, 4L), (4L, 0L)))
+  }
+
   test("anti-join skip covers exactly the non-completed ids") {
     import spark.implicits._
     val completed = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("_id")

@@ -104,6 +104,45 @@ class StreamingSpec extends SparkSpec {
     assert(first === second)
   }
 
+  test("DLQ replay lands poisoned items in the store exactly once (K3 replay)") {
+    val tmp = Files.createTempDirectory("graft_dlqreplay").toString
+    val events = mkEvents(200)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val poisonKeys = spark.read.parquet(s"$tmp/dlq")
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    assert(poisonKeys.nonEmpty)
+    val before = IngestPipeline.readStore(spark, s"$tmp/store")
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    assert(before.intersect(poisonKeys).isEmpty)
+
+    // replay: every dead letter re-enters the merge; the store converges to
+    // the batch view over ALL kept changes (poison included)
+    val n = IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq")
+    assert(n === poisonKeys.size.toLong)
+    val after = IngestPipeline.readStore(spark, s"$tmp/store")
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
+    val expected = ObjectsModel.latestWins(ObjectsModel.kept(
+      ObjectsModel.deriveChanges(events.toDF())))
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
+    assert(after.toSet === expected.toSet)
+    assert(after.size === after.map(_._1).distinct.size) // one row per _id
+
+    // second replay is a no-op (idempotent MERGE, at-least-once safe)
+    IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq")
+    val again = IngestPipeline.readStore(spark, s"$tmp/store")
+      .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
+    assert(again.toSet === after.toSet && again.size === after.size)
+  }
+
   test("completion countdown commits a checkpoint exactly once when all items arrive (A1)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_cpd").toString

@@ -89,6 +89,8 @@ object SparkEntry {
       completedCps(s, d).orderBy(col("_id").desc).limit(1)),
     "o2_pagination" -> ((s, d) =>
       out(QuerySurface.paginate(objects(s, d), 20, 40))),
+    "o2b_keyset" -> ((s, d) =>
+      out(QuerySurface.paginateAfter(objects(s, d), "0x000059", 20))),
     "o3_count_by_owner_kind" -> ((s, d) =>
       objects(s, d).groupBy("owner_kind").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("owner_kind"))),
@@ -111,6 +113,10 @@ object SparkEntry {
     "j3_enrichment" -> ((s, d) =>
       PipelineOps.enrich(keptChanges(s, d).filter(col("cp") < 20), Tables.nation(s, d))
         .select("_id", "version", "n_name").orderBy("version")),
+    "j3b_enrich_fallback" -> ((s, d) =>
+      PipelineOps.enrichWithFallback(
+        keptChanges(s, d).filter(col("cp") < 20), Tables.nation(s, d))
+        .select("_id", "version", "n_name", "fetch_status").orderBy("version")),
     "j4_first_seen_dedup" -> ((s, d) =>
       PipelineOps.firstSeenWins(keptChanges(s, d))
         .select("_id", "version").orderBy("_id")),

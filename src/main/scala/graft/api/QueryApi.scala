@@ -34,7 +34,8 @@ object QueryApi {
   private val mapper = new ObjectMapper()
 
   private val objectsFields = Set(
-    "ids", "owner", "owners", "type", "types", "dynamicField", "limit", "skip")
+    "ids", "owner", "owners", "type", "types", "dynamicField", "limit", "skip",
+    "after")
   private val dynFieldFields = Set("names", "nameKey", "values", "valueKey")
 
   def invalid(msg: String): Nothing =
@@ -72,7 +73,8 @@ object QueryApi {
       types = strings(node.get("types")),
       dynamicField = dyn,
       limit = Option(node.get("limit")).map(_.asInt()).getOrElse(50),
-      skip = Option(node.get("skip")).map(_.asInt()).getOrElse(0))
+      skip = Option(node.get("skip")).map(_.asInt()).getOrElse(0),
+      afterId = strOpt(node.get("after")))
   }
 
   /** Compile a JSON request against an objects DataFrame. */

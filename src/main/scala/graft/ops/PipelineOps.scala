@@ -44,6 +44,36 @@ object PipelineOps {
       kept("user_id") % 25 === col("__nk"), "left")
       .drop("__nk")
 
+  /** J3b — enrichment with the reference's batch→per-item RETRY LADDER
+    * (transform_batched error path, main/src/etl.rs:1156-1196): when a
+    * BATCH fetch fails ("multi_get_object_with_options" rpc_error), each
+    * of its items is retried individually; only items whose individual
+    * fetch also fails dead-letter ("get_object_with_options"). Deletions
+    * never fetch (:1152-1154). Modeled deterministically: the fetch of any
+    * batch containing a poisoned item (FailureMod rule) fails wholesale —
+    * exactly the reference failure shape, where one bad id fails the whole
+    * multi-get — and `fetch_status` records which rung served each item.
+    * The failed-batch key set is tiny (≤ poison count) → broadcast join;
+    * the big stream never shuffles. */
+  def enrichWithFallback(kept: DataFrame, nation: DataFrame, batchSize: Int = 50): DataFrame = {
+    val itemPoisoned = col("version") % FailureMod === FailureRem
+    val batchKey = floor(col("version") / batchSize)
+    val failedBatches = kept.filter(itemPoisoned)
+      .select(batchKey.as("__fb")).distinct()
+    val withBatch = kept.withColumn("__bk", batchKey)
+      .join(broadcast(failedBatches), col("__bk") === col("__fb"), "left")
+    enrich(withBatch, nation)
+      .withColumn("fetch_status",
+        when(col("deletion"), "skipped_deletion")
+          .when(itemPoisoned, "dead_letter")
+          .when(col("__fb").isNotNull, "item_retry_ok")
+          .otherwise("batch_ok"))
+      .withColumn("n_name",
+        when(col("deletion") || itemPoisoned, lit(null).cast("string"))
+          .otherwise(col("n_name")))
+      .drop("__bk", "__fb")
+  }
+
   /** P9 — deletion short-circuit: deletions bypass the (expensive)
     * enrichment fetch (main/src/etl.rs:1152-1154). Filter-split + union
     * keeps both branches fully parallel. */

@@ -31,7 +31,8 @@ object QuerySurface {
       types: Seq[String] = Nil,
       dynamicField: Option[DynamicFieldQuery] = None,
       limit: Int = 50,
-      skip: Int = 0)
+      skip: Int = 0,
+      afterId: Option[String] = None) // keyset cursor: page starts after this _id
 
   /** server/src/main.rs:44-56 (QueryDynamicFieldsArgs): match child
     * dynamic-field objects on name/value (optionally under a sub-key), then
@@ -105,7 +106,9 @@ object QuerySurface {
       else if (args.types.nonEmpty) objects.filter(typePrefixFilter(args.types))
       else if (args.dynamicField.nonEmpty) parentsOfMatchingChildren(objects, args.dynamicField.get)
       else invalid("InvalidQuery: no filter arg set")
-    paginate(filtered, args.limit, args.skip)
+    args.afterId
+      .map(a => paginateAfter(filtered, a, args.limit))
+      .getOrElse(paginate(filtered, args.limit, args.skip))
   }
 
   /** O2 — deterministic limit+skip pagination. */
@@ -113,6 +116,15 @@ object QuerySurface {
     val ordered = df.orderBy(col("_id"))
     (if (skip > 0) ordered.offset(skip) else ordered).limit(limit)
   }
+
+  /** O2b — KEYSET pagination, the scale-safe page form: OFFSET pagination
+    * re-sorts and discards `skip` rows on every page — O(skip) per page, a
+    * deep-page killer at 100× data (the reference serves the offset form,
+    * server/src/main.rs:279-280). The `_id > cursor` predicate pushes down
+    * to the scan (file-level min/max pruning on an _id-sorted layout), so
+    * every page costs O(limit) regardless of depth. */
+  def paginateAfter(df: DataFrame, lastId: String, limit: Int): DataFrame =
+    df.filter(col("_id") > lastId).orderBy(col("_id")).limit(limit)
 
   /** J2 — parent→children resolver (server/src/main.rs:205-247), N+1 loops
     * collapsed into ONE batched equi-join with a per-parent limit window.

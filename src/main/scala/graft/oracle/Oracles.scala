@@ -165,6 +165,9 @@ WHERE rank <= $k ORDER BY query_id, rank"""
     "o2_pagination" -> withModel(
       s"SELECT $ObjCols FROM objects ORDER BY _id LIMIT 20 OFFSET 40"),
 
+    "o2b_keyset" -> withModel(
+      s"SELECT $ObjCols FROM objects WHERE _id > '0x000059' ORDER BY _id LIMIT 20"),
+
     "o3_count_by_owner_kind" -> withModel(
       """SELECT owner_kind, CAST(count(*) AS BIGINT) AS n FROM objects
          GROUP BY owner_kind ORDER BY n DESC, owner_kind"""),
@@ -196,6 +199,18 @@ WHERE rank <= $k ORDER BY query_id, rank"""
     "j3_enrichment" -> withModel(
       """SELECT k._id, k.version, n.n_name FROM kept k
          JOIN nation n ON k.user_id % 25 = n.n_nationkey
+         WHERE k.cp < 20 ORDER BY k.version"""),
+
+    "j3b_enrich_fallback" -> withModel(
+      """SELECT k._id, k.version,
+                CASE WHEN k.deletion OR k.version % 97 = 13 THEN NULL ELSE n.n_name END AS n_name,
+                CASE WHEN k.deletion THEN 'skipped_deletion'
+                     WHEN k.version % 97 = 13 THEN 'dead_letter'
+                     WHEN CAST(floor(k.version / 50) AS BIGINT) IN (
+                       SELECT CAST(floor(version / 50) AS BIGINT) FROM kept
+                       WHERE version % 97 = 13 AND cp < 20) THEN 'item_retry_ok'
+                     ELSE 'batch_ok' END AS fetch_status
+         FROM kept k LEFT JOIN nation n ON k.user_id % 25 = n.n_nationkey
          WHERE k.cp < 20 ORDER BY k.version"""),
 
     "j4_first_seen_dedup" -> withModel(

@@ -27,6 +27,20 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("keyset page equals the offset page it replaces (O2b)") {
+    def ids(df: DataFrame): Seq[String] =
+      df.collect().map(_.getAs[String]("_id")).toSeq
+    val page1 = ids(QuerySurface.paginate(objs, 20, 0))
+    assert(page1.size === 20)
+    // page 2 via cursor == page 2 via offset, and dispatch honors afterId
+    val byCursor = ids(QuerySurface.paginateAfter(objs, page1.last, 20))
+    val byOffset = ids(QuerySurface.paginate(objs, 20, 20))
+    assert(byCursor === byOffset)
+    val viaArgs = ids(QuerySurface.objectsQuery(objs,
+      ObjectsArgs(types = Seq("0x"), afterId = Some(page1.last), limit = 20)))
+    assert(viaArgs === byOffset)
+  }
+
   test("first-match-wins: ids beats owner when both set") {
     val both = QuerySurface.objectsQuery(objs,
       ObjectsArgs(ids = Seq("0x000007"), owner = Some("0xa00000")))

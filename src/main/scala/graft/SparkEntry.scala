@@ -232,6 +232,8 @@ object SparkEntry {
     "d2_minhash_neardups" -> ((s, d) =>
       DedupOps.minhashNearDups(documents(s, d), 0.5)),
     "d3_simhash" -> ((s, d) => DedupOps.simhash(documents(s, d))),
+    "d3b_simhash_neardups" -> ((s, d) =>
+      DedupOps.simhashNearDups(documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDups(documents(s, d), 0.3)),
     "e1_cosine_topk" -> ((s, d) => {

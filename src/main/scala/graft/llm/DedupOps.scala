@@ -197,6 +197,29 @@ object DedupOps {
     * One aggregation with `bits` ± sum columns instead of exploding
     * (word × bit) rows: no 16× row inflation, single map-side-combined
     * shuffle on doc_id. */
+  /** D3b — SimHash near-dups with HAMMING-≤1 probing: the plain
+    * equal-signature bucket join misses pairs one flipped bit apart, which
+    * at 100 TB is most true near-dups (any single differing word can flip
+    * a bit). Multi-probe (same recipe as e2's LSH probe fan-out): each doc
+    * posts its home signature plus the `bits` Hamming-1 variants; a pair
+    * meets when one side's probe equals the other side's HOME. Shuffles
+    * only (doc_id, probe) pairs — (bits+1)× the signature count, constant
+    * row width — never all-pairs. At 16 bits short same-domain docs
+    * collide heavily (the pair set is large on the synthetic corpus);
+    * production would raise `bits` to 64 — the plan shape is unchanged,
+    * only bucket selectivity improves. */
+  def simhashNearDups(documents: DataFrame, bits: Int = 16): DataFrame = {
+    val sigs = tracked(simhash(documents, bits))
+    val probes = sigs.select(col("doc_id").as("id_a"), explode(expr(
+      s"array(simhash, ${(0 until bits).map(j => s"simhash ^ ${1L << j}L").mkString(", ")})"
+    )).as("probe"))
+    val home = sigs.select(col("doc_id").as("id_b"), col("simhash").as("probe"))
+    probes.join(home, "probe")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // Hamming-1 pairs meet from both sides
+      .orderBy("id_a", "id_b")
+  }
+
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))

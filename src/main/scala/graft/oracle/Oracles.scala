@@ -491,6 +491,19 @@ bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
+    // oracle-side the Hamming predicate is a direct pair join (fine at
+    // sf0.01); the Spark side uses the bucketed multi-probe plan
+    "d3b_simhash_neardups" -> s"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs),
+wh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         FROM wh, (SELECT unnest(range(0, 16)) AS b) GROUP BY doc_id, b),
+sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY id_a, id_b""",
+
     "d4_ngram_jaccard" -> s"""WITH $ShingleCtes,
 df AS (SELECT sh, count(*) AS n_docs FROM sset GROUP BY sh HAVING count(*) <= 100),
 pruned AS (SELECT s.doc_id, s.sh FROM sset s JOIN df ON df.sh = s.sh),

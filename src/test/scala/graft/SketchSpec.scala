@@ -29,7 +29,9 @@ class SketchSpec extends SparkSpec {
   }
 
   test("KMV falls back to the exact count below k distinct values") {
-    val tiny = objects.limit(10)
+    // deterministic subset: a bare limit(10) can pick different rows across
+    // the two actions below if partition evaluation order changes
+    val tiny = objects.orderBy("_id").limit(10)
     val est = AggOps.kmvDistinctTypes(tiny).head().getLong(0)
     val exactTiny = tiny.select("type_full").distinct().count()
     assert(est === exactTiny)

@@ -33,23 +33,23 @@ def canon(cols, rows):
 
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
+    def run_once(query):
+        # one execution per result: rows AND arrow types derived from the
+        # same arrow table (heavy oracles like d2/e4 were executed twice)
+        tbl = con.execute(query).arrow()
+        cols = tbl.schema.names
+        types = {n: str(t) for n, t in zip(cols, tbl.schema.types)}
+        rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+        return list(cols), types, rows
+
     try:
-        spark = con.execute(f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
-        s_cols = [d[0] for d in spark.description]
-        s_types = {d[0]: str(t) for d, t in
-                   zip(spark.description, spark.arrow().schema.types)}
-        spark = con.execute(f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
-        s_rows = spark.fetchall()
+        s_cols, s_types, s_rows = run_once(
+            f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
     except Exception as e:
         bad.append((name, f"spark-result read failed: {e}"))
         continue
     try:
-        duck = con.execute(sql)
-        d_cols = [d[0] for d in duck.description]
-        d_types = {d[0]: str(t) for d, t in
-                   zip(duck.description, duck.arrow().schema.types)}
-        duck = con.execute(sql)
-        d_rows = duck.fetchall()
+        d_cols, d_types, d_rows = run_once(sql)
     except Exception as e:
         bad.append((name, f"oracle SQL failed: {str(e).splitlines()[0]}"))
         continue

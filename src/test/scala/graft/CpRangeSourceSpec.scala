@@ -30,6 +30,20 @@ class CpRangeSourceSpec extends SparkSpec {
     }
   }
 
+  test("stop-marker ranges halt the scan below stop_at (S2 + U2b resume)") {
+    // completed cps 6,9 with a stop marker on 5: the (5, 0) pseudo-range
+    // asserts [0, 5] complete, so only 7, 8 and 10..12 remain to scan
+    val completed = Seq(
+      (1L, false), (2L, false), (5L, true), (6L, false), (9L, false))
+      .toDF("_id", "stop")
+    val ranges = PipelineOps.descendingRangesWithStop(completed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 4)) {
+      assert(readSource(0L, 12L, parts, ranges) === Set(7L, 8L, 10L, 11L, 12L),
+        s"partition count $parts")
+    }
+  }
+
   test("empty skip-list emits the full range; full skip-list emits nothing") {
     assert(readSource(0L, 9L, 4, Nil) === (0L to 9L).toSet)
     assert(readSource(0L, 9L, 4, Seq((9L, 0L))) === Set.empty[Long])

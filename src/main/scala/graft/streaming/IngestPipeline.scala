@@ -217,12 +217,17 @@ object IngestPipeline {
     * delivery: the latest-wins MERGE is idempotent, so replaying the same
     * dead letters twice cannot duplicate or regress the store. Returns the
     * number of items replayed. */
-  def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String): Long = {
+  def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String,
+      drain: Boolean = false): Long = {
     if (!Files.exists(Paths.get(dlqDir))) return 0L
     // batch=<id> subdirectories surface as a partition column on read
     val dead = spark.read.parquet(dlqDir).drop("batch")
     val n = dead.count()
     if (n > 0) mergeStore(spark, storeDir, dead)
+    // drain = the consumer ACK after successful replay (pulsar.rs consumer
+    // ack); merge-then-delete ordering means a crash in between only causes
+    // a harmless re-replay next time
+    if (drain) deleteRecursively(Paths.get(dlqDir))
     n
   }
 

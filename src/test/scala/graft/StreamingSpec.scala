@@ -136,11 +136,14 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSet === expected.toSet)
     assert(after.size === after.map(_._1).distinct.size) // one row per _id
 
-    // second replay is a no-op (idempotent MERGE, at-least-once safe)
-    IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq")
+    // second replay is a no-op (idempotent MERGE, at-least-once safe); with
+    // drain=true it also ACKs: the DLQ directory is gone afterwards
+    IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq", drain = true)
     val again = IngestPipeline.readStore(spark, s"$tmp/store")
       .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSeq
     assert(again.toSet === after.toSet && again.size === after.size)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/dlq")))
+    assert(IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq") === 0L)
   }
 
   test("completion countdown commits a checkpoint exactly once when all items arrive (A1)") {

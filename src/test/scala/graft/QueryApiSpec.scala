@@ -64,6 +64,20 @@ class QueryApiSpec extends SparkSpec {
     assert(byType.nonEmpty)
   }
 
+  test("keyset 'after' cursor rides through the JSON surface (O2b)") {
+    val page1 = QueryApi.compile(objs,
+      """{"objects": {"types": ["0x"], "limit": 15}}""")
+      .collect().map(_.getAs[String]("_id")).toSeq
+    val page2 = QueryApi.compile(objs,
+      s"""{"objects": {"types": ["0x"], "after": "${page1.last}", "limit": 15}}""")
+      .collect().map(_.getAs[String]("_id")).toSeq
+    val viaOffset = QueryApi.compile(objs,
+      """{"objects": {"types": ["0x"], "limit": 15, "skip": 15}}""")
+      .collect().map(_.getAs[String]("_id")).toSeq
+    assert(page2 === viaOffset)
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+  }
+
   test("validation: unknown root / unknown field / no args → InvalidQuery") {
     for (bad <- Seq(
         """{"frobnicate": {}}""",

@@ -81,6 +81,28 @@ class RangesSpec extends SparkSpec {
       Seq((6L, 6L), (4L, 4L), (4L, 0L)))
   }
 
+  test("stop-marker truncation matches reference algorithm on random sets (property)") {
+    import spark.implicits._
+    // reference semantics reimplemented independently (etl.rs:616-635)
+    def refWithStop(rows: Seq[(Long, Boolean)]): Seq[(Long, Long)] = {
+      val stopAt = rows.collect { case (id, true) => id }.maxOption.getOrElse(0L)
+      if (stopAt > 0)
+        refRanges(rows.map(_._1).filter(_ >= stopAt)) :+ ((stopAt, 0L))
+      else refRanges(rows.map(_._1))
+    }
+    val rnd = new Random(7)
+    for (_ <- 1 to 20) {
+      val rows = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextLong(60).max(0L), rnd.nextInt(8) == 0))
+        .groupBy(_._1).map { case (id, g) => (id, g.exists(_._2)) }.toSeq
+      if (rows.nonEmpty) {
+        val got = PipelineOps.descendingRangesWithStop(rows.toDF("_id", "stop"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got === refWithStop(rows), s"rows=$rows")
+      }
+    }
+  }
+
   test("anti-join skip covers exactly the non-completed ids") {
     import spark.implicits._
     val completed = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("_id")

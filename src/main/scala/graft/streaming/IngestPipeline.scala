@@ -253,7 +253,12 @@ object IngestPipeline {
       dlqDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      backfillThreshold: Long = 3L): StreamingQuery = {
+      backfillThreshold: Long = 3L,
+      // K4 hook: mode-transition metrics fire exactly where the reference
+      // writes them from the monitor loop (backfill_init etl.rs:222 →
+      // influx.rs:232, pause_livescan :221 → :252, start_livescan resume
+      // :238 → :271)
+      metricSink: (String, Double) => Unit = (_, _) => ()): StreamingQuery = {
     val changes = dedupStream(changeStream(eventsStream))
     changes.writeStream
       .outputMode(OutputMode.Append())
@@ -279,12 +284,17 @@ object IngestPipeline {
                 Option(readStore(spark, storeDir).agg(max(col("cp"))).head().get(0))
                   .map(_.asInstanceOf[Long]).getOrElse(batchStart.getLong(0) - 1)
               else batchStart.getLong(0) - 1
+            val behind = math.max(0L, batchStart.getLong(0) - 1 - storeTip)
+            metricSink("checkpoints_behind", behind.toDouble) // influx.rs:170
             val mode = decideMode(batchStart.getLong(0) - 1, storeTip, backfillThreshold)
             if (mode.pausePoll) {
+              metricSink("backfill_init", 1.0)  // influx.rs:232
+              metricSink("pause_livescan", behind.toDouble) // influx.rs:252
               ok.filter(col("ingested_via") === "poll")
                 .write.mode("overwrite").parquet(s"$deferPath/batch=$batchId")
               mergeStore(spark, storeDir, ok.filter(col("ingested_via") =!= "poll"))
             } else {
+              if (Files.exists(deferPath)) metricSink("start_livescan", 1.0) // resume, influx.rs:271
               val withDeferred =
                 if (Files.exists(deferPath))
                   ok.unionByName(spark.read.parquet(deferPath.toString).drop("batch"))

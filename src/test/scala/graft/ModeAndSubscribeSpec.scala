@@ -30,9 +30,11 @@ class ModeAndSubscribeSpec extends SparkSpec {
     }
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val query = IngestPipeline.start(
       spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
-      Trigger.ProcessingTime("50 milliseconds"))
+      Trigger.ProcessingTime("50 milliseconds"),
+      metricSink = (m, v) => { metrics.add((m, v)); () })
     def storePairs() = IngestPipeline.readStore(spark, s"$tmp/store")
       .select("_id", "version").as[(String, Long)].collect().toSet
     try {
@@ -59,6 +61,12 @@ class ModeAndSubscribeSpec extends SparkSpec {
     } finally query.stop()
 
     assert(!JFiles.exists(JPaths.get(s"$tmp/store/_defer")))
+    // the transition metrics fired at the reference's call sites
+    import scala.jdk.CollectionConverters._
+    val fired = metrics.iterator().asScala.toSeq
+    assert(fired.contains(("backfill_init", 1.0)))
+    assert(fired.contains(("pause_livescan", 5.0))) // behind = 5 cps
+    assert(fired.contains(("start_livescan", 1.0))) // the resume batch
     val delivered = all.slice(0, 50) ++ all.slice(100, 200)
     val expected = ObjectsModel.latestWins(ObjectsModel.processed(ObjectsModel.kept(
       ObjectsModel.deriveChanges(delivered.toDF()))))

@@ -95,9 +95,17 @@ object GraftFunctions {
     DotProductExpr(exprs.head, exprs(1))
   }
 
-  def register(spark: SparkSession): Unit =
+  private val minhashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "graft_minhash takes exactly 2 arguments")
+    MinHashExpr(exprs.head, exprs(1))
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minhashBuilder, "built-in")
+  }
 
   /** For SparkSessionExtensions.injectFunction (see
     * [[graft.plans.GraftExtensions]]). */
@@ -108,4 +116,12 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductExpr].getCanonicalName, "graft_dot"),
       dotBuilder)
+
+  val minhashFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashExpr].getCanonicalName, "graft_minhash"),
+      minhashBuilder)
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `graft_minhash(sh_arr, numPerms)` — codegen'd MinHash signature over a
+  * per-document shingle-hash array: out[i] = min over h of
+  * ((2i+3)·h + 7i+1) mod p, p = 1000000007 (same permutation family and
+  * fold semantics as the `aggregate`/`transform` HOF formulation in
+  * [[graft.llm.DedupOps]], bit-identical output, and mirrored by the
+  * DuckDB oracle's list_transform/list_min form).
+  *
+  * Why a custom Expression (SURVEY §4 stretch, same rationale as
+  * graft_dot): the HOF formulation is CodegenFallback — per shingle it
+  * allocates a fresh numPerms-element accumulator array and makes 2·perms
+  * boxed lambda calls. This stays inside whole-stage codegen as one tight
+  * primitive double loop with a single output allocation per row. */
+case class MinHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val P = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash expects (array<bigint>, foldable int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val k = b.asInstanceOf[Int]
+    val mins = Array.fill(k)(P)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 3L) * h + 7L * j + 1L) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graftMhN = $a.numElements();
+         |int graftMhK = $b;
+         |long[] graftMins = new long[graftMhK];
+         |java.util.Arrays.fill(graftMins, ${P}L);
+         |for (int graftI = 0; graftI < graftMhN; graftI++) {
+         |  long graftH = $a.getLong(graftI);
+         |  for (int graftJ = 0; graftJ < graftMhK; graftJ++) {
+         |    long graftV = ((2L * graftJ + 3L) * graftH + 7L * graftJ + 1L) % ${P}L;
+         |    if (graftV < graftMins[graftJ]) graftMins[graftJ] = graftV;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_minhash"
+}

@@ -92,12 +92,23 @@ object DedupOps {
   def minhashSignatures(documents: DataFrame, numPerms: Int = 32, k: Int = 3): DataFrame =
     signaturesFromShingleArrays(shingleArrays(documents, k), numPerms)
 
-  /** Signature computation over the per-doc shingle arrays: ONE
-    * `aggregate` pass per doc carrying a numPerms-element running-min
-    * accumulator — a pure per-row expression, zero shuffles (the round-3
-    * form re-shuffled the exploded shingle set into a 32-min-column
-    * hash aggregation). */
-  def signaturesFromShingleArrays(shingleArrs: DataFrame, numPerms: Int = 32): DataFrame =
+  /** Signature computation over the per-doc shingle arrays: one pass per
+    * doc through the codegen'd `graft_minhash` expression
+    * ([[graft.functions.MinHashExpr]]) — a pure per-row expression, zero
+    * shuffles (the round-3 form re-shuffled the exploded shingle set into
+    * a 32-min-column hash aggregation). Output is bit-identical to the
+    * HOF formulation below (LlmSpec parity test). */
+  def signaturesFromShingleArrays(shingleArrs: DataFrame, numPerms: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(shingleArrs.sparkSession)
+    shingleArrs.select(col("doc_id"),
+      call_function("graft_minhash", col("sh_arr"), lit(numPerms)).as("minhash"))
+  }
+
+  /** The built-in-functions formulation of the same signature (an
+    * `aggregate` carrying a numPerms-element running-min accumulator) —
+    * kept as the portability reference the custom expression is verified
+    * against; HOFs run interpreted, so the hot path uses graft_minhash. */
+  private[graft] def hofSignatures(shingleArrs: DataFrame, numPerms: Int = 32): DataFrame =
     shingleArrs.select(col("doc_id"), expr(
       s"""aggregate(sh_arr, array_repeat(${P}L, $numPerms),
             (acc, h) -> transform(sequence(0, ${numPerms - 1}),

@@ -64,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TypePrefixRewrite)
     ext.injectFunction(graft.functions.GraftFunctions.dotFunctionDescription)
+    ext.injectFunction(graft.functions.GraftFunctions.minhashFunctionDescription)
   }
 }

@@ -84,6 +84,16 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("n_bytes") =!= col("expected")).count() === 0)
   }
 
+  test("codegen graft_minhash is bit-identical to the HOF formulation") {
+    val ss = DedupOps.shingleArrays(docs)
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val custom = sigs(DedupOps.signaturesFromShingleArrays(ss))
+    val hof = sigs(DedupOps.hofSignatures(ss))
+    assert(custom.nonEmpty)
+    assert(custom === hof)
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     val two = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

@@ -67,14 +67,17 @@ case class DotProductExpr(left: Expression, right: Expression)
     def getter(e: Expression) =
       if (elemType(e) == FloatType) "getFloat" else "getDouble"
     val (ga, gb) = (getter(left), getter(right))
+    // fresh identifiers: multiple graft_dot calls in one codegen scope
+    // (every cosine computes three) must not collide on local names
+    val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftS += (double)$a.$ga(graftI) * (double)$b.$gb(graftI);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$a.$ga($i) * (double)$b.$gb($i);
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $s;
        """.stripMargin
     })
   }

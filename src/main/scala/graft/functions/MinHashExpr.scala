@@ -52,23 +52,30 @@ case class MinHashExpr(left: Expression, right: Expression)
     new GenericArrayData(mins)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh identifiers: two graft_minhash calls can land in one codegen
+    // scope, where fixed names would collide into a Janino compile error
+    // (and a silent interpreted fallback)
+    val (n, k, mins, i, h, j, v) = (ctx.freshName("n"), ctx.freshName("k"),
+      ctx.freshName("mins"), ctx.freshName("i"), ctx.freshName("h"),
+      ctx.freshName("j"), ctx.freshName("v"))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int graftMhN = $a.numElements();
-         |int graftMhK = $b;
-         |long[] graftMins = new long[graftMhK];
-         |java.util.Arrays.fill(graftMins, ${P}L);
-         |for (int graftI = 0; graftI < graftMhN; graftI++) {
-         |  long graftH = $a.getLong(graftI);
-         |  for (int graftJ = 0; graftJ < graftMhK; graftJ++) {
-         |    long graftV = ((2L * graftJ + 3L) * graftH + 7L * graftJ + 1L) % ${P}L;
-         |    if (graftV < graftMins[graftJ]) graftMins[graftJ] = graftV;
+         |int $n = $a.numElements();
+         |int $k = $b;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ((2L * $j + 3L) * $h + 7L * $j + 1L) % ${P}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -98,6 +98,8 @@ object QuerySurface {
   def objectsQuery(objects: DataFrame, args: ObjectsArgs): DataFrame = {
     if (args.limit > MaxLimit || args.skip > MaxSkip)
       invalid(s"query too expensive: limit=${args.limit} skip=${args.skip}")
+    if (args.afterId.nonEmpty && args.skip > 0)
+      invalid("InvalidQuery: 'after' cursor and 'skip' are mutually exclusive")
     val filtered =
       if (args.ids.nonEmpty) objects.filter(col("_id").isin(args.ids: _*))
       else if (args.owner.nonEmpty) objects.filter(ownerFilter(args.owner.toSeq))

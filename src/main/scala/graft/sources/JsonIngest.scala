@@ -41,15 +41,21 @@ object JsonIngest {
       .option("columnNameOfCorruptRecord", Corrupt)
       .json(path)
 
-  /** (good events, corrupt raw lines). The input is persisted first:
-    * Spark refuses raw filters on the internal corrupt-record column of an
-    * unmaterialized json scan (SPARK-38523-adjacent guard), and the two
-    * sides would otherwise each re-read the files anyway. */
-  def route(raw: DataFrame): (DataFrame, DataFrame) = {
+  /** Routed read: good events, corrupt raw lines, and a release() that
+    * unpins the shared cache once both sides are consumed — a long-lived
+    * host calling route() per ingest request must not pin scans until
+    * eviction (same discipline as DedupOps.releaseCaches). */
+  final case class Routed(ok: DataFrame, bad: DataFrame, release: () => Unit)
+
+  /** The input is persisted first: Spark refuses raw filters on the
+    * internal corrupt-record column of an unmaterialized json scan
+    * (SPARK-38523-adjacent guard), and the two sides would otherwise each
+    * re-read the files anyway. */
+  def route(raw: DataFrame): Routed = {
     val cached = raw.persist()
-    val ok = cached.filter(col(Corrupt).isNull).drop(Corrupt)
-    val bad = cached.filter(col(Corrupt).isNotNull)
-      .select(col(Corrupt).as("raw_line"))
-    (ok, bad)
+    Routed(
+      ok = cached.filter(col(Corrupt).isNull).drop(Corrupt),
+      bad = cached.filter(col(Corrupt).isNotNull).select(col(Corrupt).as("raw_line")),
+      release = () => { cached.unpersist(); () })
   }
 }

@@ -109,11 +109,7 @@ object IngestPipeline {
         n.startsWith("gen-") && n != keep
       } finally s.close()
     }
-    stale.foreach { dir =>
-      val w = Files.walk(dir)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+    stale.foreach(deleteRecursively)
   }
 
   /** A1 — per-checkpoint completion countdown as a stateful streaming
@@ -220,15 +216,18 @@ object IngestPipeline {
   def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String,
       drain: Boolean = false): Long = {
     if (!Files.exists(Paths.get(dlqDir))) return 0L
-    // batch=<id> subdirectories surface as a partition column on read
-    val dead = spark.read.parquet(dlqDir).drop("batch")
-    val n = dead.count()
-    if (n > 0) mergeStore(spark, storeDir, dead)
-    // drain = the consumer ACK after successful replay (pulsar.rs consumer
-    // ack); merge-then-delete ordering means a crash in between only causes
-    // a harmless re-replay next time
-    if (drain) deleteRecursively(Paths.get(dlqDir))
-    n
+    // batch=<id> subdirectories surface as a partition column on read;
+    // persisted so the count and the merge don't each re-scan the DLQ
+    val dead = spark.read.parquet(dlqDir).drop("batch").persist()
+    try {
+      val n = dead.count()
+      if (n > 0) mergeStore(spark, storeDir, dead)
+      // drain = the consumer ACK after successful replay (pulsar.rs
+      // consumer ack); merge-then-delete ordering means a crash in between
+      // only causes a harmless re-replay next time
+      if (drain) deleteRecursively(Paths.get(dlqDir))
+      n
+    } finally { dead.unpersist(); () }
   }
 
   /** Full pipeline wiring: change parse → dedup → split DLQ (K3) / store
@@ -260,6 +259,15 @@ object IngestPipeline {
       // :238 → :271)
       metricSink: (String, Double) => Unit = (_, _) => ()): StreamingQuery = {
     val changes = dedupStream(changeStream(eventsStream))
+    // Driver-side per-query state: the store tip is read from the store
+    // ONCE (on the first batch after a [re]start) and then advanced from
+    // each batch's own max(cp) — the mode check costs no extra store scan
+    // in steady state. `paused` tracks the previous mode so transition
+    // metrics fire per TRANSITION, as the reference's monitor loop does,
+    // not per batch.
+    var tipCache: Option[Long] = None
+    var paused = false
+    var started = false
     changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -274,27 +282,34 @@ object IngestPipeline {
             .drop("ts_event")
             .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
           val ok = ObjectsModel.processed(cached).drop("ts_event")
-          val batchStart = ok.agg(min(col("cp"))).head()
-          if (!batchStart.isNullAt(0)) {
+          val bounds = ok.agg(min(col("cp")), max(col("cp"))).head()
+          if (!started) { metricSink("start_livescan", 1.0); started = true } // influx.rs:271
+          if (!bounds.isNullAt(0)) {
+            val batchStart = bounds.getLong(0)
             val deferPath = Paths.get(storeDir, "_defer")
             // store tip: last cp the MERGE has seen; a fresh store has
             // missed nothing by definition (backfill_init covers genesis)
-            val storeTip =
+            val storeTip = tipCache.getOrElse {
               if (currentGen(storeDir).isDefined || legacyFlat(storeDir))
                 Option(readStore(spark, storeDir).agg(max(col("cp"))).head().get(0))
-                  .map(_.asInstanceOf[Long]).getOrElse(batchStart.getLong(0) - 1)
-              else batchStart.getLong(0) - 1
-            val behind = math.max(0L, batchStart.getLong(0) - 1 - storeTip)
+                  .map(_.asInstanceOf[Long]).getOrElse(batchStart - 1)
+              else batchStart - 1
+            }
+            val behind = math.max(0L, batchStart - 1 - storeTip)
             metricSink("checkpoints_behind", behind.toDouble) // influx.rs:170
-            val mode = decideMode(batchStart.getLong(0) - 1, storeTip, backfillThreshold)
+            val mode = decideMode(batchStart - 1, storeTip, backfillThreshold)
             if (mode.pausePoll) {
-              metricSink("backfill_init", 1.0)  // influx.rs:232
-              metricSink("pause_livescan", behind.toDouble) // influx.rs:252
+              if (!paused) { // transition into backfill, etl.rs:219-227
+                metricSink("backfill_init", 1.0)  // influx.rs:232
+                metricSink("pause_livescan", behind.toDouble) // influx.rs:252
+              }
+              paused = true
               ok.filter(col("ingested_via") === "poll")
                 .write.mode("overwrite").parquet(s"$deferPath/batch=$batchId")
               mergeStore(spark, storeDir, ok.filter(col("ingested_via") =!= "poll"))
             } else {
-              if (Files.exists(deferPath)) metricSink("start_livescan", 1.0) // resume, influx.rs:271
+              if (paused) metricSink("start_livescan", 1.0) // resume, influx.rs:238/271
+              paused = false
               val withDeferred =
                 if (Files.exists(deferPath))
                   ok.unionByName(spark.read.parquet(deferPath.toString).drop("batch"))
@@ -302,6 +317,7 @@ object IngestPipeline {
               mergeStore(spark, storeDir, withDeferred)
               deleteRecursively(deferPath)
             }
+            tipCache = Some(math.max(storeTip, bounds.getLong(1)))
           }
         } finally { cached.unpersist(); () }
       }

@@ -21,16 +21,18 @@ class JsonIngestSpec extends SparkSpec {
     )
     Files.write(dir.resolve("events.jsonl"), lines.mkString("\n").getBytes)
 
-    val (ok, bad) = JsonIngest.route(JsonIngest.readEvents(spark, dir.toString))
-    assert(ok.count() === 3L)
-    assert(bad.as[String].collect().toSet ===
-      Set("this is not json at all", """{"event_id": "BROKEN TYPE, "ts": }"""))
+    val routed = JsonIngest.route(JsonIngest.readEvents(spark, dir.toString))
+    try {
+      assert(routed.ok.count() === 3L)
+      assert(routed.bad.as[String].collect().toSet ===
+        Set("this is not json at all", """{"event_id": "BROKEN TYPE, "ts": }"""))
 
-    // same downstream derivation as the parquet path (deriveChanges only
-    // needs the event columns; ts is a nanos long in both sources)
-    val changes = ObjectsModel.deriveChanges(ok)
-    assert(changes.count() === 3L)
-    assert(changes.select("change_kind").as[String].collect().toSet ===
-      Set("created", "mutated", "deleted"))
+      // same downstream derivation as the parquet path (deriveChanges only
+      // needs the event columns; ts is a nanos long in both sources)
+      val changes = ObjectsModel.deriveChanges(routed.ok)
+      assert(changes.count() === 3L)
+      assert(changes.select("change_kind").as[String].collect().toSet ===
+        Set("created", "mutated", "deleted"))
+    } finally routed.release()
   }
 }

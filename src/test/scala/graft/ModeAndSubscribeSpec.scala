@@ -61,12 +61,14 @@ class ModeAndSubscribeSpec extends SparkSpec {
     } finally query.stop()
 
     assert(!JFiles.exists(JPaths.get(s"$tmp/store/_defer")))
-    // the transition metrics fired at the reference's call sites
+    // the transition metrics fired at the reference's call sites, once per
+    // TRANSITION (not once per batch): one backfill episode → one init/
+    // pause pair; start_livescan = initial start + the resume
     import scala.jdk.CollectionConverters._
     val fired = metrics.iterator().asScala.toSeq
-    assert(fired.contains(("backfill_init", 1.0)))
-    assert(fired.contains(("pause_livescan", 5.0))) // behind = 5 cps
-    assert(fired.contains(("start_livescan", 1.0))) // the resume batch
+    assert(fired.count(_._1 == "backfill_init") === 1)
+    assert(fired.filter(_._1 == "pause_livescan") === Seq(("pause_livescan", 5.0)))
+    assert(fired.count(_._1 == "start_livescan") === 2)
     val delivered = all.slice(0, 50) ++ all.slice(100, 200)
     val expected = ObjectsModel.latestWins(ObjectsModel.processed(ObjectsModel.kept(
       ObjectsModel.deriveChanges(delivered.toDF()))))

@@ -39,6 +39,12 @@ class QuerySurfaceSpec extends SparkSpec {
     val viaArgs = ids(QuerySurface.objectsQuery(objs,
       ObjectsArgs(types = Seq("0x"), afterId = Some(page1.last), limit = 20)))
     assert(viaArgs === byOffset)
+    // ambiguous paging args are rejected, not silently resolved
+    val e = intercept[IllegalArgumentException] {
+      QuerySurface.objectsQuery(objs,
+        ObjectsArgs(types = Seq("0x"), afterId = Some(page1.last), skip = 30))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
   }
 
   test("first-match-wins: ids beats owner when both set") {

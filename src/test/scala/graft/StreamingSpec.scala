@@ -93,6 +93,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet === batch.toSet)
   }
 
+  test("restart mid-backfill: deferred poll rows survive the crash and land once") {
+    val tmp = Files.createTempDirectory("graft_deferrestart").toString
+    val events = mkEvents(200)
+    implicit val sqlCtx = spark.sqlContext
+    val s1 = MemoryStream[Ev]
+    // run 1: contiguous start, then a gap batch that pauses the poll route
+    // and spills it to _defer — then CRASH (stop) before any resume batch
+    val q1 = IngestPipeline.start(
+      spark, s1.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      s1.addData(events.slice(0, 50)) // cps 0..4
+      q1.processAllAvailable()
+      s1.addData(events.slice(100, 150)) // cps 10..14, behind 5 → backfill
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/store/_defer")))
+
+    // run 2: fresh driver state (tip cache re-reads the store), contiguous
+    // batch → livescan resume merges the deferred rows exactly once
+    val s2 = MemoryStream[Ev]
+    val q2 = IngestPipeline.start(
+      spark, s2.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt2",
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      s2.addData(events.slice(150, 200)) // cps 15..19
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/store/_defer")))
+    val delivered = events.slice(0, 50) ++ events.slice(100, 200)
+    val expected = ObjectsModel.latestWins(ObjectsModel.processed(ObjectsModel.kept(
+      ObjectsModel.deriveChanges(delivered.toDF()))))
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    val got = IngestPipeline.readStore(spark, s"$tmp/store")
+      .select("_id", "version").as[(String, Long)].collect().toSeq
+    assert(got.size === got.distinct.size)
+    assert(got.toSet === expected)
+  }
+
   test("replaying the same batch does not change the store (idempotent MERGE)") {
     val tmp = Files.createTempDirectory("graft_replay").toString
     val events = mkEvents(50)

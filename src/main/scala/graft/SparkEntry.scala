@@ -264,6 +264,12 @@ object SparkEntry {
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
     "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
+    "m2_resize" -> ((s, d) =>
+      MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))
+        .toDF().orderBy("doc_id")),
+    "m3_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(s, MultimodalOps.asMediaTable(documents(s, d)))
+        .toDF().orderBy("doc_id", "frame_idx")),
 
     // ---- flagship relational agg ---------------------------------------
     "q1_agg" -> ((s, d) =>

@@ -68,4 +68,52 @@ object MultimodalOps {
     * typed metadata, ordered for the oracle. */
   def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")
+
+  /** Thumbnail metadata: source dims + the fitted target box. */
+  final case class ThumbMeta(
+      doc_id: Long, width: Long, height: Long, thumb_w: Long, thumb_h: Long)
+
+  /** M2 — RESIZE (thumbnail) kernel: fit each image into a `box`×`box`
+    * target preserving aspect ratio (never upscale). The arithmetic stands
+    * in for the pixel work; the Spark shape is the real thing — a narrow
+    * batched per-partition kernel downstream of decode, no shuffle. */
+  def resizeMeta(spark: SparkSession, media: DataFrame, box: Long = 128): Dataset[ThumbMeta] = {
+    import spark.implicits._
+    decodeMeta(spark, media).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val maxd = math.max(m.width, m.height)
+        val (tw, th) =
+          if (maxd <= box) (m.width, m.height)
+          else (math.floor(m.width * box.toDouble / maxd).toLong,
+            math.floor(m.height * box.toDouble / maxd).toLong)
+        ThumbMeta(m.doc_id, m.width, m.height, tw, th)
+      })
+    }
+  }
+
+  /** One sampled frame: byte offset into the payload + the byte there. */
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Long, frame_offset: Long, frame_byte: Long)
+
+  /** M3 — FRAME-SAMPLE kernel: treat the payload as a fixed-rate stream
+    * and sample `frames` evenly-spaced offsets (a video keyframe-sampling
+    * stand-in). Emits `frames` rows per record from inside the batched
+    * kernel — the decoder-side generator shape (a real sampler emits
+    * decoded frames the same way). Records shorter than `frames` bytes
+    * yield only their in-range offsets. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frames: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { r =>
+        val n = r.payload.length.toLong
+        (0 until frames).iterator
+          .map(i => i.toLong * n / frames) // evenly spaced, integer floor
+          .filter(_ < n)
+          .zipWithIndex
+          .map { case (off, idx) =>
+            FrameSample(r.doc_id, idx.toLong, off, r.payload(off.toInt).toLong & 0xffL)
+          }
+      })
+    }
+  }
 }

@@ -614,6 +614,29 @@ SELECT doc_id, 'image/' || source AS media_type,
        CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
 FROM $Docs ORDER BY doc_id""",
 
+    // documents are pure ASCII at every SF (verified), so byte offsets into
+    // the UTF-8 payload equal character positions in `text`
+    "m2_resize" -> s"""
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= 128 THEN width
+            ELSE CAST(floor(width * 128.0 / greatest(width, height)) AS BIGINT) END AS thumb_w,
+       CASE WHEN greatest(width, height) <= 128 THEN height
+            ELSE CAST(floor(height * 128.0 / greatest(width, height)) AS BIGINT) END AS thumb_h
+FROM (SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+      FROM $Docs)
+ORDER BY doc_id""",
+
+    "m3_frame_sample" -> s"""
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(floor(i * n / 4) AS BIGINT) AS frame_offset,
+       CAST(ascii(substr(text, CAST(floor(i * n / 4) AS BIGINT) + 1, 1)) AS BIGINT) AS frame_byte
+FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM $Docs),
+     (SELECT unnest(range(0, 4)) AS i)
+WHERE n > 0
+ORDER BY doc_id, frame_idx""",
+
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -25,7 +25,14 @@ case class MinHashExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // the function is session-registered, so an arbitrary SQL caller can
+      // reach it: reject a non-positive perm count at ANALYSIS time rather
+      // than throwing NegativeArraySizeException on executors
+      right.eval() match {
+        case k: java.lang.Integer if k > 0 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash numPerms must be a positive int literal, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_minhash expects (array<bigint>, foldable int), got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
@@ -40,12 +47,16 @@ case class MinHashExpr(left: Expression, right: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = ((2L * j + 3L) * h + 7L * j + 1L) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // null slots are skipped (a null shingle is no shingle) — the input
+      // schema may carry containsNull=true even when no nulls occur
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 3L) * h + 7L * j + 1L) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -66,10 +77,12 @@ case class MinHashExpr(left: Expression, right: Expression)
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, ${P}L);
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $a.getLong($i);
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $v = ((2L * $j + 3L) * $h + 7L * $j + 1L) % ${P}L;
-         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ((2L * $j + 3L) * $h + 7L * $j + 1L) % ${P}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);

@@ -225,9 +225,12 @@ object DedupOps {
       s"array(simhash, ${(0 until bits).map(j => s"simhash ^ ${1L << j}L").mkString(", ")})"
     )).as("probe"))
     val home = sigs.select(col("doc_id").as("id_b"), col("simhash").as("probe"))
+    // each qualifying pair appears exactly once: the id_a < id_b filter
+    // kills the mirror-direction match, and a doc's probes are distinct so
+    // at most one equals the other side's home — no distinct() needed
     probes.join(home, "probe")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct() // Hamming-1 pairs meet from both sides
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 

@@ -73,21 +73,20 @@ object MultimodalOps {
   final case class ThumbMeta(
       doc_id: Long, width: Long, height: Long, thumb_w: Long, thumb_h: Long)
 
-  /** M2 — RESIZE (thumbnail) kernel: fit each image into a `box`×`box`
-    * target preserving aspect ratio (never upscale). The arithmetic stands
-    * in for the pixel work; the Spark shape is the real thing — a narrow
-    * batched per-partition kernel downstream of decode, no shuffle. */
+  /** M2 — RESIZE (thumbnail): fit each image into a `box`×`box` target
+    * preserving aspect ratio (never upscale). The dimension arithmetic is
+    * pure per-record, so this is an honest narrow `map` downstream of the
+    * decode kernel (the batched-kernel shape lives in [[decodeMeta]],
+    * where a real implementation feeds the pixel work) — no shuffle. */
   def resizeMeta(spark: SparkSession, media: DataFrame, box: Long = 128): Dataset[ThumbMeta] = {
     import spark.implicits._
-    decodeMeta(spark, media).mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.map { m =>
-        val maxd = math.max(m.width, m.height)
-        val (tw, th) =
-          if (maxd <= box) (m.width, m.height)
-          else (math.floor(m.width * box.toDouble / maxd).toLong,
-            math.floor(m.height * box.toDouble / maxd).toLong)
-        ThumbMeta(m.doc_id, m.width, m.height, tw, th)
-      })
+    decodeMeta(spark, media).map { m =>
+      val maxd = math.max(m.width, m.height)
+      val (tw, th) =
+        if (maxd <= box) (m.width, m.height)
+        else (math.floor(m.width * box.toDouble / maxd).toLong,
+          math.floor(m.height * box.toDouble / maxd).toLong)
+      ThumbMeta(m.doc_id, m.width, m.height, tw, th)
     }
   }
 
@@ -95,25 +94,23 @@ object MultimodalOps {
   final case class FrameSample(
       doc_id: Long, frame_idx: Long, frame_offset: Long, frame_byte: Long)
 
-  /** M3 — FRAME-SAMPLE kernel: treat the payload as a fixed-rate stream
-    * and sample `frames` evenly-spaced offsets (a video keyframe-sampling
-    * stand-in). Emits `frames` rows per record from inside the batched
-    * kernel — the decoder-side generator shape (a real sampler emits
-    * decoded frames the same way). Records shorter than `frames` bytes
-    * yield only their in-range offsets. */
+  /** M3 — FRAME-SAMPLE: treat the payload as a fixed-rate stream and
+    * sample `frames` evenly-spaced offsets (a video keyframe-sampling
+    * stand-in) — the decoder-side generator shape: `frames` rows out per
+    * record in. Offset arithmetic is per-record, so a plain flatMap (the
+    * batched-kernel shape lives in [[decodeMeta]]). frame_idx is the
+    * sample ordinal i itself — for n ≥ 1 every offset i·n/frames is < n,
+    * so only empty payloads yield no frames. */
   def sampleFrames(spark: SparkSession, media: DataFrame, frames: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.flatMap { r =>
-        val n = r.payload.length.toLong
-        (0 until frames).iterator
-          .map(i => i.toLong * n / frames) // evenly spaced, integer floor
-          .filter(_ < n)
-          .zipWithIndex
-          .map { case (off, idx) =>
-            FrameSample(r.doc_id, idx.toLong, off, r.payload(off.toInt).toLong & 0xffL)
-          }
-      })
+    media.as[MediaRecord].flatMap { r =>
+      val n = r.payload.length.toLong
+      (0 until frames).iterator
+        .map(i => (i.toLong, i.toLong * n / frames)) // evenly spaced, integer floor
+        .filter(_._2 < n)
+        .map { case (i, off) =>
+          FrameSample(r.doc_id, i, off, r.payload(off.toInt).toLong & 0xffL)
+        }
     }
   }
 }

@@ -212,7 +212,14 @@ object IngestPipeline {
     * topic, main/src/pulsar.rs:10-20). Safe under at-least-once replay
     * delivery: the latest-wins MERGE is idempotent, so replaying the same
     * dead letters twice cannot duplicate or regress the store. Returns the
-    * number of items replayed. */
+    * number of items replayed.
+    *
+    * PRECONDITION: the store must have a single writer at a time — stop
+    * the streaming query (or run replay from its own maintenance window)
+    * before calling. The generation protocol tolerates crashes, not
+    * concurrent merges: two writers would both read CURRENT=gen-n and race
+    * on gen-(n+1). (The reference has the same discipline: its replay
+    * consumer is a separate run mode, not concurrent with ingest.) */
   def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String,
       drain: Boolean = false): Long = {
     if (!Files.exists(Paths.get(dlqDir))) return 0L
@@ -277,16 +284,24 @@ object IngestPipeline {
         try {
           // K3: poisoned items → dead letters. Written to a batchId-keyed
           // directory with overwrite so an at-least-once batch REPLAY
-          // rewrites the same partition instead of appending duplicates.
-          ObjectsModel.failures(cached)
-            .drop("ts_event")
-            .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+          // rewrites the same partition instead of appending duplicates;
+          // clean batches write nothing (at a 1 s trigger an unconditional
+          // write would grow the DLQ by ~86k empty directories per day).
+          val fails = ObjectsModel.failures(cached).drop("ts_event")
+          if (!fails.isEmpty)
+            fails.write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
           val ok = ObjectsModel.processed(cached).drop("ts_event")
-          val bounds = ok.agg(min(col("cp")), max(col("cp"))).head()
+          // bounds over the WHOLE kept batch, not just processed rows: an
+          // all-poison batch still advances cp progress (its items are
+          // accounted for in the DLQ), so it must still drive the mode
+          // decision — otherwise deferred poll rows could strand behind a
+          // poison-only batch. Truly empty batches (trailing idle
+          // triggers) change nothing and must NOT force an early resume.
+          val bounds = cached.agg(min(col("cp")), max(col("cp"))).head()
           if (!started) { metricSink("start_livescan", 1.0); started = true } // influx.rs:271
+          val deferPath = Paths.get(storeDir, "_defer")
           if (!bounds.isNullAt(0)) {
             val batchStart = bounds.getLong(0)
-            val deferPath = Paths.get(storeDir, "_defer")
             // store tip: last cp the MERGE has seen; a fresh store has
             // missed nothing by definition (backfill_init covers genesis)
             val storeTip = tipCache.getOrElse {

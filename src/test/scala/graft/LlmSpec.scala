@@ -84,6 +84,52 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("n_bytes") =!= col("expected")).count() === 0)
   }
 
+  test("shingle arrays match an independent reimplementation (seeded property)") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // reference semantics, reimplemented independently of the Spark
+    // expression tree: 60-bit md5-prefix word hash mod p, polynomial
+    // 3-shingle combine, distinct, original word order
+    def refShingles(text: String): Seq[Long] = {
+      val P = 1000000007L
+      val md = MessageDigest.getInstance("MD5")
+      def h(w: String): Long = {
+        val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % P
+      }
+      val wh = text.split(" ", -1).toSeq.map(h)
+      if (wh.size < 3) Seq.empty
+      else (0 to wh.size - 3)
+        .map(i => (wh(i) * 961 + wh(i + 1) * 31 + wh(i + 2)) % P)
+        .distinct
+    }
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "", "zz")
+    val texts = (1 to 25).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val got = DedupOps.shingleArrays(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val expected = texts.map { case (id, t) => id -> refShingles(t).sorted }
+      .filter(_._2.nonEmpty).toMap
+    assert(got === expected)
+  }
+
+  test("graft_minhash guards: negative perms rejected, null slots skipped") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash(array(1L, 2L), -1)").collect()
+    }
+    assert(e.getMessage.contains("positive"))
+    // a null slot contributes nothing: same signature as without it
+    val withNull = spark.sql(
+      "SELECT graft_minhash(array(5L, CAST(NULL AS BIGINT), 9L), 8) AS s").head().getSeq[Long](0)
+    val without = spark.sql(
+      "SELECT graft_minhash(array(5L, 9L), 8) AS s").head().getSeq[Long](0)
+    assert(withNull === without)
+  }
+
   test("codegen graft_minhash is bit-identical to the HOF formulation") {
     val ss = DedupOps.shingleArrays(docs)
     def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =

@@ -77,9 +77,16 @@ object QueryApi {
       afterId = strOpt(node.get("after")))
   }
 
-  /** Compile a JSON request against an objects DataFrame. */
+  /** Compile a JSON request against an objects DataFrame. Every rejection
+    * — unparsable JSON included — surfaces as the InvalidQuery error shape
+    * (the GraphQL layer's behavior), never a raw parser exception. */
   def compile(objects: DataFrame, requestJson: String): DataFrame = {
-    val root = mapper.readTree(requestJson)
+    val root =
+      try mapper.readTree(requestJson)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          invalid(s"malformed JSON request: ${e.getOriginalMessage}")
+      }
     if (root == null || !root.isObject || root.size() != 1)
       invalid("request must be a single-root JSON object")
     val kind = root.fieldNames().next()

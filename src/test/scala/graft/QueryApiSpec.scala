@@ -78,6 +78,18 @@ class QueryApiSpec extends SparkSpec {
     assert(page1.toSet.intersect(page2.toSet).isEmpty)
   }
 
+  test("every malformed request fails as InvalidQuery, never a raw parser error") {
+    val bads = Seq(
+      "", "nope", "[]", "{}", "{\"a\":1,\"b\":2}", "{broken",
+      """{"object": {}}""", """{"objects": {}}""",
+      """{"objects": {"unknown_field": 1}}""", """{"dynamicFields": {}}""")
+    bads.foreach { req =>
+      val e = intercept[Exception] { QueryApi.compile(objs, req).collect() }
+      assert(e.isInstanceOf[IllegalArgumentException],
+        s"request `$req` threw ${e.getClass.getName}: ${e.getMessage}")
+    }
+  }
+
   test("validation: unknown root / unknown field / no args → InvalidQuery") {
     for (bad <- Seq(
         """{"frobnicate": {}}""",

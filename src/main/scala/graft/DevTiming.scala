@@ -30,6 +30,15 @@ object DevTiming {
     println(s"  cand pairs=$nc")
     time("full minhashNearDups")(DedupOps.minhashNearDups(docs, 0.5).count())
     time("full again (warm)")(DedupOps.minhashNearDups(docs, 0.5).count())
+    DedupOps.releaseCaches()
+    time("d4 ngramJaccardDups")(DedupOps.ngramJaccardDups(docs, 0.3).count())
+    DedupOps.releaseCaches()
+    time("d3b simhashNearDups")(DedupOps.simhashNearDups(docs).count())
+    DedupOps.releaseCaches()
+    val emb = Tables.embeddings(spark, sfDir)
+    time("warmup emb.count")(emb.count())
+    time("e4 ivfTopK")(
+      graft.llm.SimilarityOps.ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5).count())
     spark.stop()
   }
 }

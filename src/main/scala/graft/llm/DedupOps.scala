@@ -66,7 +66,13 @@ object DedupOps {
     * The word-hash array must cross an aggregation barrier before indexed
     * access: `transform(split, …md5…)` consumed by per-element access gets
     * INLINED by projection collapse, re-evaluating the full md5 array per
-    * element (quadratic md5 work; observed 50s vs 0.5s at sf0.1). */
+    * element (quadratic md5 work; observed 50s vs 0.5s at sf0.1).
+    *
+    * Production note: md5 is used ONLY because the DuckDB oracle can
+    * reproduce it bit-for-bit; a deployment would swap the word hash to
+    * the built-in `xxhash64` (codegen'd, ~an order of magnitude cheaper)
+    * — a one-line change in [[graft.llm.TextOps.h60]] that leaves every
+    * downstream set operation untouched. */
   def shingleArrays(documents: DataFrame, k: Int = 3): DataFrame = {
     val comb = (0 until k)
       .map(j => s"element_at(whs, i + ${j + 1}) * ${math.pow(31, k - 1 - j).toLong}L")

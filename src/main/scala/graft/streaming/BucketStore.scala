@@ -1,0 +1,223 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.ObjectsModel
+
+/** Bucketed, incrementally-merged objects store (K1/K2 physical layout).
+  *
+  * The round-4 layout rewrote the FULL store every microbatch
+  * (generation dirs + atomic CURRENT flip) — crash-safe but O(store) per
+  * merge: at a 100 TB store and a 1 s trigger that is 100 TB of rewrite
+  * per second of wall-clock. This layout keeps the identical crash-safety
+  * protocol (immutable data dirs + an atomically-renamed CURRENT pointer)
+  * but scopes each merge to the hash buckets the batch actually touches,
+  * the same move the reference gets from MongoDB's per-document upsert
+  * (main/src/etl.rs:1249-1266 — each `$lt` guard touches one _id's doc):
+  *
+  * {{{
+  * storeDir/
+  *   CURRENT            # atomic pointer: name of the live manifest
+  *   manifest-<n>       # immutable: "buckets=<B>" + one "<k> <relpath>" per bucket
+  *   delta-<n>/_b=<k>/  # immutable parquet for bucket k, written by merge n
+  * }}}
+  *
+  * A merge of batch rows touching `t` distinct buckets:
+  *   1. reads ONLY those `t` bucket dirs (listed in the live manifest),
+  *   2. latest-wins-merges them with the batch (one `_id` shuffle over
+  *      touched data only — all rows of an _id share `pmod(hash(_id), B)`,
+  *      so per-bucket merge == global merge),
+  *   3. writes `delta-<n+1>/_b=<k>` for the touched buckets,
+  *   4. writes `manifest-<n+1>` mapping touched buckets to the new delta
+  *      and untouched buckets to their EXISTING dirs (whose files are not
+  *      rewritten — byte-identical across the merge, StreamingSpec asserts),
+  *   5. atomically flips CURRENT, then GCs unreferenced dirs.
+  *
+  * Cost per microbatch is therefore ∝ touched-bucket bytes, not store
+  * bytes: with B sized so a bucket ≈ a few hundred MB (B ≈ 300k at
+  * 100 TB), a trickle batch of k ids rewrites ≤ k buckets. A crash at any
+  * step leaves CURRENT naming a complete manifest whose dirs are all
+  * intact (data and manifest are written before the flip; GC runs after).
+  *
+  * This is still a named deployment seam: on a lakehouse, Delta/Iceberg
+  * `MERGE INTO` replaces this file protocol one-for-one (their
+  * manifest/snapshot machinery is this, industrialized, with file-level
+  * rather than bucket-level scoping). The read/merge SIGNATURES are the
+  * seam; the streaming tests pin the semantics any swap must keep.
+  */
+object BucketStore {
+
+  /** Local-test default; production sizes B so a bucket ≈ 100–500 MB. */
+  val DefaultBuckets = 32
+
+  /** Bucket of an _id: non-negative Murmur3 mod B. Deterministic for a
+    * given Spark lineage; B is pinned per store in its manifest header. */
+  private def bucketCol(b: Int) = pmod(hash(col("_id")), lit(b)).cast("int")
+
+  final case class Manifest(n: Long, buckets: Int, entries: Map[Int, String])
+
+  def currentPointer(storeDir: String): Option[String] = {
+    val cur = Paths.get(storeDir, "CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  /** Pre-bucketed layouts: gen-pointer stores ("gen-<n>" CURRENT) and flat
+    * parquet dirs (_SUCCESS, no CURRENT). Both stay readable and migrate
+    * into the bucketed layout on their next merge. */
+  private def legacyFlat(storeDir: String): Boolean =
+    Files.exists(Paths.get(storeDir, "_SUCCESS"))
+
+  /** True if any readable layout (bucketed, gen-pointer, or legacy flat)
+    * is present. */
+  def exists(storeDir: String): Boolean =
+    currentPointer(storeDir).isDefined || legacyFlat(storeDir)
+
+  private def readManifest(storeDir: String, name: String): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(Paths.get(storeDir, name)).asScala.toList
+    val b = lines.head.stripPrefix("buckets=").toInt
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(k, p) = l.split(" ", 2); k.toInt -> p
+    }.toMap
+    Manifest(name.stripPrefix("manifest-").toLong, b, entries)
+  }
+
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    currentPointer(storeDir) match {
+      case Some(m) if m.startsWith("manifest-") =>
+        val man = readManifest(storeDir, m)
+        val paths = man.entries.values.toSeq.sorted.map(p => s"$storeDir/$p")
+        if (paths.isEmpty) throw new IllegalStateException(s"empty store at $storeDir")
+        spark.read.parquet(paths: _*)
+      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
+      case None if legacyFlat(storeDir) => spark.read.parquet(storeDir)
+      case None => throw new IllegalStateException(s"no store at $storeDir")
+    }
+
+  /** Latest-wins MERGE of `batch` into the store, rewriting only the
+    * buckets containing the batch's keys. Single-writer discipline (same
+    * as the generation protocol it replaces): callers are the microbatch
+    * loop and maintenance-window replay, never concurrent. */
+  def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
+      numBuckets: Int = DefaultBuckets): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    currentPointer(storeDir) match {
+      case Some(m) if m.startsWith("manifest-") =>
+        mergeIncremental(spark, storeDir, batch, readManifest(storeDir, m))
+      case Some(gen) => // one-time migration from the generation layout
+        rewriteAll(spark, storeDir, spark.read.parquet(s"$storeDir/$gen"), batch, numBuckets, 0L)
+      case None if legacyFlat(storeDir) => // one-time migration from flat parquet
+        rewriteAll(spark, storeDir, spark.read.parquet(storeDir), batch, numBuckets, 0L)
+      case None => // store creation
+        rewriteAll(spark, storeDir, batch.limit(0), batch, numBuckets, 0L)
+    }
+  }
+
+  private def mergeIncremental(spark: SparkSession, storeDir: String,
+      batch: DataFrame, man: Manifest): Unit = {
+    // Touched-bucket ids: ≤ B ints — a bytes-sized plan parameter, same
+    // class as the skip-list and centroid collects elsewhere in the repo.
+    val touched = batch.select(bucketCol(man.buckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return // empty batch: the store is already correct
+    val curPaths = touched.toSeq.sorted.flatMap(man.entries.get).map(p => s"$storeDir/$p")
+    val cur = if (curPaths.nonEmpty) spark.read.parquet(curPaths: _*) else batch.limit(0)
+    val merged = ObjectsModel.latestWins(cur.unionByName(batch))
+    writeAndFlip(spark, storeDir, merged, man.buckets, man.n + 1, man.entries)
+  }
+
+  private def rewriteAll(spark: SparkSession, storeDir: String, cur: DataFrame,
+      batch: DataFrame, numBuckets: Int, n: Long): Unit = {
+    val merged = ObjectsModel.latestWins(cur.unionByName(batch))
+    writeAndFlip(spark, storeDir, merged, numBuckets, n, Map.empty)
+  }
+
+  /** Write merged rows as `delta-<n>/_b=<k>`, publish `manifest-<n>`
+    * (touched buckets → the new delta; the rest carried over), flip
+    * CURRENT atomically, GC. `repartition(_b)` gives one file per bucket
+    * per merge; partitionBy strips `_b` from the data files so the stored
+    * schema stays exactly the change-row schema. */
+  private def writeAndFlip(spark: SparkSession, storeDir: String, merged: DataFrame,
+      buckets: Int, n: Long, carried: Map[Int, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val deltaName = s"delta-$n"
+    merged.withColumn("_b", bucketCol(buckets))
+      .repartition(col("_b"))
+      .write.mode("overwrite").partitionBy("_b")
+      .parquet(s"$storeDir/$deltaName")
+    // Manifest entries come from the dirs actually written (not the
+    // predicted touched set) so a bucket that merged to zero rows can
+    // never dangle.
+    val written = {
+      val s = Files.list(Paths.get(storeDir, deltaName))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+        .filter(_.startsWith("_b=")).map(d => d.stripPrefix("_b=").toInt -> s"$deltaName/$d")
+        .toMap
+      finally s.close()
+    }
+    val entries = carried ++ written
+    val manName = s"manifest-$n"
+    val body = (s"buckets=$buckets" ::
+      entries.toSeq.sortBy(_._1).map { case (k, p) => s"$k $p" }.toList).mkString("\n")
+    Files.writeString(Paths.get(storeDir, manName), body)
+    val tmp = Paths.get(storeDir, "CURRENT.tmp")
+    Files.writeString(tmp, manName)
+    Files.move(tmp, Paths.get(storeDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    gc(storeDir, manName, entries)
+  }
+
+  /** Delete everything the live manifest no longer references: stale
+    * manifests, whole gen-* dirs, legacy flat parquet, and per-bucket
+    * delta leaves superseded by later merges (a delta dir may stay
+    * half-live for many merges). Best-effort, after the flip — a crash
+    * mid-GC only leaves reclaimable orphans. Never touches `_defer` (the
+    * pipeline's pause-spill area) or the DLQ, which live outside the
+    * gen-/delta-/manifest- namespace. */
+  private def gc(storeDir: String, keepManifest: String, entries: Map[Int, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val referenced = entries.values.toSet
+    val root = Paths.get(storeDir)
+    val top = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    top.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("manifest-") && name != keepManifest) Files.deleteIfExists(p)
+      else if (name.startsWith("gen-")) deleteRecursively(p)
+      else if (name == "_SUCCESS" || ((name.endsWith(".parquet") || name.endsWith(".parquet.crc")) && !Files.isDirectory(p)))
+        Files.deleteIfExists(p) // legacy flat files, post-migration
+      else if (name.startsWith("delta-")) {
+        val leaves = {
+          val s = Files.list(p)
+          try s.iterator().asScala.toList finally s.close()
+        }
+        leaves.foreach { leaf =>
+          val rel = s"$name/${leaf.getFileName}"
+          if (leaf.getFileName.toString.startsWith("_b=") && !referenced.contains(rel))
+            deleteRecursively(leaf)
+        }
+        val remaining = {
+          val s = Files.list(p)
+          try s.iterator().asScala.toList finally s.close()
+        }
+        if (!remaining.exists(_.getFileName.toString.startsWith("_b=")))
+          deleteRecursively(p)
+      }
+    }
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+}

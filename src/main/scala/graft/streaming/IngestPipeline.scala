@@ -46,71 +46,22 @@ object IngestPipeline {
       .withWatermark("ts_event", watermarkDelay)
       .dropDuplicatesWithinWatermark("_id", "version")
 
-  /** K1+K2 — idempotent versioned MERGE into a parquet "objects store" plus
-    * checkpoint-watermark append, executed per microbatch. The union +
-    * window dedup is the pure-Spark MERGE equivalent (SURVEY §2.2 K1); a
-    * Delta/Iceberg MERGE INTO would replace `mergeStore` one-for-one.
+  /** K1+K2 — idempotent versioned MERGE into the bucketed objects store
+    * plus checkpoint-watermark append, executed per microbatch. The union +
+    * window dedup is the pure-Spark MERGE equivalent (SURVEY §2.2 K1).
     *
-    * Crash safety: generations + an atomically-renamed CURRENT pointer.
-    * Each merge writes a fresh `gen-<n>` directory, flips CURRENT via
-    * ATOMIC_MOVE, then deletes older generations — a crash at any point
-    * leaves CURRENT referencing a complete generation (delete-then-rewrite
-    * of a single directory would lose the whole store if the JVM died
-    * mid-rewrite). */
-  def currentGen(storeDir: String): Option[String] = {
-    val cur = Paths.get(storeDir, "CURRENT")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
-
-  /** A store written by a pre-generation layout (flat parquet + _SUCCESS,
-    * no CURRENT pointer) is still readable and is migrated into gen-0 on
-    * the next merge. */
-  private def legacyFlat(storeDir: String): Boolean =
-    Files.exists(Paths.get(storeDir, "_SUCCESS"))
-
+    * Physical layout and crash safety live in [[BucketStore]]: immutable
+    * per-bucket delta dirs + an atomically-renamed CURRENT manifest
+    * pointer, with each merge rewriting ONLY the hash buckets containing
+    * the batch's `_id`s — per-microbatch cost ∝ touched data, not store
+    * size. A Delta/Iceberg MERGE INTO would replace these two calls
+    * one-for-one (same seam as before, now with the incremental semantics
+    * already in place). */
   def readStore(spark: SparkSession, storeDir: String): DataFrame =
-    currentGen(storeDir) match {
-      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
-      case None if legacyFlat(storeDir) => spark.read.parquet(storeDir)
-      case None => throw new IllegalStateException(s"no store at $storeDir")
-    }
+    BucketStore.read(spark, storeDir)
 
-  def mergeStore(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
-    Files.createDirectories(Paths.get(storeDir))
-    val genName = currentGen(storeDir)
-    val cur = genName match {
-      case Some(gen) => spark.read.parquet(s"$storeDir/$gen")
-      case None if legacyFlat(storeDir) => spark.read.parquet(storeDir)
-      case None => batch.limit(0)
-    }
-    val merged = ObjectsModel.latestWins(cur.unionByName(batch))
-    val nextN = genName.map(_.stripPrefix("gen-").toLong + 1).getOrElse(0L)
-    val nextGen = s"gen-$nextN"
-    merged.write.mode("overwrite").parquet(s"$storeDir/$nextGen")
-    val tmp = Paths.get(storeDir, "CURRENT.tmp")
-    Files.writeString(tmp, nextGen)
-    Files.move(tmp, Paths.get(storeDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gcOldGenerations(storeDir, keep = nextGen)
-  }
-
-  /** Delete EVERY gen-* directory except `keep` — including generations
-    * orphaned by crashes between a pointer flip and its GC (best-effort;
-    * readers of an old gen may race on local FS — object stores would use
-    * a TTL here). */
-  private def gcOldGenerations(storeDir: String, keep: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(storeDir)
-    val stale = {
-      val s = Files.list(root)
-      try s.iterator().asScala.toList.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("gen-") && n != keep
-      } finally s.close()
-    }
-    stale.foreach(deleteRecursively)
-  }
+  def mergeStore(spark: SparkSession, storeDir: String, batch: DataFrame): Unit =
+    BucketStore.merge(spark, storeDir, batch)
 
   /** A1 — per-checkpoint completion countdown as a stateful streaming
     * aggregation (flatMapGroupsWithState): counts arrivals per cp and emits
@@ -216,10 +167,10 @@ object IngestPipeline {
     *
     * PRECONDITION: the store must have a single writer at a time — stop
     * the streaming query (or run replay from its own maintenance window)
-    * before calling. The generation protocol tolerates crashes, not
-    * concurrent merges: two writers would both read CURRENT=gen-n and race
-    * on gen-(n+1). (The reference has the same discipline: its replay
-    * consumer is a separate run mode, not concurrent with ingest.) */
+    * before calling. The manifest protocol tolerates crashes, not
+    * concurrent merges: two writers would both read CURRENT=manifest-n and
+    * race on manifest-(n+1). (The reference has the same discipline: its
+    * replay consumer is a separate run mode, not concurrent with ingest.) */
   def replayDlq(spark: SparkSession, storeDir: String, dlqDir: String,
       drain: Boolean = false): Long = {
     if (!Files.exists(Paths.get(dlqDir))) return 0L
@@ -305,7 +256,7 @@ object IngestPipeline {
             // store tip: last cp the MERGE has seen; a fresh store has
             // missed nothing by definition (backfill_init covers genesis)
             val storeTip = tipCache.getOrElse {
-              if (currentGen(storeDir).isDefined || legacyFlat(storeDir))
+              if (BucketStore.exists(storeDir))
                 Option(readStore(spark, storeDir).agg(max(col("cp"))).head().get(0))
                   .map(_.asInstanceOf[Long]).getOrElse(batchStart - 1)
               else batchStart - 1

@@ -144,6 +144,51 @@ class StreamingSpec extends SparkSpec {
     assert(first === second)
   }
 
+  test("incremental merge rewrites only touched buckets; the rest stay byte-identical") {
+    val tmp = Files.createTempDirectory("graft_incremental").toString
+    val store = s"$tmp/store"
+    val all = ObjectsModel.kept(ObjectsModel.deriveChanges(mkEvents(200).toDF()))
+    IngestPipeline.mergeStore(spark, store, all)
+
+    def bucketFiles(): Map[String, Seq[(String, Array[Byte])]] = {
+      import scala.jdk.CollectionConverters._
+      val cur = java.nio.file.Paths.get(store, "CURRENT")
+      val man = Files.readString(cur).trim
+      Files.readAllLines(java.nio.file.Paths.get(store, man)).asScala.toList.tail
+        .map(_.split(" ", 2)).map { case Array(k, rel) =>
+          val dir = java.nio.file.Paths.get(store, rel)
+          val s = Files.list(dir)
+          val files = try s.iterator().asScala.toList.filter(
+            _.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+          finally s.close()
+          k -> files.map(f => (f.getFileName.toString, Files.readAllBytes(f)))
+        }.toMap
+    }
+
+    val before = bucketFiles()
+    assert(before.size > 1, "need multiple populated buckets for this test")
+    // merge a single-id batch: exactly one bucket should be rewritten
+    val one = all.orderBy("_id").limit(1)
+      .withColumn("version", col("version") + 1000000L)
+    IngestPipeline.mergeStore(spark, store, one)
+    val after = bucketFiles()
+
+    assert(before.keySet === after.keySet)
+    val changed = before.keySet.filter { k =>
+      val (b, a) = (before(k), after(k))
+      b.map(_._1) != a.map(_._1) ||
+        b.zip(a).exists { case ((_, bb), (_, ab)) => !java.util.Arrays.equals(bb, ab) }
+    }
+    assert(changed.size === 1, s"expected exactly one rewritten bucket, got $changed")
+    // and the store still converges to the latest-wins batch view
+    val expected = ObjectsModel.latestWins(all.unionByName(one))
+      .select("_id", "version").as[(String, Long)].collect().toSet
+    val got = IngestPipeline.readStore(spark, store)
+      .select("_id", "version").as[(String, Long)].collect().toSeq
+    assert(got.size === got.distinct.size)
+    assert(got.toSet === expected)
+  }
+
   test("DLQ replay lands poisoned items in the store exactly once (K3 replay)") {
     val tmp = Files.createTempDirectory("graft_dlqreplay").toString
     val events = mkEvents(200)

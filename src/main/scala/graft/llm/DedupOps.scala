@@ -221,16 +221,35 @@ object DedupOps {
     * posts its home signature plus the `bits` Hamming-1 variants; a pair
     * meets when one side's probe equals the other side's HOME. Shuffles
     * only (doc_id, probe) pairs — (bits+1)× the signature count, constant
-    * row width — never all-pairs. At 16 bits short same-domain docs
-    * collide heavily (the pair set is large on the synthetic corpus);
-    * production would raise `bits` to 64 — the plan shape is unchanged,
-    * only bucket selectivity improves. */
-  def simhashNearDups(documents: DataFrame, bits: Int = 16): DataFrame = {
+    * row width — never all-pairs.
+    *
+    * Two safety rails against bucket explosion (a hot signature makes the
+    * home join quadratic in its bucket):
+    *   - `bits` defaults to 48, wide enough that same-domain docs no
+    *     longer collide by chance (16 bits produced ~25k pairs from 500
+    *     synthetic docs). The portable md5-based [[graft.llm.TextOps.h60]]
+    *     word hash carries 60 usable bits and the DuckDB oracle's
+    *     `pow(2,b)` mirror is exact through 2^53, so `bits` ≤ 53; a
+    *     production xxhash64 swap (same seam as d2's) lifts it to 64.
+    *   - degenerate docs (empty/boilerplate text — identical signatures by
+    *     the thousand) are df-pruned like d4's shingles: any home bucket
+    *     holding more than `maxBucket` docs is dropped from BOTH probe and
+    *     home sides before the join, capping the worst bucket at
+    *     maxBucket² pairs. The prune is mirrored in the oracle. */
+  def simhashNearDups(documents: DataFrame, bits: Int = 48,
+      maxBucket: Int = 100): DataFrame = {
+    require(bits >= 1 && bits <= 53,
+      s"bits must be in [1, 53] (h60 word hash + exact DuckDB pow mirror), got $bits")
     val sigs = tracked(simhash(documents, bits))
-    val probes = sigs.select(col("doc_id").as("id_a"), explode(expr(
+    val smallBuckets = sigs.groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("simhash")
+    val safe = sigs.join(smallBuckets, "simhash")
+    val probes = safe.select(col("doc_id").as("id_a"), explode(expr(
       s"array(simhash, ${(0 until bits).map(j => s"simhash ^ ${1L << j}L").mkString(", ")})"
     )).as("probe"))
-    val home = sigs.select(col("doc_id").as("id_b"), col("simhash").as("probe"))
+    val home = safe.select(col("doc_id").as("id_b"), col("simhash").as("probe"))
     // each qualifying pair appears exactly once: the id_a < id_b filter
     // kills the mirror-direction match, and a doc's probes are distinct so
     // at most one equals the other side's home — no distinct() needed

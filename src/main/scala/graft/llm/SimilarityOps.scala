@@ -125,8 +125,11 @@ object SimilarityOps {
     def scoreStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
       centroids.zipWithIndex.map { case (c, i) =>
         val cc = c.map(x => x * x).sum
-        // argmin of squared distance == argmax of 2·dot(v,c) − ||c||²
-        struct((dotCol(vec, c) * 2.0d - cc).as("s"), lit(i).as("cell"))
+        // argmin of squared distance == argmax of 2·dot(v,c) − ||c||²;
+        // rounded to 6 dp (like the means) so a near-tie between cells is
+        // decided on values that are identical in the DuckDB mirror rather
+        // than on engine-dependent low-order float bits
+        struct(round(dotCol(vec, c) * 2.0d - cc, 6).as("s"), lit(i).as("cell"))
       }.toSeq
     def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
       array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
@@ -162,8 +165,10 @@ object SimilarityOps {
       .withColumn("cell", explode(probesCol))
     val joined = cells.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(
-        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+      // 6-dp rounded so the final ranking breaks ties on values identical
+      // to the oracle's, not on engine-dependent float summation order
+      .withColumn("cos", round(expr(
+        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

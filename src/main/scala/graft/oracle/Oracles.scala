@@ -63,9 +63,11 @@ ORDER BY id_a, id_b"""
     * cell, matching Spark's array_max/array_sort struct ordering). */
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
       dim: Int): String = {
-    // argmax of 2·dot(v,c) − ||c||² == argmin squared distance
+    // argmax of 2·dot(v,c) − ||c||² == argmin squared distance; 6-dp
+    // rounded to mirror SimilarityOps.scoreStructs, so cell ties break on
+    // identical values in both engines
     def score(v: String, c: String) =
-      s"2*list_dot_product($v, $c) - list_dot_product($c, $c)"
+      s"round(2*list_dot_product($v, $c) - list_dot_product($c, $c), 6)"
     def assignCte(name: String, cent: String) = s"""
 $name AS (SELECT vec_id, v, cell FROM (
   SELECT e.vec_id, e.v, s.cell,
@@ -96,7 +98,7 @@ probes AS (SELECT query_id, qv, cell FROM (
          row_number() OVER (PARTITION BY q.query_id
            ORDER BY ${score("q.qv", "s.c")} DESC, s.cell DESC) AS rn
   FROM q, $lastCent s) WHERE rn <= $nProbe),
-scored AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS cos
            FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
   SELECT query_id, vec_id AS neighbor_id,
@@ -492,16 +494,20 @@ SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 EN
 FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
     // oracle-side the Hamming predicate is a direct pair join (fine at
-    // sf0.01); the Spark side uses the bucketed multi-probe plan
+    // sf0.01); the Spark side uses the bucketed multi-probe plan. 48-bit
+    // signatures + the maxBucket=100 home-bucket prune mirror
+    // DedupOps.simhashNearDups defaults.
     "d3b_simhash_neardups" -> s"""
 WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs),
 wh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
 bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         FROM wh, (SELECT unnest(range(0, 16)) AS b) GROUP BY doc_id, b),
+         FROM wh, (SELECT unnest(range(0, 48)) AS b) GROUP BY doc_id, b),
 sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id)
+        FROM bits GROUP BY doc_id),
+ok AS (SELECT simhash FROM sig GROUP BY simhash HAVING count(*) <= 100),
+sigf AS (SELECT s.doc_id, s.simhash FROM sig s JOIN ok USING (simhash))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
+FROM sigf a JOIN sigf b ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
 ORDER BY id_a, id_b""",
 
     "d4_ngram_jaccard" -> s"""WITH $ShingleCtes,

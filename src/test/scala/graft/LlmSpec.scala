@@ -148,4 +148,22 @@ class LlmSpec extends SparkSpec {
     assert(hashes(1L) === hashes(2L))
     assert(hashes(1L) !== hashes(3L))
   }
+
+  test("simhashNearDups prunes home buckets larger than maxBucket") {
+    import spark.implicits._
+    // 5 identical degenerate docs (one hot signature bucket) + 2 identical
+    // normal docs; with maxBucket=4 the hot bucket is dropped entirely and
+    // only the normal pair survives
+    val degenerate = (1L to 5L).map(i => (i, "spam spam"))
+    val normal = Seq((10L, "a genuinely distinct document body"),
+      (11L, "a genuinely distinct document body"))
+    val docs = (degenerate ++ normal).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDups(docs, bits = 48, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L)))
+    // with the cap lifted, the degenerate 5-clique's 10 pairs reappear
+    val all = DedupOps.simhashNearDups(docs, bits = 48, maxBucket = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(all.size === 11)
+  }
 }

@@ -2,11 +2,13 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.model.{ModelConf, ObjectsModel}
+import graft.sources.JsonIngest
 
 /** Structured Streaming assembly of the reference ingest pipeline
   * (etl::run, main/src/etl.rs:102-397):
@@ -158,12 +160,89 @@ object IngestPipeline {
     }
   }
 
+  /** K3 message format — every dead letter is a JSON ENVELOPE
+    * `(kind, payload)`, matching the reference's Pulsar DLQ messages,
+    * which are JSON-serialized items (main/src/pulsar.rs:10-20,
+    * macros/src/lib.rs:4-28). `payload` is the JSON serialization of the
+    * failed change row (`change_failure`) or the original raw input line
+    * (`corrupt_line`, S9's parse-error path). Parquet is only the
+    * CONTAINER — the reference's is a Pulsar topic — so both kinds share
+    * one directory, one replay consumer, and full line fidelity for
+    * operator inspection/repair. */
+  val KindChangeFailure = "change_failure"
+  val KindCorruptLine = "corrupt_line"
+
+  def deadLetterEnvelope(rows: DataFrame, kind: String): DataFrame = {
+    val payload =
+      if (kind == KindCorruptLine) col("raw_line")
+      else to_json(struct(rows.columns.map(col).toSeq: _*))
+    rows.select(lit(kind).as("kind"), payload.as("payload"))
+  }
+
+  /** Schema the `change_failure` payloads parse back into: the change-row
+    * schema as derived from the declared event schema (computed from an
+    * empty frame — pure schema arithmetic, no data pass). */
+  private def changeRowSchema(spark: SparkSession): StructType = {
+    val eventFields = JsonIngest.EventSchema.fields
+      .filterNot(_.name == JsonIngest.Corrupt)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(eventFields))
+    ObjectsModel.kept(ObjectsModel.deriveChanges(empty)).schema
+  }
+
+  /** S9 streaming source: PERMISSIVE JSONL scan with the declared event
+    * schema; corrupt lines ride along in the [[JsonIngest.Corrupt]] column
+    * until [[startCorruptLineDlq]] (bad side) / [[start]] (good side,
+    * after dropping the corrupt column) consume them. */
+  def jsonEventsStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(JsonIngest.EventSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonIngest.Corrupt)
+      .json(path)
+
+  /** S9 → K3 wiring: streams the CORRUPT raw lines of a JSONL ingest into
+    * the same batchId-keyed DLQ that [[replayDlq]] consumes — the
+    * reference's parse-error path feeds the same dead-letter flow as fetch
+    * errors (parse failures warned + metered, main/src/client.rs:118-143;
+    * error items dead-lettered, main/src/etl.rs:480-488). Runs as its own
+    * query beside the main ingest (own checkpoint; the file source tracks
+    * consumed files per query), with a `jsonl-` batch prefix so its
+    * batchId-keyed overwrite dirs can never collide with the main ingest's.
+    * Clean batches write nothing. */
+  def startCorruptLineDlq(
+      spark: SparkSession,
+      jsonPath: String,
+      dlqDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    jsonEventsStream(spark, jsonPath).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val routed = JsonIngest.route(batch)
+        try {
+          if (!routed.bad.isEmpty)
+            deadLetterEnvelope(routed.bad, KindCorruptLine)
+              .write.mode("overwrite").parquet(s"$dlqDir/batch=jsonl-$batchId")
+        } finally routed.release()
+      }
+      .start()
+
   /** K3 replay — dead letters re-enter the MERGE (SURVEY K3: "replay =
     * union back into source"; the reference replays from the Pulsar DLQ
     * topic, main/src/pulsar.rs:10-20). Safe under at-least-once replay
     * delivery: the latest-wins MERGE is idempotent, so replaying the same
     * dead letters twice cannot duplicate or regress the store. Returns the
     * number of items replayed.
+    *
+    * `change_failure` payloads parse straight back into change rows;
+    * `corrupt_line` payloads are re-parsed against the declared event
+    * schema and re-derived — lines an operator has repaired in place (or
+    * that failed on a since-widened schema) revive, lines that are still
+    * unparsable replay as nothing and should be inspected before `drain`
+    * (drain deletes them with the rest).
     *
     * PRECONDITION: the store must have a single writer at a time — stop
     * the streaming query (or run replay from its own maintenance window)
@@ -175,16 +254,29 @@ object IngestPipeline {
       drain: Boolean = false): Long = {
     if (!Files.exists(Paths.get(dlqDir))) return 0L
     // batch=<id> subdirectories surface as a partition column on read;
-    // persisted so the count and the merge don't each re-scan the DLQ
+    // persisted so the two kind-splits don't each re-scan the DLQ
     val dead = spark.read.parquet(dlqDir).drop("batch").persist()
     try {
-      val n = dead.count()
-      if (n > 0) mergeStore(spark, storeDir, dead)
-      // drain = the consumer ACK after successful replay (pulsar.rs
-      // consumer ack); merge-then-delete ordering means a crash in between
-      // only causes a harmless re-replay next time
-      if (drain) deleteRecursively(Paths.get(dlqDir))
-      n
+      val failures = dead.filter(col("kind") === KindChangeFailure)
+        .select(from_json(col("payload"), changeRowSchema(spark)).as("c"))
+        .select("c.*")
+      val revivedLines = dead.filter(col("kind") === KindCorruptLine)
+        .select(from_json(col("payload"),
+          StructType(JsonIngest.EventSchema.filterNot(_.name == JsonIngest.Corrupt))).as("e"))
+        .select("e.*")
+        .filter(col("event_id").isNotNull) // still-unparsable lines stay dead
+      val replayable =
+        failures.unionByName(ObjectsModel.kept(ObjectsModel.deriveChanges(revivedLines)))
+          .persist()
+      try {
+        val n = replayable.count()
+        if (n > 0) mergeStore(spark, storeDir, replayable)
+        // drain = the consumer ACK after successful replay (pulsar.rs
+        // consumer ack); merge-then-delete ordering means a crash in between
+        // only causes a harmless re-replay next time
+        if (drain) deleteRecursively(Paths.get(dlqDir))
+        n
+      } finally { replayable.unpersist(); () }
     } finally { dead.unpersist(); () }
   }
 
@@ -240,7 +332,8 @@ object IngestPipeline {
           // write would grow the DLQ by ~86k empty directories per day).
           val fails = ObjectsModel.failures(cached).drop("ts_event")
           if (!fails.isEmpty)
-            fails.write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+            deadLetterEnvelope(fails, KindChangeFailure)
+              .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
           val ok = ObjectsModel.processed(cached).drop("ts_event")
           // bounds over the WHOLE kept batch, not just processed rows: an
           // all-poison batch still advances cp progress (its items are

@@ -53,9 +53,12 @@ class StreamingSpec extends SparkSpec {
       .select("_id", "version", "deletion").as[(String, Long, Boolean)].collect().toSet
     assert(streamed === batch)
 
-    // DLQ captured exactly the poisoned items (version % 97 == 13, K3)
+    // DLQ captured exactly the poisoned items (version % 97 == 13, K3),
+    // as JSON envelopes (kind, payload) like the reference's Pulsar messages
     val dlqVersions = spark.read.parquet(s"$tmp/dlq")
-      .select("version").as[Long].collect().toSet
+      .filter(col("kind") === IngestPipeline.KindChangeFailure)
+      .select(get_json_object(col("payload"), "$.version").cast("long").as("version"))
+      .as[Long].collect().toSet
     val expectedDlq = ObjectsModel.failures(ObjectsModel.kept(
       ObjectsModel.deriveChanges(events.toDF()))).select("version").as[Long].collect().toSet
     assert(dlqVersions === expectedDlq)
@@ -189,6 +192,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("S9 corrupt JSONL lines dead-letter as envelopes; a repaired line replays (K3)") {
+    val tmp = Files.createTempDirectory("graft_jsondlq").toString
+    val jsonDir = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(jsonDir))
+    val good = (1 to 6).map(i =>
+      s"""{"event_id":$i,"ts":${i}000000,"user_id":${i % 3},"event_type":"click","value":1.5,"props":"p$i"}""")
+    val corrupt = Seq("""{"event_id":"seven","ts":7""", """not json at all""")
+    Files.write(java.nio.file.Paths.get(jsonDir, "events.jsonl"),
+      (good ++ corrupt).mkString("\n").getBytes)
+
+    val q = IngestPipeline.startCorruptLineDlq(spark, jsonDir, s"$tmp/dlq", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // both corrupt lines arrive as envelopes with full line fidelity
+    val lines = spark.read.parquet(s"$tmp/dlq")
+      .filter(col("kind") === IngestPipeline.KindCorruptLine)
+      .select("payload").as[String].collect().toSet
+    assert(lines === corrupt.toSet)
+
+    // operator repair: a fixed-up line dropped back into the DLQ revives
+    // through the same replay consumer; the 2 still-unparsable stay dead
+    val repaired =
+      """{"event_id":7,"ts":7000000,"user_id":1,"event_type":"click","value":2.0,"props":"{}"}"""
+    Seq((IngestPipeline.KindCorruptLine, repaired)).toDF("kind", "payload")
+      .write.parquet(s"$tmp/dlq/batch=repair")
+    val n = IngestPipeline.replayDlq(spark, s"$tmp/store", s"$tmp/dlq", drain = true)
+    assert(n === 1L)
+    assert(IngestPipeline.readStore(spark, s"$tmp/store")
+      .filter(col("version") === 7L).count() === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/dlq")))
+  }
+
   test("DLQ replay lands poisoned items in the store exactly once (K3 replay)") {
     val tmp = Files.createTempDirectory("graft_dlqreplay").toString
     val events = mkEvents(200)
@@ -203,7 +238,9 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
 
     val poisonKeys = spark.read.parquet(s"$tmp/dlq")
-      .select("_id", "version").as[(String, Long)].collect().toSet
+      .select(get_json_object(col("payload"), "$._id").as("_id"),
+        get_json_object(col("payload"), "$.version").cast("long").as("version"))
+      .as[(String, Long)].collect().toSet
     assert(poisonKeys.nonEmpty)
     val before = IngestPipeline.readStore(spark, s"$tmp/store")
       .select("_id", "version").as[(String, Long)].collect().toSet

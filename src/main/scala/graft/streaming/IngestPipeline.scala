@@ -306,8 +306,17 @@ object IngestPipeline {
       // K4 hook: mode-transition metrics fire exactly where the reference
       // writes them from the monitor loop (backfill_init etl.rs:222 →
       // influx.rs:232, pause_livescan :221 → :252, start_livescan resume
-      // :238 → :271)
-      metricSink: (String, Double) => Unit = (_, _) => ()): StreamingQuery = {
+      // :238 → :271). Point it at MetricsListener.record to merge with the
+      // listener's engine-observed points into one exported series.
+      metricSink: (String, Double) => Unit = (_, _) => (),
+      // K4 data-derived measurements per microbatch (opt-in: costs one
+      // map-side-combined agg pass over the cached batch): the full
+      // metricsSummary set through the same sink, minus the rows whose
+      // STREAMING truth is emitted at the transition sites above
+      // (backfill_init / pause_livescan / start_livescan /
+      // checkpoints_behind) — the batch-derived approximations of those
+      // would double-report under different semantics.
+      emitBatchMetrics: Boolean = false): StreamingQuery = {
     val changes = dedupStream(changeStream(eventsStream))
     // Driver-side per-query state: the store tip is read from the store
     // ONCE (on the first batch after a [re]start) and then advanced from
@@ -343,6 +352,16 @@ object IngestPipeline {
           // triggers) change nothing and must NOT force an early resume.
           val bounds = cached.agg(min(col("cp")), max(col("cp"))).head()
           if (!started) { metricSink("start_livescan", 1.0); started = true } // influx.rs:271
+          if (emitBatchMetrics && !cached.isEmpty) {
+            val transitionOwned =
+              Set("backfill_init", "pause_livescan", "start_livescan", "checkpoints_behind")
+            graft.ops.PipelineOps.metricsSummary(cached.drop("ts_event"), backfillThreshold)
+              .collect().foreach { r =>
+                val metric = r.getString(0)
+                if (!transitionOwned(metric) && !r.isNullAt(1))
+                  metricSink(metric, r.getLong(1).toDouble)
+              }
+          }
           val deferPath = Paths.get(storeDir, "_defer")
           if (!bounds.isNullAt(0)) {
             val batchStart = bounds.getLong(0)

@@ -76,6 +76,56 @@ class ModeAndSubscribeSpec extends SparkSpec {
     assert(storePairs() === expected)
   }
 
+  test("K4 streaming: data-derived measurements and listener points drain as one series") {
+    import java.nio.file.{Files => JFiles}
+    import graft.model.ObjectsModel
+    val tmp = JFiles.createTempDirectory("graft_k4stream").toString
+    val events = (0 until 100).map { i =>
+      Ev(i.toLong, 1700000000000000000L + i.toLong * 1000000000L, (i % 7).toLong,
+        Seq("signup", "click", "purchase", "view", "error")(i % 5), i * 1.5,
+        s"""{"k": ${i % 100}}""")
+    }
+    val listener = new graft.streaming.MetricsListener
+    spark.streams.addListener(listener)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = IngestPipeline.start(
+      spark, stream.toDF(), s"$tmp/store", s"$tmp/dlq", s"$tmp/ckpt",
+      Trigger.ProcessingTime("50 milliseconds"),
+      metricSink = listener.record, emitBatchMetrics = true)
+    val pts = scala.collection.mutable.ArrayBuffer[graft.streaming.MetricsListener.Point]()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+    } finally query.stop()
+    // listener delivery is async: poll until the termination point lands
+    val deadline = System.currentTimeMillis() + 30000
+    while (!pts.exists(_.metric == "ingest_query_terminated")
+        && System.currentTimeMillis() < deadline) {
+      pts ++= listener.drain(); Thread.sleep(100)
+    }
+    spark.streams.removeListener(listener)
+
+    val names = pts.map(_.metric).toSet
+    // full data-derived measurement set (per batch, via metricsSummary)
+    val dataDerived = Set("items_total", "inserted", "modified", "unchanged",
+      "items_deleted", "rpc_request", "rpc_error", "mongo_write_error",
+      "ingest_error", "checkpoints_seen", "create_checkpoint",
+      "checkpoint_error", "current_checkpoint", "final_checkpoint",
+      "extraction_latency")
+    assert(dataDerived.subsetOf(names), s"missing: ${dataDerived -- names}")
+    // transition-site + engine-observed points share the same series, and
+    // termination is NOT mislabeled as the reference's backfill pause
+    assert(Set("start_livescan", "checkpoints_behind", "ingest_rows",
+      "batch_duration_ms", "ingest_query_terminated").subsetOf(names))
+    assert(!pts.exists(p => p.metric == "pause_livescan"), "no backfill happened")
+    // per-batch items_total sums to the kept changes delivered
+    val itemsTotal = pts.filter(_.metric == "items_total").map(_.value).sum
+    val keptCount = ObjectsModel.kept(
+      ObjectsModel.deriveChanges(events.toDF())).count().toDouble
+    assert(itemsTotal === keptCount)
+  }
+
   test("subscription pushes only matching type-prefix changes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -214,17 +214,21 @@ object DedupOps {
     * One aggregation with `bits` ± sum columns instead of exploding
     * (word × bit) rows: no 16× row inflation, single map-side-combined
     * shuffle on doc_id. */
-  /** D3b — SimHash near-dups with HAMMING-≤1 probing: the plain
+  /** D3b — SimHash near-dups at Hamming distance ≤ 1: the plain
     * equal-signature bucket join misses pairs one flipped bit apart, which
     * at 100 TB is most true near-dups (any single differing word can flip
-    * a bit). Multi-probe (same recipe as e2's LSH probe fan-out): each doc
-    * posts its home signature plus the `bits` Hamming-1 variants; a pair
-    * meets when one side's probe equals the other side's HOME. Shuffles
-    * only (doc_id, probe) pairs — (bits+1)× the signature count, constant
-    * row width — never all-pairs.
+    * a bit). Candidate generation is the PIGEONHOLE band split (the
+    * standard multi-index Hamming trick): a pair within Hamming distance 1
+    * agrees EXACTLY on at least one half of the signature, so each doc
+    * posts just 2 (band, half-key) rows, bucket-equal halves join, and a
+    * codegen'd `bit_count(xor) <= 1` verifies the survivors. Shuffle
+    * volume is 2 constant-width rows per doc — it does not grow with
+    * `bits` (the previous multi-probe formulation posted bits+1 probes per
+    * doc: 49× at the default width) — and the final distinct() touches
+    * candidates only (equal signatures match on both halves).
     *
-    * Two safety rails against bucket explosion (a hot signature makes the
-    * home join quadratic in its bucket):
+    * Two safety rails against bucket explosion (a hot bucket makes the
+    * band join quadratic in its size):
     *   - `bits` defaults to 48, wide enough that same-domain docs no
     *     longer collide by chance (16 bits produced ~25k pairs from 500
     *     synthetic docs). The portable md5-based [[graft.llm.TextOps.h60]]
@@ -232,30 +236,35 @@ object DedupOps {
     *     `pow(2,b)` mirror is exact through 2^53, so `bits` ≤ 53; a
     *     production xxhash64 swap (same seam as d2's) lifts it to 64.
     *   - degenerate docs (empty/boilerplate text — identical signatures by
-    *     the thousand) are df-pruned like d4's shingles: any home bucket
-    *     holding more than `maxBucket` docs is dropped from BOTH probe and
-    *     home sides before the join, capping the worst bucket at
-    *     maxBucket² pairs. The prune is mirrored in the oracle. */
+    *     the thousand) are df-pruned like d4's shingles: any full-signature
+    *     bucket holding more than `maxBucket` docs is dropped before the
+    *     band join, capping the worst bucket at maxBucket² pairs. The
+    *     prune is mirrored in the oracle. */
   def simhashNearDups(documents: DataFrame, bits: Int = 48,
       maxBucket: Int = 100): DataFrame = {
-    require(bits >= 1 && bits <= 53,
-      s"bits must be in [1, 53] (h60 word hash + exact DuckDB pow mirror), got $bits")
+    require(bits >= 2 && bits <= 53,
+      s"bits must be in [2, 53] (h60 word hash + exact DuckDB pow mirror), got $bits")
     val sigs = tracked(simhash(documents, bits))
     val smallBuckets = sigs.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)
       .select("simhash")
     val safe = sigs.join(smallBuckets, "simhash")
-    val probes = safe.select(col("doc_id").as("id_a"), explode(expr(
-      s"array(simhash, ${(0 until bits).map(j => s"simhash ^ ${1L << j}L").mkString(", ")})"
-    )).as("probe"))
-    val home = safe.select(col("doc_id").as("id_b"), col("simhash").as("probe"))
-    // each qualifying pair appears exactly once: the id_a < id_b filter
-    // kills the mirror-direction match, and a doc's probes are distinct so
-    // at most one equals the other side's home — no distinct() needed
-    probes.join(home, "probe")
+    val low = bits / 2
+    val banded = safe.select(col("doc_id"), col("simhash"), explode(array(
+      struct(lit(0).as("band"), shiftright(col("simhash"), low).as("key")),
+      struct(lit(1).as("band"),
+        col("simhash").bitwiseAND(lit((1L << low) - 1)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val left = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val right = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    left.join(right, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .filter(expr("bit_count(sig_a ^ sig_b) <= 1"))
       .select("id_a", "id_b")
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

@@ -39,8 +39,33 @@ object PlanAudit {
           val str = s.simpleStringWithNodeId()
           str.take(120)
       }
+      // Bucketed serving variants must plan with zero HASH shuffles — the
+      // bucketing must satisfy every join/distinct/window distribution.
+      // The only exchange allowed is the range partitioning of the
+      // harness-determinism ORDER BY.
+      val hashShuffles = plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => s
+      }
+      if (ZeroHashShuffleQueries(name) && hashShuffles.nonEmpty) {
+        println(s"AUDIT-FAIL $name: expected zero hash shuffles on the bucketed plan, found ${hashShuffles.size}")
+        println(plan.toString)
+        failures += name
+      }
       println(f"AUDIT $name%-28s shuffles=$shuffles broadcasts=$broadcasts scans=${scans.size}")
     }
     spark.stop()
+    if (failures.nonEmpty) {
+      println(s"AUDIT FAILED: ${failures.mkString(", ")}")
+      sys.exit(1)
+    }
   }
+
+  /** Queries served from StoreLayout's bucketed tables: their plans must
+    * carry no hash exchange (SCALE.md "zero-exchange serving joins"). */
+  val ZeroHashShuffleQueries: Set[String] =
+    Set("j1b_bucketed_parent_join", "j2b_bucketed_children", "k1b_bucketed_latest_wins")
+
+  private val failures = scala.collection.mutable.ListBuffer.empty[String]
 }

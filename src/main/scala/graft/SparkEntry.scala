@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{ModelConf, ObjectsModel, Tables}
-import graft.ops.{AggOps, PipelineOps, QuerySurface}
+import graft.ops.{AggOps, PipelineOps, QuerySurface, StoreLayout}
 import graft.ops.QuerySurface.{DynamicFieldQuery, ObjectsArgs}
 import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
@@ -129,6 +129,47 @@ object SparkEntry {
       ObjectsModel.latestWins(keptChanges(s, d))
         .select(col("_id"), col("version"), col("deletion").as("deleted"))
         .orderBy("_id")),
+
+    // ---- bucketed serving variants (deployment shape) ------------------
+    // Same results as j1/j2/k1 (same oracles), served from StoreLayout's
+    // bucketed catalog tables: the joins, distinct, and latest-wins window
+    // all key-align with the bucketing, so the plans carry ZERO hash
+    // shuffles (StoreLayoutSpec + PlanAudit gate both assert it) — only
+    // the deterministic output ORDER BY remains, which is harness-only.
+    // At 100 TB this is the difference between re-shuffling the store per
+    // query and reading co-located buckets.
+    "j1b_bucketed_parent_join" -> ((s, d) => {
+      val t = StoreLayout.ensureServingTables(s, d, objects(s, d), keptChanges(s, d))
+      val q = DynamicFieldQuery(values = Seq("7", "21"), valueKey = Some("v"))
+      val children = s.table(t._2).filter(QuerySurface.dynamicFieldMatch(q))
+        .select(col("owner").as("__parent_id")).distinct()
+      out(QuerySurface.paginate(
+        s.table(t._1).join(children, col("_id") === col("__parent_id"), "inner")
+          .drop("__parent_id"), 100, 0))
+    }),
+    "j2b_bucketed_children" -> ((s, d) => {
+      val t = StoreLayout.ensureServingTables(s, d, objects(s, d), keptChanges(s, d))
+      val parents = s.table(t._1)
+        .filter(QuerySurface.typePrefixFilter(Seq("0x0::signup")))
+        .select(col("_id").as("parent_id"))
+      val children = s.table(t._2)
+        .select(col("owner").as("parent_id"), col("_id").as("child_id"),
+          col("version").as("child_version"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("parent_id").orderBy(col("child_version").desc, col("child_id"))
+      parents.join(children, Seq("parent_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("parent_id"), col("child_id"), col("child_version"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("parent_id", "rn")
+    }),
+    "k1b_bucketed_latest_wins" -> ((s, d) => {
+      val t = StoreLayout.ensureServingTables(s, d, objects(s, d), keptChanges(s, d))
+      ObjectsModel.latestWins(s.table(t._3))
+        .select(col("_id"), col("version"), col("deletion").as("deleted"))
+        .orderBy("_id")
+    }),
     "k2_checkpoint_commits" -> ((s, d) => completedCps(s, d).orderBy("_id")),
     "k3_dlq" -> ((s, d) =>
       ObjectsModel.failures(keptChanges(s, d))
@@ -298,6 +339,10 @@ object SparkEntry {
     // persist + first-compile inside its own timing
     documents(spark, dir).count()
     embeddings(spark, dir).count()
+    // bucketed serving tables: ingest-side cost (the pipeline maintains
+    // them in deployment) — built here so the first j1b/j2b/k1b query
+    // times the READ path, not the one-time table build
+    StoreLayout.ensureServingTables(spark, dir, objects(spark, dir), keptChanges(spark, dir))
     ()
   }
 

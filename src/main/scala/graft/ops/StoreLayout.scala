@@ -54,4 +54,44 @@ object StoreLayout {
     val children = spark.table(childrenTable)
     parents.join(children, parents("_id") === children("owner"), "inner")
   }
+
+  /** Build-once (per session catalog) registry of the three bucketed
+    * serving tables for a data dir: the objects view bucketed by `_id`,
+    * its dynamic-field children bucketed by `owner`, and the kept change
+    * rows bucketed by `_id`. In deployment the ingest pipeline MAINTAINS
+    * these (BucketStore's hash-bucket layout is the streaming twin of this
+    * catalog shape); in Verify/Bench the first query to need them pays the
+    * one-time build — ingest-side cost, not per-query cost. Returns
+    * (objectsTable, childrenTable, changesTable). */
+  def ensureServingTables(spark: SparkSession, dir: String,
+      objects: => DataFrame, changes: => DataFrame,
+      buckets: Int = DefaultBuckets): (String, String, String) = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val objT = s"g_objects_$tag"
+    val chdT = s"g_children_$tag"
+    val chgT = s"g_changes_$tag"
+    if (!spark.catalog.tableExists(objT)) {
+      dropStaleLocation(spark, objT)
+      saveObjectsBucketed(objects, objT, buckets)
+    }
+    if (!spark.catalog.tableExists(chdT)) {
+      dropStaleLocation(spark, chdT)
+      saveChildrenBucketed(objects.filter(QuerySurface.dynamicFieldChildFilter), chdT, buckets)
+    }
+    if (!spark.catalog.tableExists(chgT)) {
+      dropStaleLocation(spark, chgT)
+      saveObjectsBucketed(changes, chgT, buckets)
+    }
+    (objT, chdT, chgT)
+  }
+
+  /** A table absent from this session's (in-memory) catalog may still have
+    * a leftover warehouse directory from a previous JVM — saveAsTable's
+    * CREATE path refuses to write over it, so clear it first. */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
 }

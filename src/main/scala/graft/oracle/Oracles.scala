@@ -26,6 +26,29 @@ object Oracles {
   private val DynChild =
     s"owner_kind = 'Object' AND ${prefix("type_full", "0x2::dynamic_field::Field<")}"
 
+  // Shared by the logical query and its bucketed serving variant (j1b/j2b/
+  // k1b) — same semantics, different Spark physical plan, one oracle text.
+  private val J1Sql =
+    s"""SELECT $ObjCols FROM objects
+        WHERE _id IN (
+          SELECT DISTINCT owner FROM objects
+          WHERE $DynChild
+            AND json_extract_string(fields_json, '$$.value.fields.v') IN ('7','21'))
+        ORDER BY _id LIMIT 100"""
+
+  private val J2Sql =
+    s"""SELECT parent_id, child_id, child_version, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT p.parent_id, c.child_id, c.child_version,
+                 row_number() OVER (PARTITION BY p.parent_id ORDER BY c.child_version DESC, c.child_id) AS rn
+          FROM (SELECT _id AS parent_id FROM objects WHERE ${prefix("type_full", "0x0::signup")}) p
+          JOIN (SELECT owner AS parent_id, _id AS child_id, version AS child_version
+                FROM objects WHERE $DynChild) c
+            ON c.parent_id = p.parent_id)
+        WHERE rn <= 3 ORDER BY parent_id, rn"""
+
+  private val K1Sql =
+    "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
+
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
 
   private val ShingleCtes = s"""
@@ -180,23 +203,12 @@ WHERE rank <= $k ORDER BY query_id, rank"""
          ORDER BY event_id"""),
 
     // ---- joins ---------------------------------------------------------
-    "j1_dynfield_parent_join" -> withModel(
-      s"""SELECT $ObjCols FROM objects
-          WHERE _id IN (
-            SELECT DISTINCT owner FROM objects
-            WHERE $DynChild
-              AND json_extract_string(fields_json, '$$.value.fields.v') IN ('7','21'))
-          ORDER BY _id LIMIT 100"""),
+    "j1_dynfield_parent_join" -> withModel(J1Sql),
+    // bucketed serving variant: identical semantics, different physical plan
+    "j1b_bucketed_parent_join" -> withModel(J1Sql),
 
-    "j2_children_resolver" -> withModel(
-      s"""SELECT parent_id, child_id, child_version, CAST(rn AS BIGINT) AS rn FROM (
-            SELECT p.parent_id, c.child_id, c.child_version,
-                   row_number() OVER (PARTITION BY p.parent_id ORDER BY c.child_version DESC, c.child_id) AS rn
-            FROM (SELECT _id AS parent_id FROM objects WHERE ${prefix("type_full", "0x0::signup")}) p
-            JOIN (SELECT owner AS parent_id, _id AS child_id, version AS child_version
-                  FROM objects WHERE $DynChild) c
-              ON c.parent_id = p.parent_id)
-          WHERE rn <= 3 ORDER BY parent_id, rn"""),
+    "j2_children_resolver" -> withModel(J2Sql),
+    "j2b_bucketed_children" -> withModel(J2Sql),
 
     "j3_enrichment" -> withModel(
       """SELECT k._id, k.version, n.n_name FROM kept k
@@ -232,8 +244,8 @@ WHERE rank <= $k ORDER BY query_id, rank"""
          WHERE rn = 1 GROUP BY route ORDER BY route"""),
 
     // ---- ingest pipeline (K*, U*, A1-A3, S2/S3/S6, P9-P11) -------------
-    "k1_latest_wins" -> withModel(
-      "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"),
+    "k1_latest_wins" -> withModel(K1Sql),
+    "k1b_bucketed_latest_wins" -> withModel(K1Sql),
 
     "k2_checkpoint_commits" -> withModel(
       "SELECT _id FROM completed ORDER BY _id"),

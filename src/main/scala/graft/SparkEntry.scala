@@ -272,7 +272,7 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, d) => DedupOps.exactDedup(documents(s, d))),
     "d2_minhash_neardups" -> ((s, d) =>
       DedupOps.minhashNearDups(documents(s, d), 0.5)),
-    "d3_simhash" -> ((s, d) => DedupOps.simhash(documents(s, d))),
+    "d3_simhash" -> ((s, d) => DedupOps.simhash(documents(s, d)).orderBy("doc_id")),
     "d3b_simhash_neardups" -> ((s, d) =>
       DedupOps.simhashNearDups(documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) =>

@@ -268,6 +268,9 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Unsorted: the d3 query surface adds its own deterministic ORDER BY;
+    * pipeline consumers (d3b) persist and join the signatures — a sort
+    * here would cost a range exchange for nothing. */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -280,6 +283,5 @@ object DedupOps {
       .select(col("doc_id"),
         (0 until bits).map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
 }

@@ -95,7 +95,14 @@ class ModeAndSubscribeSpec extends SparkSpec {
       metricSink = listener.record, emitBatchMetrics = true)
     val pts = scala.collection.mutable.ArrayBuffer[graft.streaming.MetricsListener.Point]()
     try {
-      stream.addData(events)
+      // a full pause/resume cycle: contiguous → downtime hole (backfill
+      // pauses poll) → contiguous again (resume), so the transition
+      // metrics fire alongside the per-batch measurements
+      stream.addData(events.slice(0, 30)) // cps 0..2
+      query.processAllAvailable()
+      stream.addData(events.slice(70, 90)) // hole: behind 4 > threshold → backfill
+      query.processAllAvailable()
+      stream.addData(events.slice(90, 100)) // contiguous: resume
       query.processAllAvailable()
     } finally query.stop()
     // listener delivery is async: poll until the termination point lands
@@ -114,15 +121,19 @@ class ModeAndSubscribeSpec extends SparkSpec {
       "checkpoint_error", "current_checkpoint", "final_checkpoint",
       "extraction_latency")
     assert(dataDerived.subsetOf(names), s"missing: ${dataDerived -- names}")
-    // transition-site + engine-observed points share the same series, and
+    // transition-site + engine-observed points share the same series: the
+    // backfill episode fires its init/pause pair and the resume, and
     // termination is NOT mislabeled as the reference's backfill pause
-    assert(Set("start_livescan", "checkpoints_behind", "ingest_rows",
-      "batch_duration_ms", "ingest_query_terminated").subsetOf(names))
-    assert(!pts.exists(p => p.metric == "pause_livescan"), "no backfill happened")
-    // per-batch items_total sums to the kept changes delivered
+    assert(Set("start_livescan", "checkpoints_behind", "backfill_init",
+      "pause_livescan", "ingest_rows", "batch_duration_ms",
+      "ingest_query_terminated").subsetOf(names), s"missing: transitions")
+    assert(pts.count(_.metric == "backfill_init") === 1)
+    assert(pts.count(_.metric == "start_livescan") >= 2) // initial + resume
+    // per-batch items_total sums to the kept changes actually delivered
+    val delivered = events.slice(0, 30) ++ events.slice(70, 100)
     val itemsTotal = pts.filter(_.metric == "items_total").map(_.value).sum
     val keptCount = ObjectsModel.kept(
-      ObjectsModel.deriveChanges(events.toDF())).count().toDouble
+      ObjectsModel.deriveChanges(delivered.toDF())).count().toDouble
     assert(itemsTotal === keptCount)
   }
 

@@ -34,11 +34,26 @@ object Bench {
       graft.llm.DedupOps.releaseCaches() // free per-query tracked persists
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    // The harness keeps only the LAST ~2000 characters of output, and sbt
+    // appends a ~70-char "[success]" line after us — the parseable JSON
+    // line must stay well under that budget. Full query names at 74
+    // queries overflow it (that is exactly how rounds 1-5 lost their
+    // machine-readable bench), so the final line keys on the short SURVEY
+    // §2 ids (the token before the first '_': "d3b_simhash_neardups" →
+    // "d3b"), which are unique across the registry (asserted). The
+    // full-name line printed first is for human logs only.
+    val shortIds = results.map { case (k, v) => k.split('_').head -> v }
+    require(shortIds.map(_._1).distinct.size == shortIds.size,
+      "short query ids collide; extend the key scheme")
+    def qjson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    System.err.println(
+      s"""[bench full names] {"queries":${qjson(results)}}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(shortIds)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

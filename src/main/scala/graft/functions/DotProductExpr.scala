@@ -103,11 +103,18 @@ object GraftFunctions {
     MinHashExpr(exprs.head, exprs(1))
   }
 
+  private val simhashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "graft_simhash takes exactly 2 arguments")
+    SimHashExpr(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
   }
 
   /** For SparkSessionExtensions.injectFunction (see
@@ -127,4 +134,12 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashExpr].getCanonicalName, "graft_minhash"),
       minhashBuilder)
+
+  val simhashFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
+      simhashBuilder)
 }

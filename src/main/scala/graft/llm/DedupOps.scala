@@ -270,8 +270,24 @@ object DedupOps {
 
   /** Unsorted: the d3 query surface adds its own deterministic ORDER BY;
     * pipeline consumers (d3b) persist and join the signatures — a sort
-    * here would cost a range exchange for nothing. */
+    * here would cost a range exchange for nothing.
+    *
+    * One codegen'd [[graft.functions.SimHashExpr]] call per document — a
+    * narrow map, no explode, no shuffle. The previous formulation exploded
+    * (doc × distinct-word) rows and ran a `bits`-column conditional
+    * aggregation just to reassemble per-doc bit sums; at bits=48 that was
+    * the dominant cost of d3b (7.2 s of its sf0.1 time was signatures). */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      call_function("graft_simhash", col("text"), lit(bits)).as("simhash"))
+  }
+
+  /** The built-in-functions formulation of the same signature (explode
+    * distinct words → per-bit ±1 conditional sums → sign-pack) — kept as
+    * the portability reference [[simhash]] is parity-verified against
+    * (LlmSpec); the hot path uses the fused expression. */
+  private[graft] def aggSimhash(documents: DataFrame, bits: Int = 16): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", h60(col("w")))

@@ -65,5 +65,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TypePrefixRewrite)
     ext.injectFunction(graft.functions.GraftFunctions.dotFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.minhashFunctionDescription)
+    ext.injectFunction(graft.functions.GraftFunctions.simhashFunctionDescription)
   }
 }

@@ -140,6 +140,28 @@ class LlmSpec extends SparkSpec {
     assert(custom === hof)
   }
 
+  test("codegen graft_simhash is bit-identical to the aggregate formulation") {
+    for (bits <- Seq(16, 48)) {
+      def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fused = sigs(DedupOps.simhash(docs, bits))
+      val agg = sigs(DedupOps.aggSimhash(docs, bits))
+      assert(fused.nonEmpty)
+      assert(fused === agg)
+    }
+  }
+
+  test("graft_simhash rejects an out-of-range or non-literal bits argument") {
+    graft.functions.GraftFunctions.register(spark)
+    val bad = intercept[Exception](
+      spark.sql("SELECT graft_simhash('a b', 61)").head())
+    assert(bad.getMessage.contains("bits"))
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT graft_simhash('a b', CAST(rand()*10 AS INT))").head())
+    assert(nonLit.getMessage.toLowerCase.contains("foldable") ||
+      nonLit.getMessage.contains("graft_simhash"))
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     val two = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

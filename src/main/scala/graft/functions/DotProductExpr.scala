@@ -108,6 +108,11 @@ object GraftFunctions {
     SimHashExpr(exprs.head, exprs(1))
   }
 
+  private val shinglesBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "graft_shingles takes exactly 2 arguments")
+    ShinglesExpr(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
@@ -115,6 +120,8 @@ object GraftFunctions {
       "graft_minhash", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", shinglesBuilder, "built-in")
   }
 
   /** For SparkSessionExtensions.injectFunction (see
@@ -142,4 +149,12 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
       simhashBuilder)
+
+  val shinglesFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShinglesExpr].getCanonicalName, "graft_shingles"),
+      shinglesBuilder)
 }

@@ -53,20 +53,16 @@ object DedupOps {
     * collisions are negligible at p≈2^30 per doc-pair and, being
     * deterministic, identical in the DuckDB oracle.
     *
-    * Shape: the ONLY shuffle in the whole shingling path — hash each word
-    * on the exploded stream (md5 exactly once per word, in codegen), then a
-    * map-side-combined collect_list back to a per-doc array; shingling +
-    * dedup are then per-row array expressions. This replaces the round-3
-    * window-`lead` + `distinct()` form (per-doc sort shuffle + set shuffle
-    * + a third shuffle for the signature agg downstream). Docs with fewer
-    * than k words produce no row (mirrored by the oracle's `len(w) >= 3`) —
-    * keeping them as empty arrays would give every short doc the identical
-    * all-`P` minhash signature and bucket them all together in LSH.
-    *
-    * The word-hash array must cross an aggregation barrier before indexed
-    * access: `transform(split, …md5…)` consumed by per-element access gets
-    * INLINED by projection collapse, re-evaluating the full md5 array per
-    * element (quadratic md5 work; observed 50s vs 0.5s at sf0.1).
+    * Shape: ZERO shuffles — one codegen'd [[graft.functions.ShinglesExpr]]
+    * call per document (narrow map; the whole candidate-generation front of
+    * d2/d4 is embarrassingly parallel with the corpus). Replaces the
+    * round-5 explode + md5 + collect_list form (one shuffle of every word
+    * hash, kept below as [[sqlShingleArrays]] for parity testing) which
+    * itself replaced the round-3 window-`lead` + `distinct()` form (three
+    * shuffles). Docs with fewer than k words produce no row (mirrored by
+    * the oracle's `len(w) >= 3`) — keeping them as empty arrays would give
+    * every short doc the identical all-`P` minhash signature and bucket
+    * them all together in LSH.
     *
     * Production note: md5 is used ONLY because the DuckDB oracle can
     * reproduce it bit-for-bit; a deployment would swap the word hash to
@@ -74,6 +70,22 @@ object DedupOps {
     * — a one-line change in [[graft.llm.TextOps.h60]] that leaves every
     * downstream set operation untouched. */
   def shingleArrays(documents: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(k)).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+  }
+
+  /** The built-in-functions formulation of [[shingleArrays]] — kept as the
+    * portability reference the fused expression is parity-verified against
+    * (LlmSpec, bit-identical arrays incl. order). This was the ONLY
+    * shuffle in the shingling path (explode each word, md5 the exploded
+    * stream, collect_list back to per-doc arrays — the aggregation doubles
+    * as the barrier that stops CollapseProject from inlining the word-hash
+    * array quadratically); `graft_shingles` computes the same array in one
+    * codegen pass per row, no explode, no shuffle, no barrier needed. */
+  private[graft] def sqlShingleArrays(documents: DataFrame, k: Int = 3): DataFrame = {
     val comb = (0 until k)
       .map(j => s"element_at(whs, i + ${j + 1}) * ${math.pow(31, k - 1 - j).toLong}L")
       .mkString("(", " + ", s") % ${P}L")

@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.dotFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.minhashFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.simhashFunctionDescription)
+    ext.injectFunction(graft.functions.GraftFunctions.shinglesFunctionDescription)
   }
 }

@@ -115,6 +115,28 @@ class LlmSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("codegen graft_shingles is bit-identical to the SQL formulation (incl. order)") {
+    for (k <- Seq(2, 3, 5)) {
+      def arrs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val fused = arrs(DedupOps.shingleArrays(docs, k))
+      val sql = arrs(DedupOps.sqlShingleArrays(docs, k))
+      assert(fused.nonEmpty)
+      assert(fused === sql)
+    }
+  }
+
+  test("graft_shingles rejects an out-of-range or non-literal k") {
+    graft.functions.GraftFunctions.register(spark)
+    val bad = intercept[Exception](
+      spark.sql("SELECT graft_shingles('a b c', 8)").head())
+    assert(bad.getMessage.contains("[1, 7]"))
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT graft_shingles('a b c', CAST(rand()*3 AS INT))").head())
+    assert(nonLit.getMessage.toLowerCase.contains("foldable") ||
+      nonLit.getMessage.contains("graft_shingles"))
+  }
+
   test("graft_minhash guards: negative perms rejected, null slots skipped") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -277,6 +277,19 @@ object SparkEntry {
       DedupOps.simhashNearDups(documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDups(documents(s, d), 0.3)),
+    "d5_incremental_dedup" -> ((s, d) => {
+      // corpus = doc_id < 400, increment = the rest; the corpus side enters
+      // only through its two maintained tables (band index + shingle
+      // arrays), which deployment appends per admitted increment — here
+      // they are built inline because a batch query has no ambient state
+      val docs = documents(s, d)
+      val corpusShingles = DedupOps.shingleArrays(docs.filter(col("doc_id") < 400))
+      val corpusIndex = DedupOps.bandIndex(
+        DedupOps.signaturesFromShingleArrays(corpusShingles))
+      DedupOps.incrementalNearDups(
+        DedupOps.shingleArrays(docs.filter(col("doc_id") >= 400)),
+        corpusShingles, corpusIndex, 0.5)
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

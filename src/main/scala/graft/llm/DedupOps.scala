@@ -133,17 +133,25 @@ object DedupOps {
               i -> least(element_at(acc, i + 1), ((2*i + 3) * h + 7*i + 1) % ${P}L)))"""
     ).as("minhash"))
 
-  /** D2 — banded LSH candidate pairs: split the signature into `bands` bands
-    * of rows; docs sharing any full band land in the same bucket. Shuffles
-    * only (band_idx, band_key, doc_id); pairs are generated within buckets.
-    */
-  def lshCandidates(signatures: DataFrame, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+  /** The banded view of a signature frame — (doc_id, band, key), the LSH
+    * index shape: docs sharing any full band land in the same bucket. This
+    * is also the PERSISTED-INDEX schema for incremental dedup ([[
+    * incrementalNearDups]]): in deployment it is a table bucketed by
+    * (band, key), appended per ingest increment, never recomputed. */
+  def bandIndex(signatures: DataFrame, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     val r = numPerms / bands
-    val banded = signatures
+    signatures
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, array_join(slice(minhash, b*$r+1, $r), '-') AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** D2 — banded LSH candidate pairs: self-join the band index. Shuffles
+    * only (band_idx, band_key, doc_id); pairs are generated within buckets.
+    */
+  def lshCandidates(signatures: DataFrame, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    val banded = bandIndex(signatures, numPerms, bands)
     // Both sides of the self-join read this; without persist the whole
     // signature pipeline (md5 + 32-way min agg) runs twice. ~bands rows
     // per doc — small relative to the corpus.
@@ -293,6 +301,55 @@ object DedupOps {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
       call_function("graft_simhash", col("text"), lit(bits)).as("simhash"))
+  }
+
+  /** D5 — INCREMENTAL near-dup: dedupe an incoming batch against an
+    * existing corpus WITHOUT touching corpus text. This is the shape dedup
+    * actually takes in a production training-data pipeline: re-running d2
+    * over corpus+increment is O(corpus) per increment — a 100 TB corpus
+    * ingesting 100 GB/day would re-shingle the whole lake daily. Here the
+    * corpus contributes only its two maintained side tables, each appended
+    * (never rebuilt) when an increment is admitted:
+    *   - `corpusIndex` — the (doc_id, band, key) LSH [[bandIndex]];
+    *   - `corpusShingles` — (doc_id, sh_arr), for Jaccard verification of
+    *     matched candidates only.
+    * The increment's shingles/signatures/bands are a narrow map over the
+    * new docs alone ([[ShinglesExpr]]/[[graft.functions.MinHashExpr]]);
+    * candidates = new-vs-corpus (join on the index's (band, key) — at
+    * deployment scale the index is bucketed on that key, so the join
+    * shuffles only the increment) ∪ new-vs-new (self-join of the
+    * increment's bands). Per-increment cost is O(increment + matches),
+    * independent of corpus size.
+    *
+    * Returns (id_a, id_b, jaccard) with id_b in the increment and
+    * id_a < id_b from corpus or increment — exactly d2's pair set
+    * restricted to pairs whose later member is new (the oracle mirrors
+    * this as the d2 SQL + `id_b > split`). */
+  def incrementalNearDups(newShingles: DataFrame, corpusShingles: DataFrame,
+      corpusIndex: DataFrame, threshold: Double = 0.5,
+      numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    val newSh = tracked(newShingles)
+    val newBands = tracked(
+      bandIndex(signaturesFromShingleArrays(newSh, numPerms), numPerms, bands))
+    val newSide = newBands.select(col("band"), col("key"), col("doc_id").as("id_b"))
+    val vsCorpus = corpusIndex
+      .select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(newSide, Seq("band", "key"))
+    val vsBatch = newBands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(newSide, Seq("band", "key"))
+    val candidates = vsCorpus.unionByName(vsBatch)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // A replayed increment whose previous attempt was already admitted
+    // appears on BOTH sides; duplicated shingle rows would inflate the
+    // verify intersection (n_inter > n_a, a zero/negative Jaccard
+    // denominator). The increment wins; the corpus copy is dropped via a
+    // broadcast anti-join on the (small) increment id set — never a
+    // corpus-wide dedup shuffle.
+    val corpusOnly = corpusShingles.join(
+      broadcast(newSh.select("doc_id")), Seq("doc_id"), "left_anti")
+    jaccardVerify(candidates, corpusOnly.unionByName(newSh), threshold)
   }
 
   /** The built-in-functions formulation of the same signature (explode

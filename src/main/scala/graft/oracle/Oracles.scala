@@ -497,6 +497,19 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
          FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
 ${jaccardTail(0.5)}""",
 
+    // d5 = d2's pair set restricted to pairs whose LATER member is in the
+    // increment (doc_id >= 400): the Spark side generates candidates from
+    // the corpus band INDEX + the increment's self-join, which covers
+    // exactly the shared-band pairs with id_b new
+    "d5_incremental_dedup" -> s"""WITH $ShingleCtes,
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey
+           AND a.doc_id < bb.doc_id AND bb.doc_id >= 400),
+${jaccardTail(0.5)}""",
+
     "d3_simhash" -> s"""
 WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs),
 wh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),

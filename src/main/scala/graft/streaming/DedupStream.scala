@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.llm.DedupOps
+
+/** Streaming incremental dedup — the online form of
+  * [[graft.llm.DedupOps.incrementalNearDups]] (D5): each microbatch of
+  * incoming documents is near-dup-checked against the maintained corpus
+  * index, duplicates are rejected with a verdict row naming what they
+  * matched, and the admitted survivors' bands + shingles are APPENDED to
+  * the index. Per-batch cost is O(batch + matches), independent of corpus
+  * size — the property that makes continuous dedup viable at 100 TB,
+  * where re-running the batch pipeline per increment would re-shingle the
+  * whole lake.
+  *
+  * On-disk state (all parquet, one immutable dir per batch —
+  * `mode=overwrite` into a batchId-keyed dir makes replay of a failed
+  * microbatch idempotent, the same recipe as the DLQ sink):
+  * {{{
+  * indexDir/shingles/batch=<id>/   (doc_id, sh_arr)   Jaccard-verify side
+  * indexDir/bands/batch=<id>/      (doc_id, band, key) LSH candidate side
+  * outDir/kept/batch=<id>/         admitted documents (full rows)
+  * outDir/dups/batch=<id>/         (id_a, id_b, jaccard) rejection verdicts
+  * }}}
+  * At deployment scale `bands/` is bucketed by (band, key) so the
+  * per-batch candidate join shuffles only the increment, and `shingles/`
+  * by doc_id for the verify join; both then serve as ordinary tables. */
+object DedupStream {
+
+  private val ShingleSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("sh_arr", ArrayType(LongType))))
+  private val BandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("key", StringType)))
+
+  /** Read one side of the corpus index; an absent dir (first batch ever)
+    * is an empty corpus, not an error. The `batch=` partition column that
+    * directory discovery adds is dropped — consumers key on doc_id. */
+  private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (Files.exists(Paths.get(dir)))
+      spark.read.schema(schema).parquet(dir).select(schema.fieldNames.map(col): _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/shingles", ShingleSchema)
+
+  def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/bands", BandSchema)
+
+  /** One microbatch: verdict, admit, append. Public so batch backfills can
+    * reuse the exact streaming admission logic (parity with the reference's
+    * backfill-runs-the-livescan-path design). */
+  def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      outDir: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // trailing empty trigger: no state change
+    val batchSh = DedupOps.shingleArrays(batch)
+    val pairs = DedupOps.incrementalNearDups(
+      batchSh, corpusShingles(spark, indexDir), corpusBands(spark, indexDir),
+      threshold).persist()
+    // Force the verdicts NOW: `pairs` lazily reads the index dirs this
+    // batch is about to append to — materializing before any write keeps
+    // the read set consistent (and makes a replayed batch, whose previous
+    // attempt already appended, see its own docs only via the harmless
+    // id_a == id_b self-pairs that the strict < filter drops).
+    pairs.count()
+    val dupIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    val keptSh = batchSh.join(dupIds, Seq("doc_id"), "left_anti").persist()
+    keptSh.count()
+    try {
+      pairs.write.mode("overwrite").parquet(s"$outDir/dups/batch=$batchId")
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/kept/batch=$batchId")
+      keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batchId")
+      DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
+        .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+    } finally {
+      pairs.unpersist(blocking = false)
+      keptSh.unpersist(blocking = false)
+      // intermediate persists inside incrementalNearDups; safe here because
+      // this pipeline owns the session's dedup work for the batch duration
+      DedupOps.releaseCaches()
+    }
+  }
+
+  /** Start the admission stream over a streaming (doc_id, text, …) frame. */
+  def start(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, indexDir, outDir, threshold)
+      }
+      .start()
+}

@@ -378,6 +378,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental dedup stream admits uniques, flags cross- and within-batch dups (D5 streaming)") {
+    val tmp = Files.createTempDirectory("graft_dedup_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val third = "a third unique document with its own vocabulary of rare tokens entirely"
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DedupStream.start(
+      docs, s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      stream.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      // 3 duplicates corpus doc 1 (cross-batch); 5 duplicates 4 (within-batch)
+      stream.addData((3L, base), (4L, third), (5L, third))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L))
+    val dups = spark.read.parquet(s"$tmp/out/dups")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups === Set((1L, 3L), (4L, 5L)))
+    // the index admitted exactly the kept docs — a rejected duplicate must
+    // not pollute future batches' candidate generation
+    val indexed = spark.read.parquet(s"$tmp/index/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 4L))
+    // replaying the batch against the already-appended index is idempotent
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, base), (4L, third), (5L, third)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5)
+    val keptAfter = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAfter === Set(1L, 2L, 4L))
+    val dupsAfter = spark.read.parquet(s"$tmp/out/dups")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dupsAfter === Set((1L, 3L), (4L, 5L)))
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

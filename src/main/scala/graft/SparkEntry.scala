@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.model.{ModelConf, ObjectsModel, Tables}
 import graft.ops.{AggOps, PipelineOps, QuerySurface, StoreLayout}
 import graft.ops.QuerySurface.{DynamicFieldQuery, ObjectsArgs}
-import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.llm.{DedupOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2
   * + LLM-pipeline extensions), each with a DuckDB oracle in
@@ -317,6 +317,13 @@ object SparkEntry {
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
     "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
+    "t6_hash_sample" -> ((s, d) =>
+      SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
+    "t7_budget_pack" -> ((s, d) =>
+      SamplingOps.packToBudget(documents(s, d), 8000L)),
+    "t8_lang_mix" -> ((s, d) =>
+      SamplingOps.mixByQuota(documents(s, d), Map(
+        "en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling and data-mixing operators over the `documents` table — the
+  * selection stage of a training-data pipeline: after cleaning (T1-T5) and
+  * dedup (D1-D5), decide WHICH documents, and how much of each slice,
+  * actually enter a training mix under a token budget.
+  */
+object SamplingOps {
+  import TextOps.{h60, P}
+
+  /** T6 — deterministic salted hash sample: keep a doc iff
+    * h60(salt ‖ doc_id) mod `den` < `num`. Properties a training pipeline
+    * needs that `rand()`/`TABLESAMPLE` lack: reproducible across runs and
+    * engines (md5 is mirrored by the oracle), stable under repartition,
+    * monotone in the rate (raising num strictly grows the sample, so a 1%
+    * pilot is a subset of the later 10% run), and per-salt independent
+    * (new salt → fresh draw). Pure narrow filter — pipelines with the
+    * scan at any scale. */
+  def hashSample(documents: DataFrame, num: Int, den: Int, salt: String): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad rate $num/$den")
+    documents
+      .filter(h60(concat(lit(salt), lit("-"), col("doc_id"))) % den < num)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def withQualityAndTokens(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val padded = concat(lit(" "), t, lit(" "))
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nStop = TextOps.substrCount(padded, " the ") + TextOps.substrCount(padded, " a ")
+    documents.select(
+      col("doc_id"), col("lang"),
+      nTokens.as("n_tokens"),
+      // same composite as T1's quality_score (round 4dp = oracle-portable)
+      round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+        (nStop.cast("double") / nTokens) * 0.5, 4).as("quality_score"))
+  }
+
+  /** The greedy budget rule: best-first order, keep while the running
+    * token total (current row included) fits. */
+  private def packWindow(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+      budget: Column): DataFrame =
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+
+  /** T7 — pack a token budget with the best-quality documents: order by
+    * (quality desc, doc_id), keep docs while cumulative tokens ≤ budget.
+    *
+    * The unpartitioned window is a single-reducer sort — fine for the
+    * final mix of a few million rows, NOT for a raw 100 TB corpus. The
+    * scale path is [[packToBudgetScalable]]; this form exists because it
+    * is the direct statement of the semantics the scalable form must (and
+    * is tested to) reproduce. */
+  def packToBudget(documents: DataFrame, budgetTokens: Long): DataFrame =
+    packWindow(withQualityAndTokens(documents),
+      Window.orderBy(col("quality_score").desc, col("doc_id")), lit(budgetTokens))
+      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+
+  /** T7 at scale — the same greedy pack as a TWO-PHASE prefix sum (the
+    * standard distributed scan): range-partition by the pack order so
+    * partition p holds a contiguous slice, compute per-partition token
+    * totals (tiny: one row per partition, collected to the driver),
+    * broadcast each partition's starting offset back, and add it to a
+    * partition-local cumsum. No global single-reducer sort: the expensive
+    * ordering is a range exchange across all reducers, and the only
+    * driver-side data is #partitions longs. Same recipe as
+    * PipelineOps.descendingRangesScalable (U2). Output is row-identical
+    * to [[packToBudget]] (spec-asserted). */
+  def packToBudgetScalable(documents: DataFrame, budgetTokens: Long,
+      partitions: Int = 32): DataFrame = {
+    // `pid` must be BAKED INTO a column on the materialized range
+    // partitions: spark_partition_id() re-evaluated after the window's own
+    // hash exchange would name the post-shuffle partitions instead
+    val scored = withQualityAndTokens(documents)
+      .repartitionByRange(partitions, col("quality_score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val offsets = scored
+        .groupBy("pid").agg(sum("n_tokens").as("part_tokens"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val starts = (0 until partitions).scanLeft(0L) {
+        case (acc, pid) => acc + offsets.getOrElse(pid, 0L)
+      }
+      val startCol = element_at(
+        array(starts.take(partitions).map(lit): _*), col("pid") + 1)
+      val local = Window.partitionBy(col("pid"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + startCol)
+        .filter(col("cum_tokens") <= budgetTokens)
+        .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+    } finally scored.unpersist(blocking = false)
+  }
+
+  /** T8 — mixture under per-language token quotas (data mixing): within
+    * each language, best-quality docs fill that language's quota. The
+    * window partitions by lang — state is bounded per key and languages
+    * pack in parallel, so this form IS the scale path (a skewed dominant
+    * language range-partitions within its key like [[packToBudgetScalable]]
+    * if ever needed). Languages without a quota are excluded — the mix is
+    * a whitelist, as in published LM data recipes. */
+  def mixByQuota(documents: DataFrame, quotas: Map[String, Long]): DataFrame = {
+    val quotaCol = quotas.foldLeft(lit(null).cast("long")) {
+      case (acc, (lang, q)) => when(col("lang") === lang, q).otherwise(acc)
+    }
+    packWindow(
+      withQualityAndTokens(documents).withColumn("quota", quotaCol).filter(col("quota").isNotNull),
+      Window.partitionBy("lang").orderBy(col("quality_score").desc, col("doc_id")),
+      col("quota"))
+      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+      .orderBy(col("lang"), col("quality_score").desc, col("doc_id"))
+  }
+}

@@ -60,6 +60,17 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 1), i -> (wh[i]
 sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id)"""
 
+  /** T1/T5's quality score + whitespace token count per doc (the exact
+    * expression t5_quality_filter uses, shared by the sampling oracles). */
+  private val QualityCte = s"""
+q AS (SELECT doc_id, lang,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+      FROM $Docs)"""
+
   private def jaccardTail(threshold: Double): String = s"""
 inter AS (
   SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
@@ -636,6 +647,32 @@ SELECT doc_id, quality_score FROM (
                   / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
   FROM $Docs)
 WHERE quality_score >= 0.5 ORDER BY doc_id""",
+
+    "t6_hash_sample" -> s"""
+SELECT doc_id, lang, n_chars FROM $Docs
+WHERE CAST('0x' || substr(md5('s1-' || doc_id), 1, 15) AS BIGINT) % 100 < 10
+ORDER BY doc_id""",
+
+    // t7/t8 reuse t5's quality expression verbatim; window sum is HUGEINT
+    // in DuckDB → CAST to BIGINT (see memory: driver hash is width-aware)
+    "t7_budget_pack" -> s"""WITH $QualityCte,
+c AS (SELECT doc_id, lang, n_tokens, quality_score,
+             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT * FROM c WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
+
+    "t8_lang_mix" -> s"""WITH $QualityCte,
+quotas AS (SELECT doc_id, lang, n_tokens, quality_score,
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000
+                            WHEN 'fr' THEN 2000 WHEN 'zh' THEN 1500 END AS quota
+           FROM q WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')),
+c AS (SELECT doc_id, lang, n_tokens, quality_score, quota,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM quotas)
+SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+FROM c WHERE cum_tokens <= quota ORDER BY lang, quality_score DESC, doc_id""",
 
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.SamplingOps
+import graft.model.Tables
+
+/** Sampling / data-mixing operators (T6-T8): determinism and monotonicity
+  * of the hash sample, and exact equivalence of the two-phase distributed
+  * prefix-sum pack with the single-window reference form. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("hash sample is deterministic and monotone in the rate") {
+    val s5 = SamplingOps.hashSample(docs, 5, 100, "s1").select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = SamplingOps.hashSample(docs, 10, 100, "s1").select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10b = SamplingOps.hashSample(docs, 10, 100, "s1").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10 === s10b, "same salt+rate must reproduce the same sample")
+    assert(s5.subsetOf(s10), "raising the rate must only ADD documents")
+    assert(s10.nonEmpty && s10.size < docs.count())
+    // a different salt is a fresh draw
+    val other = SamplingOps.hashSample(docs, 10, 100, "s2").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== s10)
+  }
+
+  test("scalable two-phase budget pack is row-identical to the window form") {
+    val simple = SamplingOps.packToBudget(docs, 8000L).collect().toSeq
+    // partitions > docs-per-range exercises empty partitions in the offset map
+    for (parts <- Seq(4, 32, 700)) {
+      val scalable = SamplingOps.packToBudgetScalable(docs, 8000L, parts).collect().toSeq
+      assert(scalable === simple, s"parts=$parts diverged")
+    }
+    assert(simple.nonEmpty)
+  }
+
+  test("budget pack fills greedily: kept set is a quality-prefix within budget") {
+    val kept = SamplingOps.packToBudget(docs, 8000L)
+    val total = kept.agg(sum("n_tokens")).head().getLong(0)
+    assert(total <= 8000L)
+    // the next-best excluded doc would not have fit
+    val minKeptQ = kept.agg(min("quality_score")).head().getDouble(0)
+    assert(kept.count() > 0 && minKeptQ > 0.0)
+  }
+
+  test("language mix respects each quota and only includes whitelisted langs") {
+    val quotas = Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L)
+    val mix = SamplingOps.mixByQuota(docs, quotas).persist()
+    try {
+      val perLang = mix.groupBy("lang").agg(sum("n_tokens").as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perLang.keySet.subsetOf(quotas.keySet))
+      perLang.foreach { case (lang, toks) =>
+        assert(toks <= quotas(lang), s"$lang over quota: $toks")
+      }
+      assert(perLang.size === quotas.size, "every quota'd language present in the fixture mix")
+    } finally mix.unpersist(blocking = false)
+  }
+}

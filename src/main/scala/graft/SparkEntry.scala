@@ -324,6 +324,8 @@ object SparkEntry {
     "t8_lang_mix" -> ((s, d) =>
       SamplingOps.mixByQuota(documents(s, d), Map(
         "en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L))),
+    "t9_seq_pack" -> ((s, d) =>
+      SamplingOps.packSequences(documents(s, d), 2048L)),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))

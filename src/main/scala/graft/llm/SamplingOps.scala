@@ -45,9 +45,7 @@ object SamplingOps {
     * token total (current row included) fits. */
   private def packWindow(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
       budget: Column): DataFrame =
-    df.withColumn("cum_tokens", sum(col("n_tokens")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cum_tokens") <= budget)
+    packWindow0(df, w).filter(col("cum_tokens") <= budget)
 
   /** T7 — pack a token budget with the best-quality documents: order by
     * (quality desc, doc_id), keep docs while cumulative tokens ≤ budget.
@@ -63,23 +61,22 @@ object SamplingOps {
       .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
       .orderBy(col("quality_score").desc, col("doc_id"))
 
-  /** T7 at scale — the same greedy pack as a TWO-PHASE prefix sum (the
-    * standard distributed scan): range-partition by the pack order so
-    * partition p holds a contiguous slice, compute per-partition token
-    * totals (tiny: one row per partition, collected to the driver),
-    * broadcast each partition's starting offset back, and add it to a
-    * partition-local cumsum. No global single-reducer sort: the expensive
-    * ordering is a range exchange across all reducers, and the only
+  /** Distributed exact prefix sum of `n_tokens` in the total order given
+    * by `order` — the TWO-PHASE scan that replaces a single-reducer global
+    * window: range-partition by the order so partition p holds a
+    * contiguous slice, compute per-partition token totals (tiny: one row
+    * per partition, collected to the driver), broadcast each partition's
+    * starting offset back, and add it to a partition-local cumsum. The
+    * expensive ordering is a range exchange across all reducers; the only
     * driver-side data is #partitions longs. Same recipe as
-    * PipelineOps.descendingRangesScalable (U2). Output is row-identical
-    * to [[packToBudget]] (spec-asserted). */
-  def packToBudgetScalable(documents: DataFrame, budgetTokens: Long,
-      partitions: Int = 32): DataFrame = {
+    * PipelineOps.descendingRangesScalable (U2). */
+  private def twoPhaseCumTokens(scoredIn: DataFrame, order: Seq[Column],
+      partitions: Int)(body: DataFrame => DataFrame): DataFrame = {
     // `pid` must be BAKED INTO a column on the materialized range
     // partitions: spark_partition_id() re-evaluated after the window's own
     // hash exchange would name the post-shuffle partitions instead
-    val scored = withQualityAndTokens(documents)
-      .repartitionByRange(partitions, col("quality_score").desc, col("doc_id"))
+    val scored = scoredIn
+      .repartitionByRange(partitions, order: _*)
       .withColumn("pid", spark_partition_id())
       .persist()
     try {
@@ -91,16 +88,53 @@ object SamplingOps {
       }
       val startCol = element_at(
         array(starts.take(partitions).map(lit): _*), col("pid") + 1)
-      val local = Window.partitionBy(col("pid"))
-        .orderBy(col("quality_score").desc, col("doc_id"))
-      scored
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(
-          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + startCol)
-        .filter(col("cum_tokens") <= budgetTokens)
-        .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
-        .orderBy(col("quality_score").desc, col("doc_id"))
+      val local = Window.partitionBy(col("pid")).orderBy(order: _*)
+      body(scored.withColumn("cum_tokens", sum(col("n_tokens")).over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + startCol))
     } finally scored.unpersist(blocking = false)
   }
+
+  /** T7 at scale — the same greedy pack via [[twoPhaseCumTokens]]. Output
+    * is row-identical to [[packToBudget]] (spec-asserted). */
+  def packToBudgetScalable(documents: DataFrame, budgetTokens: Long,
+      partitions: Int = 32): DataFrame =
+    twoPhaseCumTokens(withQualityAndTokens(documents),
+      Seq(col("quality_score").desc, col("doc_id")), partitions) {
+      _.filter(col("cum_tokens") <= budgetTokens)
+        .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+    }
+
+  private def seqPackColumns(df: DataFrame, seqLen: Long): DataFrame =
+    df.withColumn("start_token", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_token") / seqLen).cast("long"))
+      .withColumn("seq_offset", col("start_token") % seqLen)
+      .select("doc_id", "n_tokens", "start_token", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+
+  /** T9 — sequence packing: concatenate documents in doc_id order and cut
+    * the token stream into fixed `seqLen` training sequences (the
+    * packed-pretraining layout: documents are split across sequence
+    * boundaries rather than padded). Emits each doc's global token offset
+    * and the sequence id / in-sequence offset where it starts — the index
+    * a loader needs to materialize any sequence. Single-window reference
+    * form; [[packSequencesScalable]] is the distributed prefix-sum form
+    * (row-identical, spec-asserted). */
+  def packSequences(documents: DataFrame, seqLen: Long): DataFrame =
+    seqPackColumns(
+      packWindow0(withQualityAndTokens(documents), Window.orderBy(col("doc_id"))),
+      seqLen)
+
+  /** T9 at scale via [[twoPhaseCumTokens]]. */
+  def packSequencesScalable(documents: DataFrame, seqLen: Long,
+      partitions: Int = 32): DataFrame =
+    twoPhaseCumTokens(withQualityAndTokens(documents),
+      Seq(col("doc_id")), partitions)(seqPackColumns(_, seqLen))
+
+  private def packWindow0(df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
   /** T8 — mixture under per-language token quotas (data mixing): within
     * each language, best-quality docs fill that language's quota. The

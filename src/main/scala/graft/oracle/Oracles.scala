@@ -674,6 +674,16 @@ c AS (SELECT doc_id, lang, n_tokens, quality_score, quota,
 SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
 FROM c WHERE cum_tokens <= quota ORDER BY lang, quality_score DESC, doc_id""",
 
+    "t9_seq_pack" -> s"""WITH $QualityCte,
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_token
+      FROM q)
+SELECT doc_id, n_tokens, start_token,
+       CAST(floor(start_token / 2048.0) AS BIGINT) AS seq_id,
+       start_token % 2048 AS seq_offset
+FROM c ORDER BY doc_id""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -115,6 +115,23 @@ class LlmSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dedup signature front is shuffle-free and fully codegen'd") {
+    // the 100-TB contract of d2/d5's candidate generation: shingling +
+    // minhash signing must plan as a narrow map (scan → project), with
+    // no exchange and no whole-stage-codegen fallback
+    val sigs = DedupOps.signaturesFromShingleArrays(DedupOps.shingleArrays(docs))
+    sigs.count()
+    val plan = sigs.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty, s"signature front must not shuffle:\n$plan")
+    val codegenSpans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, s"signature front fell out of codegen:\n$plan")
+  }
+
   test("codegen graft_shingles is bit-identical to the SQL formulation (incl. order)") {
     for (k <- Seq(2, 3, 5)) {
       def arrs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =

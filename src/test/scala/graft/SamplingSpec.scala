@@ -43,6 +43,24 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() > 0 && minKeptQ > 0.0)
   }
 
+  test("sequence pack tiles the token stream exactly: scalable ≡ window form") {
+    val simple = SamplingOps.packSequences(docs, 2048L).collect().toSeq
+    for (parts <- Seq(8, 64)) {
+      val scalable = SamplingOps.packSequencesScalable(docs, 2048L, parts).collect().toSeq
+      assert(scalable === simple, s"parts=$parts diverged")
+    }
+    // offsets tile with no gaps or overlaps: start = previous start + tokens
+    val rows = simple.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.sliding(2).foreach {
+      case Seq((_, n, s, _, _), (_, _, s2, _, _)) => assert(s2 === s + n)
+      case _ =>
+    }
+    rows.foreach { case (_, _, s, seqId, off) =>
+      assert(seqId === s / 2048 && off === s % 2048)
+    }
+    assert(rows.head._3 === 0L)
+  }
+
   test("language mix respects each quota and only includes whitelisted langs") {
     val quotas = Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L)
     val mix = SamplingOps.mixByQuota(docs, quotas).persist()

@@ -20,17 +20,24 @@ import graft.llm.DedupOps
   * whole lake.
   *
   * On-disk state (all parquet, one immutable dir per batch —
-  * `mode=overwrite` into a batchId-keyed dir makes replay of a failed
-  * microbatch idempotent, the same recipe as the DLQ sink):
+  * `mode=overwrite` into a (lineage, batchId)-keyed dir makes replay of a
+  * failed microbatch idempotent, the same recipe as the DLQ sink, while a
+  * NEW checkpoint lineage restarting batch numbering at 0 cannot clobber
+  * a previous lineage's admissions):
   * {{{
-  * indexDir/shingles/batch=<id>/   (doc_id, sh_arr)   Jaccard-verify side
-  * indexDir/bands/batch=<id>/      (doc_id, band, key) LSH candidate side
-  * outDir/kept/batch=<id>/         admitted documents (full rows)
-  * outDir/dups/batch=<id>/         (id_a, id_b, jaccard) rejection verdicts
+  * indexDir/shingles/batch=<lineage>-<id>/  (doc_id, sh_arr)   verify side
+  * indexDir/bands/batch=<lineage>-<id>/     (doc_id, band, key) LSH side
+  * outDir/kept/batch=<lineage>-<id>/        admitted documents (full rows)
+  * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * }}}
   * At deployment scale `bands/` is bucketed by (band, key) so the
   * per-batch candidate join shuffles only the increment, and `shingles/`
-  * by doc_id for the verify join; both then serve as ordinary tables. */
+  * by doc_id for the verify join; both then serve as ordinary tables.
+  * Small-file accumulation (one dir per microbatch) is the standard
+  * streaming-table concern with the standard answer: back the two sides
+  * with a real table format (Delta/Iceberg) whose OPTIMIZE/rewrite
+  * compaction runs out-of-band — the same swap seam as BucketStore's
+  * MERGE INTO note, leaving the admission logic untouched. */
 object DedupStream {
 
   private val ShingleSchema = StructType(Seq(
@@ -54,11 +61,22 @@ object DedupStream {
   def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/bands", BandSchema)
 
+  /** Lineage tag for idempotent per-batch dirs: batchIds restart from 0
+    * whenever a stream begins a NEW checkpoint, so a bare `batch=<id>` key
+    * would let a second lineage overwrite the first's admissions. Keyed by
+    * the checkpoint location, the tag is stable across restarts of the
+    * same stream (replay still overwrites its own dir idempotently) and
+    * distinct for a new lineage. */
+  private def lineageOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
   /** One microbatch: verdict, admit, append. Public so batch backfills can
     * reuse the exact streaming admission logic (parity with the reference's
     * backfill-runs-the-livescan-path design). */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      outDir: String, threshold: Double): Unit = {
+      outDir: String, threshold: Double, lineage: String = "batch"): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     val batchSh = DedupOps.shingleArrays(batch)
@@ -74,13 +92,14 @@ object DedupStream {
     val dupIds = pairs.select(col("id_b").as("doc_id")).distinct()
     val keptSh = batchSh.join(dupIds, Seq("doc_id"), "left_anti").persist()
     keptSh.count()
+    val key = s"batch=$lineage-$batchId"
     try {
-      pairs.write.mode("overwrite").parquet(s"$outDir/dups/batch=$batchId")
+      pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
       batch.join(dupIds, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$outDir/kept/batch=$batchId")
-      keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$outDir/kept/$key")
+      keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
-        .write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
     } finally {
       pairs.unpersist(blocking = false)
       keptSh.unpersist(blocking = false)
@@ -92,11 +111,13 @@ object DedupStream {
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,
-      checkpointDir: String, threshold: Double = 0.5): StreamingQuery =
+      checkpointDir: String, threshold: Double = 0.5): StreamingQuery = {
+    val lineage = lineageOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexDir, outDir, threshold)
+        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage)
       }
       .start()
+  }
 }

@@ -407,7 +407,8 @@ class StreamingSpec extends SparkSpec {
     val indexed = spark.read.parquet(s"$tmp/index/shingles")
       .select("doc_id").as[Long].collect().toSet
     assert(indexed === Set(1L, 2L, 4L))
-    // replaying the batch against the already-appended index is idempotent
+    // re-admitting the batch against the already-appended index (a replay,
+    // here under a foreign lineage tag) must not change the admitted truth
     graft.streaming.DedupStream.admitBatch(
       Seq((3L, base), (4L, third), (5L, third)).toDF("doc_id", "text"),
       1L, s"$tmp/index", s"$tmp/out", 0.5)
@@ -417,6 +418,22 @@ class StreamingSpec extends SparkSpec {
     val dupsAfter = spark.read.parquet(s"$tmp/out/dups")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(dupsAfter === Set((1L, 3L), (4L, 5L)))
+
+    // restart: a NEW query over the same checkpoint + index keeps
+    // deduping against everything admitted before the restart
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DedupStream.start(
+      stream2.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out", s"$tmp/ckpt2")
+    try {
+      stream2.addData((6L, other), (7L, "yet another brand new unique document text corpus entry"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val keptFinal = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFinal === Set(1L, 2L, 4L, 7L), "6 duplicates pre-restart doc 2")
+    val indexedFinal = spark.read.parquet(s"$tmp/index/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexedFinal === Set(1L, 2L, 4L, 7L))
   }
 
   test("windowed aggregation groups by event-time hour (W1 streaming)") {

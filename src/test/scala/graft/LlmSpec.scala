@@ -154,6 +154,36 @@ class LlmSpec extends SparkSpec {
       nonLit.getMessage.contains("graft_shingles"))
   }
 
+  test("incremental dedup equals the batch pipeline restricted to new-tail pairs (seeded)") {
+    import spark.implicits._
+    // random near-dup-rich corpus: small vocab → frequent true near-dups
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("data", "spark", "shuffle", "plan", "join", "scan", "agg")
+    def randText() = Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 25L).map(i => i -> randText())
+    // new tail: 25-34 duplicate corpus docs 0-9 (guaranteed candidates),
+    // 35 fresh, 36 duplicates 35 (within-tail pair), 37-39 fresh
+    val t35 = randText()
+    val tail = (25L to 34L).map(i => i -> base((i - 25).toInt)._2) ++
+      Seq(35L -> t35, 36L -> t35) ++
+      (37L to 39L).map(i => i -> randText())
+    val all = (base ++ tail).toDF("doc_id", "text")
+    val split = 25L
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchRestricted = pairs(DedupOps.minhashNearDups(all, 0.3))
+      .filter(_._2 >= split)
+    val corpusSh = DedupOps.shingleArrays(all.filter($"doc_id" < split))
+    val incremental = pairs(DedupOps.incrementalNearDups(
+      DedupOps.shingleArrays(all.filter($"doc_id" >= split)),
+      corpusSh,
+      DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(corpusSh)),
+      0.3))
+    assert(batchRestricted.nonEmpty, "fixture must produce near-dup pairs")
+    assert(incremental === batchRestricted)
+  }
+
   test("graft_minhash guards: negative perms rejected, null slots skipped") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

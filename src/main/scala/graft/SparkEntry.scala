@@ -277,6 +277,9 @@ object SparkEntry {
       DedupOps.simhashNearDups(documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDups(documents(s, d), 0.3)),
+    "d6_dedup_groups" -> ((s, d) =>
+      DedupOps.nearDupGroups(documents(s, d),
+        DedupOps.minhashNearDups(documents(s, d), 0.5))),
     "d5_incremental_dedup" -> ((s, d) => {
       // corpus = doc_id < 400, increment = the rest; the corpus side enters
       // only through its two maintained tables (band index + shingle

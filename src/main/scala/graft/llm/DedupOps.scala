@@ -352,6 +352,51 @@ object DedupOps {
     jaccardVerify(candidates, corpusOnly.unionByName(newSh), threshold)
   }
 
+  /** D6 — near-dup GROUP RESOLUTION: pairs are not yet a dedup decision.
+    * This turns a pair set (id_a < id_b) into connected components and
+    * elects the minimum doc_id of each component as its canonical
+    * representative — transitive closure, so a chain a≈b≈c collapses to
+    * one kept doc even when (a,c) itself never passed the threshold.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every doc
+    * takes the min of its own label and its neighbors' labels (one join +
+    * one map-side-combined min aggregation per round; labels persisted per
+    * round, previous round released). Converges in O(component diameter)
+    * rounds; near-dup components are short chains in practice (diameter ≫
+    * 10 would mean a semantic-drift chain a≈…≈z of pairwise-similar but
+    * transitively unrelated docs). This is the standard large-scale
+    * connected-components shape (Hash-to-Min, Vassilvitskii et al.); at
+    * 100 TB each round shuffles (doc, label) longs only — never text.
+    *
+    * Returns (doc_id, group_id, keep) for every document in `allDocs`;
+    * docs in no pair are their own singleton group (keep = true). */
+  def nearDupGroups(allDocs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = tracked(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = tracked(allDocs.select(col("doc_id"), col("doc_id").as("label")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = tracked(
+        labels.unionByName(viaNeighbors)
+          .groupBy("doc_id").agg(min("label").as("label")))
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"nearDupGroups did not converge in $maxRounds rounds")
+    labels
+      .select(col("doc_id"), col("label").as("group_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The built-in-functions formulation of the same signature (explode
     * distinct words → per-bit ±1 conditional sums → sign-pack) — kept as
     * the portability reference [[simhash]] is parity-verified against

@@ -508,6 +508,35 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
          FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
 ${jaccardTail(0.5)}""",
 
+    // d6 = connected components over d2's pair set (recursive reachability
+    // CTE), min doc_id elected as each component's canonical keeper;
+    // unpaired docs are their own singleton
+    "d6_dedup_groups" -> s"""WITH RECURSIVE $ShingleCtes,
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM $Docs
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
+FROM reach GROUP BY id ORDER BY doc_id""",
+
     // d5 = d2's pair set restricted to pairs whose LATER member is in the
     // increment (doc_id >= 400): the Spark side generates candidates from
     // the corpus band INDEX + the increment's self-join, which covers

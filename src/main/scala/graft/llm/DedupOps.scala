@@ -321,10 +321,13 @@ object DedupOps {
     * increment's bands). Per-increment cost is O(increment + matches),
     * independent of corpus size.
     *
-    * Returns (id_a, id_b, jaccard) with id_b in the increment and
-    * id_a < id_b from corpus or increment — exactly d2's pair set
-    * restricted to pairs whose later member is new (the oracle mirrors
-    * this as the d2 SQL + `id_b > split`). */
+    * Returns (id_a, id_b, jaccard) with id_b ALWAYS in the increment and
+    * id_a its keeper from corpus or increment — for a corpus-vs-new pair
+    * id_a is the corpus member whatever the numeric order (streaming ids
+    * are not monotone); within the increment the lower id keeps. When
+    * corpus ids sort below increment ids (as in the d5 fixture) this is
+    * exactly d2's pair set restricted to pairs whose later member is new
+    * (the oracle mirrors this as the d2 SQL + `id_b > split`). */
   def incrementalNearDups(newShingles: DataFrame, corpusShingles: DataFrame,
       corpusIndex: DataFrame, threshold: Double = 0.5,
       numPerms: Int = 32, bands: Int = 8): DataFrame = {
@@ -332,15 +335,31 @@ object DedupOps {
     val newBands = tracked(
       bandIndex(signaturesFromShingleArrays(newSh, numPerms), numPerms, bands))
     val newSide = newBands.select(col("band"), col("key"), col("doc_id").as("id_b"))
+    // Corpus-vs-new pairs are kept REGARDLESS of id order (the corpus
+    // member is the keeper id_a, the new member id_b): streaming ingest
+    // does not guarantee monotone doc_ids, and an `id_a < id_b` filter
+    // here would silently admit any new doc whose id sorts below its
+    // corpus near-duplicate. Only the identity pair of a replayed,
+    // already-admitted doc (same id on both sides) is dropped.
     val vsCorpus = corpusIndex
       .select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(newSide, Seq("band", "key"))
+      .filter(col("id_a") =!= col("id_b"))
+    // Within the increment the lower id is the keeper, as in d2.
     val vsBatch = newBands.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(newSide, Seq("band", "key"))
-    val candidates = vsCorpus.unionByName(vsBatch)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // Normalize per UNORDERED pair (a replayed doc can surface the same
+    // pair via both routes with swapped roles); corpus orientation (pri 0)
+    // wins so id_b is always the new member — the admission loop rejects
+    // id_b. Same single shuffle as the previous `distinct()`.
+    val candidates = vsCorpus.select(col("id_a"), col("id_b"), lit(0).as("pri"))
+      .unionByName(vsBatch.select(col("id_a"), col("id_b"), lit(1).as("pri")))
+      .groupBy(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .agg(min_by(struct(col("id_a"), col("id_b")),
+        struct(col("pri"), col("id_a"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     // A replayed increment whose previous attempt was already admitted
     // appears on BOTH sides; duplicated shingle rows would inflate the
     // verify intersection (n_inter > n_a, a zero/negative Jaccard
@@ -358,39 +377,82 @@ object DedupOps {
     * representative — transitive closure, so a chain a≈b≈c collapses to
     * one kept doc even when (a,c) itself never passed the threshold.
     *
-    * Algorithm: min-label propagation to fixpoint — each round every doc
-    * takes the min of its own label and its neighbors' labels (one join +
-    * one map-side-combined min aggregation per round; labels persisted per
-    * round, previous round released). Converges in O(component diameter)
-    * rounds; near-dup components are short chains in practice (diameter ≫
-    * 10 would mean a semantic-drift chain a≈…≈z of pairwise-similar but
-    * transitively unrelated docs). This is the standard large-scale
-    * connected-components shape (Hash-to-Min, Vassilvitskii et al.); at
-    * 100 TB each round shuffles (doc, label) longs only — never text.
+    * Algorithm: min-label propagation WITH POINTER DOUBLING — each round
+    * every doc takes the min over (its own label, its neighbors' labels,
+    * its label's label). The neighbor term alone converges in O(component
+    * diameter) rounds; the pointer-jump term (adopt the label of the doc
+    * you currently point at — sound because that doc's label is in the
+    * same component, monotone because labels only decrease) doubles the
+    * reach per round, so convergence is O(log diameter) — the
+    * large-star/pointer-jumping acceleration from the Hash-to-Min /
+    * large-star-small-star literature (Vassilvitskii et al.). maxRounds =
+    * 20 therefore covers components of diameter ~2^20; if an adversarial
+    * corpus still hasn't converged the result is EMITTED, not aborted
+    * (degrade-don't-destroy): every doc's group_id is already a genuine
+    * member of its component — merely possibly not yet the global min, so
+    * one component may elect more than one keeper — and a warning names
+    * the residual. At 100 TB each round shuffles (doc, label) longs only —
+    * never text — and exactly one label frame stays persisted between
+    * rounds (the previous round is unpersisted as soon as the next is
+    * materialized).
     *
     * Returns (doc_id, group_id, keep) for every document in `allDocs`;
     * docs in no pair are their own singleton group (keep = true). */
   def nearDupGroups(allDocs: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, reliableCheckpoints: Boolean = false): DataFrame = {
     val edges = tracked(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = tracked(allDocs.select(col("doc_id"), col("doc_id").as("label")))
+    // Each round's frame has its LOGICAL PLAN TRUNCATED, not merely
+    // persisted: round r's plan references round r-1 three times (union +
+    // neighbor join + pointer self-join), so without truncation the plan
+    // grows ~4× per round — Catalyst re-analysis and plan stringification
+    // go quadratic-to-OOM long before the data does (the standard
+    // iterative-algorithm hazard; GraphFrames CC checkpoints for the same
+    // reason). The default re-wraps the round's RDD in a fresh one-node
+    // plan and persists it through the cache manager — eager (like
+    // checkpoint), no disk round-trip, and unpersist() actually frees it
+    // (localCheckpoint caches at the RDD layer where Dataset.unpersist
+    // cannot reach). A long multi-hour cluster run passes
+    // reliableCheckpoints=true (requires spark.sparkContext
+    // .setCheckpointDir) so an executor loss replays from the checkpoint
+    // instead of recomputing the round chain.
+    def snap(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint()
+      else {
+        val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+        out.count()
+        out
+      }
+    var labels = snap(allDocs.select(col("doc_id"), col("doc_id").as("label")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
-      val next = tracked(
-        labels.unionByName(viaNeighbors)
+      // pointer doubling: doc -> label -> that doc's own (smaller) label
+      val viaPointer = labels.select(col("doc_id"), col("label").as("ptr"))
+        .join(labels.select(col("doc_id").as("ptr"), col("label")), "ptr")
+        .select(col("doc_id"), col("label"))
+      // eager checkpoint materializes `next` while the previous round is
+      // still available; only then is the old frame released — ≤ 1 label
+      // frame persisted between rounds, 2 transiently during it.
+      val next = snap(
+        labels.unionByName(viaNeighbors).unionByName(viaPointer)
           .groupBy("doc_id").agg(min("label").as("label")))
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") < col("old")).count()
+      labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
-    require(changed == 0, s"nearDupGroups did not converge in $maxRounds rounds")
+    if (changed != 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupGroups: $changed labels still moving after $maxRounds rounds " +
+          "(component diameter > 2^maxRounds); emitting the current refinement")
+    // survives until the caller's releaseCaches(), like every tracked frame
+    trackedPersists.synchronized { trackedPersists += labels }
     labels
       .select(col("doc_id"), col("label").as("group_id"),
         (col("doc_id") === col("label")).as("keep"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -47,19 +46,30 @@ object DedupStream {
     StructField("key", StringType)))
 
   /** Read one side of the corpus index; an absent dir (first batch ever)
-    * is an empty corpus, not an error. The `batch=` partition column that
-    * directory discovery adds is dropped — consumers key on doc_id. */
-  private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    if (Files.exists(Paths.get(dir)))
-      spark.read.schema(schema).parquet(dir).select(schema.fieldNames.map(col): _*)
+    * is an empty corpus, not an error. The probe goes through the Hadoop
+    * FileSystem resolved from the session's hadoopConfiguration — a
+    * java.nio check would answer false for an HDFS/S3 indexDir and
+    * silently disable dedup on exactly the deployments this operator is
+    * for. The `batch=` partition dir is surfaced as a column so callers
+    * can exclude a replayed batch's own previous append; public readers
+    * drop it. */
+  private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withBatch = schema.add(StructField("batch", StringType))
+    if (fs.exists(path))
+      spark.read.schema(withBatch).parquet(dir)
+        .select(withBatch.fieldNames.map(col): _*)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
+  }
 
   def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/shingles", ShingleSchema)
+    readSide(spark, s"$indexDir/shingles", ShingleSchema).drop("batch")
 
   def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/bands", BandSchema)
+    readSide(spark, s"$indexDir/bands", BandSchema).drop("batch")
 
   /** Lineage tag for idempotent per-batch dirs: batchIds restart from 0
     * whenever a stream begins a NEW checkpoint, so a bare `batch=<id>` key
@@ -85,17 +95,33 @@ object DedupStream {
       threshold).persist()
     // Force the verdicts NOW: `pairs` lazily reads the index dirs this
     // batch is about to append to — materializing before any write keeps
-    // the read set consistent (and makes a replayed batch, whose previous
-    // attempt already appended, see its own docs only via the harmless
-    // id_a == id_b self-pairs that the strict < filter drops).
+    // the read set consistent (a replayed batch, whose previous attempt
+    // already appended, sees its own docs only via identity pairs, which
+    // incrementalNearDups drops).
     pairs.count()
-    val dupIds = pairs.select(col("id_b").as("doc_id")).distinct()
-    val keptSh = batchSh.join(dupIds, Seq("doc_id"), "left_anti").persist()
-    keptSh.count()
     val key = s"batch=$lineage-$batchId"
+    // A doc_id already admitted by a PREVIOUS batch must never be indexed
+    // (or kept) a second time: a re-ingest under a different lineage is
+    // not rejected by the pair verdict (its only match is its own identity
+    // pair), and a double-indexed doc corrupts future Jaccard verification
+    // (duplicated shingle rows double-count n_inter). The batch's OWN dir
+    // is excluded from the probe — partition pruning skips every other dir
+    // — so a same-lineage replay still rewrites itself idempotently.
+    // Probe = corpus ids ∩ batch ids via a broadcast semi-join on the
+    // (small) batch id set — the corpus side contributes a one-column scan,
+    // never a shuffle, and at deployment the doc_id-bucketed shingle table
+    // prunes to the buckets the batch ids hash into.
+    val priorIds = readSide(spark, s"$indexDir/shingles", ShingleSchema)
+      .filter(col("batch") =!= key.stripPrefix("batch="))
+      .select("doc_id")
+      .join(broadcast(batchSh.select("doc_id")), Seq("doc_id"), "left_semi")
+    val dupIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    val rejected = dupIds.unionByName(priorIds).distinct()
+    val keptSh = batchSh.join(rejected, Seq("doc_id"), "left_anti").persist()
+    keptSh.count()
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
-      batch.join(dupIds, Seq("doc_id"), "left_anti")
+      batch.join(rejected, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/kept/$key")
       keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))

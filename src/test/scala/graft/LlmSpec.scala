@@ -257,4 +257,63 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(all.size === 11)
   }
+
+  test("group resolution converges on a diameter-25 chain and releases per-round caches (d6)") {
+    import spark.implicits._
+    // a≈b≈c chain of 26 docs: plain min-label propagation needs 25 rounds
+    // (> maxRounds=20 — the round-6 form ABORTED here); pointer doubling
+    // converges in O(log 25) ≈ 6
+    val chainDocs = (0L to 25L).map(Tuple1(_)).toDF("doc_id")
+    val chainPairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val res = DedupOps.nearDupGroups(chainDocs, chainPairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(res.length === 26)
+    assert(res.forall(_._2 === 0L), "every chain member joins doc 0's group")
+    assert(res.count(_._3) === 1, "exactly one keeper")
+    // cache hygiene: every intermediate round's label frame was unpersisted
+    // as soon as the next materialized — only the edges frame and the final
+    // labels remain until releaseCaches
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"label frames accumulated: $before persisted RDDs before, $after after")
+    DedupOps.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
+  test("group resolution matches driver-side union-find on random graphs (d6 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical group = min member id; path roots here ARE mins because
+      // unions always point the larger root at the smaller
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(0, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es.collect { case (a, b) if a != b => (a.toLong, b.toLong) })
+    val prop = Prop.forAll(gen) { case (n, edges) =>
+      val docsDf = (0L until n.toLong).map(Tuple1(_)).toDF("doc_id")
+      val pairsDf = spark.createDataFrame(edges).toDF("id_a", "id_b")
+      val got =
+        try DedupOps.nearDupGroups(docsDf, pairsDf)
+          .as[(Long, Long, Boolean)].collect()
+        finally DedupOps.releaseCaches()
+      val want = unionFind(n, edges)
+      got.forall { case (doc, group, keep) =>
+        want(doc) == group && keep == (doc == group)
+      } && got.length == n
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

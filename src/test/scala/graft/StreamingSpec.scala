@@ -418,6 +418,15 @@ class StreamingSpec extends SparkSpec {
     val dupsAfter = spark.read.parquet(s"$tmp/out/dups")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(dupsAfter === Set((1L, 3L), (4L, 5L)))
+    // …and the replay must not have double-indexed doc 4 under the foreign
+    // lineage's dir: duplicated shingle rows would double-count n_inter in
+    // every future batch's Jaccard verification
+    val shPerDoc = spark.read.parquet(s"$tmp/index/shingles")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(shPerDoc === 0, "doc indexed twice in shingles side")
+    val bandsPerDoc = spark.read.parquet(s"$tmp/index/bands")
+      .groupBy("doc_id", "band").count().filter(col("count") > 1).count()
+    assert(bandsPerDoc === 0, "doc indexed twice in bands side")
 
     // restart: a NEW query over the same checkpoint + index keeps
     // deduping against everything admitted before the restart
@@ -434,6 +443,31 @@ class StreamingSpec extends SparkSpec {
     val indexedFinal = spark.read.parquet(s"$tmp/index/shingles")
       .select("doc_id").as[Long].collect().toSet
     assert(indexedFinal === Set(1L, 2L, 4L, 7L))
+  }
+
+  test("a new doc with a LOWER id than its corpus near-dup is rejected (D5 non-monotone ids)") {
+    // Streaming ingest does not guarantee monotone doc_ids (late arrivals,
+    // multi-source ids). Round 6 filtered candidates on id_a < id_b, so a
+    // new doc sorting BELOW its corpus twin produced no pair and slipped in.
+    val tmp = Files.createTempDirectory("graft_dedup_order").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    graft.streaming.DedupStream.admitBatch(
+      Seq((50L, base)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // doc 10 duplicates corpus doc 50 (10 < 50); doc 60 is unique
+    graft.streaming.DedupStream.admitBatch(
+      Seq((10L, base), (60L, other)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l2")
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(50L, 60L), "doc 10 must be rejected despite its lower id")
+    val dups = spark.read.parquet(s"$tmp/out/dups")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups === Set((50L, 10L)), "corpus member is the keeper id_a")
+    val indexed = spark.read.parquet(s"$tmp/index/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed === Set(50L, 60L))
   }
 
   test("windowed aggregation groups by event-time hour (W1 streaming)") {

@@ -459,6 +459,90 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** D7 — INCREMENTAL group maintenance (d6 ∘ d5): fold an increment's
+    * near-dup pairs into an EXISTING (doc_id, group_id) assignment without
+    * recomputing connected components over the corpus. The observation
+    * that makes this cheap: new pairs can only MERGE existing components
+    * (or attach new docs) — they never split one — so it suffices to run
+    * label propagation on the SUPER-NODE graph whose vertices are the
+    * touched old group ids plus the new doc ids, and whose edges are the
+    * increment's pairs with each corpus endpoint replaced by its group id.
+    * That graph is O(increment), not O(corpus): at 100 TB the corpus
+    * enters only through (a) the endpoint→group lookup join (new pairs
+    * against the doc_id-bucketed assignment table — shuffles only the
+    * pairs) and (b) the final relabel, a broadcast of the (tiny) changed
+    * group remap against the assignment table — a narrow map, no shuffle.
+    *
+    * Because an old group id IS the min doc_id of its members, the merged
+    * super-component's min label equals the true min over all underlying
+    * docs — the result is EXACTLY what d6 would produce over
+    * corpus ∪ increment (the d7 oracle runs d6's recursive CTE over the
+    * full document set to pin this). Requires corpus and increment doc_ids
+    * to be disjoint (the admission pipeline guarantees it — an already-
+    * admitted id is never re-admitted).
+    *
+    * [[incrementalGroupDelta]] returns only the CHANGED rows (remapped
+    * corpus docs + new docs) — the upsert batch a maintained assignment
+    * store merges; [[incrementalGroups]] returns the full post-increment
+    * view in d6's (doc_id, group_id, keep) shape. */
+  def incrementalGroups(corpusGroups: DataFrame, newPairs: DataFrame,
+      newDocIds: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val (remap, assign) = superNodeResolve(corpusGroups, newPairs, newDocIds, maxRounds)
+    corpusGroups.select("doc_id", "group_id")
+      .join(broadcast(remap), Seq("group_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_group"), col("group_id")).as("group_id"))
+      .unionByName(assign)
+      .select(col("doc_id"), col("group_id"),
+        (col("doc_id") === col("group_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The changed-rows-only form of [[incrementalGroups]]: corpus docs
+    * whose group id moved (their old component merged with a smaller one)
+    * plus the increment's assignments. Size O(touched components +
+    * increment); a deployment MERGEs this into the bucketed assignment
+    * table so untouched groups' rows are never rewritten. */
+  def incrementalGroupDelta(corpusGroups: DataFrame, newPairs: DataFrame,
+      newDocIds: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val (remap, assign) = superNodeResolve(corpusGroups, newPairs, newDocIds, maxRounds)
+    corpusGroups.select("doc_id", "group_id")
+      .join(broadcast(remap), Seq("group_id"))
+      .select(col("doc_id"), col("new_group").as("group_id"))
+      .unionByName(assign)
+  }
+
+  /** Shared core: label-propagate the super-node graph; returns
+    * (remap: old group_id → new_group for groups that CHANGED,
+    *  assign: (doc_id, group_id) for every new doc). Both are
+    * increment-sized. */
+  private def superNodeResolve(corpusGroups: DataFrame, newPairs: DataFrame,
+      newDocIds: DataFrame, maxRounds: Int): (DataFrame, DataFrame) = {
+    val g = corpusGroups.select("doc_id", "group_id")
+    // lift each pair endpoint to its super-node: corpus doc → its group id,
+    // new doc → itself (left joins miss exactly the new endpoints)
+    val superEdges = newPairs.select("id_a", "id_b")
+      .join(g.select(col("doc_id").as("id_a"), col("group_id").as("ga")), Seq("id_a"), "left")
+      .join(g.select(col("doc_id").as("id_b"), col("group_id").as("gb")), Seq("id_b"), "left")
+      .select(coalesce(col("ga"), col("id_a")).as("id_a"),
+        coalesce(col("gb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val nodes = tracked(
+      superEdges.select(col("id_a").as("doc_id"))
+        .unionByName(superEdges.select(col("id_b").as("doc_id")))
+        .unionByName(newDocIds.select(col("doc_id")))
+        .distinct())
+    val cc = nearDupGroups(nodes, superEdges, maxRounds)
+      .select(col("doc_id").as("node"), col("group_id").as("new_group"))
+    val remap = cc
+      .join(g.select(col("group_id").as("node")).distinct(), Seq("node"))
+      .filter(col("node") =!= col("new_group"))
+      .select(col("node").as("group_id"), col("new_group"))
+    val assign = cc
+      .join(newDocIds.select(col("doc_id").as("node")), Seq("node"))
+      .select(col("node").as("doc_id"), col("new_group").as("group_id"))
+    (remap, assign)
+  }
+
   /** The built-in-functions formulation of the same signature (explode
     * distinct words → per-bit ±1 conditional sums → sign-pack) — kept as
     * the portability reference [[simhash]] is parity-verified against

@@ -71,8 +71,26 @@ object PipelineOps {
       .withColumn("n_name",
         when(col("deletion") || itemPoisoned, lit(null).cast("string"))
           .otherwise(col("n_name")))
+      .withColumn("retry_waves",
+        when(col("fetch_status") === "dead_letter", 2L)
+          .when(col("fetch_status") === "item_retry_ok", 1L)
+          .otherwise(0L))
+      // The reference's rate-limit schedule (macros/src/lib.rs:75-79):
+      // failure f backs off min(2^f × 250 ms, 10 s) before the next rung.
+      // backoff_ms is the cumulative sleep an item's serving rung paid:
+      // batch_ok/skipped = 0, item_retry_ok = 250, dead_letter = 750
+      // (250 + 500). Provider ROTATION itself stays config, not an
+      // operator (SURVEY §2.1): Spark task retry + this ladder carry the
+      // semantics; the schedule is what was left unmodeled.
+      .withColumn("backoff_ms", element_at(
+        array(backoffSchedule.map(lit): _*), col("retry_waves").cast("int") + 1))
       .drop("__bk", "__fb")
   }
+
+  /** backoffSchedule(w) = Σ_{f<w} min(2^f × 250 ms, 10 s) — cumulative
+    * sleep before wave w is served, straight from the reference macro. */
+  private[graft] val backoffSchedule: Seq[Long] =
+    (0 to 7).scanLeft(0L)((acc, f) => acc + math.min((1L << f) * 250L, 10000L))
 
   /** P9 — deletion short-circuit: deletions bypass the (expensive)
     * enrichment fetch (main/src/etl.rs:1152-1154). Filter-split + union

@@ -226,6 +226,9 @@ WHERE rank <= $k ORDER BY query_id, rank"""
          JOIN nation n ON k.user_id % 25 = n.n_nationkey
          WHERE k.cp < 20 ORDER BY k.version"""),
 
+    // retry_waves / backoff_ms mirror the reference's min(2^f·250ms, 10s)
+    // rate-limit schedule: dead_letter paid waves 0+1 (250+500=750ms),
+    // item_retry_ok wave 0 (250ms), batch_ok/skipped none
     "j3b_enrich_fallback" -> withModel(
       """SELECT k._id, k.version,
                 CASE WHEN k.deletion OR k.version % 97 = 13 THEN NULL ELSE n.n_name END AS n_name,
@@ -234,7 +237,19 @@ WHERE rank <= $k ORDER BY query_id, rank"""
                      WHEN CAST(floor(k.version / 50) AS BIGINT) IN (
                        SELECT CAST(floor(version / 50) AS BIGINT) FROM kept
                        WHERE version % 97 = 13 AND cp < 20) THEN 'item_retry_ok'
-                     ELSE 'batch_ok' END AS fetch_status
+                     ELSE 'batch_ok' END AS fetch_status,
+                CAST(CASE WHEN k.deletion THEN 0
+                     WHEN k.version % 97 = 13 THEN 2
+                     WHEN CAST(floor(k.version / 50) AS BIGINT) IN (
+                       SELECT CAST(floor(version / 50) AS BIGINT) FROM kept
+                       WHERE version % 97 = 13 AND cp < 20) THEN 1
+                     ELSE 0 END AS BIGINT) AS retry_waves,
+                CAST(CASE WHEN k.deletion THEN 0
+                     WHEN k.version % 97 = 13 THEN 750
+                     WHEN CAST(floor(k.version / 50) AS BIGINT) IN (
+                       SELECT CAST(floor(version / 50) AS BIGINT) FROM kept
+                       WHERE version % 97 = 13 AND cp < 20) THEN 250
+                     ELSE 0 END AS BIGINT) AS backoff_ms
          FROM kept k LEFT JOIN nation n ON k.user_id % 25 = n.n_nationkey
          WHERE k.cp < 20 ORDER BY k.version"""),
 
@@ -510,7 +525,37 @@ ${jaccardTail(0.5)}""",
 
     // d6 = connected components over d2's pair set (recursive reachability
     // CTE), min doc_id elected as each component's canonical keeper;
-    // unpaired docs are their own singleton
+    // unpaired docs are their own singleton.
+    // d7 (incremental group maintenance) must land on the SAME final
+    // assignment — its oracle is this identical CTE over the full corpus,
+    // while the engine folds only the increment's pairs into a maintained
+    // corpus assignment: two different algorithms required to agree.
+    "d7_incremental_groups" -> s"""WITH RECURSIVE $ShingleCtes,
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM $Docs
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
+FROM reach GROUP BY id ORDER BY doc_id""",
+
     "d6_dedup_groups" -> s"""WITH RECURSIVE $ShingleCtes,
 sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
 banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
@@ -691,6 +736,15 @@ c AS (SELECT doc_id, lang, n_tokens, quality_score,
       FROM q)
 SELECT * FROM c WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
+    // t7b = the distributed two-phase prefix-sum form; same semantics,
+    // same oracle — the scale path carries its own green row
+    "t7b_budget_pack_scalable" -> s"""WITH $QualityCte,
+c AS (SELECT doc_id, lang, n_tokens, quality_score,
+             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT * FROM c WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
+
     "t8_lang_mix" -> s"""WITH $QualityCte,
 quotas AS (SELECT doc_id, lang, n_tokens, quality_score,
                   CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000
@@ -704,6 +758,17 @@ SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
 FROM c WHERE cum_tokens <= quota ORDER BY lang, quality_score DESC, doc_id""",
 
     "t9_seq_pack" -> s"""WITH $QualityCte,
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_token
+      FROM q)
+SELECT doc_id, n_tokens, start_token,
+       CAST(floor(start_token / 2048.0) AS BIGINT) AS seq_id,
+       start_token % 2048 AS seq_offset
+FROM c ORDER BY doc_id""",
+
+    // t9b = two-phase prefix-sum twin of t9 (same recipe as t7b)
+    "t9b_seq_pack_scalable" -> s"""WITH $QualityCte,
 c AS (SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_token

@@ -53,9 +53,21 @@ object BucketStore {
   /** Local-test default; production sizes B so a bucket ≈ 100–500 MB. */
   val DefaultBuckets = 32
 
-  /** Bucket of an _id: non-negative Murmur3 mod B. Deterministic for a
+  /** Bucket of a key: non-negative Murmur3 mod B. Deterministic for a
     * given Spark lineage; B is pinned per store in its manifest header. */
-  private def bucketCol(b: Int) = pmod(hash(col("_id")), lit(b)).cast("int")
+  private def bucketCol(key: String, b: Int) = pmod(hash(col(key)), lit(b)).cast("int")
+
+  /** Default combine: the objects store's latest-wins MERGE. Stores with
+    * other key/merge semantics (e.g. DedupStream's group assignments,
+    * where the batch row simply supersedes by doc_id) pass their own. */
+  private val latestWinsCombine: (DataFrame, DataFrame) => DataFrame =
+    (cur, batch) => ObjectsModel.latestWins(cur.unionByName(batch))
+
+  /** Upsert combine for stores whose batch rows carry the full new truth
+    * for their key: batch wins, untouched current rows carry over. */
+  def upsertCombine(key: String): (DataFrame, DataFrame) => DataFrame =
+    (cur, batch) =>
+      batch.unionByName(cur.join(batch.select(key), Seq(key), "left_anti"))
 
   final case class Manifest(n: Long, buckets: Int, entries: Map[Int, String])
 
@@ -102,38 +114,39 @@ object BucketStore {
     * as the generation protocol it replaces): callers are the microbatch
     * loop and maintenance-window replay, never concurrent. */
   def merge(spark: SparkSession, storeDir: String, batch: DataFrame,
-      numBuckets: Int = DefaultBuckets): Unit = {
+      numBuckets: Int = DefaultBuckets, key: String = "_id",
+      combine: (DataFrame, DataFrame) => DataFrame = latestWinsCombine): Unit = {
     Files.createDirectories(Paths.get(storeDir))
     currentPointer(storeDir) match {
       case Some(m) if m.startsWith("manifest-") =>
-        mergeIncremental(spark, storeDir, batch, readManifest(storeDir, m))
+        mergeIncremental(spark, storeDir, batch, readManifest(storeDir, m), key, combine)
       case Some(gen) => // one-time migration from the generation layout
-        rewriteAll(spark, storeDir, spark.read.parquet(s"$storeDir/$gen"), batch, numBuckets, 0L)
+        rewriteAll(spark, storeDir, spark.read.parquet(s"$storeDir/$gen"), batch, numBuckets, 0L, key, combine)
       case None if legacyFlat(storeDir) => // one-time migration from flat parquet
-        rewriteAll(spark, storeDir, spark.read.parquet(storeDir), batch, numBuckets, 0L)
+        rewriteAll(spark, storeDir, spark.read.parquet(storeDir), batch, numBuckets, 0L, key, combine)
       case None => // store creation
-        rewriteAll(spark, storeDir, batch.limit(0), batch, numBuckets, 0L)
+        rewriteAll(spark, storeDir, batch.limit(0), batch, numBuckets, 0L, key, combine)
     }
   }
 
   private def mergeIncremental(spark: SparkSession, storeDir: String,
-      batch: DataFrame, man: Manifest): Unit = {
+      batch: DataFrame, man: Manifest, key: String,
+      combine: (DataFrame, DataFrame) => DataFrame): Unit = {
     // Touched-bucket ids: ≤ B ints — a bytes-sized plan parameter, same
     // class as the skip-list and centroid collects elsewhere in the repo.
-    val touched = batch.select(bucketCol(man.buckets).as("_b"))
+    val touched = batch.select(bucketCol(key, man.buckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return // empty batch: the store is already correct
     val curPaths = touched.toSeq.sorted.flatMap(man.entries.get).map(p => s"$storeDir/$p")
     val cur = if (curPaths.nonEmpty) spark.read.parquet(curPaths: _*) else batch.limit(0)
-    val merged = ObjectsModel.latestWins(cur.unionByName(batch))
-    writeAndFlip(spark, storeDir, merged, man.buckets, man.n + 1, man.entries)
+    writeAndFlip(spark, storeDir, combine(cur, batch), man.buckets, man.n + 1,
+      man.entries, key)
   }
 
   private def rewriteAll(spark: SparkSession, storeDir: String, cur: DataFrame,
-      batch: DataFrame, numBuckets: Int, n: Long): Unit = {
-    val merged = ObjectsModel.latestWins(cur.unionByName(batch))
-    writeAndFlip(spark, storeDir, merged, numBuckets, n, Map.empty)
-  }
+      batch: DataFrame, numBuckets: Int, n: Long, key: String,
+      combine: (DataFrame, DataFrame) => DataFrame): Unit =
+    writeAndFlip(spark, storeDir, combine(cur, batch), numBuckets, n, Map.empty, key)
 
   /** Write merged rows as `delta-<n>/_b=<k>`, publish `manifest-<n>`
     * (touched buckets → the new delta; the rest carried over), flip
@@ -141,10 +154,10 @@ object BucketStore {
     * per merge; partitionBy strips `_b` from the data files so the stored
     * schema stays exactly the change-row schema. */
   private def writeAndFlip(spark: SparkSession, storeDir: String, merged: DataFrame,
-      buckets: Int, n: Long, carried: Map[Int, String]): Unit = {
+      buckets: Int, n: Long, carried: Map[Int, String], key: String = "_id"): Unit = {
     import scala.jdk.CollectionConverters._
     val deltaName = s"delta-$n"
-    merged.withColumn("_b", bucketCol(buckets))
+    merged.withColumn("_b", bucketCol(key, buckets))
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b")
       .parquet(s"$storeDir/$deltaName")

@@ -26,6 +26,10 @@ import graft.llm.DedupOps
   * {{{
   * indexDir/shingles/batch=<lineage>-<id>/  (doc_id, sh_arr)   verify side
   * indexDir/bands/batch=<lineage>-<id>/     (doc_id, band, key) LSH side
+  * indexDir/groups/                         (doc_id, group_id) assignment
+  *                                          — a BucketStore (manifest +
+  *                                          CURRENT flip), upserted per
+  *                                          batch via incrementalGroupDelta
   * outDir/kept/batch=<lineage>-<id>/        admitted documents (full rows)
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * }}}
@@ -56,13 +60,20 @@ object DedupStream {
   private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir.old")
     val withBatch = schema.add(StructField("batch", StringType))
-    if (fs.exists(path))
-      spark.read.schema(withBatch).parquet(dir)
-        .select(withBatch.fieldNames.map(col): _*)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
+    // `.old` fallback: a crash inside compact()'s rename pair leaves the
+    // (complete) previous tree under `.old` — never read an empty corpus
+    val readable = if (fs.exists(path)) Some(dir)
+      else if (fs.exists(old)) Some(s"$dir.old") else None
+    readable match {
+      case Some(d) =>
+        spark.read.schema(withBatch).parquet(d)
+          .select(withBatch.fieldNames.map(col): _*)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
+    }
   }
 
   def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
@@ -70,6 +81,20 @@ object DedupStream {
 
   def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/bands", BandSchema).drop("batch")
+
+  private val GroupSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("group_id", LongType)))
+
+  /** The maintained (doc_id, group_id) assignment over every doc ever
+    * ingested — admitted AND rejected (a rejected doc belongs to its
+    * keeper's component; admission status lives in kept/, not here).
+    * group_id is the component's min doc_id, exactly d6's election. */
+  def corpusGroups(spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = s"$indexDir/groups"
+    if (BucketStore.exists(dir)) BucketStore.read(spark, dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GroupSchema)
+  }
 
   /** Lineage tag for idempotent per-batch dirs: batchIds restart from 0
     * whenever a stream begins a NEW checkpoint, so a bare `batch=<id>` key
@@ -126,6 +151,25 @@ object DedupStream {
       keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
         .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
+      // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
+      // maintained (doc_id, group_id) assignment. The delta is O(batch +
+      // touched components); BucketStore's manifest flip rewrites only the
+      // buckets holding moved rows — untouched groups stay byte-identical.
+      // Runs LAST so a crash replays the whole admission idempotently: a
+      // doc already assigned is excluded from newIds, and re-merging an
+      // identical delta is a no-op upsert.
+      val groups = corpusGroups(spark, indexDir)
+      val batchIds = batch.select("doc_id")
+      val newIds = batchIds.join(
+        groups.select("doc_id")
+          .join(broadcast(batchIds), Seq("doc_id"), "left_semi"),
+        Seq("doc_id"), "left_anti")
+      val delta = DedupOps.incrementalGroupDelta(
+        groups, pairs.select("id_a", "id_b"), newIds).persist()
+      if (!delta.isEmpty)
+        BucketStore.merge(spark, s"$indexDir/groups", delta,
+          key = "doc_id", combine = BucketStore.upsertCombine("doc_id"))
+      delta.unpersist(blocking = false)
     } finally {
       pairs.unpersist(blocking = false)
       keptSh.unpersist(blocking = false)
@@ -134,6 +178,44 @@ object DedupStream {
       DedupOps.releaseCaches()
     }
   }
+
+  /** Fold the per-batch `batch=<lineage>-<id>` dirs of both index sides
+    * into one consolidated `batch=compacted` dir each — the local
+    * maintenance op for the small-file accumulation a dir-per-microbatch
+    * layout produces (the Delta/Iceberg OPTIMIZE analog at the same seam).
+    *
+    * Crash-safety is write-then-flip per side: the consolidated copy is
+    * fully written to `<side>.compacting`, then two atomic renames swap it
+    * in (`<side>` → `<side>.old` → deleted). A crash between the renames
+    * leaves only `<side>.old`, which [[readSide]] falls back to and the
+    * next compact() self-heals, so no window ever reads an empty corpus.
+    * Compacted rows carry batch="compacted", which can never equal a live
+    * `<lineage>-<id>` key — the replay own-dir exclusion stays correct.
+    *
+    * Single-writer discipline like BucketStore: run between microbatches
+    * (the admission loop is the only other writer), and only once every
+    * batch the stream may still replay has committed — folding an
+    * in-flight batch's dir would orphan its replay. */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    Seq("shingles" -> ShingleSchema, "bands" -> BandSchema).foreach {
+      case (side, schema) =>
+        val dir = s"$indexDir/$side"
+        val path = new Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = new Path(s"$dir.old")
+        if (!fs.exists(path) && fs.exists(old))
+          fs.rename(old, path) // heal a crash between the two flips below
+        if (fs.exists(path)) {
+          val tmp = new Path(s"$dir.compacting")
+          fs.delete(tmp, true)
+          readSide(spark, dir, schema).drop("batch")
+            .write.parquet(s"$dir.compacting/batch=compacted")
+          fs.delete(old, true)
+          fs.rename(path, old)
+          fs.rename(tmp, path)
+          fs.delete(old, true)
+        }
+    }
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

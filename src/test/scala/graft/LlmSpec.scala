@@ -281,6 +281,48 @@ class LlmSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 
+  test("incremental group maintenance lands on the full d6 assignment (d7)") {
+    import spark.implicits._
+    val full =
+      try DedupOps.nearDupGroups(docs, DedupOps.minhashNearDups(docs, 0.5))
+        .as[(Long, Long, Boolean)].collect().toSeq
+      finally DedupOps.releaseCaches()
+    val corpusDocs = docs.filter(col("doc_id") < 400)
+    val newDocs = docs.filter(col("doc_id") >= 400)
+    val corpusShingles = DedupOps.shingleArrays(corpusDocs)
+    val corpusIndex = DedupOps.bandIndex(
+      DedupOps.signaturesFromShingleArrays(corpusShingles))
+    val incremental =
+      try DedupOps.incrementalGroups(
+        DedupOps.nearDupGroups(corpusDocs, DedupOps.minhashNearDups(corpusDocs, 0.5)),
+        DedupOps.incrementalNearDups(
+          DedupOps.shingleArrays(newDocs), corpusShingles, corpusIndex, 0.5),
+        newDocs.select("doc_id"))
+        .as[(Long, Long, Boolean)].collect().toSeq
+      finally DedupOps.releaseCaches()
+    assert(incremental === full)
+    // and the delta form touches only rows the increment actually moved:
+    // every delta row disagrees with the corpus-only assignment or is new
+    val corpusOnly =
+      try DedupOps.nearDupGroups(corpusDocs, DedupOps.minhashNearDups(corpusDocs, 0.5))
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+      finally DedupOps.releaseCaches()
+    val delta =
+      try DedupOps.incrementalGroupDelta(
+        DedupOps.nearDupGroups(corpusDocs, DedupOps.minhashNearDups(corpusDocs, 0.5)),
+        DedupOps.incrementalNearDups(
+          DedupOps.shingleArrays(newDocs), corpusShingles, corpusIndex, 0.5),
+        newDocs.select("doc_id"))
+        .as[(Long, Long)].collect().toSeq
+      finally DedupOps.releaseCaches()
+    val fullMap = full.map(r => r._1 -> r._2).toMap
+    assert(delta.forall { case (doc, grp) => fullMap(doc) == grp },
+      "every delta row must carry the final assignment")
+    assert(delta.forall { case (doc, grp) =>
+      corpusOnly.get(doc).forall(_ != grp) },
+      "delta must only contain new docs or corpus docs whose group moved")
+  }
+
   test("group resolution matches driver-side union-find on random graphs (d6 property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

@@ -470,6 +470,126 @@ class StreamingSpec extends SparkSpec {
     assert(indexed === Set(50L, 60L))
   }
 
+  test("an increment merging two existing groups rewrites only their buckets (d7 streaming)") {
+    val tmp = Files.createTempDirectory("graft_group_stream").toString
+    // Texts engineered (and pre-verified against the exact md5 hash
+    // pipeline) so j(A,B)=0.459 < 0.5 — two SEPARATE groups — while the
+    // bridge C has j(C,A)=0.730 and j(C,B)=0.641, with 2 resp. 1 LSH band
+    // collisions: deterministic candidates at the default threshold.
+    val s = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo sierra"
+    val pa = "apple banana cherry date elderberry fig grape honeydew kiwi lemon"
+    val pb = "zinc yttrium xenon tungsten silver radium platinum osmium nickel mercury"
+    val textA = s"$s $pa"
+    val textB = s"$s $pb"
+    val bridge = s"$s $pa $pb"
+    val textD = "unrelated vocabulary entirely about streaming group maintenance tests"
+    graft.streaming.DedupStream.admitBatch(
+      Seq((100L, textA), (200L, textB), (300L, textD)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "g1")
+    val g0 = graft.streaming.DedupStream.corpusGroups(spark, s"$tmp/index")
+      .as[(Long, Long)].collect().toMap
+    assert(g0 === Map(100L -> 100L, 200L -> 200L, 300L -> 300L),
+      "three singleton groups before the increment")
+
+    def groupFiles(): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$tmp/index/groups")
+      val w = Files.walk(root)
+      try w.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> Files.readAllBytes(p)).toMap
+      finally w.close()
+    }
+    val before = groupFiles()
+
+    // the bridge is rejected (dup of both 100 and 200) but its pairs merge
+    // the two groups transitively — exactly d6 over the full history
+    graft.streaming.DedupStream.admitBatch(
+      Seq((400L, bridge)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "g1")
+    val g1 = graft.streaming.DedupStream.corpusGroups(spark, s"$tmp/index")
+      .as[(Long, Long)].collect().toMap
+    assert(g1 === Map(100L -> 100L, 200L -> 100L, 300L -> 300L, 400L -> 100L))
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(100L, 200L, 300L), "the bridge itself is not admitted")
+
+    // only the buckets holding MOVED rows (200 remapped, 400 new) may be
+    // rewritten; doc 100 (group unchanged) and doc 300 (untouched group)
+    // keep byte-identical files unless they share one of those buckets
+    val after = groupFiles()
+    val movedBuckets = Seq(200L, 400L).toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(32)).cast("int")).as[Int].collect().toSet
+    val changed = before.keySet.union(after.keySet).filter { p =>
+      !before.get(p).zip(after.get(p)).exists { case (b, a) => java.util.Arrays.equals(b, a) }
+    }
+    val changedBuckets = changed.map(p =>
+      "_b=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt)
+    assert(changedBuckets === movedBuckets,
+      s"rewritten buckets $changedBuckets must be exactly the moved rows' buckets $movedBuckets")
+  }
+
+  test("compaction folds index batch dirs mid-stream; admissions and verdicts unchanged (D5 compaction)") {
+    val tmp = Files.createTempDirectory("graft_dedup_compact").toString
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Long) = (i, s"document number $i carries words w${i}a w${i}b w${i}c " +
+      s"w${i}d w${i}e w${i}f plus shared filler tokens")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.start(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // 10 microbatches: docs 1..10, with batch 4 re-sending doc 2's text
+      // as doc 42 (a cross-batch dup) — verdicts exist pre-compaction
+      (1L to 10L).foreach { i =>
+        stream.addData(doc(i))
+        if (i == 4L) stream.addData((42L, doc(2L)._2))
+        q.processAllAvailable()
+      }
+      val keptBefore = spark.read.parquet(s"$tmp/out/kept")
+        .select("doc_id").as[Long].collect().toSet
+      val shBefore = graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptBefore === (1L to 10L).toSet)
+      assert(shBefore === (1L to 10L).toSet)
+
+      // compact between triggers, stream still live
+      graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+      def batchDirs(side: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val st = Files.list(java.nio.file.Paths.get(s"$tmp/index/$side"))
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch=")).toSet
+        finally st.close()
+      }
+      assert(batchDirs("shingles") === Set("batch=compacted"))
+      assert(batchDirs("bands") === Set("batch=compacted"))
+      assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet === shBefore,
+        "compaction must not change the corpus")
+
+      // post-compaction: a dup of a PRE-compaction doc is still rejected,
+      // uniques still admit, groups still maintained
+      stream.addData((101L, doc(3L)._2), doc(77L))
+      q.processAllAvailable()
+      val keptAfter = spark.read.parquet(s"$tmp/out/kept")
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptAfter === (1L to 10L).toSet + 77L, "101 duplicates compacted doc 3")
+      val dupPair = spark.read.parquet(s"$tmp/out/dups")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(dupPair.contains((3L, 101L)))
+      assert(dupPair.contains((2L, 42L)), "pre-compaction verdicts untouched")
+      val groups = graft.streaming.DedupStream.corpusGroups(spark, s"$tmp/index")
+        .as[(Long, Long)].collect().toMap
+      assert(groups(42L) === 2L && groups(101L) === 3L && groups(77L) === 77L)
+      // second compaction folds the post-compaction appends too (idempotent)
+      graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+      assert(batchDirs("shingles") === Set("batch=compacted"))
+      assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet === shBefore + 77L)
+    } finally q.stop()
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -69,7 +69,7 @@ object DedupStream {
     readable match {
       case Some(d) =>
         spark.read.schema(withBatch).parquet(d)
-          .select(withBatch.fieldNames.map(col): _*)
+          .select(withBatch.fieldNames.toIndexedSeq.map(col): _*)
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)

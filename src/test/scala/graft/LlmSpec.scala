@@ -323,6 +323,42 @@ class LlmSpec extends SparkSpec {
       "delta must only contain new docs or corpus docs whose group moved")
   }
 
+  test("incremental fold equals ground-up resolution on random graphs (d7 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // corpus docs [0, split), increment [split, n); edges with ≥1 increment
+    // endpoint arrive as "new pairs", corpus-internal edges pre-exist
+    val gen = for {
+      n <- Gen.choose(4, 20)
+      split <- Gen.choose(1, n - 1)
+      m <- Gen.choose(0, 24)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, split, es.collect { case (a, b) if a != b => (a.toLong, b.toLong) })
+    val prop = Prop.forAll(gen) { case (n, split, edges) =>
+      val allDocs = (0L until n.toLong).map(Tuple1(_)).toDF("doc_id")
+      val corpusDocs = (0L until split.toLong).map(Tuple1(_)).toDF("doc_id")
+      val corpusEdges = edges.filter { case (a, b) => a < split && b < split }
+      val newEdges = edges.filter { case (a, b) => a >= split || b >= split }
+      val got =
+        try {
+          val corpusGroups = DedupOps.nearDupGroups(
+            corpusDocs, spark.createDataFrame(corpusEdges).toDF("id_a", "id_b"))
+          val full = DedupOps.nearDupGroups(
+            allDocs, spark.createDataFrame(edges).toDF("id_a", "id_b"))
+            .as[(Long, Long, Boolean)].collect().toSeq
+          val inc = DedupOps.incrementalGroups(corpusGroups,
+            spark.createDataFrame(newEdges).toDF("id_a", "id_b"),
+            (split.toLong until n.toLong).map(Tuple1(_)).toDF("doc_id"))
+            .as[(Long, Long, Boolean)].collect().toSeq
+          inc == full
+        } finally DedupOps.releaseCaches()
+      got
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("group resolution matches driver-side union-find on random graphs (d6 property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

@@ -418,33 +418,41 @@ object DedupOps {
     // .setCheckpointDir) so an executor loss replays from the checkpoint
     // instead of recomputing the round chain.
     def snap(df: DataFrame): DataFrame =
-      if (reliableCheckpoints) df.checkpoint()
-      else {
-        val out = df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
-        out.count()
-        out
-      }
-    var labels = snap(allDocs.select(col("doc_id"), col("doc_id").as("label")))
+      if (reliableCheckpoints) df.checkpoint(eager = false)
+      else df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+    // `persisted` is the handle unpersist acts on; `labels` is its
+    // (doc_id, label) view (identical in round 0, a projection once the
+    // round frames carry the `old` column — unpersisting a projection
+    // would silently miss the cache entry).
+    var persisted = snap(allDocs.select(col("doc_id"), col("doc_id").as("label")))
+    var labels = persisted
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .select(col("dst").as("doc_id"), col("label"))
       // pointer doubling: doc -> label -> that doc's own (smaller) label
       val viaPointer = labels.select(col("doc_id"), col("label").as("ptr"))
         .join(labels.select(col("doc_id").as("ptr"), col("label")), "ptr")
         .select(col("doc_id"), col("label"))
-      // eager checkpoint materializes `next` while the previous round is
-      // still available; only then is the old frame released — ≤ 1 label
-      // frame persisted between rounds, 2 transiently during it.
+      // The convergence check rides INSIDE the round's one aggregation:
+      // the own-label row carries `old`, min() ignores the nulls on the
+      // propagated rows, and the post-agg `label < old` filter count both
+      // MATERIALIZES the new frame (filling its cache) and reports how
+      // many labels moved — one job per round where the previous form
+      // paid a materialization job plus a labels⋈next join job.
       val next = snap(
-        labels.unionByName(viaNeighbors).unionByName(viaPointer)
-          .groupBy("doc_id").agg(min("label").as("label")))
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        labels.withColumn("old", col("label"))
+          .unionByName(viaNeighbors.withColumn("old", lit(null).cast("long")))
+          .unionByName(viaPointer.withColumn("old", lit(null).cast("long")))
+          .groupBy("doc_id").agg(min("label").as("label"), min("old").as("old")))
+      changed = next.filter(col("label") < col("old")).count()
+      // only now is the previous round released — ≤ 1 label frame
+      // persisted between rounds, 2 transiently during the count
+      persisted.unpersist(blocking = false)
+      persisted = next
+      labels = next.select("doc_id", "label")
       round += 1
     }
     if (changed != 0)
@@ -452,7 +460,7 @@ object DedupOps {
         s"nearDupGroups: $changed labels still moving after $maxRounds rounds " +
           "(component diameter > 2^maxRounds); emitting the current refinement")
     // survives until the caller's releaseCaches(), like every tracked frame
-    trackedPersists.synchronized { trackedPersists += labels }
+    trackedPersists.synchronized { trackedPersists += persisted }
     labels
       .select(col("doc_id"), col("label").as("group_id"),
         (col("doc_id") === col("label")).as("keep"))

@@ -526,11 +526,26 @@ object DedupOps {
   private def superNodeResolve(corpusGroups: DataFrame, newPairs: DataFrame,
       newDocIds: DataFrame, maxRounds: Int): (DataFrame, DataFrame) = {
     val g = corpusGroups.select("doc_id", "group_id")
-    // lift each pair endpoint to its super-node: corpus doc → its group id,
-    // new doc → itself (left joins miss exactly the new endpoints)
-    val superEdges = newPairs.select("id_a", "id_b")
-      .join(g.select(col("doc_id").as("id_a"), col("group_id").as("ga")), Seq("id_a"), "left")
-      .join(g.select(col("doc_id").as("id_b"), col("group_id").as("gb")), Seq("id_b"), "left")
+    // The pair frame feeds endpoints (twice), the super-edge build, and —
+    // symmetrized — every CC round; without a persist each consumer would
+    // re-execute the whole upstream pair pipeline (for d5 input, a full
+    // verify join per consumption).
+    val p = tracked(newPairs.select("id_a", "id_b"))
+    // Lift each pair endpoint to its super-node: corpus doc → its group
+    // id, new doc → itself. The lookup is one STREAMED corpus scan probed
+    // by the broadcast endpoint set (increment-sized); its result is again
+    // small and broadcast back into the pair frame — the assignment table
+    // is never exchanged, which the d7 plan gate asserts. A plain left
+    // join here would sort-merge-shuffle the corpus per increment.
+    val endpoints = p.select(col("id_a").as("doc_id"))
+      .unionByName(p.select(col("id_b").as("doc_id"))).distinct()
+    val lifted = tracked(
+      g.join(broadcast(endpoints), Seq("doc_id"), "left_semi"))
+    val superEdges = p
+      .join(broadcast(lifted.select(col("doc_id").as("id_a"), col("group_id").as("ga"))),
+        Seq("id_a"), "left")
+      .join(broadcast(lifted.select(col("doc_id").as("id_b"), col("group_id").as("gb"))),
+        Seq("id_b"), "left")
       .select(coalesce(col("ga"), col("id_a")).as("id_a"),
         coalesce(col("gb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -541,12 +556,18 @@ object DedupOps {
         .distinct())
     val cc = nearDupGroups(nodes, superEdges, maxRounds)
       .select(col("doc_id").as("node"), col("group_id").as("new_group"))
+    // Old-group nodes are exactly the cc nodes that are NOT new docs (a
+    // node enters either from newDocIds or as a lifted corpus group id) —
+    // identified with a broadcast anti-join on the increment's own ids.
+    // Deriving them from the assignment table instead (distinct group_id)
+    // would shuffle the whole corpus, the exact cost this operator exists
+    // to avoid.
     val remap = cc
-      .join(g.select(col("group_id").as("node")).distinct(), Seq("node"))
+      .join(broadcast(newDocIds.select(col("doc_id").as("node"))), Seq("node"), "left_anti")
       .filter(col("node") =!= col("new_group"))
       .select(col("node").as("group_id"), col("new_group"))
     val assign = cc
-      .join(newDocIds.select(col("doc_id").as("node")), Seq("node"))
+      .join(broadcast(newDocIds.select(col("doc_id").as("node"))), Seq("node"))
       .select(col("node").as("doc_id"), col("new_group").as("group_id"))
     (remap, assign)
   }

@@ -323,6 +323,39 @@ class LlmSpec extends SparkSpec {
       "delta must only contain new docs or corpus docs whose group moved")
   }
 
+  test("d7 never exchanges the corpus assignment table (plan gate)") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    // the assignment table on real storage so its scan is identifiable
+    val dir = java.nio.file.Files.createTempDirectory("graft_d7_plan").toString
+    (0L until 100L).map(i => (i, i - i % 4)).toDF("doc_id", "group_id")
+      .write.mode("overwrite").parquet(s"$dir/groups")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = spark.read.parquet(s"$dir/groups")
+      val pairs = Seq((5L, 200L), (7L, 201L), (200L, 202L)).toDF("id_a", "id_b")
+      val newIds = Seq(200L, 201L, 202L, 203L).map(Tuple1(_)).toDF("doc_id")
+      val out = DedupOps.incrementalGroups(cg, pairs, newIds)
+      out.count()
+      // Both corpus touches (endpoint-lift semi-join and the relabel) must
+      // stream the scan against broadcast sides. The only exchange allowed
+      // above the corpus scan is the deterministic ORDER BY's range
+      // partitioning — a hash exchange over it would mean the increment
+      // fold shuffles O(corpus), the exact cost d7 exists to avoid.
+      val offending = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike
+            if !e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+              e.treeString.contains("graft_d7_plan") => e
+      }
+      assert(offending.isEmpty,
+        s"corpus assignment scan found under ${offending.size} hash exchange(s)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      DedupOps.releaseCaches()
+    }
+  }
+
   test("incremental fold equals ground-up resolution on random graphs (d7 property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

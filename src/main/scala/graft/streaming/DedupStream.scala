@@ -32,6 +32,7 @@ import graft.llm.DedupOps
   *                                          batch via incrementalGroupDelta
   * outDir/kept/batch=<lineage>-<id>/        admitted documents (full rows)
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
+  * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
   * At deployment scale `bands/` is bucketed by (band, key) so the
   * per-batch candidate join shuffles only the increment, and `shingles/`
@@ -140,14 +141,15 @@ object DedupStream {
       .filter(col("batch") =!= key.stripPrefix("batch="))
       .select("doc_id")
       .join(broadcast(batchSh.select("doc_id")), Seq("doc_id"), "left_semi")
-    val dupIds = pairs.select(col("id_b").as("doc_id")).distinct()
-    val rejected = dupIds.unionByName(priorIds).distinct()
+    val dupIds = pairs.select(col("id_b").as("doc_id")).distinct().persist()
+    val prior = priorIds.persist()
+    val rejected = dupIds.unionByName(prior).distinct()
     val keptSh = batchSh.join(rejected, Seq("doc_id"), "left_anti").persist()
     keptSh.count()
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
-      batch.join(rejected, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$outDir/kept/$key")
+      val keptOut = batch.join(rejected, Seq("doc_id"), "left_anti")
+      keptOut.write.mode("overwrite").parquet(s"$outDir/kept/$key")
       keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
         .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
@@ -169,14 +171,42 @@ object DedupStream {
       if (!delta.isEmpty)
         BucketStore.merge(spark, s"$indexDir/groups", delta,
           key = "doc_id", combine = BucketStore.upsertCombine("doc_id"))
+      // Admission accounting, one row per batch — the dedup loop's K4
+      // analog (every reference pipeline stage exports measurements; an
+      // admission service that can't report its reject rate or index
+      // growth is unoperable at 100 TB). Each count reads an
+      // already-persisted frame or a broadcast-pruned derivative; the row
+      // rides the same idempotent batch=-keyed overwrite as the data it
+      // describes. No arithmetic identities are assumed: n_kept counts
+      // the kept output itself (short docs admit without shingles, and a
+      // doc can in principle be both prior-known and verdict-matched).
+      val nRemapped = delta
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti").count()
+      import spark.implicits._
+      Seq((lineage, batchId, batch.count(), keptOut.count(),
+          dupIds.count(), prior.count(), nRemapped))
+        .toDF("lineage", "batch_id", "n_in", "n_kept",
+          "n_dup_rejected", "n_prior_known", "n_group_rows_remapped")
+        .write.mode("overwrite").parquet(s"$outDir/metrics/$key")
       delta.unpersist(blocking = false)
     } finally {
       pairs.unpersist(blocking = false)
       keptSh.unpersist(blocking = false)
+      dupIds.unpersist(blocking = false)
+      prior.unpersist(blocking = false)
       // intermediate persists inside incrementalNearDups; safe here because
       // this pipeline owns the session's dedup work for the batch duration
       DedupOps.releaseCaches()
     }
+  }
+
+  /** Per-batch admission accounting across the stream's whole history. */
+  def metrics(spark: SparkSession, outDir: String): DataFrame = {
+    val path = new Path(s"$outDir/metrics")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no metrics at $outDir/metrics")
+    spark.read.parquet(s"$outDir/metrics")
+      .drop("batch").orderBy("lineage", "batch_id")
   }
 
   /** Fold the per-batch `batch=<lineage>-<id>` dirs of both index sides

@@ -428,6 +428,16 @@ class StreamingSpec extends SparkSpec {
       .groupBy("doc_id", "band").count().filter(col("count") > 1).count()
     assert(bandsPerDoc === 0, "doc indexed twice in bands side")
 
+    // admission accounting: one row per batch, counting the batch's truth
+    val metrics = graft.streaming.DedupStream.metrics(spark, s"$tmp/out")
+      .select("batch_id", "n_in", "n_kept", "n_dup_rejected", "n_prior_known")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(metrics.contains((0L, 2L, 2L, 0L, 0L)), s"batch 0 accounting: $metrics")
+    assert(metrics.contains((1L, 3L, 1L, 2L, 0L)), s"batch 1 accounting: $metrics")
+    // the foreign-lineage replay wrote its own accounting row: nothing
+    // kept (1 doc prior-known, 2 rejected again)
+    assert(metrics.contains((1L, 3L, 0L, 2L, 1L)), s"replay accounting: $metrics")
+
     // restart: a NEW query over the same checkpoint + index keeps
     // deduping against everything admitted before the restart
     val stream2 = MemoryStream[(Long, String)]

@@ -109,8 +109,10 @@ object GraftFunctions {
   }
 
   private val shinglesBuilder: Seq[Expression] => Expression = exprs => {
-    require(exprs.length == 2, "graft_shingles takes exactly 2 arguments")
-    ShinglesExpr(exprs.head, exprs(1))
+    require(exprs.length == 2 || exprs.length == 3,
+      "graft_shingles takes 2 or 3 arguments (text, k[, algo])")
+    if (exprs.length == 2) new ShinglesExpr(exprs.head, exprs(1))
+    else ShinglesExpr(exprs.head, exprs(1), exprs(2))
   }
 
   def register(spark: SparkSession): Unit = {

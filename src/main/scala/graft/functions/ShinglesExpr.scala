@@ -3,20 +3,31 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `graft_shingles(text, k)` — fused distinct word-k-shingle hashes per
-  * document: split on ' ' (trailing empties kept, as Spark `split` does),
-  * per-word portable 60-bit hash mod p (first 15 hex digits of md5 —
-  * identical to [[graft.llm.TextOps.h60]] and the DuckDB oracle), adjacent
-  * word hashes combined polynomially (Σ wh[i+j]·31^(k−1−j) mod p), then
+/** `graft_shingles(text, k[, algo])` — fused distinct word-k-shingle
+  * hashes per document: split on ' ' (trailing empties kept, as Spark
+  * `split` does), per-word portable 60-bit hash mod p, adjacent word
+  * hashes combined polynomially (Σ wh[i+j]·31^(k−1−j) mod p), then
   * first-occurrence-order dedup (exact `array_distinct` semantics). Docs
   * with fewer than k words yield an EMPTY array — callers filter
   * `size > 0`, mirroring the declarative form's `size(whs) >= k` drop.
+  *
+  * `algo` selects the word hash (an analysis-time constant — the
+  * generated code dispatches on a compiled-in flag, not per row):
+  *  - `'md5'` (default): first 15 hex digits of md5 — identical to
+  *    [[graft.llm.TextOps.h60]] and reproducible bit-for-bit by the
+  *    DuckDB oracle. The correctness-gate path.
+  *  - `'xxh64'`: Spark's own XXH64 (seed 42, the built-in `xxhash64`),
+  *    top 60 bits, mod p — the PRODUCTION hash, ~an order of magnitude
+  *    cheaper than md5 with no crypto state. Every downstream set
+  *    operation (minhash, banding, Jaccard) is hash-agnostic, so the
+  *    swap is this one argument; LlmSpec asserts the fixture's verified
+  *    near-dup pair set is identical under both hashes.
   *
   * Why a custom Expression (SURVEY §4, same rationale as graft_simhash):
   * the declarative formulation was the ONLY shuffle in the whole d2/d4
@@ -29,35 +40,52 @@ import org.apache.spark.unsafe.types.UTF8String
   * generation scales embarrassingly parallel with the corpus. The heavy
   * body is a static method invoked from generated code (StaticInvoke
   * pattern — md5 needs thread-local MessageDigest state). */
-case class ShinglesExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class ShinglesExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (_: StringType, IntegerType) if right.foldable =>
-      // session-registered → reachable from arbitrary SQL: reject a bad
-      // shingle width at ANALYSIS time rather than on executors
-      right.eval() match {
-        case k: java.lang.Integer if k >= 1 && k <= 7 => TypeCheckResult.TypeCheckSuccess
-        case other => TypeCheckResult.TypeCheckFailure(
-          s"graft_shingles k must be an int literal in [1, 7], got $other")
-      }
-    case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_shingles expects (string, foldable int), got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
-  }
+  def this(text: Expression, k: Expression) = this(text, k, Literal("md5"))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: StringType, IntegerType, _: StringType)
+          if second.foldable && third.foldable =>
+        // session-registered → reachable from arbitrary SQL: reject a bad
+        // shingle width or algo at ANALYSIS time rather than on executors
+        (second.eval(), third.eval()) match {
+          case (k: java.lang.Integer, _) if k < 1 || k > 7 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_shingles k must be an int literal in [1, 7], got $k")
+          case (_, a: UTF8String) if ShinglesExpr.algoCode(a.toString) < 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_shingles algo must be 'md5' or 'xxh64', got $a")
+          case (_: java.lang.Integer, _: UTF8String) =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"graft_shingles got non-literal arguments $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_shingles expects (string, foldable int[, foldable string]), got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          third.dataType.catalogString)
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(t: Any, b: Any): Any =
-    ShinglesExpr.shingles(t.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  private lazy val algo: Int =
+    ShinglesExpr.algoCode(third.eval().asInstanceOf[UTF8String].toString)
+
+  override protected def nullSafeEval(t: Any, b: Any, a: Any): Any =
+    ShinglesExpr.shingles(t.asInstanceOf[UTF8String], b.asInstanceOf[Int], algo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, b) =>
-      s"${ev.value} = graft.functions.ShinglesExpr.shingles($t, $b);")
+    // algo is folded into the generated source as a constant — no per-row
+    // string comparison survives into the hot loop
+    nullSafeCodeGen(ctx, ev, (t, b, _) =>
+      s"${ev.value} = graft.functions.ShinglesExpr.shingles($t, $b, $algo);")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 
   override def prettyName: String = "graft_shingles"
 }
@@ -66,13 +94,22 @@ object ShinglesExpr {
 
   private val P = 1000000007L
 
+  val Md5 = 0
+  val Xxh64 = 1
+
+  def algoCode(name: String): Int = name match {
+    case "md5" => Md5
+    case "xxh64" => Xxh64
+    case _ => -1
+  }
+
   private val md5 = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("MD5"))
 
   /** h60(w) % p: first 8 md5 digest bytes big-endian >>> 4 (= first 15 hex
     * digits as a long), reduced mod p — bit-identical to the declarative
     * `conv(substr(md5(w),1,15),16,10) % p`. */
-  private def wordHash(digest: MessageDigest, w: String): Long = {
+  private def wordHashMd5(digest: MessageDigest, w: String): Long = {
     digest.reset()
     val d = digest.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
@@ -81,20 +118,31 @@ object ShinglesExpr {
     (h >>> 4) % P
   }
 
-  def shingles(text: UTF8String, k: Int): ArrayData = {
+  /** Production hash: Spark's XXH64 at the built-in `xxhash64` seed (42),
+    * top 60 bits mod p — the same [0, p) domain the permutation and
+    * combination arithmetic downstream is bounded for. */
+  private def wordHashXx(w: String): Long = {
+    val u = UTF8String.fromString(w)
+    (XxHash64Function.hash(u, StringType, 42L) >>> 4) % P
+  }
+
+  def shingles(text: UTF8String, k: Int, algo: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
     val n = words.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     // words repeat heavily in real text: hash each distinct word once
     val cache = new java.util.HashMap[String, java.lang.Long](Math.max(16, n * 2))
     val wh = new Array[Long](n)
-    val digest = md5.get()
+    val digest = if (algo == Md5) md5.get() else null
     var i = 0
     while (i < n) {
       val w = words(i)
       val c = cache.get(w)
       if (c != null) wh(i) = c.longValue()
-      else { val h = wordHash(digest, w); wh(i) = h; cache.put(w, h) }
+      else {
+        val h = if (algo == Md5) wordHashMd5(digest, w) else wordHashXx(w)
+        wh(i) = h; cache.put(w, h)
+      }
       i += 1
     }
     // Σ_j wh[i+j]·31^(k−1−j): per-term bound p·31^(k−1) < 2^60 and sum

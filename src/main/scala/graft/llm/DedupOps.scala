@@ -64,16 +64,18 @@ object DedupOps {
     * every short doc the identical all-`P` minhash signature and bucket
     * them all together in LSH.
     *
-    * Production note: md5 is used ONLY because the DuckDB oracle can
-    * reproduce it bit-for-bit; a deployment would swap the word hash to
-    * the built-in `xxhash64` (codegen'd, ~an order of magnitude cheaper)
-    * — a one-line change in [[graft.llm.TextOps.h60]] that leaves every
-    * downstream set operation untouched. */
-  def shingleArrays(documents: DataFrame, k: Int = 3): DataFrame = {
+    * Production note: md5 is the default ONLY because the DuckDB oracle
+    * can reproduce it bit-for-bit; the deployment swap is `algo =
+    * "xxh64"` (Spark's own XXH64, ~an order of magnitude cheaper, no
+    * crypto state), which leaves every downstream set operation untouched
+    * — LlmSpec asserts the verified near-dup pair set is identical under
+    * both hashes on the fixture. */
+  def shingleArrays(documents: DataFrame, k: Int = 3,
+      algo: String = "md5"): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
-        call_function("graft_shingles", col("text"), lit(k)).as("sh_arr"))
+        call_function("graft_shingles", col("text"), lit(k), lit(algo)).as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
   }
 
@@ -190,11 +192,12 @@ object DedupOps {
   /** D2 — full MinHash-LSH near-dup pipeline: sign → band → bucket-join →
     * exact-Jaccard verify. */
   def minhashNearDups(documents: DataFrame, threshold: Double = 0.5,
-      numPerms: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+      numPerms: Int = 32, bands: Int = 8, k: Int = 3,
+      algo: String = "md5"): DataFrame = {
     // One persisted shingle-array frame feeds both the signature and verify
-    // paths — the shingling pipeline (explode + md5 + collect_list) is the
-    // one shuffle here and must not run twice.
-    val ss = tracked(shingleArrays(documents, k))
+    // paths — the shingling pipeline is the expensive front and must not
+    // run twice.
+    val ss = tracked(shingleArrays(documents, k, algo))
     jaccardVerify(
       lshCandidates(signaturesFromShingleArrays(ss, numPerms), numPerms, bands),
       ss, threshold)

@@ -258,6 +258,29 @@ class LlmSpec extends SparkSpec {
     assert(all.size === 11)
   }
 
+  test("xxh64 production hash finds the same verified near-dup pairs (d2 swap seam)") {
+    import spark.implicits._
+    // the documented production swap: same pipeline, word hash flipped
+    // from the oracle-portable md5 to Spark's XXH64. Pair IDs must agree
+    // (jaccard values can differ in the last decimal only if hash
+    // collisions differed, so compare the id sets).
+    val viaMd5 =
+      try DedupOps.minhashNearDups(docs, 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      finally DedupOps.releaseCaches()
+    val viaXx =
+      try DedupOps.minhashNearDups(docs, 0.5, algo = "xxh64")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      finally DedupOps.releaseCaches()
+    assert(viaMd5.nonEmpty)
+    assert(viaXx === viaMd5)
+    // bad algo is an ANALYSIS-time error, not an executor crash
+    val err = intercept[Exception] {
+      DedupOps.shingleArrays(docs, 3, algo = "crc32").collect()
+    }
+    assert(err.getMessage.contains("graft_shingles"))
+  }
+
   test("group resolution converges on a diameter-25 chain and releases per-round caches (d6)") {
     import spark.implicits._
     // a≈b≈c chain of 26 docs: plain min-label propagation needs 25 rounds

@@ -104,8 +104,10 @@ object GraftFunctions {
   }
 
   private val simhashBuilder: Seq[Expression] => Expression = exprs => {
-    require(exprs.length == 2, "graft_simhash takes exactly 2 arguments")
-    SimHashExpr(exprs.head, exprs(1))
+    require(exprs.length == 2 || exprs.length == 3,
+      "graft_simhash takes 2 or 3 arguments (text, bits[, algo])")
+    if (exprs.length == 2) new SimHashExpr(exprs.head, exprs(1))
+    else SimHashExpr(exprs.head, exprs(1), exprs(2))
   }
 
   private val shinglesBuilder: Seq[Expression] => Expression = exprs => {

@@ -264,10 +264,11 @@ object DedupOps {
     *     band join, capping the worst bucket at maxBucket² pairs. The
     *     prune is mirrored in the oracle. */
   def simhashNearDups(documents: DataFrame, bits: Int = 48,
-      maxBucket: Int = 100): DataFrame = {
-    require(bits >= 2 && bits <= 53,
-      s"bits must be in [2, 53] (h60 word hash + exact DuckDB pow mirror), got $bits")
-    val sigs = tracked(simhash(documents, bits))
+      maxBucket: Int = 100, algo: String = "md5"): DataFrame = {
+    require(bits >= 2 && bits <= (if (algo == "xxh64") 64 else 53),
+      s"bits out of range for algo $algo (md5: [2,53] — h60 word hash + " +
+        s"exact DuckDB pow mirror; xxh64: [2,64]), got $bits")
+    val sigs = tracked(simhash(documents, bits, algo))
     val smallBuckets = sigs.groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)
@@ -300,10 +301,11 @@ object DedupOps {
     * (doc × distinct-word) rows and ran a `bits`-column conditional
     * aggregation just to reassemble per-doc bit sums; at bits=48 that was
     * the dominant cost of d3b (7.2 s of its sf0.1 time was signatures). */
-  def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
+  def simhash(documents: DataFrame, bits: Int = 16,
+      algo: String = "md5"): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
-      call_function("graft_simhash", col("text"), lit(bits)).as("simhash"))
+      call_function("graft_simhash", col("text"), lit(bits), lit(algo)).as("simhash"))
   }
 
   /** D5 — INCREMENTAL near-dup: dedupe an incoming batch against an

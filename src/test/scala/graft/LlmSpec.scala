@@ -258,6 +258,20 @@ class LlmSpec extends SparkSpec {
     assert(all.size === 11)
   }
 
+  test("xxh64 unlocks full-width 64-bit simhash signatures (d3b swap seam)") {
+    import spark.implicits._
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    // identical texts pair under any hash; 64-bit width only under xxh64
+    val pairs = DedupOps.simhashNearDups(two, bits = 64, algo = "xxh64")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    val tooWide = intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDups(two, bits = 64) // md5 carries 60 usable bits
+    }
+    assert(tooWide.getMessage.contains("algo"))
+  }
+
   test("xxh64 production hash finds the same verified near-dup pairs (d2 swap seam)") {
     import spark.implicits._
     // the documented production swap: same pipeline, word hash flipped

@@ -331,6 +331,17 @@ object SparkEntry {
       DedupOps.incrementalGroups(d7CorpusGroups(s, d), pairs,
         newDocs.select("doc_id"))
     }),
+    "d8_decontamination" -> ((s, d) => {
+      // benchmark = every 50th doc (the held-out eval set); the rest is
+      // the training corpus to screen. The published rule is 8-13-gram
+      // collision (GPT-3 appendix C); the fixture's near-dups substitute
+      // words rather than share long spans, so the QUERY runs k=4 to
+      // exercise a meaningful hit set — the operator takes any k ≤ 7.
+      val docs = documents(s, d)
+      DedupOps.contaminationHits(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 4, 1)
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

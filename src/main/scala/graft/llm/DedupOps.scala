@@ -472,6 +472,43 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** D8 — benchmark DECONTAMINATION: flag training documents sharing at
+    * least `minShared` distinct word-k-shingles with any document of a
+    * held-out benchmark set — the n-gram collision rule from published
+    * LM training-data pipelines (GPT-3 appendix C / The Pile use 8-13
+    * grams; k ≤ 7 here keeps the polynomial shingle combine inside the
+    * overflow bound shared with the DuckDB oracle, see [[
+    * graft.functions.ShinglesExpr]]). Returns (doc_id, bench_id,
+    * n_shared) per contaminated (train, benchmark) pair.
+    *
+    * Scale shape: the benchmark is the SMALL side by construction (eval
+    * sets are thousands of docs, the corpus is the 100 TB side), so its
+    * exploded shingle set is broadcast and the corpus is one narrow
+    * scan + hash lookup — no corpus shuffle; only the HITS (tiny) reach
+    * the (doc, bench) aggregation. A benchmark too large to broadcast
+    * falls back to dropping the hint (shingle-key shuffle join of the
+    * hits-bearing side). */
+  def contaminationHits(documents: DataFrame, benchmark: DataFrame,
+      k: Int = 7, minShared: Int = 1, algo: String = "md5"): DataFrame = {
+    val docSh = shingleArrays(documents, k, algo)
+      .select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val benchSh = shingleArrays(benchmark, k, algo)
+      .select(col("doc_id").as("bench_id"), explode(col("sh_arr")).as("sh"))
+    docSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** The filtering form of [[contaminationHits]]: the corpus minus every
+    * flagged doc (broadcast anti-join on the small flagged id set). */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+      k: Int = 7, minShared: Int = 1, algo: String = "md5"): DataFrame =
+    documents.join(
+      broadcast(contaminationHits(documents, benchmark, k, minShared, algo)
+        .select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+
   /** D7 — INCREMENTAL group maintenance (d6 ∘ d5): fold an increment's
     * near-dup pairs into an EXISTING (doc_id, group_id) assignment without
     * recomputing connected components over the corpus. The observation

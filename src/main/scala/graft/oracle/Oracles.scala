@@ -595,6 +595,30 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
            AND a.doc_id < bb.doc_id AND bb.doc_id >= 400),
 ${jaccardTail(0.5)}""",
 
+    // d8 = 4-gram collision decontamination: same word-hash + polynomial
+    // shingle formula as ShingleCtes at k=4 (31^3..31^0 coefficients; the
+    // BIGINT sum stays under 2^63 — the same bound the Spark kernel holds)
+    "d8_decontamination" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 <> 0),
+twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM t WHERE len(w) >= 4),
+tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM twh),
+tset AS (SELECT doc_id, unnest(arr) AS sh FROM tsh),
+b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0),
+bwh AS (SELECT bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM b WHERE len(w) >= 4),
+bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM bwh),
+bset AS (SELECT bench_id, unnest(arr) AS sh FROM bsh)
+SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tset t JOIN bset b ON t.sh = b.sh
+GROUP BY t.doc_id, b.bench_id
+HAVING count(*) >= 1
+ORDER BY doc_id, bench_id""",
+
     "d3_simhash" -> s"""
 WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $Docs),
 wh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),

@@ -258,6 +258,29 @@ class LlmSpec extends SparkSpec {
     assert(all.size === 11)
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark k-gram (d8)") {
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, "the capital of france is paris and its river is the seine")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // embeds a 7-gram of the benchmark verbatim → contaminated
+      (1L, "trivia time everyone knows the capital of france is paris and more facts follow"),
+      // shares topical words but no 7-gram span → clean
+      (2L, "paris france capital seine river geography quiz answers listed here"),
+      (3L, "a completely unrelated document about spark query planning")
+    ).toDF("doc_id", "text")
+    val hits = DedupOps.contaminationHits(train, bench, k = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((1L, 1000L)))
+    assert(hits.head._3 === 1L, "one shared 7-gram")
+    val clean = DedupOps.decontaminate(train, bench, k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L, 3L))
+    // higher minShared demands more overlapping shingles
+    assert(DedupOps.contaminationHits(train, bench, k = 7, minShared = 2).isEmpty)
+  }
+
   test("xxh64 unlocks full-width 64-bit simhash signatures (d3b swap seam)") {
     import spark.implicits._
     val two = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

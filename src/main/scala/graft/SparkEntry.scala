@@ -382,6 +382,7 @@ object SparkEntry {
       SamplingOps.packSequences(documents(s, d), 2048L)),
     "t9b_seq_pack_scalable" -> ((s, d) =>
       SamplingOps.packSequencesScalable(documents(s, d), 2048L)),
+    "t10_repetition" -> ((s, d) => TextOps.repetitionStats(documents(s, d))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))

@@ -95,6 +95,40 @@ object TextOps {
       .select("doc_id", "quality_score")
       .orderBy("doc_id")
 
+  /** T10 — repetition signals (the Gopher/MassiveText repetition rules,
+    * Rae et al. 2021 §A1.1, restated word-wise for single-line docs):
+    *  - `dup_word_frac`: 1 − distinct/total words — high for docs that
+    *    loop over a small vocabulary;
+    *  - `top2_frac`: share of the doc's words covered by its most
+    *    frequent word bigram (count × 2 / n_words, capped at 1; the
+    *    occurrence-overlap refinement is a documented approximation) —
+    *    high for boilerplate chants and templated spam.
+    * Shape: the per-doc fractions are narrow maps; the bigram mode needs
+    * one (doc, gram) count with map-side combine plus a per-doc max —
+    * the same doc-keyed aggregation class as T4. A pipeline thresholds
+    * these exactly like T5's quality gate. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_words"),
+        round(lit(1.0) -
+          size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+          .as("dup_word_frac"))
+    val grams = base.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))")).as("g"))
+    val top = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    base.drop("w").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        round(least(lit(1.0),
+          coalesce(col("top_c"), lit(0L)).cast("double") * 2.0 / col("n_words")), 4)
+          .as("top2_frac"))
+      .orderBy("doc_id")
+  }
+
   /** T4 — document fingerprint: order-independent 60-bit bag-of-words hash
     * (sum of distinct-word hashes mod p). Rolling/positional variants are a
     * windowed extension; the bag form is what content-dedup pipelines key

@@ -802,6 +802,22 @@ SELECT doc_id, n_tokens, start_token,
        start_token % 2048 AS seq_offset
 FROM c ORDER BY doc_id""",
 
+    // t10 = Gopher-style repetition signals, word-wise (docs are single
+    // lines): dup-word fraction + share of words covered by the top bigram
+    "t10_repetition" -> s"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac
+         FROM w),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM w WHERE len(w) >= 2),
+top AS (SELECT doc_id, max(c) AS top_c FROM (
+          SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+       round(least(1.0, CAST(coalesce(t.top_c, 0) * 2 AS DOUBLE) / b.n_words), 4) AS top2_frac
+FROM base b LEFT JOIN top t USING (doc_id) ORDER BY doc_id""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -258,6 +258,21 @@ class LlmSpec extends SparkSpec {
     assert(all.size === 11)
   }
 
+  test("repetition stats flag loopy and chanty docs (t10)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam"), // one word looped
+      (2L, "a b c d"),             // no repetition
+      (3L, "one")                  // too short for a bigram
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionStats(d)
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(rows === List(
+      (1L, 4L, 0.75, 1.0),  // 3×"spam spam" bigrams: capped coverage
+      (2L, 4L, 0.0, 0.5),   // every bigram unique: top covers 2 of 4 words
+      (3L, 1L, 0.0, 0.0)))
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark k-gram (d8)") {
     import spark.implicits._
     val bench = Seq(

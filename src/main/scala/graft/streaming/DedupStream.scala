@@ -214,36 +214,65 @@ object DedupStream {
     * maintenance op for the small-file accumulation a dir-per-microbatch
     * layout produces (the Delta/Iceberg OPTIMIZE analog at the same seam).
     *
-    * Crash-safety is write-then-flip per side: the consolidated copy is
-    * fully written to `<side>.compacting`, then two atomic renames swap it
-    * in (`<side>` → `<side>.old` → deleted). A crash between the renames
-    * leaves only `<side>.old`, which [[readSide]] falls back to and the
-    * next compact() self-heals, so no window ever reads an empty corpus.
-    * Compacted rows carry batch="compacted", which can never equal a live
-    * `<lineage>-<id>` key — the replay own-dir exclusion stays correct.
+    * Replay safety is ENFORCED, not advisory: the foreachBatch loop has
+    * at most ONE uncommitted (hence replayable) batch per checkpoint
+    * lineage — the latest — and a replay recognizes its own previous
+    * append only through that dir's key. So each lineage's
+    * highest-numbered dir is carried over AS A DIR (tiny: one microbatch)
+    * while everything else, previous `compacted` included, folds into the
+    * consolidated dir. A replay after compaction therefore still
+    * overwrites its own key idempotently and is still excluded from its
+    * own prior-id probe.
     *
-    * Single-writer discipline like BucketStore: run between microbatches
-    * (the admission loop is the only other writer), and only once every
-    * batch the stream may still replay has committed — folding an
-    * in-flight batch's dir would orphan its replay. */
+    * Crash-safety is write-then-flip per side: the new tree (consolidated
+    * dir + carried latest dirs) is fully built under `<side>.compacting`,
+    * then two atomic renames swap it in (`<side>` → `<side>.old` →
+    * deleted). A crash between the renames leaves only `<side>.old`,
+    * which [[readSide]] falls back to and the next compact() self-heals,
+    * so no window ever reads an empty corpus. Compacted rows carry
+    * batch="compacted", which can never equal a live `<lineage>-<id>`
+    * key. Single-writer discipline like BucketStore: run between
+    * microbatches (the admission loop is the only other writer). */
   def compact(spark: SparkSession, indexDir: String): Unit =
     Seq("shingles" -> ShingleSchema, "bands" -> BandSchema).foreach {
       case (side, schema) =>
         val dir = s"$indexDir/$side"
         val path = new Path(dir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = path.getFileSystem(conf)
         val old = new Path(s"$dir.old")
         if (!fs.exists(path) && fs.exists(old))
           fs.rename(old, path) // heal a crash between the two flips below
         if (fs.exists(path)) {
-          val tmp = new Path(s"$dir.compacting")
-          fs.delete(tmp, true)
-          readSide(spark, dir, schema).drop("batch")
-            .write.parquet(s"$dir.compacting/batch=compacted")
-          fs.delete(old, true)
-          fs.rename(path, old)
-          fs.rename(tmp, path)
-          fs.delete(old, true)
+          val batchDirs = fs.listStatus(path).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath.getName.stripPrefix("batch="))
+          // latest batch id per lineage stays a replay-addressable dir
+          val carried = batchDirs.filter(_ != "compacted")
+            .flatMap { key =>
+              val i = key.lastIndexOf('-')
+              if (i < 0) None
+              else scala.util.Try(key.substring(i + 1).toLong).toOption
+                .map(id => (key.substring(0, i), id, key))
+            }
+            .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
+          val foldable = batchDirs.filterNot(carried.contains)
+          if (foldable.nonEmpty) {
+            val tmp = new Path(s"$dir.compacting")
+            fs.delete(tmp, true)
+            readSide(spark, dir, schema)
+              .filter(col("batch").isin(foldable: _*)).drop("batch")
+              .write.parquet(s"$dir.compacting/batch=compacted")
+            carried.foreach { key =>
+              org.apache.hadoop.fs.FileUtil.copy(
+                fs, new Path(s"$dir/batch=$key"),
+                fs, new Path(s"$dir.compacting/batch=$key"), false, conf)
+            }
+            fs.delete(old, true)
+            fs.rename(path, old)
+            fs.rename(tmp, path)
+            fs.delete(old, true)
+          }
         }
     }
 

@@ -572,8 +572,12 @@ class StreamingSpec extends SparkSpec {
           .filter(_.startsWith("batch=")).toSet
         finally st.close()
       }
-      assert(batchDirs("shingles") === Set("batch=compacted"))
-      assert(batchDirs("bands") === Set("batch=compacted"))
+      // everything folds except the latest batch per lineage — the one
+      // dir a checkpoint replay can still address
+      val dirs1 = batchDirs("shingles")
+      assert(dirs1.contains("batch=compacted"), s"$dirs1")
+      assert(dirs1.size === 2, s"compacted + the latest replayable dir: $dirs1")
+      assert(batchDirs("bands") === dirs1)
       assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet === shBefore,
         "compaction must not change the corpus")
@@ -592,9 +596,12 @@ class StreamingSpec extends SparkSpec {
       val groups = graft.streaming.DedupStream.corpusGroups(spark, s"$tmp/index")
         .as[(Long, Long)].collect().toMap
       assert(groups(42L) === 2L && groups(101L) === 3L && groups(77L) === 77L)
-      // second compaction folds the post-compaction appends too (idempotent)
+      // second compaction folds the post-compaction appends too; the
+      // carried dir advances to the new latest batch
       graft.streaming.DedupStream.compact(spark, s"$tmp/index")
-      assert(batchDirs("shingles") === Set("batch=compacted"))
+      val dirs2 = batchDirs("shingles")
+      assert(dirs2.contains("batch=compacted") && dirs2.size === 2, s"$dirs2")
+      assert(dirs2 !== dirs1, "the carried latest dir must advance")
       assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet === shBefore + 77L)
     } finally q.stop()

@@ -489,8 +489,19 @@ object DedupOps {
     * falls back to dropping the hint (shingle-key shuffle join of the
     * hits-bearing side). */
   def contaminationHits(documents: DataFrame, benchmark: DataFrame,
-      k: Int = 7, minShared: Int = 1, algo: String = "md5"): DataFrame = {
-    val docSh = shingleArrays(documents, k, algo)
+      k: Int = 7, minShared: Int = 1, algo: String = "md5"): DataFrame =
+    contaminationHitsFromShingles(
+      shingleArrays(documents, k, algo), benchmark, k, minShared, algo)
+
+  /** [[contaminationHits]] over an EXISTING (doc_id, sh_arr) shingle
+    * table — the form a maintained corpus uses (e.g. the d5 admission
+    * index via [[graft.streaming.DedupStream.screenBenchmark]]): a new
+    * benchmark release screens the whole corpus without re-reading or
+    * re-shingling any corpus text. The rule's k is bound to the table's
+    * shingle width. */
+  def contaminationHitsFromShingles(docShingles: DataFrame, benchmark: DataFrame,
+      k: Int, minShared: Int = 1, algo: String = "md5"): DataFrame = {
+    val docSh = docShingles
       .select(col("doc_id"), explode(col("sh_arr")).as("sh"))
     val benchSh = shingleArrays(benchmark, k, algo)
       .select(col("doc_id").as("bench_id"), explode(col("sh_arr")).as("sh"))

@@ -200,6 +200,18 @@ object DedupStream {
     }
   }
 
+  /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
+    * against a (new) benchmark without touching corpus text — the
+    * shingle side table IS the corpus's k-gram set, so a fresh eval-set
+    * release costs one index scan vs a broadcast of the benchmark's
+    * shingles. The collision rule's k is the admission shingle width
+    * (default 3); a pipeline wanting a wider decontamination k than its
+    * dedup k maintains a second index at that width. */
+  def screenBenchmark(spark: SparkSession, indexDir: String,
+      benchmark: DataFrame, minShared: Int = 1, k: Int = 3): DataFrame =
+    DedupOps.contaminationHitsFromShingles(
+      corpusShingles(spark, indexDir), benchmark, k, minShared)
+
   /** Per-batch admission accounting across the stream's whole history. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     val path = new Path(s"$outDir/metrics")

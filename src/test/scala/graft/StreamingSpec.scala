@@ -607,6 +607,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a new benchmark screens the admitted corpus from the index alone (d8 streaming)") {
+    val tmp = Files.createTempDirectory("graft_screen").toString
+    graft.streaming.DedupStream.admitBatch(
+      Seq(
+        (1L, "models memorize the capital of france is paris when it leaks into training"),
+        (2L, "a clean document about distributed query planning and shuffles")
+      ).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "s1")
+    // eval set released AFTER admission — corpus text is never re-read
+    val bench = Seq((9000L, "question: the capital of france is what"))
+      .toDF("doc_id", "text")
+    val hits = graft.streaming.DedupStream.screenBenchmark(
+      spark, s"$tmp/index", bench)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((1L, 9000L)), "doc 1 shares 'the capital of' / 'capital of france'")
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -129,6 +129,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T11 — PII scrubbing (the C4/RefinedWeb-style redaction stage):
+    * replace emails, dotted-quad IPs, and long digit runs (ids, phone
+    * numbers) with typed placeholder tokens, and count each class so the
+    * pipeline can threshold or audit redaction rates. Patterns use
+    * explicit character classes only — the subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree, which the oracle pins on the full
+    * corpus (an identity passthrough there — the fixture is synthetic
+    * word-soup; the seeded-PII semantics are spec-tested). Replacement
+    * order matters: emails before IPs before digit runs, so a redacted
+    * class can't re-match as a later one. Pure narrow codegen'd map. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val digits = "[0-9]{7,}"
+    val t = col("text")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(ip), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(digits), lit(0))).cast("long").as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, email, "<EMAIL>"),
+          ip, "<IP>"),
+        digits, "<NUM>").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** T4 — document fingerprint: order-independent 60-bit bag-of-words hash
     * (sum of distinct-word hashes mod p). Rolling/positional variants are a
     * windowed extension; the bag form is what content-dedup pipelines key

@@ -818,6 +818,21 @@ SELECT b.doc_id, b.n_words, b.dup_word_frac,
        round(least(1.0, CAST(coalesce(t.top_c, 0) * 2 AS DOUBLE) / b.n_words), 4) AS top2_frac
 FROM base b LEFT JOIN top t USING (doc_id) ORDER BY doc_id""",
 
+    // t11 = PII scrub: same explicit-character-class patterns as the
+    // Spark side (the Java-regex ∩ RE2 subset); 'g' = replace all, as
+    // Spark's regexp_replace does by default
+    "t11_pii_scrub" -> s"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g') AS text_clean
+FROM $Docs ORDER BY doc_id""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -273,6 +273,19 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0.0, 0.0)))
   }
 
+  test("pii scrub redacts emails, ips and digit runs in order (t11)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact bob.smith+x@example.org or 192.168.0.1 ref 12345678 end"),
+      (2L, "clean words only")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.piiScrub(d)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(rows === List(
+      (1L, 1L, 1L, 1L, "contact <EMAIL> or <IP> ref <NUM> end"),
+      (2L, 0L, 0L, 0L, "clean words only")))
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark k-gram (d8)") {
     import spark.implicits._
     val bench = Seq(

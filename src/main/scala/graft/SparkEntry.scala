@@ -79,6 +79,23 @@ object SparkEntry {
       })
     }
 
+  /** The served IVF ANN index (E5): build once per (session, sfDir) —
+    * centroids + persisted cell assignment — exactly the artifacts a
+    * deployment materializes offline so query time pays cell probing
+    * only. Built in warm() like the other ingest-side serving state. */
+  private val ivfCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), SimilarityOps.IvfIndex]
+  private def ivfIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
+    ivfCache.synchronized {
+      ivfCache.filterInPlace((_, idx) => !idx.cells.sparkSession.sparkContext.isStopped)
+      ivfCache.getOrElseUpdate((System.identityHashCode(s), d), {
+        val built = SimilarityOps.ivfBuild(embeddings(s, d))
+        val cells = built.cells.persist()
+        cells.count()
+        built.copy(cells = cells)
+      })
+    }
+
   /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
     * owner (server/src/main.rs:283-284) with pagination. */
   def entry(spark: SparkSession): DataFrame =
@@ -360,6 +377,11 @@ object SparkEntry {
     }),
     "e3_cosine_neardups" -> ((s, d) =>
       SimilarityOps.cosineNearDups(embeddings(s, d), 0.4)),
+    "e5_ivf_served_topk" -> ((s, d) =>
+      // e4's result served from the MAINTAINED index (build ∉ query):
+      // the j1b/k1b/d7 decomposition applied to ANN — same oracle as e4
+      SimilarityOps.ivfQueryTopK(ivfIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)),
     "a5d_approx_distinct" -> ((s, d) =>
       // KMV sketch — deterministic hash arithmetic, oracle-checkable
       // (the HLL++ variant stays test-gated in AggSpec)
@@ -430,6 +452,7 @@ object SparkEntry {
     d5CorpusShingles(spark, dir).count()
     d5CorpusIndex(spark, dir).count()
     d7CorpusGroups(spark, dir).count()
+    ivfIndex(spark, dir)
     ()
   }
 

@@ -112,27 +112,39 @@ object SimilarityOps {
     * assignments. The matching DuckDB oracle unrolls the same passes as
     * chained CTEs ([[graft.oracle.Oracles]] `e4_ivf_topk`). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, iterations: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+      nCells: Int = 16, nProbe: Int = 2, iterations: Int = 2): DataFrame =
+    ivfQueryTopK(ivfBuild(embeddings, nCells, iterations), queries, k, nProbe)
 
-    // Centroids ride in as single array-literals (typedlit), not inlined
-    // element lists: the expression TREE is identical across iterations, so
-    // whole-stage codegen compiles once and is cache-hit for every
-    // subsequent Lloyd's round (inlined literals re-trigger Janino per
-    // iteration — 3× compile cost for zero benefit).
-    def dotCol(vec: Column, c: Array[Double]): Column =
-      call_function("graft_dot", vec, typedlit(c.toSeq))
-    def scoreStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x * x).sum
-        // argmin of squared distance == argmax of 2·dot(v,c) − ||c||²;
-        // rounded to 6 dp (like the means) so a near-tie between cells is
-        // decided on values that are identical in the DuckDB mirror rather
-        // than on engine-dependent low-order float bits
-        struct(round(dotCol(vec, c) * 2.0d - cc, 6).as("s"), lit(i).as("cell"))
-      }.toSeq
-    def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
-      array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
+  /** The materialized IVF index: centroid matrix (K×dim doubles — a plan
+    * parameter) + the cell-assigned corpus, the two artifacts a serving
+    * deployment persists (centroids to config/small table, cells to a
+    * cell-partitioned table) so query time pays probing only. */
+  final case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
+
+  // Centroids ride in as single array-literals (typedlit), not inlined
+  // element lists: the expression TREE is identical across iterations, so
+  // whole-stage codegen compiles once and is cache-hit for every
+  // subsequent Lloyd's round (inlined literals re-trigger Janino per
+  // iteration — 3× compile cost for zero benefit).
+  private def dotCol(vec: Column, c: Array[Double]): Column =
+    call_function("graft_dot", vec, typedlit(c.toSeq))
+  private def scoreStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      // argmin of squared distance == argmax of 2·dot(v,c) − ||c||²;
+      // rounded to 6 dp (like the means) so a near-tie between cells is
+      // decided on values that are identical in the DuckDB mirror rather
+      // than on engine-dependent low-order float bits
+      struct(round(dotCol(vec, c) * 2.0d - cc, 6).as("s"), lit(i).as("cell"))
+    }.toSeq
+  private def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
+
+  /** E4/E5 build phase — the Lloyd loop; the final assignment pass is the
+    * index itself (same centroids the probes are scored against). */
+  def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
+      iterations: Int = 2): IvfIndex = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     def assign(centroids: Array[Array[Double]]): DataFrame = embeddings
       .withColumn("cell", nearestCol(col("embedding"), centroids))
 
@@ -152,18 +164,22 @@ object SimilarityOps {
         old.indices.map(d => means.getOrElse((i, d), old(d))).toArray
       }
     }
+    IvfIndex(centroids, assign(centroids))
+  }
 
+  /** E4/E5 serve phase — probe the `nProbe` nearest cells per query and
+    * rank exactly within them. Touches only the probed cells' rows; the
+    * corpus is never rescored or reassigned. */
+  def ivfQueryTopK(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val probesCol = slice(
-      reverse(array_sort(array(scoreStructs(col("q_emb"), centroids): _*))),
+      reverse(array_sort(array(scoreStructs(col("q_emb"), index.centroids): _*))),
       1, nProbe).getField("cell")
-
-    // final assignment pass = the search index itself (same centroids the
-    // probes are scored against)
-    val cells = assign(centroids)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probesCol))
-    val joined = cells.join(broadcast(q), Seq("cell"))
+    val joined = index.cells.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       // 6-dp rounded so the final ranking breaks ties on values identical
       // to the oracle's, not on engine-dependent float summation order

@@ -685,6 +685,10 @@ ORDER BY id_a, id_b""",
 
     "e4_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5, iterations = 2,
       dim = 64),
+    // e5 = e4 served from the maintained index — the engine must land on
+    // the inline pipeline's exact result, so the oracle is identical
+    "e5_ivf_served_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
+      iterations = 2, dim = 64),
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

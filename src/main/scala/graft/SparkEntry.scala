@@ -89,6 +89,21 @@ object SparkEntry {
         g
       })
     }
+  /** The FULL-corpus group assignment (d6's output) as maintained serving
+    * state: keeper selection (d10) consumes the assignment table the d6/d7
+    * pipeline maintains — in deployment a doc_id-bucketed table MERGEd per
+    * increment — so its query times the selection join, not a group
+    * recompute. d6 itself still times label propagation (it calls
+    * nearDupGroups directly, never this cache). */
+  private def d6Groups(s: SparkSession, dir: String): DataFrame =
+    dfCache.synchronized {
+      dfCache.getOrElseUpdate((System.identityHashCode(s), dir, "d6groups"), {
+        val g = DedupOps.nearDupGroups(documents(s, dir), d2Pairs(s, dir)).persist()
+        g.count() // materialize INTO the cache before the scaffolding
+        DedupOps.releaseCaches() // (tracked label frames) is dropped
+        g
+      })
+    }
 
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
@@ -365,6 +380,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), 4, 1)
     }),
+    "d9_span_dedup" -> ((s, d) =>
+      // verbatim shared spans ≥ 8 words (Lee et al.-style substring dedup;
+      // pair-level Jaccard can't see a pasted block inside a long doc)
+      DedupOps.duplicatedSpans(documents(s, d))),
+    "d10_quality_keepers" -> ((s, d) =>
+      // keeper policy over the MAINTAINED group assignment: keep the
+      // best-quality member per near-dup group, not the min doc_id
+      DedupOps.qualityKeepers(d6Groups(s, d), TextOps.textStats(documents(s, d)))),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -458,6 +481,9 @@ object SparkEntry {
     d5CorpusShingles(spark, dir).count()
     d5CorpusIndex(spark, dir).count()
     d7CorpusGroups(spark, dir).count()
+    // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
+    // would silently lift d2's documented first-touch pipeline cost out of
+    // d2's own bench timing — d10 pays the assignment build on first touch
     ivfIndex(spark, dir)
     ()
   }

@@ -117,6 +117,13 @@ object GraftFunctions {
     else ShinglesExpr(exprs.head, exprs(1), exprs(2))
   }
 
+  private val posShinglesBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2 || exprs.length == 3,
+      "graft_pos_shingles takes 2 or 3 arguments (text, k[, algo])")
+    if (exprs.length == 2) new PosShinglesExpr(exprs.head, exprs(1))
+    else PosShinglesExpr(exprs.head, exprs(1), exprs(2))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
@@ -126,6 +133,8 @@ object GraftFunctions {
       "graft_simhash", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", shinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pos_shingles", posShinglesBuilder, "built-in")
   }
 
   /** For SparkSessionExtensions.injectFunction (see
@@ -161,4 +170,12 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ShinglesExpr].getCanonicalName, "graft_shingles"),
       shinglesBuilder)
+
+  val posShinglesFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pos_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PosShinglesExpr].getCanonicalName, "graft_pos_shingles"),
+      posShinglesBuilder)
 }

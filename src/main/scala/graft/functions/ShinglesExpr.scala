@@ -90,6 +90,43 @@ case class ShinglesExpr(first: Expression, second: Expression, third: Expression
   override def prettyName: String = "graft_shingles"
 }
 
+/** `graft_pos_shingles(text, k[, algo])` — the POSITIONAL variant of
+  * [[ShinglesExpr]]: the same word-hash + polynomial k-gram combine, but
+  * emitted in document order WITHOUT dedup, so `array index == word
+  * position` (element i is the hash of words [i, i+k)). This is the seed
+  * table for span-level dedup ([[graft.llm.DedupOps.duplicatedSpans]]):
+  * matching a duplicated substring needs every occurrence at its position,
+  * which the distinct-set form deliberately erases. Same analysis-time
+  * argument checks, same empty-array contract for docs shorter than k
+  * words, same md5/xxh64 oracle-vs-production hash seam. */
+case class PosShinglesExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  def this(text: Expression, k: Expression) = this(text, k, Literal("md5"))
+
+  // identical argument surface → identical analysis-time validation
+  override def checkInputDataTypes(): TypeCheckResult =
+    ShinglesExpr(first, second, third).checkInputDataTypes()
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val algo: Int =
+    ShinglesExpr.algoCode(third.eval().asInstanceOf[UTF8String].toString)
+
+  override protected def nullSafeEval(t: Any, b: Any, a: Any): Any =
+    ShinglesExpr.posShingles(t.asInstanceOf[UTF8String], b.asInstanceOf[Int], algo)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, b, _) =>
+      s"${ev.value} = graft.functions.ShinglesExpr.posShingles($t, $b, $algo);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_pos_shingles"
+}
+
 object ShinglesExpr {
 
   private val P = 1000000007L
@@ -126,10 +163,12 @@ object ShinglesExpr {
     (XxHash64Function.hash(u, StringType, 42L) >>> 4) % P
   }
 
-  def shingles(text: UTF8String, k: Int, algo: Int): ArrayData = {
+  /** Word-hash pass shared by the distinct and positional forms: null when
+    * the doc has fewer than k words (callers emit the empty array). */
+  private def hashWords(text: UTF8String, k: Int, algo: Int): Array[Long] = {
     val words = text.toString.split(" ", -1)
     val n = words.length
-    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    if (n < k) return null
     // words repeat heavily in real text: hash each distinct word once
     val cache = new java.util.HashMap[String, java.lang.Long](Math.max(16, n * 2))
     val wh = new Array[Long](n)
@@ -145,17 +184,30 @@ object ShinglesExpr {
       }
       i += 1
     }
-    // Σ_j wh[i+j]·31^(k−1−j): per-term bound p·31^(k−1) < 2^60 and sum
-    // < k·2^60 ≤ 2^63 at the k ≤ 7 analysis bound — no silent long wrap,
-    // and the DuckDB oracle's BIGINT mirror stays overflow-free too
+    wh
+  }
+
+  // Σ_j wh[i+j]·31^(k−1−j): per-term bound p·31^(k−1) < 2^60 and sum
+  // < k·2^60 ≤ 2^63 at the k ≤ 7 analysis bound — no silent long wrap,
+  // and the DuckDB oracle's BIGINT mirror stays overflow-free too
+  private def coefficients(k: Int): Array[Long] = {
     val coef = new Array[Long](k)
     coef(k - 1) = 1L
     var j = k - 2
     while (j >= 0) { coef(j) = coef(j + 1) * 31L; j -= 1 }
+    coef
+  }
+
+  def shingles(text: UTF8String, k: Int, algo: Int): ArrayData = {
+    val wh = hashWords(text, k, algo)
+    if (wh == null) return new GenericArrayData(Array.emptyLongArray)
+    val n = wh.length
+    val coef = coefficients(k)
     val out = new Array[Long](n - k + 1)
     val seen = new java.util.HashSet[java.lang.Long](Math.max(16, n * 2))
     var m = 0
-    i = 0
+    var i = 0
+    var j = 0
     while (i <= n - k) {
       var s = 0L
       j = 0
@@ -165,5 +217,25 @@ object ShinglesExpr {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Positional form: element i is the k-gram hash at word position i —
+    * no dedup, array length = n − k + 1. */
+  def posShingles(text: UTF8String, k: Int, algo: Int): ArrayData = {
+    val wh = hashWords(text, k, algo)
+    if (wh == null) return new GenericArrayData(Array.emptyLongArray)
+    val n = wh.length
+    val coef = coefficients(k)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    var j = 0
+    while (i <= n - k) {
+      var s = 0L
+      j = 0
+      while (j < k) { s += wh(i + j) * coef(j); j += 1 }
+      out(i) = s % P
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

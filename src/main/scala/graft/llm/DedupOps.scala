@@ -625,6 +625,102 @@ object DedupOps {
     (remap, assign)
   }
 
+  /** D9 — duplicated-SPAN detection: find maximal runs of consecutive
+    * word-k-grams shared verbatim between two documents, the distributed
+    * re-expression of exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — their
+    * suffix-array pass finds verbatim ≥50-token spans; near-dup pair
+    * metrics like d2's Jaccard can't see a 200-word boilerplate block
+    * pasted into an otherwise-unique 10k-word doc).
+    *
+    * Algorithm (seed-and-extend, the standard diagonal trick from
+    * bioinformatics seed alignment): (1) each doc emits its POSITIONAL
+    * k-gram hash array — one codegen'd [[graft.functions.PosShinglesExpr]]
+    * call, a narrow map; (2) seeds in more than `maxDf` positions
+    * corpus-wide are df-pruned (ubiquitous k-grams — "of the same" —
+    * generate quadratic candidates and no span evidence; a span crossing a
+    * pruned seed splits into two reported spans, an accepted and mirrored
+    * approximation); (3) the pruned seed table self-joins on the hash —
+    * matched positions of a shared substring all lie on one DIAGONAL
+    * (pos_a − pos_b constant), so (4) per (pair, diagonal), consecutive
+    * pos_a values merge into maximal runs with one gaps-and-islands window
+    * (the u2 pattern), and a run of m seeds is a shared span of m + k − 1
+    * words, reported when ≥ `minSpan`.
+    *
+    * Scale shape: the self-join shuffles (kh, doc_id, pos) longs — O(corpus
+    * tokens), the irreducible cost of token-resolution dedup (the
+    * suffix-array construction it replaces is likewise O(tokens)) — with
+    * the df-prune capping any hot key at maxDf² matches; the islands
+    * window shuffles MATCHED seeds only, partitioned by (pair, diagonal).
+    * Seed WIDTH is the match-volume lever, not the df cap: k = 5 default
+    * because common 3-grams just under any reasonable cap still generate
+    * quadratic noise (fixture measurement: 1.27M seed matches at k=3 vs
+    * 18k truly-span-bearing ones; 5-gram collisions are rare enough that
+    * the result is identical and the match join shrinks ~50×). Any
+    * maximal span ≥ max(k, minSpan) words is k-invariant, so widening k
+    * below minSpan changes cost, not output.
+    * Never text: a doc's words enter as 60-bit hashes and leave as span
+    * coordinates. At 100 TB the seed table is the thing to bucket by hash
+    * prefix and the verbatim-span confirmation (re-reading the two docs'
+    * texts at the reported offsets) rides the d2-style verify seam; hash
+    * seeds are deterministic in both engines so the oracle needs no such
+    * re-read. */
+  def duplicatedSpans(documents: DataFrame, k: Int = 5, minSpan: Int = 8,
+      maxDf: Int = 100, algo: String = "md5"): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val seeds = tracked(documents
+      .select(col("doc_id"), posexplode(
+        call_function("graft_pos_shingles", col("text"), lit(k), lit(algo)))
+        .as(Seq("pos", "kh"))))
+    val rare = seeds.groupBy("kh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("kh")
+    val pruned = tracked(seeds.join(rare, "kh"))
+    val matches = pruned.select(col("kh"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(pruned.select(col("kh"), col("doc_id").as("id_b"), col("pos").as("pos_b")), "kh")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    matches
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min(col("pos_a")).as("sa"), count(lit(1)).as("n_seeds"))
+      .filter(col("n_seeds") + (k - 1) >= minSpan)
+      .select(col("id_a"), col("id_b"),
+        col("sa").cast("long").as("start_a"),
+        (col("sa") - col("diag")).cast("long").as("start_b"),
+        (col("n_seeds") + (k - 1)).cast("long").as("span_len"))
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
+  /** D10 — quality-aware KEEPER SELECTION: d6/d7 elect the minimum doc_id
+    * of each near-dup group, which is the right CANONICAL id but the wrong
+    * editorial policy — a production pipeline keeps the best-quality
+    * member (longest, least boilerplate; the curation rule in
+    * Gopher/FineWeb-class pipelines) and drops the rest. Input is the
+    * MAINTAINED group assignment (d6's output, a served table like d7's)
+    * joined to the t1/t5 quality score; per group the max-score member
+    * wins, ties to the lower doc_id for determinism.
+    *
+    * Scale shape: the doc→group join is doc_id-keyed (co-located when the
+    * assignment table is doc_id-bucketed, the d7 deployment layout); the
+    * per-group argmax is one map-side-combinable `max_by` aggregation on
+    * (group, score, id) triples — no window over the corpus, no text. The
+    * broadcast back to members is group-keyed and the winners frame is
+    * groups-sized (≤ docs). */
+  def qualityKeepers(groups: DataFrame, quality: DataFrame): DataFrame = {
+    val members = groups.select("doc_id", "group_id")
+      .join(quality.select("doc_id", "quality_score"), "doc_id")
+    // argmax(quality_score), tie → min doc_id: max_by over a struct whose
+    // second key inverts the id order (doc ids are non-negative longs)
+    val winners = members.groupBy("group_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), lit(Long.MaxValue) - col("doc_id"))).as("keep_id"))
+    members.join(winners, "group_id")
+      .select(col("doc_id"), col("group_id"), col("quality_score"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The built-in-functions formulation of the same signature (explode
     * distinct words → per-bit ±1 conditional sums → sign-pack) — kept as
     * the portability reference [[simhash]] is parity-verified against

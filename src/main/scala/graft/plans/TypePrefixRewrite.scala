@@ -67,5 +67,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.minhashFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.simhashFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.shinglesFunctionDescription)
+    ext.injectFunction(graft.functions.GraftFunctions.posShinglesFunctionDescription)
   }
 }

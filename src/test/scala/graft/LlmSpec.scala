@@ -515,4 +515,79 @@ class LlmSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("positional shingles dedup to exactly the distinct form (parity)") {
+    graft.functions.GraftFunctions.register(spark)
+    // array_distinct over the positional array in first-occurrence order IS
+    // the distinct form's contract — bit-identical arrays, every fixture doc
+    val mismatches = docs.selectExpr(
+      "array_distinct(graft_pos_shingles(text, 3)) AS pos_d",
+      "graft_shingles(text, 3) AS dis")
+      .filter(col("pos_d") =!= col("dis")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("duplicated spans: found spans are verbatim and maximal (d9)") {
+    import spark.implicits._
+    val spans = DedupOps.duplicatedSpans(docs, minSpan = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    assert(spans.nonEmpty, "fixture should contain shared spans >= 5 words")
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .toMap.view.mapValues(_.split(" ", -1)).toMap
+    spans.foreach { case (a, b, sa, sb, len) =>
+      val (wa, wb) = (texts(a), texts(b))
+      val (saI, sbI, lenI) = (sa.toInt, sb.toInt, len.toInt)
+      assert(wa.slice(saI, saI + lenI).sameElements(wb.slice(sbI, sbI + lenI)),
+        s"span ($a,$b,$sa,$sb,$len) is not verbatim")
+      // maximality: the span cannot extend by one word on either side
+      // (unless a doc boundary, or a df-pruned seed split the run — no
+      // pruned seeds fire on this fixture at maxDf=100)
+      val leftExtends = saI > 0 && sbI > 0 && wa(saI - 1) == wb(sbI - 1)
+      val rightExtends = saI + lenI < wa.length && sbI + lenI < wb.length &&
+        wa(saI + lenI) == wb(sbI + lenI)
+      assert(!leftExtends && !rightExtends,
+        s"span ($a,$b,$sa,$sb,$len) is not maximal")
+    }
+  }
+
+  test("duplicated spans: offsets, k-invariance and minSpan gate (d9 synthetic)") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"alpha beta gamma $shared tail1 tail2"),   // span at pos 3
+      (2L, s"$shared other words entirely here now"),  // span at pos 0
+      (3L, "six words match here right now and then diverge completely away"),
+      (4L, "preamble stuff six words match here right now but different ending"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.duplicatedSpans(synth, minSpan = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    // (1,2): the 10-word block; (3,4): only 6 shared words — under minSpan
+    assert(spans.toSeq === Seq((1L, 2L, 3L, 0L, 10L)))
+    // widening k below minSpan changes cost, not output (k-invariance)
+    val spansK3 = DedupOps.duplicatedSpans(synth, k = 3, minSpan = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    assert(spansK3.toSeq === spans.toSeq)
+    // the 6-word overlap IS found once minSpan admits it
+    val spans6 = DedupOps.duplicatedSpans(synth, minSpan = 6)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    assert(spans6.contains((3L, 4L, 0L, 2L, 6L)))
+  }
+
+  test("quality keepers: best-quality member wins, ties to lower id (d10)") {
+    import spark.implicits._
+    // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied
+    // quality (keep 10); 20 = singleton
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "group_id")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (3L, 0.6), (10L, 0.5),
+      (11L, 0.5), (20L, 0.1)).toDF("doc_id", "quality_score")
+    val out = DedupOps.qualityKeepers(groups, quality)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.filter(_._4).map(_._1) === Seq(2L, 10L, 20L))
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 10L, 11L, 20L))
+  }
 }

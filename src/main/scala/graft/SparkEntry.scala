@@ -411,6 +411,11 @@ object SparkEntry {
       // the j1b/k1b/d7 decomposition applied to ANN — same oracle as e4
       SimilarityOps.ivfQueryTopK(ivfIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), 5)),
+    "e6_knn_classify" -> ((s, d) =>
+      // kNN auto-labeling from the served index: scale a labeled seed set
+      // to the corpus by majority vote of approximate neighbors
+      SimilarityOps.knnClassify(ivfIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 8), embeddings(s, d), 5)),
     "a5d_approx_distinct" -> ((s, d) =>
       // KMV sketch — deterministic hash arithmetic, oracle-checkable
       // (the HLL++ variant stays test-gated in AggSpec)

@@ -192,6 +192,37 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E6 — kNN AUTO-LABELING over the served IVF index: classify a query
+    * set by majority vote of its k approximate nearest labeled neighbors
+    * (ties → the smaller label id, deterministic). This is the
+    * label-propagation shape production pipelines use to scale a small
+    * human/LLM-annotated seed set to corpus size (the FineWeb-Edu /
+    * quality-classifier pattern: annotate thousands, auto-label billions).
+    *
+    * Scale shape: neighbor search is [[ivfQueryTopK]] — probed cells only,
+    * corpus never rescored; the vote join BROADCASTS the (queries × k)
+    * top-k frame against the corpus-side label table (one narrow scan, no
+    * corpus shuffle — the d8 broadcast direction); the vote aggregation
+    * holds ≤ k rows per query. Label width: votes are (query, label)
+    * counts — map-side combinable, bytes per query. */
+  def knnClassify(index: IvfIndex, queries: DataFrame, labeled: DataFrame,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val topk = ivfQueryTopK(index, queries, k, nProbe)
+    val votes = labeled.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(topk), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+    // argmax(n_votes), tie → min label: labels are small non-negative ints
+    val pred = votes.groupBy("query_id")
+      .agg(max_by(struct(col("label"), col("n_votes")),
+        struct(col("n_votes"), -col("label"))).as("p"))
+      .select(col("query_id"), col("p.label").as("pred_label"),
+        col("p.n_votes").as("n_votes"))
+    pred.join(queries.select(col("vec_id").as("query_id"), col("label")), "query_id")
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("pred_label").cast("long").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
+  }
+
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket
     * pairs are compared. */

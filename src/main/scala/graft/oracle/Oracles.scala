@@ -96,7 +96,7 @@ ORDER BY id_a, id_b"""
     * is the search index; probes = top `nProbe` cells by score (tie: higher
     * cell, matching Spark's array_max/array_sort struct ordering). */
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
-      dim: Int): String = {
+      dim: Int, tail: Option[String] = None): String = {
     // argmax of 2·dot(v,c) − ||c||² == argmin squared distance; 6-dp
     // rounded to mirror SimilarityOps.scoreStructs, so cell ties break on
     // identical values in both engines
@@ -134,12 +134,30 @@ probes AS (SELECT query_id, qv, cell FROM (
   FROM q, $lastCent s) WHERE rn <= $nProbe),
 scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS cos
            FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+${tail.getOrElse(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
   SELECT query_id, vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored)
-WHERE rank <= $k ORDER BY query_id, rank"""
+WHERE rank <= $k ORDER BY query_id, rank""")}"""
   }
+
+  /** e6 oracle tail: majority vote over the same `scored` CTE's top-k
+    * (ties → the smaller label), joined back to the query's own label. */
+  private def knnClassifyTail(k: Int): String = s""",
+topk AS (SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= $k),
+votes AS (SELECT t.query_id, l.label, CAST(count(*) AS BIGINT) AS n_votes
+          FROM topk t JOIN $Emb l ON l.vec_id = t.vec_id
+          GROUP BY t.query_id, l.label),
+pred AS (SELECT query_id, label AS pred_label, n_votes,
+                row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+         FROM votes)
+SELECT p.query_id, CAST(e0.label AS BIGINT) AS label,
+       CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes
+FROM pred p JOIN $Emb e0 ON e0.vec_id = p.query_id
+WHERE p.rn = 1 ORDER BY p.query_id"""
 
   private def duckBucket(vecCol: String, nPlanes: Int, dim: Int): String = {
     val hps = SimilarityOps.hyperplanes(nPlanes, dim)
@@ -748,6 +766,10 @@ ORDER BY id_a, id_b""",
     // the inline pipeline's exact result, so the oracle is identical
     "e5_ivf_served_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64),
+    // e6 = e5's served top-k + majority-vote labeling: the identical IVF
+    // CTE chain with a vote tail instead of the rank projection
+    "e6_knn_classify" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
+      iterations = 2, dim = 64, tail = Some(knnClassifyTail(5))),
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

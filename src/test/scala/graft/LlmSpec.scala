@@ -577,6 +577,25 @@ class LlmSpec extends SparkSpec {
     assert(spans6.contains((3L, 4L, 0L, 2L, 6L)))
   }
 
+  test("knn classify predicts the plurality neighbor label, ties to smaller (e6)") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfBuild(emb)
+    val queries = emb.filter(col("vec_id") < 8)
+    // independent driver-side recomputation of the vote from the top-k
+    val topk = SimilarityOps.ivfQueryTopK(index, queries, 5)
+      .as[(Long, Long, Long)].collect()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val want = topk.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.groupBy(r => labels(r._3)).map { case (l, v) => (l, v.size) }
+      val (pl, nv) = votes.toSeq.maxBy { case (l, n) => (n, -l) }
+      (q, labels(q).toLong, pl.toLong, nv.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(want.nonEmpty)
+    val got = SimilarityOps.knnClassify(index, queries, emb, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("quality keepers: best-quality member wins, ties to lower id (d10)") {
     import spark.implicits._
     // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied

@@ -388,6 +388,14 @@ object SparkEntry {
       // keeper policy over the MAINTAINED group assignment: keep the
       // best-quality member per near-dup group, not the min doc_id
       DedupOps.qualityKeepers(d6Groups(s, d), TextOps.textStats(documents(s, d)))),
+    "c1_curated_corpus" -> ((s, d) => {
+      // the end-to-end curation pipeline over the d8 train/bench split:
+      // exact dedup → near-dup quality keepers → decontaminate → pack
+      val docs = documents(s, d)
+      graft.llm.CurationOps.curateCorpus(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 8000L)
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

@@ -665,6 +665,80 @@ FROM isl GROUP BY id_a, id_b, diag, island
 HAVING count(*) + 4 >= 8
 ORDER BY id_a, id_b, start_a, start_b""",
 
+    // c1 = the end-to-end curation composition: exact dedup (d1) →
+    // near-dup groups over the survivors (d2/d6 chain, restricted) →
+    // quality-keeper election (d10 window) → k=4 decontamination vs the
+    // held-out benchmark (d8 formula) → greedy budget pack (t7 window).
+    // Train/bench split mirrors d8 (doc_id % 50); every fragment is the
+    // corresponding standalone oracle with its source restricted to the
+    // previous stage's survivors.
+    "c1_curated_corpus" -> s"""WITH RECURSIVE
+train AS (SELECT doc_id, text, lang FROM $Docs WHERE doc_id % 50 <> 0),
+keep1 AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM train) WHERE rn = 1),
+docs AS (SELECT t.doc_id, string_split(t.text, ' ') AS w FROM train t JOIN keep1 USING (doc_id)),
+wharr AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+          FROM docs WHERE len(w) >= 3),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 1), i -> (wh[i]*961 + wh[i+1]*31 + wh[i+2]) % 1000000007)) AS shingle_arr
+       FROM wharr),
+sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id),
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM keep1
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+q AS (SELECT t.doc_id, t.lang,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+      FROM train t JOIN keep1 USING (doc_id)),
+keep2 AS (SELECT doc_id FROM (
+  SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) AS rn
+  FROM grp g JOIN q USING (doc_id)) WHERE rn = 1),
+twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM docs WHERE len(w) >= 4),
+tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM twh),
+tset AS (SELECT doc_id, unnest(arr) AS sh FROM tsh),
+b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0),
+bwh AS (SELECT bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM b WHERE len(w) >= 4),
+bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM bwh),
+bset AS (SELECT bench_id, unnest(arr) AS sh FROM bsh),
+contam AS (SELECT DISTINCT t.doc_id FROM tset t JOIN bset bb ON t.sh = bb.sh),
+admitted AS (SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
+        CAST(sum(q.n_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM q JOIN admitted USING (doc_id))
+SELECT doc_id, lang, n_tokens, quality_score, cum_tokens FROM c
+WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
+
     // d10 = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id
     "d10_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,

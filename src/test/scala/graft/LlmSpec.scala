@@ -596,6 +596,28 @@ class LlmSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("curation pipeline: output is dedup'd, decontaminated, within budget (c1)") {
+    import spark.implicits._
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val out = graft.llm.CurationOps.curateCorpus(train, bench, 2000L)
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(out.nonEmpty)
+    // budget respected; cum_tokens is the true prefix sum in pack order
+    assert(out.last._5 <= 2000L)
+    assert(out.map(_._3).sum === out.last._5)
+    val outDocs = docs.join(out.map(_._1).toDF("doc_id"), "doc_id")
+    // no two admitted docs are near-dups at the pipeline threshold (per-doc
+    // signatures don't depend on the corpus, so pairs over the admitted
+    // subset ⊆ pairs over the full set — all resolved by keeper election)
+    assert(DedupOps.minhashNearDups(outDocs, 0.5).count() === 0L)
+    DedupOps.releaseCaches()
+    // no admitted doc shares a 4-gram with the held-out benchmark
+    assert(DedupOps.contaminationHits(outDocs, bench, 4, 1).count() === 0L)
+    DedupOps.releaseCaches()
+  }
+
   test("quality keepers: best-quality member wins, ties to lower id (d10)") {
     import spark.implicits._
     // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied

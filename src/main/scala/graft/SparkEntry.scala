@@ -90,7 +90,7 @@ object SparkEntry {
       })
     }
   /** The FULL-corpus group assignment (d6's output) as maintained serving
-    * state: keeper selection (d10) consumes the assignment table the d6/d7
+    * state: keeper selection (d6b) consumes the assignment table the d6/d7
     * pipeline maintains — in deployment a doc_id-bucketed table MERGEd per
     * increment — so its query times the selection join, not a group
     * recompute. d6 itself still times label propagation (it calls
@@ -384,7 +384,7 @@ object SparkEntry {
       // verbatim shared spans ≥ 8 words (Lee et al.-style substring dedup;
       // pair-level Jaccard can't see a pasted block inside a long doc)
       DedupOps.duplicatedSpans(documents(s, d))),
-    "d10_quality_keepers" -> ((s, d) =>
+    "d6b_quality_keepers" -> ((s, d) =>
       // keeper policy over the MAINTAINED group assignment: keep the
       // best-quality member per near-dup group, not the min doc_id
       DedupOps.qualityKeepers(d6Groups(s, d), TextOps.textStats(documents(s, d)))),
@@ -496,7 +496,7 @@ object SparkEntry {
     d7CorpusGroups(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
-    // d2's own bench timing — d10 pays the assignment build on first touch
+    // d2's own bench timing — d6b pays the assignment build on first touch
     ivfIndex(spark, dir)
     ()
   }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * the published pipelines (C4/Gopher/FineWeb): exact dedup first
   * (collapse identical texts so LSH never buckets exact copies — the d2
   * degenerate-corpus rule), then near-dup group resolution with
-  * QUALITY-aware keeper election (d2→d6→d10), then benchmark
+  * QUALITY-aware keeper election (d2→d6→d6b), then benchmark
   * decontamination (d8's k-gram collision rule), and finally the greedy
   * token-budget pack (t7) over the admitted survivors.
   *
@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * (id-keyed joins and broadcast anti-joins between stages; the id sets
   * flowing between stages are keeper/contamination lists, corpus-sized at
   * worst and usually far smaller). At deployment each stage boundary is a
-  * materialization point (the maintained tables d5/d7/d10 serve), so a
+  * materialization point (the maintained tables d5/d7/d6b serve), so a
   * daily increment replays only the incremental forms; this one-shot form
   * is the ground-up batch build those increments fold into. */
 object CurationOps {
@@ -30,7 +30,7 @@ object CurationOps {
     // stage 1 — exact dedup: one keeper per identical text (d1)
     val keepExact = DedupOps.exactDedup(documents)
     val surviving = documents.join(keepExact, "doc_id")
-    // stage 2 — near-dup groups + quality keeper election (d2 → d6 → d10)
+    // stage 2 — near-dup groups + quality keeper election (d2 → d6 → d6b)
     val pairs = DedupOps.minhashNearDups(surviving, threshold)
     val groups = DedupOps.nearDupGroups(surviving, pairs)
     val keepQuality = DedupOps.qualityKeepers(groups, TextOps.textStats(surviving))

@@ -692,7 +692,7 @@ object DedupOps {
       .orderBy("id_a", "id_b", "start_a", "start_b")
   }
 
-  /** D10 — quality-aware KEEPER SELECTION: d6/d7 elect the minimum doc_id
+  /** D6b — quality-aware KEEPER SELECTION: d6/d7 elect the minimum doc_id
     * of each near-dup group, which is the right CANONICAL id but the wrong
     * editorial policy — a production pipeline keeps the best-quality
     * member (longest, least boilerplate; the curation rule in

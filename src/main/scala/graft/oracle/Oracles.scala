@@ -667,7 +667,7 @@ ORDER BY id_a, id_b, start_a, start_b""",
 
     // c1 = the end-to-end curation composition: exact dedup (d1) →
     // near-dup groups over the survivors (d2/d6 chain, restricted) →
-    // quality-keeper election (d10 window) → k=4 decontamination vs the
+    // quality-keeper election (d6b window) → k=4 decontamination vs the
     // held-out benchmark (d8 formula) → greedy budget pack (t7 window).
     // Train/bench split mirrors d8 (doc_id % 50); every fragment is the
     // corresponding standalone oracle with its source restricted to the
@@ -739,9 +739,9 @@ c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
 SELECT doc_id, lang, n_tokens, quality_score, cum_tokens FROM c
 WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
-    // d10 = d6's recursive group CTE + t5's quality expression: per group
+    // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id
-    "d10_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,
+    "d6b_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,
 sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
 banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
            FROM sig, (SELECT unnest(range(0, 8)) AS b)),

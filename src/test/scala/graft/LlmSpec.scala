@@ -618,7 +618,7 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
-  test("quality keepers: best-quality member wins, ties to lower id (d10)") {
+  test("quality keepers: best-quality member wins, ties to lower id (d6b)") {
     import spark.implicits._
     // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied
     // quality (keep 10); 20 = singleton

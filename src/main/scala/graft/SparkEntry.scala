@@ -78,6 +78,12 @@ object SparkEntry {
         DedupOps.shingleArrays(documents(s, dir).filter(col("doc_id") >= 400)),
         d5CorpusShingles(s, dir), d5CorpusIndex(s, dir), 0.5)
     }
+  /** The d9b maintained corpus state: the positional seed table (d9's
+    * index schema), appended per admitted increment in deployment — same
+    * ingest-side class as the d5 band index. */
+  private def d9CorpusSeeds(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "d9seeds")(
+      DedupOps.positionalSeeds(documents(s, dir).filter(col("doc_id") < 400)))
   private def d7CorpusGroups(s: SparkSession, dir: String): DataFrame =
     dfCache.synchronized {
       dfCache.getOrElseUpdate((System.identityHashCode(s), dir, "d7groups"), {
@@ -396,6 +402,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), 8000L)
     }),
+    "d9b_incremental_spans" -> ((s, d) =>
+      // d5's corpus/increment split: the corpus enters ONLY through its
+      // maintained positional seed table; spans where id_b is new
+      DedupOps.incrementalSpans(
+        documents(s, d).filter(col("doc_id") >= 400), d9CorpusSeeds(s, d))),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -494,6 +505,7 @@ object SparkEntry {
     d5CorpusShingles(spark, dir).count()
     d5CorpusIndex(spark, dir).count()
     d7CorpusGroups(spark, dir).count()
+    d9CorpusSeeds(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

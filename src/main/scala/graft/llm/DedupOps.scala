@@ -665,23 +665,25 @@ object DedupOps {
     * texts at the reported offsets) rides the d2-style verify seam; hash
     * seeds are deterministic in both engines so the oracle needs no such
     * re-read. */
-  def duplicatedSpans(documents: DataFrame, k: Int = 5, minSpan: Int = 8,
-      maxDf: Int = 100, algo: String = "md5"): DataFrame = {
+  /** The positional seed table (doc_id, pos, kh) — d9's working set and
+    * its MAINTAINED-INDEX schema for the incremental form: in deployment
+    * it is a table bucketed by kh (hash prefix), appended per admitted
+    * increment, exactly the d5 band-index discipline applied to span
+    * detection. */
+  def positionalSeeds(documents: DataFrame, k: Int = 5,
+      algo: String = "md5"): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val seeds = tracked(documents
-      .select(col("doc_id"), posexplode(
-        call_function("graft_pos_shingles", col("text"), lit(k), lit(algo)))
-        .as(Seq("pos", "kh"))))
-    val rare = seeds.groupBy("kh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("kh")
-    val pruned = tracked(seeds.join(rare, "kh"))
-    val matches = pruned.select(col("kh"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
-      .join(pruned.select(col("kh"), col("doc_id").as("id_b"), col("pos").as("pos_b")), "kh")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("diag", col("pos_a") - col("pos_b"))
+    documents.select(col("doc_id"), posexplode(
+      call_function("graft_pos_shingles", col("text"), lit(k), lit(algo)))
+      .as(Seq("pos", "kh")))
+  }
+
+  /** Shared islands tail: merge matched seed positions (id_a, id_b, pos_a,
+    * pos_b) into maximal diagonal runs and report spans ≥ minSpan words. */
+  private def spanIslands(matches: DataFrame, k: Int, minSpan: Int): DataFrame = {
+    val m = matches.withColumn("diag", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    matches
-      .withColumn("island", col("pos_a") - row_number().over(w))
+    m.withColumn("island", col("pos_a") - row_number().over(w))
       .groupBy("id_a", "id_b", "diag", "island")
       .agg(min(col("pos_a")).as("sa"), count(lit(1)).as("n_seeds"))
       .filter(col("n_seeds") + (k - 1) >= minSpan)
@@ -690,6 +692,55 @@ object DedupOps {
         (col("sa") - col("diag")).cast("long").as("start_b"),
         (col("n_seeds") + (k - 1)).cast("long").as("span_len"))
       .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
+  def duplicatedSpans(documents: DataFrame, k: Int = 5, minSpan: Int = 8,
+      maxDf: Int = 100, algo: String = "md5"): DataFrame = {
+    val seeds = tracked(positionalSeeds(documents, k, algo))
+    val rare = seeds.groupBy("kh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("kh")
+    val pruned = tracked(seeds.join(rare, "kh"))
+    val matches = pruned.select(col("kh"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(pruned.select(col("kh"), col("doc_id").as("id_b"), col("pos").as("pos_b")), "kh")
+      .filter(col("id_a") < col("id_b"))
+    spanIslands(matches, k, minSpan)
+  }
+
+  /** D9b — INCREMENTAL span screening (d9 ∘ d5): find verbatim shared
+    * spans between an increment and an existing corpus WITHOUT touching
+    * corpus text. The corpus contributes only its maintained positional
+    * seed table ([[positionalSeeds]] schema, appended per admitted
+    * increment); the increment's seeds are one narrow codegen map over the
+    * new docs. Candidates are corpus-vs-new (seed-hash join against the
+    * index — kh-bucketed at deployment, so only the increment shuffles)
+    * plus new-vs-new (increment self-join); per-increment cost is
+    * O(increment tokens + matches), independent of corpus size.
+    *
+    * Output spans carry the CORPUS member as id_a for corpus-vs-new pairs
+    * REGARDLESS of numeric id order (streaming ids are not monotone — the
+    * d5 lesson) and the lower id as id_a within the increment. The df
+    * prune uses seed frequency over index ∪ increment; in deployment that
+    * is a maintained (kh, df) stats table updated per admission, never a
+    * corpus re-aggregation. Requires corpus and increment doc ids to be
+    * disjoint (the admission pipeline guarantees it, as for d7). */
+  def incrementalSpans(newDocs: DataFrame, corpusSeeds: DataFrame,
+      k: Int = 5, minSpan: Int = 8, maxDf: Int = 100,
+      algo: String = "md5"): DataFrame = {
+    val newSeeds = tracked(positionalSeeds(newDocs, k, algo))
+    val rare = corpusSeeds.unionByName(newSeeds)
+      .groupBy("kh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("kh")
+    val newPruned = tracked(newSeeds.join(rare, "kh"))
+    // pruning the INCREMENT side alone suffices: every candidate match has
+    // a new-side seed, so a pruned kh generates no rows from either route —
+    // the corpus index is never re-filtered
+    val vsCorpus = corpusSeeds
+      .select(col("kh"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(newPruned.select(col("kh"), col("doc_id").as("id_b"), col("pos").as("pos_b")), "kh")
+    val vsNew = newPruned.select(col("kh"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(newPruned.select(col("kh"), col("doc_id").as("id_b"), col("pos").as("pos_b")), "kh")
+      .filter(col("id_a") < col("id_b"))
+    spanIslands(vsCorpus.drop("kh").unionByName(vsNew.drop("kh")), k, minSpan)
   }
 
   /** D6b — quality-aware KEEPER SELECTION: d6/d7 elect the minimum doc_id

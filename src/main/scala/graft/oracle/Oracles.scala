@@ -665,6 +665,32 @@ FROM isl GROUP BY id_a, id_b, diag, island
 HAVING count(*) + 4 >= 8
 ORDER BY id_a, id_b, start_a, start_b""",
 
+    // d9b = d9's span set restricted to pairs whose LATER member is in the
+    // increment (doc_id >= 400, the d5 split): the engine generates
+    // corpus-vs-new candidates from the maintained seed index plus the
+    // increment self-join — exactly the matches with id_b new
+    "d9b_incremental_spans" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+       FROM t WHERE len(w) >= 5),
+seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
+            {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
+          FROM wh),
+ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM seeds),
+rare AS (SELECT kh FROM ps GROUP BY kh HAVING count(*) <= 100),
+pr AS (SELECT p.doc_id, p.pos, p.kh FROM ps p JOIN rare USING (kh)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pr a JOIN pr b ON a.kh = b.kh AND a.doc_id < b.doc_id AND b.doc_id >= 400),
+isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+        FROM m)
+SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + 4 AS BIGINT) AS span_len
+FROM isl GROUP BY id_a, id_b, diag, island
+HAVING count(*) + 4 >= 8
+ORDER BY id_a, id_b, start_a, start_b""",
+
     // c1 = the end-to-end curation composition: exact dedup (d1) →
     // near-dup groups over the survivors (d2/d6 chain, restricted) →
     // quality-keeper election (d6b window) → k=4 decontamination vs the

@@ -577,6 +577,85 @@ class LlmSpec extends SparkSpec {
     assert(spans6.contains((3L, 4L, 0L, 2L, 6L)))
   }
 
+  test("duplicated spans match a driver-side maximal-run reference (d9 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // independent reference: maximal matching word runs along each diagonal
+    // (the operator's seed-run+k−1 span equals the word-run length whenever
+    // the run is ≥ k, which minSpan ≥ k guarantees); pruning disabled
+    def refSpans(texts: Seq[(Long, Array[String])], k: Int,
+        minSpan: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for {
+        (a, wa) <- texts; (b, wb) <- texts
+        if a < b && wa.length >= k && wb.length >= k
+        d <- -(wb.length - 1) to (wa.length - 1)
+      } {
+        val iEnd = math.min(wa.length, wb.length + d)
+        var i = math.max(0, d)
+        var runStart = -1
+        while (i <= iEnd) {
+          val m = i < iEnd && wa(i) == wb(i - d)
+          if (m && runStart < 0) runStart = i
+          if (!m && runStart >= 0) {
+            val len = i - runStart
+            if (len >= minSpan) out += ((a, b, runStart.toLong,
+              (runStart - d).toLong, len.toLong))
+            runStart = -1
+          }
+          i += 1
+        }
+      }
+      out.toSet
+    }
+    val vocab = Vector("a", "b", "c", "d")
+    val gen = for {
+      n <- Gen.choose(3, 6)
+      docs <- Gen.listOfN(n, Gen.choose(0, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.toArray) }
+    val prop = Prop.forAll(gen) { texts =>
+      val df = texts.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got =
+        try DedupOps.duplicatedSpans(df, k = 3, minSpan = 3,
+          maxDf = Int.MaxValue).as[(Long, Long, Long, Long, Long)].collect().toSet
+        finally DedupOps.releaseCaches()
+      // split("x", -1) of the joined text equals the word array only for
+      // nonempty docs; empty docs (len 0) become one empty-string word on
+      // the Spark side — harmless: single words can't seed a 3-gram
+      got === refSpans(texts, 3, 3)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("incremental spans equal batch d9 on the new tail; corpus keeps id_a (d9b)") {
+    import spark.implicits._
+    val split = 25L
+    val batch = DedupOps.duplicatedSpans(docs, minSpan = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    val inc = DedupOps.incrementalSpans(
+      docs.filter(col("doc_id") >= split),
+      DedupOps.positionalSeeds(docs.filter(col("doc_id") < split)), minSpan = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    assert(batch.nonEmpty)
+    assert(inc === batch.filter(_._2 >= split))
+    // non-monotone streaming ids: the corpus member stays id_a even when
+    // its id is numerically larger (the d5 orientation lesson)
+    val shared = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((100L, s"$shared corpus tail here")).toDF("doc_id", "text")
+    val incoming = Seq((5L, s"lead in words $shared")).toDF("doc_id", "text")
+    val got = DedupOps.incrementalSpans(
+      incoming, DedupOps.positionalSeeds(corpus), minSpan = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(got === Seq((100L, 5L, 0L, 3L, 10L)))
+  }
+
   test("knn classify predicts the plurality neighbor label, ties to smaller (e6)") {
     import spark.implicits._
     val index = SimilarityOps.ivfBuild(emb)

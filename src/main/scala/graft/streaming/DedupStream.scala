@@ -26,6 +26,7 @@ import graft.llm.DedupOps
   * {{{
   * indexDir/shingles/batch=<lineage>-<id>/  (doc_id, sh_arr)   verify side
   * indexDir/bands/batch=<lineage>-<id>/     (doc_id, band, key) LSH side
+  * indexDir/seeds/batch=<lineage>-<id>/     (doc_id, pos, kh)  d9b span side
   * indexDir/groups/                         (doc_id, group_id) assignment
   *                                          — a BucketStore (manifest +
   *                                          CURRENT flip), upserted per
@@ -49,6 +50,13 @@ object DedupStream {
   private val BandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("key", StringType)))
+  private val SeedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", IntegerType),
+    StructField("kh", LongType)))
+
+  /** Seed width of the maintained positional index (d9's default k): span
+    * screening against the index must probe at the width it was built. */
+  val SeedK: Int = 5
 
   /** Read one side of the corpus index; an absent dir (first batch ever)
     * is an empty corpus, not an error. The probe goes through the Hadoop
@@ -82,6 +90,13 @@ object DedupStream {
 
   def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/bands", BandSchema).drop("batch")
+
+  /** The maintained positional seed index (d9's [[
+    * graft.llm.DedupOps.positionalSeeds]] schema) over every ADMITTED doc
+    * — appended per batch like the other two sides; kh-bucketed at
+    * deployment so span screening shuffles only the increment. */
+  def corpusSeeds(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/seeds", SeedSchema).drop("batch")
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))
@@ -153,6 +168,10 @@ object DedupStream {
       keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
         .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
+      // third maintained side: the admitted docs' positional seeds (d9b's
+      // span-screening index) — same idempotent batch=-keyed overwrite
+      DedupOps.positionalSeeds(keptOut, SeedK)
+        .write.mode("overwrite").parquet(s"$indexDir/seeds/$key")
       // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
       // maintained (doc_id, group_id) assignment. The delta is O(batch +
       // touched components); BucketStore's manifest flip rewrites only the
@@ -200,6 +219,15 @@ object DedupStream {
     }
   }
 
+  /** D9b over the maintained index: verbatim shared spans between a probe
+    * set and the ALREADY-ADMITTED corpus, served from the seeds side —
+    * the corpus is never re-tokenized. Width is pinned to [[SeedK]] (the
+    * index's build width). */
+  def screenSpans(spark: SparkSession, indexDir: String, newDocs: DataFrame,
+      minSpan: Int = 8, maxDf: Int = 100): DataFrame =
+    DedupOps.incrementalSpans(newDocs, corpusSeeds(spark, indexDir),
+      k = SeedK, minSpan = minSpan, maxDf = maxDf)
+
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
     * shingle side table IS the corpus's k-gram set, so a fresh eval-set
@@ -246,7 +274,8 @@ object DedupStream {
     * key. Single-writer discipline like BucketStore: run between
     * microbatches (the admission loop is the only other writer). */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    Seq("shingles" -> ShingleSchema, "bands" -> BandSchema).foreach {
+    Seq("shingles" -> ShingleSchema, "bands" -> BandSchema,
+        "seeds" -> SeedSchema).foreach {
       case (side, schema) =>
         val dir = s"$indexDir/$side"
         val path = new Path(dir)

@@ -455,6 +455,37 @@ class StreamingSpec extends SparkSpec {
     assert(indexedFinal === Set(1L, 2L, 4L, 7L))
   }
 
+  test("admitted docs' seeds are maintained; span screening serves from them (d9b streaming)") {
+    val tmp = Files.createTempDirectory("graft_span_stream").toString
+    val shared = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val a = s"$shared unique tail for document alpha entirely"
+    val b = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // probe shares the 12-token block with admitted doc 1; the corpus
+    // enters only through its maintained seeds side
+    val probe = Seq((9L, s"lead words then $shared and then divergence"))
+      .toDF("doc_id", "text")
+    val spans = graft.streaming.DedupStream.screenSpans(spark, s"$tmp/index", probe)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(spans === Seq((1L, 9L, 0L, 3L, 12L)))
+    // a rejected duplicate must never reach the seeds side
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, a)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val seedDocs = spark.read.parquet(s"$tmp/index/seeds")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(seedDocs === Set(1L, 2L))
+    // compaction folds the seeds side with the other two; screening unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    val spans2 = graft.streaming.DedupStream.screenSpans(spark, s"$tmp/index", probe)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(spans2 === spans)
+  }
+
   test("a new doc with a LOWER id than its corpus near-dup is rejected (D5 non-monotone ids)") {
     // Streaming ingest does not guarantee monotone doc_ids (late arrivals,
     // multi-source ids). Round 6 filtered candidates on id_a < id_b, so a

@@ -116,16 +116,30 @@ object SparkEntry {
     * deployment materializes offline so query time pays cell probing
     * only. Built in warm() like the other ingest-side serving state. */
   private val ivfCache =
-    scala.collection.mutable.HashMap.empty[(Int, String), SimilarityOps.IvfIndex]
-  private def ivfIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
+    scala.collection.mutable.HashMap.empty[(Int, String, String), SimilarityOps.IvfIndex]
+  private def ivfCached(s: SparkSession, d: String, tag: String)(
+      build: => SimilarityOps.IvfIndex): SimilarityOps.IvfIndex =
     ivfCache.synchronized {
       ivfCache.filterInPlace((_, idx) => !idx.cells.sparkSession.sparkContext.isStopped)
-      ivfCache.getOrElseUpdate((System.identityHashCode(s), d), {
-        val built = SimilarityOps.ivfBuild(embeddings(s, d))
+      ivfCache.getOrElseUpdate((System.identityHashCode(s), d, tag), {
+        val built = build
         val cells = built.cells.persist()
         cells.count()
         built.copy(cells = cells)
       })
+    }
+  private def ivfIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
+    ivfCached(s, d, "full")(SimilarityOps.ivfBuild(embeddings(s, d)))
+  /** The e5b MAINTAINED index: built over the vector corpus (vec_id <
+    * 400), increments folded in by frozen-centroid assignment — never a
+    * recluster. Same ingest-side serving state class as the d5/d9b index
+    * tables. */
+  private def ivfAppendedIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
+    ivfCached(s, d, "appended") {
+      val emb = embeddings(s, d)
+      SimilarityOps.ivfAppend(
+        SimilarityOps.ivfBuild(emb.filter(col("vec_id") < 400)),
+        emb.filter(col("vec_id") >= 400))
     }
 
   /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
@@ -430,6 +444,11 @@ object SparkEntry {
       // the j1b/k1b/d7 decomposition applied to ANN — same oracle as e4
       SimilarityOps.ivfQueryTopK(ivfIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), 5)),
+    "e5b_ivf_appended_topk" -> ((s, d) =>
+      // the corpus-built index with the increment folded in by
+      // frozen-centroid assignment (IVF `add`): same serve path as e5
+      SimilarityOps.ivfQueryTopK(ivfAppendedIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)),
     "e6_knn_classify" -> ((s, d) =>
       // kNN auto-labeling from the served index: scale a labeled seed set
       // to the corpus by majority vote of approximate neighbors
@@ -510,6 +529,7 @@ object SparkEntry {
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch
     ivfIndex(spark, dir)
+    ivfAppendedIndex(spark, dir)
     ()
   }
 

@@ -167,6 +167,26 @@ object SimilarityOps {
     IvfIndex(centroids, assign(centroids))
   }
 
+  /** Assign vectors to an EXISTING centroid set (no reclustering) — one
+    * narrow codegen'd map. */
+  def ivfAssign(vectors: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors.withColumn("cell", nearestCol(col("embedding"), centroids))
+  }
+
+  /** E5b — INCREMENTAL index maintenance: fold new vectors into a served
+    * IVF index by assigning them to the FROZEN centroids and appending to
+    * the cell table — the standard IVF `add` (FAISS-style): no recluster,
+    * no touch of existing cells. Per-increment cost is one narrow map over
+    * the new vectors plus an append; at deployment the cell table is
+    * cell-partitioned and the append writes only the touched cells'
+    * partitions. Centroid drift under sustained appends is the documented
+    * operational dial (periodic offline re-build = [[ivfBuild]], the same
+    * compaction discipline as the dedup index). */
+  def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfIndex =
+    index.copy(cells = index.cells.unionByName(
+      ivfAssign(newVectors, index.centroids)))
+
   /** E4/E5 serve phase — probe the `nProbe` nearest cells per query and
     * rank exactly within them. Touches only the probed cells' rows; the
     * corpus is never rescored or reassigned. */

@@ -96,18 +96,23 @@ ORDER BY id_a, id_b"""
     * is the search index; probes = top `nProbe` cells by score (tie: higher
     * cell, matching Spark's array_max/array_sort struct ordering). */
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
-      dim: Int, tail: Option[String] = None): String = {
+      dim: Int, tail: Option[String] = None,
+      corpusWhere: Option[String] = None): String = {
     // argmax of 2·dot(v,c) − ||c||² == argmin squared distance; 6-dp
     // rounded to mirror SimilarityOps.scoreStructs, so cell ties break on
     // identical values in both engines
     def score(v: String, c: String) =
       s"round(2*list_dot_product($v, $c) - list_dot_product($c, $c), 6)"
-    def assignCte(name: String, cent: String) = s"""
+    // `src`: which vector set this pass assigns. The Lloyd passes draw
+    // from `ec` (the BUILD corpus — all vectors unless corpusWhere
+    // restricts it, mirroring e5b's corpus-built index); the final pass
+    // assigns `e` (everything, i.e. corpus + appended increment).
+    def assignCte(name: String, cent: String, src: String = "ec") = s"""
 $name AS (SELECT vec_id, v, cell FROM (
   SELECT e.vec_id, e.v, s.cell,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY ${score("e.v", "s.c")} DESC, s.cell DESC) AS rn
-  FROM e, $cent s) WHERE rn = 1)"""
+  FROM $src e, $cent s) WHERE rn = 1)"""
     def updateCte(mName: String, cName: String, assigned: String, prev: String) = s"""
 $mName AS (SELECT cell, list(m ORDER BY d) AS c FROM (
   SELECT cell, d, round(avg(v[d]), 6) AS m
@@ -123,9 +128,10 @@ $cName AS (SELECT s.cell, coalesce(m.c, s.c) AS c
     val lastCent = s"c${iterations - 1}"
     s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
+ec AS (SELECT * FROM e${corpusWhere.map(w => s" WHERE $w").getOrElse("")}),
 seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
-         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)),$lloyd,
-${assignCte(last, lastCent)},
+         FROM (SELECT vec_id, v FROM ec ORDER BY vec_id LIMIT $nCells)),$lloyd,
+${assignCte(last, lastCent, "e")},
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
 probes AS (SELECT query_id, qv, cell FROM (
   SELECT q.query_id, q.qv, s.cell,
@@ -870,6 +876,11 @@ ORDER BY id_a, id_b""",
     // CTE chain with a vote tail instead of the rank projection
     "e6_knn_classify" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64, tail = Some(knnClassifyTail(5))),
+    // e5b = the corpus-built index (Lloyd over vec_id < 400 only) with
+    // everything assigned on its frozen final centroids — the appended
+    // index the engine maintains
+    "e5b_ivf_appended_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
+      iterations = 2, dim = 64, corpusWhere = Some("vec_id < 400")),
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

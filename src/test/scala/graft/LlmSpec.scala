@@ -697,6 +697,28 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("appended IVF index equals assign-all on frozen centroids (e5b)") {
+    val split = 30L
+    val built = SimilarityOps.ivfBuild(emb.filter(col("vec_id") < split))
+    val appended = SimilarityOps.ivfAppend(
+      built, emb.filter(col("vec_id") >= split))
+    // append freezes the centroids — never a recluster
+    assert(appended.centroids.map(_.toSeq).toSeq ===
+      built.centroids.map(_.toSeq).toSeq)
+    assert(appended.cells.count() === emb.count())
+    val q = emb.filter(col("vec_id") < 4)
+    // the maintained (append) path serves exactly what a fresh
+    // assign-everything on the same centroids serves
+    val got = SimilarityOps.ivfQueryTopK(appended, q, 5).collect().toSeq
+    val rebuilt = built.copy(
+      cells = SimilarityOps.ivfAssign(emb, built.centroids))
+    val want = SimilarityOps.ivfQueryTopK(rebuilt, q, 5).collect().toSeq
+    assert(got === want)
+    // increment vectors are reachable through the served index
+    assert(SimilarityOps.ivfQueryTopK(appended, q, 50)
+      .filter(col("neighbor_id") >= split).count() > 0)
+  }
+
   test("quality keepers: best-quality member wins, ties to lower id (d6b)") {
     import spark.implicits._
     // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied

@@ -477,6 +477,7 @@ object SparkEntry {
     "t9b_seq_pack_scalable" -> ((s, d) =>
       SamplingOps.packSequencesScalable(documents(s, d), 2048L)),
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(documents(s, d))),
+    "t12_chunking" -> ((s, d) => SamplingOps.chunkDocuments(documents(s, d))),
     "t11_pii_scrub" -> ((s, d) => TextOps.piiScrub(documents(s, d))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>

@@ -136,6 +136,41 @@ object SamplingOps {
     df.withColumn("cum_tokens", sum(col("n_tokens")).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+  /** T12 — document CHUNKING with overlap: cut each document's word
+    * stream into windows of `chunkTokens` words advancing by
+    * `chunkTokens − overlap` (the standard long-document layout for
+    * pretraining and retrieval corpora: every token appears in ≥ 1 chunk,
+    * consecutive chunks share `overlap` words of context, the tail chunk
+    * is short rather than padded). Every doc emits ≥ 1 chunk (an
+    * under-length doc is its own chunk).
+    *
+    * Scale shape: one narrow per-row pass — the word split, the chunk
+    * count arithmetic, and the slice/join all happen inside a single
+    * projection + explode, no shuffle, no state; the output is ordered
+    * only by the query surface's deterministic ORDER BY. Chunk count is
+    * 1 + ⌈(n − chunkTokens)/step⌉ so starts are 0, step, 2·step, … and
+    * the last start is < n. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"bad chunking: chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_chunks",
+        (lit(1) + greatest(lit(0L),
+          ceil((size(col("w")) - lit(chunkTokens)) / lit(step.toDouble)))).cast("int"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"), col("w"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * step).cast("long").as("start_word"),
+        size(slice(col("w"), col("chunk_id") * step + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("w"), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** T8 — mixture under per-language token quotas (data mixing): within
     * each language, best-quality docs fill that language's quota. The
     * window partitions by lang — state is bounded per key and languages

@@ -1029,6 +1029,20 @@ SELECT doc_id,
          '[0-9]{7,}', '<NUM>', 'g') AS text_clean
 FROM $Docs ORDER BY doc_id""",
 
+    // t12 = 64-word chunks advancing by 48 (overlap 16): chunk count is
+    // 1 + ceil((n-64)/48) so starts are 0, 48, 96, … < n; the tail chunk
+    // is short, never padded
+    "t12_chunking" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+n AS (SELECT doc_id, w, len(w) AS nw FROM t),
+c AS (SELECT doc_id, w,
+        unnest(range(0, 1 + CAST(greatest(0, ceil((nw - 64) / 48.0)) AS BIGINT))) AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id, chunk_id * 48 AS start_word,
+       CAST(len(list_slice(w, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(w, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -61,6 +61,28 @@ class SamplingSpec extends SparkSpec {
     assert(rows.head._3 === 0L)
   }
 
+  test("chunking tiles every word with the configured overlap (t12)") {
+    import spark.implicits._
+    val words = (0 until 100).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = SamplingOps.chunkDocuments(df, chunkTokens = 10, overlap = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.length === 14) // 1 + ceil((100-10)/7)
+    // reconstruction: first chunk + each later chunk minus its overlap
+    val rebuilt = doc1.head._5.split(" ").toSeq ++
+      doc1.tail.toSeq.flatMap(_._5.split(" ").drop(3).toSeq)
+    assert(rebuilt === words)
+    // consecutive chunks share exactly the overlap words
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5.split(" ").takeRight(3).toSeq === b._5.split(" ").take(3).toSeq)
+      assert(b._3 === a._3 + 7)
+    }
+    // an under-length doc is one whole chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L, "tiny doc")))
+  }
+
   test("language mix respects each quota and only includes whitelisted langs") {
     val quotas = Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L)
     val mix = SamplingOps.mixByQuota(docs, quotas).persist()

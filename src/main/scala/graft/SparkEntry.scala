@@ -478,6 +478,11 @@ object SparkEntry {
       SamplingOps.packSequencesScalable(documents(s, d), 2048L)),
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(documents(s, d))),
     "t12_chunking" -> ((s, d) => SamplingOps.chunkDocuments(documents(s, d))),
+    "t8b_source_mix" -> ((s, d) =>
+      // t8 stratified by source: cap any single crawl dump's contribution
+      SamplingOps.mixByKeyQuota(documents(s, d), Map(
+        "src0" -> 800L, "src7" -> 800L, "src12" -> 600L, "src19" -> 600L),
+        "source")),
     "t11_pii_scrub" -> ((s, d) => TextOps.piiScrub(documents(s, d))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>

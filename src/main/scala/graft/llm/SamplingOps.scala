@@ -28,13 +28,14 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
-  private def withQualityAndTokens(documents: DataFrame): DataFrame = {
+  private def withQualityAndTokens(documents: DataFrame,
+      keyCol: String = "lang"): DataFrame = {
     val t = col("text")
     val padded = concat(lit(" "), t, lit(" "))
     val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
     val nStop = TextOps.substrCount(padded, " the ") + TextOps.substrCount(padded, " a ")
     documents.select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col(keyCol),
       nTokens.as("n_tokens"),
       // same composite as T1's quality_score (round 4dp = oracle-portable)
       round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
@@ -178,15 +179,24 @@ object SamplingOps {
     * language range-partitions within its key like [[packToBudgetScalable]]
     * if ever needed). Languages without a quota are excluded — the mix is
     * a whitelist, as in published LM data recipes. */
-  def mixByQuota(documents: DataFrame, quotas: Map[String, Long]): DataFrame = {
+  def mixByQuota(documents: DataFrame, quotas: Map[String, Long]): DataFrame =
+    mixByKeyQuota(documents, quotas, "lang")
+
+  /** T8b — the same quota pack stratified by ANY key column: `source`
+    * caps any one crawl dump's contribution (the Common-Crawl-dump mixing
+    * rule), `lang` is T8, a domain column would cap sites. Same plan
+    * shape — per-key window, bounded state, keys pack in parallel. */
+  def mixByKeyQuota(documents: DataFrame, quotas: Map[String, Long],
+      keyCol: String): DataFrame = {
     val quotaCol = quotas.foldLeft(lit(null).cast("long")) {
-      case (acc, (lang, q)) => when(col("lang") === lang, q).otherwise(acc)
+      case (acc, (key, q)) => when(col(keyCol) === key, q).otherwise(acc)
     }
     packWindow(
-      withQualityAndTokens(documents).withColumn("quota", quotaCol).filter(col("quota").isNotNull),
-      Window.partitionBy("lang").orderBy(col("quality_score").desc, col("doc_id")),
+      withQualityAndTokens(documents, keyCol)
+        .withColumn("quota", quotaCol).filter(col("quota").isNotNull),
+      Window.partitionBy(keyCol).orderBy(col("quality_score").desc, col("doc_id")),
       col("quota"))
-      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
-      .orderBy(col("lang"), col("quality_score").desc, col("doc_id"))
+      .select(Seq("doc_id", keyCol, "n_tokens", "quality_score", "cum_tokens").map(col): _*)
+      .orderBy(col(keyCol), col("quality_score").desc, col("doc_id"))
   }
 }

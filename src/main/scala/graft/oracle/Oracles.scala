@@ -977,6 +977,27 @@ c AS (SELECT doc_id, lang, n_tokens, quality_score, quota,
 SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
 FROM c WHERE cum_tokens <= quota ORDER BY lang, quality_score DESC, doc_id""",
 
+    // t8b = t8's quota pack stratified by source (crawl-dump caps); the
+    // quality expression is t5's, keyed by source instead of lang
+    "t8b_source_mix" -> s"""
+WITH q AS (SELECT doc_id, source,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+      FROM $Docs),
+quotas AS (SELECT doc_id, source, n_tokens, quality_score,
+                  CASE source WHEN 'src0' THEN 800 WHEN 'src7' THEN 800
+                              WHEN 'src12' THEN 600 WHEN 'src19' THEN 600 END AS quota
+           FROM q WHERE source IN ('src0', 'src7', 'src12', 'src19')),
+c AS (SELECT doc_id, source, n_tokens, quality_score, quota,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM quotas)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM c WHERE cum_tokens <= quota ORDER BY source, quality_score DESC, doc_id""",
+
     "t9_seq_pack" -> s"""WITH $QualityCte,
 c AS (SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (ORDER BY doc_id

@@ -61,6 +61,23 @@ class SamplingSpec extends SparkSpec {
     assert(rows.head._3 === 0L)
   }
 
+  test("source-stratified quota mix caps each dump; lang form unchanged (t8b)") {
+    val quotas = Map("src0" -> 800L, "src7" -> 800L, "src12" -> 600L)
+    val mix = SamplingOps.mixByKeyQuota(docs, quotas, "source").persist()
+    try {
+      val perSrc = mix.groupBy("source").agg(sum("n_tokens").as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSrc.keySet.subsetOf(quotas.keySet))
+      perSrc.foreach { case (src, toks) =>
+        assert(toks <= quotas(src), s"$src over quota: $toks")
+      }
+    } finally mix.unpersist(blocking = false)
+    // the generic form with keyCol = lang IS t8 (row-identical)
+    val langQuotas = Map("en" -> 3000L, "de" -> 1000L)
+    assert(SamplingOps.mixByKeyQuota(docs, langQuotas, "lang").collect().toSeq ===
+      SamplingOps.mixByQuota(docs, langQuotas).collect().toSeq)
+  }
+
   test("chunking tiles every word with the configured overlap (t12)") {
     import spark.implicits._
     val words = (0 until 100).map(i => s"w$i")

@@ -659,6 +659,15 @@ object DedupOps {
     * the result is identical and the match join shrinks ~50×). Any
     * maximal span ≥ max(k, minSpan) words is k-invariant, so widening k
     * below minSpan changes cost, not output.
+    *
+    * Hash-collision honesty: a SINGLE-seed span (span_len == k) can be a
+    * phantom — two different k-grams colliding in the 2^30 hash domain
+    * (≈ seeds²/2p expected phantoms corpus-wide; the sf0.001 fixture
+    * exhibits exactly one under xxh64). Runs of ≥ 2 seeds require
+    * independent simultaneous collisions and are collision-proof in
+    * practice — the default minSpan = 8 (4 seeds) is far past it, and
+    * the verbatim-confirmation seam below removes even the single-seed
+    * residue.
     * Never text: a doc's words enter as 60-bit hashes and leave as span
     * coordinates. At 100 TB the seed table is the thing to bucket by hash
     * prefix and the verbatim-span confirmation (re-reading the two docs'

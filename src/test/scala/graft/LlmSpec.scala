@@ -577,6 +577,33 @@ class LlmSpec extends SparkSpec {
     assert(spans6.contains((3L, 4L, 0L, 2L, 6L)))
   }
 
+  test("xxh64 production hash finds the same span set (d9 swap seam)") {
+    import spark.implicits._
+    // at the default minSpan (4 consecutive seeds at k=5) the sets must
+    // agree exactly — a phantom there needs 4 independent collisions
+    val md5Spans = DedupOps.duplicatedSpans(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    val xxSpans = DedupOps.duplicatedSpans(docs, algo = "xxh64")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    assert(md5Spans.nonEmpty)
+    assert(xxSpans === md5Spans)
+    // at single-seed length, hash-domain collisions (≈ seeds²/2p at
+    // p≈2^30) can admit phantom spans — any hash disagreement must be a
+    // single-seed span, and each side's multi-seed spans must coincide
+    // (the fixture exhibits exactly one such xxh64 phantom)
+    val md5Min = DedupOps.duplicatedSpans(docs, minSpan = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    val xxMin = DedupOps.duplicatedSpans(docs, minSpan = 5, algo = "xxh64")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    DedupOps.releaseCaches()
+    val disagree = (md5Min diff xxMin) union (xxMin diff md5Min)
+    assert(disagree.forall(_._5 == 5L),
+      s"non-single-seed hash disagreement: $disagree")
+  }
+
   test("duplicated spans match a driver-side maximal-run reference (d9 property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

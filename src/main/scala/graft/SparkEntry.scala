@@ -84,16 +84,24 @@ object SparkEntry {
   private def d9CorpusSeeds(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "d9seeds")(
       DedupOps.positionalSeeds(documents(s, dir).filter(col("doc_id") < 400)))
+  /** cachedDf variant for group-resolution outputs: the build runs a
+    * multi-pass dedup pipeline whose tracked intermediates must be
+    * materialized INTO the cache (count) and then released — without the
+    * count-then-release the scaffolding frames would outlive the build. */
+  private def cachedGroups(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = dfCache.synchronized {
+    dfCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    dfCache.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+      val g = build.persist()
+      g.count() // materialize INTO the cache before the scaffolding
+      DedupOps.releaseCaches() // (tracked pair/label frames) is dropped
+      g
+    })
+  }
   private def d7CorpusGroups(s: SparkSession, dir: String): DataFrame =
-    dfCache.synchronized {
-      dfCache.getOrElseUpdate((System.identityHashCode(s), dir, "d7groups"), {
-        val corpusDocs = documents(s, dir).filter(col("doc_id") < 400)
-        val g = DedupOps.nearDupGroups(corpusDocs,
-          DedupOps.minhashNearDups(corpusDocs, 0.5)).persist()
-        g.count() // materialize INTO the cache before the scaffolding
-        DedupOps.releaseCaches() // (tracked pair/label frames) is dropped
-        g
-      })
+    cachedGroups(s, dir, "d7groups") {
+      val corpusDocs = documents(s, dir).filter(col("doc_id") < 400)
+      DedupOps.nearDupGroups(corpusDocs, DedupOps.minhashNearDups(corpusDocs, 0.5))
     }
   /** The FULL-corpus group assignment (d6's output) as maintained serving
     * state: keeper selection (d6b) consumes the assignment table the d6/d7
@@ -102,14 +110,8 @@ object SparkEntry {
     * recompute. d6 itself still times label propagation (it calls
     * nearDupGroups directly, never this cache). */
   private def d6Groups(s: SparkSession, dir: String): DataFrame =
-    dfCache.synchronized {
-      dfCache.getOrElseUpdate((System.identityHashCode(s), dir, "d6groups"), {
-        val g = DedupOps.nearDupGroups(documents(s, dir), d2Pairs(s, dir)).persist()
-        g.count() // materialize INTO the cache before the scaffolding
-        DedupOps.releaseCaches() // (tracked label frames) is dropped
-        g
-      })
-    }
+    cachedGroups(s, dir, "d6groups")(
+      DedupOps.nearDupGroups(documents(s, dir), d2Pairs(s, dir)))
 
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a

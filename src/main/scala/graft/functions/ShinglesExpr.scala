@@ -46,28 +46,7 @@ case class ShinglesExpr(first: Expression, second: Expression, third: Expression
   def this(text: Expression, k: Expression) = this(text, k, Literal("md5"))
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (_: StringType, IntegerType, _: StringType)
-          if second.foldable && third.foldable =>
-        // session-registered → reachable from arbitrary SQL: reject a bad
-        // shingle width or algo at ANALYSIS time rather than on executors
-        (second.eval(), third.eval()) match {
-          case (k: java.lang.Integer, _) if k < 1 || k > 7 =>
-            TypeCheckResult.TypeCheckFailure(
-              s"graft_shingles k must be an int literal in [1, 7], got $k")
-          case (_, a: UTF8String) if ShinglesExpr.algoCode(a.toString) < 0 =>
-            TypeCheckResult.TypeCheckFailure(
-              s"graft_shingles algo must be 'md5' or 'xxh64', got $a")
-          case (_: java.lang.Integer, _: UTF8String) =>
-            TypeCheckResult.TypeCheckSuccess
-          case other => TypeCheckResult.TypeCheckFailure(
-            s"graft_shingles got non-literal arguments $other")
-        }
-      case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_shingles expects (string, foldable int[, foldable string]), got " +
-          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
-          third.dataType.catalogString)
-    }
+    ShinglesExpr.checkArgs(prettyName, first, second, third)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -104,9 +83,10 @@ case class PosShinglesExpr(first: Expression, second: Expression, third: Express
 
   def this(text: Expression, k: Expression) = this(text, k, Literal("md5"))
 
-  // identical argument surface → identical analysis-time validation
+  // identical argument surface → identical analysis-time validation,
+  // reported under THIS function's name
   override def checkInputDataTypes(): TypeCheckResult =
-    ShinglesExpr(first, second, third).checkInputDataTypes()
+    ShinglesExpr.checkArgs(prettyName, first, second, third)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -139,6 +119,33 @@ object ShinglesExpr {
     case "xxh64" => Xxh64
     case _ => -1
   }
+
+  /** Shared analysis-time validation for the distinct and positional
+    * forms — session-registered → reachable from arbitrary SQL, so a bad
+    * shingle width or algo is rejected at ANALYSIS time rather than on
+    * executors, and the diagnostic names the function the user called. */
+  private[functions] def checkArgs(fn: String, first: Expression,
+      second: Expression, third: Expression): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: StringType, IntegerType, _: StringType)
+          if second.foldable && third.foldable =>
+        (second.eval(), third.eval()) match {
+          case (k: java.lang.Integer, _) if k < 1 || k > 7 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$fn k must be an int literal in [1, 7], got $k")
+          case (_, a: UTF8String) if algoCode(a.toString) < 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$fn algo must be 'md5' or 'xxh64', got $a")
+          case (_: java.lang.Integer, _: UTF8String) =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$fn got non-literal arguments $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects (string, foldable int[, foldable string]), got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          third.dataType.catalogString)
+    }
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("MD5"))

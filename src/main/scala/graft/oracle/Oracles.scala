@@ -71,6 +71,66 @@ q AS (SELECT doc_id, lang,
                  / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
       FROM $Docs)"""
 
+  /** The minhash→bands→candidates→verify→edges→reachability chain shared
+    * by every group-resolution oracle (d6, d7, d6b) — defined ONCE so the
+    * LSH constants (32 perms, 8 bands of 4, threshold 0.5) cannot drift
+    * between oracles gating the same engine chain. Appended after
+    * `WITH RECURSIVE $$ShingleCtes,`. */
+  private val GroupChainCtes = s"""
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM $Docs
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
+
+  private val GroupSelect = """
+SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
+FROM reach GROUP BY id ORDER BY doc_id"""
+
+  /** d9's positional 5-gram seed chain with the seed-match predicate
+    * parameterized — d9b is the identical query restricted to pairs whose
+    * later member is in the increment. One definition so the k=5
+    * polynomial coefficients (31^4…31^0) and range bounds cannot drift
+    * between the batch and incremental oracles. */
+  private def spanOracle(matchExtra: String): String = s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+       FROM t WHERE len(w) >= 5),
+seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
+            {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
+          FROM wh),
+ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM seeds),
+rare AS (SELECT kh FROM ps GROUP BY kh HAVING count(*) <= 100),
+pr AS (SELECT p.doc_id, p.pos, p.kh FROM ps p JOIN rare USING (kh)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pr a JOIN pr b ON a.kh = b.kh AND a.doc_id < b.doc_id$matchExtra),
+isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+        FROM m)
+SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + 4 AS BIGINT) AS span_len
+FROM isl GROUP BY id_a, id_b, diag, island
+HAVING count(*) + 4 >= 8
+ORDER BY id_a, id_b, start_a, start_b"""
+
   private def jaccardTail(threshold: Double): String = s"""
 inter AS (
   SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
@@ -554,57 +614,11 @@ ${jaccardTail(0.5)}""",
     // assignment — its oracle is this identical CTE over the full corpus,
     // while the engine folds only the increment's pairs into a maintained
     // corpus assignment: two different algorithms required to agree.
-    "d7_incremental_groups" -> s"""WITH RECURSIVE $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-pairs AS (
-  SELECT i.id_a, i.id_b FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM $Docs
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
-FROM reach GROUP BY id ORDER BY doc_id""",
+    "d7_incremental_groups" ->
+      s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes$GroupSelect""",
 
-    "d6_dedup_groups" -> s"""WITH RECURSIVE $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-pairs AS (
-  SELECT i.id_a, i.id_b FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM $Docs
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
-FROM reach GROUP BY id ORDER BY doc_id""",
+    "d6_dedup_groups" ->
+      s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes$GroupSelect""",
 
     // d5 = d2's pair set restricted to pairs whose LATER member is in the
     // increment (doc_id >= 400): the Spark side generates candidates from
@@ -649,53 +663,13 @@ ORDER BY doc_id, bench_id""",
     // list_distinct (the position of every occurrence matters); the
     // df-prune (≤ 100 seed positions per hash corpus-wide) mirrors
     // DedupOps.duplicatedSpans.
-    "d9_span_dedup" -> s"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
-wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-       FROM t WHERE len(w) >= 5),
-seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
-            {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
-          FROM wh),
-ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM seeds),
-rare AS (SELECT kh FROM ps GROUP BY kh HAVING count(*) <= 100),
-pr AS (SELECT p.doc_id, p.pos, p.kh FROM ps p JOIN rare USING (kh)),
-m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-      FROM pr a JOIN pr b ON a.kh = b.kh AND a.doc_id < b.doc_id),
-isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
-               pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-        FROM m)
-SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
-       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
-       CAST(count(*) + 4 AS BIGINT) AS span_len
-FROM isl GROUP BY id_a, id_b, diag, island
-HAVING count(*) + 4 >= 8
-ORDER BY id_a, id_b, start_a, start_b""",
+    "d9_span_dedup" -> spanOracle(""),
 
     // d9b = d9's span set restricted to pairs whose LATER member is in the
     // increment (doc_id >= 400, the d5 split): the engine generates
     // corpus-vs-new candidates from the maintained seed index plus the
     // increment self-join — exactly the matches with id_b new
-    "d9b_incremental_spans" -> s"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
-wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-       FROM t WHERE len(w) >= 5),
-seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
-            {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
-          FROM wh),
-ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM seeds),
-rare AS (SELECT kh FROM ps GROUP BY kh HAVING count(*) <= 100),
-pr AS (SELECT p.doc_id, p.pos, p.kh FROM ps p JOIN rare USING (kh)),
-m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-      FROM pr a JOIN pr b ON a.kh = b.kh AND a.doc_id < b.doc_id AND b.doc_id >= 400),
-isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
-               pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-        FROM m)
-SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
-       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
-       CAST(count(*) + 4 AS BIGINT) AS span_len
-FROM isl GROUP BY id_a, id_b, diag, island
-HAVING count(*) + 4 >= 8
-ORDER BY id_a, id_b, start_a, start_b""",
+    "d9b_incremental_spans" -> spanOracle(" AND b.doc_id >= 400"),
 
     // c1 = the end-to-end curation composition: exact dedup (d1) →
     // near-dup groups over the survivors (d2/d6 chain, restricted) →
@@ -773,29 +747,7 @@ WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
     // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id
-    "d6b_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-pairs AS (
-  SELECT i.id_a, i.id_b FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM $Docs
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    "d6b_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes,
 grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),$QualityCte
 SELECT g.doc_id, g.group_id, q.quality_score,
        row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) = 1 AS keep

@@ -480,6 +480,8 @@ object SparkEntry {
       SamplingOps.packSequencesScalable(documents(s, d), 2048L)),
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(documents(s, d))),
     "t12_chunking" -> ((s, d) => SamplingOps.chunkDocuments(documents(s, d))),
+    "t13_vocabulary" -> ((s, d) => TextOps.vocabulary(documents(s, d))),
+    "t14_corpus_report" -> ((s, d) => TextOps.corpusReport(documents(s, d))),
     "t8b_source_mix" -> ((s, d) =>
       // t8 stratified by source: cap any single crawl dump's contribution
       SamplingOps.mixByKeyQuota(documents(s, d), Map(

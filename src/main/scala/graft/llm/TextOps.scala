@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -167,4 +168,54 @@ object TextOps {
       .groupBy("doc_id")
       .agg((sum(h60(col("w")) % P) % P).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** T13 — VOCABULARY induction: corpus-wide word frequencies, ranked by
+    * (count desc, word), top `maxVocab` entries with cumulative coverage
+    * of the token stream — the corpus-side preparation for BPE/unigram
+    * tokenizer training and OOV-rate estimation.
+    *
+    * Scale shape: one map-side-combined count shuffle keyed by word; the
+    * top-N is `orderBy.limit` — Spark plans TakeOrderedAndProject (each
+    * partition keeps N, the driver merges N·partitions rows), never a
+    * global sort of the vocabulary — and the rank/coverage window runs on
+    * the N surviving rows only. The corpus total rides in as a broadcast
+    * 1-row aggregate. */
+  def vocabulary(documents: DataFrame, maxVocab: Int = 1000): DataFrame = {
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(maxVocab)
+    val w = Window.orderBy(col("n").desc, col("word"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__total"))))
+      .select(col("word"), col("rank"), col("n"),
+        round(col("cum_n").cast("double") / col("__total"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+
+  /** T14 — per-language CORPUS REPORT (the data-card step): document and
+    * token counts, aggregate quality, and the above-threshold share per
+    * language. Every column is an exact integer (quality enters as
+    * sum-of-round(q·10⁴) longs — the q1 integer-cents discipline) so the
+    * report is engine-portable with no float-summation-order hazard.
+    * One map-side-combined aggregation keyed by lang. */
+  def corpusReport(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val padded = concat(lit(" "), t, lit(" "))
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nStop = substrCount(padded, " the ") + substrCount(padded, " a ")
+    val quality = round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+      (nStop.cast("double") / nTokens) * 0.5, 4)
+    documents
+      .select(col("lang"), nTokens.as("n_tokens"),
+        round(quality * 10000).cast("long").as("q4"),
+        (quality >= 0.5).cast("long").as("above"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("q4")).as("sum_quality_x10k"), sum(col("above")).as("n_above_half"))
+      .orderBy("lang")
+  }
 }

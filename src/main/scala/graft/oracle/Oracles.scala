@@ -1016,6 +1016,35 @@ SELECT doc_id, chunk_id, chunk_id * 48 AS start_word,
        array_to_string(list_slice(w, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_id""",
 
+    // t13 = word-frequency vocabulary, rank by (count desc, word), top
+    // 1000 with cumulative token-stream coverage
+    "t13_vocabulary" -> s"""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM $Docs),
+counts AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+ranked AS (SELECT word, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+                  CAST(sum(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+           FROM counts)
+SELECT word, rank, n, round(CAST(cum_n AS DOUBLE) / t, 6) AS coverage
+FROM ranked, total WHERE rank <= 1000 ORDER BY rank""",
+
+    // t14 = per-language data card; quality enters as sum of round(q·10⁴)
+    // longs (the q1 integer-cents discipline — no float summation order)
+    "t14_corpus_report" -> s"""
+WITH q AS (SELECT lang,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality
+      FROM $Docs)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_x10k,
+       CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half
+FROM q GROUP BY lang ORDER BY lang""",
+
     "m1_media_meta" -> s"""
 SELECT doc_id, 'image/' || source AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

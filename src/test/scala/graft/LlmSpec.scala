@@ -746,6 +746,37 @@ class LlmSpec extends SparkSpec {
       .filter(col("neighbor_id") >= split).count() > 0)
   }
 
+  test("vocabulary ranks by count then word, coverage sums to the stream (t13)") {
+    import spark.implicits._
+    val synth = Seq((1L, "a b a c a b"), (2L, "b d")).toDF("doc_id", "text")
+    // counts: a=3 b=3 c=1 d=1 of 8 → rank (b? no: count desc, WORD asc)
+    val got = TextOps.vocabulary(synth, maxVocab = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 1L, 3L, 0.375), ("b", 2L, 3L, 0.75),
+      ("c", 3L, 1L, 0.875)))
+    // full-fixture sanity: coverage is monotone and ends ≤ 1
+    val full = TextOps.vocabulary(docs).as[(String, Long, Long, Double)]
+      .collect().toSeq
+    assert(full.map(_._4) === full.map(_._4).sorted)
+    assert(full.last._4 <= 1.0)
+  }
+
+  test("corpus report matches per-doc stats aggregated driver-side (t14)") {
+    import spark.implicits._
+    val got = TextOps.corpusReport(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val perDoc = TextOps.textStats(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang", "n_tokens", "quality_score")
+      .as[(String, Long, Double)].collect()
+    val want = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      (lang, rows.length.toLong, rows.map(_._2).sum,
+        rows.map(r => math.round(r._3 * 10000)).sum,
+        rows.count(_._3 >= 0.5).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("quality keepers: best-quality member wins, ties to lower id (d6b)") {
     import spark.implicits._
     // group 1 = {1,2,3} with 2 the best quality; group 10 = {10,11} tied

@@ -761,6 +761,29 @@ class LlmSpec extends SparkSpec {
     assert(full.last._4 <= 1.0)
   }
 
+  test("vocabulary top-N plans as TakeOrdered, never a global sort (t13 plan gate)") {
+    val vocab = TextOps.vocabulary(docs, maxVocab = 100)
+    vocab.count()
+    val plan = vocab.queryExecution.executedPlan match {
+      // descend through the AQE wrapper (its internal plan is not a child)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val takeOrdered = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty,
+      s"vocabulary top-N must plan TakeOrderedAndProject:\n$plan")
+    // the only Sort allowed is the N-row rank window + final ORDER BY —
+    // no sort may sit below the top-N boundary (a global vocabulary sort)
+    val sortsBelowTopN = takeOrdered.head.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sortsBelowTopN.isEmpty,
+      s"global sort under the top-N boundary:\n$plan")
+  }
+
   test("corpus report matches per-doc stats aggregated driver-side (t14)") {
     import spark.implicits._
     val got = TextOps.corpusReport(docs)

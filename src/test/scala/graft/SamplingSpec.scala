@@ -100,6 +100,40 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L, "tiny doc")))
   }
 
+  test("chunking reconstructs any doc at any width/overlap (t12 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      chunkTokens <- Gen.choose(2, 12)
+      overlap <- Gen.choose(0, chunkTokens - 1)
+      nDocs <- Gen.choose(1, 4)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1, 40))
+    } yield (chunkTokens, overlap, lens)
+    val prop = Prop.forAll(gen) { case (chunkTokens, overlap, lens) =>
+      val texts = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"d${i}w$j").mkString(" "))
+      }
+      val out = SamplingOps.chunkDocuments(
+        texts.toDF("doc_id", "text"), chunkTokens, overlap)
+        .as[(Long, Long, Long, Long, String)].collect()
+      texts.forall { case (id, text) =>
+        val words = text.split(" ", -1).toSeq
+        val chunks = out.filter(_._1 == id).sortBy(_._2)
+        // every doc chunks; starts advance by step; reconstruction exact
+        chunks.nonEmpty &&
+          chunks.zipWithIndex.forall { case (c, i) =>
+            c._3 == i.toLong * (chunkTokens - overlap) } &&
+          (chunks.head._5.split(" ", -1).toSeq ++
+            chunks.tail.toSeq.flatMap(_._5.split(" ", -1).drop(overlap).toSeq)
+          ) == words &&
+          chunks.forall(c => c._4 <= chunkTokens && c._4 > 0)
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("language mix respects each quota and only includes whitelisted langs") {
     val quotas = Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1500L)
     val mix = SamplingOps.mixByQuota(docs, quotas).persist()

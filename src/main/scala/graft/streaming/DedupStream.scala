@@ -228,6 +228,15 @@ object DedupStream {
     DedupOps.incrementalSpans(newDocs, corpusSeeds(spark, indexDir),
       k = SeedK, minSpan = minSpan, maxDf = maxDf)
 
+  /** D6b over the maintained assignment: quality-keeper election served
+    * straight from the group store the admission loop maintains — the
+    * editorial keep/drop decision is a query-time VIEW over (groups ×
+    * quality), never persisted state, so a changed quality model re-elects
+    * without touching the store. */
+  def electKeepers(spark: SparkSession, indexDir: String,
+      quality: DataFrame): DataFrame =
+    DedupOps.qualityKeepers(corpusGroups(spark, indexDir), quality)
+
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
     * shingle side table IS the corpus's k-gram set, so a fresh eval-set

@@ -569,6 +569,17 @@ class StreamingSpec extends SparkSpec {
       "_b=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt)
     assert(changedBuckets === movedBuckets,
       s"rewritten buckets $changedBuckets must be exactly the moved rows' buckets $movedBuckets")
+
+    // keeper election served from the maintained store (d6b streaming):
+    // within the merged {100, 200, 400} group the best quality wins — a
+    // pure query-time view, so a different quality model re-elects
+    // without touching the store
+    val quality = Seq((100L, 0.3), (200L, 0.9), (300L, 0.5), (400L, 0.7))
+      .toDF("doc_id", "quality_score")
+    val elected = graft.streaming.DedupStream
+      .electKeepers(spark, s"$tmp/index", quality)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(elected.filter(_._4).map(_._1) === Seq(200L, 300L))
   }
 
   test("compaction folds index batch dirs mid-stream; admissions and verdicts unchanged (D5 compaction)") {

@@ -423,6 +423,20 @@ object SparkEntry {
       // maintained positional seed table; spans where id_b is new
       DedupOps.incrementalSpans(
         documents(s, d).filter(col("doc_id") >= 400), d9CorpusSeeds(s, d))),
+    "c2_incremental_admission" -> ((s, d) => {
+      // c1's incremental twin: one verdict per increment doc, composed
+      // from the SERVED screens (d5 pairs off the band index, d9b spans
+      // off the seed index, d8 hits vs the held-out set, t5 quality) —
+      // the corpus enters only through its maintained tables. A benchmark
+      // doc arriving in the training feed flags itself `contaminated`,
+      // which is exactly the decontamination contract.
+      val inc = documents(s, d).filter(col("doc_id") >= 400)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      graft.llm.CurationOps.admitIncrement(inc,
+        d5Pairs(s, d),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d)),
+        DedupOps.contaminationHits(inc, bench, 4, 1))
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

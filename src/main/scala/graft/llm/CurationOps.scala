@@ -44,4 +44,51 @@ object CurationOps {
     // stage 4 — pack the token budget best-quality-first (t7)
     SamplingOps.packToBudget(documents.join(admitted, "doc_id"), budgetTokens)
   }
+
+  /** C2 — the INCREMENTAL admission pipeline: one verdict row per
+    * increment document, composed from the outputs of the maintained
+    * screens exactly as the streaming admission service consumes them
+    * ([[graft.streaming.DedupStream]] computes each screen once per batch
+    * and folds the results — this operator is that fold as a queryable
+    * unit). Where [[curateCorpus]] is the ground-up batch build, this is
+    * the daily increment's path: every input frame is O(increment) —
+    * near-dup pairs from the band index (d5), verbatim spans from the
+    * seed index (d9b), benchmark collisions (d8) — and the corpus itself
+    * is never touched.
+    *
+    * Verdict precedence follows the screens' pipeline order (a doc
+    * failing several reports the earliest): `near_dup` > `span_dup` >
+    * `contaminated` > `low_quality` > `admitted`. `detail_id` names the
+    * firing screen's witness — the keeper for dups/spans, the colliding
+    * benchmark doc for contamination (min id for determinism) — and is
+    * null for quality-only rejections and admissions.
+    *
+    * Scale shape: the three screen outputs are rejected-id frames
+    * (increment-sized at worst, usually far smaller) aggregated to one
+    * row per rejected doc and broadcast; the spine is the increment's own
+    * quality stats (a narrow map), so the whole verdict assembly adds
+    * ZERO shuffles beyond what the screens themselves already paid. */
+  def admitIncrement(increment: DataFrame, dupPairs: DataFrame,
+      spanPairs: DataFrame, contamHits: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
+      .agg(min("id_a").as("dup_id"))
+    val span = spanPairs.groupBy(col("id_b").as("doc_id"))
+      .agg(min("id_a").as("span_id"))
+    val contam = contamHits.groupBy("doc_id")
+      .agg(min("bench_id").as("contam_id"))
+    TextOps.textStats(increment).select("doc_id", "quality_score")
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .join(broadcast(span), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_id").isNotNull, "near_dup")
+          .when(col("span_id").isNotNull, "span_dup")
+          .when(col("contam_id").isNotNull, "contaminated")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .otherwise("admitted").as("verdict"),
+        coalesce(col("dup_id"), col("span_id"), col("contam_id")).as("detail_id"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
 }

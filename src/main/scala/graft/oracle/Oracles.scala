@@ -745,6 +745,77 @@ c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
 SELECT doc_id, lang, n_tokens, quality_score, cum_tokens FROM c
 WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
+    // c2 = the incremental admission composition: one verdict per
+    // increment doc (doc_id >= 400, the d5 split) with screen precedence
+    // near_dup (d5 fragment: corpus band index ∪ increment self-join) >
+    // span_dup (d9b fragment: maintained seed index, ≥ 8-word spans) >
+    // contaminated (d8 fragment at k=4 vs the doc_id % 50 = 0 held-out
+    // set — a benchmark doc arriving in the feed flags itself) >
+    // low_quality (t5's score < 0.5) > admitted. detail_id = the firing
+    // screen's min witness id. Every fragment is the corresponding
+    // standalone oracle with the increment as its probe side.
+    "c2_incremental_admission" -> s"""WITH $ShingleCtes,
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey
+           AND a.doc_id < bb.doc_id AND bb.doc_id >= 400),
+dinter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+dpairs AS (
+  SELECT i.id_a, i.id_b FROM dinter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
+dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_id FROM dpairs GROUP BY id_b),
+spwh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+         FROM docs WHERE len(w) >= 5),
+spseeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
+              {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
+            FROM spwh),
+spps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM spseeds),
+sprare AS (SELECT kh FROM spps GROUP BY kh HAVING count(*) <= 100),
+sppr AS (SELECT p.doc_id, p.pos, p.kh FROM spps p JOIN sprare USING (kh)),
+spm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        FROM sppr a JOIN sppr b ON a.kh = b.kh AND a.doc_id < b.doc_id AND b.doc_id >= 400),
+spisl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+                 pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+          FROM spm),
+spspans AS (SELECT id_a, id_b FROM spisl
+            GROUP BY id_a, id_b, diag, island HAVING count(*) + 4 >= 8),
+span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b),
+c2twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+          FROM docs WHERE doc_id >= 400 AND len(w) >= 4),
+c2tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
+            (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+          FROM c2twh),
+c2tset AS (SELECT doc_id, unnest(arr) AS sh FROM c2tsh),
+c2bwh AS (SELECT doc_id AS bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+          FROM docs WHERE doc_id % 50 = 0 AND len(w) >= 4),
+c2bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
+            (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+          FROM c2bwh),
+c2bset AS (SELECT bench_id, unnest(arr) AS sh FROM c2bsh),
+chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
+          GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
+contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$QualityCte
+SELECT q.doc_id,
+       CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
+            WHEN span.span_id IS NOT NULL THEN 'span_dup'
+            WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
+            WHEN q.quality_score < 0.5 THEN 'low_quality'
+            ELSE 'admitted' END AS verdict,
+       coalesce(dup.dup_id, span.span_id, contam.contam_id) AS detail_id,
+       q.quality_score
+FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
+LEFT JOIN contam USING (doc_id)
+WHERE q.doc_id >= 400 ORDER BY q.doc_id""",
+
     // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id
     "d6b_quality_keepers" -> s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes,

@@ -813,4 +813,47 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._4).map(_._1) === Seq(2L, 10L, 20L))
     assert(out.map(_._1) === Seq(1L, 2L, 3L, 10L, 11L, 20L))
   }
+
+  test("incremental admission: screen precedence and per-doc verdicts (c2)") {
+    import spark.implicits._
+    // span S is 10 words shared verbatim; fillers keep pair Jaccard < 0.5
+    // so the span screen (not the minhash screen) must catch doc 402
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ") + " " + span + " " +
+        (21 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((50L, "alpha beta gamma delta benchmark probe words here"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      // near-dup of corpus doc 1 AND low quality: near_dup must win
+      (401L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"),
+      // shares only span S with corpus doc 2 → span_dup, witness 2
+      (402L, (1 to 15).map(i => s"x$i").mkString(" ") + " " + span + " " +
+        (16 to 30).map(i => s"x$i").mkString(" ")),
+      // shares the 4-gram "alpha beta gamma delta" with the benchmark
+      (403L, "noise one two three alpha beta gamma delta more noise tail"),
+      (404L, "tiny junk words"),
+      // 120 tokens, half stopwords → quality 0.75 ≥ 0.5 → admitted
+      (405L, (1 to 60).map(i => s"the w$i").mkString(" "))).toDF("doc_id", "text")
+    val corpusSh = DedupOps.shingleArrays(corpus)
+    val out = graft.llm.CurationOps.admitIncrement(increment,
+        DedupOps.incrementalNearDups(DedupOps.shingleArrays(increment),
+          corpusSh, DedupOps.bandIndex(
+            DedupOps.signaturesFromShingleArrays(corpusSh)), 0.5),
+        DedupOps.incrementalSpans(increment, DedupOps.positionalSeeds(corpus)),
+        DedupOps.contaminationHits(increment, bench, 4, 1))
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    DedupOps.releaseCaches()
+    // one verdict row per increment doc, in id order, all classes exercised
+    assert(out.map(_._1) === Seq(401L, 402L, 403L, 404L, 405L))
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq(
+      (401L, "near_dup", Some(1L)),
+      (402L, "span_dup", Some(2L)),
+      (403L, "contaminated", Some(50L)),
+      (404L, "low_quality", None),
+      (405L, "admitted", None)))
+    // precedence, not absence: 401 also fails the quality gate on its own
+    assert(out.find(_._1 == 401L).get._4 < 0.5)
+  }
 }

@@ -465,6 +465,11 @@ object SparkEntry {
       // frozen-centroid assignment (IVF `add`): same serve path as e5
       SimilarityOps.ivfQueryTopK(ivfAppendedIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), 5)),
+    "e7_semantic_dedup" -> ((s, d) =>
+      // SemDeDup served from the SAME maintained IVF index as e5/e6:
+      // within-cell cosine pairs → groups → keep the least-centroid-
+      // similar member per group (the paper's diversity-preserving pick)
+      SimilarityOps.semanticDedup(ivfIndex(s, d), 0.4)),
     "e6_knn_classify" -> ((s, d) =>
       // kNN auto-labeling from the served index: scale a labeled seed set
       // to the corpus by majority vote of approximate neighbors
@@ -479,6 +484,7 @@ object SparkEntry {
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
     "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
+    "t15_oov_stats" -> ((s, d) => TextOps.oovStats(documents(s, d))),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

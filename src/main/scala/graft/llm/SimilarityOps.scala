@@ -243,6 +243,54 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** E7 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication in embedding space, served from the SAME maintained IVF
+    * index as e5/e6. The recipe clusters precisely to bound the quadratic:
+    * only within-cell pairs are cosine-compared (Σ cell² work, never
+    * corpus²), pairs ≥ threshold are connected into groups (d6's CC
+    * machinery on vec ids), and per group the paper's diversity-preserving
+    * choice KEEPS the member LEAST similar to its cell centroid (ties to
+    * the lower vec_id) — near-identical points collapse to the one
+    * farthest from the cluster's center of mass.
+    *
+    * Scale shape: the pair front shuffles on `cell` (the index's serving
+    * partitioning, so co-located at deployment); cos-to-centroid is one
+    * narrow codegen'd map with the K×dim centroid matrix riding as a
+    * typedlit plan parameter; group resolution inherits d6's
+    * pointer-doubling bounds on (vec, label) longs. Scores are 6-dp
+    * rounded so threshold and keeper ties break on oracle-identical
+    * values. */
+  def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(index.cells.sparkSession)
+    val centMatrix = typedlit(index.centroids.map(_.toSeq).toSeq)
+    val cells = index.cells.select(col("vec_id"), col("cell"), col("embedding"))
+    val withCos = cells
+      .withColumn("cv", element_at(centMatrix, col("cell") + 1))
+      .withColumn("cos_centroid", round(
+        call_function("graft_dot", col("embedding"), col("cv")) /
+          (sqrt(call_function("graft_dot", col("embedding"), col("embedding"))) *
+            sqrt(call_function("graft_dot", col("cv"), col("cv")))), 6))
+      .select("vec_id", "cell", "cos_centroid")
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(expr(
+        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    val groups = DedupOps.nearDupGroups(
+      cells.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+    val members = withCos.join(groups, "vec_id")
+    val winners = members.groupBy("group_id")
+      .agg(min_by(col("vec_id"), struct(col("cos_centroid"), col("vec_id"))).as("keep_id"))
+    members.join(winners, "group_id")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("group_id"), col("cos_centroid"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket
     * pairs are compared. */

@@ -196,6 +196,38 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** T15 — vocabulary-COVERAGE stats per document: OOV rate against the
+    * top-N corpus vocabulary ([[vocabulary]]) and the mean rank of the
+    * in-vocabulary tokens — the oracle-exact form of the CCNet-style
+    * unigram-LM quality filter (docs scoring rare-word-heavy or
+    * out-of-vocabulary are boilerplate, garbage, or off-distribution).
+    * A production deployment swaps −Σ log p(w) surprisal in at this
+    * aggregation (one expression change); rank/OOV keeps every column
+    * integer-rational so the cross-engine oracle is exact — the same
+    * discipline as the md5→xxhash64 hash seam, applied to
+    * transcendentals.
+    *
+    * Scale shape: the vocabulary is top-N (broadcast, plan-parameter
+    * sized); the token stream is one explode + broadcast-join + doc-keyed
+    * map-side-combined aggregation — the t4 shape, no corpus shuffle
+    * beyond the doc key. */
+  def oovStats(documents: DataFrame, maxVocab: Int = 200): DataFrame = {
+    val vocab = vocabulary(documents, maxVocab).select("word", "rank")
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("rank")).as("sum_rank"),
+        count(col("rank")).as("n_invocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"),
+        when(col("n_invocab") > 0,
+          round(col("sum_rank").cast("double") / col("n_invocab"), 4)).as("mean_rank"))
+      .orderBy("doc_id")
+  }
+
   /** T14 — per-language CORPUS REPORT (the data-card step): document and
     * token counts, aggregate quality, and the above-threshold share per
     * language. Every column is an exact integer (quality enters as

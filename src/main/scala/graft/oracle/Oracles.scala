@@ -155,14 +155,20 @@ ORDER BY id_a, id_b"""
     * `iterations-1` 6-dp-rounded mean updates between them; the last pass
     * is the search index; probes = top `nProbe` cells by score (tie: higher
     * cell, matching Spark's array_max/array_sort struct ordering). */
-  private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
-      dim: Int, tail: Option[String] = None,
+  // argmax of 2·dot(v,c) − ||c||² == argmin squared distance; 6-dp
+  // rounded to mirror SimilarityOps.scoreStructs, so cell ties break on
+  // identical values in both engines
+  private def ivfScore(v: String, c: String) =
+    s"round(2*list_dot_product($v, $c) - list_dot_product($c, $c), 6)"
+
+  /** The Lloyd-chain CTE list shared by every IVF-backed oracle (e4/e5/
+    * e5b/e6/e7) — defined once so the seeding, pass count and 6-dp mean
+    * rounding cannot drift between oracles gating the same engine index.
+    * Exposes `e` (all vectors), the final assignment `a<iterations>`
+    * (vec_id, v, cell) and its centroids `c<iterations-1>` (cell, c). */
+  private def ivfChainCtes(nCells: Int, iterations: Int, dim: Int,
       corpusWhere: Option[String] = None): String = {
-    // argmax of 2·dot(v,c) − ||c||² == argmin squared distance; 6-dp
-    // rounded to mirror SimilarityOps.scoreStructs, so cell ties break on
-    // identical values in both engines
-    def score(v: String, c: String) =
-      s"round(2*list_dot_product($v, $c) - list_dot_product($c, $c), 6)"
+    def score(v: String, c: String) = ivfScore(v, c)
     // `src`: which vector set this pass assigns. The Lloyd passes draw
     // from `ec` (the BUILD corpus — all vectors unless corpusWhere
     // restricts it, mirroring e5b's corpus-built index); the final pass
@@ -186,17 +192,25 @@ $cName AS (SELECT s.cell, coalesce(m.c, s.c) AS c
     }.mkString(",")
     val last = s"a$iterations"
     val lastCent = s"c${iterations - 1}"
-    s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
 ec AS (SELECT * FROM e${corpusWhere.map(w => s" WHERE $w").getOrElse("")}),
 seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
          FROM (SELECT vec_id, v FROM ec ORDER BY vec_id LIMIT $nCells)),$lloyd,
-${assignCte(last, lastCent, "e")},
+${assignCte(last, lastCent, "e")}"""
+  }
+
+  private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
+      dim: Int, tail: Option[String] = None,
+      corpusWhere: Option[String] = None): String = {
+    val last = s"a$iterations"
+    val lastCent = s"c${iterations - 1}"
+    s"""
+WITH ${ivfChainCtes(nCells, iterations, dim, corpusWhere)},
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
 probes AS (SELECT query_id, qv, cell FROM (
   SELECT q.query_id, q.qv, s.cell,
          row_number() OVER (PARTITION BY q.query_id
-           ORDER BY ${score("q.qv", "s.c")} DESC, s.cell DESC) AS rn
+           ORDER BY ${ivfScore("q.qv", "s.c")} DESC, s.cell DESC) AS rn
   FROM q, $lastCent s) WHERE rn <= $nProbe),
 scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS cos
            FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id)
@@ -904,6 +918,31 @@ ORDER BY id_a, id_b""",
     // index the engine maintains
     "e5b_ivf_appended_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64, corpusWhere = Some("vec_id < 400")),
+    // e7 = SemDeDup over the same IVF chain: within-cell cosine pairs
+    // (≥ 0.4, 6-dp) → recursive-CTE connected components (two different
+    // algorithms from the engine's pointer-doubling, required to agree)
+    // → per group keep the member LEAST similar to its cell centroid,
+    // ties to the lower vec_id
+    "e7_semantic_dedup" -> s"""WITH RECURSIVE ${ivfChainCtes(16, 2, 64)},
+cosc AS (SELECT a.vec_id, a.cell, round(list_cosine_similarity(a.v, s.c), 6) AS cos_centroid
+         FROM a2 a JOIN c1 s USING (cell)),
+ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+eedges AS (SELECT id_a AS src, id_b AS dst FROM ep
+           UNION ALL SELECT id_b, id_a FROM ep),
+ereach(id, r) AS (SELECT vec_id, vec_id FROM e
+                  UNION
+                  SELECT ereach.id, g.dst FROM ereach JOIN eedges g ON ereach.r = g.src),
+egrp AS (SELECT id AS vec_id, min(r) AS group_id FROM ereach GROUP BY id),
+ekeep AS (SELECT group_id, vec_id AS keep_id FROM (
+  SELECT g.group_id, c.vec_id,
+         row_number() OVER (PARTITION BY g.group_id ORDER BY c.cos_centroid, c.vec_id) AS rn
+  FROM egrp g JOIN cosc c USING (vec_id)) WHERE rn = 1)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, g.group_id, c.cos_centroid,
+       c.vec_id = k.keep_id AS keep
+FROM cosc c JOIN egrp g USING (vec_id) JOIN ekeep k ON k.group_id = g.group_id
+ORDER BY c.vec_id""",
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -1099,6 +1138,22 @@ ranked AS (SELECT word, n,
            FROM counts)
 SELECT word, rank, n, round(CAST(cum_n AS DOUBLE) / t, 6) AS coverage
 FROM ranked, total WHERE rank <= 1000 ORDER BY rank""",
+
+    // t15 = per-doc OOV rate + mean in-vocab rank vs the top-200
+    // vocabulary (t13's ranking at a tighter cut) — every aggregate is an
+    // integer, both output ratios one exact division rounded to 4 dp
+    "t15_oov_stats" -> s"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $Docs),
+counts AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word),
+vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+          FROM counts ORDER BY n DESC, word LIMIT 200),
+j AS (SELECT w.doc_id, v.rank FROM words w LEFT JOIN vocab v USING (word))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN rank IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS oov_rate,
+       CASE WHEN count(rank) > 0
+            THEN round(sum(rank) / CAST(count(rank) AS DOUBLE), 4) END AS mean_rank
+FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     // t14 = per-language data card; quality enters as sum of round(q·10⁴)
     // longs (the q1 integer-cents discipline — no float summation order)

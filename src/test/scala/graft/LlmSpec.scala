@@ -856,4 +856,44 @@ class LlmSpec extends SparkSpec {
     // precedence, not absence: 401 also fails the quality gate on its own
     assert(out.find(_._1 == 401L).get._4 < 0.5)
   }
+
+  test("oov stats: hand-computed ranks, rates and the no-invocab null (t15)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    // counts: a=2, b/c/d=1 → top-2 vocab = a(rank 1), b(rank 2)
+    val out = TextOps.oovStats(tiny, maxVocab = 2)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 0L, 0.0, Some(1.3333)),   // ranks 1,1,2 → mean 4/3
+      (2L, 2L, 2L, 1.0, None)))          // nothing in-vocab → null mean
+    // full fixture: rates in [0,1], mean_rank within the vocab cut
+    val full = TextOps.oovStats(docs).collect()
+    assert(full.length === docs.count())
+    assert(full.forall { r =>
+      val rate = r.getDouble(3)
+      rate >= 0.0 && rate <= 1.0 &&
+        (r.isNullAt(4) || (r.getDouble(4) >= 1.0 && r.getDouble(4) <= 200.0))
+    })
+  }
+
+  test("semantic dedup: groups live within cells, keeper least centroid-similar (e7)") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfBuild(emb, 16, 2)
+    val out = SimilarityOps.semanticDedup(index, 0.4)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    DedupOps.releaseCaches()
+    // one row per corpus vector, id-ordered; the fixture has real near-dups
+    assert(out.map(_._1) === emb.select("vec_id").as[Long].collect().sorted.toSeq)
+    val groups = out.groupBy(_._3)
+    assert(groups.exists(_._2.size > 1))
+    groups.foreach { case (gid, members) =>
+      // group id is the canonical min member (d6's election)
+      assert(members.map(_._1).min === gid)
+      // pairs exist only within a cell, so a component cannot span cells
+      assert(members.map(_._2).distinct.size === 1)
+      // exactly one keeper: the LEAST centroid-similar member, ties low id
+      assert(members.filter(_._5).map(_._1) ===
+        Seq(members.minBy(m => (m._4, m._1))._1))
+    }
+  }
 }

@@ -237,6 +237,27 @@ object DedupStream {
       quality: DataFrame): DataFrame =
     DedupOps.qualityKeepers(corpusGroups(spark, indexDir), quality)
 
+  /** C2 over the maintained index: the FULL admission verdict for a
+    * candidate increment — near-dup (d5, off the band index), verbatim
+    * span (d9b, off the seed index), benchmark contamination (d8,
+    * broadcast) and quality (t5), with pipeline-order precedence — before
+    * committing anything. [[admitBatch]] folds only the dedup screen into
+    * its reject set; this is the advisory form a curation operator runs
+    * to decide (or audit) what a batch WOULD do under the complete c1
+    * policy, served entirely from the index the admission loop maintains.
+    * Same composition as the batch `c2_incremental_admission` query —
+    * StreamingSpec asserts verdict-for-verdict parity. */
+  def admissionVerdicts(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, benchmark: DataFrame, threshold: Double = 0.5,
+      minQuality: Double = 0.5, contamK: Int = 4,
+      contamMinShared: Int = 1): DataFrame =
+    graft.llm.CurationOps.admitIncrement(newDocs,
+      DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
+        corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
+      screenSpans(spark, indexDir, newDocs),
+      DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
+      minQuality)
+
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
     * shingle side table IS the corpus's k-gram set, so a fresh eval-set

@@ -666,6 +666,54 @@ class StreamingSpec extends SparkSpec {
     assert(hits === Set((1L, 9000L)), "doc 1 shares 'the capital of' / 'capital of france'")
   }
 
+  test("admission verdicts served from the index match the batch c2 composition") {
+    val tmp = Files.createTempDirectory("graft_verdicts").toString
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    graft.streaming.DedupStream.admitBatch(
+      Seq(
+        (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+        (2L, (1 to 20).map(i => s"c$i").mkString(" ") + " " + span + " " +
+          (21 to 40).map(i => s"c$i").mkString(" "))
+      ).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "v1")
+    graft.llm.DedupOps.releaseCaches()
+    val bench = Seq((50L, "alpha beta gamma delta benchmark probe words here"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (401L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"),
+      (402L, (1 to 15).map(i => s"x$i").mkString(" ") + " " + span + " " +
+        (16 to 30).map(i => s"x$i").mkString(" ")),
+      (403L, "noise one two three alpha beta gamma delta more noise tail"),
+      (404L, "tiny junk words"),
+      (405L, (1 to 60).map(i => s"the w$i").mkString(" "))).toDF("doc_id", "text")
+    // the streaming-served verdict: corpus enters ONLY via the maintained
+    // shingle/band/seed sides the admission loop wrote
+    val served = graft.streaming.DedupStream.admissionVerdicts(
+      spark, s"$tmp/index", increment, bench)
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(served.map(r => (r._1, r._2, r._3)) === Seq(
+      (401L, "near_dup", Some(1L)),
+      (402L, "span_dup", Some(2L)),
+      (403L, "contaminated", Some(50L)),
+      (404L, "low_quality", None),
+      (405L, "admitted", None)))
+    // parity with the batch composition over explicitly-built corpus state
+    val corpus = spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text")
+    val corpusSh = graft.llm.DedupOps.shingleArrays(corpus)
+    val batch = graft.llm.CurationOps.admitIncrement(increment,
+        graft.llm.DedupOps.incrementalNearDups(
+          graft.llm.DedupOps.shingleArrays(increment), corpusSh,
+          graft.llm.DedupOps.bandIndex(
+            graft.llm.DedupOps.signaturesFromShingleArrays(corpusSh)), 0.5),
+        graft.llm.DedupOps.incrementalSpans(
+          increment, graft.llm.DedupOps.positionalSeeds(corpus)),
+        graft.llm.DedupOps.contaminationHits(increment, bench, 4, 1))
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(served === batch)
+  }
+
   test("windowed aggregation groups by event-time hour (W1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -465,6 +465,10 @@ object SparkEntry {
       // frozen-centroid assignment (IVF `add`): same serve path as e5
       SimilarityOps.ivfQueryTopK(ivfAppendedIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), 5)),
+    "e8_cluster_sample" -> ((s, d) =>
+      // diversity sampling round-robin over the served index's cells —
+      // the embedding-space analog of t8's quota mix
+      SimilarityOps.clusterBalancedSample(ivfIndex(s, d), 32)),
     "e7_semantic_dedup" -> ((s, d) =>
       // SemDeDup served from the SAME maintained IVF index as e5/e6:
       // within-cell cosine pairs → groups → keep the least-centroid-

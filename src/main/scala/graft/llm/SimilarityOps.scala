@@ -291,6 +291,36 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** E8 — CLUSTER-BALANCED sampling: a diversity-preserving subset of `n`
+    * vectors drawn round-robin across the served IVF index's cells (every
+    * cell contributes its 1st pick before any contributes its 2nd, rounds
+    * tie-broken by cell then id), per-cell order by the t6 salted-hash
+    * draw — deterministic, repartition-stable, engine-portable. The
+    * embedding-space analog of t8's quota mix: a uniform sample
+    * over-represents dense regions, while round-robin over Voronoi cells
+    * equalizes coverage of the space — the cluster-based selection shape
+    * of data-pruning pipelines (SemDeDup/SSL-prototype class).
+    *
+    * Scale shape: the per-cell rank shuffles on `cell` (the index's
+    * serving partitioning — co-located at deployment); rows that can
+    * possibly be picked are pre-filtered to rank ≤ n BEFORE the global
+    * pick window, so the single-reducer window sees ≤ n·K rows — a plan
+    * parameter, never the corpus. */
+  def clusterBalancedSample(index: IvfIndex, n: Int, salt: String = "e8"): DataFrame = {
+    require(n > 0, s"bad sample size $n")
+    val h = TextOps.h60(concat(lit(salt), lit("-"), col("vec_id")))
+    val byCell = Window.partitionBy("cell").orderBy(h.asc, col("vec_id").asc)
+    val ranked = index.cells.select(col("vec_id"), col("cell"))
+      .withColumn("r", row_number().over(byCell).cast("long"))
+      .filter(col("r") <= n)
+    val pick = Window.orderBy(col("r"), col("cell"), col("vec_id"))
+    ranked.withColumn("pick", row_number().over(pick).cast("long"))
+      .filter(col("pick") <= n)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("r"), col("pick"))
+      .orderBy("pick")
+  }
+
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket
     * pairs are compared. */

@@ -943,6 +943,18 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, g.group_id, c.cos_centroid,
        c.vec_id = k.keep_id AS keep
 FROM cosc c JOIN egrp g USING (vec_id) JOIN ekeep k ON k.group_id = g.group_id
 ORDER BY c.vec_id""",
+    // e8 = round-robin draw over the same IVF cells: per-cell rank by the
+    // t6 salted hash, rounds ascending then cell then id, first 32 picks
+    "e8_cluster_sample" -> s"""WITH ${ivfChainCtes(16, 2, 64)},
+ranked AS (SELECT vec_id, cell,
+                  CAST(row_number() OVER (PARTITION BY cell
+                    ORDER BY CAST('0x' || substr(md5('e8-' || vec_id), 1, 15) AS BIGINT), vec_id) AS BIGINT) AS r
+           FROM a2),
+picked AS (SELECT vec_id, cell, r,
+                  CAST(row_number() OVER (ORDER BY r, cell, vec_id) AS BIGINT) AS pick
+           FROM ranked WHERE r <= 32)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, r, pick
+FROM picked WHERE pick <= 32 ORDER BY pick""",
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

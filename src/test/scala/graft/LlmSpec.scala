@@ -876,6 +876,27 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("cluster-balanced sample: round-robin coverage and prefix monotonicity (e8)") {
+    import spark.implicits._
+    val index = SimilarityOps.ivfBuild(emb, 16, 2)
+    val out = SimilarityOps.clusterBalancedSample(index, 32)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._4) === (1L to 32L))
+    // picks advance round-robin: rounds non-decreasing, cells ascending
+    // within a round
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+    }
+    // 32 picks over 16 cells: every non-empty cell is covered in round 1
+    val nonEmpty = index.cells.select("cell").distinct().count()
+    assert(out.filter(_._3 == 1L).map(_._2).distinct.size === nonEmpty)
+    // a smaller draw is a prefix of a larger one (pilot ⊂ full run, t6's
+    // monotonicity discipline in pick order)
+    val small = SimilarityOps.clusterBalancedSample(index, 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(small === out.take(16))
+  }
+
   test("semantic dedup: groups live within cells, keeper least centroid-similar (e7)") {
     import spark.implicits._
     val index = SimilarityOps.ivfBuild(emb, 16, 2)

@@ -876,6 +876,51 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("admission verdict assembly broadcasts every screen side (c2 plan gate)") {
+    import spark.implicits._
+    // the c2 contract: beyond the screens themselves, the verdict
+    // assembly adds NO sort-merge join — the three rejected-id sides ride
+    // as broadcasts over the increment's quality-stats spine
+    val inc = docs.limit(50)
+    val verdicts = graft.llm.CurationOps.admitIncrement(inc,
+      Seq((1L, 401L, 0.9)).toDF("id_a", "id_b", "jaccard"),
+      Seq((2L, 402L, 0L, 0L, 9L)).toDF("id_a", "id_b", "start_a", "start_b", "span_len"),
+      Seq((403L, 50L, 2L)).toDF("doc_id", "bench_id", "n_shared"))
+    verdicts.count()
+    val plan = verdicts.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"verdict assembly must not sort-merge join:\n$plan")
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3, s"expected 3 broadcast verdict joins:\n$plan")
+  }
+
+  test("oov stats broadcast the vocabulary; top-N never global-sorts (t15 plan gate)") {
+    val stats = TextOps.oovStats(docs)
+    stats.count()
+    val plan = stats.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"token→vocab join must broadcast, not sort-merge:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"expected a broadcast vocab join:\n$plan")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"vocabulary cut must plan TakeOrderedAndProject:\n$plan")
+  }
+
   test("cluster-balanced sample: round-robin coverage and prefix monotonicity (e8)") {
     import spark.implicits._
     val index = SimilarityOps.ivfBuild(emb, 16, 2)

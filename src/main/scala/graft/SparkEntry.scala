@@ -489,6 +489,9 @@ object SparkEntry {
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
     "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
     "t15_oov_stats" -> ((s, d) => TextOps.oovStats(documents(s, d))),
+    "t16_temp_budgets" -> ((s, d) =>
+      // τ=1/2 temperature mix budgets per language, feeding t8's quota map
+      SamplingOps.temperatureBudgets(documents(s, d), 8000L)),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

@@ -199,4 +199,39 @@ object SamplingOps {
       .select(Seq("doc_id", keyCol, "n_tokens", "quality_score", "cum_tokens").map(col): _*)
       .orderBy(col(keyCol), col("quality_score").desc, col("doc_id"))
   }
+
+  /** T16 — TEMPERATURE-flattened mixture budgets: per-key token budgets
+    * B_k = ⌊B · w_k / Σw⌋ with w_k = n_k^τ — the multilingual sampling
+    * rule of T5/mT5-class pipelines (τ < 1 upweights low-resource slices
+    * so the mix isn't dominated by the biggest language/domain). Computed
+    * here at τ = 1/2, the EXACT form: IEEE-754 sqrt is correctly rounded
+    * in every engine while pow(x, τ) is not — arbitrary τ is the
+    * documented one-expression swap, the t15 transcendental seam again.
+    * The budgets then feed [[mixByKeyQuota]] as its quota map.
+    *
+    * Determinism discipline: Σw is read as max over the KEY-ORDERED
+    * running sum, so both engines add the weights in the same sequence —
+    * a frame-order hazard an unordered total would reintroduce. The
+    * whole computation runs on the per-key aggregate (keys-sized — a plan
+    * parameter, like the IVF centroid matrix), after one map-side
+    * combined token-count shuffle over the corpus. */
+  def temperatureBudgets(documents: DataFrame, budgetTokens: Long,
+      keyCol: String = "lang"): DataFrame = {
+    val t = col("text")
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val perKey = documents.select(col(keyCol), nTokens.as("n"))
+      .groupBy(keyCol).agg(sum("n").as("n_tokens"))
+      .withColumn("weight", round(sqrt(col("n_tokens").cast("double")), 6))
+    val run = Window.orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perKey
+      .withColumn("cum_w", sum(col("weight")).over(run))
+      .withColumn("total_w", max(col("cum_w")).over(all))
+      .select(col(keyCol), col("n_tokens"), col("weight"),
+        floor(lit(budgetTokens.toDouble) * col("weight") / col("total_w"))
+          .cast("long").as("budget_tokens"))
+      .orderBy(keyCol)
+  }
 }

@@ -1039,6 +1039,21 @@ c AS (SELECT doc_id, lang, n_tokens, quality_score,
       FROM q)
 SELECT * FROM c WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
+    // t16 = τ=1/2 temperature budgets: w = round(sqrt(n),6) (IEEE sqrt is
+    // correctly rounded — exact cross-engine), Σw read as max over the
+    // key-ordered running sum so both engines add in the same sequence
+    "t16_temp_budgets" -> s"""
+WITH k AS (SELECT lang,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+           FROM $Docs GROUP BY lang),
+ww AS (SELECT lang, n_tokens, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS weight FROM k),
+cw AS (SELECT lang, n_tokens, weight,
+              sum(weight) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+       FROM ww)
+SELECT lang, n_tokens, weight,
+       CAST(floor(8000.0 * weight / max(cum_w) OVER ()) AS BIGINT) AS budget_tokens
+FROM cw ORDER BY lang""",
+
     "t8_lang_mix" -> s"""WITH $QualityCte,
 quotas AS (SELECT doc_id, lang, n_tokens, quality_score,
                   CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000

@@ -147,4 +147,26 @@ class SamplingSpec extends SparkSpec {
       assert(perLang.size === quotas.size, "every quota'd language present in the fixture mix")
     } finally mix.unpersist(blocking = false)
   }
+
+  test("temperature budgets: exact sqrt weights, floor split, flattening (t16)") {
+    import spark.implicits._
+    // en = 400 tokens, de = 100 → w = (20, 10), budget 300 → (200, 100)
+    val tiny = Seq(
+      (1L, (1 to 400).map(i => s"e$i").mkString(" "), "en"),
+      (2L, (1 to 100).map(i => s"d$i").mkString(" "), "de")).toDF("doc_id", "text", "lang")
+    val got = SamplingOps.temperatureBudgets(tiny, 300L)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(got === Seq(("de", 100L, 10.0, 100L), ("en", 400L, 20.0, 200L)))
+    // τ=1/2 flattens: the smallest slice's budget share strictly exceeds
+    // its token share, the largest slice's falls below it (on the fixture)
+    val full = SamplingOps.temperatureBudgets(docs, 8000L)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val totTok = full.map(_._2).sum.toDouble
+    val totBud = full.map(_._4).sum.toDouble
+    val smallest = full.minBy(_._2); val largest = full.maxBy(_._2)
+    assert(smallest._4 / totBud > smallest._2 / totTok)
+    assert(largest._4 / totBud < largest._2 / totTok)
+    // budgets never exceed the requested total (floor split)
+    assert(full.map(_._4).sum <= 8000L)
+  }
 }

@@ -84,6 +84,12 @@ object SparkEntry {
   private def d9CorpusSeeds(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "d9seeds")(
       DedupOps.positionalSeeds(documents(s, dir).filter(col("doc_id") < 400)))
+  /** The (kh, df) seed-stats table maintained BESIDE the seed index
+    * (DedupStream keeps a sum-mergeable partial per admitted batch): span
+    * screening joins the increment's kh set against it, so the corpus seed
+    * table is never re-aggregated per increment. */
+  private def d9CorpusSeedStats(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "d9stats")(DedupOps.seedStats(d9CorpusSeeds(s, dir)))
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the
@@ -420,9 +426,11 @@ object SparkEntry {
     }),
     "d9b_incremental_spans" -> ((s, d) =>
       // d5's corpus/increment split: the corpus enters ONLY through its
-      // maintained positional seed table; spans where id_b is new
+      // maintained positional seed table + (kh, df) stats side; spans
+      // where id_b is new
       DedupOps.incrementalSpans(
-        documents(s, d).filter(col("doc_id") >= 400), d9CorpusSeeds(s, d))),
+        documents(s, d).filter(col("doc_id") >= 400), d9CorpusSeeds(s, d),
+        d9CorpusSeedStats(s, d))),
     "c2_incremental_admission" -> ((s, d) => {
       // c1's incremental twin: one verdict per increment doc, composed
       // from the SERVED screens (d5 pairs off the band index, d9b spans
@@ -434,7 +442,8 @@ object SparkEntry {
       val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
       graft.llm.CurationOps.admitIncrement(inc,
         d5Pairs(s, d),
-        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d)),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d),
+          d9CorpusSeedStats(s, d)),
         DedupOps.contaminationHits(inc, bench, 4, 1))
     }),
     "e1_cosine_topk" -> ((s, d) => {
@@ -562,6 +571,7 @@ object SparkEntry {
     d5CorpusIndex(spark, dir).count()
     d7CorpusGroups(spark, dir).count()
     d9CorpusSeeds(spark, dir).count()
+    d9CorpusSeedStats(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query names (local iteration on a
     // subset; the driver's two-arg invocation dumps everything)
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

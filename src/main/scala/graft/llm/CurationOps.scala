@@ -65,9 +65,13 @@ object CurationOps {
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
-    * row per rejected doc and broadcast; the spine is the increment's own
-    * quality stats (a narrow map), so the whole verdict assembly adds
-    * ZERO shuffles beyond what the screens themselves already paid. */
+    * row per rejected doc; the spine is the increment's own quality stats
+    * (a narrow map). The screen joins carry NO forced broadcast hint —
+    * they are small in the expected case and AQE's size-based decision
+    * broadcasts them then, but a hostile increment (mass duplication or
+    * contamination makes the rejected-id frames increment-sized) must
+    * degrade to a shuffle join rather than OOM the driver on a forced
+    * build side. */
   def admitIncrement(increment: DataFrame, dupPairs: DataFrame,
       spanPairs: DataFrame, contamHits: DataFrame,
       minQuality: Double = 0.5): DataFrame = {
@@ -78,9 +82,9 @@ object CurationOps {
     val contam = contamHits.groupBy("doc_id")
       .agg(min("bench_id").as("contam_id"))
     TextOps.textStats(increment).select("doc_id", "quality_score")
-      .join(broadcast(dup), Seq("doc_id"), "left")
-      .join(broadcast(span), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
           .when(col("span_id").isNotNull, "span_dup")

@@ -687,6 +687,14 @@ object DedupOps {
       .as(Seq("pos", "kh")))
   }
 
+  /** Per-kh seed-position counts of a seed frame — the (kh, df) STATS row
+    * schema maintained beside the seed index (sum-mergeable partials: the
+    * admission loop appends one stats file per batch and compaction folds
+    * them, so [[incrementalSpans]]' df prune joins maintained counts
+    * instead of re-aggregating the corpus-sized seed table). */
+  def seedStats(seeds: DataFrame): DataFrame =
+    seeds.groupBy("kh").agg(count(lit(1)).as("df"))
+
   /** Shared islands tail: merge matched seed positions (id_a, id_b, pos_a,
     * pos_b) into maximal diagonal runs and report spans ≥ minSpan words. */
   private def spanIslands(matches: DataFrame, k: Int, minSpan: Int): DataFrame = {
@@ -728,17 +736,30 @@ object DedupOps {
     * Output spans carry the CORPUS member as id_a for corpus-vs-new pairs
     * REGARDLESS of numeric id order (streaming ids are not monotone — the
     * d5 lesson) and the lower id as id_a within the increment. The df
-    * prune uses seed frequency over index ∪ increment; in deployment that
-    * is a maintained (kh, df) stats table updated per admission, never a
-    * corpus re-aggregation. Requires corpus and increment doc ids to be
-    * disjoint (the admission pipeline guarantees it, as for d7). */
+    * prune uses seed frequency over index ∪ increment, computed as
+    * increment counts + the MAINTAINED (kh, df) stats table
+    * ([[seedStats]] schema, sum-mergeable partial rows updated per
+    * admission beside the seed index) — the corpus seed table is never
+    * re-aggregated, so per-increment cost really is O(increment tokens +
+    * matches). Requires corpus and increment doc ids to be disjoint (the
+    * admission pipeline guarantees it, as for d7). */
   def incrementalSpans(newDocs: DataFrame, corpusSeeds: DataFrame,
-      k: Int = 5, minSpan: Int = 8, maxDf: Int = 100,
-      algo: String = "md5"): DataFrame = {
+      corpusSeedStats: DataFrame, k: Int = 5, minSpan: Int = 8,
+      maxDf: Int = 100, algo: String = "md5"): DataFrame = {
     val newSeeds = tracked(positionalSeeds(newDocs, k, algo))
-    val rare = corpusSeeds.unionByName(newSeeds)
-      .groupBy("kh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("kh")
+    // df prune against the maintained stats: the increment's per-kh counts
+    // (increment-sized) pull the stats rows for exactly those kh — the
+    // broadcast semi-join prunes the stats scan (kh-bucketed at deployment,
+    // it prunes to the increment's buckets) and the partial-row sum runs on
+    // the matched, increment-kh-sized remainder only. No frame here is
+    // corpus-sized after the semi-join.
+    val newDfs = tracked(newSeeds.groupBy("kh").agg(count(lit(1)).as("df_new")))
+    val corpusDf = corpusSeedStats
+      .join(broadcast(newDfs.select("kh")), Seq("kh"), "left_semi")
+      .groupBy("kh").agg(sum("df").as("df_corpus"))
+    val rare = newDfs.join(corpusDf, Seq("kh"), "left")
+      .filter(col("df_new") + coalesce(col("df_corpus"), lit(0L)) <= maxDf)
+      .select("kh")
     val newPruned = tracked(newSeeds.join(rare, "kh"))
     // pruning the INCREMENT side alone suffices: every candidate match has
     // a new-side seed, so a pruned kh generates no rows from either route —

@@ -53,6 +53,8 @@ object DedupStream {
   private val SeedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("pos", IntegerType),
     StructField("kh", LongType)))
+  private val StatsSchema = StructType(Seq(
+    StructField("kh", LongType), StructField("df", LongType)))
 
   /** Seed width of the maintained positional index (d9's default k): span
     * screening against the index must probe at the width it was built. */
@@ -97,6 +99,15 @@ object DedupStream {
     * deployment so span screening shuffles only the increment. */
   def corpusSeeds(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/seeds", SeedSchema).drop("batch")
+
+  /** The maintained (kh, df) seed-stats side ([[
+    * graft.llm.DedupOps.seedStats]] schema): PARTIAL per-batch counts —
+    * one file per admission, folded to one row per kh by [[compact]] —
+    * whose per-kh SUM is the seed table's df. Span screening joins its
+    * increment's kh set against this table instead of re-aggregating the
+    * corpus seeds, which is what keeps [[screenSpans]] O(increment). */
+  def corpusSeedStats(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/seedstats", StatsSchema).drop("batch")
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))
@@ -170,8 +181,15 @@ object DedupStream {
         .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
       // third maintained side: the admitted docs' positional seeds (d9b's
       // span-screening index) — same idempotent batch=-keyed overwrite
-      DedupOps.positionalSeeds(keptOut, SeedK)
-        .write.mode("overwrite").parquet(s"$indexDir/seeds/$key")
+      val keptSeeds = DedupOps.positionalSeeds(keptOut, SeedK).persist()
+      keptSeeds.write.mode("overwrite").parquet(s"$indexDir/seeds/$key")
+      // fourth side: the batch's (kh, df) seed-stats partial, upserted
+      // beside the seeds (same idempotent key — a replay overwrites its
+      // own partial, never double-counts) so screening's df prune joins
+      // maintained counts instead of re-aggregating the seed table
+      DedupOps.seedStats(keptSeeds)
+        .write.mode("overwrite").parquet(s"$indexDir/seedstats/$key")
+      keptSeeds.unpersist(blocking = false)
       // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
       // maintained (doc_id, group_id) assignment. The delta is O(batch +
       // touched components); BucketStore's manifest flip rewrites only the
@@ -226,6 +244,7 @@ object DedupStream {
   def screenSpans(spark: SparkSession, indexDir: String, newDocs: DataFrame,
       minSpan: Int = 8, maxDf: Int = 100): DataFrame =
     DedupOps.incrementalSpans(newDocs, corpusSeeds(spark, indexDir),
+      corpusSeedStats(spark, indexDir),
       k = SeedK, minSpan = minSpan, maxDf = maxDf)
 
   /** D6b over the maintained assignment: quality-keeper election served
@@ -303,10 +322,17 @@ object DedupStream {
     * batch="compacted", which can never equal a live `<lineage>-<id>`
     * key. Single-writer discipline like BucketStore: run between
     * microbatches (the admission loop is the only other writer). */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    Seq("shingles" -> ShingleSchema, "bands" -> BandSchema,
-        "seeds" -> SeedSchema).foreach {
-      case (side, schema) =>
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    // seedstats rows are sum-mergeable partials: folding re-aggregates the
+    // foldable dirs to one row per kh (the carried latest-per-lineage dirs
+    // stay partial — per-kh SUM semantics are unchanged either way)
+    val foldStats: DataFrame => DataFrame =
+      _.groupBy("kh").agg(sum("df").as("df"))
+    Seq(("shingles", ShingleSchema, identity[DataFrame] _),
+        ("bands", BandSchema, identity[DataFrame] _),
+        ("seeds", SeedSchema, identity[DataFrame] _),
+        ("seedstats", StatsSchema, foldStats)).foreach {
+      case (side, schema, fold) =>
         val dir = s"$indexDir/$side"
         val path = new Path(dir)
         val conf = spark.sparkContext.hadoopConfiguration
@@ -331,8 +357,8 @@ object DedupStream {
           if (foldable.nonEmpty) {
             val tmp = new Path(s"$dir.compacting")
             fs.delete(tmp, true)
-            readSide(spark, dir, schema)
-              .filter(col("batch").isin(foldable: _*)).drop("batch")
+            fold(readSide(spark, dir, schema)
+                .filter(col("batch").isin(foldable: _*)).drop("batch"))
               .write.parquet(s"$dir.compacting/batch=compacted")
             carried.foreach { key =>
               org.apache.hadoop.fs.FileUtil.copy(
@@ -346,6 +372,7 @@ object DedupStream {
           }
         }
     }
+  }
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

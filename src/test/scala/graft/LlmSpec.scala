@@ -664,9 +664,10 @@ class LlmSpec extends SparkSpec {
     val batch = DedupOps.duplicatedSpans(docs, minSpan = 5)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     DedupOps.releaseCaches()
+    val corpusSeeds0 = DedupOps.positionalSeeds(docs.filter(col("doc_id") < split))
     val inc = DedupOps.incrementalSpans(
       docs.filter(col("doc_id") >= split),
-      DedupOps.positionalSeeds(docs.filter(col("doc_id") < split)), minSpan = 5)
+      corpusSeeds0, DedupOps.seedStats(corpusSeeds0), minSpan = 5)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     DedupOps.releaseCaches()
     assert(batch.nonEmpty)
@@ -676,8 +677,9 @@ class LlmSpec extends SparkSpec {
     val shared = (0 until 10).map(i => s"tok$i").mkString(" ")
     val corpus = Seq((100L, s"$shared corpus tail here")).toDF("doc_id", "text")
     val incoming = Seq((5L, s"lead in words $shared")).toDF("doc_id", "text")
+    val corpusSeeds1 = DedupOps.positionalSeeds(corpus)
     val got = DedupOps.incrementalSpans(
-      incoming, DedupOps.positionalSeeds(corpus), minSpan = 8)
+      incoming, corpusSeeds1, DedupOps.seedStats(corpusSeeds1), minSpan = 8)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     DedupOps.releaseCaches()
     assert(got === Seq((100L, 5L, 0L, 3L, 10L)))
@@ -841,7 +843,10 @@ class LlmSpec extends SparkSpec {
         DedupOps.incrementalNearDups(DedupOps.shingleArrays(increment),
           corpusSh, DedupOps.bandIndex(
             DedupOps.signaturesFromShingleArrays(corpusSh)), 0.5),
-        DedupOps.incrementalSpans(increment, DedupOps.positionalSeeds(corpus)),
+        {
+          val cs = DedupOps.positionalSeeds(corpus)
+          DedupOps.incrementalSpans(increment, cs, DedupOps.seedStats(cs))
+        },
         DedupOps.contaminationHits(increment, bench, 4, 1))
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     DedupOps.releaseCaches()

@@ -486,6 +486,80 @@ class StreamingSpec extends SparkSpec {
     assert(spans2 === spans)
   }
 
+  test("the (kh, df) seed-stats side updates across admissions and folds on compact") {
+    val tmp = Files.createTempDirectory("graft_seedstats").toString
+    val shared = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val doc1 = s"$shared " + (0 until 15).map(i => s"a$i").mkString(" ")
+    val doc2 = s"$shared " + (0 until 15).map(i => s"b$i").mkString(" ")
+    def statsSum(): Map[Long, Long] = graft.streaming.DedupStream
+      .corpusSeedStats(spark, s"$tmp/index")
+      .groupBy("kh").agg(sum("df").as("df"))
+      .as[(Long, Long)].collect().toMap
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, doc1)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val s1 = statsSum()
+    // the partial rows' per-kh sum IS the seed table's df
+    assert(s1.values.sum === spark.read.parquet(s"$tmp/index/seeds").count())
+    assert(s1.values.forall(_ === 1L), "one admission: every df is 1")
+    // second admission shares the 12-token block (but not enough 3-gram
+    // shingles to be rejected as a near-dup): the 8 shared 5-gram seeds
+    // must now carry df = 2 from two partial rows
+    graft.streaming.DedupStream.admitBatch(
+      Seq((2L, doc2)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val s2 = statsSum()
+    assert(spark.read.parquet(s"$tmp/out/kept").count() === 2, "doc 2 admitted")
+    assert(s2.values.count(_ === 2L) === 8, s"8 shared seeds at df=2: $s2")
+    assert(s2.values.sum === spark.read.parquet(s"$tmp/index/seeds").count())
+    // a rejected duplicate must not touch the stats side
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, doc1)).toDF("doc_id", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    assert(statsSum() === s2, "rejected dup left the stats unchanged")
+    // compaction folds the partials; per-kh sums are invariant
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(statsSum() === s2, "compaction preserves the per-kh sums")
+  }
+
+  test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {
+    val tmp = Files.createTempDirectory("graft_seedgate").toString
+    val shared = (0 until 12).map(i => s"tok$i").mkString(" ")
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, s"$shared unique tail for document alpha entirely"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val probe = Seq((9L, s"lead words then $shared and then divergence"))
+      .toDF("doc_id", "text")
+    val screen = graft.streaming.DedupStream.screenSpans(spark, s"$tmp/index", probe)
+    // The O(increment) contract in plan form: every Aggregate that reads
+    // the corpus-side seed or seed-stats scan must sit ABOVE a join that
+    // pruned it to increment-matched rows first. The round-7 shape
+    // (corpusSeeds ∪ newSeeds → groupBy kh) aggregated the corpus scan
+    // directly and fails this gate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def corpusScanNoJoin(p: LogicalPlan): Boolean = p match {
+      case _: Join => false
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
+          rp.toString.contains("/seeds") || rp.toString.contains("/seedstats")
+        }
+        case _ => false
+      }
+      case other => other.children.exists(corpusScanNoJoin)
+    }
+    val offending = screen.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if corpusScanNoJoin(a.child) => a
+    }
+    assert(offending.isEmpty,
+      s"corpus-sized aggregation in the screening plan:\n${offending.mkString("\n")}")
+    // and the screen still finds the span through the maintained stats
+    val spans = screen.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(spans === Seq((1L, 9L, 0L, 3L, 12L)))
+  }
+
   test("a new doc with a LOWER id than its corpus near-dup is rejected (D5 non-monotone ids)") {
     // Streaming ingest does not guarantee monotone doc_ids (late arrivals,
     // multi-source ids). Round 6 filtered candidates on id_a < id_b, so a
@@ -706,8 +780,11 @@ class StreamingSpec extends SparkSpec {
           graft.llm.DedupOps.shingleArrays(increment), corpusSh,
           graft.llm.DedupOps.bandIndex(
             graft.llm.DedupOps.signaturesFromShingleArrays(corpusSh)), 0.5),
-        graft.llm.DedupOps.incrementalSpans(
-          increment, graft.llm.DedupOps.positionalSeeds(corpus)),
+        {
+          val cs = graft.llm.DedupOps.positionalSeeds(corpus)
+          graft.llm.DedupOps.incrementalSpans(
+            increment, cs, graft.llm.DedupOps.seedStats(cs))
+        },
         graft.llm.DedupOps.contaminationHits(increment, bench, 4, 1))
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     graft.llm.DedupOps.releaseCaches()

@@ -259,8 +259,20 @@ object SimilarityOps {
     * typedlit plan parameter; group resolution inherits d6's
     * pointer-doubling bounds on (vec, label) longs. Scores are 6-dp
     * rounded so threshold and keeper ties break on oracle-identical
-    * values. */
-  def semanticDedup(index: IvfIndex, threshold: Double): DataFrame = {
+    * values.
+    *
+    * Cell-size rail (d3b's maxBucket / d4's maxDf discipline): the
+    * within-cell pair join is quadratic in the largest cell, and a corpus
+    * of thousands of near-identical embeddings — exactly what SemDeDup
+    * targets — collapses into ONE Voronoi cell. Cells above `maxCell`
+    * members are excluded from pair generation (their vectors degrade to
+    * singleton keeps, never disappear), capping the worst cell at
+    * maxCell² pairs. The prune is mirrored in the oracle; the production
+    * dial for a corpus that trips it is pre-collapsing exact-duplicate
+    * vectors (the d1-before-d2 ordering applied to embeddings) or a
+    * finer-K rebuild. */
+  def semanticDedup(index: IvfIndex, threshold: Double,
+      maxCell: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(index.cells.sparkSession)
     val centMatrix = typedlit(index.centroids.map(_.toSeq).toSeq)
     val cells = index.cells.select(col("vec_id"), col("cell"), col("embedding"))
@@ -271,8 +283,13 @@ object SimilarityOps {
           (sqrt(call_function("graft_dot", col("embedding"), col("embedding"))) *
             sqrt(call_function("graft_dot", col("cv"), col("cv")))), 6))
       .select("vec_id", "cell", "cos_centroid")
-    val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // keys-sized (≤ K rows) cell-size frame → broadcast; at deployment
+    // these are the cell-partitioned table's free partition statistics
+    val okCells = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      .filter(col("n_cell") <= maxCell).select("cell")
+    val paired = cells.join(broadcast(okCells), Seq("cell"))
+    val a = paired.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = paired.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(expr(
         s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))

@@ -922,13 +922,17 @@ ORDER BY id_a, id_b""",
     // (≥ 0.4, 6-dp) → recursive-CTE connected components (two different
     // algorithms from the engine's pointer-doubling, required to agree)
     // → per group keep the member LEAST similar to its cell centroid,
-    // ties to the lower vec_id
+    // ties to the lower vec_id. Cells above 256 members are excluded
+    // from pair generation (the engine's maxCell rail — their vectors
+    // stay as singleton keeps).
     "e7_semantic_dedup" -> s"""WITH RECURSIVE ${ivfChainCtes(16, 2, 64)},
-cosc AS (SELECT a.vec_id, a.cell, round(list_cosine_similarity(a.v, s.c), 6) AS cos_centroid
-         FROM a2 a JOIN c1 s USING (cell)),
+cellsz AS (SELECT cell FROM a2 GROUP BY cell HAVING count(*) <= 256),
 ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       JOIN cellsz cz ON cz.cell = a.cell
        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+cosc AS (SELECT a.vec_id, a.cell, round(list_cosine_similarity(a.v, s.c), 6) AS cos_centroid
+         FROM a2 a JOIN c1 s USING (cell)),
 eedges AS (SELECT id_a AS src, id_b AS dst FROM ep
            UNION ALL SELECT id_b, id_a FROM ep),
 ereach(id, r) AS (SELECT vec_id, vec_id FROM e

@@ -967,4 +967,29 @@ class LlmSpec extends SparkSpec {
         Seq(members.minBy(m => (m._4, m._1))._1))
     }
   }
+
+  test("semantic dedup maxCell rail: a degenerate one-cell corpus never goes quadratic (e7)") {
+    import spark.implicits._
+    // 1000 near-identical vectors — the SemDeDup target case — all land in
+    // one Voronoi cell; without the rail the within-cell join is 1000²/2
+    // pairs. With the rail the mega-cell is excluded from pair generation
+    // and every vector degrades to a singleton keep (degrade, not destroy).
+    val dim = 8
+    val degenerate = (0 until 1000).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => 0.1f * (d + 1)))
+    }.toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfBuild(degenerate, 16, 2)
+    val out = SimilarityOps.semanticDedup(index, 0.4, maxCell = 256)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(out.size === 1000)
+    assert(out.forall(_._5), "rail-pruned cells degrade to singleton keeps")
+    assert(out.forall(r => r._3 === r._1), "every vector is its own group")
+    // the same corpus under a lifted cap DOES group (the rail, not the
+    // scoring, is what pruned the pairs)
+    val lifted = SimilarityOps.semanticDedup(index, 0.4, maxCell = 2000)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(lifted.count(_._5) < 1000, "lifting the cap re-enables grouping")
+  }
 }

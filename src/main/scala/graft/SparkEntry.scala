@@ -119,6 +119,14 @@ object SparkEntry {
     cachedGroups(s, dir, "d6groups")(
       DedupOps.nearDupGroups(documents(s, dir), d2Pairs(s, dir)))
 
+  /** The t15 MAINTAINED vocabulary (t13's induction at the top-200 cut) —
+    * served state like the d5/d9b index tables: the OOV screen joins a
+    * maintained (word, rank) table instead of re-inducing the vocabulary
+    * per call. */
+  private def vocab200(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "vocab200")(
+      TextOps.vocabulary(documents(s, dir), 200).select("word", "rank"))
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -138,16 +146,18 @@ object SparkEntry {
     }
   private def ivfIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
     ivfCached(s, d, "full")(SimilarityOps.ivfBuild(embeddings(s, d)))
-  /** The e5b MAINTAINED index: built over the vector corpus (vec_id <
-    * 400), increments folded in by frozen-centroid assignment — never a
-    * recluster. Same ingest-side serving state class as the d5/d9b index
-    * tables. */
+  /** The corpus-built IVF index (vec_id < 400) — e5b's base and the
+    * served index the c2b semantic admission screen probes. */
+  private def ivfCorpusIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
+    ivfCached(s, d, "corpus")(
+      SimilarityOps.ivfBuild(embeddings(s, d).filter(col("vec_id") < 400)))
+  /** The e5b MAINTAINED index: the corpus-built index with increments
+    * folded in by frozen-centroid assignment — never a recluster. Same
+    * ingest-side serving state class as the d5/d9b index tables. */
   private def ivfAppendedIndex(s: SparkSession, d: String): SimilarityOps.IvfIndex =
     ivfCached(s, d, "appended") {
-      val emb = embeddings(s, d)
-      SimilarityOps.ivfAppend(
-        SimilarityOps.ivfBuild(emb.filter(col("vec_id") < 400)),
-        emb.filter(col("vec_id") >= 400))
+      SimilarityOps.ivfAppend(ivfCorpusIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") >= 400))
     }
 
   /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
@@ -373,6 +383,14 @@ object SparkEntry {
     // ---- LLM data-pipeline operators -----------------------------------
     "d1_exact_dedup" -> ((s, d) => DedupOps.exactDedup(documents(s, d))),
     "d2_minhash_neardups" -> ((s, d) => d2Pairs(s, d)),
+    "d2x_minhash_xxh64" -> ((s, d) =>
+      // the PRODUCTION hash path: d2's full pipeline under Spark's own
+      // xxhash64 word/shingle hash instead of the oracle-portable md5 —
+      // bench-recorded so the swap seam's speedup is a measured number.
+      // No DuckDB oracle (it cannot mirror xxh64); LlmSpec asserts the
+      // verified pair set is identical under both hashes on the fixture,
+      // and the driver records a rows-only check.
+      DedupOps.minhashNearDups(documents(s, d), 0.5, algo = "xxh64")),
     "d3_simhash" -> ((s, d) => DedupOps.simhash(documents(s, d)).orderBy("doc_id")),
     "d3b_simhash_neardups" -> ((s, d) =>
       DedupOps.simhashNearDups(documents(s, d))),
@@ -446,6 +464,23 @@ object SparkEntry {
           d9CorpusSeedStats(s, d)),
         DedupOps.contaminationHits(inc, bench, 4, 1))
     }),
+    "c2b_semantic_admission" -> ((s, d) => {
+      // c2 + the embedding-tier screen: increment vectors assigned to the
+      // SERVED corpus index's frozen centroids (e5b), within-cell cosine
+      // pairs against the served cells only (e7's recipe + maxCell rail),
+      // verdict `semantic_dup` slotted between span_dup and contaminated.
+      // The corpus enters only through its maintained tables — text via
+      // the band/seed indexes, vectors via the IVF cells.
+      val inc = documents(s, d).filter(col("doc_id") >= 400)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      graft.llm.CurationOps.admitIncrement(inc,
+        d5Pairs(s, d),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d),
+          d9CorpusSeedStats(s, d)),
+        DedupOps.contaminationHits(inc, bench, 4, 1),
+        semPairs = Some(SimilarityOps.semanticScreen(ivfCorpusIndex(s, d),
+          embeddings(s, d).filter(col("vec_id") >= 400), 0.4)))
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -488,6 +523,12 @@ object SparkEntry {
       // to the corpus by majority vote of approximate neighbors
       SimilarityOps.knnClassify(ivfIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), embeddings(s, d), 5)),
+    "e9_ivf_drift" -> ((s, d) =>
+      // the centroid-drift dial over the SERVED corpus index: the
+      // increment assigned on frozen centroids vs the stored cells —
+      // e5b's documented rebuild trigger as an oracle-checked number
+      SimilarityOps.ivfDriftStats(ivfCorpusIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") >= 400))),
     "a5d_approx_distinct" -> ((s, d) =>
       // KMV sketch — deterministic hash arithmetic, oracle-checkable
       // (the HLL++ variant stays test-gated in AggSpec)
@@ -497,7 +538,10 @@ object SparkEntry {
     "t3_token_counts" -> ((s, d) => TextOps.tokenCounts(documents(s, d))),
     "t4_fingerprints" -> ((s, d) => TextOps.fingerprints(documents(s, d))),
     "t5_quality_filter" -> ((s, d) => TextOps.qualityFilter(documents(s, d), 0.5)),
-    "t15_oov_stats" -> ((s, d) => TextOps.oovStats(documents(s, d))),
+    "t15_oov_stats" -> ((s, d) =>
+      // served from the MAINTAINED top-200 vocabulary table (t13's cut),
+      // not a per-call re-induction — same oracle, served-state plan
+      TextOps.oovStats(documents(s, d), vocab200(s, d))),
     "t16_temp_budgets" -> ((s, d) =>
       // τ=1/2 temperature mix budgets per language, feeding t8's quota map
       SamplingOps.temperatureBudgets(documents(s, d), 8000L)),
@@ -572,6 +616,7 @@ object SparkEntry {
     d7CorpusGroups(spark, dir).count()
     d9CorpusSeeds(spark, dir).count()
     d9CorpusSeedStats(spark, dir).count()
+    vocab200(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

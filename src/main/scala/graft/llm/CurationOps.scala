@@ -53,15 +53,18 @@ object CurationOps {
     * unit). Where [[curateCorpus]] is the ground-up batch build, this is
     * the daily increment's path: every input frame is O(increment) —
     * near-dup pairs from the band index (d5), verbatim spans from the
-    * seed index (d9b), benchmark collisions (d8) — and the corpus itself
-    * is never touched.
+    * seed index (d9b), optionally SEMANTIC near-dup pairs from the served
+    * IVF index ([[graft.llm.SimilarityOps.semanticScreen]], e7 ∘ e5b —
+    * pass `semPairs` to enable the embedding-tier screen, c2b), benchmark
+    * collisions (d8) — and the corpus itself is never touched.
     *
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
-    * `contaminated` > `low_quality` > `admitted`. `detail_id` names the
-    * firing screen's witness — the keeper for dups/spans, the colliding
-    * benchmark doc for contamination (min id for determinism) — and is
-    * null for quality-only rejections and admissions.
+    * `semantic_dup` > `contaminated` > `low_quality` > `admitted`.
+    * `detail_id` names the firing screen's witness — the keeper for
+    * dups/spans/semantic dups, the colliding benchmark doc for
+    * contamination (min id for determinism) — and is null for
+    * quality-only rejections and admissions.
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -74,24 +77,33 @@ object CurationOps {
     * build side. */
   def admitIncrement(increment: DataFrame, dupPairs: DataFrame,
       spanPairs: DataFrame, contamHits: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      semPairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("span_id"))
     val contam = contamHits.groupBy("doc_id")
       .agg(min("bench_id").as("contam_id"))
-    TextOps.textStats(increment).select("doc_id", "quality_score")
+    val base = TextOps.textStats(increment).select("doc_id", "quality_score")
       .join(dup, Seq("doc_id"), "left")
       .join(span, Seq("doc_id"), "left")
+    val withSem = semPairs.fold(base.withColumn("sem_id", lit(null).cast("long"))) {
+      sp => base.join(
+        sp.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("sem_id")),
+        Seq("doc_id"), "left")
+    }
+    withSem
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
           .when(col("span_id").isNotNull, "span_dup")
+          .when(col("sem_id").isNotNull, "semantic_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
-        coalesce(col("dup_id"), col("span_id"), col("contam_id")).as("detail_id"),
+        coalesce(col("dup_id"), col("span_id"), col("sem_id"),
+          col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

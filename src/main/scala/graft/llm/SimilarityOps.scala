@@ -187,6 +187,43 @@ object SimilarityOps {
     index.copy(cells = index.cells.unionByName(
       ivfAssign(newVectors, index.centroids)))
 
+  /** E9 — CENTROID-DRIFT dial for the maintained index: [[ivfAppend]]'s
+    * documented "periodic offline rebuild" gets an observable trigger.
+    * Per segment — the index's stored cells vs a candidate increment
+    * assigned on the FROZEN centroids — the vector count and mean cosine
+    * to the assigned centroid. A healthy append scores the increment ≈
+    * the corpus; a distribution shift drags the increment's mean down,
+    * and the operational dial is "rebuild when corpus − increment exceeds
+    * ε". Cross-engine exact: per-vector cos is 6-dp rounded, scaled to a
+    * ×1e6 long and summed exactly (the q1/t14 integer-cents discipline);
+    * the mean is one final division.
+    *
+    * Scale shape: one narrow codegen'd map per vector (increment
+    * assignment is e5b's add path, the corpus rides its stored cells; the
+    * K×dim centroid matrix is a typedlit plan parameter) into a 2-row
+    * map-side-combined aggregation. Nothing is ever re-clustered. */
+  def ivfDriftStats(index: IvfIndex, newVectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(newVectors.sparkSession)
+    val centMatrix = typedlit(index.centroids.map(_.toSeq).toSeq)
+    val all = index.cells.select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("segment", lit("corpus"))
+      .unionByName(ivfAssign(newVectors, index.centroids)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("segment", lit("increment")))
+    all
+      .withColumn("cv", element_at(centMatrix, col("cell") + 1))
+      .withColumn("c6", round(round(
+        call_function("graft_dot", col("embedding"), col("cv")) /
+          (sqrt(call_function("graft_dot", col("embedding"), col("embedding"))) *
+            sqrt(call_function("graft_dot", col("cv"), col("cv")))), 6) * 1000000)
+        .cast("long"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_vectors"), sum("c6").as("sum_cos_x1m"))
+      .withColumn("mean_cos", round(
+        col("sum_cos_x1m").cast("double") / (col("n_vectors") * 1000000.0d), 6))
+      .orderBy("segment")
+  }
+
   /** E4/E5 serve phase — probe the `nProbe` nearest cells per query and
     * rank exactly within them. Touches only the probed cells' rows; the
     * corpus is never rescored or reassigned. */
@@ -306,6 +343,50 @@ object SimilarityOps {
         col("group_id"), col("cos_centroid"),
         (col("vec_id") === col("keep_id")).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** The SEMANTIC admission screen (e7 ∘ e5b): near-dup pairs between an
+    * increment's vectors and the SERVED IVF index, without rescoring the
+    * corpus against itself. New vectors are assigned to the FROZEN
+    * centroids (one narrow codegen'd map — e5b's `add` path); candidates
+    * are within-cell only: served-cells-vs-new (joined on `cell`, the
+    * index's serving partitioning, so only the increment shuffles at
+    * deployment) plus new-vs-new. Returns (id_a, id_b, cos) with the
+    * corpus member as id_a REGARDLESS of numeric id order (the d5
+    * orientation lesson) and the lower id first within the increment.
+    * Requires corpus and increment vec ids to be disjoint (the admission
+    * pipeline guarantees it, as for d5/d9b).
+    *
+    * The `maxCell` rail uses COMBINED (corpus + increment) cell
+    * populations — cell sizes are keys-sized index metadata (free
+    * partition statistics on a cell-partitioned table; here one
+    * column-pruned pass each), mirrored in the c2b oracle. */
+  def semanticScreen(index: IvfIndex, newVectors: DataFrame,
+      threshold: Double, maxCell: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(newVectors.sparkSession)
+    val newCells = ivfAssign(newVectors, index.centroids)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val corpus = index.cells.select(col("vec_id"), col("cell"), col("embedding"))
+    val okCells = corpus.select("cell").unionByName(newCells.select("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      .filter(col("n_cell") <= maxCell).select("cell")
+    val cp = corpus.join(broadcast(okCells), Seq("cell"))
+    val nc = newCells.join(broadcast(okCells), Seq("cell"))
+    val vsCorpus = cp
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(nc.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = nc
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(nc.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .withColumn("cos", round(expr(
+        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** E8 — CLUSTER-BALANCED sampling: a diversity-preserving subset of `n`

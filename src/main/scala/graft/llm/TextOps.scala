@@ -210,9 +210,22 @@ object TextOps {
     * Scale shape: the vocabulary is top-N (broadcast, plan-parameter
     * sized); the token stream is one explode + broadcast-join + doc-keyed
     * map-side-combined aggregation — the t4 shape, no corpus shuffle
-    * beyond the doc key. */
-  def oovStats(documents: DataFrame, maxVocab: Int = 200): DataFrame = {
-    val vocab = vocabulary(documents, maxVocab).select("word", "rank")
+    * beyond the doc key.
+    *
+    * This inline form re-induces the vocabulary from the scored corpus —
+    * the ad-hoc path. The SERVED form below takes a maintained (word,
+    * rank) table ([[vocabulary]]'s output at the chosen cut, built once
+    * beside the other serving state) so repeated OOV screens — and
+    * screens of an INCREMENT against the corpus vocabulary — skip the
+    * corpus pass entirely, the same served-state discipline as
+    * d5/d9b/e5. */
+  def oovStats(documents: DataFrame, maxVocab: Int = 200): DataFrame =
+    oovStats(documents, vocabulary(documents, maxVocab).select("word", "rank"))
+
+  /** T15 served form: score `documents` against a maintained `vocab`
+    * (word, rank) table. One narrow explode + broadcast join + doc-keyed
+    * aggregation — the vocabulary is never re-induced. */
+  def oovStats(documents: DataFrame, vocab: DataFrame): DataFrame = {
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(broadcast(vocab), Seq("word"), "left")

@@ -50,15 +50,61 @@ object Oracles {
     "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
 
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
+  // Every banded-candidate, span-seed and k-gram-contamination fragment is
+  // defined ONCE and composed (never forked) by the oracles gating the
+  // same engine chain — d2/d5/d6/d7/d6b/c1/c2 share the LSH constants,
+  // d9/d9b/c2 the k=5 seed polynomial, d8/c1/c2 the k=4 collision chain —
+  // so a future constant change cannot silently diverge between them.
 
-  private val ShingleCtes = s"""
-docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+  /** The 3-gram shingle chain reading a `docs` (doc_id, w) CTE the caller
+    * provides: word hashes → distinct shingle arrays → exploded set +
+    * per-doc sizes. */
+  private val ShingleChain = s"""
 wharr AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
           FROM docs WHERE len(w) >= 3),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 1), i -> (wh[i]*961 + wh[i+1]*31 + wh[i+2]) % 1000000007)) AS shingle_arr
        FROM wharr),
 sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id)"""
+
+  private val ShingleCtes = s"""
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),$ShingleChain"""
+
+  /** The minhash→bands→candidates fragment (32 perms, 8 bands of 4)
+    * reading `sh`; `candExtra` restricts the pair set (e.g. to
+    * increment-side id_b for the d5/c2 incremental split). */
+  private def bandCandCtes(candExtra: String = ""): String = s"""
+sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
+banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id$candExtra)"""
+
+  /** Exact-Jaccard verification of `cand` over `sset`/`sizes`, keeping
+    * pairs at or above `threshold` — the id-only form group resolution and
+    * the admission screens consume. */
+  private def verifiedPairCtes(threshold: Double): String = s"""
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sset x ON x.doc_id = c.id_a
+  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b),
+pairs AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= $threshold)"""
+
+  /** Undirected reachability over `pairs`, seeded from `seedFrom`'s doc_id
+    * column (recursive — the WITH must be RECURSIVE). */
+  private def reachCtes(seedFrom: String): String = s"""
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM $seedFrom
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
 
   /** T1/T5's quality score + whitespace token count per doc (the exact
     * expression t5_quality_filter uses, shared by the sampling oracles). */
@@ -72,64 +118,108 @@ q AS (SELECT doc_id, lang,
       FROM $Docs)"""
 
   /** The minhash→bands→candidates→verify→edges→reachability chain shared
-    * by every group-resolution oracle (d6, d7, d6b) — defined ONCE so the
-    * LSH constants (32 perms, 8 bands of 4, threshold 0.5) cannot drift
-    * between oracles gating the same engine chain. Appended after
+    * by every group-resolution oracle (d6, d7, d6b) — pure composition of
+    * the fragments above (threshold 0.5). Appended after
     * `WITH RECURSIVE $$ShingleCtes,`. */
-  private val GroupChainCtes = s"""
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-pairs AS (
-  SELECT i.id_a, i.id_b FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM $Docs
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)"""
+  private val GroupChainCtes =
+    s"${bandCandCtes()},${verifiedPairCtes(0.5)},${reachCtes(Docs)}"
 
   private val GroupSelect = """
 SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
 FROM reach GROUP BY id ORDER BY doc_id"""
 
-  /** d9's positional 5-gram seed chain with the seed-match predicate
-    * parameterized — d9b is the identical query restricted to pairs whose
-    * later member is in the increment. One definition so the k=5
-    * polynomial coefficients (31^4…31^0) and range bounds cannot drift
-    * between the batch and incremental oracles. */
-  private def spanOracle(matchExtra: String): String = s"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
-wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-       FROM t WHERE len(w) >= 5),
-seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
+  /** d9's positional 5-gram seed chain reading a `docs` (doc_id, w) CTE,
+    * name-spaced by `p` and with the seed-match predicate parameterized —
+    * d9b/c2 are the identical chain restricted to pairs whose later
+    * member is in the increment. One definition so the k=5 polynomial
+    * coefficients (31^4…31^0), range bounds and df prune cannot drift
+    * between the batch, incremental and admission oracles. Exposes
+    * `<p>m` (id_a, id_b, pos_a, pos_b) and the islands CTE `<p>isl`. */
+  private def spanSeedCtes(p: String, matchExtra: String): String = s"""
+${p}wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+       FROM docs WHERE len(w) >= 5),
+${p}seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
             {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
-          FROM wh),
-ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM seeds),
-rare AS (SELECT kh FROM ps GROUP BY kh HAVING count(*) <= 100),
-pr AS (SELECT p.doc_id, p.pos, p.kh FROM ps p JOIN rare USING (kh)),
-m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-      FROM pr a JOIN pr b ON a.kh = b.kh AND a.doc_id < b.doc_id$matchExtra),
-isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+          FROM ${p}wh),
+${p}ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM ${p}seeds),
+${p}rare AS (SELECT kh FROM ${p}ps GROUP BY kh HAVING count(*) <= 100),
+${p}pr AS (SELECT q.doc_id, q.pos, q.kh FROM ${p}ps q JOIN ${p}rare USING (kh)),
+${p}m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM ${p}pr a JOIN ${p}pr b ON a.kh = b.kh AND a.doc_id < b.doc_id$matchExtra),
+${p}isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
                pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-        FROM m)
+        FROM ${p}m)"""
+
+  private def spanOracle(matchExtra: String): String = s"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", matchExtra)}
 SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
        CAST(min(pos_a) - diag AS BIGINT) AS start_b,
        CAST(count(*) + 4 AS BIGINT) AS span_len
 FROM isl GROUP BY id_a, id_b, diag, island
 HAVING count(*) + 4 >= 8
 ORDER BY id_a, id_b, start_a, start_b"""
+
+  /** d8's k=4-gram collision chain, name-spaced by `p`: train side from
+    * `trainDocs` (doc_id, w) and bench side from `benchDocs` (bench_id,
+    * w), both caller-supplied relations; exposes the exploded distinct
+    * 4-gram sets `<p>tset` (doc_id, sh) and `<p>bset` (bench_id, sh). */
+  private def contamCtes(p: String, trainDocs: String, benchDocs: String): String = s"""
+${p}twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM $trainDocs WHERE len(w) >= 4),
+${p}tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM ${p}twh),
+${p}tset AS (SELECT doc_id, unnest(arr) AS sh FROM ${p}tsh),
+${p}bwh AS (SELECT bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+        FROM $benchDocs WHERE len(w) >= 4),
+${p}bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
+          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
+        FROM ${p}bwh),
+${p}bset AS (SELECT bench_id, unnest(arr) AS sh FROM ${p}bsh)"""
+
+  /** The incremental admission verdict (c2/c2b): every screen is the
+    * corresponding standalone oracle's fragment with the increment
+    * (doc_id >= 400) as its probe side, composed with pipeline-order
+    * precedence. `withSemantic` splices the e-tier screen: the e5b
+    * frozen-centroid IVF chain (build corpus = vec_id < 400) + e7's
+    * within-cell pairs (6-dp cos ≥ 0.4, 256-member cell rail) restricted
+    * to increment-side id_b, corpus member as id_a. */
+  private def admissionOracle(withSemantic: Boolean = false): String = {
+    val semCtes = if (!withSemantic) "" else s"""${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
+cellsz AS (SELECT cell FROM a2 GROUP BY cell HAVING count(*) <= 256),
+semp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM a2 a JOIN a2 b ON a.cell = b.cell
+         JOIN cellsz cz ON cz.cell = a.cell
+         WHERE b.vec_id >= 400 AND a.vec_id <> b.vec_id
+           AND (a.vec_id < 400 OR a.vec_id < b.vec_id)
+           AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+sem AS (SELECT id_b AS doc_id, min(id_a) AS sem_id FROM semp GROUP BY id_b),"""
+    val semJoin = if (withSemantic) " LEFT JOIN sem USING (doc_id)" else ""
+    val semWhen = if (withSemantic)
+      "\n            WHEN sem.sem_id IS NOT NULL THEN 'semantic_dup'" else ""
+    val semCoalesce = if (withSemantic) " sem.sem_id," else ""
+    s"""WITH $ShingleCtes,${bandCandCtes(" AND bb.doc_id >= 400")},${verifiedPairCtes(0.5)},
+dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_id FROM pairs GROUP BY id_b),${spanSeedCtes("sp", " AND b.doc_id >= 400")},
+spspans AS (SELECT id_a, id_b FROM spisl
+            GROUP BY id_a, id_b, diag, island HAVING count(*) + 4 >= 8),
+span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b),${contamCtes("c2",
+      "(SELECT doc_id, w FROM docs WHERE doc_id >= 400)",
+      "(SELECT doc_id AS bench_id, w FROM docs WHERE doc_id % 50 = 0)")},
+chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
+          GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
+contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$QualityCte
+SELECT q.doc_id,
+       CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
+            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen
+            WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
+            WHEN q.quality_score < 0.5 THEN 'low_quality'
+            ELSE 'admitted' END AS verdict,
+       coalesce(dup.dup_id, span.span_id,$semCoalesce contam.contam_id) AS detail_id,
+       q.quality_score
+FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
+LEFT JOIN contam USING (doc_id)$semJoin
+WHERE q.doc_id >= 400 ORDER BY q.doc_id"""
+  }
 
   private def jaccardTail(threshold: Double): String = s"""
 inter AS (
@@ -613,12 +703,7 @@ WHERE p.rn = 1 ORDER BY p.query_id"""
             FROM $Docs)
           WHERE rn = 1 ORDER BY doc_id""",
 
-    "d2_minhash_neardups" -> s"""WITH $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
+    "d2_minhash_neardups" -> s"""WITH $ShingleCtes,${bandCandCtes()},
 ${jaccardTail(0.5)}""",
 
     // d6 = connected components over d2's pair set (recursive reachability
@@ -638,33 +723,16 @@ ${jaccardTail(0.5)}""",
     // increment (doc_id >= 400): the Spark side generates candidates from
     // the corpus band INDEX + the increment's self-join, which covers
     // exactly the shared-band pairs with id_b new
-    "d5_incremental_dedup" -> s"""WITH $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey
-           AND a.doc_id < bb.doc_id AND bb.doc_id >= 400),
+    "d5_incremental_dedup" -> s"""WITH $ShingleCtes,${bandCandCtes(" AND bb.doc_id >= 400")},
 ${jaccardTail(0.5)}""",
 
     // d8 = 4-gram collision decontamination: same word-hash + polynomial
     // shingle formula as ShingleCtes at k=4 (31^3..31^0 coefficients; the
     // BIGINT sum stays under 2^63 — the same bound the Spark kernel holds)
     "d8_decontamination" -> s"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 <> 0),
-twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-        FROM t WHERE len(w) >= 4),
-tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
-          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-        FROM twh),
-tset AS (SELECT doc_id, unnest(arr) AS sh FROM tsh),
-b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0),
-bwh AS (SELECT bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-        FROM b WHERE len(w) >= 4),
-bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
-          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-        FROM bwh),
-bset AS (SELECT bench_id, unnest(arr) AS sh FROM bsh)
+WITH ${contamCtes("",
+      s"(SELECT doc_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 <> 0)",
+      s"(SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0)")}
 SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM tset t JOIN bset b ON t.sh = b.sh
 GROUP BY t.doc_id, b.bench_id
@@ -697,35 +765,7 @@ train AS (SELECT doc_id, text, lang FROM $Docs WHERE doc_id % 50 <> 0),
 keep1 AS (SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM train) WHERE rn = 1),
-docs AS (SELECT t.doc_id, string_split(t.text, ' ') AS w FROM train t JOIN keep1 USING (doc_id)),
-wharr AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-          FROM docs WHERE len(w) >= 3),
-sh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 1), i -> (wh[i]*961 + wh[i+1]*31 + wh[i+2]) % 1000000007)) AS shingle_arr
-       FROM wharr),
-sset AS (SELECT doc_id, unnest(shingle_arr) AS sh FROM sh),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sset GROUP BY doc_id),
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-pairs AS (
-  SELECT i.id_a, i.id_b FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM keep1
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+docs AS (SELECT t.doc_id, string_split(t.text, ' ') AS w FROM train t JOIN keep1 USING (doc_id)),$ShingleChain,${bandCandCtes()},${verifiedPairCtes(0.5)},${reachCtes("keep1")},
 grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
 q AS (SELECT t.doc_id, t.lang,
         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
@@ -736,20 +776,8 @@ q AS (SELECT t.doc_id, t.lang,
       FROM train t JOIN keep1 USING (doc_id)),
 keep2 AS (SELECT doc_id FROM (
   SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) AS rn
-  FROM grp g JOIN q USING (doc_id)) WHERE rn = 1),
-twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-        FROM docs WHERE len(w) >= 4),
-tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
-          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-        FROM twh),
-tset AS (SELECT doc_id, unnest(arr) AS sh FROM tsh),
-b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0),
-bwh AS (SELECT bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-        FROM b WHERE len(w) >= 4),
-bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
-          (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-        FROM bwh),
-bset AS (SELECT bench_id, unnest(arr) AS sh FROM bsh),
+  FROM grp g JOIN q USING (doc_id)) WHERE rn = 1),${contamCtes("", "docs",
+      s"(SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0)")},
 contam AS (SELECT DISTINCT t.doc_id FROM tset t JOIN bset bb ON t.sh = bb.sh),
 admitted AS (SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
 c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
@@ -763,72 +791,15 @@ WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
     // increment doc (doc_id >= 400, the d5 split) with screen precedence
     // near_dup (d5 fragment: corpus band index ∪ increment self-join) >
     // span_dup (d9b fragment: maintained seed index, ≥ 8-word spans) >
-    // contaminated (d8 fragment at k=4 vs the doc_id % 50 = 0 held-out
-    // set — a benchmark doc arriving in the feed flags itself) >
-    // low_quality (t5's score < 0.5) > admitted. detail_id = the firing
-    // screen's min witness id. Every fragment is the corresponding
-    // standalone oracle with the increment as its probe side.
-    "c2_incremental_admission" -> s"""WITH $ShingleCtes,
-sig AS (SELECT doc_id, list_transform(range(0, 32), i -> list_min(list_transform(shingle_arr, h -> ((2*i+3)*h + 7*i+1) % 1000000007))) AS minhash FROM sh),
-banded AS (SELECT doc_id, b, array_to_string(list_slice(minhash, b*4+1, b*4+4), '-') AS bkey
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         FROM banded a JOIN banded bb ON a.b = bb.b AND a.bkey = bb.bkey
-           AND a.doc_id < bb.doc_id AND bb.doc_id >= 400),
-dinter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN sset x ON x.doc_id = c.id_a
-  JOIN sset y ON y.doc_id = c.id_b AND y.sh = x.sh
-  GROUP BY c.id_a, c.id_b),
-dpairs AS (
-  SELECT i.id_a, i.id_b FROM dinter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5),
-dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_id FROM dpairs GROUP BY id_b),
-spwh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-         FROM docs WHERE len(w) >= 5),
-spseeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
-              {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
-            FROM spwh),
-spps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM spseeds),
-sprare AS (SELECT kh FROM spps GROUP BY kh HAVING count(*) <= 100),
-sppr AS (SELECT p.doc_id, p.pos, p.kh FROM spps p JOIN sprare USING (kh)),
-spm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-        FROM sppr a JOIN sppr b ON a.kh = b.kh AND a.doc_id < b.doc_id AND b.doc_id >= 400),
-spisl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
-                 pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-          FROM spm),
-spspans AS (SELECT id_a, id_b FROM spisl
-            GROUP BY id_a, id_b, diag, island HAVING count(*) + 4 >= 8),
-span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b),
-c2twh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-          FROM docs WHERE doc_id >= 400 AND len(w) >= 4),
-c2tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, nw - 2), i ->
-            (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-          FROM c2twh),
-c2tset AS (SELECT doc_id, unnest(arr) AS sh FROM c2tsh),
-c2bwh AS (SELECT doc_id AS bench_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
-          FROM docs WHERE doc_id % 50 = 0 AND len(w) >= 4),
-c2bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, nw - 2), i ->
-            (wh[i]*29791 + wh[i+1]*961 + wh[i+2]*31 + wh[i+3]) % 1000000007)) AS arr
-          FROM c2bwh),
-c2bset AS (SELECT bench_id, unnest(arr) AS sh FROM c2bsh),
-chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
-          GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
-contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$QualityCte
-SELECT q.doc_id,
-       CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
-            WHEN span.span_id IS NOT NULL THEN 'span_dup'
-            WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
-            WHEN q.quality_score < 0.5 THEN 'low_quality'
-            ELSE 'admitted' END AS verdict,
-       coalesce(dup.dup_id, span.span_id, contam.contam_id) AS detail_id,
-       q.quality_score
-FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
-LEFT JOIN contam USING (doc_id)
-WHERE q.doc_id >= 400 ORDER BY q.doc_id""",
+    // [semantic_dup (c2b only: e5b frozen-centroid assignment + e7
+    // within-cell pairs against the served cells)] > contaminated (d8
+    // fragment at k=4 vs the doc_id % 50 = 0 held-out set — a benchmark
+    // doc arriving in the feed flags itself) > low_quality (t5's score
+    // < 0.5) > admitted. detail_id = the firing screen's min witness id.
+    // Every fragment IS the corresponding standalone oracle's, restricted
+    // to the increment as probe side (admissionOracle composes them).
+    "c2_incremental_admission" -> admissionOracle(),
+    "c2b_semantic_admission" -> admissionOracle(withSemantic = true),
 
     // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id
@@ -947,6 +918,20 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, g.group_id, c.cos_centroid,
        c.vec_id = k.keep_id AS keep
 FROM cosc c JOIN egrp g USING (vec_id) JOIN ekeep k ON k.group_id = g.group_id
 ORDER BY c.vec_id""",
+    // e9 = the centroid-drift dial over the e5b chain (corpus-built
+    // centroids, everything assigned frozen): per segment the count and
+    // exact ×1e6-integer cosine sum to the assigned centroid, mean as one
+    // final division — the q1/t14 integer-cents discipline
+    "e9_ivf_drift" -> s"""
+WITH ${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
+cosd AS (SELECT CASE WHEN a.vec_id < 400 THEN 'corpus' ELSE 'increment' END AS segment,
+                CAST(round(round(list_cosine_similarity(a.v, s.c), 6) * 1000000) AS BIGINT) AS c6
+         FROM a2 a JOIN c1 s USING (cell))
+SELECT segment, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(c6) AS BIGINT) AS sum_cos_x1m,
+       round(sum(c6) / (count(*) * 1000000.0), 6) AS mean_cos
+FROM cosd GROUP BY segment ORDER BY segment""",
+
     // e8 = round-robin draw over the same IVF cells: per-cell rank by the
     // t6 salted hash, rounds ascending then cell then id, first 32 picks
     "e8_cluster_sample" -> s"""WITH ${ivfChainCtes(16, 2, 64)},

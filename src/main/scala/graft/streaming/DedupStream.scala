@@ -265,17 +265,23 @@ object DedupStream {
     * to decide (or audit) what a batch WOULD do under the complete c1
     * policy, served entirely from the index the admission loop maintains.
     * Same composition as the batch `c2_incremental_admission` query —
-    * StreamingSpec asserts verdict-for-verdict parity. */
+    * StreamingSpec asserts verdict-for-verdict parity.
+    *
+    * `semPairs` (c2b) adds the embedding-tier screen: pass
+    * [[graft.llm.SimilarityOps.semanticScreen]] output over the SERVED
+    * IVF index (maintained by the embedding pipeline, not this stream's
+    * text index) and the increment's vectors; `semantic_dup` slots
+    * between span_dup and contaminated. */
   def admissionVerdicts(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, benchmark: DataFrame, threshold: Double = 0.5,
       minQuality: Double = 0.5, contamK: Int = 4,
-      contamMinShared: Int = 1): DataFrame =
+      contamMinShared: Int = 1, semPairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
       screenSpans(spark, indexDir, newDocs),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality)
+      minQuality, semPairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the

@@ -2,13 +2,15 @@ package graft
 
 /** Driver-contract consistency: every oracle entry must name a registered
   * query, and every query without an oracle must be on the explicit
-  * rows-only allowlist. Since round 3 that allowlist is EMPTY: a5d was
-  * rebound to the oracle-portable KMV sketch and e4's deterministic Lloyd
-  * passes are unrolled as DuckDB CTEs. A typo here silently zeroes a
-  * correctness row, so it's a test. */
+  * rows-only allowlist. The allowlist holds exactly one entry: d2x, the
+  * production xxh64 hash path of d2, registered so its speedup over the
+  * oracle-portable md5 form is a RECORDED bench number — DuckDB cannot
+  * mirror xxh64, and LlmSpec asserts pair-set identity with the md5 form
+  * instead. A typo here silently zeroes a correctness row, so it's a
+  * test. */
 class ContractSpec extends SparkSpec {
 
-  private val rowsOnly = Set.empty[String]
+  private val rowsOnly = Set("d2x_minhash_xxh64")
 
   test("every oracle key is a registered query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -862,6 +862,20 @@ class LlmSpec extends SparkSpec {
     assert(out.find(_._1 == 401L).get._4 < 0.5)
   }
 
+  test("oov stats served form scores against the MAINTAINED vocab, not the probe's own (t15)") {
+    import spark.implicits._
+    // vocab induced from the corpus doc alone: a(rank 1), x(rank 2)
+    val corpus = Seq((1L, "a a x")).toDF("doc_id", "text")
+    val vocab = TextOps.vocabulary(corpus, 2).select("word", "rank")
+    // the increment's own top words (c, d) are NOT in the served vocab —
+    // an inline re-induction over the increment would rank them 1 and 2
+    val increment = Seq((2L, "c d a")).toDF("doc_id", "text")
+    val out = TextOps.oovStats(increment, vocab)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(out === Seq((2L, 3L, 2L, 0.6667, Some(1.0))),
+      s"c/d must be OOV against the served vocab: $out")
+  }
+
   test("oov stats: hand-computed ranks, rates and the no-invocab null (t15)") {
     import spark.implicits._
     val tiny = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
@@ -991,5 +1005,52 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
     DedupOps.releaseCaches()
     assert(lifted.count(_._5) < 1000, "lifting the cap re-enables grouping")
+  }
+
+  test("ivf drift stats: a shifted increment degrades mean_cos monotonically (e9)") {
+    import spark.implicits._
+    // corpus: two tight clusters at e0 and e1 → centroids converge there
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfBuild(corpus, 2, 2)
+    // increments rotated away from e0 in the (e0, e2) plane by theta:
+    // assigned to the e0 centroid while cos-to-centroid = cos(theta)
+    def incMean(theta: Double): Double = {
+      val inc = (100 until 108).map { i =>
+        (i.toLong, Array(math.cos(theta).toFloat, 0f, math.sin(theta).toFloat, 0f))
+      }.toDF("vec_id", "embedding")
+      SimilarityOps.ivfDriftStats(index, inc)
+        .filter(col("segment") === "increment")
+        .select("mean_cos").as[Double].head()
+    }
+    // the corpus segment itself sits ON its centroids
+    val corpusMean = SimilarityOps.ivfDriftStats(index,
+        corpus.limit(0))
+      .filter(col("segment") === "corpus")
+      .select("mean_cos").as[Double].head()
+    assert(corpusMean === 1.0)
+    val drift = Seq(0.1, 0.5, 1.0).map(incMean)
+    assert(drift(0) > drift(1) && drift(1) > drift(2),
+      s"mean_cos must degrade monotonically with the shift: $drift")
+    assert(corpusMean > drift(0), "even a mild shift reads below the corpus")
+  }
+
+  test("semantic screen: corpus member stays id_a regardless of numeric order (c2b)") {
+    import spark.implicits._
+    // streaming ids are not monotone (the d5 lesson): the corpus vector's
+    // id sorts ABOVE the increment's, and the screen must still report the
+    // corpus member as the keeper id_a
+    val corpusEmb = Seq((500L, Array(1f, 0f, 0f, 0f)), (600L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val incEmb = Seq((3L, Array(0.999f, 0.01f, 0f, 0f)), (4L, Array(0.998f, 0.02f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfBuild(corpusEmb, 2, 2)
+    val got = SimilarityOps.semanticScreen(index, incEmb, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set(
+      (500L, 3L), (500L, 4L), // corpus-vs-new: corpus id_a despite 500 > 3
+      (3L, 4L)),              // new-vs-new: lower id first
+      s"got $got")
   }
 }

@@ -760,17 +760,31 @@ class StreamingSpec extends SparkSpec {
       (403L, "noise one two three alpha beta gamma delta more noise tail"),
       (404L, "tiny junk words"),
       (405L, (1 to 60).map(i => s"the w$i").mkString(" "))).toDF("doc_id", "text")
-    // the streaming-served verdict: corpus enters ONLY via the maintained
-    // shingle/band/seed sides the admission loop wrote
+    // embedding tier (c2b): a SERVED IVF index over the corpus vectors;
+    // increment vec 404 is a semantic twin of corpus vec 1 — textually
+    // unrelated, so only the embedding screen can catch it, and
+    // semantic_dup must outrank its low_quality verdict
+    val corpusEmb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val incEmb = Seq(
+      (401L, Array(0f, 0f, 1f, 0f)), (402L, Array(0f, 0f, 0f, 1f)),
+      (403L, Array(0f, 0f, -1f, 0f)), (404L, Array(0.999f, 0.01f, 0f, 0f)),
+      (405L, Array(0f, 0f, 0f, -1f))).toDF("vec_id", "embedding")
+    val servedIndex = graft.llm.SimilarityOps.ivfBuild(corpusEmb, 2, 2)
+    val semScreen = graft.llm.SimilarityOps.semanticScreen(
+      servedIndex, incEmb, 0.9)
+    // the streaming-served verdict: corpus text enters ONLY via the
+    // maintained shingle/band/seed sides; vectors via the served cells
     val served = graft.streaming.DedupStream.admissionVerdicts(
-      spark, s"$tmp/index", increment, bench)
+      spark, s"$tmp/index", increment, bench, semPairs = Some(semScreen))
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     graft.llm.DedupOps.releaseCaches()
     assert(served.map(r => (r._1, r._2, r._3)) === Seq(
       (401L, "near_dup", Some(1L)),
       (402L, "span_dup", Some(2L)),
       (403L, "contaminated", Some(50L)),
-      (404L, "low_quality", None),
+      (404L, "semantic_dup", Some(1L)),
       (405L, "admitted", None)))
     // parity with the batch composition over explicitly-built corpus state
     val corpus = spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text")
@@ -785,10 +799,20 @@ class StreamingSpec extends SparkSpec {
           graft.llm.DedupOps.incrementalSpans(
             increment, cs, graft.llm.DedupOps.seedStats(cs))
         },
-        graft.llm.DedupOps.contaminationHits(increment, bench, 4, 1))
+        graft.llm.DedupOps.contaminationHits(increment, bench, 4, 1),
+        semPairs = Some(graft.llm.SimilarityOps.semanticScreen(
+          graft.llm.SimilarityOps.ivfBuild(corpusEmb, 2, 2), incEmb, 0.9)))
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     graft.llm.DedupOps.releaseCaches()
     assert(served === batch)
+    // without the embedding screen the same increment degrades to c2's
+    // text-only verdict (404 back to low_quality) — the screen composes,
+    // never replaces
+    val textOnly = graft.streaming.DedupStream.admissionVerdicts(
+      spark, s"$tmp/index", increment, bench)
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    graft.llm.DedupOps.releaseCaches()
+    assert(textOnly.map(r => (r._1, r._2)).toMap.get(404L) === Some("low_quality"))
   }
 
   test("windowed aggregation groups by event-time hour (W1 streaming)") {

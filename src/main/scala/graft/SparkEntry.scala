@@ -523,6 +523,11 @@ object SparkEntry {
       // to the corpus by majority vote of approximate neighbors
       SimilarityOps.knnClassify(ivfIndex(s, d),
         embeddings(s, d).filter(col("vec_id") < 8), embeddings(s, d), 5)),
+    "e10_exact_vector_dedup" -> ((s, d) =>
+      // exact-duplicate vector collapse (d1-before-d2 applied to the
+      // embedding tier): the documented pre-collapse that keeps e7's
+      // cells out of the maxCell rail; n_copies = reweighting multiplicity
+      SimilarityOps.exactVectorDedup(embeddings(s, d))),
     "e9_ivf_drift" -> ((s, d) =>
       // the centroid-drift dial over the SERVED corpus index: the
       // increment assigned on frozen centroids vs the stored cells —

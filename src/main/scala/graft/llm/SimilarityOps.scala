@@ -306,8 +306,8 @@ object SimilarityOps {
     * singleton keeps, never disappear), capping the worst cell at
     * maxCell² pairs. The prune is mirrored in the oracle; the production
     * dial for a corpus that trips it is pre-collapsing exact-duplicate
-    * vectors (the d1-before-d2 ordering applied to embeddings) or a
-    * finer-K rebuild. */
+    * vectors first ([[exactVectorDedup]] — the d1-before-d2 ordering
+    * applied to embeddings) or a finer-K rebuild. */
   def semanticDedup(index: IvfIndex, threshold: Double,
       maxCell: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(index.cells.sparkSession)
@@ -418,6 +418,28 @@ object SimilarityOps {
         col("r"), col("pick"))
       .orderBy("pick")
   }
+
+  /** E10 — EXACT vector dedup: one keeper (min vec_id) per bit-identical
+    * embedding, plus its multiplicity — the d1-before-d2 pipeline
+    * ordering applied to the embedding tier. Run BEFORE SemDeDup: a
+    * thousand exact copies (re-crawled pages embedded twice, augmented
+    * repeats) then contribute ONE representative to [[semanticDedup]]'s
+    * within-cell pair front instead of 10⁶/2 pairs — and never trip the
+    * maxCell rail — while `n_copies` carries the weight a loss-
+    * reweighting or dedup-accounting pipeline needs.
+    *
+    * Scale shape: ONE map-side-combinable aggregation keyed by the
+    * vector value itself — Spark hashes/compares arrays natively in
+    * codegen, so there is no float→string round trip and the only
+    * movement is the grouping shuffle. The sf fixture carries no exact
+    * duplicates, so the oracle gates the identity case (cross-engine
+    * array-equality grouping included); the collapse semantics are
+    * LlmSpec-gated on seeded duplicates. */
+  def exactVectorDedup(embeddings: DataFrame): DataFrame =
+    embeddings.groupBy(col("embedding"))
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n_copies"))
+      .select("vec_id", "n_copies")
+      .orderBy("vec_id")
 
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket

@@ -918,6 +918,14 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, g.group_id, c.cos_centroid,
        c.vec_id = k.keep_id AS keep
 FROM cosc c JOIN egrp g USING (vec_id) JOIN ekeep k ON k.group_id = g.group_id
 ORDER BY c.vec_id""",
+    // e10 = exact vector dedup: min-id keeper + multiplicity per
+    // bit-identical embedding (group by the list value itself — the
+    // fixture has no exact dups, so this gates the identity case and
+    // cross-engine array-equality grouping; LlmSpec seeds real dups)
+    "e10_exact_vector_dedup" -> s"""
+SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM $Emb GROUP BY embedding ORDER BY vec_id""",
+
     // e9 = the centroid-drift dial over the e5b chain (corpus-built
     // centroids, everything assigned frozen): per segment the count and
     // exact ×1e6-integer cosine sum to the assigned centroid, mean as one

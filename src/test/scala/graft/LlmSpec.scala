@@ -1007,6 +1007,27 @@ class LlmSpec extends SparkSpec {
     assert(lifted.count(_._5) < 1000, "lifting the cap re-enables grouping")
   }
 
+  test("exact vector dedup collapses bit-identical embeddings, keeper min id (e10)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (5L, Array(1f, 2f, 3f)), (3L, Array(1f, 2f, 3f)), (8L, Array(1f, 2f, 3f)),
+      (9L, Array(0f, 1f, 0f)),
+      (7L, Array(1f, 2f, 3.0000002f)) // near-identical floats stay DISTINCT
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.exactVectorDedup(vecs)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 3L), (7L, 1L), (9L, 1L)))
+    // the composition it exists for: pre-collapsed, the degenerate
+    // 1000-identical corpus reaches SemDeDup as ONE representative —
+    // no mega-cell, no rail trip, nothing for the pair front to square
+    val degenerate = (0 until 1000).map { i =>
+      (i.toLong, Array.tabulate(8)(d => 0.1f * (d + 1)))
+    }.toDF("vec_id", "embedding")
+    val keepers = SimilarityOps.exactVectorDedup(degenerate)
+      .as[(Long, Long)].collect().toSeq
+    assert(keepers === Seq((0L, 1000L)))
+  }
+
   test("ivf drift stats: a shifted increment degrades mean_cos monotonically (e9)") {
     import spark.implicits._
     // corpus: two tight clusters at e0 and e1 → centroids converge there

@@ -27,6 +27,10 @@ import graft.llm.DedupOps
   * indexDir/shingles/batch=<lineage>-<id>/  (doc_id, sh_arr)   verify side
   * indexDir/bands/batch=<lineage>-<id>/     (doc_id, band, key) LSH side
   * indexDir/seeds/batch=<lineage>-<id>/     (doc_id, pos, kh)  d9b span side
+  * indexDir/seedstats/batch=<lineage>-<id>/ (kh, df) sum-partials — d9b's
+  *                                          df prune, no corpus re-agg
+  * indexDir/wordcounts/batch=<lineage>-<id>/ (word, n) sum-partials —
+  *                                          t13/t15 vocabulary serving
   * indexDir/groups/                         (doc_id, group_id) assignment
   *                                          — a BucketStore (manifest +
   *                                          CURRENT flip), upserted per
@@ -55,6 +59,8 @@ object DedupStream {
     StructField("kh", LongType)))
   private val StatsSchema = StructType(Seq(
     StructField("kh", LongType), StructField("df", LongType)))
+  private val WordSchema = StructType(Seq(
+    StructField("word", StringType), StructField("n", LongType)))
 
   /** Seed width of the maintained positional index (d9's default k): span
     * screening against the index must probe at the width it was built. */
@@ -108,6 +114,39 @@ object DedupStream {
     * corpus seeds, which is what keeps [[screenSpans]] O(increment). */
   def corpusSeedStats(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/seedstats", StatsSchema).drop("batch")
+
+  /** The maintained (word, n) word-count side over every ADMITTED doc —
+    * per-batch sum-mergeable partials like [[corpusSeedStats]], folded by
+    * [[compact]]. This is t13's corpus state as ingest-side serving
+    * state: vocabulary induction and OOV screening read these counts
+    * instead of re-TOKENIZING the corpus (the expensive pass — the count
+    * table is Heaps'-law sized, orders of magnitude under the corpus). */
+  def corpusWordCounts(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/wordcounts", WordSchema).drop("batch")
+
+  /** T13 over the maintained side: the admitted corpus's top-N
+    * vocabulary as a served (word, rank) table — one sum over the
+    * partial counts (vocabulary-sized, never corpus-sized) and a
+    * TakeOrdered top-N, ranked exactly like
+    * [[graft.llm.TextOps.vocabulary]] (n desc, then word). */
+  def corpusVocabulary(spark: SparkSession, indexDir: String,
+      topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = corpusWordCounts(spark, indexDir)
+      .groupBy("word").agg(sum("n").as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+      .select("word", "rank")
+      .orderBy("rank")
+  }
+
+  /** T15 over the maintained side: OOV-screen a probe set against the
+    * ADMITTED corpus's vocabulary — corpus text is never re-read; only
+    * the increment tokenizes. */
+  def screenOov(spark: SparkSession, indexDir: String, newDocs: DataFrame,
+      topN: Int = 200): DataFrame =
+    graft.llm.TextOps.oovStats(newDocs, corpusVocabulary(spark, indexDir, topN))
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))
@@ -190,6 +229,12 @@ object DedupStream {
       DedupOps.seedStats(keptSeeds)
         .write.mode("overwrite").parquet(s"$indexDir/seedstats/$key")
       keptSeeds.unpersist(blocking = false)
+      // fifth side: the batch's (word, n) counts — t13's corpus state,
+      // maintained so vocabulary/OOV serving never re-tokenizes the
+      // corpus; same sum-mergeable-partial discipline as the seed stats
+      keptOut.select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$indexDir/wordcounts/$key")
       // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
       // maintained (doc_id, group_id) assignment. The delta is O(batch +
       // touched components); BucketStore's manifest flip rewrites only the
@@ -329,15 +374,19 @@ object DedupStream {
     * key. Single-writer discipline like BucketStore: run between
     * microbatches (the admission loop is the only other writer). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    // seedstats rows are sum-mergeable partials: folding re-aggregates the
-    // foldable dirs to one row per kh (the carried latest-per-lineage dirs
-    // stay partial — per-kh SUM semantics are unchanged either way)
+    // seedstats/wordcounts rows are sum-mergeable partials: folding
+    // re-aggregates the foldable dirs to one row per key (the carried
+    // latest-per-lineage dirs stay partial — per-key SUM semantics are
+    // unchanged either way)
     val foldStats: DataFrame => DataFrame =
       _.groupBy("kh").agg(sum("df").as("df"))
+    val foldWords: DataFrame => DataFrame =
+      _.groupBy("word").agg(sum("n").as("n"))
     Seq(("shingles", ShingleSchema, identity[DataFrame] _),
         ("bands", BandSchema, identity[DataFrame] _),
         ("seeds", SeedSchema, identity[DataFrame] _),
-        ("seedstats", StatsSchema, foldStats)).foreach {
+        ("seedstats", StatsSchema, foldStats),
+        ("wordcounts", WordSchema, foldWords)).foreach {
       case (side, schema, fold) =>
         val dir = s"$indexDir/$side"
         val path = new Path(dir)

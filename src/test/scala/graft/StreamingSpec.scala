@@ -522,6 +522,54 @@ class StreamingSpec extends SparkSpec {
     assert(statsSum() === s2, "compaction preserves the per-kh sums")
   }
 
+  test("the word-count side serves vocabulary + OOV screening without re-reading corpus text (t13/t15 streaming)") {
+    val tmp = Files.createTempDirectory("graft_vocab_stream").toString
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "alpha alpha alpha beta beta gamma one two three four five six"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    graft.streaming.DedupStream.admitBatch(
+      Seq((2L, "alpha beta beta completely different words about catalyst plans everywhere"))
+        .toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // counts sum across admissions: alpha 3+1, beta 2+2
+    val vocab = graft.streaming.DedupStream
+      .corpusVocabulary(spark, s"$tmp/index", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab === Seq(("alpha", 1L), ("beta", 2L)),
+      s"alpha(4) then beta(4) on the word tiebreak: $vocab")
+    // a rejected duplicate contributes nothing
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, "alpha alpha alpha beta beta gamma one two three four five six"))
+        .toDF("doc_id", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val counts = graft.streaming.DedupStream
+      .corpusWordCounts(spark, s"$tmp/index")
+      .groupBy("word").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts("alpha") === 4L && counts("beta") === 4L)
+    // the OOV screen: only the probe tokenizes; ranks come from the
+    // ADMITTED corpus — equal to the batch t15 form over the kept docs
+    val probe = Seq((9L, "alpha zeta beta")).toDF("doc_id", "text")
+    val served = graft.streaming.DedupStream
+      .screenOov(spark, s"$tmp/index", probe, 2)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(served === Seq((9L, 3L, 1L, 0.3333, Some(1.5))),
+      s"zeta OOV, alpha rank 1 + beta rank 2 → mean 1.5: $served")
+    val batchForm = graft.llm.TextOps.oovStats(probe,
+        graft.llm.TextOps.vocabulary(
+          spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"), 2)
+          .select("word", "rank"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(served === batchForm)
+    // compaction folds the partials; vocabulary unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    val vocab2 = graft.streaming.DedupStream
+      .corpusVocabulary(spark, s"$tmp/index", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab2 === vocab)
+  }
+
   test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {
     val tmp = Files.createTempDirectory("graft_seedgate").toString
     val shared = (0 until 12).map(i => s"tok$i").mkString(" ")

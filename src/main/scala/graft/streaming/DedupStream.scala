@@ -66,32 +66,11 @@ object DedupStream {
     * screening against the index must probe at the width it was built. */
   val SeedK: Int = 5
 
-  /** Read one side of the corpus index; an absent dir (first batch ever)
-    * is an empty corpus, not an error. The probe goes through the Hadoop
-    * FileSystem resolved from the session's hadoopConfiguration — a
-    * java.nio check would answer false for an HDFS/S3 indexDir and
-    * silently disable dedup on exactly the deployments this operator is
-    * for. The `batch=` partition dir is surfaced as a column so callers
-    * can exclude a replayed batch's own previous append; public readers
-    * drop it. */
-  private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$dir.old")
-    val withBatch = schema.add(StructField("batch", StringType))
-    // `.old` fallback: a crash inside compact()'s rename pair leaves the
-    // (complete) previous tree under `.old` — never read an empty corpus
-    val readable = if (fs.exists(path)) Some(dir)
-      else if (fs.exists(old)) Some(s"$dir.old") else None
-    readable match {
-      case Some(d) =>
-        spark.read.schema(withBatch).parquet(d)
-          .select(withBatch.fieldNames.toIndexedSeq.map(col): _*)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBatch)
-    }
-  }
+  /** Side reads go through [[IndexSides.readSide]] (shared with the
+    * embedding-tier [[VectorStream]]): Hadoop-FS probe, `.old`
+    * crash-fallback, `batch=` surfaced for replay self-exclusion. */
+  private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    IndexSides.readSide(spark, dir, schema)
 
   def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"$indexDir/shingles", ShingleSchema).drop("batch")
@@ -162,16 +141,8 @@ object DedupStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GroupSchema)
   }
 
-  /** Lineage tag for idempotent per-batch dirs: batchIds restart from 0
-    * whenever a stream begins a NEW checkpoint, so a bare `batch=<id>` key
-    * would let a second lineage overwrite the first's admissions. Keyed by
-    * the checkpoint location, the tag is stable across restarts of the
-    * same stream (replay still overwrites its own dir idempotently) and
-    * distinct for a new lineage. */
   private def lineageOf(checkpointDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map("%02x".format(_)).mkString
+    IndexSides.lineageOf(checkpointDir)
 
   /** One microbatch: verdict, admit, append. Public so batch backfills can
     * reuse the exact streaming admission logic (parity with the reference's
@@ -349,85 +320,23 @@ object DedupStream {
       .drop("batch").orderBy("lineage", "batch_id")
   }
 
-  /** Fold the per-batch `batch=<lineage>-<id>` dirs of both index sides
-    * into one consolidated `batch=compacted` dir each — the local
-    * maintenance op for the small-file accumulation a dir-per-microbatch
-    * layout produces (the Delta/Iceberg OPTIMIZE analog at the same seam).
-    *
-    * Replay safety is ENFORCED, not advisory: the foreachBatch loop has
-    * at most ONE uncommitted (hence replayable) batch per checkpoint
-    * lineage — the latest — and a replay recognizes its own previous
-    * append only through that dir's key. So each lineage's
-    * highest-numbered dir is carried over AS A DIR (tiny: one microbatch)
-    * while everything else, previous `compacted` included, folds into the
-    * consolidated dir. A replay after compaction therefore still
-    * overwrites its own key idempotently and is still excluded from its
-    * own prior-id probe.
-    *
-    * Crash-safety is write-then-flip per side: the new tree (consolidated
-    * dir + carried latest dirs) is fully built under `<side>.compacting`,
-    * then two atomic renames swap it in (`<side>` → `<side>.old` →
-    * deleted). A crash between the renames leaves only `<side>.old`,
-    * which [[readSide]] falls back to and the next compact() self-heals,
-    * so no window ever reads an empty corpus. Compacted rows carry
-    * batch="compacted", which can never equal a live `<lineage>-<id>`
-    * key. Single-writer discipline like BucketStore: run between
+  /** Fold the per-batch dirs of every index side into one consolidated
+    * `batch=compacted` dir each — [[IndexSides.compact]]'s write-then-
+    * flip protocol (replay-safe carried dirs, `.old` crash fallback).
+    * seedstats/wordcounts rows are sum-mergeable partials: their fold
+    * re-aggregates to one row per key (the carried latest-per-lineage
+    * dirs stay partial — per-key SUM semantics are unchanged either
+    * way). Single-writer discipline like BucketStore: run between
     * microbatches (the admission loop is the only other writer). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
-    // seedstats/wordcounts rows are sum-mergeable partials: folding
-    // re-aggregates the foldable dirs to one row per key (the carried
-    // latest-per-lineage dirs stay partial — per-key SUM semantics are
-    // unchanged either way)
-    val foldStats: DataFrame => DataFrame =
-      _.groupBy("kh").agg(sum("df").as("df"))
-    val foldWords: DataFrame => DataFrame =
-      _.groupBy("word").agg(sum("n").as("n"))
-    Seq(("shingles", ShingleSchema, identity[DataFrame] _),
-        ("bands", BandSchema, identity[DataFrame] _),
-        ("seeds", SeedSchema, identity[DataFrame] _),
-        ("seedstats", StatsSchema, foldStats),
-        ("wordcounts", WordSchema, foldWords)).foreach {
-      case (side, schema, fold) =>
-        val dir = s"$indexDir/$side"
-        val path = new Path(dir)
-        val conf = spark.sparkContext.hadoopConfiguration
-        val fs = path.getFileSystem(conf)
-        val old = new Path(s"$dir.old")
-        if (!fs.exists(path) && fs.exists(old))
-          fs.rename(old, path) // heal a crash between the two flips below
-        if (fs.exists(path)) {
-          val batchDirs = fs.listStatus(path).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-            .map(_.getPath.getName.stripPrefix("batch="))
-          // latest batch id per lineage stays a replay-addressable dir
-          val carried = batchDirs.filter(_ != "compacted")
-            .flatMap { key =>
-              val i = key.lastIndexOf('-')
-              if (i < 0) None
-              else scala.util.Try(key.substring(i + 1).toLong).toOption
-                .map(id => (key.substring(0, i), id, key))
-            }
-            .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
-          val foldable = batchDirs.filterNot(carried.contains)
-          if (foldable.nonEmpty) {
-            val tmp = new Path(s"$dir.compacting")
-            fs.delete(tmp, true)
-            fold(readSide(spark, dir, schema)
-                .filter(col("batch").isin(foldable: _*)).drop("batch"))
-              .write.parquet(s"$dir.compacting/batch=compacted")
-            carried.foreach { key =>
-              org.apache.hadoop.fs.FileUtil.copy(
-                fs, new Path(s"$dir/batch=$key"),
-                fs, new Path(s"$dir.compacting/batch=$key"), false, conf)
-            }
-            fs.delete(old, true)
-            fs.rename(path, old)
-            fs.rename(tmp, path)
-            fs.delete(old, true)
-          }
-        }
-    }
-  }
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    IndexSides.compact(spark, indexDir, Seq(
+      ("shingles", ShingleSchema, identity[DataFrame] _),
+      ("bands", BandSchema, identity[DataFrame] _),
+      ("seeds", SeedSchema, identity[DataFrame] _),
+      ("seedstats", StatsSchema,
+        (df: DataFrame) => df.groupBy("kh").agg(sum("df").as("df"))),
+      ("wordcounts", WordSchema,
+        (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n")))))
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.SimilarityOps
+import graft.streaming.VectorStream
+
+/** The embedding-tier admission service: build a served IVF index, screen
+  * and admit vector microbatches against it, and keep every e-tier
+  * operator servable from the stream-maintained state. */
+class VectorStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def e(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+
+  test("vector admission: semantic dups rejected with the corpus keeper, survivors searchable") {
+    val tmp = Files.createTempDirectory("graft_vecstream").toString
+    val corpus = Seq(
+      (500L, e(1f, 0f, 0f, 0f)), (600L, e(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    VectorStream.build(spark, s"$tmp/index", corpus, nCells = 2, iterations = 2)
+
+    // batch 0: vec 3 is a semantic twin of corpus vec 500 (lower id — the
+    // d5 non-monotone lesson: the CORPUS member must keep id_a); vec 700
+    // is genuinely new
+    VectorStream.admitBatch(
+      Seq((3L, e(0.999f, 0.01f, 0f, 0f)), (700L, e(0f, 0f, 1f, 0f)))
+        .toDF("vec_id", "embedding"),
+      0L, s"$tmp/index", s"$tmp/out", 0.9, "v1")
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(700L), "the twin is rejected despite its lower id")
+    val dups = spark.read.parquet(s"$tmp/out/dups")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups === Set((500L, 3L)), "corpus member is the keeper id_a")
+    val indexed = VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed === Set(500L, 600L, 700L))
+
+    // within-batch dedup: two twins arrive together — lower id admits,
+    // higher id rejects against it; a dup of the JUST-admitted 700 also
+    // rejects (the index the screen reads includes prior admissions)
+    VectorStream.admitBatch(
+      Seq((801L, e(0f, 0.999f, 0.01f, 0f)), (802L, e(0f, 0.998f, 0.02f, 0f)),
+        (803L, e(0f, 0.01f, 0.999f, 0f)))
+        .toDF("vec_id", "embedding"),
+      1L, s"$tmp/index", s"$tmp/out", 0.9, "v1")
+    val kept2 = spark.read.parquet(s"$tmp/out/kept")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 === Set(700L), "801 dups corpus 600, 802 dups 600/801, 803 dups 700")
+
+    // the served state drives the ordinary e-tier operators unchanged
+    val served = VectorStream.index(spark, s"$tmp/index")
+    val topk = SimilarityOps.ivfQueryTopK(served,
+      Seq((9000L, e(0f, 0f, 0.9f, 0.1f))).toDF("vec_id", "embedding"),
+      k = 1, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(topk === Seq(700L), "admitted vector is the nearest served neighbor")
+
+    // metrics: one accounting row per batch, with the drift dial reading
+    val m = VectorStream.metrics(spark, s"$tmp/out")
+      .select("batch_id", "n_in", "n_kept", "n_sem_rejected", "n_prior_known")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(m === Set((0L, 2L, 1L, 1L, 0L), (1L, 3L, 0L, 3L, 0L)), s"got $m")
+    val drift = VectorStream.metrics(spark, s"$tmp/out")
+      .select("increment_mean_cos").as[Option[Double]].collect().toSeq
+    assert(drift.forall(d => d.exists(x => x >= -1.0 && x <= 1.0)),
+      s"every batch exports a drift reading: $drift")
+  }
+
+  test("replay and re-ingest are idempotent; compaction preserves the served index") {
+    val tmp = Files.createTempDirectory("graft_vecstream2").toString
+    val corpus = Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    VectorStream.build(spark, s"$tmp/index", corpus, nCells = 2, iterations = 2)
+    val batch = Seq((10L, e(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    // same-lineage replay overwrites its own dir — no double-indexing
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .filter(col("vec_id") === 10L).count() === 1)
+    // a foreign-lineage re-ingest is caught by the prior-known probe
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "l2")
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .filter(col("vec_id") === 10L).count() === 1)
+    val prior = VectorStream.metrics(spark, s"$tmp/out")
+      .filter(col("lineage") === "l2")
+      .select("n_prior_known").as[Long].collect().toSeq
+    assert(prior === Seq(1L))
+    // compaction folds the batch dirs; the served cells are unchanged
+    val before = VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    VectorStream.admitBatch(
+      Seq((11L, e(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"),
+      1L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    VectorStream.compact(spark, s"$tmp/index")
+    val after = VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(after === before + ((11L, after.find(_._1 == 11L).get._2)))
+    // a rebuild resets the serving state from the admitted corpus
+    VectorStream.build(spark, s"$tmp/index",
+      VectorStream.corpusCells(spark, s"$tmp/index").select("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === after.map(_._1))
+  }
+}

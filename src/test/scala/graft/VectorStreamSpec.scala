@@ -106,4 +106,37 @@ class VectorStreamSpec extends SparkSpec {
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === after.map(_._1))
   }
+
+  test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
+    val tmp = Files.createTempDirectory("graft_vecstream3").toString
+    VectorStream.build(spark, s"$tmp/index",
+      Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    VectorStream.admitBatch(
+      Seq((10L, e(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    VectorStream.admitBatch(
+      Seq((11L, e(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"),
+      1L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    val before = VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet
+    assert(before === Set(1L, 2L, 10L, 11L))
+    // simulate the crash window between compact()'s two renames: the live
+    // tree was moved aside to `.old` and the process died before the new
+    // tree swapped in
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cells = new org.apache.hadoop.fs.Path(s"$tmp/index/cells")
+    val old = new org.apache.hadoop.fs.Path(s"$tmp/index/cells.old")
+    val fs = cells.getFileSystem(conf)
+    assert(fs.rename(cells, old))
+    // readers fall back to `.old` — no window ever sees an empty corpus
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === before)
+    // the next compact self-heals (rename back) and completes the fold
+    VectorStream.compact(spark, s"$tmp/index")
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === before)
+    assert(fs.exists(cells) && !fs.exists(old), "healed tree is live, .old gone")
+  }
 }

@@ -182,9 +182,11 @@ object DedupStream {
     val rejected = dupIds.unionByName(prior).distinct()
     val keptSh = batchSh.join(rejected, Seq("doc_id"), "left_anti").persist()
     keptSh.count()
+    // Read by three writes (kept rows, positional seeds, word counts) —
+    // materialize once instead of re-running the anti-join per side.
+    val keptOut = batch.join(rejected, Seq("doc_id"), "left_anti").persist()
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
-      val keptOut = batch.join(rejected, Seq("doc_id"), "left_anti")
       keptOut.write.mode("overwrite").parquet(s"$outDir/kept/$key")
       keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
@@ -245,6 +247,7 @@ object DedupStream {
     } finally {
       pairs.unpersist(blocking = false)
       keptSh.unpersist(blocking = false)
+      keptOut.unpersist(blocking = false)
       dupIds.unpersist(blocking = false)
       prior.unpersist(blocking = false)
       // intermediate persists inside incrementalNearDups; safe here because

@@ -358,18 +358,28 @@ object SimilarityOps {
     * pipeline guarantees it, as for d5/d9b).
     *
     * The `maxCell` rail uses COMBINED (corpus + increment) cell
-    * populations — cell sizes are keys-sized index metadata (free
-    * partition statistics on a cell-partitioned table; here one
-    * column-pruned pass each), mirrored in the c2b oracle. */
+    * populations. Pass `corpusCellStats` — a maintained (cell, n) table
+    * of sum-mergeable partials (keys-sized: K rows per admitted batch;
+    * [[graft.streaming.VectorStream]] keeps one beside the cells) — and
+    * the corpus cells table is never aggregated here; without it the
+    * sizes come from one column-pruned pass over the cells (the ad-hoc
+    * batch form — at deployment they are free partition statistics on a
+    * cell-partitioned table). Mirrored in the c2b oracle either way
+    * (combined counts are identical). */
   def semanticScreen(index: IvfIndex, newVectors: DataFrame,
-      threshold: Double, maxCell: Int = 256): DataFrame = {
+      threshold: Double, maxCell: Int = 256,
+      corpusCellStats: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(newVectors.sparkSession)
     val newCells = ivfAssign(newVectors, index.centroids)
       .select(col("vec_id"), col("cell"), col("embedding"))
     val corpus = index.cells.select(col("vec_id"), col("cell"), col("embedding"))
-    val okCells = corpus.select("cell").unionByName(newCells.select("cell"))
-      .groupBy("cell").agg(count(lit(1)).as("n_cell"))
-      .filter(col("n_cell") <= maxCell).select("cell")
+    val corpusSizes = corpusCellStats
+      .map(_.groupBy("cell").agg(sum("n").as("nc")))
+      .getOrElse(corpus.groupBy("cell").agg(count(lit(1)).as("nc")))
+    val newSizes = newCells.groupBy("cell").agg(count(lit(1)).as("nn"))
+    val okCells = corpusSizes.join(newSizes, Seq("cell"), "full")
+      .filter(coalesce(col("nc"), lit(0L)) + coalesce(col("nn"), lit(0L)) <= maxCell)
+      .select("cell")
     val cp = corpus.join(broadcast(okCells), Seq("cell"))
     val nc = newCells.join(broadcast(okCells), Seq("cell"))
     val vsCorpus = cp

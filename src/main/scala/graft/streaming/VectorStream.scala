@@ -25,6 +25,8 @@ import graft.llm.SimilarityOps.IvfIndex
   * indexDir/centroids/            (cell, c: array<double>) — written by
   *                                build()/rebuild only; frozen between
   * indexDir/cells/batch=<lineage>-<id>/  (vec_id, cell, embedding)
+  * indexDir/cellstats/batch=<lineage>-<id>/ (cell, n) sum-partials — the
+  *                                screen's maxCell rail, no corpus re-agg
   * outDir/kept/batch=<lineage>-<id>/     admitted vectors (full rows)
   * outDir/dups/batch=<lineage>-<id>/     (id_a, id_b, cos) verdicts
   * outDir/metrics/batch=<lineage>-<id>/  one admission-accounting row,
@@ -43,6 +45,8 @@ object VectorStream {
     StructField("vec_id", LongType),
     StructField("cell", IntegerType),
     StructField("embedding", ArrayType(FloatType))))
+  private val CellStatsSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("n", LongType)))
 
   /** Build (or REBUILD) the served index from a corpus: Lloyd passes via
     * [[SimilarityOps.ivfBuild]], centroids + initial cell assignment
@@ -62,10 +66,13 @@ object VectorStream {
     val assigned = idx.cells
       .select(col("vec_id"), col("cell"), col("embedding")).persist()
     assigned.count()
-    val cells = new Path(s"$indexDir/cells")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(cells, true)
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$indexDir/cells"), true)
+    fs.delete(new Path(s"$indexDir/cellstats"), true)
     assigned.write.parquet(s"$indexDir/cells/batch=build-0")
+    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .write.parquet(s"$indexDir/cellstats/batch=build-0")
     assigned.unpersist(blocking = false)
   }
 
@@ -79,6 +86,23 @@ object VectorStream {
 
   def corpusCells(spark: SparkSession, indexDir: String): DataFrame =
     IndexSides.readSide(spark, s"$indexDir/cells", CellSchema).drop("batch")
+
+  /** The maintained (cell, n) cell-size side: sum-mergeable partials (K
+    * rows per admitted batch — the same discipline as DedupStream's
+    * (kh, df) seed stats) so the screen's maxCell rail reads maintained
+    * counts instead of aggregating the corpus cells table per batch. */
+  def corpusCellStats(spark: SparkSession, indexDir: String): DataFrame =
+    IndexSides.readSide(spark, s"$indexDir/cellstats", CellStatsSchema).drop("batch")
+
+  /** The semantic screen served ENTIRELY from maintained state: frozen
+    * centroids + corpus cells + cell-size stats (nothing corpus-sized is
+    * aggregated — the cells table is only joined on `cell`). */
+  def screen(spark: SparkSession, indexDir: String, newVectors: DataFrame,
+      threshold: Double, maxCell: Int = 256): DataFrame =
+    SimilarityOps.semanticScreen(
+      IvfIndex(centroids(spark, indexDir), corpusCells(spark, indexDir)),
+      newVectors, threshold, maxCell,
+      corpusCellStats = Some(corpusCellStats(spark, indexDir)))
 
   /** The served index as an [[IvfIndex]] — every e-tier operator
     * (ivfQueryTopK, knnClassify, semanticDedup, clusterBalancedSample,
@@ -98,9 +122,9 @@ object VectorStream {
     // Materialize the verdicts BEFORE any write (the screen lazily reads
     // the cells dirs this batch is about to append to); a same-lineage
     // replay sees its own previous append only via identity pairs, which
-    // the screen's id_a <> id_b filter drops.
-    val pairs = SimilarityOps.semanticScreen(
-      IvfIndex(cents, corpusCells(spark, indexDir)), batch, threshold).persist()
+    // the screen's id_a <> id_b filter drops. The maxCell rail reads the
+    // maintained cell-size stats — no corpus aggregation per batch.
+    val pairs = screen(spark, indexDir, batch, threshold).persist()
     pairs.count()
     // Never index a vec_id twice (the DedupStream probe discipline): a
     // re-ingest under a different lineage is not rejected by the pair
@@ -115,12 +139,17 @@ object VectorStream {
     val rejected = dupIds.unionByName(prior).distinct()
     val kept = batch.join(rejected, Seq("vec_id"), "left_anti").persist()
     kept.count()
+    val keptAssigned = SimilarityOps.ivfAssign(kept, cents)
+      .select(col("vec_id"), col("cell"), col("embedding")).persist()
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
       kept.write.mode("overwrite").parquet(s"$outDir/kept/$key")
-      SimilarityOps.ivfAssign(kept, cents)
-        .select(col("vec_id"), col("cell"), col("embedding"))
-        .write.mode("overwrite").parquet(s"$indexDir/cells/$key")
+      keptAssigned.write.mode("overwrite").parquet(s"$indexDir/cells/$key")
+      // cell-size stats partial beside the cells (replay overwrites its
+      // own partial — never double-counts), so the next batch's rail
+      // reads maintained counts
+      keptAssigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$indexDir/cellstats/$key")
       // Admission accounting + the per-batch e9 drift reading: the
       // increment's mean cos-to-assigned-centroid is THE rebuild dial,
       // so the service exports it with every batch (a drop across
@@ -142,14 +171,18 @@ object VectorStream {
       prior.unpersist(blocking = false)
       dupIds.unpersist(blocking = false)
       kept.unpersist(blocking = false)
+      keptAssigned.unpersist(blocking = false)
     }
   }
 
-  /** Fold the cells side's per-batch dirs ([[IndexSides.compact]]'s
-    * write-then-flip; identity fold — cell rows are not partials). */
+  /** Fold the per-batch dirs ([[IndexSides.compact]]'s write-then-flip;
+    * cells rows are not partials, cell-size stats re-aggregate to one
+    * row per cell). */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, indexDir,
-      Seq(("cells", CellSchema, identity[DataFrame] _)))
+    IndexSides.compact(spark, indexDir, Seq(
+      ("cells", CellSchema, identity[DataFrame] _),
+      ("cellstats", CellStatsSchema,
+        (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n")))))
 
   /** Per-batch admission accounting across the stream's whole history. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {

@@ -107,6 +107,48 @@ class VectorStreamSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet === after.map(_._1))
   }
 
+  test("the served screen reads maintained cell stats, never aggregating the cells table (plan gate)") {
+    val tmp = Files.createTempDirectory("graft_vecgate").toString
+    VectorStream.build(spark, s"$tmp/index",
+      Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    VectorStream.admitBatch(
+      Seq((10L, e(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    // the stats side's per-cell sums equal the cells table's true sizes
+    val statSums = VectorStream.corpusCellStats(spark, s"$tmp/index")
+      .groupBy("cell").agg(sum("n").as("n"))
+      .as[(Int, Long)].collect().toMap
+    val trueSizes = VectorStream.corpusCells(spark, s"$tmp/index")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(statSums === trueSizes)
+    // plan gate (the d9b discipline applied to the vector tier): no
+    // Aggregate in the screening plan may read the corpus CELLS scan
+    // without an intervening join — sizes must come from the stats side
+    val probe = Seq((20L, e(0.999f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    val scr = VectorStream.screen(spark, s"$tmp/index", probe, 0.9)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def cellsScanNoJoin(p: LogicalPlan): Boolean = p match {
+      case _: Join => false
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.getName == "cells")
+        case _ => false
+      }
+      case other => other.children.exists(cellsScanNoJoin)
+    }
+    val offending = scr.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if cellsScanNoJoin(a.child) => a
+    }
+    assert(offending.isEmpty,
+      s"corpus-cells aggregation in the screening plan:\n${offending.mkString("\n")}")
+    assert(scr.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 20L)))
+  }
+
   test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
     val tmp = Files.createTempDirectory("graft_vecstream3").toString
     VectorStream.build(spark, s"$tmp/index",

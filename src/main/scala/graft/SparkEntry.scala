@@ -481,6 +481,11 @@ object SparkEntry {
         semPairs = Some(SimilarityOps.semanticScreen(ivfCorpusIndex(s, d),
           embeddings(s, d).filter(col("vec_id") >= 400), 0.4)))
     }),
+    "c3_leakage_safe_split" -> ((s, d) =>
+      // group-aware train/val/test split: buckets hash the d6 GROUP id,
+      // so near-dup components co-travel — the eval-leakage guard. The
+      // assignment enters as the maintained serving table (d6Groups).
+      graft.llm.CurationOps.leakageSafeSplit(documents(s, d), d6Groups(s, d))),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

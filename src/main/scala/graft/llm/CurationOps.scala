@@ -107,4 +107,36 @@ object CurationOps {
         col("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** C3 — LEAKAGE-SAFE train/val/test split: deterministic hash-bucketed
+    * assignment at the near-dup GROUP level, so every member of a
+    * component co-travels into one split. Splitting on the doc hash
+    * (t6's rule) leaks: a near-duplicate pair straddling train and eval
+    * inflates every held-out metric — which is why pipelines split AFTER
+    * group resolution (the d6/d7 assignment is the unit of independence,
+    * not the document). Docs absent from the assignment are their own
+    * singleton group. Buckets are t6's salted md5 arithmetic over the
+    * GROUP id: `train` below `trainPct`, `val` below `trainPct+valPct`,
+    * `test` above — reproducible from (salt, assignment) alone on any
+    * engine.
+    *
+    * Scale shape: one doc_id-keyed join against the maintained assignment
+    * (co-located when both sides are doc_id-bucketed — the d7 deployment
+    * layout) plus a narrow codegen hash map. No text is read, no window,
+    * no aggregation — nothing corpus-sized shuffles on a new key. */
+  def leakageSafeSplit(documents: DataFrame, groups: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "c3"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split $trainPct/$valPct")
+    val bucket = TextOps.h60(concat(lit(salt), lit("-"), col("group_id"))) % 100
+    documents.select("doc_id")
+      .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
 }

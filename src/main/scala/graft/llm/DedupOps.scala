@@ -749,13 +749,17 @@ object DedupOps {
     val newSeeds = tracked(positionalSeeds(newDocs, k, algo))
     // df prune against the maintained stats: the increment's per-kh counts
     // (increment-sized) pull the stats rows for exactly those kh — the
-    // broadcast semi-join prunes the stats scan (kh-bucketed at deployment,
-    // it prunes to the increment's buckets) and the partial-row sum runs on
+    // semi-join prunes the stats scan (kh-bucketed at deployment, it
+    // prunes to the increment's buckets) and the partial-row sum runs on
     // the matched, increment-kh-sized remainder only. No frame here is
-    // corpus-sized after the semi-join.
+    // corpus-sized after the semi-join. No forced broadcast: the
+    // increment's distinct-kh set is O(increment tokens), so a large
+    // backfill increment would make a broadcast hint an unbounded
+    // driver-side build — AQE broadcasts the expected-small case by size
+    // and degrades to a shuffle semi-join for oversized increments.
     val newDfs = tracked(newSeeds.groupBy("kh").agg(count(lit(1)).as("df_new")))
     val corpusDf = corpusSeedStats
-      .join(broadcast(newDfs.select("kh")), Seq("kh"), "left_semi")
+      .join(newDfs.select("kh"), Seq("kh"), "left_semi")
       .groupBy("kh").agg(sum("df").as("df_corpus"))
     val rare = newDfs.join(corpusDf, Seq("kh"), "left")
       .filter(col("df_new") + coalesce(col("df_corpus"), lit(0L)) <= maxDf)

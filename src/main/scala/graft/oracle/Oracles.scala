@@ -719,6 +719,22 @@ ${jaccardTail(0.5)}""",
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes$GroupSelect""",
 
+    // c3 = the d6 component assignment bucketed by t6's salted-md5
+    // arithmetic over the GROUP id (80/10/10): members of a component
+    // always land in one split — the eval-leakage guard. Docs outside
+    // the assignment would be their own singleton (COALESCE), mirroring
+    // the engine's left-join form.
+    "c3_leakage_safe_split" -> s"""WITH RECURSIVE $ShingleCtes,$GroupChainCtes,
+g AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+sp AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+       FROM $Docs d LEFT JOIN g USING (doc_id)),
+bk AS (SELECT doc_id, group_id,
+         CAST('0x' || substr(md5('c3-' || group_id), 1, 15) AS BIGINT) % 100 AS b
+       FROM sp)
+SELECT doc_id, group_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM bk ORDER BY doc_id""",
+
     // d5 = d2's pair set restricted to pairs whose LATER member is in the
     // increment (doc_id >= 400): the Spark side generates candidates from
     // the corpus band INDEX + the increment's self-join, which covers

@@ -50,39 +50,69 @@ object VectorStream {
 
   /** Build (or REBUILD) the served index from a corpus: Lloyd passes via
     * [[SimilarityOps.ivfBuild]], centroids + initial cell assignment
-    * written as the serving state. Rebuild overwrites the centroids and
-    * resets the cells to a single `batch=build-0` dir. */
+    * written as the serving state. Rebuild resets the cells to a single
+    * `batch=build-0` dir.
+    *
+    * Crash-safe by STAGING: the complete new tree (centroids + cells +
+    * cellstats) is written under sibling `.rebuilding` dirs while the
+    * live index stays untouched and readable (the canonical rebuild
+    * feeds this very index's admitted corpus back in, so the old files
+    * must survive until the staged tree is complete), then each side is
+    * swapped in with [[IndexSides.compact]]'s rename-pair/`.old`
+    * protocol. No crash point leaves an empty index: a death during
+    * staging leaves the live tree untouched; a death mid-swap leaves
+    * every side readable via its `.old` fallback, and the worst window
+    * (between side flips) serves a mixed old/new tree — degraded recall,
+    * never false admissions of the whole batch — healed by rerunning
+    * build(). Cells flip BEFORE centroids so the old, self-consistent
+    * (centroids, cells) pair stays live as long as possible. */
   def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
       nCells: Int = 16, iterations: Int = 2): Unit = {
     val idx = SimilarityOps.ivfBuild(corpus, nCells, iterations)
     import spark.implicits._
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sides = Seq("cells", "cellstats", "centroids")
+    sides.foreach(s => fs.delete(new Path(s"$indexDir/$s.rebuilding"), true))
+    val assigned = idx.cells
+      .select(col("vec_id"), col("cell"), col("embedding")).persist()
+    assigned.write.parquet(s"$indexDir/cells.rebuilding/batch=build-0")
+    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .write.parquet(s"$indexDir/cellstats.rebuilding/batch=build-0")
     idx.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    // Materialize the assignment BEFORE deleting the old cells tree: the
-    // canonical rebuild feeds this very index's admitted corpus back in,
-    // so the lazy frame may read from the files about to be deleted.
-    val assigned = idx.cells
-      .select(col("vec_id"), col("cell"), col("embedding")).persist()
-    assigned.count()
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(s"$indexDir/cells"), true)
-    fs.delete(new Path(s"$indexDir/cellstats"), true)
-    assigned.write.parquet(s"$indexDir/cells/batch=build-0")
-    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-      .write.parquet(s"$indexDir/cellstats/batch=build-0")
+      .coalesce(1).write.parquet(s"$indexDir/centroids.rebuilding")
     assigned.unpersist(blocking = false)
+    sides.foreach { s =>
+      val cur = new Path(s"$indexDir/$s")
+      val old = new Path(s"$indexDir/$s.old")
+      val tmp = new Path(s"$indexDir/$s.rebuilding")
+      if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur) // heal
+      fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+    }
   }
+
+  private val CentroidSchema = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("c", ArrayType(DoubleType))))
 
   /** The frozen centroid matrix — K×dim doubles, a bytes-sized plan
     * parameter (the same collect class as the scan bounds / skip lists
-    * elsewhere in the repo). */
-  def centroids(spark: SparkSession, indexDir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexDir/centroids")
+    * elsewhere in the repo). Reads through [[IndexSides.readSide]] so a
+    * crash inside build()'s rename pair falls back to `.old` — the
+    * serving centroids are never absent mid-swap. */
+  def centroids(spark: SparkSession, indexDir: String): Array[Array[Double]] = {
+    val rows = IndexSides
+      .readSide(spark, s"$indexDir/centroids", CentroidSchema)
       .orderBy("cell")
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect()
+    require(rows.nonEmpty, s"no centroids at $indexDir/centroids — run build() first")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
 
   def corpusCells(spark: SparkSession, indexDir: String): DataFrame =
     IndexSides.readSide(spark, s"$indexDir/cells", CellSchema).drop("batch")
@@ -114,24 +144,37 @@ object VectorStream {
     * reuse the exact streaming admission logic (the same
     * backfill-runs-the-livescan-path parity as [[DedupStream]]). */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      outDir: String, threshold: Double, lineage: String = "batch"): Unit = {
+      outDir: String, threshold: Double, lineage: String = "batch",
+      maxCell: Int = 256): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     val cents = centroids(spark, indexDir)
     val key = s"batch=$lineage-$batchId"
-    // Materialize the verdicts BEFORE any write (the screen lazily reads
-    // the cells dirs this batch is about to append to); a same-lineage
-    // replay sees its own previous append only via identity pairs, which
-    // the screen's id_a <> id_b filter drops. The maxCell rail reads the
-    // maintained cell-size stats — no corpus aggregation per batch.
-    val pairs = screen(spark, indexDir, batch, threshold).persist()
+    val batchTag = key.stripPrefix("batch=")
+    // The screen's corpus reads EXCLUDE the batch's own dir (the same
+    // partition-pruned exclusion the prior probe below uses): a
+    // same-lineage replay would otherwise see its previous append — the
+    // identity pairs are dropped by the id_a <> id_b filter, but the
+    // maxCell rail's combined counts would double-count the previously
+    // kept vectors, flipping a cell that was under the cap on the
+    // original run over it on replay and ADMITTING previously-rejected
+    // dups. Excluding the key makes replay read exactly the original
+    // run's corpus. Materialize before any write all the same (the plan
+    // lazily reads the dirs this batch overwrites).
+    val corpusExcl = IndexSides.readSide(spark, s"$indexDir/cells", CellSchema)
+      .filter(col("batch") =!= batchTag).drop("batch")
+    val statsExcl = IndexSides.readSide(spark, s"$indexDir/cellstats", CellStatsSchema)
+      .filter(col("batch") =!= batchTag).drop("batch")
+    val pairs = SimilarityOps.semanticScreen(
+      IvfIndex(cents, corpusExcl), batch, threshold, maxCell,
+      corpusCellStats = Some(statsExcl)).persist()
     pairs.count()
     // Never index a vec_id twice (the DedupStream probe discipline): a
     // re-ingest under a different lineage is not rejected by the pair
     // verdict. Broadcast semi-join on the (small) batch id set — the
     // corpus side is a one-column scan, bucket-pruned at deployment.
     val prior = IndexSides.readSide(spark, s"$indexDir/cells", CellSchema)
-      .filter(col("batch") =!= key.stripPrefix("batch="))
+      .filter(col("batch") =!= batchTag)
       .select("vec_id")
       .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_semi")
       .persist()
@@ -196,12 +239,13 @@ object VectorStream {
   /** Start the admission stream over a streaming (vec_id, embedding)
     * frame. [[build]] must have been run once (the serving centroids). */
   def start(vectors: DataFrame, indexDir: String, outDir: String,
-      checkpointDir: String, threshold: Double = 0.9): StreamingQuery = {
+      checkpointDir: String, threshold: Double = 0.9,
+      maxCell: Int = 256): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage)
+        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage, maxCell)
       }
       .start()
   }

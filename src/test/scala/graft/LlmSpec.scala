@@ -726,6 +726,38 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("leakage-safe split: near-dup groups co-travel where the doc-level hash would straddle (c3)") {
+    import spark.implicits._
+    val base = Seq.fill(5)("the quick brown fox jumps over the lazy dog again and again").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$base alpha"), (3L, s"$base beta"), // near-dup pair
+      (6L, "completely different text about spark catalyst optimizer internals"),
+      (15L, "another unrelated document entirely about parquet row groups"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(fixture, 0.5)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L)), "fixture pairs exactly 1-3")
+    val groups = DedupOps.nearDupGroups(fixture, pairs)
+    val split = graft.llm.CurationOps.leakageSafeSplit(fixture, groups)
+      .as[(Long, Long, String)].collect().toSeq
+    DedupOps.releaseCaches()
+    val byId = split.map(r => r._1 -> (r._2, r._3)).toMap
+    // co-travel: 1 and 3 share component 1, hence one split — while t6's
+    // doc-id buckets (md5("c3-1") → 20 = train, md5("c3-3") → 92 = test)
+    // would straddle the near-dup pair across train and eval
+    assert(byId(1L) === ((1L, "train")) && byId(3L) === ((1L, "train")))
+    // singletons bucket by their own id: 6 → 84 (val), 15 → 98 (test)
+    assert(byId(6L) === ((6L, "val")))
+    assert(byId(15L) === ((15L, "test")))
+    assert(split.map(_._1) === Seq(1L, 3L, 6L, 15L), "exhaustive, doc-ordered")
+    // the salt re-rolls buckets but never the grouping
+    val resalted = graft.llm.CurationOps.leakageSafeSplit(fixture, groups, salt = "z")
+      .as[(Long, Long, String)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(resalted.map(_._2) === split.map(_._2))
+    assert(resalted.filter(r => Set(1L, 3L).contains(r._1)).map(_._3).distinct.size === 1)
+  }
+
   test("appended IVF index equals assign-all on frozen centroids (e5b)") {
     val split = 30L
     val built = SimilarityOps.ivfBuild(emb.filter(col("vec_id") < split))

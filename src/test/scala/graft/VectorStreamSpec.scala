@@ -149,6 +149,88 @@ class VectorStreamSpec extends SparkSpec {
       === Set((1L, 20L)))
   }
 
+  test("same-lineage replay re-applies the original verdict under the maxCell rail") {
+    val tmp = Files.createTempDirectory("graft_vecstream4").toString
+    // single cell: every vector shares it, so the rail's combined count is
+    // exactly corpus + batch
+    val corpus = Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    VectorStream.build(spark, s"$tmp/index", corpus, nCells = 1, iterations = 2)
+    // original run: nc(2) + nn(2) = 4 ≤ maxCell=4 → screened; 10 dups
+    // corpus 1, 11 admits
+    val batch = Seq((10L, e(0.999f, 0.01f, 0f, 0f)), (11L, e(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "r1",
+      maxCell = 4)
+    val kept = spark.read.parquet(s"$tmp/out/kept")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    // same-lineage replay: the screen must read the ORIGINAL corpus (own
+    // append excluded) — with the previous append counted, the cell would
+    // read 3 + 2 = 5 > 4, the rail would drop it from pair generation and
+    // the previously-rejected dup 10 would be admitted
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "r1",
+      maxCell = 4)
+    val keptReplay = spark.read.parquet(s"$tmp/out/kept")
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptReplay === Set(11L), "replay re-rejects the semantic dup")
+    val dupsReplay = spark.read.parquet(s"$tmp/out/dups")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dupsReplay === Set((1L, 10L)))
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+    // the maintained stats side agrees with the true cell sizes (no
+    // double count from the replay)
+    val statSums = VectorStream.corpusCellStats(spark, s"$tmp/index")
+      .groupBy("cell").agg(sum("n").as("n")).as[(Int, Long)].collect().toMap
+    assert(statSums === Map(0 -> 3L))
+  }
+
+  test("rebuild is staged: crashed staging leftovers and mid-swap windows never serve an empty index") {
+    val tmp = Files.createTempDirectory("graft_vecstream5").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$tmp/index/$s")
+    VectorStream.build(spark, s"$tmp/index",
+      Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    VectorStream.admitBatch(
+      Seq((10L, e(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    val served = Set(1L, 2L, 10L)
+    // crash DURING staging: `.rebuilding` leftovers, live tree untouched —
+    // readers unaffected, and a rerun build() restages from scratch
+    fs.mkdirs(p("cells.rebuilding/batch=build-0"))
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === served)
+    // crash MID-SWAP (between the rename pair): a side exists only as
+    // `.old` — every reader falls back, nothing serves empty
+    assert(fs.rename(p("centroids"), p("centroids.old")))
+    assert(VectorStream.centroids(spark, s"$tmp/index").length === 2)
+    assert(fs.rename(p("cells"), p("cells.old")))
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === served)
+    // rerunning build() heals both windows and leaves a clean tree
+    VectorStream.build(spark, s"$tmp/index",
+      VectorStream.corpusCells(spark, s"$tmp/index").select("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    Seq("centroids", "cells", "cellstats").foreach { s =>
+      assert(fs.exists(p(s)), s"$s live")
+      assert(!fs.exists(p(s"$s.old")), s"$s.old cleaned")
+      assert(!fs.exists(p(s"$s.rebuilding")), s"$s.rebuilding cleaned")
+    }
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === served)
+    // and the rebuilt index still screens: a dup of an admitted vector
+    // rejects
+    VectorStream.admitBatch(
+      Seq((20L, e(0f, 0f, 0.999f, 0.01f))).toDF("vec_id", "embedding"),
+      1L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === served)
+  }
+
   test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
     val tmp = Files.createTempDirectory("graft_vecstream3").toString
     VectorStream.build(spark, s"$tmp/index",

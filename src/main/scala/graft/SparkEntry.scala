@@ -533,6 +533,16 @@ object SparkEntry {
       // embedding tier): the documented pre-collapse that keeps e7's
       // cells out of the maxCell rail; n_copies = reweighting multiplicity
       SimilarityOps.exactVectorDedup(embeddings(s, d))),
+    "e11_pq_topk" -> ((s, d) => {
+      // product quantization + asymmetric-distance search: the corpus
+      // contributes only its m=16 subspace codes (16 bytes vs 256 raw —
+      // 16× less scan volume); queries stay full-precision
+      val emb = embeddings(s, d)
+      SimilarityOps.pqTopK(SimilarityOps.pqBuild(emb, m = 16, k = 16),
+        emb.filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
     "e9_ivf_drift" -> ((s, d) =>
       // the centroid-drift dial over the SERVED corpus index: the
       // increment assigned on frozen centroids vs the stored cells —

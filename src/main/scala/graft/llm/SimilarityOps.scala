@@ -451,6 +451,78 @@ object SimilarityOps {
       .select("vec_id", "n_copies")
       .orderBy("vec_id")
 
+  /** A product-quantization index: `codebooks(s)` is subspace `s`'s
+    * K×(dim/m) centroid matrix — a bytes-sized plan parameter, the same
+    * collect class as the IVF centroids — and `codes` carries one small
+    * int per subspace per vector: the m-code compressed corpus. */
+  case class PqIndex(codebooks: Seq[Array[Array[Double]]], codes: DataFrame)
+
+  /** E11 build — PRODUCT QUANTIZATION (the Jégou et al. PQ recipe): split
+    * the vector into `m` contiguous subspaces and k-means each
+    * independently ([[ivfBuild]]'s Lloyd loop per subspace — identical
+    * seeding, pass count and 6-dp mean rounding, so the DuckDB mirror is
+    * the same chain over sliced arrays); a vector's code is its
+    * per-subspace nearest-centroid id. The coded corpus stores m small
+    * ints instead of dim floats — at 100 TB that is the difference
+    * between scanning dim×4 bytes and ~m bytes per vector (a ~4·dim/m×
+    * compression) that keeps the searchable corpus cache-resident where
+    * raw embeddings never could be. Encoding is ONE narrow codegen
+    * projection (m nearest-centroid argmaxes) — no join, no shuffle; the
+    * build's driver-side k-means collects only m·K×(dim/m) centroid
+    * doubles. */
+  def pqBuild(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+      iterations: Int = 2): PqIndex = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codebooks = (0 until m).map { s =>
+      ivfBuild(embeddings.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        k, iterations).centroids
+    }
+    val codes = embeddings.select(
+      col("vec_id") +: (0 until m).map { s =>
+        nearestCol(slice(col("embedding"), s * sub + 1, sub), codebooks(s))
+          .as(s"code_$s")
+      }: _*)
+    PqIndex(codebooks, codes)
+  }
+
+  /** E11 — ADC (asymmetric-distance) top-k over the coded corpus: the
+    * query stays full precision, the corpus contributes ONLY its codes —
+    * the approximate cosine is Σ over subspaces of dot(query subvector,
+    * codebook centroid of the corpus code), normalized by the query norm
+    * and the reconstruction's norm, rounded 6 dp (oracle-portable). The
+    * codebooks ride in as `typedlit` plan literals indexed in-plan by the
+    * code columns, so the scan side reads codes only (never raw
+    * embeddings), per-row work is m array lookups + m subvector dots
+    * (codegen'd), the small query set broadcasts, and the corpus is never
+    * shuffled — the e1 broadcast shape at a fraction of the scan volume.
+    * Ties break to the lower neighbor id. */
+  def pqTopK(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.codes.sparkSession)
+    val m = index.codebooks.size
+    val sub = index.codebooks.head.head.length
+    def cbAt(s: Int): Column = element_at(
+      typedlit(index.codebooks(s).map(_.toSeq).toSeq), col(s"code_$s") + 1)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val approxDot = (0 until m).map { s =>
+      call_function("graft_dot", slice(col("q_emb"), s * sub + 1, sub), cbAt(s))
+    }.reduce(_ + _)
+    val reconNormSq = (0 until m).map { s =>
+      call_function("graft_dot", cbAt(s), cbAt(s))
+    }.reduce(_ + _)
+    val qNorm = sqrt(call_function("graft_dot", col("q_emb"), col("q_emb")))
+    val joined = index.codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(approxDot / (qNorm * sqrt(reconNormSq)), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH (the embedding analog of MinHash dedup): only within-bucket
     * pairs are compared. */

@@ -257,13 +257,17 @@ ORDER BY id_a, id_b"""
     * Exposes `e` (all vectors), the final assignment `a<iterations>`
     * (vec_id, v, cell) and its centroids `c<iterations-1>` (cell, c). */
   private def ivfChainCtes(nCells: Int, iterations: Int, dim: Int,
-      corpusWhere: Option[String] = None): String = {
+      corpusWhere: Option[String] = None, p: String = "",
+      vExpr: String = "embedding::DOUBLE[]"): String = {
     def score(v: String, c: String) = ivfScore(v, c)
     // `src`: which vector set this pass assigns. The Lloyd passes draw
     // from `ec` (the BUILD corpus — all vectors unless corpusWhere
     // restricts it, mirroring e5b's corpus-built index); the final pass
     // assigns `e` (everything, i.e. corpus + appended increment).
-    def assignCte(name: String, cent: String, src: String = "ec") = s"""
+    // `p` name-spaces every CTE so several chains can coexist in one
+    // statement (the PQ oracle runs one chain per subspace); `vExpr`
+    // selects the vector — a slice expression for subspace chains.
+    def assignCte(name: String, cent: String, src: String = s"${p}ec") = s"""
 $name AS (SELECT vec_id, v, cell FROM (
   SELECT e.vec_id, e.v, s.cell,
          row_number() OVER (PARTITION BY e.vec_id
@@ -277,16 +281,58 @@ $mName AS (SELECT cell, list(m ORDER BY d) AS c FROM (
 $cName AS (SELECT s.cell, coalesce(m.c, s.c) AS c
            FROM $prev s LEFT JOIN $mName m ON m.cell = s.cell)"""
     val lloyd = (1 until iterations).map { i =>
-      val prev = if (i == 1) "seed" else s"c${i - 1}"
-      assignCte(s"a$i", prev) + "," + updateCte(s"m$i", s"c$i", s"a$i", prev)
+      val prev = if (i == 1) s"${p}seed" else s"${p}c${i - 1}"
+      assignCte(s"${p}a$i", prev) + "," +
+        updateCte(s"${p}m$i", s"${p}c$i", s"${p}a$i", prev)
     }.mkString(",")
-    val last = s"a$iterations"
-    val lastCent = s"c${iterations - 1}"
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb),
-ec AS (SELECT * FROM e${corpusWhere.map(w => s" WHERE $w").getOrElse("")}),
-seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
-         FROM (SELECT vec_id, v FROM ec ORDER BY vec_id LIMIT $nCells)),$lloyd,
-${assignCte(last, lastCent, "e")}"""
+    val last = s"${p}a$iterations"
+    val lastCent = s"${p}c${iterations - 1}"
+    s"""${p}e AS (SELECT vec_id, $vExpr AS v FROM $Emb),
+${p}ec AS (SELECT * FROM ${p}e${corpusWhere.map(w => s" WHERE $w").getOrElse("")}),
+${p}seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+         FROM (SELECT vec_id, v FROM ${p}ec ORDER BY vec_id LIMIT $nCells)),$lloyd,
+${assignCte(last, lastCent, s"${p}e")}"""
+  }
+
+  /** e11's PQ/ADC oracle: one [[ivfChainCtes]] Lloyd chain per subspace
+    * (prefix `s<i>` over the sliced vector), codes joined on vec_id, the
+    * asymmetric cosine assembled from per-subspace dots against each
+    * code's codebook centroid — the mirror of SimilarityOps.pqBuild +
+    * pqTopK. */
+  private def pqOracle(m: Int, k: Int, iterations: Int, dim: Int,
+      kTop: Int): String = {
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      ivfChainCtes(k, iterations, sub, None, p = s"s$s",
+        vExpr = s"(embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}]")
+    }.mkString(",\n")
+    val codeJoin = (1 until m)
+      .map(s => s"JOIN s${s}a$iterations x$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"x$s.cell AS code_$s").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN s${s}c${iterations - 1} cb$s ON cb$s.cell = c.code_$s")
+      .mkString("\n           ")
+    val dotSum = (0 until m)
+      .map(s => s"list_dot_product(q.qv[${s * sub + 1}:${(s + 1) * sub}], cb$s.c)")
+      .mkString(" + ")
+    val normSum = (0 until m)
+      .map(s => s"list_dot_product(cb$s.c, cb$s.c)").mkString(" + ")
+    s"""
+WITH $chains,
+codes AS (SELECT x0.vec_id, $codeCols FROM s0a$iterations x0 $codeJoin),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $Emb WHERE vec_id < 8),
+scored AS (SELECT q.query_id, c.vec_id,
+                  round(($dotSum)
+                        / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt($normSum)), 6) AS adc
+           FROM q CROSS JOIN codes c
+           $cbJoins
+           WHERE c.vec_id <> q.query_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= $kTop ORDER BY query_id, rank"""
   }
 
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
@@ -968,6 +1014,14 @@ picked AS (SELECT vec_id, cell, r,
            FROM ranked WHERE r <= 32)
 SELECT vec_id, CAST(cell AS BIGINT) AS cell, r, pick
 FROM picked WHERE pick <= 32 ORDER BY pick""",
+
+    // e11 = product quantization, asymmetric-distance top-k: one
+    // prefix-namespaced Lloyd chain per subspace (the same seeding/pass/
+    // 6-dp discipline as e4), codes = each subspace's final cell, ADC
+    // score = Σ of dot(query subvector, codebook centroid of the corpus
+    // code) over the query/reconstruction norms, rounded 6 dp; ties to
+    // the lower vec_id.
+    "e11_pq_topk" -> pqOracle(m = 16, k = 16, iterations = 2, dim = 64, kTop = 5),
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -758,6 +758,25 @@ class LlmSpec extends SparkSpec {
     assert(resalted.filter(r => Set(1L, 3L).contains(r._1)).map(_._3).distinct.size === 1)
   }
 
+  test("product quantization: codes bounded, ADC recall vs brute force, deterministic (e11)") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val idx = SimilarityOps.pqBuild(emb, m = 16, k = 16)
+    // one in-range code per subspace per vector; codebooks are 16×16×4
+    assert(idx.codebooks.size === 16)
+    assert(idx.codebooks.forall(cb => cb.length === 16 && cb.forall(_.length === 4)))
+    val codes = idx.codes.collect()
+    assert(codes.length === emb.count())
+    assert(codes.forall(r => (1 to 16).forall(s => r.getInt(s) >= 0 && r.getInt(s) < 16)))
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val run1 = SimilarityOps.pqTopK(idx, queries, 5).collect()
+    val approx = run1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"PQ ADC recall@5 = $recall%.2f (m=16, K=16 — 64 floats → 16 codes)")
+    assert(recall > 0.3)
+    assert(run1.toSeq === SimilarityOps.pqTopK(idx, queries, 5).collect().toSeq)
+  }
+
   test("appended IVF index equals assign-all on frozen centroids (e5b)") {
     val split = 30L
     val built = SimilarityOps.ivfBuild(emb.filter(col("vec_id") < split))

@@ -160,6 +160,40 @@ object SparkEntry {
         embeddings(s, d).filter(col("vec_id") >= 400))
     }
 
+  /** The served PQ index (E11b): codebooks + persisted coded corpus,
+    * built once per (session, sfDir) — the e4→e5 build-∉-query
+    * discipline applied to product quantization. e11 itself deliberately
+    * keeps the inline build (the e4 twin) so the seam is a measured
+    * number. */
+  private val pqCache =
+    scala.collection.mutable.HashMap.empty[(Int, String, String), SimilarityOps.PqIndex]
+  private def pqIndex(s: SparkSession, d: String): SimilarityOps.PqIndex =
+    pqCache.synchronized {
+      pqCache.filterInPlace((_, idx) => !idx.codes.sparkSession.sparkContext.isStopped)
+      pqCache.getOrElseUpdate((System.identityHashCode(s), d, "full"), {
+        val built = SimilarityOps.pqBuild(embeddings(s, d), m = 16, k = 16)
+        val codes = built.codes.persist()
+        codes.count()
+        built.copy(codes = codes)
+      })
+    }
+
+  /** The served IVFADC index (E12): the e5 IVF cells encoded on the e11b
+    * codebooks — one narrow projection composing the two served
+    * artifacts. */
+  private val ivfPqCache =
+    scala.collection.mutable.HashMap.empty[(Int, String, String), SimilarityOps.IvfPqIndex]
+  private def ivfPqIndex(s: SparkSession, d: String): SimilarityOps.IvfPqIndex =
+    ivfPqCache.synchronized {
+      ivfPqCache.filterInPlace((_, idx) => !idx.codedCells.sparkSession.sparkContext.isStopped)
+      ivfPqCache.getOrElseUpdate((System.identityHashCode(s), d, "full"), {
+        val built = SimilarityOps.ivfPqBuild(ivfIndex(s, d), pqIndex(s, d))
+        val coded = built.codedCells.persist()
+        coded.count()
+        built.copy(codedCells = coded)
+      })
+    }
+
   /** Flagship query on sf=0.001 — the `objects(args)` surface: objects by
     * owner (server/src/main.rs:283-284) with pagination. */
   def entry(spark: SparkSession): DataFrame =
@@ -543,6 +577,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
     }),
+    "e11b_pq_served_topk" -> ((s, d) =>
+      // e11 served from the MAINTAINED PQ index (build ∉ query): the
+      // e4→e5 decomposition applied to ADC — same oracle as e11, so the
+      // served index must land on the identical result
+      SimilarityOps.pqTopK(pqIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))),
+    "e12_ivfadc_topk" -> ((s, d) =>
+      // IVFADC: probe the coarse cells, ADC-rank codes within probed
+      // cells only — probe pruning × code compression, the extreme-scale
+      // composition SCALE.md's e11 row names
+      SimilarityOps.ivfAdcTopK(ivfPqIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))),
     "e9_ivf_drift" -> ((s, d) =>
       // the centroid-drift dial over the SERVED corpus index: the
       // increment assigned on frozen centroids vs the stored cells —
@@ -642,6 +692,11 @@ object SparkEntry {
     // d2's own bench timing — d6b pays the assignment build on first touch
     ivfIndex(spark, dir)
     ivfAppendedIndex(spark, dir)
+    // the served PQ/IVFADC artifacts (e11b/e12): codebook training +
+    // corpus encoding are ingest-side builds — e11 alone keeps paying
+    // the inline build so the serve-vs-inline seam stays measured
+    pqIndex(spark, dir)
+    ivfPqIndex(spark, dir)
     ()
   }
 

@@ -459,68 +459,170 @@ object SimilarityOps {
 
   /** E11 build — PRODUCT QUANTIZATION (the Jégou et al. PQ recipe): split
     * the vector into `m` contiguous subspaces and k-means each
-    * independently ([[ivfBuild]]'s Lloyd loop per subspace — identical
-    * seeding, pass count and 6-dp mean rounding, so the DuckDB mirror is
-    * the same chain over sliced arrays); a vector's code is its
+    * independently (the [[ivfBuild]] Lloyd recipe per subspace —
+    * identical seeding, pass count and 6-dp mean rounding, so the DuckDB
+    * mirror is the same chain over sliced arrays); a vector's code is its
     * per-subspace nearest-centroid id. The coded corpus stores m small
     * ints instead of dim floats — at 100 TB that is the difference
     * between scanning dim×4 bytes and ~m bytes per vector (a ~4·dim/m×
     * compression) that keeps the searchable corpus cache-resident where
     * raw embeddings never could be. Encoding is ONE narrow codegen
-    * projection (m nearest-centroid argmaxes) — no join, no shuffle; the
-    * build's driver-side k-means collects only m·K×(dim/m) centroid
-    * doubles. */
+    * projection (m nearest-centroid argmaxes) — no join, no shuffle.
+    *
+    * The m Lloyd loops SHARE their corpus passes: because every subspace
+    * seeds from the same first-K vectors and its mean updates touch
+    * disjoint (subspace, cell, dim) groups, the build runs ONE seed
+    * collect (K full vectors, sliced driver-side) and ONE
+    * exploded-by-subspace mean aggregation per iteration covering all m
+    * subspaces — O(iterations) corpus passes total, not O(m·iterations).
+    * Driver-held state stays m·K×(dim/m) centroid doubles, the
+    * bytes-sized plan-parameter class. */
   def pqBuild(embeddings: DataFrame, m: Int = 4, k: Int = 16,
       iterations: Int = 2): PqIndex = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val codebooks = (0 until m).map { s =>
-      ivfBuild(embeddings.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        k, iterations).centroids
+    // seed: first k vectors by id, each sliced into its m subvectors —
+    // identical to seeding each subspace chain from the same k ids
+    val seedRows = embeddings.orderBy("vec_id").limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, i) => seedRows(i).slice(s * sub, (s + 1) * sub))
+    for (_ <- 1 until iterations) {
+      // one shared pass: assign every subspace, stack (s, cell, subvec),
+      // average per (s, cell, d) — groups are disjoint across subspaces,
+      // so the arithmetic is identical to m independent Lloyd updates
+      val stacked = embeddings.select(explode(array((0 until m).map { s =>
+        val v = slice(col("embedding"), s * sub + 1, sub)
+        struct(lit(s).as("s"), nearestCol(v, codebooks(s)).as("cell"),
+          v.cast("array<double>").as("v"))
+      }: _*)).as("r")).select(col("r.s"), col("r.cell"), col("r.v"))
+      val means = stacked
+        .select(col("s"), col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("s", "cell", "d").agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      codebooks = Array.tabulate(m, k) { (s, i) =>
+        val old = codebooks(s)(i)
+        old.indices.map(d => means.getOrElse((s, i, d), old(d))).toArray
+      }
     }
-    val codes = embeddings.select(
+    PqIndex(codebooks.toSeq, pqEncode(embeddings, codebooks.toSeq))
+  }
+
+  /** Encode vectors on FROZEN codebooks — one narrow codegen projection
+    * (m nearest-centroid argmaxes), the e5b `add` discipline applied to
+    * codes: appends never re-train. */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Array[Array[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    vectors.select(
       col("vec_id") +: (0 until m).map { s =>
         nearestCol(slice(col("embedding"), s * sub + 1, sub), codebooks(s))
           .as(s"code_$s")
       }: _*)
-    PqIndex(codebooks, codes)
   }
 
-  /** E11 — ADC (asymmetric-distance) top-k over the coded corpus: the
-    * query stays full precision, the corpus contributes ONLY its codes —
-    * the approximate cosine is Σ over subspaces of dot(query subvector,
-    * codebook centroid of the corpus code), normalized by the query norm
-    * and the reconstruction's norm, rounded 6 dp (oracle-portable). The
-    * codebooks ride in as `typedlit` plan literals indexed in-plan by the
-    * code columns, so the scan side reads codes only (never raw
-    * embeddings), per-row work is m array lookups + m subvector dots
-    * (codegen'd), the small query set broadcasts, and the corpus is never
-    * shuffled — the e1 broadcast shape at a fraction of the scan volume.
-    * Ties break to the lower neighbor id. */
-  def pqTopK(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(index.codes.sparkSession)
-    val m = index.codebooks.size
-    val sub = index.codebooks.head.head.length
+  /** The ADC score column — asymmetric cosine between the full-precision
+    * query (`q_emb`) and a coded corpus row (`code_0..code_{m-1}`): Σ over
+    * subspaces of dot(query subvector, codebook centroid of the code),
+    * normalized by the query norm and the reconstruction's norm, rounded
+    * 6 dp (oracle-portable). Codebooks ride in as `typedlit` plan
+    * literals indexed in-plan by the code columns; the per-code
+    * reconstruction norm indexes PRECOMPUTED per-subspace centroid
+    * self-dot arrays (K doubles each, driver-computed — the codebook is a
+    * constant, so its self-dots are too), halving the per-row lookups vs
+    * re-deriving them from the codebook literal. */
+  private def adcCol(codebooks: Seq[Array[Array[Double]]]): Column = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
     def cbAt(s: Int): Column = element_at(
-      typedlit(index.codebooks(s).map(_.toSeq).toSeq), col(s"code_$s") + 1)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      typedlit(codebooks(s).map(_.toSeq).toSeq), col(s"code_$s") + 1)
+    val selfDots = codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq)
     val approxDot = (0 until m).map { s =>
       call_function("graft_dot", slice(col("q_emb"), s * sub + 1, sub), cbAt(s))
     }.reduce(_ + _)
     val reconNormSq = (0 until m).map { s =>
-      call_function("graft_dot", cbAt(s), cbAt(s))
+      element_at(typedlit(selfDots(s)), col(s"code_$s") + 1)
     }.reduce(_ + _)
     val qNorm = sqrt(call_function("graft_dot", col("q_emb"), col("q_emb")))
-    val joined = index.codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", round(approxDot / (qNorm * sqrt(reconNormSq)), 6))
+    round(approxDot / (qNorm * sqrt(reconNormSq)), 6)
+  }
+
+  private def adcRankTail(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** E11 — ADC (asymmetric-distance) top-k over the coded corpus: the
+    * query stays full precision, the corpus contributes ONLY its codes.
+    * The scan side reads codes only (never raw embeddings), per-row work
+    * is m array lookups + m subvector dots (codegen'd, [[adcCol]]), the
+    * small query set broadcasts, and the corpus is never shuffled — the
+    * e1 broadcast shape at a fraction of the scan volume. Ties break to
+    * the lower neighbor id. At extreme scale even 16-byte codes are a
+    * full-corpus scan per query batch — [[ivfAdcTopK]] is the probe-
+    * pruned composition that bounds it. */
+  def pqTopK(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.codes.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    adcRankTail(
+      index.codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adcCol(index.codebooks)), k)
+  }
+
+  /** E12's index — IVFADC (Jégou et al.): the coarse IVF quantizer routes
+    * queries to Voronoi cells, and each cell's inverted list stores PQ
+    * CODES instead of raw vectors. `codedCells` is (vec_id, cell,
+    * code_0..code_{m-1}) — the cell-partitioned coded corpus a deployment
+    * persists; both centroid sets are bytes-sized plan parameters. */
+  case class IvfPqIndex(centroids: Array[Array[Double]],
+      codebooks: Seq[Array[Array[Double]]], codedCells: DataFrame)
+
+  /** E12 build — encode the IVF index's cell-assigned corpus on the PQ
+    * codebooks: ONE narrow codegen projection over the cells frame (the
+    * codes are re-derived from the embedding column in place — no join
+    * between the cells table and a codes table). Build ∉ query: both
+    * inputs are the SERVED artifacts (e5's index, e11's codebooks). */
+  def ivfPqBuild(ivf: IvfIndex, pq: PqIndex): IvfPqIndex = {
+    val m = pq.codebooks.size
+    val sub = pq.codebooks.head.head.length
+    val coded = ivf.cells.select(
+      Seq(col("vec_id"), col("cell")) ++ (0 until m).map { s =>
+        nearestCol(slice(col("embedding"), s * sub + 1, sub), pq.codebooks(s))
+          .as(s"code_$s")
+      }: _*)
+    IvfPqIndex(ivf.centroids, pq.codebooks, coded)
+  }
+
+  /** E12 — IVFADC top-k: queries probe their `nProbe` nearest coarse
+    * cells ([[ivfQueryTopK]]'s probe front) and ADC-rank the PQ codes
+    * WITHIN the probed cells only ([[pqTopK]]'s tail). This is the
+    * production shape at extreme scale: per query batch the scan touches
+    * nProbe/K of the corpus at ~m bytes per vector — probe pruning ×
+    * code compression compound, vs pqTopK's full coded scan and
+    * ivfQueryTopK's raw-vector cells. The tiny query set explodes to
+    * nProbe rows and broadcasts; the coded corpus is never shuffled
+    * (joined on `cell`, its serving partitioning). */
+  def ivfAdcTopK(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val probesCol = slice(
+      reverse(array_sort(array(scoreStructs(col("q_emb"), index.centroids): _*))),
+      1, nProbe).getField("cell")
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probesCol))
+    adcRankTail(
+      index.codedCells.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adcCol(index.codebooks)), k)
   }
 
   /** E3 — embedding-cosine near-duplicate pairs above a threshold, bucketed

@@ -294,13 +294,11 @@ ${p}seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
 ${assignCte(last, lastCent, s"${p}e")}"""
   }
 
-  /** e11's PQ/ADC oracle: one [[ivfChainCtes]] Lloyd chain per subspace
-    * (prefix `s<i>` over the sliced vector), codes joined on vec_id, the
-    * asymmetric cosine assembled from per-subspace dots against each
-    * code's codebook centroid — the mirror of SimilarityOps.pqBuild +
-    * pqTopK. */
-  private def pqOracle(m: Int, k: Int, iterations: Int, dim: Int,
-      kTop: Int): String = {
+  /** The m per-subspace Lloyd chains (prefix `s<i>` over the sliced
+    * vector) + the assembled `codes` CTE (vec_id, code_0..code_{m-1}) —
+    * shared by the e11 and e12 oracles so the codebook constants cannot
+    * drift between them. */
+  private def pqCodesCtes(m: Int, k: Int, iterations: Int, dim: Int): String = {
     val sub = dim / m
     val chains = (0 until m).map { s =>
       ivfChainCtes(k, iterations, sub, None, p = s"s$s",
@@ -309,30 +307,76 @@ ${assignCte(last, lastCent, s"${p}e")}"""
     val codeJoin = (1 until m)
       .map(s => s"JOIN s${s}a$iterations x$s USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(s => s"x$s.cell AS code_$s").mkString(", ")
+    s"""$chains,
+codes AS (SELECT x0.vec_id, $codeCols FROM s0a$iterations x0 $codeJoin)"""
+  }
+
+  /** ADC assembly fragments over the `codes` alias `c` and a query-vector
+    * expression `qv`: (codebook joins, Σ per-subspace dots, Σ codebook
+    * self-dots) — the asymmetric cosine's three pieces. */
+  private def adcFragments(m: Int, iterations: Int, dim: Int,
+      qv: String): (String, String, String) = {
+    val sub = dim / m
     val cbJoins = (0 until m)
       .map(s => s"JOIN s${s}c${iterations - 1} cb$s ON cb$s.cell = c.code_$s")
       .mkString("\n           ")
     val dotSum = (0 until m)
-      .map(s => s"list_dot_product(q.qv[${s * sub + 1}:${(s + 1) * sub}], cb$s.c)")
+      .map(s => s"list_dot_product($qv[${s * sub + 1}:${(s + 1) * sub}], cb$s.c)")
       .mkString(" + ")
     val normSum = (0 until m)
       .map(s => s"list_dot_product(cb$s.c, cb$s.c)").mkString(" + ")
-    s"""
-WITH $chains,
-codes AS (SELECT x0.vec_id, $codeCols FROM s0a$iterations x0 $codeJoin),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $Emb WHERE vec_id < 8),
-scored AS (SELECT q.query_id, c.vec_id,
-                  round(($dotSum)
-                        / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt($normSum)), 6) AS adc
-           FROM q CROSS JOIN codes c
-           $cbJoins
-           WHERE c.vec_id <> q.query_id)
+    (cbJoins, dotSum, normSum)
+  }
+
+  private def adcRankSql(kTop: Int): String = s"""
 SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
 FROM (SELECT query_id, vec_id,
              row_number() OVER (PARTITION BY query_id
                ORDER BY adc DESC, vec_id) AS rn
       FROM scored)
 WHERE rn <= $kTop ORDER BY query_id, rank"""
+
+  /** e11's PQ/ADC oracle: the shared subspace chains + codes, the
+    * asymmetric cosine over the FULL coded corpus — the mirror of
+    * SimilarityOps.pqBuild + pqTopK. */
+  private def pqOracle(m: Int, k: Int, iterations: Int, dim: Int,
+      kTop: Int): String = {
+    val (cbJoins, dotSum, normSum) = adcFragments(m, iterations, dim, "q.qv")
+    s"""
+WITH ${pqCodesCtes(m, k, iterations, dim)},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $Emb WHERE vec_id < 8),
+scored AS (SELECT q.query_id, c.vec_id,
+                  round(($dotSum)
+                        / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt($normSum)), 6) AS adc
+           FROM q CROSS JOIN codes c
+           $cbJoins
+           WHERE c.vec_id <> q.query_id)${adcRankSql(kTop)}"""
+  }
+
+  /** e12's IVFADC oracle: the SHARED coarse IVF chain (e4/e5's CTEs)
+    * routes each query to its `nProbe` cells, and e11's ADC assembly is
+    * restricted to the probed cells' members — probe pruning × code
+    * compression, mirrored piece by piece. */
+  private def ivfAdcOracle(nCells: Int, nProbe: Int, m: Int, k: Int,
+      iterations: Int, dim: Int, kTop: Int): String = {
+    val (cbJoins, dotSum, normSum) = adcFragments(m, iterations, dim, "p.qv")
+    val last = s"a$iterations"
+    val lastCent = s"c${iterations - 1}"
+    s"""
+WITH ${ivfChainCtes(nCells, iterations, dim)},
+${pqCodesCtes(m, k, iterations, dim)},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+probes AS (SELECT query_id, qv, cell FROM (
+  SELECT q.query_id, q.qv, s.cell,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY ${ivfScore("q.qv", "s.c")} DESC, s.cell DESC) AS rn
+  FROM q, $lastCent s) WHERE rn <= $nProbe),
+scored AS (SELECT p.query_id, c.vec_id,
+                  round(($dotSum)
+                        / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt($normSum)), 6) AS adc
+           FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           JOIN codes c ON c.vec_id = a.vec_id
+           $cbJoins)${adcRankSql(kTop)}"""
   }
 
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
@@ -1022,6 +1066,14 @@ FROM picked WHERE pick <= 32 ORDER BY pick""",
     // code) over the query/reconstruction norms, rounded 6 dp; ties to
     // the lower vec_id.
     "e11_pq_topk" -> pqOracle(m = 16, k = 16, iterations = 2, dim = 64, kTop = 5),
+    // e11b = e11 served from the maintained PQ index (build ∉ query) —
+    // the engine must land on the inline pipeline's exact result, so the
+    // oracle is identical (the e4/e5 discipline)
+    "e11b_pq_served_topk" -> pqOracle(m = 16, k = 16, iterations = 2, dim = 64, kTop = 5),
+    // e12 = IVFADC: the shared coarse IVF chain picks each query's probed
+    // cells; e11's ADC assembly ranks only those cells' codes
+    "e12_ivfadc_topk" -> ivfAdcOracle(nCells = 16, nProbe = 2, m = 16,
+      k = 16, iterations = 2, dim = 64, kTop = 5),
 
     "t1_text_stats" -> s"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -777,6 +777,35 @@ class LlmSpec extends SparkSpec {
     assert(run1.toSeq === SimilarityOps.pqTopK(idx, queries, 5).collect().toSeq)
   }
 
+  test("IVFADC: probed-cell subset of ADC, recall vs brute force and vs full-scan ADC (e12)") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val ivf = SimilarityOps.ivfBuild(emb)
+    val pq = SimilarityOps.pqBuild(emb, m = 16, k = 16)
+    val idx = SimilarityOps.ivfPqBuild(ivf, pq)
+    // the coded cells carry exactly the corpus, one row per vector, with
+    // the SAME codes the full-scan PQ index assigns (re-derived from the
+    // embedding in place — no drift between the two encodes)
+    val coded = idx.codedCells.orderBy("vec_id").collect()
+    assert(coded.length === emb.count())
+    val fullCodes = pq.codes.orderBy("vec_id").collect()
+    assert(coded.map(r => (0 until 16).map(s => r.getAs[Int](s"code_$s"))).toSeq
+      === fullCodes.map(r => (1 to 16).map(r.getInt)).toSeq)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adcFull = SimilarityOps.pqTopK(pq, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val run1 = SimilarityOps.ivfAdcTopK(idx, queries, 5).collect()
+    val got = run1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallExact = (exact intersect got).size.toDouble / exact.size
+    val recallAdc = (adcFull intersect got).size.toDouble / adcFull.size
+    info(f"IVFADC recall@5 = $recallExact%.2f vs exact, $recallAdc%.2f vs full-scan ADC (16 cells, probe 2)")
+    assert(recallExact > 0.2)
+    // probe pruning only ever drops candidates relative to the full coded
+    // scan; within probed cells the ranking is the same ADC
+    assert(recallAdc >= recallExact - 1e-9)
+    assert(run1.toSeq === SimilarityOps.ivfAdcTopK(idx, queries, 5).collect().toSeq)
+  }
+
   test("appended IVF index equals assign-all on frozen centroids (e5b)") {
     val split = 30L
     val built = SimilarityOps.ivfBuild(emb.filter(col("vec_id") < split))

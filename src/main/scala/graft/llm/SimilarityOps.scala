@@ -484,12 +484,15 @@ object SimilarityOps {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // seed: first k vectors by id, each sliced into its m subvectors —
-    // identical to seeding each subspace chain from the same k ids
+    // identical to seeding each subspace chain from the same k ids. A
+    // corpus smaller than k shrinks K to the corpus (ivfBuild's implicit
+    // behavior — the seed collect returns what exists).
     val seedRows = embeddings.orderBy("vec_id").limit(k)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    val kEff = seedRows.length
     var codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, k)((s, i) => seedRows(i).slice(s * sub, (s + 1) * sub))
+      Array.tabulate(m, kEff)((s, i) => seedRows(i).slice(s * sub, (s + 1) * sub))
     for (_ <- 1 until iterations) {
       // one shared pass: assign every subspace, stack (s, cell, subvec),
       // average per (s, cell, d) — groups are disjoint across subspaces,
@@ -504,7 +507,7 @@ object SimilarityOps {
         .groupBy("s", "cell", "d").agg(round(avg("x"), 6).as("m"))
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
-      codebooks = Array.tabulate(m, k) { (s, i) =>
+      codebooks = Array.tabulate(m, kEff) { (s, i) =>
         val old = codebooks(s)(i)
         old.indices.map(d => means.getOrElse((s, i, d), old(d))).toArray
       }
@@ -514,13 +517,15 @@ object SimilarityOps {
 
   /** Encode vectors on FROZEN codebooks — one narrow codegen projection
     * (m nearest-centroid argmaxes), the e5b `add` discipline applied to
-    * codes: appends never re-train. */
-  def pqEncode(vectors: DataFrame, codebooks: Seq[Array[Array[Double]]]): DataFrame = {
+    * codes: appends never re-train. `carry` names extra columns to keep
+    * beside the codes (e.g. the IVF `cell` for an IVFADC side). */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Array[Array[Double]]],
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val m = codebooks.size
     val sub = codebooks.head.head.length
     vectors.select(
-      col("vec_id") +: (0 until m).map { s =>
+      (col("vec_id") +: carry.map(col)) ++ (0 until m).map { s =>
         nearestCol(slice(col("embedding"), s * sub + 1, sub), codebooks(s))
           .as(s"code_$s")
       }: _*)

@@ -67,7 +67,11 @@ private[streaming] object IndexSides {
       val fs = path.getFileSystem(conf)
       val old = new Path(s"$dir.old")
       if (!fs.exists(path) && fs.exists(old))
-        fs.rename(old, path) // heal a crash between the two flips below
+        // heal a crash between the two flips below. Hadoop rename FAILS
+        // BY RETURNING FALSE, not by throwing — every rename in this
+        // protocol checks the boolean, because a swallowed failure
+        // followed by the delete below would destroy the last good copy.
+        require(fs.rename(old, path), s"compact: heal rename $old -> $path failed")
       if (fs.exists(path)) {
         val batchDirs = fs.listStatus(path).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
@@ -94,9 +98,10 @@ private[streaming] object IndexSides {
               fs, new Path(s"$dir.compacting/batch=$key"), false, conf)
           }
           fs.delete(old, true)
-          fs.rename(path, old)
-          fs.rename(tmp, path)
-          fs.delete(old, true)
+          require(fs.rename(path, old), s"compact: rename $path -> $old failed")
+          require(fs.rename(tmp, path), s"compact: rename $tmp -> $path failed")
+          // only drop the fallback once the new tree is verifiably live
+          if (fs.exists(path)) fs.delete(old, true)
         }
       }
     }

@@ -1,13 +1,13 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.llm.SimilarityOps
-import graft.llm.SimilarityOps.IvfIndex
+import graft.llm.SimilarityOps.{IvfIndex, IvfPqIndex, PqIndex}
 
 /** Streaming EMBEDDING admission — the vector-tier analog of
   * [[DedupStream]] (e5b ∘ e7 as a service): each microbatch of incoming
@@ -15,30 +15,44 @@ import graft.llm.SimilarityOps.IvfIndex
   * narrow map — FAISS-style `add`, never a recluster), semantically
   * screened against the corpus cells (within-cell cosine pairs only —
   * [[SimilarityOps.semanticScreen]]), and the admitted survivors are
-  * APPENDED to the cell table. Per-batch cost is O(batch · avg-cell +
-  * batch²-within-cell), independent of corpus size — the corpus is never
-  * rescored against itself.
+  * APPENDED to the cell table, plus ENCODED on the frozen PQ codebooks
+  * (the e11b/e12 serving artifacts — codes are the e5b `add` discipline
+  * applied to compression: only [[build]] ever re-trains codebooks).
+  * Per-batch cost is O(batch · avg-cell + batch²-within-cell),
+  * independent of corpus size — the corpus is never rescored against
+  * itself.
   *
-  * On-disk state (same batch=-keyed idempotent-overwrite protocol as the
-  * text index — [[IndexSides]]):
+  * On-disk state — a GENERATION TREE whose five sides are published
+  * together by ONE atomic directory rename (the BucketStore
+  * all-or-nothing manifest discipline applied to the rebuild seam):
   * {{{
-  * indexDir/centroids/            (cell, c: array<double>) — written by
-  *                                build()/rebuild only; frozen between
-  * indexDir/cells/batch=<lineage>-<id>/  (vec_id, cell, embedding)
-  * indexDir/cellstats/batch=<lineage>-<id>/ (cell, n) sum-partials — the
-  *                                screen's maxCell rail, no corpus re-agg
+  * indexDir/tree-<g>/centroids/           (cell, c: array<double>)
+  * indexDir/tree-<g>/codebooks/           (s, cell, c: array<double>) —
+  *                                PQ codebooks, frozen between builds
+  * indexDir/tree-<g>/cells/batch=<lineage>-<id>/  (vec_id, cell, embedding)
+  * indexDir/tree-<g>/cellstats/batch=<lineage>-<id>/ (cell, n) sum-partials —
+  *                                the screen's maxCell rail, no corpus re-agg
+  * indexDir/tree-<g>/codes/batch=<lineage>-<id>/ (vec_id, cell, codes) —
+  *                                the coded corpus (e11b scan / e12 lists)
   * outDir/kept/batch=<lineage>-<id>/     admitted vectors (full rows)
   * outDir/dups/batch=<lineage>-<id>/     (id_a, id_b, cos) verdicts
   * outDir/metrics/batch=<lineage>-<id>/  one admission-accounting row,
   *                                incl. the batch's e9 drift reading
   * }}}
-  * At deployment `cells/` is cell-partitioned so the screen join prunes
+  * Readers resolve the HIGHEST-generation `tree-<g>` dir; because a tree
+  * becomes visible only via the atomic rename of its fully-staged
+  * `.staging-<g>` sibling, the resolved tree is always complete and
+  * self-consistent — there is no window in which new cells are served
+  * against old centroids or stale cell stats (the per-side-swap design
+  * this replaces had exactly that mixed-tree window). At deployment
+  * `cells/` and `codes/` are cell-partitioned so the screen join prunes
   * to the batch's probed cells and an append writes only touched
   * partitions. Centroid drift under sustained appends is observable per
   * batch (the metrics row carries the increment's mean cos-to-centroid,
   * [[SimilarityOps.ivfDriftStats]]' statistic) and the documented
   * response is a periodic offline [[build]] — the same out-of-band
-  * rebuild discipline as the text index's compaction. */
+  * rebuild discipline as the text index's compaction. Single-writer
+  * discipline throughout: build/compact run between microbatches. */
 object VectorStream {
 
   private val CellSchema = StructType(Seq(
@@ -47,92 +61,167 @@ object VectorStream {
     StructField("embedding", ArrayType(FloatType))))
   private val CellStatsSchema = StructType(Seq(
     StructField("cell", IntegerType), StructField("n", LongType)))
-
-  /** Build (or REBUILD) the served index from a corpus: Lloyd passes via
-    * [[SimilarityOps.ivfBuild]], centroids + initial cell assignment
-    * written as the serving state. Rebuild resets the cells to a single
-    * `batch=build-0` dir.
-    *
-    * Crash-safe by STAGING: the complete new tree (centroids + cells +
-    * cellstats) is written under sibling `.rebuilding` dirs while the
-    * live index stays untouched and readable (the canonical rebuild
-    * feeds this very index's admitted corpus back in, so the old files
-    * must survive until the staged tree is complete), then each side is
-    * swapped in with [[IndexSides.compact]]'s rename-pair/`.old`
-    * protocol. No crash point leaves an empty index: a death during
-    * staging leaves the live tree untouched; a death mid-swap leaves
-    * every side readable via its `.old` fallback, and the worst window
-    * (between side flips) serves a mixed old/new tree — degraded recall,
-    * never false admissions of the whole batch — healed by rerunning
-    * build(). Cells flip BEFORE centroids so the old, self-consistent
-    * (centroids, cells) pair stays live as long as possible. */
-  def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
-      nCells: Int = 16, iterations: Int = 2): Unit = {
-    val idx = SimilarityOps.ivfBuild(corpus, nCells, iterations)
-    import spark.implicits._
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sides = Seq("cells", "cellstats", "centroids")
-    sides.foreach(s => fs.delete(new Path(s"$indexDir/$s.rebuilding"), true))
-    val assigned = idx.cells
-      .select(col("vec_id"), col("cell"), col("embedding")).persist()
-    assigned.write.parquet(s"$indexDir/cells.rebuilding/batch=build-0")
-    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-      .write.parquet(s"$indexDir/cellstats.rebuilding/batch=build-0")
-    idx.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .coalesce(1).write.parquet(s"$indexDir/centroids.rebuilding")
-    assigned.unpersist(blocking = false)
-    sides.foreach { s =>
-      val cur = new Path(s"$indexDir/$s")
-      val old = new Path(s"$indexDir/$s.old")
-      val tmp = new Path(s"$indexDir/$s.rebuilding")
-      if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur) // heal
-      fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(tmp, cur)
-      fs.delete(old, true)
-    }
-  }
-
+  private val CodesSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("codes", ArrayType(IntegerType))))
   private val CentroidSchema = StructType(Seq(
     StructField("cell", IntegerType),
     StructField("c", ArrayType(DoubleType))))
+  private val CodebookSchema = StructType(Seq(
+    StructField("s", IntegerType),
+    StructField("cell", IntegerType),
+    StructField("c", ArrayType(DoubleType))))
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def treeGens(fs: FileSystem, indexDir: String): Seq[Long] = {
+    val p = new Path(indexDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("tree-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("tree-").toLong).toOption)
+      .sorted
+  }
+
+  /** The live serving tree: the highest-generation `tree-<g>` dir (always
+    * complete — publication is atomic), falling back to `indexDir` itself
+    * for pre-generation flat layouts (readable; the next build migrates
+    * them). Public so tests and operational tooling can address the live
+    * sides directly. */
+  def liveRoot(spark: SparkSession, indexDir: String): String = {
+    val gens = treeGens(fsOf(spark, indexDir), indexDir)
+    gens.lastOption.map(g => s"$indexDir/tree-$g").getOrElse(indexDir)
+  }
+
+  /** Build (or REBUILD) the served index from a corpus: Lloyd passes via
+    * [[SimilarityOps.ivfBuild]] for the coarse cells and
+    * [[SimilarityOps.pqBuild]] for the PQ codebooks, all five sides
+    * written as one serving tree.
+    *
+    * Crash-safe by STAGING + ATOMIC PUBLICATION: the complete new tree
+    * (centroids, codebooks, cells, cellstats, codes) is written under a
+    * `.staging-<g>` sibling while the live tree stays untouched and
+    * readable (the canonical rebuild feeds this very index's admitted
+    * corpus back in, so the old files must survive until the staged tree
+    * is complete), then ONE `fs.rename` — whose boolean result is
+    * REQUIRED, Hadoop renames fail by returning false — publishes it as
+    * `tree-<g>`. A death during staging leaves the live tree untouched
+    * (readers resolve the previous generation; a rerun restages from
+    * scratch); there is no mid-swap window because there is no
+    * multi-step swap. Superseded trees and staging leftovers are GC'd
+    * after publication — best-effort, a crash mid-GC only leaves
+    * reclaimable orphans that resolution ignores. */
+  def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
+      nCells: Int = 16, iterations: Int = 2,
+      pqM: Int = 4, pqK: Int = 16): Unit = {
+    val idx = SimilarityOps.ivfBuild(corpus, nCells, iterations)
+    val pq = SimilarityOps.pqBuild(corpus, pqM, pqK, iterations)
+    import spark.implicits._
+    val fs = fsOf(spark, indexDir)
+    val gen = treeGens(fs, indexDir).lastOption.getOrElse(0L) + 1
+    val staging = s"$indexDir/.staging-$gen"
+    fs.delete(new Path(staging), true)
+    val assigned = idx.cells
+      .select(col("vec_id"), col("cell"), col("embedding")).persist()
+    assigned.write.parquet(s"$staging/cells/batch=build-0")
+    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .write.parquet(s"$staging/cellstats/batch=build-0")
+    SimilarityOps.pqEncode(assigned, pq.codebooks, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        array((pq.codebooks.indices).map(s => col(s"code_$s")): _*).as("codes"))
+      .write.parquet(s"$staging/codes/batch=build-0")
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .coalesce(1).write.parquet(s"$staging/centroids")
+    pq.codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+      .toDF("s", "cell", "c")
+      .coalesce(1).write.parquet(s"$staging/codebooks")
+    assigned.unpersist(blocking = false)
+    val dest = new Path(s"$indexDir/tree-$gen")
+    require(fs.rename(new Path(staging), dest),
+      s"publish rename $staging -> $dest failed; live tree untouched")
+    // GC: superseded generations, stale staging leftovers, and the
+    // pre-generation flat sides a migrated index leaves behind
+    treeGens(fs, indexDir).filter(_ < gen)
+      .foreach(g => fs.delete(new Path(s"$indexDir/tree-$g"), true))
+    fs.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(".staging-") ||
+          Seq("cells", "cellstats", "centroids", "codebooks", "codes")
+            .exists(s => n == s || n == s"$s.old" || n == s"$s.rebuilding")
+      }
+      .foreach(fs.delete(_, true))
+  }
 
   /** The frozen centroid matrix — K×dim doubles, a bytes-sized plan
     * parameter (the same collect class as the scan bounds / skip lists
-    * elsewhere in the repo). Reads through [[IndexSides.readSide]] so a
-    * crash inside build()'s rename pair falls back to `.old` — the
-    * serving centroids are never absent mid-swap. */
-  def centroids(spark: SparkSession, indexDir: String): Array[Array[Double]] = {
+    * elsewhere in the repo). */
+  def centroids(spark: SparkSession, indexDir: String): Array[Array[Double]] =
+    centroidsAt(spark, liveRoot(spark, indexDir))
+
+  private def centroidsAt(spark: SparkSession, root: String): Array[Array[Double]] = {
     val rows = IndexSides
-      .readSide(spark, s"$indexDir/centroids", CentroidSchema)
+      .readSide(spark, s"$root/centroids", CentroidSchema)
       .orderBy("cell")
       .collect()
-    require(rows.nonEmpty, s"no centroids at $indexDir/centroids — run build() first")
+    require(rows.nonEmpty, s"no centroids at $root/centroids — run build() first")
     rows.map(_.getSeq[Double](1).toArray)
   }
 
+  /** The frozen PQ codebooks — m·K×(dim/m) doubles, the same bytes-sized
+    * plan-parameter class as the centroids. */
+  def codebooks(spark: SparkSession, indexDir: String): Seq[Array[Array[Double]]] =
+    codebooksAt(spark, liveRoot(spark, indexDir))
+
+  private def codebooksAt(spark: SparkSession, root: String): Seq[Array[Array[Double]]] = {
+    val rows = IndexSides
+      .readSide(spark, s"$root/codebooks", CodebookSchema)
+      .orderBy("s", "cell")
+      .collect()
+    require(rows.nonEmpty, s"no codebooks at $root/codebooks — run build() first")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
+  }
+
   def corpusCells(spark: SparkSession, indexDir: String): DataFrame =
-    IndexSides.readSide(spark, s"$indexDir/cells", CellSchema).drop("batch")
+    IndexSides.readSide(spark,
+      s"${liveRoot(spark, indexDir)}/cells", CellSchema).drop("batch")
 
   /** The maintained (cell, n) cell-size side: sum-mergeable partials (K
     * rows per admitted batch — the same discipline as DedupStream's
     * (kh, df) seed stats) so the screen's maxCell rail reads maintained
     * counts instead of aggregating the corpus cells table per batch. */
   def corpusCellStats(spark: SparkSession, indexDir: String): DataFrame =
-    IndexSides.readSide(spark, s"$indexDir/cellstats", CellStatsSchema).drop("batch")
+    IndexSides.readSide(spark,
+      s"${liveRoot(spark, indexDir)}/cellstats", CellStatsSchema).drop("batch")
+
+  private def codesAt(spark: SparkSession, root: String, m: Int,
+      withCell: Boolean): DataFrame = {
+    val raw = IndexSides.readSide(spark, s"$root/codes", CodesSchema).drop("batch")
+    val codeCols = (0 until m).map(s => raw("codes")(s).as(s"code_$s"))
+    raw.select((col("vec_id") +: (if (withCell) Seq(col("cell")) else Nil)) ++
+      codeCols: _*)
+  }
 
   /** The semantic screen served ENTIRELY from maintained state: frozen
     * centroids + corpus cells + cell-size stats (nothing corpus-sized is
     * aggregated — the cells table is only joined on `cell`). */
   def screen(spark: SparkSession, indexDir: String, newVectors: DataFrame,
-      threshold: Double, maxCell: Int = 256): DataFrame =
+      threshold: Double, maxCell: Int = 256): DataFrame = {
+    val root = liveRoot(spark, indexDir)
     SimilarityOps.semanticScreen(
-      IvfIndex(centroids(spark, indexDir), corpusCells(spark, indexDir)),
+      IvfIndex(centroidsAt(spark, root),
+        IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch")),
       newVectors, threshold, maxCell,
-      corpusCellStats = Some(corpusCellStats(spark, indexDir)))
+      corpusCellStats = Some(IndexSides
+        .readSide(spark, s"$root/cellstats", CellStatsSchema).drop("batch")))
+  }
 
   /** The served index as an [[IvfIndex]] — every e-tier operator
     * (ivfQueryTopK, knnClassify, semanticDedup, clusterBalancedSample,
@@ -140,15 +229,38 @@ object VectorStream {
   def index(spark: SparkSession, indexDir: String): IvfIndex =
     IvfIndex(centroids(spark, indexDir), corpusCells(spark, indexDir))
 
-  /** One microbatch: screen, admit, append. Public so batch backfills
-    * reuse the exact streaming admission logic (the same
-    * backfill-runs-the-livescan-path parity as [[DedupStream]]). */
+  /** The served PQ index (e11b's deployment form): frozen codebooks +
+    * the stream-maintained coded corpus — [[SimilarityOps.pqTopK]] runs
+    * unchanged over it, scanning codes only. */
+  def pqIndex(spark: SparkSession, indexDir: String): PqIndex = {
+    val root = liveRoot(spark, indexDir)
+    val cbs = codebooksAt(spark, root)
+    PqIndex(cbs, codesAt(spark, root, cbs.size, withCell = false))
+  }
+
+  /** The served IVFADC index (e12's deployment form): coarse centroids +
+    * frozen codebooks + the coded cells side — codes carry their IVF
+    * cell, so [[SimilarityOps.ivfAdcTopK]] probes and ADC-ranks the
+    * stream-maintained state directly. */
+  def ivfPqIndex(spark: SparkSession, indexDir: String): IvfPqIndex = {
+    val root = liveRoot(spark, indexDir)
+    val cbs = codebooksAt(spark, root)
+    IvfPqIndex(centroidsAt(spark, root), cbs,
+      codesAt(spark, root, cbs.size, withCell = true))
+  }
+
+  /** One microbatch: screen, admit, append (cells + stats + codes).
+    * Public so batch backfills reuse the exact streaming admission logic
+    * (the same backfill-runs-the-livescan-path parity as
+    * [[DedupStream]]). */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
       outDir: String, threshold: Double, lineage: String = "batch",
       maxCell: Int = 256): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
-    val cents = centroids(spark, indexDir)
+    val root = liveRoot(spark, indexDir)
+    val cents = centroidsAt(spark, root)
+    val cbs = codebooksAt(spark, root)
     val key = s"batch=$lineage-$batchId"
     val batchTag = key.stripPrefix("batch=")
     // The screen's corpus reads EXCLUDE the batch's own dir (the same
@@ -161,9 +273,9 @@ object VectorStream {
     // dups. Excluding the key makes replay read exactly the original
     // run's corpus. Materialize before any write all the same (the plan
     // lazily reads the dirs this batch overwrites).
-    val corpusExcl = IndexSides.readSide(spark, s"$indexDir/cells", CellSchema)
+    val corpusExcl = IndexSides.readSide(spark, s"$root/cells", CellSchema)
       .filter(col("batch") =!= batchTag).drop("batch")
-    val statsExcl = IndexSides.readSide(spark, s"$indexDir/cellstats", CellStatsSchema)
+    val statsExcl = IndexSides.readSide(spark, s"$root/cellstats", CellStatsSchema)
       .filter(col("batch") =!= batchTag).drop("batch")
     val pairs = SimilarityOps.semanticScreen(
       IvfIndex(cents, corpusExcl), batch, threshold, maxCell,
@@ -173,7 +285,7 @@ object VectorStream {
     // re-ingest under a different lineage is not rejected by the pair
     // verdict. Broadcast semi-join on the (small) batch id set — the
     // corpus side is a one-column scan, bucket-pruned at deployment.
-    val prior = IndexSides.readSide(spark, s"$indexDir/cells", CellSchema)
+    val prior = IndexSides.readSide(spark, s"$root/cells", CellSchema)
       .filter(col("batch") =!= batchTag)
       .select("vec_id")
       .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_semi")
@@ -187,12 +299,19 @@ object VectorStream {
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
       kept.write.mode("overwrite").parquet(s"$outDir/kept/$key")
-      keptAssigned.write.mode("overwrite").parquet(s"$indexDir/cells/$key")
+      keptAssigned.write.mode("overwrite").parquet(s"$root/cells/$key")
       // cell-size stats partial beside the cells (replay overwrites its
       // own partial — never double-counts), so the next batch's rail
       // reads maintained counts
       keptAssigned.groupBy("cell").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/cellstats/$key")
+        .write.mode("overwrite").parquet(s"$root/cellstats/$key")
+      // the coded-corpus partial: admitted vectors encoded on the FROZEN
+      // codebooks (one narrow projection — build() alone re-trains), so
+      // e11b/e12 serve the admitted corpus without touching embeddings
+      SimilarityOps.pqEncode(keptAssigned, cbs, carry = Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          array(cbs.indices.map(s => col(s"code_$s")): _*).as("codes"))
+        .write.mode("overwrite").parquet(s"$root/codes/$key")
       // Admission accounting + the per-batch e9 drift reading: the
       // increment's mean cos-to-assigned-centroid is THE rebuild dial,
       // so the service exports it with every batch (a drop across
@@ -219,13 +338,16 @@ object VectorStream {
   }
 
   /** Fold the per-batch dirs ([[IndexSides.compact]]'s write-then-flip;
-    * cells rows are not partials, cell-size stats re-aggregate to one
-    * row per cell). */
+    * cells and codes rows are not partials, cell-size stats re-aggregate
+    * to one row per cell). Compaction is content-preserving, so its
+    * per-side flip needs no cross-side atomicity — any mix of compacted
+    * and uncompacted sides serves identical data. */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, indexDir, Seq(
+    IndexSides.compact(spark, liveRoot(spark, indexDir), Seq(
       ("cells", CellSchema, identity[DataFrame] _),
       ("cellstats", CellStatsSchema,
-        (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n")))))
+        (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n"))),
+      ("codes", CodesSchema, identity[DataFrame] _)))
 
   /** Per-batch admission accounting across the stream's whole history. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {

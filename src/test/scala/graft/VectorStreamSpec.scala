@@ -186,7 +186,7 @@ class VectorStreamSpec extends SparkSpec {
     assert(statSums === Map(0 -> 3L))
   }
 
-  test("rebuild is staged: crashed staging leftovers and mid-swap windows never serve an empty index") {
+  test("rebuild publishes atomically: staging leftovers invisible, one tree serves every side together") {
     val tmp = Files.createTempDirectory("graft_vecstream5").toString
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
@@ -199,29 +199,29 @@ class VectorStreamSpec extends SparkSpec {
       Seq((10L, e(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
       0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
     val served = Set(1L, 2L, 10L)
-    // crash DURING staging: `.rebuilding` leftovers, live tree untouched —
-    // readers unaffected, and a rerun build() restages from scratch
-    fs.mkdirs(p("cells.rebuilding/batch=build-0"))
+    // crash DURING staging: partial `.staging-<g>` leftovers — readers
+    // resolve the live tree and never look inside a staging dir, so
+    // there is no window in which new cells pair with old centroids
+    fs.mkdirs(p(".staging-2/cells/batch=build-0"))
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === served)
-    // crash MID-SWAP (between the rename pair): a side exists only as
-    // `.old` — every reader falls back, nothing serves empty
-    assert(fs.rename(p("centroids"), p("centroids.old")))
     assert(VectorStream.centroids(spark, s"$tmp/index").length === 2)
-    assert(fs.rename(p("cells"), p("cells.old")))
-    assert(VectorStream.corpusCells(spark, s"$tmp/index")
-      .select("vec_id").as[Long].collect().toSet === served)
-    // rerunning build() heals both windows and leaves a clean tree
+    // a rerun build() restages from scratch and publishes with ONE
+    // rename; superseded generations and leftovers are GC'd
     VectorStream.build(spark, s"$tmp/index",
       VectorStream.corpusCells(spark, s"$tmp/index").select("vec_id", "embedding"),
       nCells = 2, iterations = 2)
-    Seq("centroids", "cells", "cellstats").foreach { s =>
-      assert(fs.exists(p(s)), s"$s live")
-      assert(!fs.exists(p(s"$s.old")), s"$s.old cleaned")
-      assert(!fs.exists(p(s"$s.rebuilding")), s"$s.rebuilding cleaned")
-    }
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === served)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/index"))
+      .map(_.getPath.getName).toSet
+    assert(names.count(_.startsWith("tree-")) === 1, s"one live generation: $names")
+    assert(!names.exists(_.startsWith(".staging-")), s"staging GC'd: $names")
+    // every side lives inside the single published tree
+    val root = VectorStream.liveRoot(spark, s"$tmp/index")
+    Seq("centroids", "codebooks", "cells", "cellstats", "codes").foreach { s =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$s")), s"$s in $root")
+    }
     // and the rebuilt index still screens: a dup of an admitted vector
     // rejects
     VectorStream.admitBatch(
@@ -229,6 +229,39 @@ class VectorStreamSpec extends SparkSpec {
       1L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === served)
+  }
+
+  test("PQ codes side: served codes equal frozen-codebook encode; replay idempotent; e11b/e12 served from the stream") {
+    val tmp = Files.createTempDirectory("graft_vecstream6").toString
+    val corpus = Seq(
+      (1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)),
+      (3L, e(0f, 0f, 1f, 0f)), (4L, e(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    VectorStream.build(spark, s"$tmp/index", corpus, nCells = 2, iterations = 2)
+    // 10 is no corpus member's semantic dup (cos ≈ 0.7 < 0.9) → admitted
+    val batch = Seq((10L, e(0.7f, 0.7f, 0f, 0f))).toDF("vec_id", "embedding")
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    // same-lineage replay overwrites its own codes partial — no dupes
+    VectorStream.admitBatch(batch, 0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    val pq = VectorStream.pqIndex(spark, s"$tmp/index")
+    val codeRows = pq.codes.orderBy("vec_id").collect()
+    assert(codeRows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 10L))
+    // served codes ≡ encoding the served cells on the FROZEN codebooks —
+    // admission never re-trains, so the two derivations must agree
+    val expect = SimilarityOps.pqEncode(
+      VectorStream.corpusCells(spark, s"$tmp/index"), pq.codebooks)
+      .orderBy("vec_id").collect()
+    assert(codeRows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    // e11b: full-precision query against the served coded corpus
+    val q = Seq((9000L, e(0.6f, 0.6f, 0f, 0f))).toDF("vec_id", "embedding")
+    val adcTop = SimilarityOps.pqTopK(pq, q, 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(adcTop === Seq(10L), "admitted vector is the served ADC neighbor")
+    // e12: the stream-maintained coded cells drive IVFADC directly
+    val ivfadcTop = SimilarityOps.ivfAdcTopK(
+      VectorStream.ivfPqIndex(spark, s"$tmp/index"), q, 1, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(ivfadcTop === Seq(10L))
   }
 
   test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
@@ -247,11 +280,12 @@ class VectorStreamSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(before === Set(1L, 2L, 10L, 11L))
     // simulate the crash window between compact()'s two renames: the live
-    // tree was moved aside to `.old` and the process died before the new
-    // tree swapped in
+    // side (inside the serving tree) was moved aside to `.old` and the
+    // process died before the new side swapped in
     val conf = spark.sparkContext.hadoopConfiguration
-    val cells = new org.apache.hadoop.fs.Path(s"$tmp/index/cells")
-    val old = new org.apache.hadoop.fs.Path(s"$tmp/index/cells.old")
+    val root = VectorStream.liveRoot(spark, s"$tmp/index")
+    val cells = new org.apache.hadoop.fs.Path(s"$root/cells")
+    val old = new org.apache.hadoop.fs.Path(s"$root/cells.old")
     val fs = cells.getFileSystem(conf)
     assert(fs.rename(cells, old))
     // readers fall back to `.old` — no window ever sees an empty corpus

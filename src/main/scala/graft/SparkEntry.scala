@@ -520,6 +520,15 @@ object SparkEntry {
       // so near-dup components co-travel — the eval-leakage guard. The
       // assignment enters as the maintained serving table (d6Groups).
       graft.llm.CurationOps.leakageSafeSplit(documents(s, d), d6Groups(s, d))),
+    "c4_curate_and_split" -> ((s, d) => {
+      // the full production chain as one composition: c1's curation
+      // stages + the c3 split rule keyed by the SAME group assignment the
+      // keeper election used — pack rows carry their split out of the box
+      val docs = documents(s, d)
+      graft.llm.CurationOps.curateAndSplit(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 8000L)
+    }),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

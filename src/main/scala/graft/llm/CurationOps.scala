@@ -27,6 +27,18 @@ object CurationOps {
   def curateCorpus(documents: DataFrame, benchmark: DataFrame,
       budgetTokens: Long, threshold: Double = 0.5, contamK: Int = 4,
       contamMinShared: Int = 1): DataFrame = {
+    val (admitted, _) =
+      curationStages(documents, benchmark, threshold, contamK, contamMinShared)
+    // stage 4 — pack the token budget best-quality-first (t7)
+    SamplingOps.packToBudget(documents.join(admitted, "doc_id"), budgetTokens)
+  }
+
+  /** Stages 1-3 of the curation pipeline, shared by [[curateCorpus]] and
+    * [[curateAndSplit]]: returns (admitted doc ids, near-dup group
+    * assignment over the exact-dedup survivors). */
+  private def curationStages(documents: DataFrame, benchmark: DataFrame,
+      threshold: Double, contamK: Int, contamMinShared: Int)
+      : (DataFrame, DataFrame) = {
     // stage 1 — exact dedup: one keeper per identical text (d1)
     val keepExact = DedupOps.exactDedup(documents)
     val surviving = documents.join(keepExact, "doc_id")
@@ -41,8 +53,50 @@ object CurationOps {
       .contaminationHits(surviving, benchmark, contamK, contamMinShared)
       .select("doc_id").distinct()
     val admitted = keepQuality.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    // stage 4 — pack the token budget best-quality-first (t7)
-    SamplingOps.packToBudget(documents.join(admitted, "doc_id"), budgetTokens)
+    (admitted, groups)
+  }
+
+  /** C4 — the full production chain as ONE audited composition: curate
+    * ([[curateCorpus]]'s stages 1-4, unchanged) and assign each packed
+    * document its leakage-safe split ([[leakageSafeSplit]]'s rule, keyed
+    * by the SAME group assignment the keeper election used). Splitting
+    * from the curation's own groups — not a fresh doc-level hash — is the
+    * point: the near-dup component is the unit of independence, so the
+    * bucket a document lands in is a function of its group id, and any
+    * later-admitted near-duplicate (the c2 increment path) deterministically
+    * co-travels into the same split.
+    *
+    * Scale shape: c1's audited plan + one doc_id-keyed join of the packed
+    * frame (budget-sized) against the group assignment and a narrow
+    * codegen hash map — the split adds no corpus-sized work. */
+  def curateAndSplit(documents: DataFrame, benchmark: DataFrame,
+      budgetTokens: Long, threshold: Double = 0.5, contamK: Int = 4,
+      contamMinShared: Int = 1, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "c3"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split $trainPct/$valPct")
+    val (admitted, groups) =
+      curationStages(documents, benchmark, threshold, contamK, contamMinShared)
+    val packed =
+      SamplingOps.packToBudget(documents.join(admitted, "doc_id"), budgetTokens)
+    // the split columns APPEND to the packed frame (one group join — no
+    // self-join back onto the pack, whose upstream chain would otherwise
+    // evaluate twice)
+    packed.join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split", splitColumn(trainPct, valPct, salt))
+      .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens",
+        "group_id", "split")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+  }
+
+  /** The c3 bucket rule as a column over `group_id`: t6's salted-md5
+    * arithmetic, shared by [[leakageSafeSplit]] and [[curateAndSplit]]. */
+  private def splitColumn(trainPct: Int, valPct: Int, salt: String) = {
+    val bucket = TextOps.h60(concat(lit(salt), lit("-"), col("group_id"))) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** C2 — the INCREMENTAL admission pipeline: one verdict row per
@@ -128,14 +182,10 @@ object CurationOps {
       trainPct: Int = 80, valPct: Int = 10, salt: String = "c3"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split $trainPct/$valPct")
-    val bucket = TextOps.h60(concat(lit(salt), lit("-"), col("group_id"))) % 100
     documents.select("doc_id")
       .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
-      .withColumn("split",
-        when(bucket < trainPct, "train")
-          .when(bucket < trainPct + valPct, "val")
-          .otherwise("test"))
+      .withColumn("split", splitColumn(trainPct, valPct, salt))
       .select("doc_id", "group_id", "split")
       .orderBy("doc_id")
   }

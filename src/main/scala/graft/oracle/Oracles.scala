@@ -128,6 +128,34 @@ q AS (SELECT doc_id, lang,
 SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keep
 FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** The full c1 curation CTE chain up to the packed frame `c` (and the
+    * group assignment `grp` the keeper election used) — shared by c1 and
+    * c4 so the curation stages cannot drift between the two oracles. */
+  private lazy val CurationCtes = s"""WITH RECURSIVE
+train AS (SELECT doc_id, text, lang FROM $Docs WHERE doc_id % 50 <> 0),
+keep1 AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM train) WHERE rn = 1),
+docs AS (SELECT t.doc_id, string_split(t.text, ' ') AS w FROM train t JOIN keep1 USING (doc_id)),$ShingleChain,${bandCandCtes()},${verifiedPairCtes(0.5)},${reachCtes("keep1")},
+grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+q AS (SELECT t.doc_id, t.lang,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
+              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
+      FROM train t JOIN keep1 USING (doc_id)),
+keep2 AS (SELECT doc_id FROM (
+  SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) AS rn
+  FROM grp g JOIN q USING (doc_id)) WHERE rn = 1),${contamCtes("", "docs",
+    s"(SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0)")},
+contam AS (SELECT DISTINCT t.doc_id FROM tset t JOIN bset bb ON t.sh = bb.sh),
+admitted AS (SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
+        CAST(sum(q.n_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM q JOIN admitted USING (doc_id))"""
+
   /** d9's positional 5-gram seed chain reading a `docs` (doc_id, w) CTE,
     * name-spaced by `p` and with the seed-match predicate parameterized —
     * d9b/c2 are the identical chain restricted to pairs whose later
@@ -866,32 +894,24 @@ ORDER BY doc_id, bench_id""",
     // Train/bench split mirrors d8 (doc_id % 50); every fragment is the
     // corresponding standalone oracle with its source restricted to the
     // previous stage's survivors.
-    "c1_curated_corpus" -> s"""WITH RECURSIVE
-train AS (SELECT doc_id, text, lang FROM $Docs WHERE doc_id % 50 <> 0),
-keep1 AS (SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-  FROM train) WHERE rn = 1),
-docs AS (SELECT t.doc_id, string_split(t.text, ' ') AS w FROM train t JOIN keep1 USING (doc_id)),$ShingleChain,${bandCandCtes()},${verifiedPairCtes(0.5)},${reachCtes("keep1")},
-grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
-q AS (SELECT t.doc_id, t.lang,
-        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        round(least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0) * 0.5
-              + (CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3 AS DOUBLE)
-                 / (length(text) - length(replace(text, ' ', '')) + 1)) * 0.5, 4) AS quality_score
-      FROM train t JOIN keep1 USING (doc_id)),
-keep2 AS (SELECT doc_id FROM (
-  SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id ORDER BY q.quality_score DESC, g.doc_id) AS rn
-  FROM grp g JOIN q USING (doc_id)) WHERE rn = 1),${contamCtes("", "docs",
-      s"(SELECT doc_id AS bench_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id % 50 = 0)")},
-contam AS (SELECT DISTINCT t.doc_id FROM tset t JOIN bset bb ON t.sh = bb.sh),
-admitted AS (SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
-        CAST(sum(q.n_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-      FROM q JOIN admitted USING (doc_id))
+    "c1_curated_corpus" -> s"""$CurationCtes
 SELECT doc_id, lang, n_tokens, quality_score, cum_tokens FROM c
 WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
+
+    // c4 = c1's identical CTE chain + c3's split tail: each packed doc
+    // bucketed by the salted-md5 hash of the group id the keeper election
+    // itself used (LEFT JOIN + COALESCE mirrors the engine's
+    // singleton-fallback form), so a near-duplicate admitted later can
+    // only ever land in the same split as its keeper.
+    "c4_curate_and_split" -> s"""$CurationCtes,
+sp AS (SELECT c.*, COALESCE(g2.group_id, c.doc_id) AS group_id
+       FROM c LEFT JOIN grp g2 USING (doc_id)),
+bk AS (SELECT sp.*,
+         CAST('0x' || substr(md5('c3-' || group_id), 1, 15) AS BIGINT) % 100 AS b
+       FROM sp)
+SELECT doc_id, lang, n_tokens, quality_score, cum_tokens, group_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM bk WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
     // c2 = the incremental admission composition: one verdict per
     // increment doc (doc_id >= 400, the d5 split) with screen precedence

@@ -726,6 +726,43 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("curate-and-split: pack unchanged from c1, split a pure function of the election's group id (c4)") {
+    import spark.implicits._
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val out = graft.llm.CurationOps.curateAndSplit(train, bench, 2000L)
+      .as[(Long, String, Long, Double, Long, Long, String)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(out.nonEmpty)
+    // the split tail changes NOTHING about admission or packing: the c1
+    // columns of c4's output are exactly curateCorpus's output
+    val c1 = graft.llm.CurationOps.curateCorpus(train, bench, 2000L)
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) === c1)
+    // each split is the salted-md5 bucket of the GROUP id, not the doc id —
+    // recomputed independently on the driver
+    def bucket(g: Long): Int =
+      (java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"c3-$g").substring(0, 15), 16) % 100).toInt
+    out.foreach { r =>
+      val b = bucket(r._6)
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(r._7 === want, s"doc ${r._1} group ${r._6}")
+    }
+    // leakage guard across the composed output: any near-dup of a packed
+    // doc hashes to the SAME bucket (split is a function of group_id
+    // alone), so no pair can straddle train and a held-out split
+    val groups = DedupOps.nearDupGroups(train,
+      DedupOps.minhashNearDups(train, 0.5))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    DedupOps.releaseCaches()
+    out.foreach { r =>
+      assert(groups.getOrElse(r._1, r._1) === r._6,
+        s"packed doc ${r._1} carries its election group")
+    }
+  }
+
   test("leakage-safe split: near-dup groups co-travel where the doc-level hash would straddle (c3)") {
     import spark.implicits._
     val base = Seq.fill(5)("the quick brown fox jumps over the lazy dog again and again").mkString(" ")

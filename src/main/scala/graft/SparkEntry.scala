@@ -460,6 +460,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), 4, 1)
     }),
+    "d8b_semantic_decontamination" -> ((s, d) =>
+      // the embedding-tier complement of d8: benchmark vectors probe
+      // their 3 nearest cells of the SERVED corpus index (recall dial),
+      // within-cell cosine vs the corpus cells — catches paraphrased
+      // leakage the n-gram screen misses
+      SimilarityOps.semanticContamination(ivfCorpusIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") % 50 === 0), 0.4, nProbe = 3)),
     "d9_span_dedup" -> ((s, d) =>
       // verbatim shared spans ≥ 8 words (Lee et al.-style substring dedup;
       // pair-level Jaccard can't see a pasted block inside a long doc)

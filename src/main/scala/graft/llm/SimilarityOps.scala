@@ -399,6 +399,59 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** D8b — SEMANTIC decontamination: flag corpus documents whose
+    * embedding is within cosine `threshold` of any held-out benchmark
+    * embedding — the embedding-tier complement of the k-gram collision
+    * rule (d8): n-gram screens miss PARAPHRASED benchmark leakage, while
+    * cosine over the served IVF index catches it. Benchmark vectors are
+    * assigned to the index's FROZEN centroids (one narrow map over the
+    * benchmark — the e5b add discipline) and compared within their cell
+    * only, under the combined-population maxCell rail ([[semanticScreen]]'s).
+    * Output mirrors d8: one (doc_id, bench_id, cos) row per collision —
+    * a benchmark doc whose embedding already sits in the corpus flags its
+    * copy, the same self-flagging contract as c2.
+    *
+    * Decontamination is a RECALL problem (a missed collision silently
+    * inflates evals), so each benchmark vector probes its `nProbe`
+    * nearest cells — [[ivfQueryTopK]]'s probe front, not just the home
+    * assignment: moderate-similarity paraphrases routinely live one cell
+    * over. The dial trades scan volume for recall exactly as in e4/e5.
+    *
+    * Scale shape: the benchmark is small by construction (eval sets are
+    * thousands of docs), so only the cells benchmark vectors probe are
+    * touched; per-cell pair volume is bounded by the combined-population
+    * maxCell rail (corpus members + bench probes); the corpus enters only
+    * through its maintained cells table (or the (cell, n) stats side) and
+    * is never shuffled on a new key. */
+  def semanticContamination(index: IvfIndex, benchVectors: DataFrame,
+      threshold: Double, nProbe: Int = 2, maxCell: Int = 256,
+      corpusCellStats: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(benchVectors.sparkSession)
+    val probesCol = slice(
+      reverse(array_sort(array(scoreStructs(col("emb_b"), index.centroids): _*))),
+      1, nProbe).getField("cell")
+    val bench = benchVectors
+      .select(col("vec_id").as("bench_id"), col("embedding").as("emb_b"))
+      .withColumn("cell", explode(probesCol))
+    val corpus = index.cells
+      .select(col("cell"), col("vec_id").as("doc_id"), col("embedding").as("emb_a"))
+    val corpusSizes = corpusCellStats
+      .map(_.groupBy("cell").agg(sum("n").as("nc")))
+      .getOrElse(corpus.groupBy("cell").agg(count(lit(1)).as("nc")))
+    val benchSizes = bench.groupBy("cell").agg(count(lit(1)).as("nb"))
+    val okCells = corpusSizes.join(benchSizes, Seq("cell"), "full")
+      .filter(coalesce(col("nc"), lit(0L)) + coalesce(col("nb"), lit(0L)) <= maxCell)
+      .select("cell")
+    corpus.join(broadcast(okCells), Seq("cell"))
+      .join(bench.join(broadcast(okCells), Seq("cell")), Seq("cell"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .withColumn("cos", round(expr(
+        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("cos"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** E8 — CLUSTER-BALANCED sampling: a diversity-preserving subset of `n`
     * vectors drawn round-robin across the served IVF index's cells (every
     * cell contributes its 1st pick before any contributes its 2nd, rounds

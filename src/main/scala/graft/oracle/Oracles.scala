@@ -873,6 +873,33 @@ GROUP BY t.doc_id, b.bench_id
 HAVING count(*) >= 1
 ORDER BY doc_id, bench_id""",
 
+    // d8b = the embedding-tier decontamination: the e5b frozen-centroid
+    // IVF chain (build corpus = vec_id < 400) + each benchmark vector
+    // (vec_id % 50 = 0, mirroring d8's doc split) probing its 3 nearest
+    // cells (e4's probe front — decontamination is a recall problem) +
+    // corpus-vs-benchmark cosine (6-dp, >= 0.4) within probed cells under
+    // the combined-population 256-member rail (corpus members + bench
+    // probes). A benchmark vector already in the corpus flags its copy
+    // (id inequality only excludes the self-pair).
+    "d8b_semantic_decontamination" -> s"""WITH ${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
+bq AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 50 = 0),
+probes AS (SELECT bench_id, v, cell FROM (
+  SELECT b.bench_id, b.v, s.cell,
+         row_number() OVER (PARTITION BY b.bench_id
+           ORDER BY ${ivfScore("b.v", "s.c")} DESC, s.cell DESC) AS rn
+  FROM bq b, c1 s) WHERE rn <= 3),
+csz AS (SELECT cell, count(*) AS n FROM a2 WHERE vec_id < 400 GROUP BY cell),
+bsz AS (SELECT cell, count(*) AS n FROM probes GROUP BY cell),
+okc AS (SELECT COALESCE(c.cell, b.cell) AS cell
+        FROM csz c FULL JOIN bsz b ON c.cell = b.cell
+        WHERE COALESCE(c.n, 0) + COALESCE(b.n, 0) <= 256)
+SELECT a.vec_id AS doc_id, p.bench_id,
+       round(list_cosine_similarity(a.v, p.v), 6) AS cos
+FROM a2 a JOIN probes p ON a.cell = p.cell JOIN okc ON okc.cell = a.cell
+WHERE a.vec_id < 400 AND a.vec_id <> p.bench_id
+  AND round(list_cosine_similarity(a.v, p.v), 6) >= 0.4
+ORDER BY doc_id, bench_id""",
+
     // d9 = positional 5-gram seed match + diagonal gaps-and-islands: spans
     // of ≥ 8 words shared verbatim between doc pairs. Same word-hash +
     // polynomial combine as ShingleCtes but at k=5 and WITHOUT

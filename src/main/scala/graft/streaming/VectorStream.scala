@@ -223,6 +223,23 @@ object VectorStream {
         .readSide(spark, s"$root/cellstats", CellStatsSchema).drop("batch")))
   }
 
+  /** D8b served from maintained state (the [[screen]] discipline applied
+    * to benchmark decontamination): benchmark vectors probe their nProbe
+    * nearest cells of the frozen centroids, and the maxCell rail reads
+    * the maintained (cell, n) stats side — nothing corpus-sized is
+    * aggregated per benchmark arrival. */
+  def decontaminate(spark: SparkSession, indexDir: String,
+      benchVectors: DataFrame, threshold: Double, nProbe: Int = 2,
+      maxCell: Int = 256): DataFrame = {
+    val root = liveRoot(spark, indexDir)
+    SimilarityOps.semanticContamination(
+      IvfIndex(centroidsAt(spark, root),
+        IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch")),
+      benchVectors, threshold, nProbe, maxCell,
+      corpusCellStats = Some(IndexSides
+        .readSide(spark, s"$root/cellstats", CellStatsSchema).drop("batch")))
+  }
+
   /** The served index as an [[IvfIndex]] — every e-tier operator
     * (ivfQueryTopK, knnClassify, semanticDedup, clusterBalancedSample,
     * ivfDriftStats) runs unchanged over the stream-maintained state. */

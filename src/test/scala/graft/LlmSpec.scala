@@ -726,6 +726,47 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("semantic decontamination: planted benchmark copy flags its corpus source (d8b)") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 400)
+    val idx = SimilarityOps.ivfBuild(corpus)
+    // a benchmark containing an exact copy of corpus vector 7 under a new id
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .unionByName(emb.filter(col("vec_id") === 7)
+        .withColumn("vec_id", lit(9007L)))
+    val got = SimilarityOps.semanticContamination(idx, bench, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // the planted copy lands in its source's cell and flags it at cos 1
+    assert(got.exists(r => r._1 == 7L && r._2 == 9007L && r._3 >= 0.999999),
+      s"planted duplicate not flagged: ${got.filter(_._2 == 9007L)}")
+    // every collision clears the threshold and pairs corpus vs benchmark
+    got.foreach { r =>
+      assert(r._3 >= 0.4)
+      assert(r._1 < 400L, s"non-corpus doc_id ${r._1}")
+      assert(r._2 % 50 == 0 || r._2 == 9007L, s"non-bench bench_id ${r._2}")
+    }
+    // flagged pairs live in a PROBED cell of the SERVED index: recompute
+    // each bench vector's top-nProbe cells independently (the same
+    // rounded 2·dot − ‖c‖² score the engine and oracle rank by)
+    val benchVecs = bench.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def probed(v: Array[Float]): Set[Int] = idx.centroids.zipWithIndex.map {
+      case (c, i) =>
+        val dot = c.indices.map(d => v(d).toDouble * c(d)).sum
+        val s = BigDecimal(2 * dot - c.map(x => x * x).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s, i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(2).map(_._2).toSet
+    val corpusCell = idx.cells.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    got.foreach(r => assert(probed(benchVecs(r._2)).contains(corpusCell(r._1)),
+      s"pair ${r._1}-${r._2} not within a probed cell"))
+    // deterministic
+    assert(SimilarityOps.semanticContamination(idx, bench, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq === got)
+  }
+
   test("curate-and-split: pack unchanged from c1, split a pure function of the election's group id (c4)") {
     import spark.implicits._
     val train = docs.filter(col("doc_id") % 50 =!= 0)

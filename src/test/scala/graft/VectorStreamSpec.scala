@@ -264,6 +264,32 @@ class VectorStreamSpec extends SparkSpec {
     assert(ivfadcTop === Seq(10L))
   }
 
+  test("benchmark decontamination served from the maintained index (d8b streaming)") {
+    val tmp = Files.createTempDirectory("graft_vecstream7").toString
+    VectorStream.build(spark, s"$tmp/index",
+      Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)),
+        (3L, e(0f, 0f, 1f, 0f)), (4L, e(0f, 0f, 0f, 1f)))
+        .toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    VectorStream.admitBatch(
+      Seq((10L, e(0.7f, 0.7f, 0f, 0f))).toDF("vec_id", "embedding"),
+      0L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    // a benchmark holding a copy of the ADMITTED vector plus a stranger
+    val bench = Seq((9100L, e(0.7f, 0.7f, 0f, 0f)),
+      (9200L, e(-1f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val hits = VectorStream.decontaminate(spark, s"$tmp/index", bench,
+      0.9, nProbe = 1).collect()
+    assert(hits.exists(r => r.getLong(0) == 10L && r.getLong(1) == 9100L
+      && r.getDouble(2) >= 0.999999), s"copy of admitted vector not flagged: ${hits.toSeq}")
+    assert(!hits.exists(_.getLong(1) == 9200L), "stranger wrongly flagged")
+    // the maintained (cell, n) stats rail and the batch operator over the
+    // served index (sizes re-aggregated from cells) land on one result
+    val viaIndex = SimilarityOps.semanticContamination(
+      VectorStream.index(spark, s"$tmp/index"), bench, 0.9, nProbe = 1)
+      .collect()
+    assert(hits.toSeq.map(_.toSeq) === viaIndex.toSeq.map(_.toSeq))
+  }
+
   test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
     val tmp = Files.createTempDirectory("graft_vecstream3").toString
     VectorStream.build(spark, s"$tmp/index",

@@ -239,9 +239,10 @@ object SparkEntry {
     "o3_count_by_owner_kind" -> ((s, d) =>
       objects(s, d).groupBy("owner_kind").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("owner_kind"))),
-    "s1_tail_poll_page" -> ((s, d) =>
-      PipelineOps.latestPageAscending(Tables.events(s, d), 100)
-        .select(col("event_id"), col("event_type"), Tables.tsMillis.as("ts_ms"))),
+    "s1_tail_poll_page" -> ((s, d) => {
+      val page = PipelineOps.latestPageAscending(Tables.events(s, d), 100)
+      page.select(col("event_id"), col("event_type"), Tables.tsMillis(page).as("ts_ms"))
+    }),
 
     // ---- joins ---------------------------------------------------------
     "j1_dynfield_parent_join" -> ((s, d) => out(QuerySurface.objectsQuery(

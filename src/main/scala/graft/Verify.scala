@@ -29,7 +29,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // leave a machine-readable sentinel so the driver ledger shows an
+        // explicit per-query `err` (name + error class) instead of absence
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/$name.error.json"),
+          s"""{"query":"${name}","error_class":"${e.getClass.getName}"}""")
+        catch { case _: Throwable => () }
       }
       finally graft.llm.DedupOps.releaseCaches()
     }

@@ -72,10 +72,10 @@ object ObjectsModel {
       concat(lit("tx"), lpad(col("event_id").cast("string"), 8, "0")).as("previous_transaction"),
       concat(lit("dg"), lpad(col("event_id").cast("string"), 8, "0")).as("digest"),
       (col("event_id") % 2 === 0).as("has_public_transfer"),
-      Tables.tsMillis.as("ts_ms"),
+      Tables.tsMillis(events).as("ts_ms"),
       // pipeline-arrival time (ts_first_seen, main/src/etl.rs:59-60):
       // chain time plus a deterministic per-item ingest delay
-      (Tables.tsMillis + col("event_id") % IngestDelayMod).as("ts_first_seen"),
+      (Tables.tsMillis(events) + col("event_id") % IngestDelayMod).as("ts_first_seen"),
       when(floor(col("event_id") / CpSize).cast("long") % PollMod === 0, "poll")
         .otherwise("livescan").as("ingested_via"),
       col("user_id"), col("event_type"), col("value"))

@@ -1,6 +1,8 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_millis}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   *
@@ -16,17 +18,32 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Testdata timestamps are parquet TIMESTAMP(NANOS), which Spark refuses
-    // by default; read them as nanosecond longs (the engine standardizes on
-    // epoch-millis columns anyway — see tsMillis).
+    // Some testdata generations write parquet TIMESTAMP(NANOS), which Spark
+    // refuses by default; allow it as nanosecond longs. The engine never
+    // depends on one physical clock encoding — see tsMillis, which resolves
+    // epoch-millis from the actual loaded DataType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Epoch-millis from a nanos-long `ts` column (matches DuckDB
-    * `epoch_ms(ts)` on the same data). */
-  def tsMillis: org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr("ts div 1000000")
+  /** Epoch-millis from the `ts` column, adaptive to its physical encoding
+    * (matches DuckDB `epoch_ms(ts)` on the same data under a UTC session).
+    * The reference never pins a clock encoding either — it normalizes to
+    * epoch-millis at ingest (main/src/etl.rs:59-60), whatever the RPC
+    * returned; this is the Spark analog at the scan seam. */
+  def tsMillis(df: DataFrame): Column = tsMillisOf(df.schema("ts").dataType)
+
+  def tsMillisOf(dt: DataType): Column = dt match {
+    // TIMESTAMP(NANOS) read as nanos-long (legacy.parquet.nanosAsLong)
+    case LongType => expr("ts div 1000000")
+    // timestamp[us] without tz → TIMESTAMP_NTZ; interpret the wall-clock as
+    // UTC (session tz is pinned to UTC in every entry point) to match
+    // DuckDB's epoch_ms on the same naive value
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+    case TimestampType => unix_millis(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"unsupported physical encoding for ts: $other")
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -81,8 +81,8 @@ object AggOps {
     * a watermark, which produces the same buckets. */
   def hourlyEventCounts(events: DataFrame): DataFrame =
     events.groupBy(
-      // ts is a nanos long (see Tables.load); hour bucket in epoch millis.
-      expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
+      // hour bucket in epoch millis, from the encoding-adaptive ts seam
+      (floor(graft.model.Tables.tsMillis(events) / 3600000L).cast("long") * 3600000L).as("hour_ms"),
       col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -99,7 +99,8 @@ object AggOps {
     * `window($"ts", "1 hour", "30 minutes")`. */
   def slidingEventCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("slot", expr("(ts div 1800000000000) * 1800000"))
+      .withColumn("slot",
+        floor(graft.model.Tables.tsMillis(events) / 1800000L).cast("long") * 1800000L)
       .select(explode(array(col("slot"), col("slot") - 1800000L)).as("window_start_ms"),
         col("event_type"))
       .groupBy("window_start_ms", "event_type")
@@ -113,7 +114,7 @@ object AggOps {
   def sessionCounts(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val gapMs = gapMinutes * 60000L
-    val tsMs = expr("ts div 1000000")
+    val tsMs = graft.model.Tables.tsMillis(events)
     events
       .withColumn("prev_ms", lag(tsMs, 1).over(byUser))
       .withColumn("new_session",

@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   */
 object JsonIngest {
 
-  /** Matches the testdata `events` table: ts is a NANOS long, exactly as
-    * parquet delivers it through Tables.load. */
+  /** The JSONL ingest wire schema (this source's OWN contract, independent
+    * of the parquet testdata's clock encoding): ts is a nanos long, and
+    * downstream consumers resolve epoch-millis via the type-adaptive
+    * Tables.tsMillis seam, which handles this encoding too. */
   val Corrupt = "_corrupt"
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

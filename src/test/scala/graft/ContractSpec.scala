@@ -33,6 +33,69 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  // ---- physical-encoding contract against the REAL driver testdata ------
+  // Round 10 lost 56 ledger rows to a silent testdata regeneration (ts
+  // nanos-long → timestamp[us]); these tests make the next encoding change
+  // fail HERE, loudly, in one named test per column family.
+
+  test("testdata contract: events.ts resolves to epoch-millis LongType") {
+    import org.apache.spark.sql.types._
+    val events = graft.model.Tables.events(spark, sf0001)
+    val tsType = events.schema("ts").dataType
+    assert(tsType == LongType || tsType == TimestampType || tsType == TimestampNTZType,
+      s"unexpected ts encoding $tsType — extend Tables.tsMillisOf")
+    val resolved = events.select(graft.model.Tables.tsMillis(events).as("ts_ms"))
+    assert(resolved.schema("ts_ms").dataType == LongType,
+      s"ts_ms must be LongType, got ${resolved.schema("ts_ms").dataType}")
+    // values must be plausible epoch-millis (year 2000..2100), not raw
+    // nanos or seconds — catches a silently-wrong unit, not just a type
+    val row = resolved.agg(
+      org.apache.spark.sql.functions.min("ts_ms"),
+      org.apache.spark.sql.functions.max("ts_ms")).head
+    assert(row.getLong(0) > 946684800000L && row.getLong(1) < 4102444800000L,
+      s"ts_ms out of epoch-millis range: ${row.getLong(0)}..${row.getLong(1)}")
+  }
+
+  test("testdata contract: tsMillisOf handles both clock encodings") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // nanos-long fixtures (the pre-r10 encoding, still used by test fixtures)
+    val longDf = Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+    assert(longDf.select(graft.model.Tables.tsMillis(longDf).as("ts_ms"))
+      .head.getLong(0) == 1700000000000L)
+    // NTZ (the r10+ testdata encoding): wall-clock interpreted as UTC
+    val ntzDf = Seq((1L, java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20)))
+      .toDF("event_id", "ts")
+    assert(ntzDf.schema("ts").dataType == TimestampNTZType)
+    assert(ntzDf.select(graft.model.Tables.tsMillis(ntzDf).as("ts_ms"))
+      .head.getLong(0) == 1700000000000L)
+    // session tz must be UTC for the NTZ branch to match DuckDB epoch_ms
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+
+  test("testdata contract: full schema the engine depends on") {
+    import org.apache.spark.sql.types._
+    def dtypes(name: String): Map[String, DataType] =
+      graft.model.Tables.load(spark, sf0001, name)
+        .schema.fields.map(f => f.name -> f.dataType).toMap
+    val ev = dtypes("events")
+    assert(ev("event_id") == LongType && ev("user_id") == LongType, ev)
+    assert(ev("event_type") == StringType && ev("props") == StringType, ev)
+    assert(ev("value") == DoubleType, ev)
+    val doc = dtypes("documents")
+    assert(doc("doc_id") == LongType && doc("text") == StringType, doc)
+    assert(doc("lang") == StringType && doc("source") == StringType, doc)
+    assert(doc("n_chars") == LongType, doc)
+    val emb = dtypes("embeddings")
+    assert(emb("vec_id") == LongType, emb)
+    assert(emb("embedding") == ArrayType(FloatType, containsNull = true)
+      || emb("embedding") == ArrayType(FloatType, containsNull = false), emb)
+    val li = dtypes("lineitem")
+    assert(li("l_quantity") == DoubleType && li("l_extendedprice") == DoubleType, li)
+    assert(Set[DataType](LongType, TimestampType, TimestampNTZType, DateType)
+      .contains(li("l_shipdate")), li)
+  }
+
   test("README query counts match the registry (stale-doc guard)") {
     // the judge flagged stale README counts twice; make it structural
     val readme = new String(java.nio.file.Files.readAllBytes(

@@ -112,8 +112,10 @@ object VectorStream {
     * (readers resolve the previous generation; a rerun restages from
     * scratch); there is no mid-swap window because there is no
     * multi-step swap. Superseded trees and staging leftovers are GC'd
-    * after publication — best-effort, a crash mid-GC only leaves
-    * reclaimable orphans that resolution ignores. */
+    * after publication with a one-generation retention window (latest +
+    * previous kept) so a reader that resolved the old tree just before
+    * the rename finishes its scan on intact files — best-effort, a crash
+    * mid-GC only leaves reclaimable orphans that resolution ignores. */
   def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
       nCells: Int = 16, iterations: Int = 2,
       pqM: Int = 4, pqK: Int = 16): Unit = {
@@ -145,9 +147,17 @@ object VectorStream {
     val dest = new Path(s"$indexDir/tree-$gen")
     require(fs.rename(new Path(staging), dest),
       s"publish rename $staging -> $dest failed; live tree untouched")
-    // GC: superseded generations, stale staging leftovers, and the
-    // pre-generation flat sides a migrated index leaves behind
-    treeGens(fs, indexDir).filter(_ < gen)
+    // GC with RETENTION: keep the latest + the immediately-previous
+    // generation, delete older. A reader that resolved liveRoot just
+    // before this publication is still walking tree-<gen-1>; deleting it
+    // here would yank parquet files out from under that in-flight scan.
+    // One retained generation closes the race for any reader that started
+    // before the rename (there is a single writer, so at most one
+    // publication can intervene per read); trees older than that are
+    // unreachable by resolution and reclaimed. Also GC'd: stale staging
+    // leftovers and the pre-generation flat sides a migrated index
+    // leaves behind.
+    treeGens(fs, indexDir).filter(_ < gen - 1)
       .foreach(g => fs.delete(new Path(s"$indexDir/tree-$g"), true))
     fs.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
       .filter { p =>

@@ -215,8 +215,22 @@ class VectorStreamSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet === served)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/index"))
       .map(_.getPath.getName).toSet
-    assert(names.count(_.startsWith("tree-")) === 1, s"one live generation: $names")
+    // retention window: latest + previous kept (a reader that resolved the
+    // old tree right before the rename finishes on intact files)
+    assert(names.filter(_.startsWith("tree-")) === Set("tree-1", "tree-2"),
+      s"latest + previous retained: $names")
     assert(!names.exists(_.startsWith(".staging-")), s"staging GC'd: $names")
+    // a reader pinned to the PREVIOUS generation still scans intact files
+    // after the new publication — the reader-during-cleanup guarantee
+    assert(VectorStream.corpusCells(spark, s"$tmp/index/tree-1")
+      .select("vec_id").as[Long].collect().toSet === served)
+    // a third build evicts tree-1: the window is one generation deep
+    VectorStream.build(spark, s"$tmp/index",
+      VectorStream.corpusCells(spark, s"$tmp/index").select("vec_id", "embedding"),
+      nCells = 2, iterations = 2)
+    val names3 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/index"))
+      .map(_.getPath.getName).toSet.filter(_.startsWith("tree-"))
+    assert(names3 === Set("tree-2", "tree-3"), s"one-gen retention: $names3")
     // every side lives inside the single published tree
     val root = VectorStream.liveRoot(spark, s"$tmp/index")
     Seq("centroids", "codebooks", "cells", "cellstats", "codes").foreach { s =>

@@ -1,9 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. A failed query
+  * leaves a `<name>.error.json` sentinel (name + error class) so the
+  * ledger shows an explicit per-query error instead of absence
+  * (DriverSurfaceSpec gates this against a deliberately-broken registry). */
 object Verify {
+
+  /** Dump every query in `registry` to `outDir/<name>`; returns the failed
+    * names. Failures write the sentinel and never abort the loop. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      registry: Map[String, (SparkSession, String) => DataFrame]): List[String] = {
+    var failed = List.empty[String]
+    registry.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        // leave a machine-readable sentinel so the driver ledger shows an
+        // explicit per-query `err` (name + error class) instead of absence
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        try Files.writeString(Paths.get(s"$outDir/$name.error.json"),
+          s"""{"query":"${name}","error_class":"${e.getClass.getName}"}""")
+        catch { case _: Throwable => () }
+      }
+      finally graft.llm.DedupOps.releaseCaches()
+    }
+    failed
+  }
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query names (local iteration on a
     // subset; the driver's two-arg invocation dumps everything)
@@ -23,21 +48,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // leave a machine-readable sentinel so the driver ledger shows an
-        // explicit per-query `err` (name + error class) instead of absence
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        try Files.writeString(Paths.get(s"$outDir/$name.error.json"),
-          s"""{"query":"${name}","error_class":"${e.getClass.getName}"}""")
-        catch { case _: Throwable => () }
-      }
-      finally graft.llm.DedupOps.releaseCaches()
-    }
+    dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

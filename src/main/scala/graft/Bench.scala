@@ -53,8 +53,27 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(shortIds)},"errors":$errJson,"sf":"$sfDir"}"""
   }
 
+  /** Emitted when the run dies before per-query timing can even start
+    * (session creation, a fatal env break): still one parseable JSON line
+    * keyed like the healthy artifact, so a crashed round stays
+    * ledger-comparable (error class + sf recorded) instead of leaving
+    * only a raw stack tail. */
+  def fatalLine(sfDir: String, e: Throwable): String =
+    s"""{"metric":"total","value":-1.000,"unit":"sec","queries":{},"errors":["__fatal__"],"fatal":"${e.getClass.getName}","sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try mainImpl(sfDir)
+    catch {
+      case e: Throwable =>
+        // the fatal marker is printed BEFORE rethrow: the driver keeps its
+        // nonzero rc (honest), but stdout still carries a parseable record
+        println(fatalLine(sfDir, e))
+        throw e
+    }
+  }
+
+  private def mainImpl(sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

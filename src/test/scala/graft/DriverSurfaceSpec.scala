@@ -33,6 +33,16 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(line.contains(""""metric":"total""""), line)
   }
 
+  test("fatal bench crash still emits one parseable ledger line") {
+    val line = Bench.fatalLine("/root/testdata/sf0.1",
+      new IllegalStateException("env broke"))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains(""""value":-1.000"""), line)
+    assert(line.contains(""""errors":["__fatal__"]"""), line)
+    assert(line.contains(""""fatal":"java.lang.IllegalStateException""""), line)
+    assert(line.contains(""""sf":"/root/testdata/sf0.1""""), line)
+  }
+
   test("verify degrades per-query: broken query → error sentinel, healthy dumps survive") {
     val out = java.nio.file.Files.createTempDirectory("graft_dsurf").toString
     val failed = Verify.dump(spark, sf0001, out, registry)

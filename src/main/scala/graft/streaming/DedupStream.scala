@@ -39,14 +39,26 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
+  * The five index sides start flat under `indexDir` and migrate into
+  * GENERATION TREES on first [[compact]]: the fold is staged and
+  * published atomically as `indexDir/tree-<g>/<side>/…`
+  * ([[IndexSides.compact]]), readers resolve the highest generation via
+  * [[liveRoot]], and the superseded tree (or the flat layout) is
+  * retained one publication so in-flight scans finish on intact files —
+  * the same retention discipline as [[VectorStream]]'s rebuild seam.
+  * `groups/` and the three `outDir` sides stay at their flat paths
+  * (groups is a BucketStore with its own manifest-flip retention; the
+  * out sides are append-only, never rewritten).
+  *
   * At deployment scale `bands/` is bucketed by (band, key) so the
   * per-batch candidate join shuffles only the increment, and `shingles/`
   * by doc_id for the verify join; both then serve as ordinary tables.
   * Small-file accumulation (one dir per microbatch) is the standard
-  * streaming-table concern with the standard answer: back the two sides
-  * with a real table format (Delta/Iceberg) whose OPTIMIZE/rewrite
-  * compaction runs out-of-band — the same swap seam as BucketStore's
-  * MERGE INTO note, leaving the admission logic untouched. */
+  * streaming-table concern: [[compact]] is the OPTIMIZE analog, and a
+  * deployment can equally back the sides with a real table format
+  * (Delta/Iceberg) whose rewrite compaction runs out-of-band — the same
+  * swap seam as BucketStore's MERGE INTO note, leaving the admission
+  * logic untouched. */
 object DedupStream {
 
   private val ShingleSchema = StructType(Seq(
@@ -72,18 +84,31 @@ object DedupStream {
   private def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     IndexSides.readSide(spark, dir, schema)
 
+  /** The live index tree: the highest-generation `tree-<g>` dir a
+    * [[compact]] published (always complete — publication is atomic),
+    * falling back to `indexDir` itself for the flat pre-compaction
+    * layout [[admitBatch]] starts in. Public so tests and operational
+    * tooling can address the live sides directly; the `groups/`
+    * BucketStore stays at `indexDir` (it has its own manifest-flip
+    * retention). */
+  def liveRoot(spark: SparkSession, indexDir: String): String =
+    IndexSides.liveRoot(spark, indexDir)
+
   def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/shingles", ShingleSchema).drop("batch")
+    readSide(spark, s"${liveRoot(spark, indexDir)}/shingles", ShingleSchema)
+      .drop("batch")
 
   def corpusBands(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/bands", BandSchema).drop("batch")
+    readSide(spark, s"${liveRoot(spark, indexDir)}/bands", BandSchema)
+      .drop("batch")
 
   /** The maintained positional seed index (d9's [[
     * graft.llm.DedupOps.positionalSeeds]] schema) over every ADMITTED doc
     * — appended per batch like the other two sides; kh-bucketed at
     * deployment so span screening shuffles only the increment. */
   def corpusSeeds(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/seeds", SeedSchema).drop("batch")
+    readSide(spark, s"${liveRoot(spark, indexDir)}/seeds", SeedSchema)
+      .drop("batch")
 
   /** The maintained (kh, df) seed-stats side ([[
     * graft.llm.DedupOps.seedStats]] schema): PARTIAL per-batch counts —
@@ -92,7 +117,8 @@ object DedupStream {
     * increment's kh set against this table instead of re-aggregating the
     * corpus seeds, which is what keeps [[screenSpans]] O(increment). */
   def corpusSeedStats(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/seedstats", StatsSchema).drop("batch")
+    readSide(spark, s"${liveRoot(spark, indexDir)}/seedstats", StatsSchema)
+      .drop("batch")
 
   /** The maintained (word, n) word-count side over every ADMITTED doc —
     * per-batch sum-mergeable partials like [[corpusSeedStats]], folded by
@@ -101,7 +127,8 @@ object DedupStream {
     * instead of re-TOKENIZING the corpus (the expensive pass — the count
     * table is Heaps'-law sized, orders of magnitude under the corpus). */
   def corpusWordCounts(spark: SparkSession, indexDir: String): DataFrame =
-    readSide(spark, s"$indexDir/wordcounts", WordSchema).drop("batch")
+    readSide(spark, s"${liveRoot(spark, indexDir)}/wordcounts", WordSchema)
+      .drop("batch")
 
   /** T13 over the maintained side: the admitted corpus's top-N
     * vocabulary as a served (word, rank) table — one sum over the
@@ -151,6 +178,11 @@ object DedupStream {
       outDir: String, threshold: Double, lineage: String = "batch"): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
+    // resolve the live tree ONCE per batch: appends land beside the reads
+    // (compaction runs between microbatches, so the root is stable for
+    // the batch's duration; a replay after an intervening compaction
+    // resolves the new tree, whose carried dir it overwrites idempotently)
+    val root = liveRoot(spark, indexDir)
     val batchSh = DedupOps.shingleArrays(batch)
     val pairs = DedupOps.incrementalNearDups(
       batchSh, corpusShingles(spark, indexDir), corpusBands(spark, indexDir),
@@ -173,7 +205,7 @@ object DedupStream {
     // (small) batch id set — the corpus side contributes a one-column scan,
     // never a shuffle, and at deployment the doc_id-bucketed shingle table
     // prunes to the buckets the batch ids hash into.
-    val priorIds = readSide(spark, s"$indexDir/shingles", ShingleSchema)
+    val priorIds = readSide(spark, s"$root/shingles", ShingleSchema)
       .filter(col("batch") =!= key.stripPrefix("batch="))
       .select("doc_id")
       .join(broadcast(batchSh.select("doc_id")), Seq("doc_id"), "left_semi")
@@ -188,26 +220,26 @@ object DedupStream {
     try {
       pairs.write.mode("overwrite").parquet(s"$outDir/dups/$key")
       keptOut.write.mode("overwrite").parquet(s"$outDir/kept/$key")
-      keptSh.write.mode("overwrite").parquet(s"$indexDir/shingles/$key")
+      keptSh.write.mode("overwrite").parquet(s"$root/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
-        .write.mode("overwrite").parquet(s"$indexDir/bands/$key")
+        .write.mode("overwrite").parquet(s"$root/bands/$key")
       // third maintained side: the admitted docs' positional seeds (d9b's
       // span-screening index) — same idempotent batch=-keyed overwrite
       val keptSeeds = DedupOps.positionalSeeds(keptOut, SeedK).persist()
-      keptSeeds.write.mode("overwrite").parquet(s"$indexDir/seeds/$key")
+      keptSeeds.write.mode("overwrite").parquet(s"$root/seeds/$key")
       // fourth side: the batch's (kh, df) seed-stats partial, upserted
       // beside the seeds (same idempotent key — a replay overwrites its
       // own partial, never double-counts) so screening's df prune joins
       // maintained counts instead of re-aggregating the seed table
       DedupOps.seedStats(keptSeeds)
-        .write.mode("overwrite").parquet(s"$indexDir/seedstats/$key")
+        .write.mode("overwrite").parquet(s"$root/seedstats/$key")
       keptSeeds.unpersist(blocking = false)
       // fifth side: the batch's (word, n) counts — t13's corpus state,
       // maintained so vocabulary/OOV serving never re-tokenizes the
       // corpus; same sum-mergeable-partial discipline as the seed stats
       keptOut.select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/wordcounts/$key")
+        .write.mode("overwrite").parquet(s"$root/wordcounts/$key")
       // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
       // maintained (doc_id, group_id) assignment. The delta is O(batch +
       // touched components); BucketStore's manifest flip rewrites only the
@@ -324,13 +356,15 @@ object DedupStream {
   }
 
   /** Fold the per-batch dirs of every index side into one consolidated
-    * `batch=compacted` dir each — [[IndexSides.compact]]'s write-then-
-    * flip protocol (replay-safe carried dirs, `.old` crash fallback).
-    * seedstats/wordcounts rows are sum-mergeable partials: their fold
-    * re-aggregates to one row per key (the carried latest-per-lineage
-    * dirs stay partial — per-key SUM semantics are unchanged either
-    * way). Single-writer discipline like BucketStore: run between
-    * microbatches (the admission loop is the only other writer). */
+    * `batch=compacted` dir each, published as a NEW generation tree by
+    * [[IndexSides.compact]] (replay-safe carried dirs; the superseded
+    * tree — or the flat pre-compaction layout — is retained one
+    * publication for in-flight readers). seedstats/wordcounts rows are
+    * sum-mergeable partials: their fold re-aggregates to one row per key
+    * (the carried latest-per-lineage dirs stay partial — per-key SUM
+    * semantics are unchanged either way). Single-writer discipline like
+    * BucketStore: run between microbatches (the admission loop is the
+    * only other writer). */
   def compact(spark: SparkSession, indexDir: String): Unit =
     IndexSides.compact(spark, indexDir, Seq(
       ("shingles", ShingleSchema, identity[DataFrame] _),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,19 +8,52 @@ import org.apache.spark.sql.types._
 /** Shared machinery for batch=-keyed maintained index sides — the
   * dir-per-microbatch append layout both admission loops
   * ([[DedupStream]] text, [[VectorStream]] embeddings) use:
-  * idempotent per-(lineage, batch) overwrite for replay safety, `.old`
-  * crash-fallback reads, and write-then-flip compaction that folds
-  * everything but each lineage's latest (still-replayable) dir. */
+  * idempotent per-(lineage, batch) overwrite for replay safety, and
+  * GENERATION-TREE publication for every state change that rewrites
+  * existing files (rebuilds AND compactions): the new state is fully
+  * staged under `.staging-<g>`, made live by ONE atomic rename to
+  * `tree-<g>`, and the previous generation is retained one publication
+  * so a reader that resolved the old tree just before the rename
+  * finishes its scan on intact files. The per-side two-rename swap this
+  * replaces moved the live files aside mid-protocol, so a reader whose
+  * parquet file listing predated the swap lost its folded files —
+  * retention of a renamed dir cannot fix that (the listed paths
+  * themselves die with the rename); only publish-and-retire-in-place
+  * can, which is what generations are. */
 private[streaming] object IndexSides {
+
+  def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Published generation numbers under `root`, ascending. */
+  def treeGens(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("tree-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("tree-").toLong).toOption)
+      .sorted
+  }
+
+  /** The live serving tree: the highest-generation `tree-<g>` dir (always
+    * complete — publication is atomic), falling back to `root` itself for
+    * pre-generation flat layouts (readable; the first compaction or
+    * rebuild migrates them). */
+  def liveRoot(spark: SparkSession, root: String): String = {
+    val gens = treeGens(fsOf(spark, root), root)
+    gens.lastOption.map(g => s"$root/tree-$g").getOrElse(root)
+  }
 
   /** Read one side; an absent dir (first batch ever) is an empty corpus,
     * not an error. Goes through the Hadoop FileSystem resolved from the
     * session (a java.nio probe would answer false on HDFS/S3 and
     * silently disable the corpus). The `batch=` partition dir is
     * surfaced as a column so callers can exclude a replayed batch's own
-    * previous append; public readers drop it. A crash inside compact()'s
-    * rename pair leaves the complete previous tree under `.old` — never
-    * read an empty corpus. */
+    * previous append; public readers drop it. The `.old` fallback reads
+    * state a pre-generation binary's in-place compaction left mid-swap
+    * — generations never produce one, but inherited layouts can carry
+    * it. */
   def readSide(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -38,73 +71,147 @@ private[streaming] object IndexSides {
     }
   }
 
+  /** Stage and atomically publish one new generation tree under `root`.
+    *
+    * `stage(stagingDir)` must write the COMPLETE tree (every side) under
+    * the staging dir while the live tree stays untouched and readable
+    * (canonical rebuilds feed the live index's own corpus back in, so
+    * the old files must survive until the staged tree is complete).
+    * Publication is ONE `fs.rename` — whose boolean result is REQUIRED,
+    * Hadoop renames fail by returning false. A death during staging
+    * leaves the live tree untouched (readers resolve the previous
+    * generation; a rerun restages from scratch); there is no mid-swap
+    * window because there is no multi-step swap.
+    *
+    * GC runs with a ONE-GENERATION RETENTION WINDOW (latest + previous
+    * kept): a reader that resolved the old tree just before the rename
+    * finishes its scan on intact files. The window covers one
+    * intervening publication per read under the single-writer
+    * discipline; a reader slower than a full publish cycle can still
+    * lose its generation — best-effort beyond that bound, and a crash
+    * mid-GC only leaves reclaimable orphans that resolution ignores.
+    * `legacyNames` are the pre-generation FLAT side dirs at `root`
+    * (plus their `.old`/`.compacting`/`.rebuilding` variants): they get
+    * the same one-publication retention — kept alive while `tree-1` is
+    * the only generation (a flat-layout reader may still be scanning
+    * them), reclaimed from the second publication on. */
+  def publishTree(spark: SparkSession, root: String, legacyNames: Seq[String])
+      (stage: String => Unit): Long = {
+    val fs = fsOf(spark, root)
+    val gen = treeGens(fs, root).lastOption.getOrElse(0L) + 1
+    val staging = s"$root/.staging-$gen"
+    fs.delete(new Path(staging), true)
+    stage(staging)
+    val dest = new Path(s"$root/tree-$gen")
+    require(fs.rename(new Path(staging), dest),
+      s"publish rename $staging -> $dest failed; live tree untouched")
+    treeGens(fs, root).filter(_ < gen - 1)
+      .foreach(g => fs.delete(new Path(s"$root/tree-$g"), true))
+    val reclaimFlat = gen >= 2
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith(".staging-") && n != s".staging-$gen") ||
+          (reclaimFlat && legacyNames.exists(s =>
+            n == s || n == s"$s.old" || n == s"$s.compacting" || n == s"$s.rebuilding"))
+      }
+      .foreach(fs.delete(_, true))
+    gen
+  }
+
   /** Fold the per-batch `batch=<lineage>-<id>` dirs of each side into one
     * consolidated `batch=compacted` dir (the Delta/Iceberg OPTIMIZE
     * analog at the same seam), applying the side's `fold` to the
     * consolidated frame (identity for row sides; a re-aggregation for
-    * sum-mergeable stats partials).
+    * sum-mergeable stats partials), and publishing the result as a NEW
+    * GENERATION via [[publishTree]] — the live tree's files are never
+    * touched, so in-flight readers keep scanning intact paths and the
+    * retention window covers readers that resolved the superseded tree.
     *
     * Replay safety is ENFORCED, not advisory: each lineage has at most
     * ONE uncommitted (hence replayable) batch — the latest — and a
     * replay recognizes its own previous append only through that dir's
     * key. So each lineage's highest-numbered dir is carried over AS A
     * DIR (tiny: one microbatch) while everything else, previous
-    * `compacted` included, folds into the consolidated dir.
+    * `compacted` included, folds into the consolidated dir. Compacted
+    * rows carry batch="compacted", which can never equal a live
+    * `<lineage>-<id>` key.
     *
-    * Crash-safety is write-then-flip per side: the new tree is fully
-    * built under `<side>.compacting`, then two atomic renames swap it in
-    * (`<side>` → `<side>.old` → deleted). A crash between the renames
-    * leaves only `<side>.old`, which [[readSide]] falls back to and the
-    * next compact self-heals. Compacted rows carry batch="compacted",
-    * which can never equal a live `<lineage>-<id>` key. Single-writer
-    * discipline: run between microbatches. */
-  def compact(spark: SparkSession, indexDir: String,
-      sides: Seq[(String, StructType, DataFrame => DataFrame)]): Unit =
-    sides.foreach { case (side, schema, fold) =>
-      val dir = s"$indexDir/$side"
-      val path = new Path(dir)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = path.getFileSystem(conf)
-      val old = new Path(s"$dir.old")
-      if (!fs.exists(path) && fs.exists(old))
-        // heal a crash between the two flips below. Hadoop rename FAILS
-        // BY RETURNING FALSE, not by throwing — every rename in this
-        // protocol checks the boolean, because a swallowed failure
-        // followed by the delete below would destroy the last good copy.
-        require(fs.rename(old, path), s"compact: heal rename $old -> $path failed")
-      if (fs.exists(path)) {
-        val batchDirs = fs.listStatus(path).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map(_.getPath.getName.stripPrefix("batch="))
-        // latest batch id per lineage stays a replay-addressable dir
-        val carried = batchDirs.filter(_ != "compacted")
-          .flatMap { key =>
-            val i = key.lastIndexOf('-')
-            if (i < 0) None
-            else scala.util.Try(key.substring(i + 1).toLong).toOption
-              .map(id => (key.substring(0, i), id, key))
-          }
-          .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
-        val foldable = batchDirs.filterNot(carried.contains)
-        if (foldable.nonEmpty) {
-          val tmp = new Path(s"$dir.compacting")
-          fs.delete(tmp, true)
-          fold(readSide(spark, dir, schema)
-              .filter(col("batch").isin(foldable: _*)).drop("batch"))
-            .write.parquet(s"$dir.compacting/batch=compacted")
+    * `extras` are tree members carried verbatim into the new generation
+    * (the vector tier's frozen centroids/codebooks); any OTHER member of
+    * a live generation tree is also carried verbatim, so a compaction
+    * can never silently drop a side it wasn't told about. A flat legacy
+    * layout contributes only the named sides + extras (its root holds
+    * unrelated state — group stores, output dirs).
+    *
+    * Single-writer discipline: run between microbatches. A no-op when no
+    * side has anything to fold. */
+  def compact(spark: SparkSession, root: String,
+      sides: Seq[(String, StructType, DataFrame => DataFrame)],
+      extras: Seq[String] = Nil): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, root)
+    val live = liveRoot(spark, root)
+    val sideNames = sides.map(_._1)
+    // heal a pre-generation binary's crash mid-in-place-swap: the side
+    // was moved to `.old` and the process died before the replacement
+    // landed. Hadoop rename FAILS BY RETURNING FALSE, not by throwing.
+    (sideNames ++ extras).foreach { s =>
+      val p = new Path(s"$live/$s"); val old = new Path(s"$live/$s.old")
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p), s"compact: heal rename $old -> $p failed")
+    }
+    def batchDirs(side: String): Seq[String] = {
+      val p = new Path(s"$live/$side")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch="))
+    }
+    // latest batch id per lineage stays a replay-addressable dir
+    def carriedOf(dirs: Seq[String]): Set[String] =
+      dirs.filter(_ != "compacted")
+        .flatMap { key =>
+          val i = key.lastIndexOf('-')
+          if (i < 0) None
+          else scala.util.Try(key.substring(i + 1).toLong).toOption
+            .map(id => (key.substring(0, i), id, key))
+        }
+        .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
+    val plan = sides.map { case (side, schema, fold) =>
+      val dirs = batchDirs(side)
+      val carried = carriedOf(dirs)
+      (side, schema, fold, dirs, carried, dirs.filterNot(carried.contains))
+    }
+    if (plan.forall(_._6.isEmpty)) return // nothing to fold anywhere
+    val verbatim: Seq[String] =
+      if (live == root) extras.filter(s => fs.exists(new Path(s"$live/$s")))
+      else fs.listStatus(new Path(live)).toSeq
+        .map(_.getPath.getName)
+        .filterNot(sideNames.contains)
+        .filterNot(n => n.endsWith(".old") || n.endsWith(".compacting")
+          || n.endsWith(".rebuilding"))
+    publishTree(spark, root, legacyNames = sideNames ++ extras) { staging =>
+      plan.foreach { case (side, schema, fold, dirs, carried, foldable) =>
+        if (dirs.nonEmpty) {
+          if (foldable.nonEmpty)
+            fold(readSide(spark, s"$live/$side", schema)
+                .filter(col("batch").isin(foldable: _*)).drop("batch"))
+              .write.parquet(s"$staging/$side/batch=compacted")
           carried.foreach { key =>
             org.apache.hadoop.fs.FileUtil.copy(
-              fs, new Path(s"$dir/batch=$key"),
-              fs, new Path(s"$dir.compacting/batch=$key"), false, conf)
+              fs, new Path(s"$live/$side/batch=$key"),
+              fs, new Path(s"$staging/$side/batch=$key"), false, conf)
           }
-          fs.delete(old, true)
-          require(fs.rename(path, old), s"compact: rename $path -> $old failed")
-          require(fs.rename(tmp, path), s"compact: rename $tmp -> $path failed")
-          // only drop the fallback once the new tree is verifiably live
-          if (fs.exists(path)) fs.delete(old, true)
         }
       }
+      verbatim.foreach { name =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"$live/$name"),
+          fs, new Path(s"$staging/$name"), false, conf)
+      }
     }
+  }
 
   /** Lineage tag for idempotent per-batch dirs: batchIds restart from 0
     * whenever a stream begins a NEW checkpoint, so a bare `batch=<id>`

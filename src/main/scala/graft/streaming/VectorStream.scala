@@ -73,28 +73,19 @@ object VectorStream {
     StructField("cell", IntegerType),
     StructField("c", ArrayType(DoubleType))))
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def treeGens(fs: FileSystem, indexDir: String): Seq[Long] = {
-    val p = new Path(indexDir)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("tree-"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("tree-").toLong).toOption)
-      .sorted
-  }
+  /** The five tree members; also the flat legacy side names a
+    * pre-generation layout keeps at `indexDir` until the second
+    * publication reclaims them ([[IndexSides.publishTree]] retention). */
+  private val SideNames =
+    Seq("cells", "cellstats", "centroids", "codebooks", "codes")
 
   /** The live serving tree: the highest-generation `tree-<g>` dir (always
     * complete — publication is atomic), falling back to `indexDir` itself
-    * for pre-generation flat layouts (readable; the next build migrates
-    * them). Public so tests and operational tooling can address the live
-    * sides directly. */
-  def liveRoot(spark: SparkSession, indexDir: String): String = {
-    val gens = treeGens(fsOf(spark, indexDir), indexDir)
-    gens.lastOption.map(g => s"$indexDir/tree-$g").getOrElse(indexDir)
-  }
+    * for pre-generation flat layouts (readable; the next build or
+    * compaction migrates them). Public so tests and operational tooling
+    * can address the live sides directly. */
+  def liveRoot(spark: SparkSession, indexDir: String): String =
+    IndexSides.liveRoot(spark, indexDir)
 
   /** Build (or REBUILD) the served index from a corpus: Lloyd passes via
     * [[SimilarityOps.ivfBuild]] for the coarse cells and
@@ -111,62 +102,40 @@ object VectorStream {
     * `tree-<g>`. A death during staging leaves the live tree untouched
     * (readers resolve the previous generation; a rerun restages from
     * scratch); there is no mid-swap window because there is no
-    * multi-step swap. Superseded trees and staging leftovers are GC'd
-    * after publication with a one-generation retention window (latest +
-    * previous kept) so a reader that resolved the old tree just before
-    * the rename finishes its scan on intact files — best-effort, a crash
-    * mid-GC only leaves reclaimable orphans that resolution ignores. */
+    * multi-step swap. Superseded trees, staging leftovers and (after one
+    * further publication) pre-generation flat sides are GC'd by
+    * [[IndexSides.publishTree]] under its one-generation retention
+    * window (latest + previous kept), so a reader that resolved the old
+    * tree — or the flat legacy layout — just before the rename finishes
+    * its scan on intact files. Best-effort beyond one intervening
+    * publication per read: a reader slower than a full rebuild cycle can
+    * still lose its generation; a crash mid-GC only leaves reclaimable
+    * orphans that resolution ignores. */
   def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
       nCells: Int = 16, iterations: Int = 2,
       pqM: Int = 4, pqK: Int = 16): Unit = {
     val idx = SimilarityOps.ivfBuild(corpus, nCells, iterations)
     val pq = SimilarityOps.pqBuild(corpus, pqM, pqK, iterations)
     import spark.implicits._
-    val fs = fsOf(spark, indexDir)
-    val gen = treeGens(fs, indexDir).lastOption.getOrElse(0L) + 1
-    val staging = s"$indexDir/.staging-$gen"
-    fs.delete(new Path(staging), true)
     val assigned = idx.cells
       .select(col("vec_id"), col("cell"), col("embedding")).persist()
-    assigned.write.parquet(s"$staging/cells/batch=build-0")
-    assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-      .write.parquet(s"$staging/cellstats/batch=build-0")
-    SimilarityOps.pqEncode(assigned, pq.codebooks, carry = Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        array((pq.codebooks.indices).map(s => col(s"code_$s")): _*).as("codes"))
-      .write.parquet(s"$staging/codes/batch=build-0")
-    idx.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .coalesce(1).write.parquet(s"$staging/centroids")
-    pq.codebooks.zipWithIndex
-      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
-      .toDF("s", "cell", "c")
-      .coalesce(1).write.parquet(s"$staging/codebooks")
-    assigned.unpersist(blocking = false)
-    val dest = new Path(s"$indexDir/tree-$gen")
-    require(fs.rename(new Path(staging), dest),
-      s"publish rename $staging -> $dest failed; live tree untouched")
-    // GC with RETENTION: keep the latest + the immediately-previous
-    // generation, delete older. A reader that resolved liveRoot just
-    // before this publication is still walking tree-<gen-1>; deleting it
-    // here would yank parquet files out from under that in-flight scan.
-    // One retained generation closes the race for any reader that started
-    // before the rename (there is a single writer, so at most one
-    // publication can intervene per read); trees older than that are
-    // unreachable by resolution and reclaimed. Also GC'd: stale staging
-    // leftovers and the pre-generation flat sides a migrated index
-    // leaves behind.
-    treeGens(fs, indexDir).filter(_ < gen - 1)
-      .foreach(g => fs.delete(new Path(s"$indexDir/tree-$g"), true))
-    fs.listStatus(new Path(indexDir)).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith(".staging-") ||
-          Seq("cells", "cellstats", "centroids", "codebooks", "codes")
-            .exists(s => n == s || n == s"$s.old" || n == s"$s.rebuilding")
-      }
-      .foreach(fs.delete(_, true))
+    try IndexSides.publishTree(spark, indexDir, legacyNames = SideNames) { staging =>
+      assigned.write.parquet(s"$staging/cells/batch=build-0")
+      assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .write.parquet(s"$staging/cellstats/batch=build-0")
+      SimilarityOps.pqEncode(assigned, pq.codebooks, carry = Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          array((pq.codebooks.indices).map(s => col(s"code_$s")): _*).as("codes"))
+        .write.parquet(s"$staging/codes/batch=build-0")
+      idx.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .coalesce(1).write.parquet(s"$staging/centroids")
+      pq.codebooks.zipWithIndex
+        .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+        .toDF("s", "cell", "c")
+        .coalesce(1).write.parquet(s"$staging/codebooks")
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** The frozen centroid matrix — K×dim doubles, a bytes-sized plan
@@ -364,17 +333,20 @@ object VectorStream {
     }
   }
 
-  /** Fold the per-batch dirs ([[IndexSides.compact]]'s write-then-flip;
-    * cells and codes rows are not partials, cell-size stats re-aggregate
-    * to one row per cell). Compaction is content-preserving, so its
-    * per-side flip needs no cross-side atomicity — any mix of compacted
-    * and uncompacted sides serves identical data. */
+  /** Fold the per-batch dirs into one consolidated dir per side (cells
+    * and codes rows are not partials, cell-size stats re-aggregate to
+    * one row per cell), published as a NEW generation tree by
+    * [[IndexSides.compact]] — the frozen centroids/codebooks are carried
+    * verbatim, the superseded tree is retained one publication for
+    * in-flight readers, and the live tree's files are never touched
+    * mid-protocol (same discipline as [[build]]'s rebuild seam). */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, liveRoot(spark, indexDir), Seq(
+    IndexSides.compact(spark, indexDir, Seq(
       ("cells", CellSchema, identity[DataFrame] _),
       ("cellstats", CellStatsSchema,
         (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n"))),
-      ("codes", CodesSchema, identity[DataFrame] _)))
+      ("codes", CodesSchema, identity[DataFrame] _)),
+      extras = Seq("centroids", "codebooks"))
 
   /** Per-batch admission accounting across the stream's whole history. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {

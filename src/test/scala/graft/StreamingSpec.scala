@@ -729,9 +729,14 @@ class StreamingSpec extends SparkSpec {
 
       // compact between triggers, stream still live
       graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+      // sides live inside the published generation tree after a compact —
+      // resolve the live root each time (the flat pre-compaction layout
+      // and every superseded tree are retained one publication, so a
+      // stale path would still read, but the CURRENT state is the tree's)
       def batchDirs(side: String): Set[String] = {
         import scala.jdk.CollectionConverters._
-        val st = Files.list(java.nio.file.Paths.get(s"$tmp/index/$side"))
+        val root = graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+        val st = Files.list(java.nio.file.Paths.get(s"$root/$side"))
         try st.iterator().asScala.map(_.getFileName.toString)
           .filter(_.startsWith("batch=")).toSet
         finally st.close()
@@ -769,6 +774,52 @@ class StreamingSpec extends SparkSpec {
       assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet === shBefore + 77L)
     } finally q.stop()
+  }
+
+  test("a reader that resolved the pre-compaction tree scans intact files through the swap (reader-on-previous retention)") {
+    val tmp = Files.createTempDirectory("graft_dedup_retain").toString
+    def doc(i: Long) = (i, s"document $i carries words w${i}a w${i}b w${i}c " +
+      s"w${i}d w${i}e plus shared filler tokens")
+    def admit(i: Long, batchId: Long, lineage: String): Unit =
+      graft.streaming.DedupStream.admitBatch(
+        Seq(doc(i)).toDF("doc_id", "text"),
+        batchId, s"$tmp/index", s"$tmp/out", 0.5, lineage)
+    admit(1L, 0L, "l1"); admit(2L, 1L, "l1"); admit(3L, 0L, "l2")
+    val all = Set(1L, 2L, 3L)
+    // a reader resolves the FLAT pre-compaction layout; its parquet file
+    // listing is captured at DataFrame creation, so the compaction swap
+    // must leave those exact files intact for the scan to complete
+    val flatReader = graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+      === s"$tmp/index", "pre-compaction layout is flat")
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    val root1 = graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+    assert(root1.endsWith("/tree-1"), s"first compaction publishes tree-1: $root1")
+    // the in-flight flat reader completes AFTER the swap — the flat sides
+    // are retained one publication, not reclaimed at migration
+    assert(flatReader.select("doc_id").as[Long].collect().toSet === all,
+      "reader on the flat layout lost files to the migration")
+    // a reader pinned to tree-1, then another admission + a second
+    // compaction publishing tree-2
+    val tree1Reader = graft.streaming.DedupStream.corpusShingles(spark, root1)
+    admit(4L, 1L, "l2")
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+      .endsWith("/tree-2"))
+    // the second publication reclaims the flat legacy sides…
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/index/shingles")),
+      "flat sides reclaimed after one further publication")
+    // …but retains tree-1, so the in-flight tree-1 reader completes (its
+    // listing predates doc 4's append — exactly the original tree)
+    assert(tree1Reader.select("doc_id").as[Long].collect().toSet === all,
+      "reader on the superseded tree lost files to the swap")
+    // a third compaction evicts tree-1: the window is one generation deep
+    admit(5L, 2L, "l2")
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/index/tree-1")))
+    assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
+      .select("doc_id").as[Long].collect().toSet === all + 4L + 5L,
+      "the live corpus is complete across migrations")
   }
 
   test("a new benchmark screens the admitted corpus from the index alone (d8 streaming)") {

@@ -95,10 +95,16 @@ class VectorStreamSpec extends SparkSpec {
     VectorStream.admitBatch(
       Seq((11L, e(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"),
       1L, s"$tmp/index", s"$tmp/out", 0.9, "l1")
+    // a reader that resolved the pre-compaction tree (file listing is
+    // captured at DataFrame creation) must complete after the swap — the
+    // superseded generation is retained one publication
+    val preCompact = VectorStream.corpusCells(spark, s"$tmp/index")
     VectorStream.compact(spark, s"$tmp/index")
     val after = VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id", "cell").as[(Long, Int)].collect().toSet
     assert(after === before + ((11L, after.find(_._1 == 11L).get._2)))
+    assert(preCompact.select("vec_id").as[Long].collect().toSet
+      === after.map(_._1), "pre-compaction reader lost files to the swap")
     // a rebuild resets the serving state from the admitted corpus
     VectorStream.build(spark, s"$tmp/index",
       VectorStream.corpusCells(spark, s"$tmp/index").select("vec_id", "embedding"),
@@ -304,7 +310,7 @@ class VectorStreamSpec extends SparkSpec {
     assert(hits.toSeq.map(_.toSeq) === viaIndex.toSeq.map(_.toSeq))
   }
 
-  test("a crash between compaction's renames never reads an empty corpus (.old fallback + self-heal)") {
+  test("an inherited mid-swap .old layout never reads an empty corpus (fallback + self-heal)") {
     val tmp = Files.createTempDirectory("graft_vecstream3").toString
     VectorStream.build(spark, s"$tmp/index",
       Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))
@@ -319,9 +325,10 @@ class VectorStreamSpec extends SparkSpec {
     val before = VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet
     assert(before === Set(1L, 2L, 10L, 11L))
-    // simulate the crash window between compact()'s two renames: the live
-    // side (inside the serving tree) was moved aside to `.old` and the
-    // process died before the new side swapped in
+    // simulate an INHERITED mid-swap layout: a pre-generation binary's
+    // in-place compaction moved the side to `.old` and died before the
+    // replacement landed (generation compaction itself never produces
+    // this state — it only ever adds a complete tree)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = VectorStream.liveRoot(spark, s"$tmp/index")
     val cells = new org.apache.hadoop.fs.Path(s"$root/cells")
@@ -331,10 +338,19 @@ class VectorStreamSpec extends SparkSpec {
     // readers fall back to `.old` — no window ever sees an empty corpus
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === before)
-    // the next compact self-heals (rename back) and completes the fold
+    // the next compact self-heals (rename back) before staging, then
+    // publishes the fold as a new generation
     VectorStream.compact(spark, s"$tmp/index")
     assert(VectorStream.corpusCells(spark, s"$tmp/index")
       .select("vec_id").as[Long].collect().toSet === before)
-    assert(fs.exists(cells) && !fs.exists(old), "healed tree is live, .old gone")
+    // the superseded tree is retained INTACT (healed, no `.old`) for
+    // readers that resolved it pre-publication…
+    assert(fs.exists(cells) && !fs.exists(old), "healed tree retained, .old gone")
+    // …and the new live tree carries every side
+    val root2 = VectorStream.liveRoot(spark, s"$tmp/index")
+    assert(root2 !== root, "compaction published a new generation")
+    Seq("centroids", "codebooks", "cells", "cellstats", "codes").foreach { s =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root2/$s")), s"$s in $root2")
+    }
   }
 }

@@ -96,6 +96,73 @@ class ContractSpec extends SparkSpec {
       .contains(li("l_shipdate")), li)
   }
 
+  test("testdata contract: per-column dtype map for every Tables.All member") {
+    import org.apache.spark.sql.types._
+    // Clock-carrying columns stay adaptive (the encoding DID change once,
+    // r10's regeneration; Tables.tsMillisOf absorbs it) — everything else
+    // is pinned exactly, so the next silent regeneration of ANY table the
+    // engine can load fails here with the table and column named.
+    val anyClock: Set[DataType] =
+      Set(LongType, TimestampType, TimestampNTZType, DateType)
+    def exact(dt: DataType): Set[DataType] = Set(dt)
+    val floatArray: Set[DataType] = Set(
+      ArrayType(FloatType, containsNull = true),
+      ArrayType(FloatType, containsNull = false))
+    val expected: Map[String, Map[String, Set[DataType]]] = Map(
+      "region" -> Map(
+        "r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
+      "nation" -> Map(
+        "n_nationkey" -> exact(IntegerType), "n_name" -> exact(StringType),
+        "n_regionkey" -> exact(IntegerType)),
+      "customer" -> Map(
+        "c_custkey" -> exact(LongType), "c_name" -> exact(StringType),
+        "c_nationkey" -> exact(IntegerType), "c_acctbal" -> exact(DoubleType),
+        "c_mktsegment" -> exact(StringType)),
+      "supplier" -> Map(
+        "s_suppkey" -> exact(LongType), "s_name" -> exact(StringType),
+        "s_nationkey" -> exact(IntegerType), "s_acctbal" -> exact(DoubleType)),
+      "part" -> Map(
+        "p_partkey" -> exact(LongType), "p_name" -> exact(StringType),
+        "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+        "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
+      "orders" -> Map(
+        "o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
+        "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+        "o_orderdate" -> anyClock, "o_orderpriority" -> exact(StringType)),
+      "lineitem" -> Map(
+        "l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
+        "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
+        "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+        "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+        "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+        "l_shipdate" -> anyClock),
+      "events" -> Map(
+        "event_id" -> exact(LongType), "user_id" -> exact(LongType),
+        "event_type" -> exact(StringType), "ts" -> anyClock,
+        "props" -> exact(StringType), "value" -> exact(DoubleType)),
+      "documents" -> Map(
+        "doc_id" -> exact(LongType), "text" -> exact(StringType),
+        "lang" -> exact(StringType), "source" -> exact(StringType),
+        "n_chars" -> exact(LongType)),
+      "embeddings" -> Map(
+        "vec_id" -> exact(LongType), "embedding" -> floatArray,
+        "label" -> exact(IntegerType)))
+    assert(expected.keySet === graft.model.Tables.All.toSet,
+      "the contract must cover exactly the loadable tables")
+    graft.model.Tables.All.foreach { name =>
+      val actual = graft.model.Tables.load(spark, sf0001, name)
+        .schema.fields.map(f => f.name -> f.dataType).toMap
+      val exp = expected(name)
+      assert(actual.keySet === exp.keySet,
+        s"$name: column set changed — engine expects ${exp.keySet}, testdata has ${actual.keySet}")
+      exp.foreach { case (column, allowed) =>
+        assert(allowed.contains(actual(column)),
+          s"$name.$column: encoding ${actual(column)} not in the contract $allowed" +
+            (if (allowed == anyClock) "" else " — a regeneration changed this table"))
+      }
+    }
+  }
+
   test("README query counts match the registry (stale-doc guard)") {
     // the judge flagged stale README counts twice; make it structural
     val readme = new String(java.nio.file.Files.readAllBytes(

@@ -33,33 +33,55 @@ object Bench {
     (results, errors)
   }
 
+  /** 1-minute system load average from /proc/loadavg (−1.0 where
+    * unreadable): rounds 5/7/9/11 all needed after-the-fact adjudication
+    * of driver-bench inflation against ambient machine load — recording
+    * the load IN the artifact makes that call a one-line read. */
+  def loadAvg(): Double =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
+      .getOrElse(-1.0)
+
+  /** `"loadavg":…,"procs":…` — the machine-context fields both line
+    * shapes carry (procs = JVM-visible cores, the denominator a load
+    * reading is judged against). */
+  private def telemetryJson(): String =
+    f""""loadavg":${loadAvg()}%.2f,"procs":${Runtime.getRuntime.availableProcessors}%d"""
+
   /** The ONE parseable stdout line. The harness keeps only the LAST ~2000
     * characters of output, and sbt appends a ~70-char "[success]" line
     * after us — the line must stay well under that budget. Full query
     * names at 74+ queries overflow it (exactly how rounds 1-5 lost their
     * machine-readable bench), so it keys on the short SURVEY §2 ids (the
     * token before the first '_': "d3b_simhash_neardups" → "d3b"), which
-    * are unique across the registry (asserted). */
+    * are unique across the registry (asserted). Carries machine-load
+    * telemetry (see [[loadAvg]]) and a build/serve subtotal split:
+    * `buildQueries` names the rows that price an inline index BUILD
+    * (Lloyd passes, codebook training), so a load spike on one build row
+    * reads as exactly that instead of inflating the serving story. */
   def jsonLine(results: Seq[(String, Double)], errors: List[String],
-      sfDir: String): String = {
+      sfDir: String,
+      buildQueries: Set[String] = SparkEntry.buildQueries): String = {
     def fmt(v: Double): String = f"$v%.3f"
     val shortIds = results.map { case (k, v) => k.split('_').head -> v }
     require(shortIds.map(_._1).distinct.size == shortIds.size,
       "short query ids collide; extend the key scheme")
     def qjson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val healthy = results.filter(_._2 >= 0)
+    val total = healthy.map(_._2).sum
+    val build = healthy.filter(r => buildQueries.contains(r._1)).map(_._2).sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(shortIds)},"errors":$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson()},"queries":${qjson(shortIds)},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   /** Emitted when the run dies before per-query timing can even start
     * (session creation, a fatal env break): still one parseable JSON line
     * keyed like the healthy artifact, so a crashed round stays
-    * ledger-comparable (error class + sf recorded) instead of leaving
-    * only a raw stack tail. */
+    * ledger-comparable (error class + sf + machine load recorded) instead
+    * of leaving only a raw stack tail. */
   def fatalLine(sfDir: String, e: Throwable): String =
-    s"""{"metric":"total","value":-1.000,"unit":"sec","queries":{},"errors":["__fatal__"],"fatal":"${e.getClass.getName}","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":-1.000,"unit":"sec",${telemetryJson()},"queries":{},"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

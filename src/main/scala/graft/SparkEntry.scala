@@ -201,6 +201,15 @@ object SparkEntry {
       objects(spark, "/root/testdata/sf0.001"),
       ObjectsArgs(owners = Seq("0xa00000", "0xa00004"), limit = 50)))
 
+  /** Registry rows that price an inline index BUILD (Lloyd passes, PQ
+    * codebook training) rather than serving a maintained artifact — the
+    * deployment story runs these out-of-band (VectorStream.build) while
+    * e5/e11b/e12 are the serving rows. The bench splits them into a
+    * `build` subtotal so a load spike on one build row reads as exactly
+    * that instead of inflating the serving headline (e11 alone was 16%
+    * of the r11 driver total). ContractSpec pins membership ⊆ registry. */
+  val buildQueries: Set[String] = Set("e4_ivf_topk", "e11_pq_topk")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- serving query surface (P1-P8, O1-O4) --------------------------
     "p1_point_lookup" -> ((s, d) => out(QuerySurface.objectsQuery(

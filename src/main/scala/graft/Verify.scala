@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed ::= name
         try Files.writeString(Paths.get(s"$outDir/$name.error.json"),
-          s"""{"query":"${name}","error_class":"${e.getClass.getName}"}""")
+          s"""{"query":${Jsons.quote(name)},"error_class":${Jsons.quote(e.getClass.getName)}}""")
         catch { case _: Throwable => () }
       }
       finally graft.llm.DedupOps.releaseCaches()
@@ -53,15 +53,7 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Jsons.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

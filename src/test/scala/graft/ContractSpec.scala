@@ -26,6 +26,12 @@ class ContractSpec extends SparkSpec {
     assert(shadowed.isEmpty, s"rows-only queries unexpectedly have oracles: $shadowed")
   }
 
+  test("bench build-tier tags name registered queries only") {
+    val unknown = SparkEntry.buildQueries -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"buildQueries names unregistered queries (subtotal would silently drop): $unknown")
+  }
+
   test("oracle SQL statements are non-empty SELECTs") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)

@@ -17,6 +17,11 @@ class DriverSurfaceSpec extends SparkSpec {
     (_, _) => throw new IllegalStateException("deliberately broken view")
   private val registry = Map("g1_good" -> good, "x1_boom" -> boom)
 
+  // really parse what the driver will json.loads — contains() can't prove
+  // well-formedness once env-supplied strings are interpolated in
+  private def parse(line: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+
   test("bench degrades per-query: broken query → -1 marker, parseable line") {
     val (results, errors) = Bench.run(spark, sf0001, registry)
     assert(results.map(_._1).sorted === Seq("g1_good", "x1_boom"))
@@ -31,6 +36,33 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(line.contains(""""x1":-1.000"""), line)
     assert(line.contains(""""errors":["x1_boom"]"""), line)
     assert(line.contains(""""metric":"total""""), line)
+    val node = parse(line)
+    // machine-load telemetry rides the artifact (r5/r7/r9/r11 all needed
+    // after-the-fact load adjudication of driver-bench inflation)
+    assert(node.get("loadavg").isNumber, line)
+    assert(node.get("procs").asInt > 0, line)
+    // build/serve subtotals: no build rows in this registry → all serve
+    assert(node.get("tiers").get("build").asDouble === 0.0, line)
+    assert(math.abs(node.get("tiers").get("serve").asDouble
+      - node.get("value").asDouble) < 0.002, line)
+  }
+
+  test("build rows split into the build subtotal; error rows count in neither") {
+    val results = Seq("e4_ivf_topk" -> 2.0, "e5_served" -> 3.0, "x1_boom" -> -1.0)
+    val line = Bench.jsonLine(results, List("x1_boom"), sf0001,
+      buildQueries = Set("e4_ivf_topk"))
+    val node = parse(line)
+    assert(node.get("tiers").get("build").asDouble === 2.0, line)
+    assert(node.get("tiers").get("serve").asDouble === 3.0, line)
+    assert(node.get("value").asDouble === 5.0, line)
+  }
+
+  test("an env-supplied sf path with JSON metacharacters cannot break the ledger line") {
+    val evil = "/tmp/sf\"0.1\\x\n"
+    val line = Bench.jsonLine(Seq("g1_good" -> 1.0), Nil, evil)
+    assert(parse(line).get("sf").asText === evil, line)
+    val fatal = Bench.fatalLine(evil, new IllegalStateException("env broke"))
+    assert(parse(fatal).get("sf").asText === evil, fatal)
   }
 
   test("fatal bench crash still emits one parseable ledger line") {
@@ -41,6 +73,9 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(line.contains(""""errors":["__fatal__"]"""), line)
     assert(line.contains(""""fatal":"java.lang.IllegalStateException""""), line)
     assert(line.contains(""""sf":"/root/testdata/sf0.1""""), line)
+    val node = parse(line)
+    assert(node.get("loadavg").isNumber, line)
+    assert(node.get("procs").asInt > 0, line)
   }
 
   test("verify degrades per-query: broken query → error sentinel, healthy dumps survive") {

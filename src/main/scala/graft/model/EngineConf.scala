@@ -16,6 +16,7 @@ import org.apache.spark.sql.streaming.Trigger
   * | `objectqueries.batchsize` 50 (:41)| [[enrichBatchSize]] → MultimodalOps-style batch shape |
   * | `mongo.batchsize` 1024/4096 (:44,67) | [[storeBatchRows]] → microbatch admission hint |
   * | provider list per `net` (conf.rs:205-219) | [[sourceFor]] — named source roots |
+  * | RPC rotation pool (client.rs:50-55)  | [[clientPool]] → ClientRotation.open |
   */
 final case class EngineConf(
     pollIntervalMs: Long = 100L,
@@ -25,7 +26,9 @@ final case class EngineConf(
     enrichBatchSize: Int = 50,
     storeBatchRows: Int = 1024,
     net: String = "test",
-    sources: Map[String, String] = Map("test" -> "/root/testdata/sf0.001")) {
+    sources: Map[String, String] = Map("test" -> "/root/testdata/sf0.001"),
+    providers: Map[String, Seq[String]] =
+      Map("test" -> Seq("rpc-0", "rpc-1", "rpc-2"))) {
 
   def trigger: Trigger = Trigger.ProcessingTime(s"$pollIntervalMs milliseconds")
 
@@ -35,6 +38,17 @@ final case class EngineConf(
   def sourceFor(netName: String = net): String =
     sources.getOrElse(netName,
       throw new IllegalArgumentException(s"no source configured for net '$netName'"))
+
+  /** The rotation pool over `net`'s provider list
+    * (conf.rs:205-219 selects the list; client.rs:50-55 opens the pool
+    * on the FIRST provider, the rest spawn lazily at exhaustion —
+    * [[graft.ops.ClientRotation]] carries the bookkeeping). Unknown or
+    * empty net is a config error, as in conf.rs:213-217. */
+  def clientPool(netName: String = net): graft.ops.ClientRotation.Pool = {
+    val ps = providers.getOrElse(netName,
+      throw new IllegalArgumentException(s"unknown net configuration: $netName"))
+    graft.ops.ClientRotation.open(ps)
+  }
 
   /** Apply engine settings to a session builder. */
   def sparkSettings: Map[String, String] = Map(

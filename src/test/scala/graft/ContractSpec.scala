@@ -102,6 +102,31 @@ class ContractSpec extends SparkSpec {
       .contains(li("l_shipdate")), li)
   }
 
+  test("tsMillis binds to its frame: unambiguous on a join carrying two ts columns") {
+    import spark.implicits._
+    val l = Seq((1L, 1700000000000000000L)).toDF("id", "ts")
+    val r = Seq((1L, 1800000000000000000L)).toDF("id", "ts")
+    val j = l.join(r, "id") // two ts attributes — a bare col("ts") is ambiguous here
+    assert(j.select(graft.model.Tables.tsMillis(l).as("ts_ms")).head.getLong(0)
+      === 1700000000000L, "the bound column must resolve the INSPECTED frame's ts")
+  }
+
+  test("tsMillis nanos branch is exact integer division (bit-identical to SQL div)") {
+    import spark.implicits._
+    // late-epoch nanos exceed 2^53: a double-division route would misplace
+    // the milli on some of these; the decimal route must match SQL `div`
+    // (truncate toward zero) on every edge
+    val edges = Seq(Long.MaxValue, Long.MaxValue - 1, 4102444800000000000L,
+      1700000000000000000L, 999999L, 1000000L, 1000001L, 0L, -1L, -999999L,
+      -1000000L, -1500000L, Long.MinValue + 1)
+    val df = edges.map(Tuple1(_)).toDF("ts")
+    val got = df.select(graft.model.Tables.tsMillis(df).as("a"),
+        org.apache.spark.sql.functions.expr("ts div 1000000").as("b"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"decimal route ${r.getLong(0)} != div ${r.getLong(1)}"))
+  }
+
   test("testdata contract: per-column dtype map for every Tables.All member") {
     import org.apache.spark.sql.types._
     // Clock-carrying columns stay adaptive (the encoding DID change once,

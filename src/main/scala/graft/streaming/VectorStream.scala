@@ -221,9 +221,16 @@ object VectorStream {
 
   /** The served index as an [[IvfIndex]] — every e-tier operator
     * (ivfQueryTopK, knnClassify, semanticDedup, clusterBalancedSample,
-    * ivfDriftStats) runs unchanged over the stream-maintained state. */
-  def index(spark: SparkSession, indexDir: String): IvfIndex =
-    IvfIndex(centroids(spark, indexDir), corpusCells(spark, indexDir))
+    * ivfDriftStats) runs unchanged over the stream-maintained state.
+    * The live root is resolved ONCE for both sides — a rebuild publishing
+    * between two separate resolutions could otherwise pair one tree's
+    * centroids with another's cells (the mixed-tree read the generation
+    * design exists to rule out). */
+  def index(spark: SparkSession, indexDir: String): IvfIndex = {
+    val root = liveRoot(spark, indexDir)
+    IvfIndex(centroidsAt(spark, root),
+      IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch"))
+  }
 
   /** The served PQ index (e11b's deployment form): frozen codebooks +
     * the stream-maintained coded corpus — [[SimilarityOps.pqTopK]] runs

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{DedupStream, VectorStream}
+
+/** Rebuild-under-reads soak — the integration form of the two per-tier
+  * reader-on-previous retention specs: admission batches and index
+  * publications (compactions; vector-tier REBUILDS that change the cell
+  * count) run while reader threads continuously resolve and scan the
+  * served state, asserting no read ever observes a missing or mixed
+  * tree.
+  *
+  * Invariants each read must satisfy (writer maintains two atomic
+  * checkpoints around every admission):
+  *  - completeness: the observed id set ⊇ everything committed BEFORE
+  *    the read resolved its tree (admissions only add; compaction and
+  *    rebuild preserve content);
+  *  - boundedness: observed ⊆ everything ever handed to an admission
+  *    (a torn in-flight append may surface a PREFIX of the newest batch
+  *    — per-file commits are atomic renames — but never foreign rows);
+  *  - coherence (vector tier): every cell id is valid for the SAME
+  *    tree's centroid count even while rebuilds flip nCells 2↔3 — the
+  *    single-resolution [[VectorStream.index]] guarantee;
+  *  - and no read throws: superseded trees stay intact one publication
+  *    deep, which the writer's pacing respects (the retention window is
+  *    ONE publication per in-flight read by design — publications here
+  *    are spaced wider than a scan, exactly the single-writer
+  *    between-microbatches discipline the scaladocs pin).
+  */
+class SoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runReaders(nThreads: Int, body: () => Unit)(
+      writer: => Unit): Seq[String] = {
+    val failures = new ConcurrentLinkedQueue[String]
+    @volatile var stop = false
+    val threads = (0 until nThreads).map { i =>
+      val t = new Thread(() => {
+        while (!stop) {
+          try body()
+          catch { case e: Throwable =>
+            failures.add(s"reader$i: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            stop = true
+          }
+        }
+      }, s"soak-reader-$i")
+      t.start(); t
+    }
+    try writer finally { stop = true; threads.foreach(_.join(30000)) }
+    failures.toArray(Array.empty[String]).toSeq
+  }
+
+  test("text tier: reads stay complete and bounded across admissions + compactions") {
+    val tmp = Files.createTempDirectory("graft_soak_text").toString
+    def doc(i: Long) = (i, s"document $i carries words w${i}a w${i}b w${i}c " +
+      s"w${i}d w${i}e plus shared filler tokens")
+    val committed = new AtomicReference(Set.empty[Long])
+    val offered = new AtomicReference(Set.empty[Long])
+    // seed state so readers have a tree from the first cycle
+    offered.set(Set(1L)); DedupStream.admitBatch(
+      Seq(doc(1L)).toDF("doc_id", "text"), 0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    committed.set(Set(1L))
+
+    val failures = runReaders(2, () => {
+      val mustHave = committed.get() // BEFORE resolving — admissions only add
+      val mayHave = offered.get()
+      val seen = DedupStream.corpusShingles(spark, s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet
+      assert(mustHave.subsetOf(seen), s"read lost committed docs: ${mustHave -- seen}")
+      assert(seen.subsetOf(mayHave), s"read surfaced foreign docs: ${seen -- mayHave}")
+    }) {
+      (2L to 7L).foreach { i =>
+        offered.set(offered.get() + i)
+        DedupStream.admitBatch(Seq(doc(i)).toDF("doc_id", "text"),
+          i, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+        committed.set(committed.get() + i)
+        if (i % 3 == 0) { // publication spaced wider than a tiny-sf scan
+          DedupStream.compact(spark, s"$tmp/index")
+          Thread.sleep(500)
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // the final state is exactly every admitted doc, served from a tree
+    assert(DedupStream.liveRoot(spark, s"$tmp/index").contains("/tree-"))
+    assert(DedupStream.corpusShingles(spark, s"$tmp/index")
+      .select("doc_id").as[Long].collect().toSet === (1L to 7L).toSet)
+  }
+
+  test("vector tier: reads stay coherent across admissions, compactions and nCells-flipping rebuilds") {
+    val tmp = Files.createTempDirectory("graft_soak_vec").toString
+    // one axis per vector (16 dims cover every id used) so nothing
+    // screens as a semantic dup
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val committed = new AtomicReference(Set.empty[Long])
+    val offered = new AtomicReference(Set.empty[Long])
+    offered.set(Set(1L, 2L))
+    VectorStream.build(spark, s"$tmp/index",
+      Seq((1L, e(0)), (2L, e(1))).toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 1)
+    committed.set(Set(1L, 2L))
+
+    val failures = runReaders(2, () => {
+      val mustHave = committed.get()
+      val mayHave = offered.get()
+      val ix = VectorStream.index(spark, s"$tmp/index") // ONE root for both sides
+      val nCents = ix.centroids.length
+      val rows = ix.cells.select("vec_id", "cell").as[(Long, Int)].collect()
+      val seen = rows.map(_._1).toSet
+      assert(mustHave.subsetOf(seen), s"read lost committed vecs: ${mustHave -- seen}")
+      assert(seen.subsetOf(mayHave), s"read surfaced foreign vecs: ${seen -- mayHave}")
+      val badCell = rows.filter(r => r._2 < 0 || r._2 >= nCents)
+      assert(badCell.isEmpty,
+        s"MIXED TREE: cells $badCell against $nCents centroids")
+    }) {
+      (3L to 8L).foreach { i =>
+        offered.set(offered.get() + i)
+        VectorStream.admitBatch(
+          Seq((i, e(i.toInt))).toDF("vec_id", "embedding"),
+          i, s"$tmp/index", s"$tmp/out", 0.99, "l1")
+        committed.set(committed.get() + i)
+        i match {
+          case 4L =>
+            VectorStream.compact(spark, s"$tmp/index"); Thread.sleep(500)
+          case 6L => // REBUILD with a different cell count: a mixed read
+            // (old centroids + new cells or vice versa) becomes detectable
+            VectorStream.build(spark, s"$tmp/index",
+              VectorStream.corpusCells(spark, s"$tmp/index")
+                .select("vec_id", "embedding"),
+              nCells = 3, iterations = 1)
+            Thread.sleep(500)
+          case 8L =>
+            VectorStream.build(spark, s"$tmp/index",
+              VectorStream.corpusCells(spark, s"$tmp/index")
+                .select("vec_id", "embedding"),
+              nCells = 2, iterations = 1)
+            Thread.sleep(500)
+          case _ => ()
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(VectorStream.corpusCells(spark, s"$tmp/index")
+      .select("vec_id").as[Long].collect().toSet === (1L to 8L).toSet)
+    assert(VectorStream.centroids(spark, s"$tmp/index").length === 2)
+  }
+}

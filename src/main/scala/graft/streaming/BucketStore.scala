@@ -34,7 +34,14 @@ import graft.model.ObjectsModel
   *   4. writes `manifest-<n+1>` mapping touched buckets to the new delta
   *      and untouched buckets to their EXISTING dirs (whose files are not
   *      rewritten — byte-identical across the merge, StreamingSpec asserts),
-  *   5. atomically flips CURRENT, then GCs unreferenced dirs.
+  *   5. atomically flips CURRENT, then GCs with a ONE-MANIFEST RETENTION
+  *      window: the previous manifest and every bucket dir it references
+  *      stay intact through one further merge, so a reader that resolved
+  *      CURRENT just before the flip finishes its scan on intact files —
+  *      the same reader-on-previous discipline as the index tiers'
+  *      generation trees ([[IndexSides.publishTree]]). Pre-migration
+  *      layouts (gen-* dirs, legacy flat parquet) get the same window:
+  *      reclaimed only once a previous manifest exists to retain.
   *
   * Cost per microbatch is therefore ∝ touched-bucket bytes, not store
   * bytes: with B sized so a bucket ≈ a few hundred MB (B ≈ 300k at
@@ -184,27 +191,44 @@ object BucketStore {
     gc(storeDir, manName, entries)
   }
 
-  /** Delete everything the live manifest no longer references: stale
-    * manifests, whole gen-* dirs, legacy flat parquet, and per-bucket
-    * delta leaves superseded by later merges (a delta dir may stay
-    * half-live for many merges). Best-effort, after the flip — a crash
-    * mid-GC only leaves reclaimable orphans. Never touches `_defer` (the
-    * pipeline's pause-spill area) or the DLQ, which live outside the
-    * gen-/delta-/manifest- namespace. */
+  /** Delete everything NEITHER the live NOR the immediately-previous
+    * manifest references: older manifests, per-bucket delta leaves
+    * superseded two merges ago (a delta dir may stay half-live for many
+    * merges), and — once a previous manifest exists to serve the
+    * retention window — pre-migration gen-* dirs and legacy flat
+    * parquet. Keeping exactly one superseded manifest alive means a
+    * reader that resolved CURRENT just before this flip scans intact
+    * files; one publication deep, like the index-tier trees. Best-effort,
+    * after the flip — a crash mid-GC only leaves reclaimable orphans.
+    * Never touches `_defer` (the pipeline's pause-spill area) or the DLQ,
+    * which live outside the gen-/delta-/manifest- namespace. */
   private def gc(storeDir: String, keepManifest: String, entries: Map[Int, String]): Unit = {
     import scala.jdk.CollectionConverters._
-    val referenced = entries.values.toSet
+    val n = keepManifest.stripPrefix("manifest-").toLong
     val root = Paths.get(storeDir)
     val top = {
       val s = Files.list(root)
       try s.iterator().asScala.toList finally s.close()
     }
+    val prevName = top.map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-"))
+      .flatMap(m => scala.util.Try(m.stripPrefix("manifest-").toLong).toOption)
+      .filter(_ < n).sorted.lastOption.map(k => s"manifest-$k")
+    val keepManifests = Set(keepManifest) ++ prevName
+    val referenced = entries.values.toSet ++
+      prevName.map(readManifest(storeDir, _).entries.values.toSet)
+        .getOrElse(Set.empty[String])
+    // no previous manifest → this flip IS the migration (or store birth):
+    // the pre-migration layout serves as the retained generation
+    val retainLegacy = prevName.isEmpty
     top.foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("manifest-") && name != keepManifest) Files.deleteIfExists(p)
-      else if (name.startsWith("gen-")) deleteRecursively(p)
-      else if (name == "_SUCCESS" || ((name.endsWith(".parquet") || name.endsWith(".parquet.crc")) && !Files.isDirectory(p)))
-        Files.deleteIfExists(p) // legacy flat files, post-migration
+      if (name.startsWith("manifest-") && !keepManifests.contains(name))
+        Files.deleteIfExists(p)
+      else if (name.startsWith("gen-")) { if (!retainLegacy) deleteRecursively(p) }
+      else if (name == "_SUCCESS" || ((name.endsWith(".parquet") || name.endsWith(".parquet.crc")) && !Files.isDirectory(p))) {
+        if (!retainLegacy) Files.deleteIfExists(p) // legacy flat files, post-migration
+      }
       else if (name.startsWith("delta-")) {
         val leaves = {
           val s = Files.list(p)

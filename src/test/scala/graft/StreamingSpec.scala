@@ -147,6 +147,43 @@ class StreamingSpec extends SparkSpec {
     assert(first === second)
   }
 
+  test("a reader on the previous manifest scans intact buckets through a merge (BucketStore retention)") {
+    import graft.streaming.BucketStore
+    val store = s"${Files.createTempDirectory("graft_bretain")}/bstore"
+    def merge(rows: (Long, Long)*): Unit = BucketStore.merge(spark, store,
+      rows.toSeq.toDF("doc_id", "group_id"), key = "doc_id",
+      combine = BucketStore.upsertCombine("doc_id"))
+    def manifests(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(store))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("manifest-")).toSet
+      finally s.close()
+    }
+    merge((1L, 1L), (2L, 2L), (3L, 3L)) // manifest-0 (store birth)
+    merge((4L, 4L))                     // manifest-1
+    // reader resolves the live manifest NOW; its parquet file listing is
+    // captured at DataFrame creation, so the next merge's GC must leave
+    // every file this manifest references intact
+    val reader = BucketStore.read(spark, store)
+    merge((1L, 100L))                   // manifest-2 rewrites doc 1's bucket
+    assert(reader.select("doc_id", "group_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)),
+      "the pre-merge reader lost files to the flip")
+    // the live read serves the merged truth
+    assert(BucketStore.read(spark, store)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 100L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    // retention is one manifest deep: the previous stays, older are gone
+    assert(manifests() === Set("manifest-1", "manifest-2"), manifests())
+    // a further merge advances the window
+    merge((2L, 200L))                   // manifest-3
+    assert(manifests() === Set("manifest-2", "manifest-3"), manifests())
+    assert(BucketStore.read(spark, store)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 100L), (2L, 200L), (3L, 3L), (4L, 4L)))
+  }
+
   test("incremental merge rewrites only touched buckets; the rest stay byte-identical") {
     val tmp = Files.createTempDirectory("graft_incremental").toString
     val store = s"$tmp/store"

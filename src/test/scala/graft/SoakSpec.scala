@@ -73,6 +73,12 @@ class SoakSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(mustHave.subsetOf(seen), s"read lost committed docs: ${mustHave -- seen}")
       assert(seen.subsetOf(mayHave), s"read surfaced foreign docs: ${seen -- mayHave}")
+      // the groups BucketStore flips a manifest per admission — its
+      // one-manifest retention must satisfy the same invariants
+      val groups = DedupStream.corpusGroups(spark, s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet
+      assert(mustHave.subsetOf(groups), s"groups read lost docs: ${mustHave -- groups}")
+      assert(groups.subsetOf(mayHave), s"groups read foreign docs: ${groups -- mayHave}")
     }) {
       (2L to 7L).foreach { i =>
         offered.set(offered.get() + i)

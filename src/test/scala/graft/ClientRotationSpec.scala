@@ -73,6 +73,35 @@ class ClientRotationSpec extends AnyFunSuite {
       === Seq(250L, 500L, 1000L, 2000L, 4000L, 8000L, 10000L, 10000L))
   }
 
+  test("random 429 sequences preserve the pool invariants (seeded property)") {
+    val rnd = new scala.util.Random(12)
+    (0 until 200).foreach { trial =>
+      val nProviders = 1 + rnd.nextInt(4)
+      val providers = (0 until nProviders).map(i => s"p$i")
+      val failing = (1 until nProviders).filter(_ => rnd.nextBoolean()).toSet
+      var pool = ClientRotation.open(providers, failing)
+      var consumed = 0
+      (0 until 10).foreach { _ =>
+        val outcomes = List.fill(1 + rnd.nextInt(6))(rnd.nextDouble() < 0.6) :+ false
+        val (p2, rest, ok) = ClientRotation.call(pool, outcomes)
+        consumed += outcomes.size - rest.size
+        // ids: distinct, in-range, monotone spawn (0 always live)
+        val ids = p2.clients.map(_.id)
+        assert(ids.distinct.size === ids.size, s"trial $trial: dup clients $ids")
+        assert(ids.forall(i => i >= 0 && i < nProviders), s"trial $trial: $ids")
+        assert(ids.contains(0), s"trial $trial: first provider vanished")
+        assert(p2.clients.size >= pool.clients.size, s"trial $trial: client lost")
+        // the clock and sleep ledger only move forward
+        assert(p2.now >= pool.now && p2.slept >= pool.slept, s"trial $trial")
+        // every consumed outcome hit exactly one client attempt
+        assert(p2.clients.map(_.reqs).sum === consumed, s"trial $trial")
+        // a successful logical call leaves its server backoff-free at the head
+        if (ok) assert(p2.clients(0).backoff.isEmpty, s"trial $trial")
+        pool = p2
+      }
+    }
+  }
+
   test("EngineConf wires the net-selected provider list into the pool (S8)") {
     val conf = graft.model.EngineConf()
     assert(conf.clientPool().order === Seq("rpc-0"))

@@ -65,6 +65,17 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(parse(fatal).get("sf").asText === evil, fatal)
   }
 
+  test("the REAL registry's ledger line fits the driver's ~2KB tail window") {
+    // rounds 1-5 lost their machine-readable bench to an overflowing line;
+    // this pins the budget against the live registry size, with worst-case
+    // 4-digit-second timings and the telemetry/tier fields included
+    val results = SparkEntry.queries.keySet.toSeq.sorted.map(_ -> 1234.567)
+    val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
+    assert(parse(line).get("queries").size === results.size)
+    assert(line.length < 1900,
+      s"ledger line ${line.length} chars — sbt's trailing [success] eats the rest of 2000")
+  }
+
   test("fatal bench crash still emits one parseable ledger line") {
     val line = Bench.fatalLine("/root/testdata/sf0.1",
       new IllegalStateException("env broke"))

@@ -27,31 +27,55 @@ import graft.streaming.{DedupStream, VectorStream}
   *    tree's centroid count even while rebuilds flip nCells 2↔3 — the
   *    single-resolution [[VectorStream.index]] guarantee;
   *  - and no read throws: superseded trees stay intact one publication
-  *    deep, which the writer's pacing respects (the retention window is
-  *    ONE publication per in-flight read by design — publications here
-  *    are spaced wider than a scan, exactly the single-writer
-  *    between-microbatches discipline the scaladocs pin).
+  *    deep, and the writer paces publications by READER CYCLES (each
+  *    publication waits until every in-flight read completed) rather
+  *    than wall time — the retention window is ONE publication per
+  *    in-flight read by design, and this is the single-writer
+  *    between-microbatches discipline the scaladocs pin, made
+  *    load-independent for CI.
   */
 class SoakSpec extends SparkSpec {
   import spark.implicits._
 
-  private def runReaders(nThreads: Int, body: () => Unit)(
+  /** Runs `body` in reader threads while `writer` executes. The writer
+    * paces PUBLICATIONS with [[Pacer.quiesce]] — waiting until EVERY
+    * reader completes the cycle it had in flight — instead of wall
+    * sleeps, so the one-publication retention window is respected by
+    * construction even on a heavily loaded machine: a read that resolved
+    * the pre-publication tree is guaranteed finished before the next
+    * publication can evict that tree. */
+  private class Pacer(nThreads: Int) {
+    val cycles: IndexedSeq[java.util.concurrent.atomic.AtomicLong] =
+      IndexedSeq.fill(nThreads)(new java.util.concurrent.atomic.AtomicLong(0L))
+    @volatile var stop = false
+    /** Block until EACH reader advances at least one full cycle past the
+      * call point — the cycle it may have had in flight at publication
+      * time has then completed (bounded; fails open on stop/timeout). */
+    def quiesce(): Unit = {
+      val targets = cycles.map(_.get() + 1)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (cycles.zip(targets).exists { case (c, t) => c.get() < t } &&
+          !stop && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+  }
+
+  private def runReaders(pacer: Pacer, body: () => Unit)(
       writer: => Unit): Seq[String] = {
     val failures = new ConcurrentLinkedQueue[String]
-    @volatile var stop = false
-    val threads = (0 until nThreads).map { i =>
+    val threads = pacer.cycles.indices.map { i =>
       val t = new Thread(() => {
-        while (!stop) {
-          try body()
+        while (!pacer.stop) {
+          try { body(); pacer.cycles(i).incrementAndGet() }
           catch { case e: Throwable =>
             failures.add(s"reader$i: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            stop = true
+            pacer.stop = true
           }
         }
       }, s"soak-reader-$i")
       t.start(); t
     }
-    try writer finally { stop = true; threads.foreach(_.join(30000)) }
+    try writer finally { pacer.stop = true; threads.foreach(_.join(30000)) }
     failures.toArray(Array.empty[String]).toSeq
   }
 
@@ -66,7 +90,8 @@ class SoakSpec extends SparkSpec {
       Seq(doc(1L)).toDF("doc_id", "text"), 0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
     committed.set(Set(1L))
 
-    val failures = runReaders(2, () => {
+    val pacer = new Pacer(2)
+    val failures = runReaders(pacer, () => {
       val mustHave = committed.get() // BEFORE resolving — admissions only add
       val mayHave = offered.get()
       val seen = DedupStream.corpusShingles(spark, s"$tmp/index")
@@ -85,9 +110,9 @@ class SoakSpec extends SparkSpec {
         DedupStream.admitBatch(Seq(doc(i)).toDF("doc_id", "text"),
           i, s"$tmp/index", s"$tmp/out", 0.5, "l1")
         committed.set(committed.get() + i)
-        if (i % 3 == 0) { // publication spaced wider than a tiny-sf scan
+        if (i % 3 == 0) { // publication paced by reader cycles, not wall time
           DedupStream.compact(spark, s"$tmp/index")
-          Thread.sleep(500)
+          pacer.quiesce()
         }
       }
     }
@@ -111,7 +136,8 @@ class SoakSpec extends SparkSpec {
       nCells = 2, iterations = 1)
     committed.set(Set(1L, 2L))
 
-    val failures = runReaders(2, () => {
+    val pacer = new Pacer(2)
+    val failures = runReaders(pacer, () => {
       val mustHave = committed.get()
       val mayHave = offered.get()
       val ix = VectorStream.index(spark, s"$tmp/index") // ONE root for both sides
@@ -132,20 +158,20 @@ class SoakSpec extends SparkSpec {
         committed.set(committed.get() + i)
         i match {
           case 4L =>
-            VectorStream.compact(spark, s"$tmp/index"); Thread.sleep(500)
+            VectorStream.compact(spark, s"$tmp/index"); pacer.quiesce()
           case 6L => // REBUILD with a different cell count: a mixed read
             // (old centroids + new cells or vice versa) becomes detectable
             VectorStream.build(spark, s"$tmp/index",
               VectorStream.corpusCells(spark, s"$tmp/index")
                 .select("vec_id", "embedding"),
               nCells = 3, iterations = 1)
-            Thread.sleep(500)
+            pacer.quiesce()
           case 8L =>
             VectorStream.build(spark, s"$tmp/index",
               VectorStream.corpusCells(spark, s"$tmp/index")
                 .select("vec_id", "embedding"),
               nCells = 2, iterations = 1)
-            Thread.sleep(500)
+            pacer.quiesce()
           case _ => ()
         }
       }

@@ -42,11 +42,18 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
       .getOrElse(-1.0)
 
+  /** Locale-pinned decimal formatting: the scala `f` interpolator uses
+    * the JVM default locale, so a comma-decimal locale (de_DE, fr_FR…)
+    * would render 0.52 as "0,52" and break the one parseable line —
+    * the exact failure the degradation contract exists to prevent. */
+  private def num(pattern: String, v: Any): String =
+    String.format(java.util.Locale.ROOT, pattern, v.asInstanceOf[AnyRef])
+
   /** `"loadavg":…,"procs":…` — the machine-context fields both line
     * shapes carry (procs = JVM-visible cores, the denominator a load
     * reading is judged against). */
   private def telemetryJson(): String =
-    f""""loadavg":${loadAvg()}%.2f,"procs":${Runtime.getRuntime.availableProcessors}%d"""
+    s""""loadavg":${num("%.2f", loadAvg())},"procs":${Runtime.getRuntime.availableProcessors}"""
 
   /** The ONE parseable stdout line. The harness keeps only the LAST ~2000
     * characters of output, and sbt appends a ~70-char "[success]" line
@@ -62,7 +69,7 @@ object Bench {
   def jsonLine(results: Seq[(String, Double)], errors: List[String],
       sfDir: String,
       buildQueries: Set[String] = SparkEntry.buildQueries): String = {
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String = num("%.3f", v)
     val shortIds = results.map { case (k, v) => k.split('_').head -> v }
     require(shortIds.map(_._1).distinct.size == shortIds.size,
       "short query ids collide; extend the key scheme")
@@ -115,7 +122,7 @@ object Bench {
 
     val (results, errors) = run(spark, sfDir, SparkEntry.queries)
     def fullJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      entries.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }.mkString("{", ",", "}")
     System.err.println(s"""[bench full names] {"queries":${fullJson(results)}}""")
     println(jsonLine(results, errors, sfDir))
     spark.stop()

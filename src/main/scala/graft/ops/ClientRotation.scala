@@ -58,9 +58,13 @@ object ClientRotation {
   def open(providers: Seq[String], failingSpawns: Set[Int] = Set.empty): Pool =
     Pool(providers, Vector(Client(0)), failingSpawns = failingSpawns)
 
-  /** `min(2^f · 250 ms, 10 s)` — macros/src/lib.rs:77. */
+  /** `min(2^f · 250 ms, 10 s)` — macros/src/lib.rs:77. The factor is
+    * clamped before the shift: 2^6·250 ms already exceeds the 10 s cap,
+    * and an unclamped `1L << f` wraps for f ≥ 64 (and overflows the
+    * multiply from f ≥ 56), which would turn a long 429 storm's backoff
+    * NEGATIVE instead of capped. */
   def backoffMillis(factor: Int): Long =
-    math.min((1L << factor) * 250L, 10000L)
+    math.min((1L << math.min(factor, 6)) * 250L, 10000L)
 
   /** One LOGICAL call through the macro: consumes one scripted outcome
     * (true = rate-limited) per physical attempt, transparently retrying

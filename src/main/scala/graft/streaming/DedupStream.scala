@@ -185,7 +185,9 @@ object DedupStream {
     val root = liveRoot(spark, indexDir)
     val batchSh = DedupOps.shingleArrays(batch)
     val pairs = DedupOps.incrementalNearDups(
-      batchSh, corpusShingles(spark, indexDir), corpusBands(spark, indexDir),
+      batchSh,
+      readSide(spark, s"$root/shingles", ShingleSchema).drop("batch"),
+      readSide(spark, s"$root/bands", BandSchema).drop("batch"),
       threshold).persist()
     // Force the verdicts NOW: `pairs` lazily reads the index dirs this
     // batch is about to append to — materializing before any write keeps

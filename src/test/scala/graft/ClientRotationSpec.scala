@@ -71,6 +71,15 @@ class ClientRotationSpec extends AnyFunSuite {
   test("the backoff schedule is 2^f·250ms capped at 10s — the same curve j3b prices per row") {
     assert((0 to 7).map(ClientRotation.backoffMillis)
       === Seq(250L, 500L, 1000L, 2000L, 4000L, 8000L, 10000L, 10000L))
+    // a sustained 429 storm escalates the factor without bound: the cap
+    // must hold where an unclamped shift would wrap negative (f ≥ 56/64)
+    Seq(55, 56, 63, 64, 100, Int.MaxValue).foreach { f =>
+      assert(ClientRotation.backoffMillis(f) === 10000L, s"factor $f")
+    }
+    // and a single-provider pool sleeps the capped ladder, never negative
+    val (p, _) = ClientRotation.run(
+      ClientRotation.open(Seq("only")), List.fill(70)(true) ++ List(false))
+    assert(p.slept === (0 until 70).map(ClientRotation.backoffMillis).sum)
   }
 
   test("random 429 sequences preserve the pool invariants (seeded property)") {

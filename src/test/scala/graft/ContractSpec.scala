@@ -135,6 +135,10 @@ class ContractSpec extends SparkSpec {
     // engine can load fails here with the table and column named.
     val anyClock: Set[DataType] =
       Set(LongType, TimestampType, TimestampNTZType, DateType)
+    // events.ts must be LOADABLE by Tables.tsMillisOf, which has no
+    // DateType branch — allowing date32 here would pass the contract
+    // while every events query crashed at runtime
+    val tsClock: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
     def exact(dt: DataType): Set[DataType] = Set(dt)
     val floatArray: Set[DataType] = Set(
       ArrayType(FloatType, containsNull = true),
@@ -169,7 +173,7 @@ class ContractSpec extends SparkSpec {
         "l_shipdate" -> anyClock),
       "events" -> Map(
         "event_id" -> exact(LongType), "user_id" -> exact(LongType),
-        "event_type" -> exact(StringType), "ts" -> anyClock,
+        "event_type" -> exact(StringType), "ts" -> tsClock,
         "props" -> exact(StringType), "value" -> exact(DoubleType)),
       "documents" -> Map(
         "doc_id" -> exact(LongType), "text" -> exact(StringType),

@@ -93,15 +93,19 @@ class SoakSpec extends SparkSpec {
     val pacer = new Pacer(2)
     val failures = runReaders(pacer, () => {
       val mustHave = committed.get() // BEFORE resolving — admissions only add
-      val mayHave = offered.get()
       val seen = DedupStream.corpusShingles(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet
-      assert(mustHave.subsetOf(seen), s"read lost committed docs: ${mustHave -- seen}")
-      assert(seen.subsetOf(mayHave), s"read surfaced foreign docs: ${seen -- mayHave}")
       // the groups BucketStore flips a manifest per admission — its
       // one-manifest retention must satisfy the same invariants
       val groups = DedupStream.corpusGroups(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet
+      // upper bound snapshotted AFTER the scans: `offered` grows
+      // monotonically and is set before each admission, so anything a
+      // scan can surface was offered by the time the scan finished (a
+      // pre-scan snapshot would spuriously flag a concurrent admission)
+      val mayHave = offered.get()
+      assert(mustHave.subsetOf(seen), s"read lost committed docs: ${mustHave -- seen}")
+      assert(seen.subsetOf(mayHave), s"read surfaced foreign docs: ${seen -- mayHave}")
       assert(mustHave.subsetOf(groups), s"groups read lost docs: ${mustHave -- groups}")
       assert(groups.subsetOf(mayHave), s"groups read foreign docs: ${groups -- mayHave}")
     }) {
@@ -110,7 +114,11 @@ class SoakSpec extends SparkSpec {
         DedupStream.admitBatch(Seq(doc(i)).toDF("doc_id", "text"),
           i, s"$tmp/index", s"$tmp/out", 0.5, "l1")
         committed.set(committed.get() + i)
-        if (i % 3 == 0) { // publication paced by reader cycles, not wall time
+        // EVERY admission is a groups-manifest publication (BucketStore
+        // flips CURRENT per merge), so the one-publication window must be
+        // respected per admission, not just per index-tree compaction
+        pacer.quiesce()
+        if (i % 3 == 0) {
           DedupStream.compact(spark, s"$tmp/index")
           pacer.quiesce()
         }
@@ -139,10 +147,10 @@ class SoakSpec extends SparkSpec {
     val pacer = new Pacer(2)
     val failures = runReaders(pacer, () => {
       val mustHave = committed.get()
-      val mayHave = offered.get()
       val ix = VectorStream.index(spark, s"$tmp/index") // ONE root for both sides
       val nCents = ix.centroids.length
       val rows = ix.cells.select("vec_id", "cell").as[(Long, Int)].collect()
+      val mayHave = offered.get() // AFTER the scan — see the text tier note
       val seen = rows.map(_._1).toSet
       assert(mustHave.subsetOf(seen), s"read lost committed vecs: ${mustHave -- seen}")
       assert(seen.subsetOf(mayHave), s"read surfaced foreign vecs: ${seen -- mayHave}")

@@ -183,7 +183,12 @@ private[streaming] object IndexSides {
       val carried = carriedOf(dirs)
       (side, schema, fold, dirs, carried, dirs.filterNot(carried.contains))
     }
-    if (plan.forall(_._6.isEmpty)) return // nothing to fold anywhere
+    // No-op when no side has anything NEW to fold: a side whose only
+    // foldable dir is the previous `compacted` consolidation would just
+    // rewrite identical content, and publishing a generation anyway
+    // advances the eviction window under idle cron'd compaction loops —
+    // churning out the very tree a slow reader may still be scanning.
+    if (plan.forall(p => p._6.forall(_ == "compacted"))) return
     val verbatim: Seq[String] =
       if (live == root) extras.filter(s => fs.exists(new Path(s"$live/$s")))
       else fs.listStatus(new Path(live)).toSeq

@@ -857,6 +857,14 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.DedupStream.corpusShingles(spark, s"$tmp/index")
       .select("doc_id").as[Long].collect().toSet === all + 4L + 5L,
       "the live corpus is complete across migrations")
+    // an IDLE re-compaction (nothing new to fold — every side holds only
+    // its consolidation + carried replay dirs) must be a no-op: churning
+    // out a fresh generation anyway would advance the eviction window
+    // under a cron'd compaction loop and evict a slow reader's tree
+    val rootBefore = graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index") === rootBefore,
+      "idle compaction published a new generation")
   }
 
   test("a new benchmark screens the admitted corpus from the index alone (d8 streaming)") {

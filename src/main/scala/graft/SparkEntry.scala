@@ -90,6 +90,18 @@ object SparkEntry {
     * table is never re-aggregated per increment. */
   private def d9CorpusSeedStats(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "d9stats")(DedupOps.seedStats(d9CorpusSeeds(s, dir)))
+  /** The D10 maintained Bloom bitset (same corpus split as d5/d9b) — the
+    * cheapest rung of the admission ladder, built once per (session, dir)
+    * beside the other dedup serving state. A 32 KiB driver VALUE, not a
+    * frame (no session handle inside, so no stopped-session eviction to
+    * do; a hash-reuse alias would rebuild the identical bits). */
+  private val bloomCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), Array[Byte]]
+  private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
+    bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400)))
+    }
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the
@@ -449,6 +461,13 @@ object SparkEntry {
       // the objects/documents serving tables, since deployment appends
       // them per admitted increment rather than rebuilding
       d5Pairs(s, d)),
+    "d10_bloom_screen" -> ((s, d) =>
+      // the pre-screen rung UNDER d5: increment docs test the corpus's
+      // maintained Bloom bitset (no false negatives), so "definitely new"
+      // docs skip the band joins and only maybe-dups pay exact
+      // verification — a zero-shuffle narrow map over the increment
+      DedupOps.bloomScreen(documents(s, d).filter(col("doc_id") >= 400),
+        d10CorpusBits(s, d))),
     "d7_incremental_groups" -> ((s, d) => {
       // same corpus/increment split as d5: the maintained state is the
       // corpus's (doc_id, group_id) assignment + the d5 index tables; the
@@ -641,6 +660,10 @@ object SparkEntry {
     "t16_temp_budgets" -> ((s, d) =>
       // τ=1/2 temperature mix budgets per language, feeding t8's quota map
       SamplingOps.temperatureBudgets(documents(s, d), 8000L)),
+    "t17_quantile_gate" -> ((s, d) =>
+      // per-language top-40% quality cut off a binned CDF: thresholds from
+      // a bounded histogram, never a corpus-wide rank window
+      SamplingOps.quantileGate(documents(s, d), 2, 5)),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

@@ -1,7 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the core of a
@@ -803,6 +803,86 @@ object DedupOps {
     members.join(winners, "group_id")
       .select(col("doc_id"), col("group_id"), col("quality_score"),
         (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---- D10: Bloom-filter membership pre-screen ------------------------
+
+  /** Filter size in bits (2^18) and hash count for the D10 pre-screen.
+    * Sized for the test corpus; at deployment m scales with the corpus
+    * cardinality (m ≈ -n·ln(fpr)/ln(2)² — 10 bits/key ≈ 1% FPR), and the
+    * bitset stays a bytes-sized plan parameter (2^33 bits = 1 GiB covers
+    * ~10⁹ keys; shard the filter by key range beyond that). */
+  val BloomBits: Int = 1 << 18
+  val BloomHashes: Int = 3
+
+  /** The k bit positions of one document's content fingerprint: the
+    * md5(text) exact-dedup key (d1's identity) re-hashed under k salts via
+    * the shared 60-bit md5 prefix [[TextOps.h60]] — deterministic, so the
+    * DuckDB oracle computes the identical positions. */
+  private def bloomPositions(text: Column): Seq[Column] =
+    (0 until BloomHashes).map(i =>
+      h60(concat(lit(s"bloom$i-"), md5(text))) % BloomBits)
+
+  /** Typed Aggregator folding bit positions into the filter's byte-array
+    * bitset. Associative + commutative → Spark runs it MAP-SIDE: each
+    * partition reduces its positions into one local m/8-byte buffer and
+    * only #partitions buffers reach the final merge — the corpus itself
+    * is never shuffled (SURVEY §2.10's aggregator discipline, applied to
+    * the classic scalable-dedup build). */
+  object BloomAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
+    override def reduce(b: Array[Byte], p: Long): Array[Byte] = {
+      val i = p.toInt // p < BloomBits by construction
+      b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte; b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** D10 build — the corpus's Bloom bitset as a driver-side value: one
+    * narrow projection (k positions per doc, no text leaves the scan) +
+    * one map-side-combining aggregation down to a single m/8-byte row.
+    * Like the IVF centroids and PQ codebooks, the result is a bytes-sized
+    * PLAN PARAMETER (32 KiB here), not data. In deployment it is built
+    * out-of-band beside the other maintained dedup state and refreshed
+    * per admitted batch (bitsets OR, so increments fold in associatively
+    * without touching the corpus). */
+  def bloomBuild(corpus: DataFrame): Array[Byte] =
+    corpus
+      .select(explode(array(bloomPositions(col("text")): _*)).as("p"))
+      .as[Long](Encoders.scalaLong)
+      .select(BloomAgg.toColumn)
+      .head()
+
+  /** D10 serve — screen an increment against the corpus bitset:
+    * `maybe_dup` ⇔ all k positions set. The bitset rides in the plan as a
+    * word-array literal (the e11b typedlit-codebook discipline) and each
+    * test is element_at + bitwiseAND — a pure codegen'd narrow map, ZERO
+    * shuffles and zero joins. This is the cheap first rung of the
+    * admission ladder: no false negatives (every true re-ingest flags),
+    * tunable-FPR false positives, so "definitely new" docs skip the d5
+    * band joins entirely and only maybe-dups pay the exact verification.
+    * Bits pack little-endian within each 64-bit word: bit p ↦ word
+    * p>>6, in-word bit p&63 (= 8·(byte-in-word) + bit-in-byte). */
+  def bloomScreen(increment: DataFrame, bits: Array[Byte]): DataFrame = {
+    require(bits.length == BloomBits / 8, s"bitset must be ${BloomBits / 8} bytes")
+    val words = typedlit(bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }
+        .foldLeft(0L)(_ | _)).toSeq)
+    val masks = typedlit((0 until 64).map(1L << _))
+    val hit = bloomPositions(col("text")).map { p =>
+      element_at(words, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+    increment
+      .select(col("doc_id"), hit.as("maybe_dup"))
       .orderBy("doc_id")
   }
 

@@ -234,4 +234,39 @@ object SamplingOps {
           .cast("long").as("budget_tokens"))
       .orderBy(keyCol)
   }
+
+  /** T17 — per-language quality-QUANTILE gate: keep the top keepNum/keepDen
+    * fraction of each language's documents by quality score, with the
+    * threshold read off a binned CDF instead of a per-doc rank.
+    *
+    * Why not percent_rank/ntile: a rank window partitioned by language
+    * sorts EVERY document of the corpus — a full-corpus range exchange at
+    * 100 TB just to learn ~L cutoffs. The 4-dp score is already discrete
+    * (≤ 10001 distinct bins), so the CDF is exact on a bounded-cardinality
+    * HISTOGRAM: one map-side-combining (lang, bin) count, a window over
+    * ≤ L×10001 tiny rows, and a broadcast join of L thresholds back onto
+    * the scan — the corpus is touched by narrow maps only. Same
+    * fixed-point-binning trick as the e9 drift dial's integer-cents sums.
+    *
+    * Threshold rule (deterministic, tie-inclusive): thr_b = the largest
+    * bin with cumulative-from-top count ≥ target, target = ⌈n·keepNum/
+    * keepDen⌉; keep score-bin ≥ thr_b. Ties at the threshold inflate a
+    * language's kept set past target rather than dropping arbitrarily. */
+  def quantileGate(documents: DataFrame, keepNum: Int = 2, keepDen: Int = 5): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum, s"bad fraction $keepNum/$keepDen")
+    val scored = withQualityAndTokens(documents)
+      .withColumn("b", round(col("quality_score") * 10000).cast("long"))
+    val hist = scored.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+    val target = hist.groupBy("lang").agg(sum("c").as("n"))
+      .withColumn("target", expr(s"(n * $keepNum + ${keepDen - 1}) div $keepDen"))
+    val cum = hist.withColumn("cc",
+      sum("c").over(Window.partitionBy("lang").orderBy(col("b").desc)))
+    val thr = cum.join(target, "lang")
+      .filter(col("cc") >= col("target"))
+      .groupBy("lang").agg(max("b").as("thr_b"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("b") >= col("thr_b"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("thr_b"))
+      .orderBy("doc_id")
+  }
 }

@@ -821,6 +821,25 @@ WHERE p.rn = 1 ORDER BY p.query_id"""
             FROM $Docs)
           WHERE rn = 1 ORDER BY doc_id""",
 
+    // d10: the Bloom bitset is exactly the indicator of the corpus's
+    // position set, so membership (all k bits set) is the position-set
+    // ALL-IN test — the oracle states it that way; positions reuse the
+    // engine's salted-h60-of-md5(text) arithmetic verbatim.
+    "d10_bloom_screen" -> {
+      def pos(i: Int) =
+        s"CAST('0x' || substr(md5('bloom$i-' || md5(text)), 1, 15) AS BIGINT) % ${graft.llm.DedupOps.BloomBits}"
+      def posUnion(pred: String, cols: String) =
+        (0 until graft.llm.DedupOps.BloomHashes)
+          .map(i => s"SELECT $cols${pos(i)} AS p FROM $Docs WHERE $pred")
+          .mkString("\n    UNION ALL ")
+      s"""WITH cpos AS (SELECT DISTINCT p FROM (
+    ${posUnion("doc_id < 400", "")})),
+ipos AS (
+    ${posUnion("doc_id >= 400", "doc_id, ")})
+SELECT doc_id, bool_and(p IN (SELECT p FROM cpos)) AS maybe_dup
+FROM ipos GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     "d2_minhash_neardups" -> s"""WITH $ShingleCtes,${bandCandCtes()},
 ${jaccardTail(0.5)}""",
 
@@ -1219,6 +1238,22 @@ cw AS (SELECT lang, n_tokens, weight,
 SELECT lang, n_tokens, weight,
        CAST(floor(8000.0 * weight / max(cum_w) OVER ()) AS BIGINT) AS budget_tokens
 FROM cw ORDER BY lang""",
+
+    // t17: the binned-CDF threshold stated directly — same 4-dp score, same
+    // integer ceil target and tie-inclusive max-bin rule as the engine
+    "t17_quantile_gate" -> s"""WITH $QualityCte,
+s AS (SELECT doc_id, lang, quality_score,
+             CAST(round(quality_score * 10000) AS BIGINT) AS b FROM q),
+h AS (SELECT lang, b, count(*) AS c FROM s GROUP BY 1, 2),
+t AS (SELECT lang, (sum(c) * 2 + 4) // 5 AS target FROM h GROUP BY 1),
+cum AS (SELECT lang, b,
+               CAST(sum(c) OVER (PARTITION BY lang ORDER BY b DESC) AS BIGINT) AS cc
+        FROM h),
+thr AS (SELECT lang, max(b) AS thr_b FROM cum JOIN t USING (lang)
+        WHERE cc >= target GROUP BY 1)
+SELECT doc_id, s.lang, quality_score, thr_b
+FROM s JOIN thr ON s.lang = thr.lang
+WHERE b >= thr_b ORDER BY doc_id""",
 
     "t8_lang_mix" -> s"""WITH $QualityCte,
 quotas AS (SELECT doc_id, lang, n_tokens, quality_score,

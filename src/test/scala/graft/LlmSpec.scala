@@ -286,6 +286,63 @@ class LlmSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, "clean words only")))
   }
 
+  // ---- d10: Bloom membership pre-screen -------------------------------
+
+  /** Independent driver-side reimplementation of the engine's position
+    * arithmetic (JVM MessageDigest, not Spark columns): the spec's model
+    * of what the bitset must encode. */
+  private def bloomPositionsRef(text: String): Seq[Int] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = md5hex(text)
+    (0 until DedupOps.BloomHashes).map { i =>
+      (BigInt(md5hex(s"bloom$i-" + fp).substring(0, 15), 16) % DedupOps.BloomBits).toInt
+    }
+  }
+
+  test("bloom screen matches the position-set model: no false negatives, tiny FPR (d10)") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+    val bits = DedupOps.bloomBuild(corpus)
+    assert(bits.length === DedupOps.BloomBits / 8)
+    val got = DedupOps.bloomScreen(inc, bits)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // model: corpus position set from the independent reference hash
+    val cpos = corpus.select("text").collect().map(_.getString(0))
+      .flatMap(bloomPositionsRef).toSet
+    val incRows = inc.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.keySet === incRows.map(_._1).toSet)
+    incRows.foreach { case (id, text) =>
+      assert(got(id) === bloomPositionsRef(text).forall(cpos),
+        s"doc $id disagrees with the position-set model")
+    }
+    // no false negatives: a text present verbatim in the corpus MUST flag
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSet
+    val trueDups = incRows.filter { case (_, t) => corpusTexts(t) }
+    trueDups.foreach { case (id, _) => assert(got(id), s"false negative on doc $id") }
+    // 1200 set bits in 2^18 → per-probe hit rate ~0.5%, FPR ~1e-7: flags
+    // beyond the true dups would mean the arithmetic diverged
+    val flagged = got.count(_._2)
+    assert(flagged - trueDups.length <= (got.size / 100).max(1),
+      s"implausible false-positive count: $flagged flags, ${trueDups.length} true dups")
+  }
+
+  test("bloom build is partitioning-invariant and increments fold by OR (d10)") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val one = DedupOps.bloomBuild(corpus.coalesce(1))
+    val many = DedupOps.bloomBuild(corpus.repartition(7))
+    assert(java.util.Arrays.equals(one, many),
+      "map-side partial buffers must OR to the same bitset")
+    // associative build: corpus ∪ increment == OR of the two bitsets —
+    // the admission loop's per-batch fold never re-reads the corpus
+    val incBits = DedupOps.bloomBuild(docs.filter(col("doc_id") >= 400))
+    val all = DedupOps.bloomBuild(docs)
+    val ored = one.zip(incBits).map { case (a, b) => (a | b).toByte }
+    assert(java.util.Arrays.equals(all, ored))
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark k-gram (d8)") {
     import spark.implicits._
     val bench = Seq(

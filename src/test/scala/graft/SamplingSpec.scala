@@ -169,4 +169,38 @@ class SamplingSpec extends SparkSpec {
     // budgets never exceed the requested total (floor split)
     assert(full.map(_._4).sum <= 8000L)
   }
+
+  test("quantile gate: per-language cutoff semantics and minimal tie-inclusive keep (t17)") {
+    val kept = SamplingOps.quantileGate(docs, 2, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    // recompute per-language from the full scored corpus, driver-side
+    // (t1's quality_score is the same composite the gate bins)
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = graft.llm.TextOps.textStats(docs)
+      .select("doc_id", "quality_score")
+      .collect().map(r => (r.getLong(0), langs(r.getLong(0)), r.getDouble(1)))
+    val keptByLang = kept.groupBy(_._2)
+    scored.groupBy(_._2).foreach { case (lang, rows) =>
+      val target = (rows.length * 2 + 4) / 5 // ceil(0.4 n)
+      val k = keptByLang.getOrElse(lang, Array.empty)
+      assert(k.length >= target, s"$lang kept ${k.length} < target $target")
+      // cutoff semantics: every kept score >= every dropped score
+      val keptIds = k.map(_._1).toSet
+      val dropped = rows.filterNot(r => keptIds(r._1))
+      if (k.nonEmpty && dropped.nonEmpty)
+        assert(k.map(_._3).min >= dropped.map(_._3).max, s"$lang cutoff violated")
+      // minimality: strictly-above-threshold rows alone must NOT reach the
+      // target (only threshold ties push past it)
+      val thrB = k.head._4
+      val above = rows.count(r => math.round(r._3 * 10000) > thrB)
+      assert(above < target, s"$lang threshold not minimal")
+      // every kept row carries the same threshold and sits at/above it
+      k.foreach { r =>
+        assert(r._4 === thrB)
+        assert(math.round(r._3 * 10000) >= thrB)
+      }
+    }
+  }
 }

@@ -846,6 +846,26 @@ object DedupOps {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** OR-fold of bitset PARTIALS — the merge of per-batch [[bloomBuild]]
+    * outputs, for the streaming side's compaction and serving (the same
+    * sum-mergeable-partial discipline as the (kh, df) seed stats, with OR
+    * as the merge). Associative + commutative; the zero (no partials) is
+    * the empty filter. */
+  object BloomOrAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
+    private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      require(b.length == a.length, s"bitset partial of ${b.length} bytes")
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def reduce(b: Array[Byte], r: Array[Byte]): Array[Byte] = orInto(b, r)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** D10 build — the corpus's Bloom bitset as a driver-side value: one
     * narrow projection (k positions per doc, no text leaves the scan) +
     * one map-side-combining aggregation down to a single m/8-byte row.

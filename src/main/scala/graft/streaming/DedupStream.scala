@@ -31,6 +31,8 @@ import graft.llm.DedupOps
   *                                          df prune, no corpus re-agg
   * indexDir/wordcounts/batch=<lineage>-<id>/ (word, n) sum-partials —
   *                                          t13/t15 vocabulary serving
+  * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
+  *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
   *                                          — a BucketStore (manifest +
   *                                          CURRENT flip), upserted per
@@ -39,7 +41,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The five index sides start flat under `indexDir` and migrate into
+  * The six index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -73,6 +75,7 @@ object DedupStream {
     StructField("kh", LongType), StructField("df", LongType)))
   private val WordSchema = StructType(Seq(
     StructField("word", StringType), StructField("n", LongType)))
+  private val BloomSchema = StructType(Seq(StructField("bits", BinaryType)))
 
   /** Seed width of the maintained positional index (d9's default k): span
     * screening against the index must probe at the width it was built. */
@@ -153,6 +156,29 @@ object DedupStream {
   def screenOov(spark: SparkSession, indexDir: String, newDocs: DataFrame,
       topN: Int = 200): DataFrame =
     graft.llm.TextOps.oovStats(newDocs, corpusVocabulary(spark, indexDir, topN))
+
+  /** The maintained Bloom bitset over every ADMITTED doc's content
+    * fingerprint (d10 as streaming state): the OR of the per-batch
+    * partials — #dirs tiny binary rows, folded to one by [[compact]].
+    * An index created before this side existed serves the EMPTY filter
+    * (screen answers "definitely new" for everything), so [[screenExact]]
+    * is advisory there until a backfill re-admits; sides written since
+    * carry the full no-false-negative guarantee. */
+  def corpusBloom(spark: SparkSession, indexDir: String): Array[Byte] =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/bloom", BloomSchema)
+      .select(col("bits")).as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+      .select(DedupOps.BloomOrAgg.toColumn)
+      .head()
+
+  /** D10 over the maintained side: flag increment docs whose exact
+    * content fingerprint is possibly already admitted — the zero-join,
+    * zero-shuffle first rung of the admission ladder (no false negatives
+    * vs the admitted corpus, tunable-FPR false positives). Advisory: the
+    * pair verdicts remain the authority; this screen's job is to let
+    * "definitely new" docs skip the exact-dup tier cheaply. */
+  def screenExact(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): DataFrame =
+    DedupOps.bloomScreen(newDocs, corpusBloom(spark, indexDir))
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))
@@ -242,6 +268,16 @@ object DedupStream {
       keptOut.select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/wordcounts/$key")
+      // sixth side: the batch's Bloom bitset partial (d10's filter as
+      // maintained state) — one 32 KiB row per admission, OR-mergeable,
+      // same idempotent batch=-keyed overwrite (a replay recomputes the
+      // identical partial from the identical kept set)
+      locally {
+        import spark.implicits._
+        Seq(Tuple1(DedupOps.bloomBuild(keptOut))).toDF("bits")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/bloom/$key")
+      }
       // Group maintenance (d7 ∘ d5): fold this batch's pairs into the
       // maintained (doc_id, group_id) assignment. The delta is O(batch +
       // touched components); BucketStore's manifest flip rewrites only the
@@ -375,7 +411,13 @@ object DedupStream {
       ("seedstats", StatsSchema,
         (df: DataFrame) => df.groupBy("kh").agg(sum("df").as("df"))),
       ("wordcounts", WordSchema,
-        (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n")))))
+        (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
+      ("bloom", BloomSchema, (df: DataFrame) =>
+        // OR the foldable partials down to one row (associative, so the
+        // carried per-lineage dirs staying partial changes nothing)
+        df.select(col("bits")).as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+          .select(DedupOps.BloomOrAgg.toColumn.name("bits"))
+          .toDF("bits"))))
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

@@ -607,6 +607,50 @@ class StreamingSpec extends SparkSpec {
     assert(vocab2 === vocab)
   }
 
+  test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
+    val tmp = Files.createTempDirectory("graft_bloom_stream").toString
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val c = "a third unique document with its own vocabulary of rare tokens entirely"
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // doc 3 duplicates 1 (rejected) — its text is in the filter anyway via
+    // doc 1; doc 4 admits and must enter the filter
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, a), (4L, c)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(): Map[Long, Boolean] = graft.streaming.DedupStream
+      .screenExact(spark, s"$tmp/index",
+        Seq((10L, a), (11L, b), (12L, c),
+          (13L, "an entirely novel probe document that matches nothing admitted"))
+          .toDF("doc_id", "text"))
+      .as[(Long, Boolean)].collect().toMap
+    val verdicts = screen()
+    assert(verdicts === Map(10L -> true, 11L -> true, 12L -> true, 13L -> false),
+      s"admitted texts flag, novel text passes: $verdicts")
+    // the served OR-of-partials IS the admitted corpus's filter
+    val served = graft.streaming.DedupStream.corpusBloom(spark, s"$tmp/index")
+    val direct = graft.llm.DedupOps.bloomBuild(
+      spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"))
+    assert(java.util.Arrays.equals(served, direct))
+    // a same-lineage replay overwrites its own partial: bits unchanged
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, a), (4L, c)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    assert(java.util.Arrays.equals(
+      graft.streaming.DedupStream.corpusBloom(spark, s"$tmp/index"), served))
+    // compaction folds the partials into one consolidated row; serving and
+    // screening are invariant
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(java.util.Arrays.equals(
+      graft.streaming.DedupStream.corpusBloom(spark, s"$tmp/index"), served))
+    assert(screen() === verdicts)
+    val live = graft.streaming.DedupStream.liveRoot(spark, s"$tmp/index")
+    val rows = spark.read.parquet(s"$live/bloom")
+    assert(rows.count() <= 2, "compacted row + at most the carried latest dir")
+  }
+
   test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {
     val tmp = Files.createTempDirectory("graft_seedgate").toString
     val shared = (0 until 12).map(i => s"tok$i").mkString(" ")

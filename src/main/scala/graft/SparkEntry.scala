@@ -92,15 +92,18 @@ object SparkEntry {
     cachedDf(s, dir, "d9stats")(DedupOps.seedStats(d9CorpusSeeds(s, dir)))
   /** The D10 maintained Bloom bitset (same corpus split as d5/d9b) — the
     * cheapest rung of the admission ladder, built once per (session, dir)
-    * beside the other dedup serving state. A 32 KiB driver VALUE, not a
-    * frame (no session handle inside, so no stopped-session eviction to
-    * do; a hash-reuse alias would rebuild the identical bits). */
+    * beside the other dedup serving state. A 32 KiB driver VALUE, but the
+    * entry still carries its session for the same stopped-session
+    * eviction dfCache does: identityHashCode reuse after a session is
+    * GC'd could otherwise alias a fresh session onto bits built from
+    * since-regenerated parquet at the same dir. */
   private val bloomCache =
-    scala.collection.mutable.HashMap.empty[(Int, String), Array[Byte]]
+    scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Array[Byte])]
   private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
     bloomCache.synchronized {
+      bloomCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
       bloomCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400)))
+        (s, DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400))))._2
     }
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
@@ -462,10 +465,12 @@ object SparkEntry {
       // them per admitted increment rather than rebuilding
       d5Pairs(s, d)),
     "d10_bloom_screen" -> ((s, d) =>
-      // the pre-screen rung UNDER d5: increment docs test the corpus's
-      // maintained Bloom bitset (no false negatives), so "definitely new"
-      // docs skip the band joins and only maybe-dups pay exact
-      // verification — a zero-shuffle narrow map over the increment
+      // the pre-screen rung for the EXACT tier: increment docs test the
+      // corpus's maintained Bloom bitset (no false negatives for
+      // byte-identical re-ingests), so "definitely new" docs skip the d1
+      // exact-dup check and only maybe-dups pay its verification — near-dup
+      // tiers (d5's band joins) still see every doc, since a near-duplicate
+      // shares no content fingerprint. A zero-shuffle narrow map.
       DedupOps.bloomScreen(documents(s, d).filter(col("doc_id") >= 400),
         d10CorpusBits(s, d))),
     "d7_incremental_groups" -> ((s, d) => {

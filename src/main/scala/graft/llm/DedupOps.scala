@@ -824,6 +824,16 @@ object DedupOps {
     (0 until BloomHashes).map(i =>
       h60(concat(lit(s"bloom$i-"), md5(text))) % BloomBits)
 
+  /** In-place OR of bitset `b` into `a` — the one merge both Bloom
+    * aggregators share. Fails fast on a foreign-length buffer rather
+    * than silently under-ORing. */
+  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(b.length == a.length, s"bitset partial of ${b.length} bytes")
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+
   /** Typed Aggregator folding bit positions into the filter's byte-array
     * bitset. Associative + commutative → Spark runs it MAP-SIDE: each
     * partition reduces its positions into one local m/8-byte buffer and
@@ -836,11 +846,7 @@ object DedupOps {
       val i = p.toInt // p < BloomBits by construction
       b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte; b
     }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-      a
-    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
     override def finish(r: Array[Byte]): Array[Byte] = r
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -853,18 +859,20 @@ object DedupOps {
     * the empty filter. */
   object BloomOrAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
-    private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      require(b.length == a.length, s"bitset partial of ${b.length} bytes")
-      var i = 0
-      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-      a
-    }
     override def reduce(b: Array[Byte], r: Array[Byte]): Array[Byte] = orInto(b, r)
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
     override def finish(r: Array[Byte]): Array[Byte] = r
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+
+  /** Fold a `bits` partials frame down to ONE bitset row — the shared
+    * tail of [[graft.streaming.DedupStream.corpusBloom]] (serving) and
+    * the compact() side fold. */
+  def bloomFold(partials: DataFrame): DataFrame =
+    partials.select(col("bits")).as[Array[Byte]](Encoders.BINARY)
+      .select(BloomOrAgg.toColumn.name("bits"))
+      .toDF("bits")
 
   /** D10 build — the corpus's Bloom bitset as a driver-side value: one
     * narrow projection (k positions per doc, no text leaves the scan) +
@@ -886,9 +894,13 @@ object DedupOps {
     * word-array literal (the e11b typedlit-codebook discipline) and each
     * test is element_at + bitwiseAND — a pure codegen'd narrow map, ZERO
     * shuffles and zero joins. This is the cheap first rung of the
-    * admission ladder: no false negatives (every true re-ingest flags),
-    * tunable-FPR false positives, so "definitely new" docs skip the d5
-    * band joins entirely and only maybe-dups pay the exact verification.
+    * admission ladder, and its guarantee covers the EXACT tier only: no
+    * false negatives for byte-identical re-ingests (the filter is built
+    * over md5(text) fingerprints), tunable-FPR false positives, so
+    * "definitely new" docs skip the d1 exact-dup check and only
+    * maybe-dups pay its verification. It cannot license skipping the
+    * near-dup tiers — a near-duplicate shares no content fingerprint, so
+    * d5's band joins must still see every doc.
     * Bits pack little-endian within each 64-bit word: bit p ↦ word
     * p>>6, in-word bit p&63 (= 8·(byte-in-word) + bit-in-byte). */
   def bloomScreen(increment: DataFrame, bits: Array[Byte]): DataFrame = {

@@ -165,10 +165,9 @@ object DedupStream {
     * is advisory there until a backfill re-admits; sides written since
     * carry the full no-false-negative guarantee. */
   def corpusBloom(spark: SparkSession, indexDir: String): Array[Byte] =
-    readSide(spark, s"${liveRoot(spark, indexDir)}/bloom", BloomSchema)
-      .select(col("bits")).as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
-      .select(DedupOps.BloomOrAgg.toColumn)
-      .head()
+    DedupOps.bloomFold(
+        readSide(spark, s"${liveRoot(spark, indexDir)}/bloom", BloomSchema))
+      .head().getAs[Array[Byte]](0)
 
   /** D10 over the maintained side: flag increment docs whose exact
     * content fingerprint is possibly already admitted — the zero-join,
@@ -415,9 +414,7 @@ object DedupStream {
       ("bloom", BloomSchema, (df: DataFrame) =>
         // OR the foldable partials down to one row (associative, so the
         // carried per-lineage dirs staying partial changes nothing)
-        df.select(col("bits")).as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
-          .select(DedupOps.BloomOrAgg.toColumn.name("bits"))
-          .toDF("bits"))))
+        DedupOps.bloomFold(df))))
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

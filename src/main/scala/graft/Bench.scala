@@ -66,6 +66,15 @@ object Bench {
     * `buildQueries` names the rows that price an inline index BUILD
     * (Lloyd passes, codebook training), so a load spike on one build row
     * reads as exactly that instead of inflating the serving story. */
+  /** (name, seconds) entries as a JSON object — shared by the stdout
+    * ledger line (short ids) and the stderr full-names line so the two
+    * renderings cannot drift. Names are Jsons.quote-escaped like every
+    * other interpolated string: today they are code constants, but one
+    * odd future registry name must not unparse the ledger. */
+  private def queriesJson(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => Jsons.quote(k) + ":" + num("%.3f", v) }
+      .mkString("{", ",", "}")
+
   def jsonLine(results: Seq[(String, Double)], errors: List[String],
       sfDir: String,
       buildQueries: Set[String] = SparkEntry.buildQueries): String = {
@@ -73,13 +82,11 @@ object Bench {
     val shortIds = results.map { case (k, v) => k.split('_').head -> v }
     require(shortIds.map(_._1).distinct.size == shortIds.size,
       "short query ids collide; extend the key scheme")
-    def qjson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val healthy = results.filter(_._2 >= 0)
     val total = healthy.map(_._2).sum
     val build = healthy.filter(r => buildQueries.contains(r._1)).map(_._2).sum
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson()},"queries":${qjson(shortIds)},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
+    val errJson = errors.sorted.map(Jsons.quote).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson()},"queries":${queriesJson(shortIds)},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   /** Emitted when the run dies before per-query timing can even start
@@ -121,9 +128,7 @@ object Bench {
     }
 
     val (results, errors) = run(spark, sfDir, SparkEntry.queries)
-    def fullJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }.mkString("{", ",", "}")
-    System.err.println(s"""[bench full names] {"queries":${fullJson(results)}}""")
+    System.err.println(s"""[bench full names] {"queries":${queriesJson(results)}}""")
     println(jsonLine(results, errors, sfDir))
     spark.stop()
   }

@@ -50,12 +50,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     dump(spark, sfDir, outDir,
       SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) })
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = Jsons.quote(s)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -329,6 +329,27 @@ class LlmSpec extends SparkSpec {
       s"implausible false-positive count: $flagged flags, ${trueDups.length} true dups")
   }
 
+  test("bloom screen plans as a zero-join narrow map (d10 plan gate)") {
+    // the 100-TB contract: the bitset rides as a plan LITERAL, so the
+    // screen must plan with no join and no hash exchange — the only
+    // shuffle allowed is the oracle-determinism orderBy's range sort
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val screened = DedupOps.bloomScreen(
+      docs.filter(col("doc_id") >= 400), DedupOps.bloomBuild(docs))
+    screened.count()
+    val plan = screened.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"d10 screen must not join:\n$plan")
+    val hashShuffles = plan.collect {
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }
+    assert(hashShuffles.isEmpty, s"d10 screen must not hash-shuffle:\n$plan")
+  }
+
   test("bloom build is partitioning-invariant and increments fold by OR (d10)") {
     val corpus = docs.filter(col("doc_id") < 400)
     val one = DedupOps.bloomBuild(corpus.coalesce(1))

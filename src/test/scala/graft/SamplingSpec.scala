@@ -170,6 +170,47 @@ class SamplingSpec extends SparkSpec {
     assert(full.map(_._4).sum <= 8000L)
   }
 
+  test("quantile gate invariants hold for arbitrary corpora and fractions (t17 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // tiny vocabulary + short lengths → frequent score TIES across docs,
+    // the case the tie-inclusive threshold rule exists for; "the"/"a"
+    // drive the stopword term of the composite
+    val word = Gen.oneOf("the", "a", "data", "x")
+    val text = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      keepDen <- Gen.choose(1, 6)
+      keepNum <- Gen.choose(1, keepDen)
+      texts <- Gen.choose(1, 3).flatMap(nl => Gen.listOfN(nl,
+        Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, text))))
+    } yield (keepNum, keepDen, texts)
+    val prop = Prop.forAll(gen) { case (keepNum, keepDen, perLang) =>
+      val rows = perLang.zipWithIndex.flatMap { case (ts, li) =>
+        ts.map(t => (s"l$li", t))
+      }.zipWithIndex.map { case ((lang, t), i) => (i.toLong, t, lang) }
+      val df = rows.toDF("doc_id", "text", "lang")
+      val kept = SamplingOps.quantileGate(df, keepNum, keepDen)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      val bins = graft.llm.TextOps.textStats(df).select("doc_id", "quality_score")
+        .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 10000)).toMap
+      rows.groupBy(_._3).forall { case (lang, rs) =>
+        val target = (rs.length * keepNum + keepDen - 1) / keepDen
+        val k = kept.filter(_._2 == lang)
+        val keptIds = k.map(_._1).toSet
+        val dropped = rs.filterNot(r => keptIds(r._1))
+        k.length >= target && k.nonEmpty && {
+          val thrB = k.head._3
+          k.forall(x => x._3 == thrB && bins(x._1) >= thrB) && // at/above thr
+          dropped.forall(d => bins(d._1) < thrB) &&            // cutoff exact
+          rs.count(r => bins(r._1) > thrB) < target            // thr minimal
+        }
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("quantile gate: per-language cutoff semantics and minimal tie-inclusive keep (t17)") {
     val kept = SamplingOps.quantileGate(docs, 2, 5)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))

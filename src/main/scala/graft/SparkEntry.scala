@@ -669,6 +669,12 @@ object SparkEntry {
       // per-language top-40% quality cut off a binned CDF: thresholds from
       // a bounded histogram, never a corpus-wide rank window
       SamplingOps.quantileGate(documents(s, d), 2, 5)),
+    "t18_bpe_merges" -> ((s, d) =>
+      // 3 rounds of most-frequent-pair merge — the BPE tokenizer-training
+      // loop: per round one map-side pair count, a driver top-1 (bytes),
+      // one narrow literal-replace map; sample-fed with the same plan at
+      // deployment scale
+      TextOps.bpeMerges(documents(s, d), 3)),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

@@ -241,6 +241,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T18 — BPE merge-rule induction (the Sennrich et al. tokenizer-training
+    * loop): `rounds` iterations of "find the most frequent adjacent token
+    * pair, merge it corpus-wide", emitting the learned (round, pair, n)
+    * merge table.
+    *
+    * The corpus rides as ONE string column in a sentinel encoding —
+    * `␟tok␟␟tok␟…` (U+001F cannot occur in text, pinned by the spec
+    * fixture) — so applying a merge is a LITERAL string replace: both
+    * Spark's and DuckDB's `replace` scan left-to-right non-overlapping,
+    * which is exactly BPE's greedy merge order (self-pairs like "x x x"
+    * merge to [xx, x], verified against an independent token-list model in
+    * the spec), and the sentinels make token boundaries exact (a token
+    * that is a substring of another can never false-match). Merged tokens
+    * join with '@'.
+    *
+    * Scale shape: each round is one narrow pair projection (zip_with over
+    * the token array — no text leaves the scan un-hashed... the pair
+    * strings are constant-width word pairs), one map-side-combined
+    * (pair, n) count whose shuffle is ∝ distinct pairs, a TakeOrdered(1)
+    * top pair to the driver (bytes — the centroid-collect discipline),
+    * and one codegen'd literal-replace map. Rounds are honestly
+    * sequential corpus passes, exactly like e11's Lloyd iterations; a
+    * deployment trains on a t6 hash-sample and runs thousands of rounds,
+    * with the SAME per-round plan. Tie order (n desc, pair asc) is pinned
+    * so the merge table is engine-portable. */
+  def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val S = "\u001f"
+    var enc = documents.select(
+      concat(lit(S), replace(col("text"), lit(" "), lit(S + S)), lit(S)).as("enc"))
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = split(col("enc").substr(lit(2), length(col("enc")) - 2), S + S)
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = enc
+        .select(explode(pairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .head()
+      val pair = top.getString(0)
+      merges += ((r.toLong, pair, top.getLong(1)))
+      val Array(a, b) = pair.split(" ", 2)
+      enc = enc.select(replace(col("enc"),
+        lit(S + a + S + S + b + S), lit(S + a + "@" + b + S)).as("enc"))
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "n").orderBy("round")
+  }
+
   /** T14 — per-language CORPUS REPORT (the data-card step): document and
     * token counts, aggregate quality, and the above-threshold share per
     * language. Every column is an exact integer (quality enters as

@@ -49,6 +49,21 @@ object Oracles {
   private val K1Sql =
     "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
 
+  /** One BPE round for the t18 oracle: from `enc\$i` derive `top\${i+1}`
+    * (most frequent adjacent pair, (n desc, pair) tie order) and
+    * `enc\${i+1}` (the pair merged corpus-wide by sentinel-bounded literal
+    * replace — chr(31) = the engine's U+001F separator). */
+  private def bpeRound(i: Int): String = s"""
+toks$i AS (SELECT doc_id, string_split(substr(enc, 2, length(enc)-2), chr(31)||chr(31)) AS t
+           FROM enc$i),
+pairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair
+            FROM toks$i),
+top${i + 1} AS (SELECT pair, count(*) AS n FROM pairs$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+enc${i + 1} AS (SELECT doc_id, replace(enc,
+    chr(31)||split_part(pair,' ',1)||chr(31)||chr(31)||split_part(pair,' ',2)||chr(31),
+    chr(31)||split_part(pair,' ',1)||'@'||split_part(pair,' ',2)||chr(31)) AS enc
+  FROM enc$i, top${i + 1})"""
+
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
   // Every banded-candidate, span-seed and k-gram-contamination fragment is
   // defined ONCE and composed (never forked) by the oracles gating the
@@ -1238,6 +1253,19 @@ cw AS (SELECT lang, n_tokens, weight,
 SELECT lang, n_tokens, weight,
        CAST(floor(8000.0 * weight / max(cum_w) OVER ()) AS BIGINT) AS budget_tokens
 FROM cw ORDER BY lang""",
+
+    // t18: the 3-round BPE unroll — same U+001F sentinel encoding, same
+    // left-to-right non-overlapping LITERAL replace (both engines'
+    // `replace` is exactly BPE's greedy merge order), same (n desc, pair)
+    // tie order; each round's CTE block is generated by bpeRound so the
+    // per-round semantics cannot drift between rounds
+    "t18_bpe_merges" -> (s"""WITH enc0 AS (
+  SELECT doc_id, chr(31) || replace(text, ' ', chr(31)||chr(31)) || chr(31) AS enc
+  FROM $Docs)""" + (0 until 3).map(i => "," + bpeRound(i)).mkString + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, pair, n FROM top1
+  UNION ALL SELECT 2, pair, n FROM top2
+  UNION ALL SELECT 3, pair, n FROM top3) ORDER BY round"""),
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine

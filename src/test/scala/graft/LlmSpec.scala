@@ -984,6 +984,52 @@ class LlmSpec extends SparkSpec {
       .filter(col("neighbor_id") >= split).count() > 0)
   }
 
+  test("bpe merges match an independent token-list greedy model (t18)") {
+    import spark.implicits._
+    // substring trap ("ab" vs "a"/"b"), self-pair overlap ("x x x"),
+    // cascading merges (a@b can pair again) — all in one fixture
+    val synth = Seq(
+      (1L, "a b a b c"), (2L, "b a b"), (3L, "ab b a b"),
+      (4L, "x x x x"), (5L, "a b c a b c")).toDF("doc_id", "text")
+    // driver-side reference: greedy left-to-right merge on TOKEN LISTS —
+    // shares nothing with the engine's sentinel-string formulation
+    def topPair(ds: Seq[List[String]]): (String, String, Long) = {
+      val c = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (d <- ds; i <- 0 until d.length - 1)
+        c((d(i), d(i + 1))) = c.getOrElse((d(i), d(i + 1)), 0L) + 1
+      val ((a, b), n) = c.minBy { case ((a, b), n) => (-n, s"$a $b") }
+      (a, b, n)
+    }
+    def applyMerge(ds: Seq[List[String]], a: String, b: String): Seq[List[String]] =
+      ds.map { d =>
+        val out = List.newBuilder[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
+            out += s"$a@$b"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.result()
+      }
+    var ref = synth.collect().sortBy(_.getLong(0))
+      .map(_.getString(1).split(" ").toList).toSeq
+    val want = (1 to 3).map { r =>
+      val (a, b, n) = topPair(ref)
+      ref = applyMerge(ref, a, b)
+      (r.toLong, s"$a $b", n)
+    }
+    val got = TextOps.bpeMerges(synth, 3).as[(Long, String, Long)].collect().toSeq
+    assert(got === want)
+    // the live corpus never contains the sentinel or the join char the
+    // encoding relies on (the t18 scaladoc's precondition)
+    assert(docs.filter(col("text").contains("\u001f") ||
+      col("text").contains("@")).count() === 0)
+    // and the corpus run is deterministic with exactly `rounds` rows
+    val full = TextOps.bpeMerges(docs, 2).as[(Long, String, Long)].collect().toSeq
+    assert(full.map(_._1) === Seq(1L, 2L))
+    assert(full.forall(_._3 > 0))
+  }
+
   test("vocabulary ranks by count then word, coverage sums to the stream (t13)") {
     import spark.implicits._
     val synth = Seq((1L, "a b a c a b"), (2L, "b d")).toDF("doc_id", "text")

@@ -105,6 +105,18 @@ object SparkEntry {
       bloomCache.getOrElseUpdate((System.identityHashCode(s), dir),
         (s, DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400))))._2
     }
+  /** The t18 learned merge table (3 rounds over the corpus) — t18b's
+    * serving state, a driver VALUE cached with the same stopped-session
+    * eviction as the Bloom bits. */
+  private val bpeCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Seq[String])]
+  private def t18Merges(s: SparkSession, dir: String): Seq[String] =
+    bpeCache.synchronized {
+      bpeCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      bpeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        (s, TextOps.bpeMerges(documents(s, dir), 3)
+          .collect().map(_.getString(1)).toSeq))._2
+    }
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the
@@ -675,6 +687,10 @@ object SparkEntry {
       // one narrow literal-replace map; sample-fed with the same plan at
       // deployment scale
       TextOps.bpeMerges(documents(s, d), 3)),
+    "t18b_bpe_encode" -> ((s, d) =>
+      // serve side of t18: the LEARNED merge table rides as plan string
+      // literals, so tokenization is one zero-shuffle narrow projection
+      TextOps.bpeEncode(documents(s, d), t18Merges(s, d))),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

@@ -257,22 +257,21 @@ object TextOps {
     * join with '@'.
     *
     * Scale shape: each round is one narrow pair projection (zip_with over
-    * the token array — no text leaves the scan un-hashed... the pair
-    * strings are constant-width word pairs), one map-side-combined
-    * (pair, n) count whose shuffle is ∝ distinct pairs, a TakeOrdered(1)
-    * top pair to the driver (bytes — the centroid-collect discipline),
-    * and one codegen'd literal-replace map. Rounds are honestly
-    * sequential corpus passes, exactly like e11's Lloyd iterations; a
-    * deployment trains on a t6 hash-sample and runs thousands of rounds,
-    * with the SAME per-round plan. Tie order (n desc, pair asc) is pinned
-    * so the merge table is engine-portable. */
+    * the token array — the shuffled rows are constant-width word pairs,
+    * never documents), one map-side-combined (pair, n) count whose
+    * shuffle is ∝ distinct pairs, a TakeOrdered(1) top pair to the driver
+    * (bytes — the centroid-collect discipline), and one codegen'd
+    * literal-replace map. Rounds are honestly sequential corpus passes,
+    * exactly like e11's Lloyd iterations; a deployment trains on a t6
+    * hash-sample and runs thousands of rounds, with the SAME per-round
+    * plan. Tie order (n desc, pair asc) is pinned so the merge table is
+    * engine-portable. [[bpeEncode]] is the serve side: the merge table,
+    * not the corpus, is the training artifact. */
   def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
-    val S = "\u001f"
-    var enc = documents.select(
-      concat(lit(S), replace(col("text"), lit(" "), lit(S + S)), lit(S)).as("enc"))
+    var enc = documents.select(bpeEnc0.as("enc"))
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (r <- 1 to rounds) {
-      val toks = split(col("enc").substr(lit(2), length(col("enc")) - 2), S + S)
+      val toks = bpeToks(col("enc"))
       val pairs = zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
@@ -284,13 +283,42 @@ object TextOps {
         .head()
       val pair = top.getString(0)
       merges += ((r.toLong, pair, top.getLong(1)))
-      val Array(a, b) = pair.split(" ", 2)
-      enc = enc.select(replace(col("enc"),
-        lit(S + a + S + S + b + S), lit(S + a + "@" + b + S)).as("enc"))
+      enc = enc.select(bpeApply(col("enc"), pair).as("enc"))
     }
     val spark = documents.sparkSession
     import spark.implicits._
     merges.result().toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** The BPE sentinel pieces [[bpeMerges]] (train) and [[bpeEncode]]
+    * (serve) share — one definition so the two sides cannot drift. */
+  private val BpeSep = "\u001f"
+  private def bpeEnc0: Column =
+    concat(lit(BpeSep), replace(col("text"), lit(" "), lit(BpeSep + BpeSep)), lit(BpeSep))
+  private def bpeToks(e: Column): Column =
+    split(e.substr(lit(2), length(e) - 2), BpeSep + BpeSep)
+  private def bpeApply(e: Column, pair: String): Column = {
+    val Array(a, b) = pair.split(" ", 2)
+    replace(e, lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+      lit(BpeSep + a + "@" + b + BpeSep))
+  }
+
+  /** T18 serve — tokenize with a LEARNED merge table ([[bpeMerges]]'s
+    * `pair` column, a driver value like the IVF centroids): fold the
+    * merges into one chain of literal replaces and count the resulting
+    * BPE tokens per document next to the whitespace token count. The
+    * whole operator is a SINGLE narrow codegen'd projection — zero joins,
+    * zero shuffles, the merge list riding in the plan as string literals
+    * — so serve-side tokenization pipelines into any downstream scan for
+    * free; training cost lives in [[bpeMerges]] alone (the e4→e5
+    * build/serve discipline). */
+  def bpeEncode(documents: DataFrame, merges: Seq[String]): DataFrame = {
+    val t = col("text")
+    documents.select(
+      col("doc_id"),
+      (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long").as("n_tokens"),
+      size(bpeToks(merges.foldLeft(bpeEnc0)(bpeApply))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** T14 — per-language CORPUS REPORT (the data-card step): document and

@@ -1267,6 +1267,18 @@ SELECT * FROM (
   UNION ALL SELECT 2, pair, n FROM top2
   UNION ALL SELECT 3, pair, n FROM top3) ORDER BY round"""),
 
+    // t18b: the serve side — same 3-round unroll to enc3 (the learned
+    // merges applied), then per-doc BPE token counts beside the
+    // whitespace count
+    "t18b_bpe_encode" -> (s"""WITH enc0 AS (
+  SELECT doc_id, chr(31) || replace(text, ' ', chr(31)||chr(31)) || chr(31) AS enc
+  FROM $Docs)""" + (0 until 3).map(i => "," + bpeRound(i)).mkString + s"""
+SELECT e.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(substr(e.enc, 2, length(e.enc)-2), chr(31)||chr(31))) AS BIGINT)
+         AS n_bpe_tokens
+FROM enc3 e JOIN $Docs d USING (doc_id) ORDER BY doc_id"""),
+
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine
     "t17_quantile_gate" -> s"""WITH $QualityCte,

@@ -1028,6 +1028,14 @@ class LlmSpec extends SparkSpec {
     val full = TextOps.bpeMerges(docs, 2).as[(Long, String, Long)].collect().toSeq
     assert(full.map(_._1) === Seq(1L, 2L))
     assert(full.forall(_._3 > 0))
+    // serve side: encoding with the learned table reproduces the model's
+    // final tokenization lengths (ref now holds the post-merge lists)
+    val orig = synth.collect().sortBy(_.getLong(0))
+      .map(_.getString(1).split(" ").length.toLong).toSeq
+    val gotEnc = TextOps.bpeEncode(synth, want.map(_._2))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotEnc.map(_._2) === orig)
+    assert(gotEnc.map(_._3) === ref.map(_.length.toLong))
   }
 
   test("vocabulary ranks by count then word, coverage sums to the stream (t13)") {

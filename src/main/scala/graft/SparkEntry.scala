@@ -235,7 +235,7 @@ object SparkEntry {
     * `build` subtotal so a load spike on one build row reads as exactly
     * that instead of inflating the serving headline (e11 alone was 16%
     * of the r11 driver total). ContractSpec pins membership ⊆ registry. */
-  val buildQueries: Set[String] = Set("e4_ivf_topk", "e11_pq_topk")
+  val buildQueries: Set[String] = Set("e4_ivf_topk", "e11_pq_topk", "t18_bpe_merges")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- serving query surface (P1-P8, O1-O4) --------------------------
@@ -773,6 +773,13 @@ object SparkEntry {
     // the inline build so the serve-vs-inline seam stays measured
     pqIndex(spark, dir)
     ivfPqIndex(spark, dir)
+    // the d10 bitset and t18 merge table are the same serving-state class
+    // (driver values maintained ingest-side): built here so the d10/t18b
+    // serve rows time the zero-shuffle screen/encode, not the build —
+    // t18_bpe_merges itself stays an inline build row (tagged in
+    // buildQueries), pricing the training loop like e4/e11
+    d10CorpusBits(spark, dir)
+    t18Merges(spark, dir)
     ()
   }
 

@@ -32,7 +32,7 @@ object SamplingOps {
       keyCol: String = "lang"): DataFrame = {
     val t = col("text")
     val padded = concat(lit(" "), t, lit(" "))
-    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nTokens = TextOps.wsTokens(t)
     val nStop = TextOps.substrCount(padded, " the ") + TextOps.substrCount(padded, " a ")
     documents.select(
       col("doc_id"), col(keyCol),
@@ -218,7 +218,7 @@ object SamplingOps {
   def temperatureBudgets(documents: DataFrame, budgetTokens: Long,
       keyCol: String = "lang"): DataFrame = {
     val t = col("text")
-    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nTokens = TextOps.wsTokens(t)
     val perKey = documents.select(col(keyCol), nTokens.as("n"))
       .groupBy(keyCol).agg(sum("n").as("n_tokens"))
       .withColumn("weight", round(sqrt(col("n_tokens").cast("double")), 6))

@@ -22,12 +22,16 @@ object TextOps {
   def substrCount(text: Column, pat: String): Column =
     ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
 
+  /** Whitespace token count (spaces + 1) — the ONE definition t1, t3, t14
+    * and t18b share, so the n_tokens/ws_tokens columns cannot drift. */
+  def wsTokens(text: Column): Column = substrCount(text, " ") + 1
+
   /** T1 — per-document quality stats: token count (whitespace), average
     * token length, stopword ratio, composite quality score. */
   def textStats(documents: DataFrame): DataFrame = {
     val t = col("text")
     val padded = concat(lit(" "), t, lit(" "))
-    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nTokens = wsTokens(t)
     val nStop = substrCount(padded, " the ") + substrCount(padded, " a ")
     documents.select(
       col("doc_id"),
@@ -79,7 +83,7 @@ object TextOps {
     val t = col("text")
     documents.select(
       col("doc_id"),
-      (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long").as("ws_tokens"),
+      wsTokens(t).as("ws_tokens"),
       size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
         .as("bpe_tokens")
     ).orderBy("doc_id")
@@ -270,7 +274,9 @@ object TextOps {
   def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
     var enc = documents.select(bpeEnc0.as("enc"))
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val toks = bpeToks(col("enc"))
       val pairs = zip_with(
         slice(toks, lit(1), size(toks) - 1),
@@ -280,10 +286,23 @@ object TextOps {
         .select(explode(pairs).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1)
-        .head()
-      val pair = top.getString(0)
-      merges += ((r.toLong, pair, top.getLong(1)))
-      enc = enc.select(bpeApply(col("enc"), pair).as("enc"))
+        .collect()
+      if (top.isEmpty) {
+        // pair-exhausted corpus (every doc down to one token): emit the
+        // realized merges — the oracle's empty top CTE drops the same
+        // rounds, and its LEFT JOIN keeps enc unchanged, as here
+        exhausted = true
+      } else {
+        val pair = top.head.getString(0)
+        merges += ((r.toLong, pair, top.head.getLong(1)))
+        // truncate lineage each round: the corpus-string state is
+        // re-materialized at the next action instead of replaying all
+        // prior merges from enc0 (the DedupOps pointer-doubling
+        // discipline) — per-round work stays constant at any `rounds`
+        enc = enc.select(bpeApply(col("enc"), pair).as("enc"))
+          .localCheckpoint(false)
+        r += 1
+      }
     }
     val spark = documents.sparkSession
     import spark.implicits._
@@ -316,7 +335,7 @@ object TextOps {
     val t = col("text")
     documents.select(
       col("doc_id"),
-      (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long").as("n_tokens"),
+      wsTokens(t).as("n_tokens"),
       size(bpeToks(merges.foldLeft(bpeEnc0)(bpeApply))).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
@@ -330,7 +349,7 @@ object TextOps {
   def corpusReport(documents: DataFrame): DataFrame = {
     val t = col("text")
     val padded = concat(lit(" "), t, lit(" "))
-    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nTokens = wsTokens(t)
     val nStop = substrCount(padded, " the ") + substrCount(padded, " a ")
     val quality = round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
       (nStop.cast("double") / nTokens) * 0.5, 4)

@@ -59,10 +59,10 @@ toks$i AS (SELECT doc_id, string_split(substr(enc, 2, length(enc)-2), chr(31)||c
 pairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair
             FROM toks$i),
 top${i + 1} AS (SELECT pair, count(*) AS n FROM pairs$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-enc${i + 1} AS (SELECT doc_id, replace(enc,
+enc${i + 1} AS (SELECT doc_id, coalesce(replace(enc,
     chr(31)||split_part(pair,' ',1)||chr(31)||chr(31)||split_part(pair,' ',2)||chr(31),
-    chr(31)||split_part(pair,' ',1)||'@'||split_part(pair,' ',2)||chr(31)) AS enc
-  FROM enc$i, top${i + 1})"""
+    chr(31)||split_part(pair,' ',1)||'@'||split_part(pair,' ',2)||chr(31)), enc) AS enc
+  FROM enc$i LEFT JOIN top${i + 1} ON TRUE)"""
 
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
   // Every banded-candidate, span-seed and k-gram-contamination fragment is

@@ -1012,7 +1012,7 @@ class LlmSpec extends SparkSpec {
         out.result()
       }
     var ref = synth.collect().sortBy(_.getLong(0))
-      .map(_.getString(1).split(" ").toList).toSeq
+      .map(_.getString(1).split(" ", -1).toList).toSeq
     val want = (1 to 3).map { r =>
       val (a, b, n) = topPair(ref)
       ref = applyMerge(ref, a, b)
@@ -1031,7 +1031,7 @@ class LlmSpec extends SparkSpec {
     // serve side: encoding with the learned table reproduces the model's
     // final tokenization lengths (ref now holds the post-merge lists)
     val orig = synth.collect().sortBy(_.getLong(0))
-      .map(_.getString(1).split(" ").length.toLong).toSeq
+      .map(_.getString(1).split(" ", -1).length.toLong).toSeq
     val gotEnc = TextOps.bpeEncode(synth, want.map(_._2))
       .as[(Long, Long, Long)].collect().toSeq
     assert(gotEnc.map(_._2) === orig)

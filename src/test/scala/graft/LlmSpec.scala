@@ -1038,6 +1038,19 @@ class LlmSpec extends SparkSpec {
     assert(gotEnc.map(_._3) === ref.map(_.length.toLong))
   }
 
+  test("bpe training stops at pair exhaustion and emits realized merges (t18)") {
+    import spark.implicits._
+    // "a a" merges once, then every doc is a single token — round 2 finds
+    // no adjacent pair and the loop must emit 1 row, not crash
+    val tiny = Seq((1L, "a a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(tiny, 5).as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a a", 1L)))
+    // encoding with the short table still works and counts the merged doc
+    val enc = TextOps.bpeEncode(tiny, got.map(_._2))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
   test("vocabulary ranks by count then word, coverage sums to the stream (t13)") {
     import spark.implicits._
     val synth = Seq((1L, "a b a c a b"), (2L, "b d")).toDF("doc_id", "text")

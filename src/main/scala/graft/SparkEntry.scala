@@ -235,7 +235,8 @@ object SparkEntry {
     * `build` subtotal so a load spike on one build row reads as exactly
     * that instead of inflating the serving headline (e11 alone was 16%
     * of the r11 driver total). ContractSpec pins membership ⊆ registry. */
-  val buildQueries: Set[String] = Set("e4_ivf_topk", "e11_pq_topk", "t18_bpe_merges")
+  val buildQueries: Set[String] =
+    Set("e4_ivf_topk", "e11_pq_topk", "t18_bpe_merges", "t18c_bpe_subwords")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- serving query surface (P1-P8, O1-O4) --------------------------
@@ -691,6 +692,11 @@ object SparkEntry {
       // serve side of t18: the LEARNED merge table rides as plan string
       // literals, so tokenization is one zero-shuffle narrow projection
       TextOps.bpeEncode(documents(s, d), t18Merges(s, d))),
+    "t18c_bpe_subwords" -> ((s, d) =>
+      // canonical char-level BPE on the word-frequency dict: ONE corpus
+      // pass (the word count), then vocab-sized rounds — the form
+      // tokenizer trainers ship, and the 1000-round scale path
+      TextOps.bpeSubwordMerges(documents(s, d), 3)),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

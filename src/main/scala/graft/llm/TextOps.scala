@@ -271,8 +271,23 @@ object TextOps {
     * plan. Tie order (n desc, pair asc) is pinned so the merge table is
     * engine-portable. [[bpeEncode]] is the serve side: the merge table,
     * not the corpus, is the training artifact. */
-  def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame = {
-    var enc = documents.select(bpeEnc0.as("enc"))
+  def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
+    bpeTrainRounds(documents.sparkSession,
+      documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), "@", rounds)
+
+  /** The shared BPE training loop over a WEIGHTED sentinel-encoded state
+    * frame (enc, n): per round one (pair, Σn) map-side-combined count, a
+    * TakeOrdered(1) driver scalar, one literal-replace map with lineage
+    * truncated by a lazy local checkpoint (so round r never replays the
+    * r−1 prior merges from scratch — the DedupOps accumulating-lineage
+    * discipline; per-round work stays constant at any `rounds`). Stops at
+    * pair exhaustion and emits the realized merges — the oracle's empty
+    * top CTE drops the same rounds, and its LEFT JOIN keeps enc
+    * unchanged, as here. [[bpeMerges]] feeds it document sequences at
+    * weight 1; [[bpeSubwordMerges]] the word-frequency dict. */
+  private def bpeTrainRounds(spark: org.apache.spark.sql.SparkSession,
+      init: DataFrame, joiner: String, rounds: Int): DataFrame = {
+    var state = init
     val merges = Seq.newBuilder[(Long, String, Long)]
     var r = 1
     var exhausted = false
@@ -282,32 +297,50 @@ object TextOps {
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b))
-      val top = enc
-        .select(explode(pairs).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val top = state
+        .select(explode(pairs).as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1)
         .collect()
       if (top.isEmpty) {
-        // pair-exhausted corpus (every doc down to one token): emit the
-        // realized merges — the oracle's empty top CTE drops the same
-        // rounds, and its LEFT JOIN keeps enc unchanged, as here
         exhausted = true
       } else {
         val pair = top.head.getString(0)
         merges += ((r.toLong, pair, top.head.getLong(1)))
-        // truncate lineage each round: the corpus-string state is
-        // re-materialized at the next action instead of replaying all
-        // prior merges from enc0 (the DedupOps pointer-doubling
-        // discipline) — per-round work stays constant at any `rounds`
-        enc = enc.select(bpeApply(col("enc"), pair).as("enc"))
+        state = state.select(
+            bpeApply(col("enc"), pair, joiner).as("enc"), col("n"))
           .localCheckpoint(false)
         r += 1
       }
     }
-    val spark = documents.sparkSession
     import spark.implicits._
     merges.result().toDF("round", "pair", "n").orderBy("round")
   }
+
+  /** T18c — CANONICAL character-level BPE (Sennrich et al. Algorithm 1):
+    * merge rules learned over the WORD-FREQUENCY DICT, pair counts
+    * weighted by word frequency, merged subwords concatenating plainly
+    * ("e"+"r" → "er").
+    *
+    * This is the form tokenizer trainers actually ship, and the scale
+    * complement of [[bpeMerges]]: the corpus is touched EXACTLY ONCE (the
+    * word-count aggregation, shuffle ∝ distinct words), and every
+    * training round runs over the vocab-sized dict — at 100 TB the dict
+    * is millions of rows where the corpus is billions, so thousands of
+    * rounds are thousands of tiny-frame jobs, not corpus passes. (A
+    * deployment may equally collect the dict — MBs — and run the
+    * classic in-memory loop; the distributed form is kept here for
+    * engine-oracle parity and for dicts past driver memory.) */
+  def bpeSubwordMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
+    bpeTrainRounds(documents.sparkSession,
+      documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(concat(lit(BpeSep),
+            array_join(split(col("word"), ""), BpeSep + BpeSep),
+            lit(BpeSep)).as("enc"),
+          col("n")),
+      "", rounds)
 
   /** The BPE sentinel pieces [[bpeMerges]] (train) and [[bpeEncode]]
     * (serve) share — one definition so the two sides cannot drift. */
@@ -316,10 +349,10 @@ object TextOps {
     concat(lit(BpeSep), replace(col("text"), lit(" "), lit(BpeSep + BpeSep)), lit(BpeSep))
   private def bpeToks(e: Column): Column =
     split(e.substr(lit(2), length(e) - 2), BpeSep + BpeSep)
-  private def bpeApply(e: Column, pair: String): Column = {
+  private def bpeApply(e: Column, pair: String, joiner: String = "@"): Column = {
     val Array(a, b) = pair.split(" ", 2)
     replace(e, lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
-      lit(BpeSep + a + "@" + b + BpeSep))
+      lit(BpeSep + a + joiner + b + BpeSep))
   }
 
   /** T18 serve — tokenize with a LEARNED merge table ([[bpeMerges]]'s
@@ -336,7 +369,7 @@ object TextOps {
     documents.select(
       col("doc_id"),
       wsTokens(t).as("n_tokens"),
-      size(bpeToks(merges.foldLeft(bpeEnc0)(bpeApply))).cast("long").as("n_bpe_tokens"))
+      size(bpeToks(merges.foldLeft(bpeEnc0)(bpeApply(_, _)))).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -49,6 +49,21 @@ object Oracles {
   private val K1Sql =
     "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
 
+  /** One t18c round: like [[bpeRound]] but over the (enc, n) word dict —
+    * pair counts weighted by `sum(n)`, merged subwords concatenated with
+    * no joiner (classic BPE: "e"+"r" → "er"). */
+  private def bpeSubwordRound(i: Int): String = s"""
+wtoks$i AS (SELECT enc, n, string_split(substr(enc, 2, length(enc)-2), chr(31)||chr(31)) AS t
+            FROM wenc$i),
+wpairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair, n
+             FROM wtoks$i),
+wtop${i + 1} AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM wpairs$i
+                 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+wenc${i + 1} AS (SELECT coalesce(replace(w.enc,
+    chr(31)||split_part(p.pair,' ',1)||chr(31)||chr(31)||split_part(p.pair,' ',2)||chr(31),
+    chr(31)||split_part(p.pair,' ',1)||split_part(p.pair,' ',2)||chr(31)), w.enc) AS enc, w.n AS n
+  FROM wenc$i w LEFT JOIN wtop${i + 1} p ON TRUE)"""
+
   /** One BPE round for the t18 oracle: from `enc\$i` derive `top\${i+1}`
     * (most frequent adjacent pair, (n desc, pair) tie order) and
     * `enc\${i+1}` (the pair merged corpus-wide by sentinel-bounded literal
@@ -1278,6 +1293,19 @@ SELECT e.doc_id,
        CAST(len(string_split(substr(e.enc, 2, length(e.enc)-2), chr(31)||chr(31))) AS BIGINT)
          AS n_bpe_tokens
 FROM enc3 e JOIN $Docs d USING (doc_id) ORDER BY doc_id"""),
+
+    // t18c: canonical char-level BPE on the word dict — pair counts
+    // weighted by word frequency (sum(n) not count), merged subwords
+    // concatenate plainly; same exhaustion-safe LEFT JOIN rounds
+    "t18c_bpe_subwords" -> (s"""WITH dict0 AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
+wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
+          FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, pair, n FROM wtop1
+  UNION ALL SELECT 2, pair, n FROM wtop2
+  UNION ALL SELECT 3, pair, n FROM wtop3) ORDER BY round"""),
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine

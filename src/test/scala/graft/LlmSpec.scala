@@ -1038,6 +1038,55 @@ class LlmSpec extends SparkSpec {
     assert(gotEnc.map(_._3) === ref.map(_.length.toLong))
   }
 
+  test("subword bpe matches a classic word-dict reference (t18c)") {
+    import spark.implicits._
+    // "loop" repeated inflates its char pairs by frequency; "polo" shares
+    // the o-bearing pairs at lower weight; single-char word is inert
+    val synth = Seq(
+      (1L, "loop loop loop polo"), (2L, "pool loop x"), (3L, "oo polo")
+    ).toDF("doc_id", "text")
+    // independent reference: classic BPE over the (word-tuple, freq) dict
+    var dict = scala.collection.mutable.Map.empty[List[String], Long]
+    synth.collect().flatMap(_.getString(1).split(" ", -1))
+      .foreach { w =>
+        val k = w.split("").toList
+        dict(k) = dict.getOrElse(k, 0L) + 1
+      }
+    val want = (1 to 3).flatMap { r =>
+      val c = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, n) <- dict; i <- 0 until toks.length - 1)
+        c((toks(i), toks(i + 1))) = c.getOrElse((toks(i), toks(i + 1)), 0L) + n
+      if (c.isEmpty) Seq.empty
+      else {
+        val ((a, b), n) = c.minBy { case ((a, b), n) => (-n, s"$a $b") }
+        val nd = scala.collection.mutable.Map.empty[List[String], Long]
+        for ((toks, cnt) <- dict) {
+          val out = List.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          val k = out.result()
+          nd(k) = nd.getOrElse(k, 0L) + cnt
+        }
+        dict = nd
+        Seq((r.toLong, s"$a $b", n))
+      }
+    }
+    val got = TextOps.bpeSubwordMerges(synth, 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === want)
+    // frequency weighting is load-bearing: the top pair must count word
+    // OCCURRENCES, not distinct words ("oo" from 4×loop + pool + oo)
+    assert(got.head._3 > 3, s"unweighted-looking top count: ${got.head}")
+    // corpus sanity: 2 rounds on the real fixture, deterministic rows
+    val full = TextOps.bpeSubwordMerges(docs, 2).as[(Long, String, Long)].collect().toSeq
+    assert(full.map(_._1) === Seq(1L, 2L))
+    assert(full.forall(_._3 > 0))
+  }
+
   test("bpe training stops at pair exhaustion and emits realized merges (t18)") {
     import spark.implicits._
     // "a a" merges once, then every doc is a single token — round 2 finds

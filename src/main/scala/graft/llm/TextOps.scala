@@ -272,7 +272,7 @@ object TextOps {
     * engine-portable. [[bpeEncode]] is the serve side: the merge table,
     * not the corpus, is the training artifact. */
   def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
-    bpeTrainRounds(documents.sparkSession,
+    bpeTrainRounds(
       documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), "@", rounds)
 
   /** The shared BPE training loop over a WEIGHTED sentinel-encoded state
@@ -285,8 +285,9 @@ object TextOps {
     * top CTE drops the same rounds, and its LEFT JOIN keeps enc
     * unchanged, as here. [[bpeMerges]] feeds it document sequences at
     * weight 1; [[bpeSubwordMerges]] the word-frequency dict. */
-  private def bpeTrainRounds(spark: org.apache.spark.sql.SparkSession,
+  private def bpeTrainRounds(
       init: DataFrame, joiner: String, rounds: Int): DataFrame = {
+    val spark = init.sparkSession
     var state = init
     val merges = Seq.newBuilder[(Long, String, Long)]
     var r = 1
@@ -332,7 +333,7 @@ object TextOps {
     * classic in-memory loop; the distributed form is kept here for
     * engine-oracle parity and for dicts past driver memory.) */
   def bpeSubwordMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
-    bpeTrainRounds(documents.sparkSession,
+    bpeTrainRounds(
       documents
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))

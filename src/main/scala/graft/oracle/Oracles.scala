@@ -49,35 +49,34 @@ object Oracles {
   private val K1Sql =
     "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
 
-  /** One t18c round: like [[bpeRound]] but over the (enc, n) word dict —
-    * pair counts weighted by `sum(n)`, merged subwords concatenated with
-    * no joiner (classic BPE: "e"+"r" → "er"). */
-  private def bpeSubwordRound(i: Int): String = s"""
-wtoks$i AS (SELECT enc, n, string_split(substr(enc, 2, length(enc)-2), chr(31)||chr(31)) AS t
-            FROM wenc$i),
-wpairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair, n
-             FROM wtoks$i),
-wtop${i + 1} AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM wpairs$i
-                 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-wenc${i + 1} AS (SELECT coalesce(replace(w.enc,
-    chr(31)||split_part(p.pair,' ',1)||chr(31)||chr(31)||split_part(p.pair,' ',2)||chr(31),
-    chr(31)||split_part(p.pair,' ',1)||split_part(p.pair,' ',2)||chr(31)), w.enc) AS enc, w.n AS n
-  FROM wenc$i w LEFT JOIN wtop${i + 1} p ON TRUE)"""
+  /** One BPE oracle round — the ONE generator both t18 (document
+    * sequences: CTE prefix "", carry doc_id, weight count(*), '@' joiner)
+    * and t18c (word dict: prefix "w", carry n, weight sum(n), plain
+    * concat) compose, so the sentinel encoding, the (n desc, pair) tie
+    * order, and the exhaustion-safe LEFT JOIN cannot fork between the two
+    * formulations (the engine side is unified the same way in
+    * bpeTrainRounds). chr(31) = the engine's U+001F separator. */
+  private def bpeRoundCte(i: Int, p: String, carry: String,
+      weight: String, joinSql: String): String = {
+    val carryPairs = if (carry == "n") ", n" else ""
+    s"""
+${p}toks$i AS (SELECT enc, $carry, string_split(substr(enc, 2, length(enc)-2), chr(31)||chr(31)) AS t
+           FROM ${p}enc$i),
+${p}pairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair$carryPairs
+            FROM ${p}toks$i),
+${p}top${i + 1} AS (SELECT pair, CAST($weight AS BIGINT) AS n FROM ${p}pairs$i
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
+    chr(31)||split_part(p2.pair,' ',1)||chr(31)||chr(31)||split_part(p2.pair,' ',2)||chr(31),
+    chr(31)||split_part(p2.pair,' ',1)${joinSql}split_part(p2.pair,' ',2)||chr(31)), w.enc) AS enc
+  FROM ${p}enc$i w LEFT JOIN ${p}top${i + 1} p2 ON TRUE)"""
+  }
 
-  /** One BPE round for the t18 oracle: from `enc\$i` derive `top\${i+1}`
-    * (most frequent adjacent pair, (n desc, pair) tie order) and
-    * `enc\${i+1}` (the pair merged corpus-wide by sentinel-bounded literal
-    * replace — chr(31) = the engine's U+001F separator). */
-  private def bpeRound(i: Int): String = s"""
-toks$i AS (SELECT doc_id, string_split(substr(enc, 2, length(enc)-2), chr(31)||chr(31)) AS t
-           FROM enc$i),
-pairs$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pair
-            FROM toks$i),
-top${i + 1} AS (SELECT pair, count(*) AS n FROM pairs$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-enc${i + 1} AS (SELECT doc_id, coalesce(replace(enc,
-    chr(31)||split_part(pair,' ',1)||chr(31)||chr(31)||split_part(pair,' ',2)||chr(31),
-    chr(31)||split_part(pair,' ',1)||'@'||split_part(pair,' ',2)||chr(31)), enc) AS enc
-  FROM enc$i LEFT JOIN top${i + 1} ON TRUE)"""
+  private def bpeRound(i: Int): String =
+    bpeRoundCte(i, "", "doc_id", "count(*)", "||'@'||")
+
+  private def bpeSubwordRound(i: Int): String =
+    bpeRoundCte(i, "w", "n", "sum(n)", "||")
 
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
   // Every banded-candidate, span-seed and k-gram-contamination fragment is

@@ -1087,6 +1087,26 @@ class LlmSpec extends SparkSpec {
     assert(full.forall(_._3 > 0))
   }
 
+  test("bpe encode plans as a zero-join narrow map (t18b plan gate)") {
+    // the serve-side contract: the merge table rides as plan literals, so
+    // encoding must plan with no join and no hash exchange — only the
+    // oracle-determinism range sort
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val encoded = TextOps.bpeEncode(docs, Seq("order fast", "agg part"))
+    encoded.count()
+    val plan = encoded.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"t18b encode must not join:\n$plan")
+    val hashShuffles = plan.collect {
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }
+    assert(hashShuffles.isEmpty, s"t18b encode must not hash-shuffle:\n$plan")
+  }
+
   test("bpe training stops at pair exhaustion and emits realized merges (t18)") {
     import spark.implicits._
     // "a a" merges once, then every doc is a single token — round 2 finds

@@ -117,6 +117,17 @@ object SparkEntry {
         (s, TextOps.bpeMerges(documents(s, dir), 3)
           .collect().map(_.getString(1)).toSeq))._2
     }
+  /** The t18c learned SUBWORD merge table — t18d's serving state, same
+    * cache discipline. */
+  private val bpeSubCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Seq[String])]
+  private def t18cMerges(s: SparkSession, dir: String): Seq[String] =
+    bpeSubCache.synchronized {
+      bpeSubCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      bpeSubCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        (s, TextOps.bpeSubwordMerges(documents(s, dir), 3)
+          .collect().map(_.getString(1)).toSeq))._2
+    }
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the
@@ -697,6 +708,10 @@ object SparkEntry {
       // pass (the word count), then vocab-sized rounds — the form
       // tokenizer trainers ship, and the 1000-round scale path
       TextOps.bpeSubwordMerges(documents(s, d), 3)),
+    "t18d_bpe_subword_encode" -> ((s, d) =>
+      // serve side of t18c: replay the learned subword rules per word
+      // inside a transform/aggregate lambda — zero-shuffle tokenization
+      TextOps.bpeSubwordEncode(documents(s, d), t18cMerges(s, d))),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>
@@ -786,6 +801,7 @@ object SparkEntry {
     // buildQueries), pricing the training loop like e4/e11
     d10CorpusBits(spark, dir)
     t18Merges(spark, dir)
+    t18cMerges(spark, dir)
     ()
   }
 

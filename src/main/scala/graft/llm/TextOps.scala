@@ -318,6 +318,31 @@ object TextOps {
     merges.result().toDF("round", "pair", "n").orderBy("round")
   }
 
+  /** Char-level sentinel encoding of one WORD (t18c/t18d): every
+    * character a token. */
+  private def bpeCharEnc(w: Column): Column =
+    concat(lit(BpeSep), array_join(split(w, ""), BpeSep + BpeSep), lit(BpeSep))
+
+  /** T18d — serve side of [[bpeSubwordMerges]]: tokenize each document
+    * with the LEARNED subword merge table (replayed in rule order, the
+    * classic BPE apply) and count subword tokens beside the whitespace
+    * count. Like [[bpeEncode]], a SINGLE zero-shuffle codegen'd
+    * projection: the per-word merge replay runs inside a `transform`/
+    * `aggregate` lambda over the word array, with the rules as plan
+    * string literals — the tokenizer a training pipeline actually runs
+    * over the corpus, priced at scan speed. */
+  def bpeSubwordEncode(documents: DataFrame, merges: Seq[String]): DataFrame = {
+    val t = col("text")
+    val tokensOfWord = (w: Column) =>
+      size(bpeToks(merges.foldLeft(bpeCharEnc(w))(bpeApply(_, _, "")))).cast("long")
+    documents.select(
+      col("doc_id"),
+      wsTokens(t).as("n_tokens"),
+      aggregate(split(t, " "), lit(0L), (acc, w) => acc + tokensOfWord(w))
+        .as("n_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** T18c — CANONICAL character-level BPE (Sennrich et al. Algorithm 1):
     * merge rules learned over the WORD-FREQUENCY DICT, pair counts
     * weighted by word frequency, merged subwords concatenating plainly

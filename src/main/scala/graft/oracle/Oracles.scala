@@ -78,6 +78,14 @@ ${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
   private def bpeSubwordRound(i: Int): String =
     bpeRoundCte(i, "w", "n", "sum(n)", "||")
 
+  /** One t18d APPLY step: merge pair `p` (a scalar column) into word
+    * encoding `e`, exhaustion-safe (NULL pair keeps `e`) — the same
+    * sentinel/plain-concat semantics as [[bpeSubwordRound]]'s enc fold. */
+  private def bpeApplySql(e: String, p: String): String =
+    s"""coalesce(replace($e,
+  chr(31)||split_part($p,' ',1)||chr(31)||chr(31)||split_part($p,' ',2)||chr(31),
+  chr(31)||split_part($p,' ',1)||split_part($p,' ',2)||chr(31)), $e)"""
+
   // ---- LLM-shared CTE fragments (shingles, signatures) ------------------
   // Every banded-candidate, span-seed and k-gram-contamination fragment is
   // defined ONCE and composed (never forked) by the oracles gating the
@@ -1305,6 +1313,30 @@ SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS round, pair, n FROM wtop1
   UNION ALL SELECT 2, pair, n FROM wtop2
   UNION ALL SELECT 3, pair, n FROM wtop3) ORDER BY round"""),
+
+    // t18d: t18c's learned rules replayed per word (rule order = classic
+    // BPE apply) inside a list lambda; pairs enter as LEFT-JOINed scalars
+    // so an exhausted round degrades to identity exactly like the engine
+    "t18d_bpe_subword_encode" -> {
+      val encW = Seq("m.p1", "m.p2", "m.p3").foldLeft(
+        "chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)")(
+        bpeApplySql)
+      s"""WITH dict0 AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
+wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
+          FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString + s""",
+m AS (SELECT t1.pair AS p1, t2.pair AS p2, t3.pair AS p3
+      FROM (SELECT 1) LEFT JOIN wtop1 t1 ON TRUE
+                      LEFT JOIN wtop2 t2 ON TRUE
+                      LEFT JOIN wtop3 t3 ON TRUE)
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(string_split(text, ' '), w ->
+    len(string_split(substr($encW, 2, length($encW) - 2), chr(31)||chr(31))))) AS BIGINT)
+    AS n_subword_tokens
+FROM $Docs, m ORDER BY doc_id"""
+    },
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine

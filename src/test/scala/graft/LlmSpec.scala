@@ -1087,6 +1087,35 @@ class LlmSpec extends SparkSpec {
     assert(full.forall(_._3 > 0))
   }
 
+  test("subword encode replays rules in order and counts tokens (t18d)") {
+    import spark.implicits._
+    val synth = Seq((1L, "loop polo x"), (2L, "oo oo pool")).toDF("doc_id", "text")
+    // rules replayed IN ORDER: "o o"→oo first changes what "l o" can match
+    val got = TextOps.bpeSubwordEncode(synth, Seq("o o", "l oo"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // loop: l,o,o,p → l,oo,p → loo,p = 2; polo: p,o,l,o = 4 (no adjacent
+    // o o); x = 1 → doc1: 3 words, 7 subwords
+    // oo: o,o → oo = 1 each; pool: p,o,o,l → p,oo,l = 3 → doc2: 3 words, 5
+    assert(got === Seq((1L, 3L, 7L), (2L, 3L, 5L)))
+    // empty merge table = character count per word
+    val chars = TextOps.bpeSubwordEncode(synth, Seq.empty)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(chars === Seq((1L, 3L, 9L), (2L, 3L, 8L)))
+    // zero-join/zero-hash-shuffle plan gate (the t18b contract, serve tier)
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val big = TextOps.bpeSubwordEncode(docs, Seq("e r", "o r"))
+    big.count()
+    val plan = big.queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"t18d encode must not join:\n$plan")
+    assert(plan.collect {
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }.isEmpty, s"t18d encode must not hash-shuffle:\n$plan")
+  }
+
   test("bpe encode plans as a zero-join narrow map (t18b plan gate)") {
     // the serve-side contract: the merge table rides as plan literals, so
     // encoding must plan with no join and no hash exchange — only the

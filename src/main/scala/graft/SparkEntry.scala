@@ -92,42 +92,38 @@ object SparkEntry {
     cachedDf(s, dir, "d9stats")(DedupOps.seedStats(d9CorpusSeeds(s, dir)))
   /** The D10 maintained Bloom bitset (same corpus split as d5/d9b) — the
     * cheapest rung of the admission ladder, built once per (session, dir)
-    * beside the other dedup serving state. A 32 KiB driver VALUE, but the
-    * entry still carries its session for the same stopped-session
-    * eviction dfCache does: identityHashCode reuse after a session is
-    * GC'd could otherwise alias a fresh session onto bits built from
-    * since-regenerated parquet at the same dir. */
+    * beside the other dedup serving state. */
   private val bloomCache =
     scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Array[Byte])]
-  private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
-    bloomCache.synchronized {
-      bloomCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      bloomCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        (s, DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400))))._2
+  /** Memoize a driver VALUE per (session, dir) with stopped-session
+    * eviction — identityHashCode reuse after a session is GC'd could
+    * otherwise alias a fresh session onto state built from
+    * since-regenerated parquet at the same dir. One definition for every
+    * driver-value serving cache (Bloom bits, BPE merge tables). */
+  private def driverCached[T](cache: scala.collection.mutable.HashMap[(Int, String), (SparkSession, T)],
+      s: SparkSession, dir: String)(build: => T): T =
+    cache.synchronized {
+      cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+      cache.getOrElseUpdate((System.identityHashCode(s), dir), (s, build))._2
     }
+  private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
+    driverCached(bloomCache, s, dir)(
+      DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400)))
   /** The t18 learned merge table (3 rounds over the corpus) — t18b's
     * serving state, a driver VALUE cached with the same stopped-session
     * eviction as the Bloom bits. */
   private val bpeCache =
     scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Seq[String])]
   private def t18Merges(s: SparkSession, dir: String): Seq[String] =
-    bpeCache.synchronized {
-      bpeCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      bpeCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        (s, TextOps.bpeMerges(documents(s, dir), 3)
-          .collect().map(_.getString(1)).toSeq))._2
-    }
+    driverCached(bpeCache, s, dir)(
+      TextOps.bpeMerges(documents(s, dir), 3).collect().map(_.getString(1)).toSeq)
   /** The t18c learned SUBWORD merge table — t18d's serving state, same
     * cache discipline. */
   private val bpeSubCache =
     scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Seq[String])]
   private def t18cMerges(s: SparkSession, dir: String): Seq[String] =
-    bpeSubCache.synchronized {
-      bpeSubCache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      bpeSubCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        (s, TextOps.bpeSubwordMerges(documents(s, dir), 3)
-          .collect().map(_.getString(1)).toSeq))._2
-    }
+    driverCached(bpeSubCache, s, dir)(
+      TextOps.bpeSubwordMerges(documents(s, dir), 3).collect().map(_.getString(1)).toSeq)
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the

@@ -362,10 +362,7 @@ object TextOps {
       documents
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
-        .select(concat(lit(BpeSep),
-            array_join(split(col("word"), ""), BpeSep + BpeSep),
-            lit(BpeSep)).as("enc"),
-          col("n")),
+        .select(bpeCharEnc(col("word")).as("enc"), col("n")),
       "", rounds)
 
   /** The BPE sentinel pieces [[bpeMerges]] (train) and [[bpeEncode]]

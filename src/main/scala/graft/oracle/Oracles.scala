@@ -78,6 +78,25 @@ ${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
   private def bpeSubwordRound(i: Int): String =
     bpeRoundCte(i, "w", "n", "sum(n)", "||")
 
+  /** The t18c training chain — word-frequency dict + 3 weighted rounds —
+    * as ONE fragment composed by both the t18c merges oracle and the t18d
+    * apply oracle (never forked: a dict-derivation change edits exactly
+    * one place). */
+  private def bpeSubwordTraining: String =
+    s"""WITH dict0 AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
+wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
+          FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString
+
+  /** One t18d APPLY round: rule i+1 replayed over every word encoding in
+    * the doc's list — LEFT JOIN so an exhausted round is the identity.
+    * Linear growth in rounds (the lambda var `e` keeps each step
+    * constant-size), unlike a nested-replace unroll. */
+  private def bpeApplyRound(i: Int): String = s"""
+apply${i + 1} AS (SELECT a.doc_id, list_transform(a.encs, e -> ${bpeApplySql("e", "p2.pair")}) AS encs
+  FROM apply$i a LEFT JOIN wtop${i + 1} p2 ON TRUE)"""
+
   /** One t18d APPLY step: merge pair `p` (a scalar column) into word
     * encoding `e`, exhaustion-safe (NULL pair keeps `e`) — the same
     * sentinel/plain-concat semantics as [[bpeSubwordRound]]'s enc fold. */
@@ -1304,39 +1323,25 @@ FROM enc3 e JOIN $Docs d USING (doc_id) ORDER BY doc_id"""),
     // t18c: canonical char-level BPE on the word dict — pair counts
     // weighted by word frequency (sum(n) not count), merged subwords
     // concatenate plainly; same exhaustion-safe LEFT JOIN rounds
-    "t18c_bpe_subwords" -> (s"""WITH dict0 AS (
-  SELECT word, count(*) AS n FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
-wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
-          FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString + """
+    "t18c_bpe_subwords" -> (bpeSubwordTraining + """
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS round, pair, n FROM wtop1
   UNION ALL SELECT 2, pair, n FROM wtop2
   UNION ALL SELECT 3, pair, n FROM wtop3) ORDER BY round"""),
 
     // t18d: t18c's learned rules replayed per word (rule order = classic
-    // BPE apply) inside a list lambda; pairs enter as LEFT-JOINed scalars
-    // so an exhausted round degrades to identity exactly like the engine
-    "t18d_bpe_subword_encode" -> {
-      val encW = Seq("m.p1", "m.p2", "m.p3").foldLeft(
-        "chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)")(
-        bpeApplySql)
-      s"""WITH dict0 AS (
-  SELECT word, count(*) AS n FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
-wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
-          FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString + s""",
-m AS (SELECT t1.pair AS p1, t2.pair AS p2, t3.pair AS p3
-      FROM (SELECT 1) LEFT JOIN wtop1 t1 ON TRUE
-                      LEFT JOIN wtop2 t2 ON TRUE
-                      LEFT JOIN wtop3 t3 ON TRUE)
+    // BPE apply) over the doc's word-encoding list, one CTE per rule —
+    // exhausted rounds degrade to identity exactly like the engine
+    "t18d_bpe_subword_encode" -> (bpeSubwordTraining + s""",
+apply0 AS (SELECT doc_id, list_transform(string_split(text, ' '), w ->
+    chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)) AS encs
+  FROM $Docs)""" + (0 until 3).map(bpeApplyRound).mkString(",", ",", "") + """
 SELECT doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  CAST(list_sum(list_transform(string_split(text, ' '), w ->
-    len(string_split(substr($encW, 2, length($encW) - 2), chr(31)||chr(31))))) AS BIGINT)
+  CAST(len(encs) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(encs, e ->
+    len(string_split(substr(e, 2, length(e) - 2), chr(31)||chr(31))))) AS BIGINT)
     AS n_subword_tokens
-FROM $Docs, m ORDER BY doc_id"""
-    },
+FROM apply3 ORDER BY doc_id"""),
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine

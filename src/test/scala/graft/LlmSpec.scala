@@ -10,6 +10,26 @@ import graft.model.Tables
 class LlmSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf0001)
+
+  /** Run `body` with AQE off and hand it the materialized plain physical
+    * plan of `df` — the ONE way this suite writes narrow-map plan gates.
+    * Under AQE the executed plan is an AdaptiveSparkPlanExec whose stages
+    * are leaves, so collect() finds neither joins nor exchanges and an
+    * isEmpty assertion passes VACUOUSLY (caught in round 12); with AQE
+    * off every node, including WholeStageCodegen spans, is visible. */
+  private def plainPlanOf(mkDf: => org.apache.spark.sql.DataFrame)(
+      body: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = mkDf
+      df.count()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty, s"gate saw no codegen span — AQE wrapper leaked?\n$plan")
+      body(plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
   private lazy val emb = Tables.embeddings(spark, sf0001)
 
   test("exact dedup keeps one doc per distinct text") {
@@ -335,19 +355,18 @@ class LlmSpec extends SparkSpec {
     // shuffle allowed is the oracle-determinism orderBy's range sort
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val screened = DedupOps.bloomScreen(
-      docs.filter(col("doc_id") >= 400), DedupOps.bloomBuild(docs))
-    screened.count()
-    val plan = screened.queryExecution.executedPlan
-    val joins = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    plainPlanOf(DedupOps.bloomScreen(
+        docs.filter(col("doc_id") >= 400), DedupOps.bloomBuild(docs))) { plan =>
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"d10 screen must not join:\n$plan")
+      val hashShuffles = plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }
+      assert(hashShuffles.isEmpty, s"d10 screen must not hash-shuffle:\n$plan")
     }
-    assert(joins.isEmpty, s"d10 screen must not join:\n$plan")
-    val hashShuffles = plan.collect {
-      case s: ShuffleExchangeLike
-          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
-    }
-    assert(hashShuffles.isEmpty, s"d10 screen must not hash-shuffle:\n$plan")
   }
 
   test("bloom build is partitioning-invariant and increments fold by OR (d10)") {
@@ -1104,16 +1123,15 @@ class LlmSpec extends SparkSpec {
     // zero-join/zero-hash-shuffle plan gate (the t18b contract, serve tier)
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val big = TextOps.bpeSubwordEncode(docs, Seq("e r", "o r"))
-    big.count()
-    val plan = big.queryExecution.executedPlan
-    assert(plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }.isEmpty, s"t18d encode must not join:\n$plan")
-    assert(plan.collect {
-      case s: ShuffleExchangeLike
-          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
-    }.isEmpty, s"t18d encode must not hash-shuffle:\n$plan")
+    plainPlanOf(TextOps.bpeSubwordEncode(docs, Seq("e r", "o r"))) { plan =>
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"t18d encode must not join:\n$plan")
+      assert(plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }.isEmpty, s"t18d encode must not hash-shuffle:\n$plan")
+    }
   }
 
   test("bpe encode plans as a zero-join narrow map (t18b plan gate)") {
@@ -1122,18 +1140,17 @@ class LlmSpec extends SparkSpec {
     // oracle-determinism range sort
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val encoded = TextOps.bpeEncode(docs, Seq("order fast", "agg part"))
-    encoded.count()
-    val plan = encoded.queryExecution.executedPlan
-    val joins = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    plainPlanOf(TextOps.bpeEncode(docs, Seq("order fast", "agg part"))) { plan =>
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"t18b encode must not join:\n$plan")
+      val hashShuffles = plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }
+      assert(hashShuffles.isEmpty, s"t18b encode must not hash-shuffle:\n$plan")
     }
-    assert(joins.isEmpty, s"t18b encode must not join:\n$plan")
-    val hashShuffles = plan.collect {
-      case s: ShuffleExchangeLike
-          if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
-    }
-    assert(hashShuffles.isEmpty, s"t18b encode must not hash-shuffle:\n$plan")
   }
 
   test("bpe training stops at pair exhaustion and emits realized merges (t18)") {

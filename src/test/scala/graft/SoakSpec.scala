@@ -99,6 +99,15 @@ class SoakSpec extends SparkSpec {
       // one-manifest retention must satisfy the same invariants
       val groups = DedupStream.corpusGroups(spark, s"$tmp/index")
         .select("doc_id").as[Long].collect().toSet
+      // the bloom side (one OR-mergeable partial per admission, folded by
+      // compact) must keep its no-false-negative guarantee mid-rebuild:
+      // every committed doc's fingerprint probes all-set in any served read
+      val bits = DedupStream.corpusBloom(spark, s"$tmp/index")
+      val flags = graft.llm.DedupOps.bloomScreen(
+          mustHave.toSeq.map(doc).toDF("doc_id", "text"), bits)
+        .select("maybe_dup").as[Boolean].collect()
+      assert(flags.forall(identity),
+        s"bloom read lost committed fingerprints (${flags.count(!_)} of ${flags.length})")
       // upper bound snapshotted AFTER the scans: `offered` grows
       // monotonically and is set before each admission, so anything a
       // scan can surface was offered by the time the scan finished (a

@@ -33,9 +33,16 @@ object SparkEntry {
   private def cachedDf(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = dfCache.synchronized {
     // Evict entries whose session has stopped — also guards the (rare)
-    // identityHashCode reuse after a session is GC'd.
+    // identityHashCode reuse after a session is GC'd. A hit must also
+    // belong to the CALLER's session (`eq`): two live sessions with
+    // colliding identity hashes must not share cached frames.
     dfCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
-    dfCache.getOrElseUpdate((System.identityHashCode(s), dir, key), build.persist())
+    val k = (System.identityHashCode(s), dir, key)
+    dfCache.get(k).filter(_.sparkSession eq s) match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist(); dfCache.update(k, df); df
+    }
   }
 
   private def objects(s: SparkSession, dir: String): DataFrame =
@@ -98,14 +105,33 @@ object SparkEntry {
   /** Memoize a driver VALUE per (session, dir) with stopped-session
     * eviction — identityHashCode reuse after a session is GC'd could
     * otherwise alias a fresh session onto state built from
-    * since-regenerated parquet at the same dir. One definition for every
-    * driver-value serving cache (Bloom bits, BPE merge tables). */
+    * since-regenerated parquet at the same dir. A hit additionally
+    * verifies the stored session IS the caller's (`eq`): two LIVE
+    * sessions whose identity hashes collide must not share serving
+    * state, so a mismatched entry is rebuilt and overwritten. The build
+    * (a Spark job, seconds for BPE training) runs OUTSIDE the lock —
+    * double-checked, so a lost race discards its duplicate rather than
+    * serializing every cache behind one training job. One definition for
+    * every driver-value serving cache (Bloom bits, BPE merge tables). */
   private def driverCached[T](cache: scala.collection.mutable.HashMap[(Int, String), (SparkSession, T)],
-      s: SparkSession, dir: String)(build: => T): T =
-    cache.synchronized {
+      s: SparkSession, dir: String)(build: => T): T = {
+    val key = (System.identityHashCode(s), dir)
+    val hit = cache.synchronized {
       cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
-      cache.getOrElseUpdate((System.identityHashCode(s), dir), (s, build))._2
+      cache.get(key).filter(_._1 eq s)
     }
+    hit match {
+      case Some((_, v)) => v
+      case None =>
+        val built = build
+        cache.synchronized {
+          cache.get(key).filter(_._1 eq s) match {
+            case Some((_, v)) => v
+            case None => cache.update(key, (s, built)); built
+          }
+        }
+    }
+  }
   private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
     driverCached(bloomCache, s, dir)(
       DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400)))
@@ -131,12 +157,16 @@ object SparkEntry {
   private def cachedGroups(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = dfCache.synchronized {
     dfCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
-    dfCache.getOrElseUpdate((System.identityHashCode(s), dir, key), {
-      val g = build.persist()
-      g.count() // materialize INTO the cache before the scaffolding
-      DedupOps.releaseCaches() // (tracked pair/label frames) is dropped
-      g
-    })
+    val k = (System.identityHashCode(s), dir, key)
+    dfCache.get(k).filter(_.sparkSession eq s) match {
+      case Some(g) => g
+      case None =>
+        val g = build.persist()
+        g.count() // materialize INTO the cache before the scaffolding
+        DedupOps.releaseCaches() // (tracked pair/label frames) is dropped
+        dfCache.update(k, g)
+        g
+    }
   }
   private def d7CorpusGroups(s: SparkSession, dir: String): DataFrame =
     cachedGroups(s, dir, "d7groups") {

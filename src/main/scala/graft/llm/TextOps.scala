@@ -258,7 +258,11 @@ object TextOps {
     * merge to [xx, x], verified against an independent token-list model in
     * the spec), and the sentinels make token boundaries exact (a token
     * that is a substring of another can never false-match). Merged tokens
-    * join with '@'.
+    * join with U+001E (record separator) — like the U+001F token sentinel,
+    * a control character outside printable text, so a real-corpus token
+    * containing the joiner (as 'user@host' would for an '@' joiner) can
+    * never masquerade as a merged pair and corrupt later rounds' counts;
+    * the sentinel-absence pin in LlmSpec covers both characters.
     *
     * Scale shape: each round is one narrow pair projection (zip_with over
     * the token array — the shuffled rows are constant-width word pairs,
@@ -273,7 +277,7 @@ object TextOps {
     * not the corpus, is the training artifact. */
   def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
     bpeTrainRounds(
-      documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), "@", rounds)
+      documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), BpeJoin, rounds)
 
   /** The shared BPE training loop over a WEIGHTED sentinel-encoded state
     * frame (enc, n): per round one (pair, Σn) map-side-combined count, a
@@ -368,11 +372,15 @@ object TextOps {
   /** The BPE sentinel pieces [[bpeMerges]] (train) and [[bpeEncode]]
     * (serve) share — one definition so the two sides cannot drift. */
   private val BpeSep = "\u001f"
+  /** Doc-mode merge joiner (t18/t18b): U+001E, a second control char so
+    * the encoding's whole alphabet is outside printable text. chr(30) on
+    * the oracle side. */
+  private val BpeJoin = "\u001e"
   private def bpeEnc0: Column =
     concat(lit(BpeSep), replace(col("text"), lit(" "), lit(BpeSep + BpeSep)), lit(BpeSep))
   private def bpeToks(e: Column): Column =
     split(e.substr(lit(2), length(e) - 2), BpeSep + BpeSep)
-  private def bpeApply(e: Column, pair: String, joiner: String = "@"): Column = {
+  private def bpeApply(e: Column, pair: String, joiner: String = BpeJoin): Column = {
     val Array(a, b) = pair.split(" ", 2)
     replace(e, lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
       lit(BpeSep + a + joiner + b + BpeSep))

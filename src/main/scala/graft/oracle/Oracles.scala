@@ -50,7 +50,7 @@ object Oracles {
     "SELECT _id, version, deletion AS deleted FROM latest ORDER BY _id"
 
   /** One BPE oracle round — the ONE generator both t18 (document
-    * sequences: CTE prefix "", carry doc_id, weight count(*), '@' joiner)
+    * sequences: CTE prefix "", carry doc_id, weight count(*), chr(30) joiner)
     * and t18c (word dict: prefix "w", carry n, weight sum(n), plain
     * concat) compose, so the sentinel encoding, the (n desc, pair) tie
     * order, and the exhaustion-safe LEFT JOIN cannot fork between the two
@@ -73,7 +73,7 @@ ${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
   }
 
   private def bpeRound(i: Int): String =
-    bpeRoundCte(i, "", "doc_id", "count(*)", "||'@'||")
+    bpeRoundCte(i, "", "doc_id", "count(*)", "||chr(30)||")
 
   private def bpeSubwordRound(i: Int): String =
     bpeRoundCte(i, "w", "n", "sum(n)", "||")

@@ -19,6 +19,9 @@ class LlmSpec extends SparkSpec {
     * off every node, including WholeStageCodegen spans, is visible. */
   private def plainPlanOf(mkDf: => org.apache.spark.sql.DataFrame)(
       body: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
+    // Restore the PRE-OVERRIDE value, not a hardcoded "true" — a suite
+    // running with AQE off must not have it silently flipped on by a gate.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = mkDf
@@ -28,7 +31,7 @@ class LlmSpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
       }.nonEmpty, s"gate saw no codegen span — AQE wrapper leaked?\n$plan")
       body(plan)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
   private lazy val emb = Tables.embeddings(spark, sf0001)
 
@@ -1025,7 +1028,7 @@ class LlmSpec extends SparkSpec {
         var i = 0
         while (i < d.length) {
           if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
-            out += s"$a@$b"; i += 2
+            out += s"$a\u001e$b"; i += 2
           } else { out += d(i); i += 1 }
         }
         out.result()
@@ -1039,10 +1042,13 @@ class LlmSpec extends SparkSpec {
     }
     val got = TextOps.bpeMerges(synth, 3).as[(Long, String, Long)].collect().toSeq
     assert(got === want)
-    // the live corpus never contains the sentinel or the join char the
-    // encoding relies on (the t18 scaladoc's precondition)
+    // the live corpus never contains the encoding's whole alphabet --
+    // the U+001F token sentinel and the U+001E merge joiner (the t18
+    // scaladoc's precondition; both are control chars chosen to be
+    // outside printable text, unlike an '@' joiner which real corpora
+    // contain in emails/handles)
     assert(docs.filter(col("text").contains("\u001f") ||
-      col("text").contains("@")).count() === 0)
+      col("text").contains("\u001e")).count() === 0)
     // and the corpus run is deterministic with exactly `rounds` rows
     val full = TextOps.bpeMerges(docs, 2).as[(Long, String, Long)].collect().toSeq
     assert(full.map(_._1) === Seq(1L, 2L))

@@ -124,6 +124,11 @@ object GraftFunctions {
     else PosShinglesExpr(exprs.head, exprs(1), exprs(2))
   }
 
+  private val nearestBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "graft_nearest takes exactly 2 arguments")
+    NearestCentroidExpr(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
@@ -135,6 +140,8 @@ object GraftFunctions {
       "graft_shingles", shinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pos_shingles", posShinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest", nearestBuilder, "built-in")
   }
 
   /** For SparkSessionExtensions.injectFunction (see
@@ -178,4 +185,12 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PosShinglesExpr].getCanonicalName, "graft_pos_shingles"),
       posShinglesBuilder)
+
+  val nearestFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NearestCentroidExpr].getCanonicalName, "graft_nearest"),
+      nearestBuilder)
 }

@@ -137,7 +137,22 @@ object SimilarityOps {
       // than on engine-dependent low-order float bits
       struct(round(dotCol(vec, c) * 2.0d - cc, 6).as("s"), lit(i).as("cell"))
     }.toSeq
+  /** Nearest-centroid id as ONE codegen'd loop (`graft_nearest`) — the
+    * same (score, cell) struct-max semantics as
+    * `array_max(array(scoreStructs(...))).getField("cell")` (ties to the
+    * larger cell, 6-dp rounded scores), but with the codebook as a
+    * reference object instead of K inlined score structs, so m·K-wide
+    * encode projections stay inside whole-stage codegen (the SCALE.md
+    * PQ-fallback fix). */
   private def nearestCol(vec: Column, centroids: Array[Array[Double]]): Column =
+    call_function("graft_nearest", vec, typedlit(centroids.map(_.toSeq).toSeq))
+
+  /** The composed struct-max formulation [[nearestCol]] replaced — kept as
+    * the AUDIT definition (the sqlShingleArrays/hofSignatures discipline):
+    * LlmSpec asserts graft_nearest is bit-identical to it, including the
+    * 6-dp rounding and tie-to-larger-cell order, on real embeddings and on
+    * constructed ties. Not used by any operator. */
+  def structMaxNearest(vec: Column, centroids: Array[Array[Double]]): Column =
     array_max(array(scoreStructs(vec, centroids): _*)).getField("cell")
 
   /** E4/E5 build phase — the Lloyd loop; the final assignment pass is the

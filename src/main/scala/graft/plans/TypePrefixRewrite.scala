@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.simhashFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.shinglesFunctionDescription)
     ext.injectFunction(graft.functions.GraftFunctions.posShinglesFunctionDescription)
+    ext.injectFunction(graft.functions.GraftFunctions.nearestFunctionDescription)
   }
 }

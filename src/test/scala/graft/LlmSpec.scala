@@ -984,6 +984,63 @@ class LlmSpec extends SparkSpec {
     assert(run1.toSeq === SimilarityOps.ivfAdcTopK(idx, queries, 5).collect().toSeq)
   }
 
+  test("codegen graft_nearest is bit-identical to the composed struct-max argmax (incl. ties)") {
+    graft.functions.GraftFunctions.register(spark)
+    // a seeded random codebook over the full 64 dims, and its first-16-dim
+    // slice — the two vector shapes the IVF assign and PQ encode use
+    val rnd = new scala.util.Random(47)
+    val cb = Array.fill(16, 64)(rnd.nextDouble() * 2 - 1)
+    val cbSub = cb.map(_.take(16))
+    def assigns(vec: org.apache.spark.sql.Column,
+        c: Array[Array[Double]]): Seq[(Long, Int, Int)] =
+      emb.select(col("vec_id"),
+          call_function("graft_nearest", vec, typedlit(c.map(_.toSeq).toSeq)).as("a"),
+          SimilarityOps.structMaxNearest(vec, c).as("b"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val full = assigns(col("embedding"), cb)
+    assert(full.nonEmpty)
+    assert(full.forall { case (_, a, b) => a == b },
+      s"mismatch: ${full.filter { case (_, a, b) => a != b }.take(3)}")
+    val sub = assigns(slice(col("embedding"), 1, 16), cbSub)
+    assert(sub.forall { case (_, a, b) => a == b })
+    // constructed ties: every centroid duplicated — identical scores must
+    // resolve to the LARGER cell id, exactly like the struct-max order
+    val dup = cb ++ cb
+    val tied = assigns(col("embedding"), dup)
+    assert(tied.forall { case (_, a, b) => a == b && a >= 16 },
+      "duplicate-centroid ties must go to the larger id on both forms")
+  }
+
+  test("graft_nearest rejects a non-foldable or mistyped codebook") {
+    graft.functions.GraftFunctions.register(spark)
+    val nonLit = intercept[Exception](spark.sql(
+      "SELECT graft_nearest(array(1.0d), array(array(rand())))").head())
+    assert(nonLit.getMessage.toLowerCase.contains("foldable") ||
+      nonLit.getMessage.contains("graft_nearest"))
+    val mistyped = intercept[Exception](spark.sql(
+      "SELECT graft_nearest(array('x'), array(array(1.0d)))").head())
+    assert(mistyped.getMessage.contains("graft_nearest") ||
+      mistyped.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("pq build, encode and adc run with codegen fallback disabled (e11/e12 stay compiled)") {
+    // the SCALE.md "known cost" this expression removes: the m·K struct
+    // argmax used to exceed Janino's method limit and silently fall back
+    // to the interpreted path. With fallback DISABLED a Janino failure
+    // now throws — so this test green means the whole PQ family compiles.
+    val saved = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val queries = emb.filter(col("vec_id") < 4)
+      val ivf = SimilarityOps.ivfBuild(emb)
+      val pq = SimilarityOps.pqBuild(emb, m = 16, k = 16)
+      assert(pq.codes.count() === emb.count())
+      assert(SimilarityOps.pqTopK(pq, queries, 3).count() > 0)
+      assert(SimilarityOps.ivfAdcTopK(SimilarityOps.ivfPqBuild(ivf, pq),
+        queries, 3).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
   test("appended IVF index equals assign-all on frozen centroids (e5b)") {
     val split = 30L
     val built = SimilarityOps.ivfBuild(emb.filter(col("vec_id") < split))

@@ -808,21 +808,86 @@ object DedupOps {
 
   // ---- D10: Bloom-filter membership pre-screen ------------------------
 
-  /** Filter size in bits (2^18) and hash count for the D10 pre-screen.
-    * Sized for the test corpus; at deployment m scales with the corpus
-    * cardinality (m ≈ -n·ln(fpr)/ln(2)² — 10 bits/key ≈ 1% FPR), and the
-    * bitset stays a bytes-sized plan parameter (2^33 bits = 1 GiB covers
-    * ~10⁹ keys; shard the filter by key range beyond that). */
-  val BloomBits: Int = 1 << 18
-  val BloomHashes: Int = 3
+  /** D10 filter geometry — (m bits, k hashes, shard count) as an engine
+    * CONFIG value rather than compile-time constants: a deployment sizes
+    * the filter from its corpus cardinality (the a5d sketch) and target
+    * FPR via [[BloomSizing.forCapacity]], and past single-bitset scale
+    * routes keys across `shards` independent filters (each still a
+    * bytes-sized plan parameter — 2^33 bits = 1 GiB covers ~10⁹ keys per
+    * shard at 1%). [[BloomSizing.Default]] is the test-corpus geometry
+    * the registered d10 query and its oracle share. */
+  final case class BloomSizing(bits: Int, hashes: Int, shards: Int = 1) {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(hashes >= 1, s"hashes must be >= 1, got $hashes")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    def bytes: Int = bits / 8
+    /** Theoretical FPR with `n` keys in ONE shard's filter:
+      * (1 − e^(−k·n/m))^k. */
+    def fprAt(n: Long): Double =
+      math.pow(1.0 - math.exp(-hashes.toDouble * n / bits), hashes)
+    /** Largest per-shard key count whose theoretical FPR stays ≤ target —
+      * the design point a soak measures drift against. */
+    def capacityAt(targetFpr: Double): Long = {
+      require(targetFpr > 0 && targetFpr < 1, s"fpr must be in (0,1), got $targetFpr")
+      // invert fprAt: n = −m·ln(1 − fpr^(1/k)) / k
+      val n = -bits * math.log1p(-math.pow(targetFpr, 1.0 / hashes)) / hashes
+      math.max(0L, math.floor(n).toLong)
+    }
+  }
+  object BloomSizing {
+    /** The test-corpus geometry (2^18 bits, 3 hashes): ~26k keys at 1%. */
+    val Default: BloomSizing = BloomSizing(1 << 18, 3)
+    /** Size a filter for `n` expected keys at `targetFpr`: the classic
+      * m = ⌈−n·ln(fpr)/ln(2)²⌉ (≈ 10 bits/key at 1%) rounded up to whole
+      * 64-bit words, k = round(m/n·ln 2), keys split across `shards`. */
+    def forCapacity(n: Long, targetFpr: Double, shards: Int = 1): BloomSizing = {
+      require(n > 0, s"capacity must be positive, got $n")
+      require(targetFpr > 0 && targetFpr < 1, s"fpr must be in (0,1), got $targetFpr")
+      require(shards >= 1, s"shards must be >= 1, got $shards")
+      val perShard = math.max(1L, (n + shards - 1) / shards)
+      val ln2 = math.log(2.0)
+      val mRaw = math.ceil(-perShard * math.log(targetFpr) / (ln2 * ln2)).toLong
+      val bits = ((mRaw + 63) / 64) * 64
+      require(bits <= Int.MaxValue - 63,
+        s"single-shard filter of $bits bits exceeds the bitset limit — raise shards")
+      val k = math.max(1L, math.round(bits.toDouble / perShard * ln2)).toInt
+      BloomSizing(bits.toInt, k, shards)
+    }
+  }
+
+  /** [[BloomSizing.forCapacity]] fed by the corpus itself: cardinality
+    * from the SAME HLL sketch a5d serves (approx_count_distinct over the
+    * d1 exact-dedup key) with headroom for sketch error — the
+    * deployment's sizing call, one narrow aggregation, never text. */
+  def bloomSizingFor(corpus: DataFrame, targetFpr: Double = 0.01,
+      shards: Int = 1, headroom: Double = 1.2): BloomSizing = {
+    val n = corpus.select(approx_count_distinct(md5(col("text"))).as("n"))
+      .head().getLong(0)
+    BloomSizing.forCapacity(math.max(1L, math.ceil(n * headroom).toLong),
+      targetFpr, shards)
+  }
+
+  /** The default geometry's constants — referenced by the d10 oracle SQL
+    * (which mirrors the position arithmetic) and the streaming side. */
+  val BloomBits: Int = BloomSizing.Default.bits
+  val BloomHashes: Int = BloomSizing.Default.hashes
 
   /** The k bit positions of one document's content fingerprint: the
     * md5(text) exact-dedup key (d1's identity) re-hashed under k salts via
     * the shared 60-bit md5 prefix [[TextOps.h60]] — deterministic, so the
     * DuckDB oracle computes the identical positions. */
-  private def bloomPositions(text: Column): Seq[Column] =
-    (0 until BloomHashes).map(i =>
-      h60(concat(lit(s"bloom$i-"), md5(text))) % BloomBits)
+  private def bloomPositions(text: Column,
+      sizing: BloomSizing = BloomSizing.Default): Seq[Column] =
+    (0 until sizing.hashes).map(i =>
+      h60(concat(lit(s"bloom$i-"), md5(text))) % sizing.bits)
+
+  /** Shard route of one key — h60 under a salt DISJOINT from the position
+    * salts (the same key must land on one filter while its positions stay
+    * uncorrelated with the route). The key-range seam past single-bitset
+    * scale: build and screen group by this column. */
+  def bloomShardCol(text: Column, shards: Int): Column =
+    if (shards == 1) lit(0L)
+    else h60(concat(lit("bloomshard-"), md5(text))) % shards
 
   /** In-place OR of bitset `b` into `a` — the one merge both Bloom
     * aggregators share. Fails fast on a foreign-length buffer rather
@@ -834,60 +899,108 @@ object DedupOps {
     a
   }
 
-  /** Typed Aggregator folding bit positions into the filter's byte-array
-    * bitset. Associative + commutative → Spark runs it MAP-SIDE: each
-    * partition reduces its positions into one local m/8-byte buffer and
-    * only #partitions buffers reach the final merge — the corpus itself
-    * is never shuffled (SURVEY §2.10's aggregator discipline, applied to
-    * the classic scalable-dedup build). */
-  object BloomAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
+  /** Typed Aggregator folding bit positions into one filter's byte-array
+    * bitset (geometry from `bytes`). Associative + commutative → Spark
+    * runs it MAP-SIDE: each partition reduces its positions into one
+    * local m/8-byte buffer and only #partitions buffers reach the final
+    * merge — the corpus itself is never shuffled (SURVEY §2.10's
+    * aggregator discipline, applied to the classic scalable-dedup
+    * build). */
+  final case class BloomBitsetAgg(bytes: Int)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    // The zero is an EMPTY sentinel, never written: Spark evaluates the
+    // initial buffer once and can hand the SAME object to every group in
+    // a task, so an in-place first write would bleed bits across groups
+    // (observed as cumulative shard filters in the sharded build). The
+    // first reduce/merge therefore allocates the group's OWN buffer.
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def own(b: Array[Byte]): Array[Byte] =
+      if (b.length == 0) new Array[Byte](bytes) else b
     override def reduce(b: Array[Byte], p: Long): Array[Byte] = {
-      val i = p.toInt // p < BloomBits by construction
-      b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte; b
+      val t = own(b)
+      val i = p.toInt // p < bits by construction
+      t(i >> 3) = (t(i >> 3) | (1 << (i & 7))).toByte; t
     }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
-    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (b.length == 0) own(a) else orInto(own(a), b)
+    override def finish(r: Array[Byte]): Array[Byte] = own(r)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+  /** The default-geometry instance the streaming side shares. */
+  val BloomAgg: BloomBitsetAgg = BloomBitsetAgg(BloomSizing.Default.bytes)
 
   /** OR-fold of bitset PARTIALS — the merge of per-batch [[bloomBuild]]
     * outputs, for the streaming side's compaction and serving (the same
     * sum-mergeable-partial discipline as the (kh, df) seed stats, with OR
     * as the merge). Associative + commutative; the zero (no partials) is
     * the empty filter. */
-  object BloomOrAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
-    override def reduce(b: Array[Byte], r: Array[Byte]): Array[Byte] = orInto(b, r)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
-    override def finish(r: Array[Byte]): Array[Byte] = r
+  final case class BloomOrFoldAgg(bytes: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    // Same empty-sentinel zero + copy-on-first-write as [[BloomBitsetAgg]]
+    // (the shared-zero hazard is a property of mutable typed buffers, not
+    // of this aggregator's input type).
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def own(b: Array[Byte]): Array[Byte] =
+      if (b.length == 0) new Array[Byte](bytes) else b
+    override def reduce(b: Array[Byte], r: Array[Byte]): Array[Byte] =
+      if (r.length == 0) own(b) else orInto(own(b), r)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (b.length == 0) own(a) else orInto(own(a), b)
+    override def finish(r: Array[Byte]): Array[Byte] = own(r)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+  /** The default-geometry instance the streaming side shares. */
+  val BloomOrAgg: BloomOrFoldAgg = BloomOrFoldAgg(BloomSizing.Default.bytes)
 
   /** Fold a `bits` partials frame down to ONE bitset row — the shared
     * tail of [[graft.streaming.DedupStream.corpusBloom]] (serving) and
     * the compact() side fold. */
-  def bloomFold(partials: DataFrame): DataFrame =
+  def bloomFold(partials: DataFrame,
+      sizing: BloomSizing = BloomSizing.Default): DataFrame =
     partials.select(col("bits")).as[Array[Byte]](Encoders.BINARY)
-      .select(BloomOrAgg.toColumn.name("bits"))
+      .select(BloomOrFoldAgg(sizing.bytes).toColumn.name("bits"))
       .toDF("bits")
 
   /** D10 build — the corpus's Bloom bitset as a driver-side value: one
     * narrow projection (k positions per doc, no text leaves the scan) +
     * one map-side-combining aggregation down to a single m/8-byte row.
     * Like the IVF centroids and PQ codebooks, the result is a bytes-sized
-    * PLAN PARAMETER (32 KiB here), not data. In deployment it is built
-    * out-of-band beside the other maintained dedup state and refreshed
-    * per admitted batch (bitsets OR, so increments fold in associatively
-    * without touching the corpus). */
-  def bloomBuild(corpus: DataFrame): Array[Byte] =
+    * PLAN PARAMETER (32 KiB at the default geometry), not data. In
+    * deployment it is built out-of-band beside the other maintained dedup
+    * state and refreshed per admitted batch (bitsets OR, so increments
+    * fold in associatively without touching the corpus), with `sizing`
+    * from [[bloomSizingFor]]. */
+  def bloomBuild(corpus: DataFrame,
+      sizing: BloomSizing = BloomSizing.Default): Array[Byte] =
     corpus
-      .select(explode(array(bloomPositions(col("text")): _*)).as("p"))
+      .select(explode(array(bloomPositions(col("text"), sizing): _*)).as("p"))
       .as[Long](Encoders.scalaLong)
-      .select(BloomAgg.toColumn)
+      .select(BloomBitsetAgg(sizing.bytes).toColumn)
       .head()
+
+  /** Sharded [[bloomBuild]] — the key-range seam past single-bitset
+    * scale: keys route by [[bloomShardCol]] and each shard folds its own
+    * m-bit filter in the SAME map-side aggregation (one pass, one
+    * shards-row result — still bytes-sized: shards × m/8). Element `s` of
+    * the result is shard s's bitset (empty shards yield empty filters, so
+    * the array is always shards-long). */
+  def bloomBuildSharded(corpus: DataFrame,
+      sizing: BloomSizing): Array[Array[Byte]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val built = corpus
+      .select(bloomShardCol(col("text"), sizing.shards).as("shard"),
+        explode(array(bloomPositions(col("text"), sizing): _*)).as("p"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(BloomBitsetAgg(sizing.bytes).toColumn.name("bits"))
+      .collect().toMap
+    Array.tabulate(sizing.shards)(s =>
+      built.getOrElse(s.toLong, new Array[Byte](sizing.bytes)))
+  }
 
   /** D10 serve — screen an increment against the corpus bitset:
     * `maybe_dup` ⇔ all k positions set. The bitset rides in the plan as a
@@ -903,14 +1016,74 @@ object DedupOps {
     * d5's band joins must still see every doc.
     * Bits pack little-endian within each 64-bit word: bit p ↦ word
     * p>>6, in-word bit p&63 (= 8·(byte-in-word) + bit-in-byte). */
-  def bloomScreen(increment: DataFrame, bits: Array[Byte]): DataFrame = {
-    require(bits.length == BloomBits / 8, s"bitset must be ${BloomBits / 8} bytes")
-    val words = typedlit(bits.grouped(8).map(g =>
-      g.zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }
-        .foldLeft(0L)(_ | _)).toSeq)
+  def bloomScreen(increment: DataFrame, bits: Array[Byte],
+      sizing: BloomSizing = BloomSizing.Default): DataFrame = {
+    require(bits.length == sizing.bytes, s"bitset must be ${sizing.bytes} bytes")
+    val words = typedlit(wordsOfBits(bits))
     val masks = typedlit((0 until 64).map(1L << _))
-    val hit = bloomPositions(col("text")).map { p =>
+    val hit = bloomPositions(col("text"), sizing).map { p =>
       element_at(words, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+    increment
+      .select(col("doc_id"), hit.as("maybe_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Byte bitset → little-endian 64-bit words (the plan-literal packing
+    * both screens share). */
+  private def wordsOfBits(bits: Array[Byte]): Seq[Long] =
+    bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }
+        .foldLeft(0L)(_ | _)).toSeq
+
+  /** Realized health of a BUILT filter, from its fill alone: (fill
+    * fraction, current FPR = fill^k, implied key count ≈ −m/k·ln(1−fill)
+    * — the standard Bloom cardinality estimate). The admitted-corpus
+    * cardinality is not a config value, so design-point drift must be
+    * read off the serving bitset itself. */
+  def bloomHealth(bits: Array[Byte],
+      sizing: BloomSizing = BloomSizing.Default): (Double, Double, Long) = {
+    require(bits.length == sizing.bytes, s"bitset must be ${sizing.bytes} bytes")
+    val set = bits.foldLeft(0L)((n, b) => n + java.lang.Integer.bitCount(b & 0xff))
+    val fill = set.toDouble / sizing.bits
+    val keys = if (fill >= 1.0) Long.MaxValue
+      else math.round(-sizing.bits.toDouble / sizing.hashes * math.log1p(-fill))
+    (fill, math.pow(fill, sizing.hashes), keys)
+  }
+
+  /** Some(warning) when the filter has drifted past its design-point FPR
+    * — the serving-path guard ([[graft.streaming.DedupStream.screenExact]]
+    * surfaces it): the screen stays correct (no false negatives, ever)
+    * but its "definitely new" yield decays, so the operator should
+    * resize via [[BloomSizing.forCapacity]] and rebuild from the corpus. */
+  def bloomHealthWarning(bits: Array[Byte],
+      sizing: BloomSizing = BloomSizing.Default,
+      targetFpr: Double = 0.01): Option[String] = {
+    val (fill, fpr, keys) = bloomHealth(bits, sizing)
+    if (fpr <= targetFpr) None
+    else Some(f"bloom filter past its design point: fill=$fill%.3f → " +
+      f"FPR=$fpr%.4f > target $targetFpr%.4f (≈$keys%d keys in ${sizing.bits}%d bits); " +
+      "screen stays no-false-negative but its skip yield decays — resize " +
+      s"with BloomSizing.forCapacity and rebuild")
+  }
+
+  /** Sharded [[bloomScreen]] — each doc tests against ITS shard's filter:
+    * the shard route picks a word array out of a 2-D plan literal
+    * (shards × m/64 words), so the screen stays a pure codegen'd narrow
+    * map with zero joins and zero shuffles at any shard count. */
+  def bloomScreenSharded(increment: DataFrame, shardBits: Seq[Array[Byte]],
+      sizing: BloomSizing): DataFrame = {
+    require(shardBits.length == sizing.shards,
+      s"expected ${sizing.shards} shard bitsets, got ${shardBits.length}")
+    shardBits.foreach(b => require(b.length == sizing.bytes,
+      s"bitset must be ${sizing.bytes} bytes"))
+    val words2d = typedlit(shardBits.map(wordsOfBits))
+    val masks = typedlit((0 until 64).map(1L << _))
+    val shardWords = element_at(words2d,
+      bloomShardCol(col("text"), sizing.shards).cast("int") + 1)
+    val hit = bloomPositions(col("text"), sizing).map { p =>
+      element_at(shardWords, (p / 64).cast("int") + 1)
         .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1)) =!= 0L
     }.reduce(_ && _)
     increment

@@ -28,7 +28,9 @@ final case class EngineConf(
     net: String = "test",
     sources: Map[String, String] = Map("test" -> "/root/testdata/sf0.001"),
     providers: Map[String, Seq[String]] =
-      Map("test" -> Seq("rpc-0", "rpc-1", "rpc-2"))) {
+      Map("test" -> Seq("rpc-0", "rpc-1", "rpc-2")),
+    bloomTargetFpr: Double = 0.01,
+    bloomShards: Int = 1) {
 
   def trigger: Trigger = Trigger.ProcessingTime(s"$pollIntervalMs milliseconds")
 
@@ -49,6 +51,14 @@ final case class EngineConf(
       throw new IllegalArgumentException(s"unknown net configuration: $netName"))
     graft.ops.ClientRotation.open(ps)
   }
+
+  /** The d10 Bloom geometry for THIS deployment's corpus: capacity from
+    * the a5d cardinality sketch, target FPR and shard count from config —
+    * the round-13 replacement for the compile-time `BloomBits`/
+    * `BloomHashes` constants (those remain only as the test-corpus
+    * default the registered d10 query and its oracle share). */
+  def bloomSizingFor(corpus: org.apache.spark.sql.DataFrame): graft.llm.DedupOps.BloomSizing =
+    graft.llm.DedupOps.bloomSizingFor(corpus, bloomTargetFpr, bloomShards)
 
   /** Apply engine settings to a session builder. */
   def sparkSettings: Map[String, String] = Map(

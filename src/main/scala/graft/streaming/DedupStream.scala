@@ -176,8 +176,15 @@ object DedupStream {
     * pair verdicts remain the authority; this screen's job is to let
     * "definitely new" docs skip the exact-dup tier cheaply. */
   def screenExact(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame): DataFrame =
-    DedupOps.bloomScreen(newDocs, corpusBloom(spark, indexDir))
+      newDocs: DataFrame): DataFrame = {
+    val bits = corpusBloom(spark, indexDir)
+    // Design-point drift guard: the screen stays no-false-negative at any
+    // fill, but an overfull filter answers maybe_dup for nearly everything
+    // and stops paying for itself — surface that here, on the serving path.
+    DedupOps.bloomHealthWarning(bits).foreach(w =>
+      System.err.println(s"[DedupStream] $w"))
+    DedupOps.bloomScreen(newDocs, bits)
+  }
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))

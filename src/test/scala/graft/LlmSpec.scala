@@ -386,6 +386,122 @@ class LlmSpec extends SparkSpec {
     assert(java.util.Arrays.equals(all, ored))
   }
 
+  test("bloom sizing math: forCapacity meets its target FPR and inverts (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.llm.DedupOps.BloomSizing
+    val gen = Gen.zip(
+      Gen.choose(50L, 50000000L),
+      Gen.oneOf(0.001, 0.005, 0.01, 0.02, 0.05, 0.1),
+      Gen.oneOf(1, 2, 4, 8))
+    val prop = Prop.forAll(gen) { case (n, fpr, shards) =>
+      val s = BloomSizing.forCapacity(n, fpr, shards)
+      val perShard = math.max(1L, (n + shards - 1) / shards)
+      // the classic formula lands within 1% of target (k rounds to the
+      // nearest integer of the optimum; m rounds UP to whole words)
+      s.shards == shards &&
+        s.fprAt(perShard) <= fpr * 1.05 &&
+        s.capacityAt(fpr) >= (perShard * 0.99).toLong &&
+        s.bits % 64 == 0 && s.hashes >= 1
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("measured bloom FPR stays at the design point across (n, m, k) geometries (d10)") {
+    import spark.implicits._
+    import graft.llm.DedupOps.BloomSizing
+    // deterministic synthetic keys; probes are disjoint from the corpus
+    def keyDocs(from: Long, n: Long, tag: String) =
+      (from until from + n).map(i => (i, s"$tag key $i payload ${i * 2654435761L}"))
+        .toDF("doc_id", "text")
+    val probes = keyDocs(1000000L, 4000, "probe")
+    for ((n, fpr) <- Seq((200L, 0.05), (1000L, 0.01), (3000L, 0.02))) {
+      val sizing = BloomSizing.forCapacity(n, fpr)
+      val corpus = keyDocs(0L, n, "corpus")
+      val bits = DedupOps.bloomBuild(corpus, sizing)
+      assert(bits.length === sizing.bytes)
+      // no false negatives at ANY geometry
+      val members = DedupOps.bloomScreen(corpus, bits, sizing)
+        .collect().map(_.getBoolean(1))
+      assert(members.forall(identity), s"($n, $fpr): member missed")
+      // measured FPR ≤ 2× design target (≥4.5σ headroom at 4000 probes)
+      val hits = DedupOps.bloomScreen(probes, bits, sizing)
+        .collect().count(_.getBoolean(1))
+      val measured = hits.toDouble / 4000
+      info(f"n=$n%d target=$fpr%.3f measured=$measured%.4f (m=${sizing.bits}, k=${sizing.hashes})")
+      assert(measured <= fpr * 2 + 0.002,
+        s"($n, $fpr): measured FPR $measured past design point")
+    }
+  }
+
+  test("bloom health reads drift off the bitset: warns past design point, silent inside it") {
+    import spark.implicits._
+    import graft.llm.DedupOps.BloomSizing
+    val sizing = BloomSizing.forCapacity(500, 0.01)
+    def corpusOf(n: Long) = (0L until n).map(i => (i, s"health key $i x${i * 7}"))
+      .toDF("doc_id", "text")
+    // inside capacity: healthy, no warning, key estimate near truth
+    val okBits = DedupOps.bloomBuild(corpusOf(400), sizing)
+    val (fill, fpr, keys) = DedupOps.bloomHealth(okBits, sizing)
+    assert(fill > 0 && fill < 0.5 && fpr <= 0.01, s"fill=$fill fpr=$fpr")
+    assert(math.abs(keys - 400) <= 40, s"key estimate $keys far from 400")
+    assert(DedupOps.bloomHealthWarning(okBits, sizing).isEmpty)
+    // 8× capacity: the warning fires and names the drift
+    val overBits = DedupOps.bloomBuild(corpusOf(4000), sizing)
+    val warn = DedupOps.bloomHealthWarning(overBits, sizing)
+    assert(warn.isDefined && warn.get.contains("design point"), s"warn=$warn")
+  }
+
+  test("corpus-derived sizing reads the a5d sketch, not the corpus (d10 config path)") {
+    import spark.implicits._
+    val corpus = (0L until 2000L).map(i => (i, s"doc $i body ${i * 31}"))
+      .toDF("doc_id", "text")
+    val sizing = DedupOps.bloomSizingFor(corpus, targetFpr = 0.01)
+    // ~2000 distinct keys × 1.2 headroom at 1% → ≈ 10 bits/key
+    assert(sizing.fprAt(2400) <= 0.011, s"sizing $sizing misses its design point")
+    assert(sizing.bits >= 16000 && sizing.bits <= 40000, s"implausible bits ${sizing.bits}")
+    // and the derived geometry round-trips through build/screen
+    val bits = DedupOps.bloomBuild(corpus, sizing)
+    val flags = DedupOps.bloomScreen(corpus, bits, sizing).collect().map(_.getBoolean(1))
+    assert(flags.forall(identity))
+  }
+
+  test("sharded bloom: route is deterministic, no false negatives, per-shard equivalence") {
+    import spark.implicits._
+    import graft.llm.DedupOps.BloomSizing
+    val sizing = BloomSizing.forCapacity(2000, 0.01, shards = 4)
+    val corpus = (0L until 1500L).map(i => (i, s"sharded key $i tail ${i * 17}"))
+      .toDF("doc_id", "text")
+    val shardBits = DedupOps.bloomBuildSharded(corpus, sizing)
+    assert(shardBits.length === 4)
+    assert(shardBits.forall(_.length === sizing.bytes))
+    // members always flagged through the shard route
+    val flags = DedupOps.bloomScreenSharded(corpus, shardBits.toSeq, sizing)
+      .collect().map(_.getBoolean(1))
+    assert(flags.forall(identity), "shard route lost a member")
+    // per-shard equivalence: docs routed to shard s screened against
+    // bits(s) alone give the same verdicts as the sharded screen
+    val routed = corpus.withColumn("shard",
+      DedupOps.bloomShardCol(col("text"), sizing.shards))
+    val sharded = DedupOps.bloomScreenSharded(corpus, shardBits.toSeq, sizing)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    for (s <- 0 until 4) {
+      val slice = routed.filter(col("shard") === s).drop("shard")
+      val single = DedupOps.bloomScreen(slice,
+          shardBits(s), sizing.copy(shards = 1))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(single.forall { case (id, f) => sharded(id) == f },
+        s"shard $s disagrees with the sharded screen")
+    }
+    // fresh keys: the sharded filter's FPR stays near design point
+    val probes = (500000L until 504000L).map(i => (i, s"fresh $i probe ${i * 13}"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.bloomScreenSharded(probes, shardBits.toSeq, sizing)
+      .collect().count(_.getBoolean(1))
+    assert(hits.toDouble / 4000 <= 0.02 + 0.002, s"sharded FPR ${hits / 4000.0}")
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark k-gram (d8)") {
     import spark.implicits._
     val bench = Seq(

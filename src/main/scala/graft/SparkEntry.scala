@@ -150,6 +150,19 @@ object SparkEntry {
   private def t18cMerges(s: SparkSession, dir: String): Seq[String] =
     driverCached(bpeSubCache, s, dir)(
       TextOps.bpeSubwordMerges(documents(s, dir), 3).collect().map(_.getString(1)).toSeq)
+  /** The SAMPLE-TRAINED subword merge table (t18e): t18c's trainer fed
+    * the t6 hash sample (same salt/rate as the registered t6 row, via the
+    * shared predicate) instead of the full corpus — the deployment shape
+    * SCALE.md documents, where thousands of rounds run over a sample's
+    * word dict and the learned rules encode the whole lake. */
+  private val bpeSampleCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Seq[String])]
+  private def t18eMerges(s: SparkSession, dir: String): Seq[String] =
+    driverCached(bpeSampleCache, s, dir)(
+      TextOps.bpeSubwordMerges(
+        documents(s, dir).filter(
+          graft.llm.SamplingOps.hashSamplePredicate(10, 100, "s1")), 3)
+        .collect().map(_.getString(1)).toSeq)
   /** cachedDf variant for group-resolution outputs: the build runs a
     * multi-pass dedup pipeline whose tracked intermediates must be
     * materialized INTO the cache (count) and then released — without the
@@ -273,7 +286,8 @@ object SparkEntry {
     * that instead of inflating the serving headline (e11 alone was 16%
     * of the r11 driver total). ContractSpec pins membership ⊆ registry. */
   val buildQueries: Set[String] =
-    Set("e4_ivf_topk", "e11_pq_topk", "t18_bpe_merges", "t18c_bpe_subwords")
+    Set("e4_ivf_topk", "e11_pq_topk", "t18_bpe_merges", "t18c_bpe_subwords",
+      "t18e_bpe_sample_trained")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- serving query surface (P1-P8, O1-O4) --------------------------
@@ -738,6 +752,12 @@ object SparkEntry {
       // serve side of t18c: replay the learned subword rules per word
       // inside a transform/aggregate lambda — zero-shuffle tokenization
       TextOps.bpeSubwordEncode(documents(s, d), t18cMerges(s, d))),
+    "t18e_bpe_sample_trained" -> ((s, d) =>
+      // the deployment composition end-to-end: t6 hash-sample → t18c dict
+      // training on the SAMPLE → t18d full-corpus encode with the learned
+      // rules; proves the sample-trained tokenizer is deterministic and
+      // engine-portable (first touch pays the training — a build row)
+      TextOps.bpeSubwordEncode(documents(s, d), t18eMerges(s, d))),
     "t6_hash_sample" -> ((s, d) =>
       SamplingOps.hashSample(documents(s, d), 10, 100, "s1")),
     "t7_budget_pack" -> ((s, d) =>

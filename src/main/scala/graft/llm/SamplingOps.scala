@@ -23,9 +23,17 @@ object SamplingOps {
   def hashSample(documents: DataFrame, num: Int, den: Int, salt: String): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"bad rate $num/$den")
     documents
-      .filter(h60(concat(lit(salt), lit("-"), col("doc_id"))) % den < num)
+      .filter(hashSamplePredicate(num, den, salt))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** The t6 membership predicate alone — for pipelines that need the
+    * sampled rows with their FULL columns (t18e trains a tokenizer on the
+    * sample's text), so the sample definition cannot fork from t6's. */
+  def hashSamplePredicate(num: Int, den: Int, salt: String): Column = {
+    require(num >= 0 && den > 0 && num <= den, s"bad rate $num/$den")
+    h60(concat(lit(salt), lit("-"), col("doc_id"))) % den < num
   }
 
   private def withQualityAndTokens(documents: DataFrame,

@@ -82,10 +82,16 @@ ${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
     * as ONE fragment composed by both the t18c merges oracle and the t18d
     * apply oracle (never forked: a dict-derivation change edits exactly
     * one place). */
-  private def bpeSubwordTraining: String =
+  private def bpeSubwordTraining: String = bpeSubwordTrainingFrom(Docs)
+
+  /** The same chain over an arbitrary source relation — t18e trains on
+    * the t6 hash sample (the WHERE clause is t6's, verbatim) while t18c
+    * trains on the full corpus; both compose THIS generator so the dict
+    * derivation and round arithmetic cannot fork between them. */
+  private def bpeSubwordTrainingFrom(src: String): String =
     s"""WITH dict0 AS (
   SELECT word, count(*) AS n FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM $Docs) GROUP BY 1),
+    SELECT unnest(string_split(text, ' ')) AS word FROM $src) GROUP BY 1),
 wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS enc, n
           FROM dict0)""" + (0 until 3).map(i => "," + bpeSubwordRound(i)).mkString
 
@@ -96,6 +102,23 @@ wenc0 AS (SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)||chr
   private def bpeApplyRound(i: Int): String = s"""
 apply${i + 1} AS (SELECT a.doc_id, list_transform(a.encs, e -> ${bpeApplySql("e", "p2.pair")}) AS encs
   FROM apply$i a LEFT JOIN wtop${i + 1} p2 ON TRUE)"""
+
+  /** The full t18d/t18e APPLY tail: every doc's word-encoding list, the
+    * learned rules replayed in order (one CTE per rule — exhausted rounds
+    * degrade to identity exactly like the engine), and the final token
+    * counts. ONE fragment so the full-corpus-trained (t18d) and
+    * sample-trained (t18e) apply oracles cannot fork. */
+  private def bpeApplyChainSql: String =
+    s""",
+apply0 AS (SELECT doc_id, list_transform(string_split(text, ' '), w ->
+    chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)) AS encs
+  FROM $Docs)""" + (0 until 3).map(bpeApplyRound).mkString(",", ",", "") + """
+SELECT doc_id,
+  CAST(len(encs) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(encs, e ->
+    len(string_split(substr(e, 2, length(e) - 2), chr(31)||chr(31))))) AS BIGINT)
+    AS n_subword_tokens
+FROM apply3 ORDER BY doc_id"""
 
   /** One t18d APPLY step: merge pair `p` (a scalar column) into word
     * encoding `e`, exhaustion-safe (NULL pair keeps `e`) — the same
@@ -1332,16 +1355,18 @@ SELECT * FROM (
     // t18d: t18c's learned rules replayed per word (rule order = classic
     // BPE apply) over the doc's word-encoding list, one CTE per rule —
     // exhausted rounds degrade to identity exactly like the engine
-    "t18d_bpe_subword_encode" -> (bpeSubwordTraining + s""",
-apply0 AS (SELECT doc_id, list_transform(string_split(text, ' '), w ->
-    chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)) AS encs
-  FROM $Docs)""" + (0 until 3).map(bpeApplyRound).mkString(",", ",", "") + """
-SELECT doc_id,
-  CAST(len(encs) AS BIGINT) AS n_tokens,
-  CAST(list_sum(list_transform(encs, e ->
-    len(string_split(substr(e, 2, length(e) - 2), chr(31)||chr(31))))) AS BIGINT)
-    AS n_subword_tokens
-FROM apply3 ORDER BY doc_id"""),
+    "t18d_bpe_subword_encode" -> (bpeSubwordTraining + bpeApplyChainSql),
+
+    // t18e: the deployment composition — train the t18c subword rules on
+    // the t6 HASH SAMPLE (same salted-md5 predicate as the t6 row), then
+    // replay them over the FULL corpus with t18d's apply chain. Shares
+    // the training generator with t18c/t18d, the apply chain with t18d,
+    // and the sample predicate with t6, so none of the definitions can
+    // fork.
+    "t18e_bpe_sample_trained" -> (bpeSubwordTrainingFrom(
+      s"""(SELECT * FROM $Docs
+  WHERE CAST('0x' || substr(md5('s1-' || doc_id), 1, 15) AS BIGINT) % 100 < 10)""") +
+      bpeApplyChainSql),
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine

@@ -275,9 +275,11 @@ object TextOps {
     * plan. Tie order (n desc, pair asc) is pinned so the merge table is
     * engine-portable. [[bpeEncode]] is the serve side: the merge table,
     * not the corpus, is the training artifact. */
-  def bpeMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
+  def bpeMerges(documents: DataFrame, rounds: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame =
     bpeTrainRounds(
-      documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), BpeJoin, rounds)
+      documents.select(bpeEnc0.as("enc"), lit(1L).as("n")), BpeJoin, rounds,
+      reliableCheckpoints)
 
   /** The shared BPE training loop over a WEIGHTED sentinel-encoded state
     * frame (enc, n): per round one (pair, Σn) map-side-combined count, a
@@ -290,7 +292,8 @@ object TextOps {
     * unchanged, as here. [[bpeMerges]] feeds it document sequences at
     * weight 1; [[bpeSubwordMerges]] the word-frequency dict. */
   private def bpeTrainRounds(
-      init: DataFrame, joiner: String, rounds: Int): DataFrame = {
+      init: DataFrame, joiner: String, rounds: Int,
+      reliableCheckpoints: Boolean = false): DataFrame = {
     val spark = init.sparkSession
     var state = init
     val merges = Seq.newBuilder[(Long, String, Long)]
@@ -312,9 +315,19 @@ object TextOps {
       } else {
         val pair = top.head.getString(0)
         merges += ((r.toLong, pair, top.head.getLong(1)))
-        state = state.select(
-            bpeApply(col("enc"), pair, joiner).as("enc"), col("n"))
-          .localCheckpoint(false)
+        // Lineage truncation, not mere persistence: round r's plan would
+        // otherwise replay all prior merges from the raw corpus. The
+        // default lazy localCheckpoint is executor-memory-resident — an
+        // executor death mid-training loses the state frame — so a long
+        // cluster run passes reliableCheckpoints=true (requires
+        // spark.sparkContext.setCheckpointDir) and survives executor loss
+        // at the cost of a per-round disk round-trip, exactly like d6's
+        // CC loop. The sample-fed deployment shape (t18e) keeps the state
+        // frame vocab-sized, so either mode's per-round cost is tiny.
+        val next = state.select(
+          bpeApply(col("enc"), pair, joiner).as("enc"), col("n"))
+        state = if (reliableCheckpoints) next.checkpoint(eager = false)
+          else next.localCheckpoint(false)
         r += 1
       }
     }
@@ -361,13 +374,14 @@ object TextOps {
     * deployment may equally collect the dict — MBs — and run the
     * classic in-memory loop; the distributed form is kept here for
     * engine-oracle parity and for dicts past driver memory.) */
-  def bpeSubwordMerges(documents: DataFrame, rounds: Int = 3): DataFrame =
+  def bpeSubwordMerges(documents: DataFrame, rounds: Int = 3,
+      reliableCheckpoints: Boolean = false): DataFrame =
     bpeTrainRounds(
       documents
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .select(bpeCharEnc(col("word")).as("enc"), col("n")),
-      "", rounds)
+      "", rounds, reliableCheckpoints)
 
   /** The BPE sentinel pieces [[bpeMerges]] (train) and [[bpeEncode]]
     * (serve) share — one definition so the two sides cannot drift. */

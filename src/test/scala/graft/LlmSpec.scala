@@ -1236,6 +1236,28 @@ class LlmSpec extends SparkSpec {
     assert(gotEnc.map(_._3) === ref.map(_.length.toLong))
   }
 
+  test("bpe training under reliable checkpoints equals the local-checkpoint run") {
+    // the d6 cluster story applied to the BPE loop: a long run flips
+    // reliableCheckpoints=true so executor loss replays from disk instead
+    // of recomputing the merge chain — the learned table must be the same
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val saved = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      import spark.implicits._
+      val local = TextOps.bpeMerges(docs, 3)
+        .as[(Long, String, Long)].collect().toSeq
+      val reliable = TextOps.bpeMerges(docs, 3, reliableCheckpoints = true)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(reliable === local)
+      val localSub = TextOps.bpeSubwordMerges(docs, 3)
+        .as[(Long, String, Long)].collect().toSeq
+      val reliableSub = TextOps.bpeSubwordMerges(docs, 3, reliableCheckpoints = true)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(reliableSub === localSub)
+    } finally saved.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("subword bpe matches a classic word-dict reference (t18c)") {
     import spark.implicits._
     // "loop" repeated inflates its char pairs by frequency; "polo" shares

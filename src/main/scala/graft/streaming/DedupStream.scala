@@ -409,19 +409,31 @@ object DedupStream {
     * semantics are unchanged either way). Single-writer discipline like
     * BucketStore: run between microbatches (the admission loop is the
     * only other writer). */
+  /** The tier's sides with their compaction folds — ONE definition shared
+    * by [[compact]] and [[compactIfDue]] so the trigger decision and the
+    * action can never see different side lists. */
+  private def compactionSides: Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
+    ("shingles", ShingleSchema, identity[DataFrame] _),
+    ("bands", BandSchema, identity[DataFrame] _),
+    ("seeds", SeedSchema, identity[DataFrame] _),
+    ("seedstats", StatsSchema,
+      (df: DataFrame) => df.groupBy("kh").agg(sum("df").as("df"))),
+    ("wordcounts", WordSchema,
+      (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
+    ("bloom", BloomSchema, (df: DataFrame) =>
+      // OR the foldable partials down to one row (associative, so the
+      // carried per-lineage dirs staying partial changes nothing)
+      DedupOps.bloomFold(df)))
+
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, indexDir, Seq(
-      ("shingles", ShingleSchema, identity[DataFrame] _),
-      ("bands", BandSchema, identity[DataFrame] _),
-      ("seeds", SeedSchema, identity[DataFrame] _),
-      ("seedstats", StatsSchema,
-        (df: DataFrame) => df.groupBy("kh").agg(sum("df").as("df"))),
-      ("wordcounts", WordSchema,
-        (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
-      ("bloom", BloomSchema, (df: DataFrame) =>
-        // OR the foldable partials down to one row (associative, so the
-        // carried per-lineage dirs staying partial changes nothing)
-        DedupOps.bloomFold(df))))
+    IndexSides.compact(spark, indexDir, compactionSides)
+
+  /** The cron seam: compact iff `policy` fires on this tier's sides
+    * (dir-count / byte thresholds over the foldable NEW batch dirs — a
+    * pure listing read, never data). Returns whether a compaction ran. */
+  def compactIfDue(spark: SparkSession, indexDir: String,
+      policy: CompactionPolicy = CompactionPolicy()): Boolean =
+    IndexSides.compactIfDue(spark, indexDir, compactionSides, policy = policy)
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

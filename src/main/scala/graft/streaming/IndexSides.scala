@@ -20,6 +20,20 @@ import org.apache.spark.sql.types._
   * retention of a renamed dir cannot fix that (the listed paths
   * themselves die with the rename); only publish-and-retire-in-place
   * can, which is what generations are. */
+/** Compaction trigger policy for the maintained index tiers: fire when
+  * any side's foldable NEW batch dirs (the previous `compacted`
+  * consolidation excluded — refolding it alone is the no-op case) reach
+  * a dir count or byte threshold. The defaults suit a cron'd loop: ~a
+  * handful of microbatch dirs folds cheaply, and the byte bound keeps a
+  * burst of fat batches from waiting out the dir count. The decision
+  * itself ([[DedupStream.compactIfDue]], [[VectorStream.compactIfDue]])
+  * reads only dir listings + content summaries, never data — so the cron
+  * loop is one pure function call per tier. */
+final case class CompactionPolicy(
+    maxFoldableDirs: Int = 8, maxFoldableBytes: Long = 256L << 20) {
+  require(maxFoldableDirs >= 1 && maxFoldableBytes >= 1)
+}
+
 private[streaming] object IndexSides {
 
   def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -146,6 +160,67 @@ private[streaming] object IndexSides {
     *
     * Single-writer discipline: run between microbatches. A no-op when no
     * side has anything to fold. */
+  /** The `batch=` dir keys of one side under a LIVE tree root. */
+  private def batchDirsOf(fs: FileSystem, live: String, side: String): Seq[String] = {
+    val p = new Path(s"$live/$side")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+  }
+
+  /** The replay-addressable dirs a compaction must carry AS DIRS: the
+    * latest batch id per lineage (each lineage's only replayable batch). */
+  private def carriedOf(dirs: Seq[String]): Set[String] =
+    dirs.filter(_ != "compacted")
+      .flatMap { key =>
+        val i = key.lastIndexOf('-')
+        if (i < 0) None
+        else scala.util.Try(key.substring(i + 1).toLong).toOption
+          .map(id => (key.substring(0, i), id, key))
+      }
+      .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
+
+  /** One side's (all dirs, carried, foldable) split — the ONE definition
+    * [[compact]] executes and [[shouldCompact]] decides on, so the
+    * trigger policy can never diverge from what a compaction would
+    * actually fold. */
+  private def foldSplitOf(fs: FileSystem, live: String,
+      side: String): (Seq[String], Set[String], Seq[String]) = {
+    val dirs = batchDirsOf(fs, live, side)
+    val carried = carriedOf(dirs)
+    (dirs, carried, dirs.filterNot(carried.contains))
+  }
+
+  /** Pure decision for the cron seam: does the policy say compact NOW?
+    * Reads only dir listings + content summaries — never data. Exactly
+    * the sides [[compact]] would fold; `true` implies compact() will not
+    * no-op (its no-op rule is foldable ⊆ {compacted}, and this counts
+    * only non-`compacted` foldables). */
+  def shouldCompact(spark: SparkSession, root: String, sideNames: Seq[String],
+      policy: CompactionPolicy = CompactionPolicy()): Boolean = {
+    val fs = fsOf(spark, root)
+    val live = liveRoot(spark, root)
+    sideNames.exists { side =>
+      val (_, _, foldable) = foldSplitOf(fs, live, side)
+      val fresh = foldable.filterNot(_ == "compacted")
+      fresh.size >= policy.maxFoldableDirs || (fresh.nonEmpty &&
+        fresh.map(d => fs.getContentSummary(
+          new Path(s"$live/$side/batch=$d")).getLength).sum >= policy.maxFoldableBytes)
+    }
+  }
+
+  /** The cron loop's single call: compact iff the policy fires. Returns
+    * whether a compaction ran (a new generation was published). */
+  def compactIfDue(spark: SparkSession, root: String,
+      sides: Seq[(String, StructType, DataFrame => DataFrame)],
+      extras: Seq[String] = Nil,
+      policy: CompactionPolicy = CompactionPolicy()): Boolean = {
+    val due = shouldCompact(spark, root, sides.map(_._1), policy)
+    if (due) compact(spark, root, sides, extras)
+    due
+  }
+
   def compact(spark: SparkSession, root: String,
       sides: Seq[(String, StructType, DataFrame => DataFrame)],
       extras: Seq[String] = Nil): Unit = {
@@ -161,27 +236,9 @@ private[streaming] object IndexSides {
       if (!fs.exists(p) && fs.exists(old))
         require(fs.rename(old, p), s"compact: heal rename $old -> $p failed")
     }
-    def batchDirs(side: String): Seq[String] = {
-      val p = new Path(s"$live/$side")
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName.stripPrefix("batch="))
-    }
-    // latest batch id per lineage stays a replay-addressable dir
-    def carriedOf(dirs: Seq[String]): Set[String] =
-      dirs.filter(_ != "compacted")
-        .flatMap { key =>
-          val i = key.lastIndexOf('-')
-          if (i < 0) None
-          else scala.util.Try(key.substring(i + 1).toLong).toOption
-            .map(id => (key.substring(0, i), id, key))
-        }
-        .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
     val plan = sides.map { case (side, schema, fold) =>
-      val dirs = batchDirs(side)
-      val carried = carriedOf(dirs)
-      (side, schema, fold, dirs, carried, dirs.filterNot(carried.contains))
+      val (dirs, carried, foldable) = foldSplitOf(fs, live, side)
+      (side, schema, fold, dirs, carried, foldable)
     }
     // No-op when no side has anything NEW to fold: a side whose only
     // foldable dir is the previous `compacted` consolidation would just

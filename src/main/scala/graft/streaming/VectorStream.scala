@@ -347,13 +347,25 @@ object VectorStream {
     * verbatim, the superseded tree is retained one publication for
     * in-flight readers, and the live tree's files are never touched
     * mid-protocol (same discipline as [[build]]'s rebuild seam). */
+  /** The tier's sides + frozen extras — ONE definition shared by
+    * [[compact]] and [[compactIfDue]] (the DedupStream discipline). */
+  private def compactionSides: Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
+    ("cells", CellSchema, identity[DataFrame] _),
+    ("cellstats", CellStatsSchema,
+      (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n"))),
+    ("codes", CodesSchema, identity[DataFrame] _))
+  private val compactionExtras = Seq("centroids", "codebooks")
+
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, indexDir, Seq(
-      ("cells", CellSchema, identity[DataFrame] _),
-      ("cellstats", CellStatsSchema,
-        (df: DataFrame) => df.groupBy("cell").agg(sum("n").as("n"))),
-      ("codes", CodesSchema, identity[DataFrame] _)),
-      extras = Seq("centroids", "codebooks"))
+    IndexSides.compact(spark, indexDir, compactionSides, extras = compactionExtras)
+
+  /** The cron seam: compact iff `policy` fires on this tier's sides —
+    * same decision rule as [[DedupStream.compactIfDue]]. Returns whether
+    * a compaction ran. */
+  def compactIfDue(spark: SparkSession, indexDir: String,
+      policy: CompactionPolicy = CompactionPolicy()): Boolean =
+    IndexSides.compactIfDue(spark, indexDir, compactionSides,
+      extras = compactionExtras, policy = policy)
 
   /** Per-batch admission accounting across the stream's whole history. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {

@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{DedupOps, SimilarityOps}
+import graft.llm.DedupOps.BloomSizing
+
+/** Adversarial-scale rail soak (round-13 verdict item 1): every scale rail
+  * exercised against a degenerate corpus 10-50× the ordinary fixture, with
+  * BOTH halves of the claim asserted — the rail actually FIRES (the
+  * degenerate volume would otherwise enter the quadratic pair front) AND
+  * the railed output is exactly right vs a small-N reference (result-set
+  * equality against the engine run on the non-degenerate subset, or
+  * analytic island arithmetic for the span split).
+  *
+  * Rails covered: d3b's maxBucket signature-bucket prune, e7's maxCell
+  * Voronoi-cell prune (members degrade to singleton keeps, never
+  * disappear), d8b's combined-population maxCell, d9's df cap
+  * (spans SPLIT at a pruned boilerplate seed, never lost), and d10's
+  * Bloom FPR staying at its analytic design point as the key count
+  * approaches and passes filter capacity. */
+class RailSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- d3b: maxBucket signature-bucket rail -------------------------------
+
+  test("d3b maxBucket binds on 5000 boilerplate twins; railed pairs equal the small-N run") {
+    // 5000 byte-identical boilerplate docs (one signature bucket) would
+    // contribute ~12.5M Hamming-0 pairs without the rail; 40 small
+    // identical-triplet groups are the genuine content that must survive
+    val boiler = (10000L until 15000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog boilerplate"))
+    val groups = (0 until 40).flatMap { g =>
+      val text = s"group $g alpha${g} beta${g} gamma${g} delta${g} epsilon${g}"
+      (0 until 3).map(j => ((g * 3 + j).toLong, text))
+    }
+    val corpus = (boiler ++ groups).toDF("doc_id", "text")
+    try {
+      // the rail FIRES: the boilerplate bucket dwarfs maxBucket
+      val maxBucketSize = DedupOps.simhash(corpus)
+        .groupBy("simhash").count().agg(max("count")).head().getLong(0)
+      assert(maxBucketSize >= 5000L, s"degenerate bucket only $maxBucketSize")
+
+      val railed = DedupOps.simhashNearDups(corpus, maxBucket = 100)
+        .as[(Long, Long)].collect().toSet
+      // small-N oracle: the engine on the corpus WITHOUT the degenerate
+      // bucket (signatures are per-doc, so removal changes nothing else)
+      val reference = DedupOps.simhashNearDups(
+        groups.toDF("doc_id", "text"), maxBucket = 100)
+        .as[(Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // and the surviving content is exactly the 40 triplets' 3 pairs each
+      assert(railed.size === 120)
+      assert(railed.forall { case (a, b) => a / 3 == b / 3 && a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
+  // ---- e7: maxCell Voronoi-cell rail --------------------------------------
+
+  private def unit(dim: Int, seedV: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seedV)
+    val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  test("e7 maxCell binds on a 3000-member mega-cell; members keep, small cells exact") {
+    val dim = 16
+    // ids 0..499: diverse unit vectors, with ids 100..179 forming 40 exact
+    // twin pairs (the genuine near-dup content in SMALL cells);
+    // ids 1000..3999: the mega-cell — near-identical jittered copies of
+    // the axis vector, exactly the corpus shape SemDeDup targets
+    val axis = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val diverse = (0L until 500L).map { i =>
+      val v = if (i >= 100 && i < 180) unit(dim, 5000 + ((i - 100) / 2).toInt)
+        else unit(dim, i.toInt)
+      (i, v)
+    }
+    val mega = (1000L until 4000L).map { i =>
+      val j = (i % 97).toFloat / 97000f
+      (i, axis.zipWithIndex.map { case (x, d) => if (d == 1) x + j else x })
+    }
+    val emb = (Seq((998L, axis)) ++ diverse ++ mega).toDF("vec_id", "embedding")
+    try {
+      val idx = SimilarityOps.ivfBuild(emb, nCells = 16, iterations = 2)
+      val cellSizes = idx.cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val megaCells = cellSizes.filter(_._2 > 256).keySet
+      // the rail FIRES: the jittered copies collapse into oversize cells
+      assert(megaCells.nonEmpty, s"no cell above maxCell: $cellSizes")
+      assert(cellSizes.filter(_._2 > 256).values.sum >= 3000L)
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      val railed = rows(SimilarityOps.semanticDedup(idx, 0.95, maxCell = 256))
+      DedupOps.releaseCaches()
+      // no vector disappears, and every mega-cell member degrades to a
+      // singleton keep (its own group, kept)
+      assert(railed.size === 3501)
+      val megaRows = railed.filter(r => megaCells.contains(r._2.toInt))
+      assert(megaRows.size >= 3000)
+      assert(megaRows.forall(r => r._5 && r._3 == r._1),
+        "mega-cell members must be singleton keeps, never dropped")
+      // small-N oracle: the engine on the index RESTRICTED to small cells,
+      // with the rail effectively off — must match the railed run row-wise
+      val smallIdx = SimilarityOps.IvfIndex(idx.centroids,
+        idx.cells.filter(!col("cell").isin(megaCells.toSeq: _*)))
+      val reference = rows(SimilarityOps.semanticDedup(smallIdx, 0.95, maxCell = 1000000))
+      assert(railed.filterNot(r => megaCells.contains(r._2.toInt)) === reference,
+        "small-cell rows must equal the unrailed small-N run")
+      // the genuine twin pairs were actually found (keeper + dropped member)
+      val dropped = reference.count(!_._5)
+      assert(dropped >= 30, s"expected the twin content to dedup, got $dropped drops")
+    } finally DedupOps.releaseCaches()
+  }
+
+  // ---- d8b: combined-population maxCell rail ------------------------------
+
+  test("d8b combined-population maxCell binds; screened collisions equal the small-N run") {
+    val dim = 16
+    val axis = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val diverse = (0L until 400L).map(i => (i, unit(dim, i.toInt)))
+    val mega = (1000L until 4000L).map { i =>
+      val j = (i % 89).toFloat / 89000f
+      (i, axis.zipWithIndex.map { case (x, d) => if (d == 1) x + j else x })
+    }
+    val emb = (Seq((998L, axis)) ++ diverse ++ mega).toDF("vec_id", "embedding")
+    // benchmark: copies of two DIVERSE corpus vectors (must be flagged)
+    // plus one mega-cell paraphrase (rail-suppressed, documented behavior)
+    val bench = Seq(
+      (9001L, unit(dim, 7)), (9002L, unit(dim, 13)), (9003L, axis))
+      .toDF("vec_id", "embedding")
+    try {
+      val idx = SimilarityOps.ivfBuild(emb, nCells = 16, iterations = 2)
+      val megaCells = idx.cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 256).select("cell").as[Int].collect().toSet
+      assert(megaCells.nonEmpty, "rail precondition: a mega-cell exists")
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSet
+      val railed = rows(SimilarityOps.semanticContamination(idx, bench, 0.99))
+      // diverse-cell contamination is caught...
+      assert(railed.map(_._1).intersect(Set(7L, 13L)) === Set(7L, 13L),
+        s"diverse collisions must be flagged, got $railed")
+      // ...and nothing from the suppressed mega-cells leaks past the rail
+      val cellOf = idx.cells.select("vec_id", "cell")
+        .as[(Long, Int)].collect().toMap
+      assert(railed.forall(r => !megaCells.contains(cellOf(r._1))))
+      // small-N oracle: identical collisions from the small-cell index
+      val smallIdx = SimilarityOps.IvfIndex(idx.centroids,
+        idx.cells.filter(!col("cell").isin(megaCells.toSeq: _*)))
+      val reference = rows(SimilarityOps.semanticContamination(
+        smallIdx, bench, 0.99, maxCell = 1000000))
+      assert(railed === reference)
+    } finally DedupOps.releaseCaches()
+  }
+
+  // ---- d9: df cap — spans split at a pruned seed, never lost --------------
+
+  test("d9 df cap binds on a 5000-doc boilerplate seed; the long span splits, not lost") {
+    // span of 20 words shared verbatim between docs A and B, with words
+    // 8-12 a boilerplate 5-gram that also appears in 5000 other docs —
+    // its seed's df blows past maxDf=100, so the island must SPLIT at
+    // that one seed window while both flanks survive
+    val span = ((1 to 7).map(i => s"u$i") ++ (1 to 5).map(i => s"b$i") ++
+      (13 to 20).map(i => s"u$i")).mkString(" ")
+    val a = s"preA1 preA2 $span postA"
+    val b = s"$span postB1 postB2"
+    val boiler = (100L until 5100L).map(i =>
+      (i, s"noise${i}a noise${i}b b1 b2 b3 b4 b5 tail${i}"))
+    val corpus = (Seq((1L, a), (2L, b)) ++ boiler).toDF("doc_id", "text")
+    try {
+      // the rail FIRES: the boilerplate 5-gram's df is 5002
+      val seeds = DedupOps.positionalSeeds(corpus)
+      val hotDf = seeds.groupBy("kh").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head().getLong(0)
+      assert(hotDf >= 5002L, s"hot seed df only $hotDf")
+
+      def spansAB(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("id_a") === 1L && col("id_b") === 2L)
+          .select("start_a", "start_b", "span_len")
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+      // unrailed small-N reference: docs A and B alone — the boilerplate
+      // seed's df is 2 there, so the FULL 20-word span reports
+      val full = spansAB(DedupOps.duplicatedSpans(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text")))
+      assert(full.size === 1 && full.head._3 === 20L, s"reference span: $full")
+      val (fullStart, _, fullLen) = full.head
+
+      val railed = spansAB(DedupOps.duplicatedSpans(corpus))
+      assert(railed.size === 2, s"expected the span to SPLIT in two, got $railed")
+      // island arithmetic: seed windows 1-16 of the span lose exactly the
+      // boilerplate window (span words 8-12), so the flanks carry windows
+      // 1-7 (span_len 7+4=11) and 9-16 (span_len 8+4=12)
+      assert(railed.map(_._3) === Seq(11L, 12L), s"flank lengths: $railed")
+      // split, not lost: the two flanks' word ranges cover the entire
+      // original span (the pruned window's words survive in both flanks)
+      val covered = railed.flatMap { case (sa, _, len) => sa until sa + len }.toSet
+      assert(covered === (fullStart until fullStart + fullLen).toSet,
+        "the flanks must cover every word of the unrailed span")
+      // and the boilerplate swarm itself reports no spans at all (single
+      // shared seed < minSpan even unrailed — the rail just keeps its
+      // 12.5M-pair match front from existing)
+      assert(DedupOps.duplicatedSpans(corpus)
+        .filter(col("id_a") >= 100L).count() === 0L)
+    } finally DedupOps.releaseCaches()
+  }
+
+  // ---- d10: Bloom FPR at the capacity boundary ----------------------------
+
+  test("d10 FPR tracks its analytic design point up to and past filter capacity") {
+    val sizing = BloomSizing.Default
+    val capacity = sizing.capacityAt(0.01)
+    assert(capacity > 15000L && capacity < 30000L, s"default capacity $capacity")
+    def keyDocs(from: Long, n: Long, tag: String) =
+      (from until from + n).map(i => (i, s"$tag soak key $i body ${i * 2654435761L}"))
+        .toDF("doc_id", "text")
+    val probes = keyDocs(9000000L, 5000, "probe")
+    // just under capacity, and 2× over it: measured FPR must track the
+    // analytic fprAt(n) in BOTH regimes (the filter degrades exactly as
+    // designed, no cliff), and the health warning flips exactly once
+    val under = (capacity * 0.95).toLong
+    val over = capacity * 2
+    for ((n, expectWarn) <- Seq((under, false), (over, true))) {
+      val bits = DedupOps.bloomBuild(keyDocs(0L, n, "corpus"), sizing)
+      val theory = sizing.fprAt(n)
+      val hits = DedupOps.bloomScreen(probes, bits, sizing)
+        .collect().count(_.getBoolean(1))
+      val measured = hits.toDouble / 5000
+      info(f"n=$n%d (capacity=$capacity%d): theory=$theory%.4f measured=$measured%.4f")
+      assert(measured <= theory * 1.6 + 0.002 && measured >= theory * 0.5 - 0.002,
+        s"n=$n: measured $measured far from design point $theory")
+      assert(DedupOps.bloomHealthWarning(bits, sizing).isDefined === expectWarn,
+        s"n=$n: health warning expected=$expectWarn")
+      // the no-false-negative guarantee holds even past capacity
+      val members = DedupOps.bloomScreen(
+        keyDocs(0L, math.min(n, 3000L), "corpus"), bits, sizing)
+        .collect().map(_.getBoolean(1))
+      assert(members.forall(identity), s"n=$n: member missed")
+    }
+  }
+}

@@ -41,6 +41,10 @@ object SparkEntry {
     dfCache.get(k).filter(_.sparkSession eq s) match {
       case Some(df) => df
       case None =>
+        // a colliding OTHER-session entry is evicted: unpersist it (lazily
+        // — its session recomputes on next touch) so alternating collided
+        // sessions can't accumulate orphaned persisted blocks
+        dfCache.get(k).foreach(_.unpersist(blocking = false))
         val df = build.persist(); dfCache.update(k, df); df
     }
   }
@@ -174,6 +178,7 @@ object SparkEntry {
     dfCache.get(k).filter(_.sparkSession eq s) match {
       case Some(g) => g
       case None =>
+        dfCache.get(k).foreach(_.unpersist(blocking = false)) // evicted collider
         val g = build.persist()
         g.count() // materialize INTO the cache before the scaffolding
         DedupOps.releaseCaches() // (tracked pair/label frames) is dropped

@@ -63,7 +63,11 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
   // form's Scala `c.map(x => x*x).sum`.
   @transient private lazy val codebook: Array[Array[Double]] = {
     val ad = right.eval().asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    val cb = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    // the composed struct-max form returned null on an empty codebook —
+    // surfacing the misuse; fabricating cell -1 silently would not
+    require(cb.nonEmpty, "graft_nearest: empty codebook")
+    cb
   }
   @transient private lazy val selfDots: Array[Double] =
     codebook.map { c =>
@@ -113,11 +117,9 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
          |    $dot += (double)$a.$getter($d) * $c[$d];
          |  }
          |  double $raw = $dot * 2.0 - $sd[$i];
-         |  double $score = (java.lang.Double.isNaN($raw) || java.lang.Double.isInfinite($raw))
-         |    ? $raw
-         |    : java.math.BigDecimal.valueOf($raw).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |  if ($best < 0 || java.lang.Double.isNaN($score) ||
-         |      (!java.lang.Double.isNaN($bestS) && $score >= $bestS)) {
+         |  double $score = graft.functions.NearestCentroidExpr.round6($raw);
+         |  if ($best < 0 ||
+         |      graft.functions.NearestCentroidExpr.nanSafeGe($score, $bestS)) {
          |    $bestS = $score; $best = $i;
          |  }
          |}
@@ -136,16 +138,16 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
 object NearestCentroidExpr {
   /** Spark `round(x, 6)`'s exact double semantics (MathExpressions
     * RoundBase): NaN/∞ pass through, else decimal HALF_UP at scale 6 —
-    * the interpreted and generated paths share this definition's
-    * arithmetic so they cannot drift. */
+    * the generated code calls THIS method via its static forwarder (so
+    * interpreted and codegen paths literally share one definition). */
   def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Spark's nan-safe double ordering (NaN compares greatest) reduced to
-    * the `x >= y` case — the comparison the generated code inlines, kept
-    * here in the same shape so the two paths cannot drift. */
+    * the `x >= y` case — called from the generated code via its static
+    * forwarder, one definition for both paths. */
   def nanSafeGe(x: Double, y: Double): Boolean =
     java.lang.Double.isNaN(x) || (!java.lang.Double.isNaN(y) && x >= y)
 }

@@ -813,9 +813,11 @@ object DedupOps {
     * the filter from its corpus cardinality (the a5d sketch) and target
     * FPR via [[BloomSizing.forCapacity]], and past single-bitset scale
     * routes keys across `shards` independent filters (each still a
-    * bytes-sized plan parameter — 2^33 bits = 1 GiB covers ~10⁹ keys per
-    * shard at 1%). [[BloomSizing.Default]] is the test-corpus geometry
-    * the registered d10 query and its oracle share. */
+    * bytes-sized plan parameter; `bits` is Int-typed, so one shard caps
+    * just under 2^31 bits = 256 MiB ≈ 2.2×10⁸ keys at 1% — ~10⁹ keys is
+    * 5 shards, which is exactly what the shard seam is for).
+    * [[BloomSizing.Default]] is the test-corpus geometry the registered
+    * d10 query and its oracle share. */
   final case class BloomSizing(bits: Int, hashes: Int, shards: Int = 1) {
     require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
     require(hashes >= 1, s"hashes must be >= 1, got $hashes")
@@ -835,7 +837,10 @@ object DedupOps {
     }
   }
   object BloomSizing {
-    /** The test-corpus geometry (2^18 bits, 3 hashes): ~26k keys at 1%. */
+    /** The test-corpus geometry (2^18 bits, 3 hashes): `capacityAt(0.01)`
+      * ≈ 21k keys — k is pinned at 3 (the oracle mirrors 3 salts), below
+      * the 1%-optimal k≈7, so capacity is ~21k, not the 10-bits/key rule's
+      * 27k. RailSoakSpec measures the FPR curve at this boundary. */
     val Default: BloomSizing = BloomSizing(1 << 18, 3)
     /** Size a filter for `n` expected keys at `targetFpr`: the classic
       * m = ⌈−n·ln(fpr)/ln(2)²⌉ (≈ 10 bits/key at 1%) rounded up to whole

@@ -76,6 +76,30 @@ object DedupStream {
   private val WordSchema = StructType(Seq(
     StructField("word", StringType), StructField("n", LongType)))
   private val BloomSchema = StructType(Seq(StructField("bits", BinaryType)))
+  private val BloomConfSchema = StructType(Seq(
+    StructField("bits", IntegerType), StructField("hashes", IntegerType),
+    StructField("shards", IntegerType)))
+
+  /** The index's PERSISTED Bloom geometry — stamped beside the bloom side
+    * on the index's first admission ([[admitBatch]]'s `bloomSizing`, fed
+    * from `EngineConf.bloomSizingFor` at deployment) and carried through
+    * compactions/generations like any tree member. Geometry is INDEX
+    * state, not caller memory: partials of different geometries cannot
+    * OR, so every serve/fold path reads THIS, never a parameter. Absent
+    * conf (an index predating config-driven sizing) means the
+    * compile-time default. */
+  def bloomSizingAt(spark: SparkSession, indexDir: String): DedupOps.BloomSizing =
+    bloomSizingUnder(spark, liveRoot(spark, indexDir))
+
+  private def bloomSizingUnder(spark: SparkSession, live: String): DedupOps.BloomSizing = {
+    val dir = s"$live/bloomconf"
+    val fs = IndexSides.fsOf(spark, dir)
+    if (!fs.exists(new Path(dir))) DedupOps.BloomSizing.Default
+    else {
+      val r = spark.read.schema(BloomConfSchema).parquet(dir).head()
+      DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+  }
 
   /** Seed width of the maintained positional index (d9's default k): span
     * screening against the index must probe at the width it was built. */
@@ -164,10 +188,13 @@ object DedupStream {
     * (screen answers "definitely new" for everything), so [[screenExact]]
     * is advisory there until a backfill re-admits; sides written since
     * carry the full no-false-negative guarantee. */
-  def corpusBloom(spark: SparkSession, indexDir: String): Array[Byte] =
+  def corpusBloom(spark: SparkSession, indexDir: String): Array[Byte] = {
+    val live = liveRoot(spark, indexDir)
     DedupOps.bloomFold(
-        readSide(spark, s"${liveRoot(spark, indexDir)}/bloom", BloomSchema))
+        readSide(spark, s"$live/bloom", BloomSchema),
+        bloomSizingUnder(spark, live))
       .head().getAs[Array[Byte]](0)
+  }
 
   /** D10 over the maintained side: flag increment docs whose exact
     * content fingerprint is possibly already admitted — the zero-join,
@@ -177,13 +204,14 @@ object DedupStream {
     * "definitely new" docs skip the exact-dup tier cheaply. */
   def screenExact(spark: SparkSession, indexDir: String,
       newDocs: DataFrame): DataFrame = {
+    val sizing = bloomSizingAt(spark, indexDir)
     val bits = corpusBloom(spark, indexDir)
     // Design-point drift guard: the screen stays no-false-negative at any
     // fill, but an overfull filter answers maybe_dup for nearly everything
     // and stops paying for itself — surface that here, on the serving path.
-    DedupOps.bloomHealthWarning(bits).foreach(w =>
+    DedupOps.bloomHealthWarning(bits, sizing).foreach(w =>
       System.err.println(s"[DedupStream] $w"))
-    DedupOps.bloomScreen(newDocs, bits)
+    DedupOps.bloomScreen(newDocs, bits, sizing)
   }
 
   private val GroupSchema = StructType(Seq(
@@ -207,7 +235,8 @@ object DedupStream {
     * reuse the exact streaming admission logic (parity with the reference's
     * backfill-runs-the-livescan-path design). */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      outDir: String, threshold: Double, lineage: String = "batch"): Unit = {
+      outDir: String, threshold: Double, lineage: String = "batch",
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -275,12 +304,32 @@ object DedupStream {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/wordcounts/$key")
       // sixth side: the batch's Bloom bitset partial (d10's filter as
-      // maintained state) — one 32 KiB row per admission, OR-mergeable,
+      // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the
-      // identical partial from the identical kept set)
+      // identical partial from the identical kept set). The geometry is
+      // stamped on the index's FIRST admission and read back thereafter:
+      // a caller-passed sizing that contradicts the stamp is a loud
+      // config error (partials of different geometries cannot OR).
       locally {
         import spark.implicits._
-        Seq(Tuple1(DedupOps.bloomBuild(keptOut))).toDF("bits")
+        val fs = IndexSides.fsOf(spark, root)
+        val confDir = s"$root/bloomconf"
+        val sizing =
+          if (fs.exists(new Path(confDir))) {
+            val cfg = bloomSizingUnder(spark, root)
+            require(bloomSizing == DedupOps.BloomSizing.Default || bloomSizing == cfg,
+              s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
+            cfg
+          } else {
+            // legacy partials (pre-conf index) were built at Default —
+            // stamp that, not the caller's sizing
+            val s0 = if (fs.exists(new Path(s"$root/bloom"))) DedupOps.BloomSizing.Default
+              else bloomSizing
+            Seq((s0.bits, s0.hashes, s0.shards)).toDF("bits", "hashes", "shards")
+              .coalesce(1).write.mode("overwrite").parquet(confDir)
+            s0
+          }
+        Seq(Tuple1(DedupOps.bloomBuild(keptOut, sizing))).toDF("bits")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$root/bloom/$key")
       }
@@ -411,8 +460,12 @@ object DedupStream {
     * only other writer). */
   /** The tier's sides with their compaction folds — ONE definition shared
     * by [[compact]] and [[compactIfDue]] so the trigger decision and the
-    * action can never see different side lists. */
-  private def compactionSides: Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
+    * action can never see different side lists. The bloom fold needs the
+    * index's persisted geometry; `bloomconf` itself rides as an extra
+    * (tree layouts carry it as an unknown member anyway — the extra
+    * covers flat legacy layouts). */
+  private def compactionSides(
+      sizing: DedupOps.BloomSizing): Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
     ("shingles", ShingleSchema, identity[DataFrame] _),
     ("bands", BandSchema, identity[DataFrame] _),
     ("seeds", SeedSchema, identity[DataFrame] _),
@@ -423,26 +476,33 @@ object DedupStream {
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row (associative, so the
       // carried per-lineage dirs staying partial changes nothing)
-      DedupOps.bloomFold(df)))
+      DedupOps.bloomFold(df, sizing)))
 
   def compact(spark: SparkSession, indexDir: String): Unit =
-    IndexSides.compact(spark, indexDir, compactionSides)
+    IndexSides.compact(spark, indexDir,
+      compactionSides(bloomSizingAt(spark, indexDir)),
+      extras = Seq("bloomconf"))
 
   /** The cron seam: compact iff `policy` fires on this tier's sides
     * (dir-count / byte thresholds over the foldable NEW batch dirs — a
     * pure listing read, never data). Returns whether a compaction ran. */
   def compactIfDue(spark: SparkSession, indexDir: String,
       policy: CompactionPolicy = CompactionPolicy()): Boolean =
-    IndexSides.compactIfDue(spark, indexDir, compactionSides, policy = policy)
+    IndexSides.compactIfDue(spark, indexDir,
+      compactionSides(bloomSizingAt(spark, indexDir)),
+      extras = Seq("bloomconf"), policy = policy)
 
-  /** Start the admission stream over a streaming (doc_id, text, …) frame. */
+  /** Start the admission stream over a streaming (doc_id, text, …) frame.
+    * `bloomSizing` (from `EngineConf.bloomSizingFor` at deployment) stamps
+    * the d10 filter geometry on the index's first admission. */
   def start(docs: DataFrame, indexDir: String, outDir: String,
-      checkpointDir: String, threshold: Double = 0.5): StreamingQuery = {
+      checkpointDir: String, threshold: Double = 0.5,
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): StreamingQuery = {
     val lineage = lineageOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage)
+        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage, bloomSizing)
       }
       .start()
   }

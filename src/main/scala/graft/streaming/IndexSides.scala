@@ -5,6 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Compaction trigger policy for the maintained index tiers: fire when
+  * any side's foldable NEW batch dirs (the previous `compacted`
+  * consolidation excluded — refolding it alone is the no-op case) reach
+  * a dir count or byte threshold. The defaults suit a cron'd loop: ~a
+  * handful of microbatch dirs folds cheaply, and the byte bound keeps a
+  * burst of fat batches from waiting out the dir count. The decision
+  * itself ([[DedupStream.compactIfDue]], [[VectorStream.compactIfDue]])
+  * reads only dir listings + content summaries, never data — so the cron
+  * loop is one pure function call per tier. */
+final case class CompactionPolicy(
+    maxFoldableDirs: Int = 8, maxFoldableBytes: Long = 256L << 20) {
+  require(maxFoldableDirs >= 1 && maxFoldableBytes >= 1)
+}
+
 /** Shared machinery for batch=-keyed maintained index sides — the
   * dir-per-microbatch append layout both admission loops
   * ([[DedupStream]] text, [[VectorStream]] embeddings) use:
@@ -20,20 +34,6 @@ import org.apache.spark.sql.types._
   * retention of a renamed dir cannot fix that (the listed paths
   * themselves die with the rename); only publish-and-retire-in-place
   * can, which is what generations are. */
-/** Compaction trigger policy for the maintained index tiers: fire when
-  * any side's foldable NEW batch dirs (the previous `compacted`
-  * consolidation excluded — refolding it alone is the no-op case) reach
-  * a dir count or byte threshold. The defaults suit a cron'd loop: ~a
-  * handful of microbatch dirs folds cheaply, and the byte bound keeps a
-  * burst of fat batches from waiting out the dir count. The decision
-  * itself ([[DedupStream.compactIfDue]], [[VectorStream.compactIfDue]])
-  * reads only dir listings + content summaries, never data — so the cron
-  * loop is one pure function call per tier. */
-final case class CompactionPolicy(
-    maxFoldableDirs: Int = 8, maxFoldableBytes: Long = 256L << 20) {
-  require(maxFoldableDirs >= 1 && maxFoldableBytes >= 1)
-}
-
 private[streaming] object IndexSides {
 
   def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -192,16 +192,27 @@ private[streaming] object IndexSides {
     (dirs, carried, dirs.filterNot(carried.contains))
   }
 
+  /** A side a pre-generation binary's crash left mid-in-place-swap (the
+    * live dir gone, its `.old` present) — [[compact]] heals it on entry,
+    * so the TRIGGER must treat it as due: deciding on the un-healed
+    * listing alone would count zero foldables for that side and a
+    * cron built on [[compactIfDue]] would decline forever, leaving the
+    * side's data invisible. */
+  private def needsHeal(fs: FileSystem, live: String, name: String): Boolean =
+    !fs.exists(new Path(s"$live/$name")) && fs.exists(new Path(s"$live/$name.old"))
+
   /** Pure decision for the cron seam: does the policy say compact NOW?
     * Reads only dir listings + content summaries — never data. Exactly
-    * the sides [[compact]] would fold; `true` implies compact() will not
-    * no-op (its no-op rule is foldable ⊆ {compacted}, and this counts
-    * only non-`compacted` foldables). */
+    * the sides [[compact]] would fold; `true` implies compact() will do
+    * real work — fold (its no-op rule is foldable ⊆ {compacted}, and this
+    * counts only non-`compacted` foldables) or at least heal: a side
+    * awaiting compact()'s crash-heal is due unconditionally, the heal
+    * itself being the point. */
   def shouldCompact(spark: SparkSession, root: String, sideNames: Seq[String],
       policy: CompactionPolicy = CompactionPolicy()): Boolean = {
     val fs = fsOf(spark, root)
     val live = liveRoot(spark, root)
-    sideNames.exists { side =>
+    sideNames.exists(needsHeal(fs, live, _)) || sideNames.exists { side =>
       val (_, _, foldable) = foldSplitOf(fs, live, side)
       val fresh = foldable.filterNot(_ == "compacted")
       fresh.size >= policy.maxFoldableDirs || (fresh.nonEmpty &&

@@ -65,6 +65,27 @@ class CompactionPolicySpec extends SparkSpec {
     assert(served === Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("a side awaiting crash-heal makes the trigger fire even under threshold") {
+    val tmp = Files.createTempDirectory("graft_cpol_heal").toString
+    val policy = CompactionPolicy(maxFoldableDirs = 1000)
+    DedupStream.admitBatch(
+      Seq((1L, "solitary document for the heal case with its words"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "b1")
+    // simulate a pre-generation binary's crash mid-in-place-swap: the live
+    // side moved aside to `.old`, the replacement never landed
+    val live = new java.io.File(s"$tmp/index/shingles")
+    assert(live.renameTo(new java.io.File(s"$tmp/index/shingles.old")))
+    // the thresholds are nowhere near firing, but the heal makes it due —
+    // a cron built on compactIfDue must not decline forever
+    assert(DedupStream.compactIfDue(spark, s"$tmp/index", policy),
+      "a side awaiting heal must be due unconditionally")
+    assert(new java.io.File(s"$tmp/index/shingles").exists(),
+      "compact() must have healed the side")
+    // healed and nothing to fold: the next tick is quiet again
+    assert(!DedupStream.compactIfDue(spark, s"$tmp/index", policy))
+  }
+
   test("vector tier: threshold cycle with frozen extras carried, idle no-op holds") {
     val tmp = Files.createTempDirectory("graft_cpol_vec").toString
     def e(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)

@@ -651,6 +651,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() <= 2, "compacted row + at most the carried latest dir")
   }
 
+  test("a custom bloom geometry is stamped on first admission and survives compaction (d10 config)") {
+    import graft.llm.DedupOps.BloomSizing
+    val tmp = Files.createTempDirectory("graft_bloom_conf").toString
+    val sizing = BloomSizing.forCapacity(5000, 0.005)
+    assert(sizing !== BloomSizing.Default)
+    val a = "configured geometry document one with many distinctive words inside"
+    val b = "another admitted document carrying its own unique vocabulary entirely"
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, a)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    // the stamp is readable and the partials carry the custom byte length
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    assert(graft.streaming.DedupStream.corpusBloom(spark, s"$tmp/index").length
+      === sizing.bytes)
+    // a later admission with a CONTRADICTING sizing fails loudly...
+    val clash = intercept[IllegalArgumentException] {
+      graft.streaming.DedupStream.admitBatch(
+        Seq((2L, b)).toDF("doc_id", "text"),
+        1L, s"$tmp/index", s"$tmp/out", 0.5, "l1",
+        BloomSizing.forCapacity(99, 0.1))
+    }
+    assert(clash.getMessage.contains("geometry"))
+    // ...while the parameterless default defers to the stamp
+    graft.streaming.DedupStream.admitBatch(
+      Seq((2L, b)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(): Map[Long, Boolean] = graft.streaming.DedupStream
+      .screenExact(spark, s"$tmp/index",
+        Seq((10L, a), (11L, b), (12L, "a wholly novel probe text"))
+          .toDF("doc_id", "text"))
+      .as[(Long, Boolean)].collect().toMap
+    val verdicts = screen()
+    assert(verdicts === Map(10L -> true, 11L -> true, 12L -> false))
+    // compaction folds at the stamped geometry and carries the stamp
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    assert(screen() === verdicts)
+  }
+
   test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {
     val tmp = Files.createTempDirectory("graft_seedgate").toString
     val shared = (0 until 12).map(i => s"tok$i").mkString(" ")

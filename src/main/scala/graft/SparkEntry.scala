@@ -139,6 +139,16 @@ object SparkEntry {
   private def d10CorpusBits(s: SparkSession, dir: String): Array[Byte] =
     driverCached(bloomCache, s, dir)(
       DedupOps.bloomBuild(documents(s, dir).filter(col("doc_id") < 400)))
+  /** D10b's geometry: per-shard 2^15 bits (deliberately NOT the default —
+    * the config value must demonstrably flow), 3 hashes, 4 md5-routed
+    * key-range shards. */
+  private val D10bSizing = DedupOps.BloomSizing(1 << 15, 3, 4)
+  private val bloomShardCache =
+    scala.collection.mutable.HashMap.empty[(Int, String), (SparkSession, Array[Array[Byte]])]
+  private def d10bCorpusShardBits(s: SparkSession, dir: String): Array[Array[Byte]] =
+    driverCached(bloomShardCache, s, dir)(
+      DedupOps.bloomBuildSharded(
+        documents(s, dir).filter(col("doc_id") < 400), D10bSizing))
   /** The t18 learned merge table (3 rounds over the corpus) — t18b's
     * serving state, a driver VALUE cached with the same stopped-session
     * eviction as the Bloom bits. */
@@ -542,6 +552,13 @@ object SparkEntry {
       // shares no content fingerprint. A zero-shuffle narrow map.
       DedupOps.bloomScreen(documents(s, d).filter(col("doc_id") >= 400),
         d10CorpusBits(s, d))),
+    "d10b_bloom_screen_sharded" -> ((s, d) =>
+      // the key-range shard seam as a served query: each doc's md5 route
+      // picks a word array out of a shards × m/64 plan literal, so the
+      // screen stays a zero-join zero-shuffle narrow map at any shard
+      // count — the scale path once one bitset can't hold the corpus
+      DedupOps.bloomScreenSharded(documents(s, d).filter(col("doc_id") >= 400),
+        d10bCorpusShardBits(s, d).toSeq, D10bSizing)),
     "d7_incremental_groups" -> ((s, d) => {
       // same corpus/increment split as d5: the maintained state is the
       // corpus's (doc_id, group_id) assignment + the d5 index tables; the

@@ -72,6 +72,29 @@ ${p}enc${i + 1} AS (SELECT w.$carry AS $carry, coalesce(replace(w.enc,
   FROM ${p}enc$i w LEFT JOIN ${p}top${i + 1} p2 ON TRUE)"""
   }
 
+  /** The d10/d10b membership oracle: probe flagged iff EVERY one of its k
+    * salted positions exists in the corpus's (shard, position) set for
+    * the probe's OWN shard — bit-level Bloom truth as relational algebra.
+    * shards=1 degenerates the route to a constant (the unsharded d10). */
+  private def bloomScreenOracle(bits: Int, hashes: Int, shards: Int): String = {
+    def pos(i: Int) =
+      s"CAST('0x' || substr(md5('bloom$i-' || md5(text)), 1, 15) AS BIGINT) % $bits"
+    val shard =
+      if (shards == 1) "CAST(0 AS BIGINT)"
+      else s"CAST('0x' || substr(md5('bloomshard-' || md5(text)), 1, 15) AS BIGINT) % $shards"
+    def posUnion(pred: String, cols: String) =
+      (0 until hashes)
+        .map(i => s"SELECT $cols$shard AS s, ${pos(i)} AS p FROM $Docs WHERE $pred")
+        .mkString("\n    UNION ALL ")
+    s"""WITH cpos AS (SELECT DISTINCT s, p FROM (
+    ${posUnion("doc_id < 400", "")})),
+ipos AS (
+    ${posUnion("doc_id >= 400", "doc_id, ")})
+SELECT i.doc_id, bool_and(c.p IS NOT NULL) AS maybe_dup
+FROM ipos i LEFT JOIN cpos c ON c.s = i.s AND c.p = i.p
+GROUP BY i.doc_id ORDER BY doc_id"""
+  }
+
   private def bpeRound(i: Int): String =
     bpeRoundCte(i, "", "doc_id", "count(*)", "||chr(30)||")
 
@@ -900,24 +923,21 @@ WHERE p.rn = 1 ORDER BY p.query_id"""
             FROM $Docs)
           WHERE rn = 1 ORDER BY doc_id""",
 
-    // d10: the Bloom bitset is exactly the indicator of the corpus's
-    // position set, so membership (all k bits set) is the position-set
-    // ALL-IN test — the oracle states it that way; positions reuse the
-    // engine's salted-h60-of-md5(text) arithmetic verbatim.
-    "d10_bloom_screen" -> {
-      def pos(i: Int) =
-        s"CAST('0x' || substr(md5('bloom$i-' || md5(text)), 1, 15) AS BIGINT) % ${graft.llm.DedupOps.BloomBits}"
-      def posUnion(pred: String, cols: String) =
-        (0 until graft.llm.DedupOps.BloomHashes)
-          .map(i => s"SELECT $cols${pos(i)} AS p FROM $Docs WHERE $pred")
-          .mkString("\n    UNION ALL ")
-      s"""WITH cpos AS (SELECT DISTINCT p FROM (
-    ${posUnion("doc_id < 400", "")})),
-ipos AS (
-    ${posUnion("doc_id >= 400", "doc_id, ")})
-SELECT doc_id, bool_and(p IN (SELECT p FROM cpos)) AS maybe_dup
-FROM ipos GROUP BY doc_id ORDER BY doc_id"""
-    },
+    // d10/d10b: the Bloom bitset is exactly the indicator of the corpus's
+    // (shard, position) set, so membership (all k bits set, in the doc's
+    // OWN shard's filter) is the set ALL-IN test — the oracle states it
+    // that way; position and shard-route arithmetic reuse the engine's
+    // salted-h60-of-md5(text) verbatim. ONE generator for the unsharded
+    // (shards=1 — the route degenerates to a constant) and sharded forms,
+    // so the two cannot fork.
+    "d10_bloom_screen" -> bloomScreenOracle(
+      graft.llm.DedupOps.BloomBits, graft.llm.DedupOps.BloomHashes, 1),
+
+    // d10b: the key-range shard seam oracle-gated — each doc screens
+    // against its md5-routed shard's filter only, at a per-shard geometry
+    // (2^15 bits) deliberately different from d10's default to prove the
+    // geometry is a flowing config value, not a constant.
+    "d10b_bloom_screen_sharded" -> bloomScreenOracle(1 << 15, 3, 4),
 
     "d2_minhash_neardups" -> s"""WITH $ShingleCtes,${bandCandCtes()},
 ${jaccardTail(0.5)}""",

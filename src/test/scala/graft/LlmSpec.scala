@@ -372,6 +372,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sharded bloom screen plans as a zero-join narrow map (d10b plan gate)") {
+    // the shard route picks a word array out of a 2-D plan literal — the
+    // screen must stay join-free and hash-shuffle-free at any shard count
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.llm.DedupOps.BloomSizing
+    val sizing = BloomSizing(1 << 15, 3, 4)
+    val shardBits = DedupOps.bloomBuildSharded(docs, sizing)
+    plainPlanOf(DedupOps.bloomScreenSharded(
+        docs.filter(col("doc_id") >= 400), shardBits.toSeq, sizing)) { plan =>
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"d10b screen must not join:\n$plan")
+      assert(plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }.isEmpty, s"d10b screen must not hash-shuffle:\n$plan")
+    }
+  }
+
   test("bloom build is partitioning-invariant and increments fold by OR (d10)") {
     val corpus = docs.filter(col("doc_id") < 400)
     val one = DedupOps.bloomBuild(corpus.coalesce(1))
@@ -1351,6 +1371,44 @@ class LlmSpec extends SparkSpec {
             if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
       }
       assert(hashShuffles.isEmpty, s"t18b encode must not hash-shuffle:\n$plan")
+    }
+  }
+
+  test("pq encode plans as a zero-join narrow map (e11 encode plan gate)") {
+    // the codebooks ride as reference objects inside graft_nearest, so
+    // encoding — the projection every coded-corpus scan pays — must plan
+    // with no join and no hash exchange, exactly like the t18b serve
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val rnd = new scala.util.Random(11)
+    val cbs = Seq.fill(4)(Array.fill(16, 16)(rnd.nextDouble()))
+    plainPlanOf(SimilarityOps.pqEncode(emb, cbs)) { plan =>
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"pq encode must not join:\n$plan")
+      val hashShuffles = plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }
+      assert(hashShuffles.isEmpty, s"pq encode must not hash-shuffle:\n$plan")
+    }
+  }
+
+  test("sample-trained subword serve plans as a zero-join narrow map (t18e plan gate)") {
+    // t18e's serve half is t18d's projection with a sample-learned rule
+    // table — the rules are plan string literals, so the full-corpus
+    // encode must stay join-free and hash-shuffle-free
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    plainPlanOf(TextOps.bpeSubwordEncode(docs, Seq("a b", "ab c"))) { plan =>
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"t18e serve must not join:\n$plan")
+      assert(plan.collect {
+        case s: ShuffleExchangeLike
+            if !s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+      }.isEmpty, s"t18e serve must not hash-shuffle:\n$plan")
     }
   }
 

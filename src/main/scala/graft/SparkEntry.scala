@@ -755,6 +755,17 @@ object SparkEntry {
       // per-language top-40% quality cut off a binned CDF: thresholds from
       // a bounded histogram, never a corpus-wide rank window
       SamplingOps.quantileGate(documents(s, d), 2, 5)),
+    "t20_tokenizer_card" -> ((s, d) =>
+      // per-language fertility / compression of the t18c-learned subword
+      // table — the tokenizer-eval data card; exact-long sums, ratios
+      // derived at the end, one zero-join encode + one lang roll-up
+      TextOps.tokenizerCard(documents(s, d), t18cMerges(s, d))),
+    "t19_unigram_nll" -> ((s, d) =>
+      // CCNet-class unigram-LM quality scoring: per-doc NLL under the
+      // corpus's own word distribution, integer-quantized per word so the
+      // reduction is an exact long sum (engine-portable); deployment
+      // scores increments against the maintained wordcounts side
+      TextOps.unigramNll(documents(s, d))),
     "t18_bpe_merges" -> ((s, d) =>
       // 3 rounds of most-frequent-pair merge — the BPE tokenizer-training
       // loop: per round one map-side pair count, a driver top-1 (bytes),

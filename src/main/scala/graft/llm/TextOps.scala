@@ -173,6 +173,42 @@ object TextOps {
       .agg((sum(h60(col("w")) % P) % P).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** T19 — UNIGRAM-LM quality scoring (the CCNet/KenLM-class LM filter
+    * restated on a unigram model): each document's negative log-likelihood
+    * under the corpus's own word distribution — high-NLL docs are
+    * rare-token gibberish, low-NLL docs boilerplate; pipelines band on
+    * `avg_nll` exactly like CCNet's perplexity head/middle/tail split.
+    *
+    * Portability discipline (the q1 integer-cents rule applied to logs):
+    * each word contributes round(−ln(n_w/N)·10⁴) as a LONG, and the
+    * per-doc reduction is an EXACT integer sum — no float-summation-order
+    * hazard between engine and oracle; `avg_nll` is derived from the
+    * exact integers at the end.
+    *
+    * Scale shape: one map-side-combined (word, n) count (shuffle ∝
+    * vocabulary — in deployment this is the MAINTAINED wordcounts side,
+    * `DedupStream.corpusWordCounts`, so scoring an increment never
+    * re-tokenizes the corpus), the corpus total as a driver scalar
+    * (bytes — the centroid-collect discipline), a word-keyed join of the
+    * token stream against the vocab (AQE broadcasts a small vocab), and
+    * one map-side-combinable per-doc sum of longs. */
+  def unigramNll(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum("n")).head().getLong(0)
+    words.join(freq, "word")
+      .select(col("doc_id"),
+        round(-log(col("n").cast("double") / total.toDouble) * 10000.0)
+          .cast("long").as("wn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("wn").as("nll_x10k"))
+      .select(col("doc_id"), col("n_words"), col("nll_x10k"),
+        round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** T13 — VOCABULARY induction: corpus-wide word frequencies, ranked by
     * (count desc, word), top `maxVocab` entries with cumulative coverage
     * of the token stream — the corpus-side preparation for BPE/unigram
@@ -348,16 +384,50 @@ object TextOps {
     * `aggregate` lambda over the word array, with the rules as plan
     * string literals — the tokenizer a training pipeline actually runs
     * over the corpus, priced at scan speed. */
-  def bpeSubwordEncode(documents: DataFrame, merges: Seq[String]): DataFrame = {
-    val t = col("text")
-    val tokensOfWord = (w: Column) =>
-      size(bpeToks(merges.foldLeft(bpeCharEnc(w))(bpeApply(_, _, "")))).cast("long")
+  def bpeSubwordEncode(documents: DataFrame, merges: Seq[String]): DataFrame =
     documents.select(
       col("doc_id"),
-      wsTokens(t).as("n_tokens"),
-      aggregate(split(t, " "), lit(0L), (acc, w) => acc + tokensOfWord(w))
-        .as("n_subword_tokens"))
+      wsTokens(col("text")).as("n_tokens"),
+      subwordTokensCol(merges).as("n_subword_tokens"))
       .orderBy("doc_id")
+
+  /** One doc's subword-token count under a learned merge table — the ONE
+    * expression [[bpeSubwordEncode]] (t18d/t18e) and [[tokenizerCard]]
+    * (t20) share: the per-word rule replay inside a transform/aggregate
+    * lambda, rules as plan string literals, zero shuffles. */
+  private def subwordTokensCol(merges: Seq[String]): Column = {
+    val tokensOfWord = (w: Column) =>
+      size(bpeToks(merges.foldLeft(bpeCharEnc(w))(bpeApply(_, _, "")))).cast("long")
+    aggregate(split(col("text"), " "), lit(0L), (acc, w) => acc + tokensOfWord(w))
+  }
+
+  /** T20 — TOKENIZER DATA CARD per language: fertility (subword tokens
+    * per whitespace word) and compression (chars per subword token) of a
+    * LEARNED subword merge table, rolled up by language — the standard
+    * tokenizer-eval report a pipeline publishes beside t14's corpus card
+    * when deciding whether a tokenizer under-serves a language (high
+    * fertility = more sequence length spent per word).
+    *
+    * Every aggregated column is an exact long (the t14 discipline); the
+    * two ratios derive from the exact sums at the end. Shape: ONE
+    * zero-join narrow projection (the encode with rules as plan
+    * literals) + one map-side-combined roll-up keyed by lang. */
+  def tokenizerCard(documents: DataFrame, merges: Seq[String]): DataFrame = {
+    val t = col("text")
+    documents.select(col("lang"),
+        wsTokens(t).as("nw"),
+        length(t).cast("long").as("nch"),
+        subwordTokensCol(merges).as("nst"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("nch").as("n_chars"), sum("nst").as("n_subword_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_subword_tokens"),
+        round(col("n_subword_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subword_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
   }
 
   /** T18c — CANONICAL character-level BPE (Sennrich et al. Algorithm 1):

@@ -132,16 +132,25 @@ apply${i + 1} AS (SELECT a.doc_id, list_transform(a.encs, e -> ${bpeApplySql("e"
     * counts. ONE fragment so the full-corpus-trained (t18d) and
     * sample-trained (t18e) apply oracles cannot fork. */
   private def bpeApplyChainSql: String =
+    bpeApplyCtes + """
+SELECT doc_id,
+  CAST(len(encs) AS BIGINT) AS n_tokens,
+  CAST($SubTokOf AS BIGINT) AS n_subword_tokens
+FROM apply3 ORDER BY doc_id""".replace("$SubTokOf", SubTokOf)
+
+  /** The apply CTEs alone (… , apply3) — composed by the per-doc tail
+    * above and by t20's per-language roll-up. */
+  private def bpeApplyCtes: String =
     s""",
 apply0 AS (SELECT doc_id, list_transform(string_split(text, ' '), w ->
     chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)) AS encs
-  FROM $Docs)""" + (0 until 3).map(bpeApplyRound).mkString(",", ",", "") + """
-SELECT doc_id,
-  CAST(len(encs) AS BIGINT) AS n_tokens,
-  CAST(list_sum(list_transform(encs, e ->
-    len(string_split(substr(e, 2, length(e) - 2), chr(31)||chr(31))))) AS BIGINT)
-    AS n_subword_tokens
-FROM apply3 ORDER BY doc_id"""
+  FROM $Docs)""" + (0 until 3).map(bpeApplyRound).mkString(",", ",", "")
+
+  /** Subword-token count of one doc's final encoding list — the ONE
+    * expression the t18d/t18e tails and t20's sums share. */
+  private val SubTokOf: String =
+    """list_sum(list_transform(encs, e ->
+    len(string_split(substr(e, 2, length(e) - 2), chr(31)||chr(31)))))"""
 
   /** One t18d APPLY step: merge pair `p` (a scalar column) into word
     * encoding `e`, exhaustion-safe (NULL pair keeps `e`) — the same
@@ -1390,6 +1399,38 @@ SELECT * FROM (
 
     // t17: the binned-CDF threshold stated directly — same 4-dp score, same
     // integer ceil target and tie-inclusive max-bin rule as the engine
+    // t20: the tokenizer data card — t18c's training chain + t18d's apply
+    // CTEs rolled up by language, every sum exact, both ratios derived
+    // from the sums; composes the SAME fragments as t18c/t18d/t18e.
+    "t20_tokenizer_card" -> (bpeSubwordTraining + bpeApplyCtes + s"""
+SELECT d.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum((length(d.text) - length(replace(d.text, ' ', ''))) + 1) AS BIGINT) AS n_words,
+  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+  CAST(sum($SubTokOf) AS BIGINT) AS n_subword_tokens,
+  round(CAST(sum($SubTokOf) AS DOUBLE)
+    / sum((length(d.text) - length(replace(d.text, ' ', ''))) + 1), 4) AS fertility,
+  round(CAST(sum(length(d.text)) AS DOUBLE) / sum($SubTokOf), 4) AS chars_per_token
+FROM apply3 a JOIN $Docs d USING (doc_id)
+GROUP BY d.lang ORDER BY lang"""),
+
+    // t19: unigram-LM NLL — per-word integer-quantized log terms summed
+    // exactly (the q1 integer-cents discipline applied to logs), so the
+    // per-doc reduction is order-independent on both engines; avg derives
+    // from the exact integers.
+    "t19_unigram_nll" -> s"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $Docs),
+f AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM f),
+scored AS (
+  SELECT doc_id,
+         CAST(round(-ln(CAST(n AS DOUBLE) / (SELECT nn FROM tot)) * 10000) AS BIGINT) AS wn
+  FROM w JOIN f USING (word))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wn) AS BIGINT) AS nll_x10k,
+       round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
     "t17_quantile_gate" -> s"""WITH $QualityCte,
 s AS (SELECT doc_id, lang, quality_score,
              CAST(round(quality_score * 10000) AS BIGINT) AS b FROM q),

@@ -1374,6 +1374,56 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer card rolls up exact counts per language (t20)") {
+    import spark.implicits._
+    // empty merge table → every character is its own subword token, so
+    // the hand model is pure counting: tokens = chars minus spaces
+    val fixture = Seq(
+      (1L, "en", "ab cd"), (2L, "en", "xyz"), (3L, "de", "qq rr ss"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.tokenizerCard(fixture, Nil)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("de", 1L, 3L, 8L, 6L, 2.0, 1.3333),
+      ("en", 2L, 3L, 8L, 7L, 2.3333, 1.1429)))
+    // with a learned table, the card's totals must agree with the t18d
+    // per-doc encode summed by hand (one definition shared in code, but
+    // the ORACLE fragments are separate compositions — pin them equal)
+    val merges = TextOps.bpeSubwordMerges(docs, 3)
+      .collect().map(_.getString(1)).toSeq
+    val perDoc = TextOps.bpeSubwordEncode(docs, merges)
+      .as[(Long, Long, Long)].collect()
+    val card = TextOps.tokenizerCard(docs, merges)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(card.map(_._2).sum === perDoc.length)
+    assert(card.map(_._5).sum === perDoc.map(_._3).sum)
+  }
+
+  test("unigram NLL matches a hand model and is partitioning-invariant (t19)") {
+    import spark.implicits._
+    // corpus: 6 words total — "a" 3×, "b" 2×, "c" 1×
+    val fixture = Seq((1L, "a b a"), (2L, "b c a")).toDF("doc_id", "text")
+    def nll(p: Double): Long = math.round(-math.log(p) * 10000.0)
+    val (na, nb, nc) = (nll(3.0 / 6), nll(2.0 / 6), nll(1.0 / 6))
+    val want = Map(
+      1L -> (3L, na + nb + na),
+      2L -> (3L, nb + nc + na))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      TextOps.unigramNll(df).as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(fixture) === want)
+    // the integer-quantized sum is exact → invariant under repartition
+    assert(got(fixture.repartition(7)) === want)
+    // banding sanity on the real corpus: rare-token docs score above the
+    // median, and avg_nll is the exact ratio of the integer columns
+    val real = TextOps.unigramNll(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.length === docs.count())
+    assert(real.forall { case (_, n, s, avg) =>
+      math.abs(avg - math.round(s.toDouble / n / 10000.0 * 10000) / 10000.0) < 1e-9
+    })
+  }
+
   test("pq encode plans as a zero-join narrow map (e11 encode plan gate)") {
     // the codebooks ride as reference objects inside graft_nearest, so
     // encoding — the projection every coded-corpus scan pays — must plan

@@ -209,6 +209,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T19 SERVED — score an INCREMENT against a MAINTAINED corpus word
+    * distribution (a (word, n) table — partials summed here, so
+    * `DedupStream.corpusWordCounts`' per-batch rows feed in directly)
+    * without touching corpus text: the online form of [[unigramNll]],
+    * Laplace-smoothed so an out-of-vocabulary word scores the maximal
+    * −ln(1/(N+V+1)) instead of erroring — gibberish the corpus never saw
+    * ranks high-NLL, which is exactly the filter's job. Same
+    * integer-quantized exact-sum discipline; `n_oov` is carried so the
+    * screen doubles as the t15 OOV-rate signal.
+    *
+    * Scale shape: N and V are driver scalars off the vocab-sized counts
+    * (bytes); the increment's token stream left-joins the vocab on word
+    * (AQE broadcasts a small vocab) and reduces map-side — per-increment
+    * cost is O(increment tokens), corpus never re-tokenized. */
+  def unigramNllServed(documents: DataFrame, wordCounts: DataFrame): DataFrame = {
+    val vocab = wordCounts.groupBy("word").agg(sum("n").as("n"))
+    val stats = vocab.agg(sum("n"), count(lit(1))).head()
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val vsize = stats.getLong(1)
+    val denom = (total + vsize + 1).toDouble
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("n").isNull.cast("long").as("oov"),
+        round(-log((coalesce(col("n"), lit(0L)).cast("double") + 1.0) / denom)
+          * 10000.0).cast("long").as("wn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("oov").as("n_oov"),
+        sum("wn").as("nll_x10k"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"), col("nll_x10k"),
+        round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** T13 — VOCABULARY induction: corpus-wide word frequencies, ranked by
     * (count desc, word), top `maxVocab` entries with cumulative coverage
     * of the token stream — the corpus-side preparation for BPE/unigram

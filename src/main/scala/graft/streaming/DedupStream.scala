@@ -157,6 +157,15 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/wordcounts", WordSchema)
       .drop("batch")
 
+  /** T19 over the maintained side: unigram-LM NLL of an increment under
+    * the ADMITTED corpus's word distribution — the LM quality screen a
+    * deployment runs per batch, O(increment tokens), corpus text never
+    * touched (the wordcounts partials are the model). OOV words score
+    * the Laplace ceiling and are counted beside the NLL. */
+  def screenNll(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): DataFrame =
+    graft.llm.TextOps.unigramNllServed(newDocs, corpusWordCounts(spark, indexDir))
+
   /** T13 over the maintained side: the admitted corpus's top-N
     * vocabulary as a served (word, rank) table — one sum over the
     * partial counts (vocabulary-sized, never corpus-sized) and a

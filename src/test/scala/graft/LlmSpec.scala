@@ -1374,6 +1374,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("served unigram NLL smooths OOV to the Laplace ceiling (t19 served)") {
+    import spark.implicits._
+    // corpus model: "a" 3×, "b" 2×, "c" 1× → N=6, V=3, denom=10
+    val counts = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("word", "n")
+    def nll(p: Double): Long = math.round(-math.log(p) * 10000.0)
+    val probe = Seq((9L, "a zzz b")).toDF("doc_id", "text")
+    val got = TextOps.unigramNllServed(probe, counts)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val want = nll(4.0 / 10) + nll(1.0 / 10) + nll(3.0 / 10)
+    assert(got === Seq((9L, 3L, 1L, want, math.round(want / 3.0 / 10000.0 * 10000) / 10000.0)))
+    // partials feed in un-summed (the maintained side's shape): same model
+    val partials = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("c", 1L)).toDF("word", "n")
+    assert(TextOps.unigramNllServed(probe, partials)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq === got)
+    // and the OOV ceiling dominates: an all-OOV doc scores strictly above
+    // an all-known doc of the same length
+    val two = Seq((1L, "a b c"), (2L, "qq ww ee")).toDF("doc_id", "text")
+    val scored = TextOps.unigramNllServed(two, counts)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r._5).toMap
+    assert(scored(2L) > scored(1L))
+  }
+
   test("tokenizer card rolls up exact counts per language (t20)") {
     import spark.implicits._
     // empty merge table → every character is its own subword token, so

@@ -607,6 +607,30 @@ class StreamingSpec extends SparkSpec {
     assert(vocab2 === vocab)
   }
 
+  test("the wordcounts side serves the unigram-LM screen (t19 streaming)") {
+    val tmp = Files.createTempDirectory("graft_nll_stream").toString
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "alpha beta alpha"), (2L, "beta gamma delta"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val screened = graft.streaming.DedupStream.screenNll(spark, s"$tmp/index",
+      Seq((10L, "alpha beta"), (11L, "zz yy xx")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._5)).toMap
+    // the known-words probe has zero OOV; the gibberish probe is all-OOV
+    // and scores strictly higher under the admitted corpus's model
+    assert(screened(10L)._2 === 0L)
+    assert(screened(11L)._2 === 3L)
+    assert(screened(11L)._3 > screened(10L)._3)
+    // the screen equals the batch form fed the served counts directly
+    val direct = graft.llm.TextOps.unigramNllServed(
+      Seq((10L, "alpha beta"), (11L, "zz yy xx")).toDF("doc_id", "text"),
+      graft.streaming.DedupStream.corpusWordCounts(spark, s"$tmp/index"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._5)).toMap
+    assert(direct === screened)
+  }
+
   test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
     val tmp = Files.createTempDirectory("graft_bloom_stream").toString
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -26,7 +26,7 @@ object DedupOps {
     * query may still be executing — a concurrent multi-tenant host should
     * isolate sessions per request instead of releasing globally. */
   private val trackedPersists = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private def tracked(df: DataFrame): DataFrame = trackedPersists.synchronized {
+  private[llm] def tracked(df: DataFrame): DataFrame = trackedPersists.synchronized {
     val p = df.persist(); trackedPersists += p; p
   }
   def releaseCaches(): Unit = trackedPersists.synchronized {
@@ -967,6 +967,21 @@ object DedupOps {
     partials.select(col("bits")).as[Array[Byte]](Encoders.BINARY)
       .select(BloomOrFoldAgg(sizing.bytes).toColumn.name("bits"))
       .toDF("bits")
+
+  /** Per-shard OR-fold of (shard, bits) partial rows — one bitset row per
+    * shard (a NULL shard, i.e. a legacy pre-shard partial, folds as shard
+    * 0, so unsharded history and sharded appends coexist). The streaming
+    * side's compaction fold and serving read share this. */
+  def bloomFoldSharded(partials: DataFrame, sizing: BloomSizing): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    partials.select(coalesce(col("shard"), lit(0)).as("shard"), col("bits"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(BloomOrFoldAgg(sizing.bytes).toColumn.name("bits"))
+      .toDF("shard", "bits")
+      .orderBy("shard")
+  }
 
   /** D10 build — the corpus's Bloom bitset as a driver-side value: one
     * narrow projection (k positions per doc, no text leaves the scan) +

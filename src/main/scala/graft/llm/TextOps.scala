@@ -195,8 +195,13 @@ object TextOps {
   def unigramNll(documents: DataFrame): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val freq = words.groupBy("word").agg(count(lit(1)).as("n"))
-    val total = freq.agg(sum("n")).head().getLong(0)
+    // tracked-persist the vocab: the total's driver read and the scoring
+    // join share ONE corpus tokenize pass (released by the standard
+    // DedupOps.releaseCaches() call every query/bench path already makes)
+    val freq = DedupOps.tracked(words.groupBy("word").agg(count(lit(1)).as("n")))
+    val stats = freq.agg(sum("n")).head()
+    // empty corpus → no word rows flow; the literal just needs to be sane
+    val total = if (stats.isNullAt(0)) 1L else stats.getLong(0)
     words.join(freq, "word")
       .select(col("doc_id"),
         round(-log(col("n").cast("double") / total.toDouble) * 10000.0)
@@ -224,7 +229,7 @@ object TextOps {
     * (AQE broadcasts a small vocab) and reduces map-side — per-increment
     * cost is O(increment tokens), corpus never re-tokenized. */
   def unigramNllServed(documents: DataFrame, wordCounts: DataFrame): DataFrame = {
-    val vocab = wordCounts.groupBy("word").agg(sum("n").as("n"))
+    val vocab = DedupOps.tracked(wordCounts.groupBy("word").agg(sum("n").as("n")))
     val stats = vocab.agg(sum("n"), count(lit(1))).head()
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val vsize = stats.getLong(1)

@@ -75,7 +75,11 @@ object DedupStream {
     StructField("kh", LongType), StructField("df", LongType)))
   private val WordSchema = StructType(Seq(
     StructField("word", StringType), StructField("n", LongType)))
-  private val BloomSchema = StructType(Seq(StructField("bits", BinaryType)))
+  // (shard, bits): one bitset partial per shard per batch. Legacy
+  // pre-shard partials lack the column — they read as NULL and fold as
+  // shard 0, so unsharded history and sharded appends coexist.
+  private val BloomSchema = StructType(Seq(
+    StructField("shard", IntegerType), StructField("bits", BinaryType)))
   private val BloomConfSchema = StructType(Seq(
     StructField("bits", IntegerType), StructField("hashes", IntegerType),
     StructField("shards", IntegerType)))
@@ -91,14 +95,20 @@ object DedupStream {
   def bloomSizingAt(spark: SparkSession, indexDir: String): DedupOps.BloomSizing =
     bloomSizingUnder(spark, liveRoot(spark, indexDir))
 
-  private def bloomSizingUnder(spark: SparkSession, live: String): DedupOps.BloomSizing = {
+  private def bloomSizingUnder(spark: SparkSession, live: String): DedupOps.BloomSizing =
+    readConfUnder(spark, live).getOrElse(DedupOps.BloomSizing.Default)
+
+  /** The stamp, if one is READABLE: a crash mid-stamp can leave the conf
+    * dir existing with no data files — that reads as absent (the replayed
+    * first admission re-stamps; every other path keeps serving Default
+    * rather than failing on an empty head()). */
+  private def readConfUnder(spark: SparkSession,
+      live: String): Option[DedupOps.BloomSizing] = {
     val dir = s"$live/bloomconf"
     val fs = IndexSides.fsOf(spark, dir)
-    if (!fs.exists(new Path(dir))) DedupOps.BloomSizing.Default
-    else {
-      val r = spark.read.schema(BloomConfSchema).parquet(dir).head()
-      DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
-    }
+    if (!fs.exists(new Path(dir))) None
+    else spark.read.schema(BloomConfSchema).parquet(dir).take(1).headOption
+      .map(r => DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2)))
   }
 
   /** Seed width of the maintained positional index (d9's default k): span
@@ -199,10 +209,26 @@ object DedupStream {
     * carry the full no-false-negative guarantee. */
   def corpusBloom(spark: SparkSession, indexDir: String): Array[Byte] = {
     val live = liveRoot(spark, indexDir)
-    DedupOps.bloomFold(
-        readSide(spark, s"$live/bloom", BloomSchema),
-        bloomSizingUnder(spark, live))
-      .head().getAs[Array[Byte]](0)
+    val sizing = bloomSizingUnder(spark, live)
+    require(sizing.shards == 1,
+      s"index at $indexDir is sharded (${sizing.shards}) — use corpusBloomShards")
+    corpusBloomShardsAt(spark, live, sizing).head
+  }
+
+  /** The per-shard serving bitsets (array index = shard id; empty shards
+    * serve empty filters). The shards == 1 case is [[corpusBloom]]. */
+  def corpusBloomShards(spark: SparkSession, indexDir: String): Array[Array[Byte]] = {
+    val live = liveRoot(spark, indexDir)
+    corpusBloomShardsAt(spark, live, bloomSizingUnder(spark, live))
+  }
+
+  private def corpusBloomShardsAt(spark: SparkSession, live: String,
+      sizing: DedupOps.BloomSizing): Array[Array[Byte]] = {
+    val folded = DedupOps.bloomFoldSharded(
+        readSide(spark, s"$live/bloom", BloomSchema).drop("batch"), sizing)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    Array.tabulate(sizing.shards)(s =>
+      folded.getOrElse(s, new Array[Byte](sizing.bytes)))
   }
 
   /** D10 over the maintained side: flag increment docs whose exact
@@ -213,14 +239,21 @@ object DedupStream {
     * "definitely new" docs skip the exact-dup tier cheaply. */
   def screenExact(spark: SparkSession, indexDir: String,
       newDocs: DataFrame): DataFrame = {
-    val sizing = bloomSizingAt(spark, indexDir)
-    val bits = corpusBloom(spark, indexDir)
+    // live root + stamp resolved ONCE; the shard dispatch serves either
+    // geometry from the same fold
+    val live = liveRoot(spark, indexDir)
+    val sizing = bloomSizingUnder(spark, live)
+    val shards = corpusBloomShardsAt(spark, live, sizing)
     // Design-point drift guard: the screen stays no-false-negative at any
     // fill, but an overfull filter answers maybe_dup for nearly everything
-    // and stops paying for itself — surface that here, on the serving path.
-    DedupOps.bloomHealthWarning(bits, sizing).foreach(w =>
-      System.err.println(s"[DedupStream] $w"))
-    DedupOps.bloomScreen(newDocs, bits, sizing)
+    // and stops paying for itself — surface that here, on the serving path
+    // (per shard: one hot shard is actionable on its own).
+    shards.zipWithIndex.foreach { case (bits, s) =>
+      DedupOps.bloomHealthWarning(bits, sizing).foreach(w =>
+        System.err.println(s"[DedupStream] shard $s: $w"))
+    }
+    if (sizing.shards == 1) DedupOps.bloomScreen(newDocs, shards.head, sizing)
+    else DedupOps.bloomScreenSharded(newDocs, shards.toSeq, sizing)
   }
 
   private val GroupSchema = StructType(Seq(
@@ -323,22 +356,31 @@ object DedupStream {
         import spark.implicits._
         val fs = IndexSides.fsOf(spark, root)
         val confDir = s"$root/bloomconf"
-        val sizing =
-          if (fs.exists(new Path(confDir))) {
-            val cfg = bloomSizingUnder(spark, root)
+        val sizing = readConfUnder(spark, root) match {
+          case Some(cfg) =>
             require(bloomSizing == DedupOps.BloomSizing.Default || bloomSizing == cfg,
               s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
             cfg
-          } else {
-            // legacy partials (pre-conf index) were built at Default —
-            // stamp that, not the caller's sizing
-            val s0 = if (fs.exists(new Path(s"$root/bloom"))) DedupOps.BloomSizing.Default
-              else bloomSizing
-            Seq((s0.bits, s0.hashes, s0.shards)).toDF("bits", "hashes", "shards")
+          case None =>
+            // legacy partials (pre-stamp index) were built at Default — a
+            // caller asking for anything else must fail HERE, on batch 0,
+            // not one batch later against the freshly written stamp
+            require(!fs.exists(new Path(s"$root/bloom"))
+                || bloomSizing == DedupOps.BloomSizing.Default,
+              s"index at $indexDir predates geometry stamping (Default " +
+                s"partials); cannot admit with $bloomSizing")
+            Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards))
+              .toDF("bits", "hashes", "shards")
               .coalesce(1).write.mode("overwrite").parquet(confDir)
-            s0
-          }
-        Seq(Tuple1(DedupOps.bloomBuild(keptOut, sizing))).toDF("bits")
+            bloomSizing
+        }
+        // one (shard, bits) partial row per shard — the unsharded case is
+        // shard 0; a replay recomputes identical rows into the same dir
+        val partials =
+          if (sizing.shards == 1) Seq((0, DedupOps.bloomBuild(keptOut, sizing)))
+          else DedupOps.bloomBuildSharded(keptOut, sizing)
+            .zipWithIndex.map { case (b, s) => (s, b) }.toSeq
+        partials.toDF("shard", "bits")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$root/bloom/$key")
       }
@@ -483,9 +525,10 @@ object DedupStream {
     ("wordcounts", WordSchema,
       (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
     ("bloom", BloomSchema, (df: DataFrame) =>
-      // OR the foldable partials down to one row (associative, so the
-      // carried per-lineage dirs staying partial changes nothing)
-      DedupOps.bloomFold(df, sizing)))
+      // OR the foldable partials down to one row PER SHARD (associative,
+      // so the carried per-lineage dirs staying partial changes nothing;
+      // legacy null-shard rows fold as shard 0)
+      DedupOps.bloomFoldSharded(df, sizing)))
 
   def compact(spark: SparkSession, indexDir: String): Unit =
     IndexSides.compact(spark, indexDir,
@@ -494,12 +537,16 @@ object DedupStream {
 
   /** The cron seam: compact iff `policy` fires on this tier's sides
     * (dir-count / byte thresholds over the foldable NEW batch dirs — a
-    * pure listing read, never data). Returns whether a compaction ran. */
+    * pure listing read, never data). The geometry stamp is read only when
+    * the policy actually fires: an idle tick must not run a Spark job.
+    * Returns whether compact() ran (it may have only healed). */
   def compactIfDue(spark: SparkSession, indexDir: String,
-      policy: CompactionPolicy = CompactionPolicy()): Boolean =
-    IndexSides.compactIfDue(spark, indexDir,
-      compactionSides(bloomSizingAt(spark, indexDir)),
-      extras = Seq("bloomconf"), policy = policy)
+      policy: CompactionPolicy = CompactionPolicy()): Boolean = {
+    val due = IndexSides.shouldCompact(spark, indexDir,
+      compactionSides(DedupOps.BloomSizing.Default).map(_._1), policy)
+    if (due) compact(spark, indexDir)
+    due
+  }
 
   /** Start the admission stream over a streaming (doc_id, text, …) frame.
     * `bloomSizing` (from `EngineConf.bloomSizingFor` at deployment) stamps

@@ -222,7 +222,10 @@ private[streaming] object IndexSides {
   }
 
   /** The cron loop's single call: compact iff the policy fires. Returns
-    * whether a compaction ran (a new generation was published). */
+    * whether compact() RAN — which usually published a new generation,
+    * but a heal-only firing (a side awaiting the crash-heal, nothing to
+    * fold) heals in place and publishes nothing; don't use the return
+    * value as a publication counter. */
   def compactIfDue(spark: SparkSession, root: String,
       sides: Seq[(String, StructType, DataFrame => DataFrame)],
       extras: Seq[String] = Nil,

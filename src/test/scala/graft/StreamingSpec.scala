@@ -622,13 +622,16 @@ class StreamingSpec extends SparkSpec {
     assert(screened(10L)._2 === 0L)
     assert(screened(11L)._2 === 3L)
     assert(screened(11L)._3 > screened(10L)._3)
-    // the screen equals the batch form fed the served counts directly
-    val direct = graft.llm.TextOps.unigramNllServed(
-      Seq((10L, "alpha beta"), (11L, "zz yy xx")).toDF("doc_id", "text"),
-      graft.streaming.DedupStream.corpusWordCounts(spark, s"$tmp/index"))
-      .as[(Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._5)).toMap
-    assert(direct === screened)
+    // hand model over the ADMITTED corpus (alpha 2, beta 2, gamma 1,
+    // delta 1 → N=6, V=4, denom=11): the streaming screen must land on
+    // the independently computed Laplace numbers, not merely on itself
+    def nll(num: Long): Long = math.round(-math.log(num.toDouble / 11) * 10000.0)
+    val wantKnown = nll(3) + nll(3)           // alpha, beta at (n+1)=3
+    val wantOov = 3 * nll(1)                  // three unseen words
+    val avgOf = (s: Long, n: Long) => math.round(s.toDouble / n / 10000.0 * 10000) / 10000.0
+    assert(screened(10L) === ((2L, 0L, avgOf(wantKnown, 2))),
+      s"known-words probe: ${screened(10L)} vs hand $wantKnown")
+    assert(screened(11L) === ((3L, 3L, avgOf(wantOov, 3))))
   }
 
   test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
@@ -712,6 +715,77 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.DedupStream.compact(spark, s"$tmp/index")
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
     assert(screen() === verdicts)
+  }
+
+  test("a sharded bloom geometry builds, serves and compacts per shard (d10b streaming)") {
+    import graft.llm.DedupOps
+    import graft.llm.DedupOps.BloomSizing
+    val tmp = Files.createTempDirectory("graft_bloom_sharded").toString
+    val sizing = BloomSizing(1 << 12, 3, shards = 2)
+    val texts = (0 until 8).map(i => s"sharded streaming doc $i words ${i * 13}")
+    graft.streaming.DedupStream.admitBatch(
+      texts.take(4).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    graft.streaming.DedupStream.admitBatch(
+      texts.drop(4).zipWithIndex.map { case (t, i) => ((i + 4).toLong, t) }
+        .toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    // the stamp carries the shard count; the single-filter accessor
+    // refuses a sharded index instead of serving a wrong fold
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    val refuse = intercept[IllegalArgumentException](
+      graft.streaming.DedupStream.corpusBloom(spark, s"$tmp/index"))
+    assert(refuse.getMessage.contains("sharded"))
+    val shards = graft.streaming.DedupStream.corpusBloomShards(spark, s"$tmp/index")
+    assert(shards.length === 2 && shards.forall(_.length === sizing.bytes))
+    // the served shards equal a direct sharded build over the kept docs —
+    // keys actually went to their ROUTED shard, not one overloaded filter
+    val direct = DedupOps.bloomBuildSharded(
+      spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"), sizing)
+    assert(shards.zip(direct).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    def screen(): Map[Long, Boolean] = graft.streaming.DedupStream
+      .screenExact(spark, s"$tmp/index",
+        (texts.take(2).zipWithIndex.map { case (t, i) => ((100 + i).toLong, t) } :+
+          (199L -> "a wholly novel probe never admitted")).toDF("doc_id", "text"))
+      .as[(Long, Boolean)].collect().toMap
+    val verdicts = screen()
+    assert(verdicts === Map(100L -> true, 101L -> true, 199L -> false))
+    // per-shard partials survive the compaction fold
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    assert(screen() === verdicts)
+    val after = graft.streaming.DedupStream.corpusBloomShards(spark, s"$tmp/index")
+    assert(after.zip(direct).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("a crash-emptied bloom stamp reads as absent and re-stamps on replay") {
+    import graft.llm.DedupOps.BloomSizing
+    val tmp = Files.createTempDirectory("graft_bloom_crash").toString
+    // simulate a death mid-stamp: the conf dir exists with no data files
+    new java.io.File(s"$tmp/index/bloomconf").mkdirs()
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index")
+      === BloomSizing.Default, "an empty stamp dir must read as absent")
+    val sizing = BloomSizing.forCapacity(500, 0.02)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "replayed first admission after a crashed stamp"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
+      "the replayed admission must re-stamp over the crashed dir")
+    // a stamp-less index that already carries partials is LEGACY: a
+    // non-default admit must fail on its own batch (batch 0 of the
+    // contradiction), never stamp-then-crash one batch later
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/index/bloomconf"), true)
+    val boom = intercept[IllegalArgumentException] {
+      graft.streaming.DedupStream.admitBatch(
+        Seq((2L, "a second admission against the legacy-looking index"))
+          .toDF("doc_id", "text"),
+        1L, s"$tmp/index", s"$tmp/out", 0.5, "l1",
+        BloomSizing.forCapacity(99, 0.1))
+    }
+    assert(boom.getMessage.contains("predates"))
   }
 
   test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {

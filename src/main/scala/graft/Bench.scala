@@ -71,8 +71,12 @@ object Bench {
     * renderings cannot drift. Names are Jsons.quote-escaped like every
     * other interpolated string: today they are code constants, but one
     * odd future registry name must not unparse the ledger. */
+  // Per-query values print at 2 decimals: 10 ms resolution is plenty for
+  // trending, and the saved character per entry is what keeps the
+  // 122-query line inside the driver's tail window (the totals/tiers keep
+  // their 3 decimals — three values cost nothing).
   private def queriesJson(entries: Seq[(String, Double)]): String =
-    entries.map { case (k, v) => Jsons.quote(k) + ":" + num("%.3f", v) }
+    entries.map { case (k, v) => Jsons.quote(k) + ":" + num("%.2f", v) }
       .mkString("{", ",", "}")
 
   def jsonLine(results: Seq[(String, Double)], errors: List[String],

@@ -33,7 +33,7 @@ class DriverSurfaceSpec extends SparkSpec {
     // the driver parses this with json.loads — it must be valid JSON with
     // the error named and the healthy query timed
     assert(line.startsWith("{") && line.endsWith("}"))
-    assert(line.contains(""""x1":-1.000"""), line)
+    assert(line.contains(""""x1":-1.00"""), line)
     assert(line.contains(""""errors":["x1_boom"]"""), line)
     assert(line.contains(""""metric":"total""""), line)
     val node = parse(line)

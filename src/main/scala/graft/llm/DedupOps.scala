@@ -818,10 +818,12 @@ object DedupOps {
     * 5 shards, which is exactly what the shard seam is for).
     * [[BloomSizing.Default]] is the test-corpus geometry the registered
     * d10 query and its oracle share. */
-  final case class BloomSizing(bits: Int, hashes: Int, shards: Int = 1) {
+  final case class BloomSizing(bits: Int, hashes: Int, shards: Int = 1,
+      designFpr: Double = 0.01) {
     require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
     require(hashes >= 1, s"hashes must be >= 1, got $hashes")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(designFpr > 0 && designFpr < 1, s"designFpr must be in (0,1), got $designFpr")
     def bytes: Int = bits / 8
     /** Theoretical FPR with `n` keys in ONE shard's filter:
       * (1 − e^(−k·n/m))^k. */
@@ -856,7 +858,10 @@ object DedupOps {
       require(bits <= Int.MaxValue - 63,
         s"single-shard filter of $bits bits exceeds the bitset limit — raise shards")
       val k = math.max(1L, math.round(bits.toDouble / perShard * ln2)).toInt
-      BloomSizing(bits.toInt, k, shards)
+      // the sized filter CARRIES its design-point FPR, so serving-path
+      // drift checks compare against what the operator configured, not a
+      // hardcoded constant
+      BloomSizing(bits.toInt, k, shards, designFpr = targetFpr)
     }
   }
 
@@ -980,7 +985,6 @@ object DedupOps {
       .groupByKey(_._1).mapValues(_._2)
       .agg(BloomOrFoldAgg(sizing.bytes).toColumn.name("bits"))
       .toDF("shard", "bits")
-      .orderBy("shard")
   }
 
   /** D10 build — the corpus's Bloom bitset as a driver-side value: one
@@ -1078,12 +1082,15 @@ object DedupOps {
     * but its "definitely new" yield decays, so the operator should
     * resize via [[BloomSizing.forCapacity]] and rebuild from the corpus. */
   def bloomHealthWarning(bits: Array[Byte],
-      sizing: BloomSizing = BloomSizing.Default,
-      targetFpr: Double = 0.01): Option[String] = {
+      sizing: BloomSizing = BloomSizing.Default): Option[String] = {
     val (fill, fpr, keys) = bloomHealth(bits, sizing)
-    if (fpr <= targetFpr) None
+    // the threshold is the SIZING's design point (stamped with the
+    // geometry) — a 0.005-target deployment warns at 0.005, not at a
+    // hardcoded 1%
+    if (fpr <= sizing.designFpr) None
     else Some(f"bloom filter past its design point: fill=$fill%.3f → " +
-      f"FPR=$fpr%.4f > target $targetFpr%.4f (≈$keys%d keys in ${sizing.bits}%d bits); " +
+      f"FPR=$fpr%.4f > target ${sizing.designFpr}%.4f (≈$keys%d keys in " +
+      f"${sizing.bits}%d bits); " +
       "screen stays no-false-negative but its skip yield decays — resize " +
       s"with BloomSizing.forCapacity and rebuild")
   }

@@ -196,8 +196,10 @@ object TextOps {
     val words = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     // tracked-persist the vocab: the total's driver read and the scoring
-    // join share ONE corpus tokenize pass (released by the standard
-    // DedupOps.releaseCaches() call every query/bench path already makes)
+    // join's BUILD side share one tokenize pass (the words probe side
+    // still tokenizes once — persisting the corpus-token-sized frame
+    // would cost more than the narrow re-map); released by the standard
+    // DedupOps.releaseCaches() call every batch query path already makes
     val freq = DedupOps.tracked(words.groupBy("word").agg(count(lit(1)).as("n")))
     val stats = freq.agg(sum("n")).head()
     // empty corpus → no word rows flow; the literal just needs to be sane
@@ -229,7 +231,12 @@ object TextOps {
     * (AQE broadcasts a small vocab) and reduces map-side — per-increment
     * cost is O(increment tokens), corpus never re-tokenized. */
   def unigramNllServed(documents: DataFrame, wordCounts: DataFrame): DataFrame = {
-    val vocab = DedupOps.tracked(wordCounts.groupBy("word").agg(sum("n").as("n")))
+    // NOT tracked-persisted: this is the streaming SERVING path, which has
+    // no releaseCaches seam — a per-microbatch screen would accumulate
+    // pinned frames forever (and admitBatch's release could evict a
+    // concurrent screen's cache mid-query). The vocab agg is
+    // vocabulary-sized; recomputing it for the join is the cheaper evil.
+    val vocab = wordCounts.groupBy("word").agg(sum("n").as("n"))
     val stats = vocab.agg(sum("n"), count(lit(1))).head()
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val vsize = stats.getLong(1)

@@ -82,7 +82,7 @@ object DedupStream {
     StructField("shard", IntegerType), StructField("bits", BinaryType)))
   private val BloomConfSchema = StructType(Seq(
     StructField("bits", IntegerType), StructField("hashes", IntegerType),
-    StructField("shards", IntegerType)))
+    StructField("shards", IntegerType), StructField("target_fpr", DoubleType)))
 
   /** The index's PERSISTED Bloom geometry — stamped beside the bloom side
     * on the index's first admission ([[admitBatch]]'s `bloomSizing`, fed
@@ -108,7 +108,9 @@ object DedupStream {
     val fs = IndexSides.fsOf(spark, dir)
     if (!fs.exists(new Path(dir))) None
     else spark.read.schema(BloomConfSchema).parquet(dir).take(1).headOption
-      .map(r => DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2)))
+      .map(r => DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2),
+        // stamps written before the design point rode along read as 1%
+        if (r.isNullAt(3)) 0.01 else r.getDouble(3)))
   }
 
   /** Seed width of the maintained positional index (d9's default k): span
@@ -369,8 +371,9 @@ object DedupStream {
                 || bloomSizing == DedupOps.BloomSizing.Default,
               s"index at $indexDir predates geometry stamping (Default " +
                 s"partials); cannot admit with $bloomSizing")
-            Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards))
-              .toDF("bits", "hashes", "shards")
+            Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards,
+                bloomSizing.designFpr))
+              .toDF("bits", "hashes", "shards", "target_fpr")
               .coalesce(1).write.mode("overwrite").parquet(confDir)
             bloomSizing
         }

@@ -471,6 +471,20 @@ class LlmSpec extends SparkSpec {
     val overBits = DedupOps.bloomBuild(corpusOf(4000), sizing)
     val warn = DedupOps.bloomHealthWarning(overBits, sizing)
     assert(warn.isDefined && warn.get.contains("design point"), s"warn=$warn")
+    // the threshold is the sizing's OWN design point, not a hardcoded 1%:
+    // a strict 0.1% target warns on a filter a 1% target calls healthy,
+    // and a loose 20% target stays silent where 1% fires
+    val strict = DedupOps.bloomBuild(corpusOf(400),
+      sizing.copy(designFpr = 0.001))
+    assert(DedupOps.bloomHealthWarning(strict,
+      sizing.copy(designFpr = 0.001)).isDefined)
+    // ~1.4× capacity: FPR ≈ 4% — past a 1% target, inside a 20% one
+    val mildBits = DedupOps.bloomBuild(corpusOf(700), sizing)
+    assert(DedupOps.bloomHealthWarning(mildBits, sizing).isDefined)
+    assert(DedupOps.bloomHealthWarning(mildBits,
+      sizing.copy(designFpr = 0.2)).isEmpty)
+    // forCapacity stamps its target as the design point
+    assert(DedupOps.BloomSizing.forCapacity(500, 0.005).designFpr === 0.005)
   }
 
   test("corpus-derived sizing reads the a5d sketch, not the corpus (d10 config path)") {

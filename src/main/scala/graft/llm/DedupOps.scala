@@ -825,6 +825,12 @@ object DedupOps {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(designFpr > 0 && designFpr < 1, s"designFpr must be in (0,1), got $designFpr")
     def bytes: Int = bits / 8
+    /** Physical compatibility: two sizings whose (bits, hashes, shards)
+      * agree produce OR-compatible partials regardless of their design
+      * points — the check admission compatibility uses, since designFpr
+      * is a warning threshold, not geometry. */
+    def sameGeometry(o: BloomSizing): Boolean =
+      bits == o.bits && hashes == o.hashes && shards == o.shards
     /** Theoretical FPR with `n` keys in ONE shard's filter:
       * (1 − e^(−k·n/m))^k. */
     def fprAt(n: Long): Double =

@@ -108,9 +108,11 @@ object DedupStream {
     val fs = IndexSides.fsOf(spark, dir)
     if (!fs.exists(new Path(dir))) None
     else spark.read.schema(BloomConfSchema).parquet(dir).take(1).headOption
-      .map(r => DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2),
-        // stamps written before the design point rode along read as 1%
-        if (r.isNullAt(3)) 0.01 else r.getDouble(3)))
+      .map(r =>
+        // stamps written before the design point rode along read as the
+        // class default (ONE source of truth for the 1%)
+        if (r.isNullAt(3)) DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
+        else DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
   }
 
   /** Seed width of the maintained positional index (d9's default k): span
@@ -358,24 +360,36 @@ object DedupStream {
         import spark.implicits._
         val fs = IndexSides.fsOf(spark, root)
         val confDir = s"$root/bloomconf"
+        def stamp(s0: DedupOps.BloomSizing): DedupOps.BloomSizing = {
+          Seq((s0.bits, s0.hashes, s0.shards, s0.designFpr))
+            .toDF("bits", "hashes", "shards", "target_fpr")
+            .coalesce(1).write.mode("overwrite").parquet(confDir)
+          s0
+        }
+        val default = DedupOps.BloomSizing.Default
         val sizing = readConfUnder(spark, root) match {
           case Some(cfg) =>
-            require(bloomSizing == DedupOps.BloomSizing.Default || bloomSizing == cfg,
+            // compatibility is GEOMETRY (partials of equal geometry OR
+            // regardless of design point); the exact Default value means
+            // "inherit the stamp". A geometry-compatible sizing with a
+            // NEW design point RE-STAMPS it — the retarget path for the
+            // warning threshold, no rebuild needed.
+            require(bloomSizing == default || bloomSizing.sameGeometry(cfg),
               s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
-            cfg
+            if (bloomSizing != default && bloomSizing.designFpr != cfg.designFpr)
+              stamp(bloomSizing)
+            else cfg
           case None =>
-            // legacy partials (pre-stamp index) were built at Default — a
-            // caller asking for anything else must fail HERE, on batch 0,
-            // not one batch later against the freshly written stamp
+            // legacy partials (pre-stamp index) were built at Default
+            // GEOMETRY — a caller asking for different geometry must fail
+            // HERE, on batch 0, not one batch later against the freshly
+            // written stamp (a Default-geometry sizing with a custom
+            // design point is fine: it stamps the retargeted threshold)
             require(!fs.exists(new Path(s"$root/bloom"))
-                || bloomSizing == DedupOps.BloomSizing.Default,
+                || bloomSizing.sameGeometry(default),
               s"index at $indexDir predates geometry stamping (Default " +
                 s"partials); cannot admit with $bloomSizing")
-            Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards,
-                bloomSizing.designFpr))
-              .toDF("bits", "hashes", "shards", "target_fpr")
-              .coalesce(1).write.mode("overwrite").parquet(confDir)
-            bloomSizing
+            stamp(bloomSizing)
         }
         // one (shard, bits) partial row per shard — the unsharded case is
         // shard 0; a replay recomputes identical rows into the same dir

@@ -715,6 +715,16 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.DedupStream.compact(spark, s"$tmp/index")
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
     assert(screen() === verdicts)
+    // RETARGET: same geometry, new design point — admits fine (partials
+    // are OR-compatible; the design point is a warning threshold, not
+    // geometry) and re-stamps the threshold without any rebuild
+    val retarget = sizing.copy(designFpr = 0.001)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((3L, "a retargeting admission with fresh words entirely"))
+        .toDF("doc_id", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1", retarget)
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retarget)
+    assert(screen() === verdicts, "retargeting must not disturb the filter")
   }
 
   test("a sharded bloom geometry builds, serves and compacts per shard (d10b streaming)") {

@@ -115,6 +115,79 @@ object DedupStream {
         else DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
   }
 
+  /** [[admitBatch]]'s geometry resolution, run BEFORE any side write: an
+    * established stamp wins and is never rewritten on the admission path
+    * (a conf overwrite would open a crash/concurrency window where readers
+    * see no stamp and misread the geometry); the index's first admission
+    * stamps the caller's sizing; a geometry clash fails with the index
+    * untouched. */
+  private def resolveBloomSizing(spark: SparkSession, indexDir: String,
+      root: String, bloomSizing: DedupOps.BloomSizing): DedupOps.BloomSizing = {
+    import spark.implicits._
+    val default = DedupOps.BloomSizing.Default
+    readConfUnder(spark, root) match {
+      case Some(cfg) =>
+        // compatibility is GEOMETRY: equal-geometry partials OR regardless
+        // of design point. The exact Default value means "inherit"; a
+        // differing designFpr also inherits (retarget is explicit).
+        require(bloomSizing == default || bloomSizing.sameGeometry(cfg),
+          s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
+        cfg
+      case None =>
+        // legacy partials (pre-stamp index) were built at Default GEOMETRY
+        // — different geometry must fail HERE, on batch 0, not one batch
+        // later against the freshly written stamp
+        require(!IndexSides.fsOf(spark, root).exists(new Path(s"$root/bloom"))
+            || bloomSizing.sameGeometry(default),
+          s"index at $indexDir predates geometry stamping (Default " +
+            s"partials); cannot admit with $bloomSizing")
+        Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards,
+            bloomSizing.designFpr))
+          .toDF("bits", "hashes", "shards", "target_fpr")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/bloomconf")
+        bloomSizing
+    }
+  }
+
+  /** Retarget the drift-warning threshold of an EXISTING index — an
+    * explicit maintenance call under the single-writer discipline (run
+    * between microbatches, like compact). The new stamp publishes as a
+    * NEW GENERATION with every other tree member carried verbatim, so
+    * there is no window in which a reader sees a missing or half-written
+    * stamp (the admission path never rewrites an established conf for
+    * exactly that reason), and a crash mid-staging leaves the live tree
+    * untouched. Geometry is unchanged by construction. */
+  def retargetBloomFpr(spark: SparkSession, indexDir: String,
+      designFpr: Double): DedupOps.BloomSizing = {
+    import spark.implicits._
+    val live = liveRoot(spark, indexDir)
+    val cfg = bloomSizingUnder(spark, live)
+    val next = cfg.copy(designFpr = designFpr)
+    if (next == cfg) return cfg
+    val fs = IndexSides.fsOf(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sideNames = compactionSides(cfg).map(_._1) :+ "bloomconf"
+    // members to carry: every live-tree member except the stamp; a flat
+    // legacy layout contributes only the named sides (its root holds
+    // unrelated state — group stores, output dirs)
+    val carried =
+      if (live == indexDir) sideNames.filterNot(_ == "bloomconf")
+        .filter(n => fs.exists(new Path(s"$live/$n")))
+      else fs.listStatus(new Path(live)).toSeq.map(_.getPath.getName)
+        .filterNot(_ == "bloomconf")
+    IndexSides.publishTree(spark, indexDir, legacyNames = sideNames) { staging =>
+      carried.foreach { name =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"$live/$name"),
+          fs, new Path(s"$staging/$name"), false, conf)
+      }
+      Seq((next.bits, next.hashes, next.shards, next.designFpr))
+        .toDF("bits", "hashes", "shards", "target_fpr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/bloomconf")
+    }
+    next
+  }
+
   /** Seed width of the maintained positional index (d9's default k): span
     * screening against the index must probe at the width it was built. */
   val SeedK: Int = 5
@@ -290,6 +363,13 @@ object DedupStream {
     // the batch's duration; a replay after an intervening compaction
     // resolves the new tree, whose carried dir it overwrites idempotently)
     val root = liveRoot(spark, indexDir)
+    // Resolve (and on the index's FIRST admission, stamp) the Bloom
+    // geometry BEFORE any side write: a config clash must fail with the
+    // index untouched, not after half the batch's sides landed. An
+    // established stamp is NEVER rewritten here — the caller's sizing can
+    // only confirm it (geometry-wise; a differing designFpr INHERITS the
+    // stamp — [[retargetBloomFpr]] is the explicit, atomic retarget path).
+    val sizing = resolveBloomSizing(spark, indexDir, root, bloomSizing)
     val batchSh = DedupOps.shingleArrays(batch)
     val pairs = DedupOps.incrementalNearDups(
       batchSh,
@@ -358,39 +438,6 @@ object DedupStream {
       // config error (partials of different geometries cannot OR).
       locally {
         import spark.implicits._
-        val fs = IndexSides.fsOf(spark, root)
-        val confDir = s"$root/bloomconf"
-        def stamp(s0: DedupOps.BloomSizing): DedupOps.BloomSizing = {
-          Seq((s0.bits, s0.hashes, s0.shards, s0.designFpr))
-            .toDF("bits", "hashes", "shards", "target_fpr")
-            .coalesce(1).write.mode("overwrite").parquet(confDir)
-          s0
-        }
-        val default = DedupOps.BloomSizing.Default
-        val sizing = readConfUnder(spark, root) match {
-          case Some(cfg) =>
-            // compatibility is GEOMETRY (partials of equal geometry OR
-            // regardless of design point); the exact Default value means
-            // "inherit the stamp". A geometry-compatible sizing with a
-            // NEW design point RE-STAMPS it — the retarget path for the
-            // warning threshold, no rebuild needed.
-            require(bloomSizing == default || bloomSizing.sameGeometry(cfg),
-              s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
-            if (bloomSizing != default && bloomSizing.designFpr != cfg.designFpr)
-              stamp(bloomSizing)
-            else cfg
-          case None =>
-            // legacy partials (pre-stamp index) were built at Default
-            // GEOMETRY — a caller asking for different geometry must fail
-            // HERE, on batch 0, not one batch later against the freshly
-            // written stamp (a Default-geometry sizing with a custom
-            // design point is fine: it stamps the retargeted threshold)
-            require(!fs.exists(new Path(s"$root/bloom"))
-                || bloomSizing.sameGeometry(default),
-              s"index at $indexDir predates geometry stamping (Default " +
-                s"partials); cannot admit with $bloomSizing")
-            stamp(bloomSizing)
-        }
         // one (shard, bits) partial row per shard — the unsharded case is
         // shard 0; a replay recomputes identical rows into the same dir
         val partials =

@@ -700,6 +700,10 @@ class StreamingSpec extends SparkSpec {
         BloomSizing.forCapacity(99, 0.1))
     }
     assert(clash.getMessage.contains("geometry"))
+    // the clash failed BEFORE any side write: nothing of the rejected
+    // batch landed, so no half-admitted state exists to replay over
+    assert(!new java.io.File(s"$tmp/index/shingles/batch=l1-1").exists(),
+      "a geometry clash must leave the index untouched")
     // ...while the parameterless default defers to the stamp
     graft.streaming.DedupStream.admitBatch(
       Seq((2L, b)).toDF("doc_id", "text"),
@@ -715,16 +719,30 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.DedupStream.compact(spark, s"$tmp/index")
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
     assert(screen() === verdicts)
-    // RETARGET: same geometry, new design point — admits fine (partials
-    // are OR-compatible; the design point is a warning threshold, not
-    // geometry) and re-stamps the threshold without any rebuild
-    val retarget = sizing.copy(designFpr = 0.001)
+    // an ADMISSION with the same geometry but a different design point
+    // INHERITS the stamp (equal-geometry partials OR regardless of the
+    // warning threshold; the admission path never rewrites a stamp)
     graft.streaming.DedupStream.admitBatch(
-      Seq((3L, "a retargeting admission with fresh words entirely"))
+      Seq((3L, "a threshold-divergent admission with fresh words entirely"))
         .toDF("doc_id", "text"),
-      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1", retarget)
-    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retarget)
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing.copy(designFpr = 0.001))
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
+      "admission must inherit the stamp, never silently re-stamp")
+    // RETARGET is the explicit maintenance call: publishes a NEW
+    // GENERATION with the updated threshold and every side carried —
+    // readers never see a missing stamp, and the filter is undisturbed
+    val retargeted = graft.streaming.DedupStream
+      .retargetBloomFpr(spark, s"$tmp/index", 0.001)
+    assert(retargeted === sizing.copy(designFpr = 0.001))
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retargeted)
     assert(screen() === verdicts, "retargeting must not disturb the filter")
+    // ...and the next admission under the old config inherits the NEW
+    // threshold instead of silently reverting it
+    graft.streaming.DedupStream.admitBatch(
+      Seq((4L, "an admission after the retarget with novel words too"))
+        .toDF("doc_id", "text"),
+      3L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retargeted)
   }
 
   test("a sharded bloom geometry builds, serves and compacts per shard (d10b streaming)") {

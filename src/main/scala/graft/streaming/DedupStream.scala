@@ -98,21 +98,57 @@ object DedupStream {
   private def bloomSizingUnder(spark: SparkSession, live: String): DedupOps.BloomSizing =
     readConfUnder(spark, live).getOrElse(DedupOps.BloomSizing.Default)
 
-  /** The stamp, if one is READABLE: a crash mid-stamp can leave the conf
-    * dir existing with no data files — that reads as absent (the replayed
-    * first admission re-stamps; every other path keeps serving Default
-    * rather than failing on an empty head()). */
+  /** The stamp dirs under a live root, (version, name), version-descending.
+    * `bloomconf` (the round-13 original) is version 0; updates write
+    * `bloomconf-<n>` — a stamp is NEVER overwritten in place (an
+    * overwrite of an established stamp would open a window where readers
+    * resolve no stamp at all and misread the geometry); readers take the
+    * highest READABLE version, so a crash mid-write of a new version is
+    * simply skipped. */
+  private def confDirsUnder(fs: org.apache.hadoop.fs.FileSystem,
+      live: String): Seq[(Long, String)] = {
+    val p = new Path(live)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap {
+        case "bloomconf" => Some(0L -> "bloomconf")
+        case n if n.startsWith("bloomconf-") =>
+          scala.util.Try(n.stripPrefix("bloomconf-").toLong).toOption.map(_ -> n)
+        case _ => None
+      }
+      .sortBy(-_._1)
+  }
+
+  /** The highest READABLE stamp, with its version: unreadable dirs (a
+    * crash mid-stamp leaves no data files) are skipped, so every path
+    * keeps serving the previous stamp — or Default for a never-stamped
+    * index — rather than failing on an empty head(). */
+  private def readConfVersioned(spark: SparkSession,
+      live: String): Option[(Long, DedupOps.BloomSizing)] = {
+    val fs = IndexSides.fsOf(spark, live)
+    confDirsUnder(fs, live).iterator.flatMap { case (v, name) =>
+      spark.read.schema(BloomConfSchema).parquet(s"$live/$name").take(1).headOption
+        .map(r => v -> (
+          // stamps written before the design point rode along read as the
+          // class default (ONE source of truth for the 1%)
+          if (r.isNullAt(3)) DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
+          else DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))))
+    }.nextOption()
+  }
+
   private def readConfUnder(spark: SparkSession,
-      live: String): Option[DedupOps.BloomSizing] = {
-    val dir = s"$live/bloomconf"
-    val fs = IndexSides.fsOf(spark, dir)
-    if (!fs.exists(new Path(dir))) None
-    else spark.read.schema(BloomConfSchema).parquet(dir).take(1).headOption
-      .map(r =>
-        // stamps written before the design point rode along read as the
-        // class default (ONE source of truth for the 1%)
-        if (r.isNullAt(3)) DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
-        else DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      live: String): Option[DedupOps.BloomSizing] =
+    readConfVersioned(spark, live).map(_._2)
+
+  /** Write stamp version `v` — the ONE writer both the first-admission
+    * stamp and retargeting use (one place owns the schema). */
+  private def writeStamp(spark: SparkSession, live: String, v: Long,
+      s0: DedupOps.BloomSizing): Unit = {
+    import spark.implicits._
+    Seq((s0.bits, s0.hashes, s0.shards, s0.designFpr))
+      .toDF("bits", "hashes", "shards", "target_fpr")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$live/${if (v == 0) "bloomconf" else s"bloomconf-$v"}")
   }
 
   /** [[admitBatch]]'s geometry resolution, run BEFORE any side write: an
@@ -123,68 +159,69 @@ object DedupStream {
     * untouched. */
   private def resolveBloomSizing(spark: SparkSession, indexDir: String,
       root: String, bloomSizing: DedupOps.BloomSizing): DedupOps.BloomSizing = {
-    import spark.implicits._
     val default = DedupOps.BloomSizing.Default
-    readConfUnder(spark, root) match {
-      case Some(cfg) =>
+    val hasPartials =
+      IndexSides.fsOf(spark, root).exists(new Path(s"$root/bloom"))
+    readConfVersioned(spark, root) match {
+      case Some((v, cfg)) if hasPartials =>
         // compatibility is GEOMETRY: equal-geometry partials OR regardless
         // of design point. The exact Default value means "inherit"; a
-        // differing designFpr also inherits (retarget is explicit).
+        // differing designFpr also inherits — LOUDLY, since a config
+        // change that silently does nothing is how retargets get lost
+        // ([[retargetBloomFpr]] is the explicit path).
         require(bloomSizing == default || bloomSizing.sameGeometry(cfg),
           s"index at $indexDir has Bloom geometry $cfg; cannot admit with $bloomSizing")
+        if (bloomSizing != default && bloomSizing.designFpr != cfg.designFpr)
+          System.err.println(s"[DedupStream] admission designFpr " +
+            s"${bloomSizing.designFpr} differs from the stamped " +
+            s"${cfg.designFpr} — inheriting the stamp; use " +
+            "retargetBloomFpr to change it")
         cfg
+      case Some((v, cfg)) =>
+        // a stamp with NO partials (a first admission that stamped and
+        // then died before any side write): geometry compatibility is
+        // vacuous, so a corrected config may re-stamp rather than being
+        // pinned forever to a mis-sized first attempt
+        if (bloomSizing == default || bloomSizing == cfg) cfg
+        else { writeStamp(spark, root, v + 1, bloomSizing); bloomSizing }
       case None =>
         // legacy partials (pre-stamp index) were built at Default GEOMETRY
         // — different geometry must fail HERE, on batch 0, not one batch
         // later against the freshly written stamp
-        require(!IndexSides.fsOf(spark, root).exists(new Path(s"$root/bloom"))
-            || bloomSizing.sameGeometry(default),
+        require(!hasPartials || bloomSizing.sameGeometry(default),
           s"index at $indexDir predates geometry stamping (Default " +
             s"partials); cannot admit with $bloomSizing")
-        Seq((bloomSizing.bits, bloomSizing.hashes, bloomSizing.shards,
-            bloomSizing.designFpr))
-          .toDF("bits", "hashes", "shards", "target_fpr")
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/bloomconf")
+        writeStamp(spark, root, 0L, bloomSizing)
         bloomSizing
     }
   }
 
-  /** Retarget the drift-warning threshold of an EXISTING index — an
-    * explicit maintenance call under the single-writer discipline (run
-    * between microbatches, like compact). The new stamp publishes as a
-    * NEW GENERATION with every other tree member carried verbatim, so
-    * there is no window in which a reader sees a missing or half-written
-    * stamp (the admission path never rewrites an established conf for
-    * exactly that reason), and a crash mid-staging leaves the live tree
-    * untouched. Geometry is unchanged by construction. */
+  /** Retarget the drift-warning threshold of an EXISTING, stamped index —
+    * an explicit maintenance call under the single-writer discipline (run
+    * between microbatches, like compact). The new threshold is written as
+    * a NEW stamp VERSION (never an in-place overwrite, so readers always
+    * resolve a complete stamp and a crash mid-write is skipped by
+    * resolution); superseded versions older than the previous one are
+    * reclaimed, mirroring the generation-tree retention window. Geometry
+    * is unchanged by construction; bytes written = one stamp row, never
+    * index data. */
   def retargetBloomFpr(spark: SparkSession, indexDir: String,
       designFpr: Double): DedupOps.BloomSizing = {
-    import spark.implicits._
     val live = liveRoot(spark, indexDir)
-    val cfg = bloomSizingUnder(spark, live)
+    val (v, cfg) = readConfVersioned(spark, live).getOrElse(
+      throw new IllegalArgumentException(
+        s"no readable Bloom stamp at $indexDir — retarget needs a stamped " +
+          "index (admit once to stamp; a legacy index stamps Default on " +
+          "its next admission)"))
     val next = cfg.copy(designFpr = designFpr)
     if (next == cfg) return cfg
-    val fs = IndexSides.fsOf(spark, indexDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val sideNames = compactionSides(cfg).map(_._1) :+ "bloomconf"
-    // members to carry: every live-tree member except the stamp; a flat
-    // legacy layout contributes only the named sides (its root holds
-    // unrelated state — group stores, output dirs)
-    val carried =
-      if (live == indexDir) sideNames.filterNot(_ == "bloomconf")
-        .filter(n => fs.exists(new Path(s"$live/$n")))
-      else fs.listStatus(new Path(live)).toSeq.map(_.getPath.getName)
-        .filterNot(_ == "bloomconf")
-    IndexSides.publishTree(spark, indexDir, legacyNames = sideNames) { staging =>
-      carried.foreach { name =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, new Path(s"$live/$name"),
-          fs, new Path(s"$staging/$name"), false, conf)
-      }
-      Seq((next.bits, next.hashes, next.shards, next.designFpr))
-        .toDF("bits", "hashes", "shards", "target_fpr")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/bloomconf")
-    }
+    writeStamp(spark, live, v + 1, next)
+    // retention: keep the new and previous versions (a reader that listed
+    // before this write finishes on the intact previous stamp); reclaim
+    // older ones best-effort
+    val fs = IndexSides.fsOf(spark, live)
+    confDirsUnder(fs, live).filter(_._1 < v)
+      .foreach { case (_, name) => fs.delete(new Path(s"$live/$name"), true) }
     next
   }
 
@@ -594,10 +631,18 @@ object DedupStream {
       // legacy null-shard rows fold as shard 0)
       DedupOps.bloomFoldSharded(df, sizing)))
 
+  /** The live stamp dirs by name — compact carries them as extras so a
+    * FLAT legacy layout's stamps migrate into the first generation tree
+    * (tree layouts carry them as unknown members anyway). */
+  private def confExtras(spark: SparkSession, indexDir: String): Seq[String] = {
+    val live = liveRoot(spark, indexDir)
+    confDirsUnder(IndexSides.fsOf(spark, live), live).map(_._2)
+  }
+
   def compact(spark: SparkSession, indexDir: String): Unit =
     IndexSides.compact(spark, indexDir,
       compactionSides(bloomSizingAt(spark, indexDir)),
-      extras = Seq("bloomconf"))
+      extras = confExtras(spark, indexDir))
 
   /** The cron seam: compact iff `policy` fires on this tier's sides
     * (dir-count / byte thresholds over the foldable NEW batch dirs — a

@@ -728,9 +728,9 @@ class StreamingSpec extends SparkSpec {
       2L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing.copy(designFpr = 0.001))
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
       "admission must inherit the stamp, never silently re-stamp")
-    // RETARGET is the explicit maintenance call: publishes a NEW
-    // GENERATION with the updated threshold and every side carried —
-    // readers never see a missing stamp, and the filter is undisturbed
+    // RETARGET is the explicit maintenance call: a NEW stamp VERSION
+    // (never an in-place overwrite — readers always resolve a complete
+    // stamp), one row written, index data untouched
     val retargeted = graft.streaming.DedupStream
       .retargetBloomFpr(spark, s"$tmp/index", 0.001)
     assert(retargeted === sizing.copy(designFpr = 0.001))
@@ -743,6 +743,14 @@ class StreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"),
       3L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retargeted)
+    // the versioned stamp survives a compaction (carried into the tree)
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === retargeted)
+    assert(screen() === verdicts)
+    // retargeting an index with no stamp at all is refused, not fabricated
+    val none = intercept[IllegalArgumentException](graft.streaming.DedupStream
+      .retargetBloomFpr(spark, s"$tmp/nowhere", 0.01))
+    assert(none.getMessage.contains("no readable Bloom stamp"))
   }
 
   test("a sharded bloom geometry builds, serves and compacts per shard (d10b streaming)") {

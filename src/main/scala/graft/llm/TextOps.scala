@@ -241,6 +241,20 @@ object TextOps {
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val vsize = stats.getLong(1)
     val denom = (total + vsize + 1).toDouble
+    // An EMPTY model (never-admitted wordcounts side) has no opinion:
+    // every word is OOV and the Laplace term degenerates to −ln(1/1) = 0,
+    // which would score gibberish as PERFECT quality to any NLL-threshold
+    // consumer. Null the score instead — n_oov == n_words still carries
+    // the all-OOV signal — so a banding caller can't act on a meaningless
+    // 0.
+    val scoreCols =
+      if (vsize == 0L)
+        Seq(lit(null).cast("long").as("nll_x10k"),
+          lit(null).cast("double").as("avg_nll"))
+      else
+        Seq(col("nll_x10k"),
+          round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
+            .as("avg_nll"))
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(vocab, Seq("word"), "left")
@@ -250,9 +264,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("oov").as("n_oov"),
         sum("wn").as("nll_x10k"))
-      .select(col("doc_id"), col("n_words"), col("n_oov"), col("nll_x10k"),
-        round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
-          .as("avg_nll"))
+      .select(col("doc_id") +: col("n_words") +: col("n_oov") +: scoreCols: _*)
       .orderBy("doc_id")
   }
 

@@ -119,15 +119,19 @@ object DedupStream {
       .sortBy(-_._1)
   }
 
-  /** The highest READABLE stamp, with its version: unreadable dirs (a
-    * crash mid-stamp leaves no data files) are skipped, so every path
-    * keeps serving the previous stamp — or Default for a never-stamped
-    * index — rather than failing on an empty head(). */
+  /** The highest READABLE stamp, with its version: unreadable dirs — a
+    * crash mid-stamp leaving no data files, OR a corrupt/truncated file a
+    * non-atomic copy left behind (the read itself throws) — are skipped,
+    * so every path keeps serving the previous stamp — or Default for a
+    * never-stamped index — rather than failing on an empty head() or a
+    * parquet footer error. */
   private def readConfVersioned(spark: SparkSession,
       live: String): Option[(Long, DedupOps.BloomSizing)] = {
     val fs = IndexSides.fsOf(spark, live)
     confDirsUnder(fs, live).iterator.flatMap { case (v, name) =>
-      spark.read.schema(BloomConfSchema).parquet(s"$live/$name").take(1).headOption
+      scala.util.Try(
+        spark.read.schema(BloomConfSchema).parquet(s"$live/$name").take(1).headOption
+      ).toOption.flatten
         .map(r => v -> (
           // stamps written before the design point rode along read as the
           // class default (ONE source of truth for the 1%)
@@ -143,12 +147,65 @@ object DedupStream {
   /** Write stamp version `v` — the ONE writer both the first-admission
     * stamp and retargeting use (one place owns the schema). */
   private def writeStamp(spark: SparkSession, live: String, v: Long,
+      s0: DedupOps.BloomSizing): Unit =
+    writeStampTo(spark,
+      s"$live/${if (v == 0) "bloomconf" else s"bloomconf-$v"}", s0)
+
+  private def writeStampTo(spark: SparkSession, dir: String,
       s0: DedupOps.BloomSizing): Unit = {
     import spark.implicits._
     Seq((s0.bits, s0.hashes, s0.shards, s0.designFpr))
       .toDF("bits", "hashes", "shards", "target_fpr")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$live/${if (v == 0) "bloomconf" else s"bloomconf-$v"}")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** First-admission stamping under a CREATE-IF-ABSENT protocol: the
+    * stamp parquet is written to a dot-prefixed temp dir (invisible to
+    * Spark's listing and to [[confDirsUnder]]) and renamed to `bloomconf`
+    * only while absent; whoever loses the race cleans up its temp and
+    * RE-RESOLVES — geometry equality with the winning stamp is required
+    * before this returns, so two concurrent first admissions (e.g. two
+    * lineages on a fresh index) can never each proceed under their own
+    * geometry and write partials that silently OR-corrupt on fold. A
+    * local-FS rename that moved the temp INSIDE a just-created target is
+    * likewise invisible (dot prefix) and deleted. The resolved stamp —
+    * not the argument — is what the caller admits under. */
+  private def stampFirstAdmission(spark: SparkSession, live: String,
+      s0: DedupOps.BloomSizing): DedupOps.BloomSizing = {
+    val fs = IndexSides.fsOf(spark, live)
+    // a READABLE stamp that appeared since the caller's resolution wins
+    // outright (the other first-admitter finished) — verify, never write
+    readConfVersioned(spark, live).foreach { case (_, cfg) =>
+      require(cfg.sameGeometry(s0),
+        s"concurrent first admission stamped Bloom geometry $cfg at " +
+          s"$live; cannot admit with $s0")
+      return cfg
+    }
+    // stamp the next version ABOVE any existing dir (all unreadable here —
+    // a crashed or corrupt stamp is outranked, never rewritten in place)
+    val next = confDirsUnder(fs, live).headOption.map(_._1 + 1L).getOrElse(0L)
+    val targetName = if (next == 0L) "bloomconf" else s"bloomconf-$next"
+    val target = new Path(s"$live/$targetName")
+    val tmpName = s".bloomconf-tmp-${java.util.UUID.randomUUID}"
+    val tmp = new Path(s"$live/$tmpName")
+    writeStampTo(spark, tmp.toString, s0)
+    // rename-if-absent, with one last readable-stamp check to shrink the
+    // window where a just-completed rival could be outranked; the loser's
+    // temp (or a local-FS rename that moved it INSIDE a just-created
+    // target) is dot-prefixed — invisible to Spark listing and to
+    // [[confDirsUnder]] — and deleted
+    if (!fs.exists(target) && readConfVersioned(spark, live).isEmpty)
+      fs.rename(tmp, target)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val nested = new Path(target, tmpName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    val resolved = readConfVersioned(spark, live).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"Bloom stamp at $live unreadable immediately after stamping"))
+    require(resolved.sameGeometry(s0),
+      s"concurrent first admission stamped Bloom geometry $resolved at " +
+        s"$live; cannot admit with $s0")
+    resolved
   }
 
   /** [[admitBatch]]'s geometry resolution, run BEFORE any side write: an
@@ -191,8 +248,7 @@ object DedupStream {
         require(!hasPartials || bloomSizing.sameGeometry(default),
           s"index at $indexDir predates geometry stamping (Default " +
             s"partials); cannot admit with $bloomSizing")
-        writeStamp(spark, root, 0L, bloomSizing)
-        bloomSizing
+        stampFirstAdmission(spark, root, bloomSizing)
     }
   }
 
@@ -356,19 +412,31 @@ object DedupStream {
     // live root + stamp resolved ONCE; the shard dispatch serves either
     // geometry from the same fold
     val live = liveRoot(spark, indexDir)
-    val sizing = bloomSizingUnder(spark, live)
+    val (stampV, sizing) = readConfVersioned(spark, live)
+      .getOrElse(-1L -> DedupOps.BloomSizing.Default)
     val shards = corpusBloomShardsAt(spark, live, sizing)
     // Design-point drift guard: the screen stays no-false-negative at any
     // fill, but an overfull filter answers maybe_dup for nearly everything
     // and stops paying for itself — surface that here, on the serving path
-    // (per shard: one hot shard is actionable on its own).
+    // (per shard: one hot shard is actionable on its own). RATE-LIMITED to
+    // once per (live root, shard, stamp version) per process: a
+    // per-microbatch streaming loop must not emit the multi-line warning
+    // for every shard on every batch forever; a retarget (new stamp
+    // version) or a new generation tree re-arms it.
     shards.zipWithIndex.foreach { case (bits, s) =>
-      DedupOps.bloomHealthWarning(bits, sizing).foreach(w =>
-        System.err.println(s"[DedupStream] shard $s: $w"))
+      DedupOps.bloomHealthWarning(bits, sizing).foreach { w =>
+        if (driftWarned.add((live, s, stampV)))
+          System.err.println(s"[DedupStream] shard $s: $w")
+      }
     }
     if (sizing.shards == 1) DedupOps.bloomScreen(newDocs, shards.head, sizing)
     else DedupOps.bloomScreenSharded(newDocs, shards.toSeq, sizing)
   }
+
+  /** Drift warnings already emitted this process — bounded by the set of
+    * (index, shard, stamp-version) triples a process actually serves. */
+  private val driftWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Long)]()
 
   private val GroupSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("group_id", LongType)))

@@ -1410,6 +1410,22 @@ class LlmSpec extends SparkSpec {
     assert(scored(2L) > scored(1L))
   }
 
+  test("served unigram NLL with an EMPTY model nulls the score (t19 served guard)") {
+    import spark.implicits._
+    // a never-admitted wordcounts side: V=0 degenerates the Laplace term
+    // to −ln(1/1) = 0, which would read gibberish as PERFECT quality —
+    // the score must be null, with n_oov == n_words carrying the signal
+    val empty = Seq.empty[(String, Long)].toDF("word", "n")
+    val probe = Seq((1L, "total gibberish words")).toDF("doc_id", "text")
+    val rows = TextOps.unigramNllServed(probe, empty).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L,
+      "all words are OOV under the empty model")
+    assert(r.isNullAt(3) && r.isNullAt(4),
+      "an empty model must score null, never a perfect 0")
+  }
+
   test("tokenizer card rolls up exact counts per language (t20)") {
     import spark.implicits._
     // empty merge table → every character is its own subword token, so

@@ -808,12 +808,14 @@ class StreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"),
       0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
-      "the replayed admission must re-stamp over the crashed dir")
+      "the replayed admission must re-stamp, outranking the crashed dir")
     // a stamp-less index that already carries partials is LEGACY: a
     // non-default admit must fail on its own batch (batch 0 of the
     // contradiction), never stamp-then-crash one batch later
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/index/bloomconf"), true)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/index")).toSeq
+      .filter(_.getPath.getName.startsWith("bloomconf"))
+      .foreach(st => fs.delete(st.getPath, true))
     val boom = intercept[IllegalArgumentException] {
       graft.streaming.DedupStream.admitBatch(
         Seq((2L, "a second admission against the legacy-looking index"))
@@ -822,6 +824,65 @@ class StreamingSpec extends SparkSpec {
         BloomSizing.forCapacity(99, 0.1))
     }
     assert(boom.getMessage.contains("predates"))
+  }
+
+  test("a corrupt bloom stamp version is skipped; the previous stamp keeps serving") {
+    import graft.llm.DedupOps.BloomSizing
+    val tmp = Files.createTempDirectory("graft_bloom_corrupt").toString
+    val sizing = BloomSizing.forCapacity(500, 0.02)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "first admission stamps version zero")).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    // a non-atomic copy leaves a TRUNCATED parquet in a higher version:
+    // resolution must fall through to the readable v0, not throw on every
+    // admit/serve path until manual cleanup
+    val bad = new java.io.File(s"$tmp/index/bloomconf-1")
+    bad.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/index/bloomconf-1/part-00000.parquet"),
+      "not a parquet footer".getBytes)
+    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
+      "the corrupt higher version must be skipped, serving the v0 stamp")
+    // the admission path keeps working against the surviving stamp
+    graft.streaming.DedupStream.admitBatch(
+      Seq((2L, "second admission under the surviving stamp resolution"))
+        .toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    val screen = graft.streaming.DedupStream.screenExact(spark, s"$tmp/index",
+      Seq((1L, "first admission stamps version zero")).toDF("doc_id", "text"))
+    assert(screen.filter(col("maybe_dup")).count() === 1L)
+  }
+
+  test("bloom drift warning emits once per (index, shard, stamp version)") {
+    import graft.llm.DedupOps.BloomSizing
+    val tmp = Files.createTempDirectory("graft_bloom_ratelimit").toString
+    // a filter sized for 8 docs takes 120 → far past its design point
+    val sizing = BloomSizing.forCapacity(8, 0.02)
+    graft.streaming.DedupStream.admitBatch(
+      (0 until 120).map(i => (i.toLong, s"overfull document number $i rambling"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1", sizing)
+    val probe = Seq((999L, "a probe that is definitely new")).toDF("doc_id", "text")
+    val captured = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(captured, true))
+    try {
+      graft.streaming.DedupStream.screenExact(spark, s"$tmp/index", probe).count()
+      graft.streaming.DedupStream.screenExact(spark, s"$tmp/index", probe).count()
+      graft.streaming.DedupStream.screenExact(spark, s"$tmp/index", probe).count()
+    } finally System.setErr(realErr)
+    val hits = "\\[DedupStream\\] shard".r.findAllIn(captured.toString).size
+    assert(hits === 1,
+      s"the drift warning must fire once per stamp version, not per call — got $hits")
+    // a retarget bumps the stamp version and re-arms the warning
+    graft.streaming.DedupStream.retargetBloomFpr(spark, s"$tmp/index", 0.019)
+    val captured2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(captured2, true))
+    try graft.streaming.DedupStream.screenExact(spark, s"$tmp/index", probe).count()
+    finally System.setErr(realErr)
+    assert("\\[DedupStream\\] shard".r.findAllIn(captured2.toString).size === 1,
+      "a new stamp version must re-arm the (rate-limited) warning")
   }
 
   test("span screening never aggregates the corpus seed table (O(increment) plan gate)") {

@@ -219,6 +219,18 @@ object SparkEntry {
     cachedDf(s, dir, "vocab200")(
       TextOps.vocabulary(documents(s, dir), 200).select("word", "rank"))
 
+  /** The t19b MAINTAINED word-counts side (DedupStream's wordcounts
+    * schema): the admitted corpus's unigram model as served state —
+    * Heaps'-law sized, appended per admitted batch in deployment
+    * (`DedupStream.corpusWordCounts`). The served NLL screen scores
+    * increments against THIS table; corpus text is tokenized once here
+    * (ingest-side), never at query time. Same d5/d9b corpus split. */
+  private def t19WordCounts(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "t19counts")(
+      documents(s, dir).filter(col("doc_id") < 400)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")))
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -766,6 +778,13 @@ object SparkEntry {
       // reduction is an exact long sum (engine-portable); deployment
       // scores increments against the maintained wordcounts side
       TextOps.unigramNll(documents(s, d))),
+    "t19b_unigram_nll_served" -> ((s, d) =>
+      // t19's SERVED twin (the DedupStream deployment path): the increment
+      // is scored against the MAINTAINED word-counts side, Laplace-smoothed
+      // so OOV words hit the ceiling; the corpus enters only through the
+      // vocabulary-sized count table — its text is never re-tokenized
+      TextOps.unigramNllServed(
+        documents(s, d).filter(col("doc_id") >= 400), t19WordCounts(s, d))),
     "t18_bpe_merges" -> ((s, d) =>
       // 3 rounds of most-frequent-pair merge — the BPE tokenizer-training
       // loop: per round one map-side pair count, a driver top-1 (bytes),
@@ -863,6 +882,7 @@ object SparkEntry {
     d9CorpusSeeds(spark, dir).count()
     d9CorpusSeedStats(spark, dir).count()
     vocab200(spark, dir).count()
+    t19WordCounts(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -1431,6 +1431,29 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
 FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // t19b: the SERVED screen — increment (doc_id >= 400) scored against
+    // the corpus's (word, n) model, Laplace-smoothed: p(w) = (n_w + 1) /
+    // (N + V + 1), OOV words take n_w = 0 (the ceiling). Same ×10⁴
+    // integer quantization + exact long sums as t19.
+    "t19b_unigram_nll_served" -> s"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM $Docs WHERE doc_id >= 400),
+cw AS (SELECT unnest(string_split(text, ' ')) AS word
+       FROM $Docs WHERE doc_id < 400),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM cw GROUP BY 1),
+st AS (SELECT CAST(sum(n) + count(*) + 1 AS DOUBLE) AS denom FROM f),
+scored AS (
+  SELECT w.doc_id,
+         CASE WHEN f.n IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(round(-ln((COALESCE(f.n, 0) + 1.0) / (SELECT denom FROM st))
+              * 10000) AS BIGINT) AS wn
+  FROM w LEFT JOIN f ON w.word = f.word)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(wn) AS BIGINT) AS nll_x10k,
+       round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
     "t17_quantile_gate" -> s"""WITH $QualityCte,
 s AS (SELECT doc_id, lang, quality_score,
              CAST(round(quality_score * 10000) AS BIGINT) AS b FROM q),

@@ -1426,6 +1426,28 @@ class LlmSpec extends SparkSpec {
       "an empty model must score null, never a perfect 0")
   }
 
+  test("registered served NLL never re-tokenizes the corpus (t19b plan gate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    val df = SparkEntry.queries("t19b_unigram_nll_served")(spark, sf0001)
+    // the corpus enters ONLY through the maintained (word, n) table (an
+    // InMemoryRelation of the served state): tokenization — explode over
+    // split — must appear exactly once, over the increment's filter
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.size === 1,
+      s"exactly one tokenization (the increment's) — got ${gens.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(gens.head.find {
+      case f: Filter =>
+        f.condition.toString.contains("doc_id") &&
+          f.condition.toString.contains("400")
+      case _ => false
+    }.isDefined, "the single tokenize pass must sit over the increment filter")
+    // and the screen itself answers: every increment doc scores
+    val n = df.count()
+    assert(n > 0 && n === Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 400).count())
+  }
+
   test("tokenizer card rolls up exact counts per language (t20)") {
     import spark.implicits._
     // empty merge table → every character is its own subword token, so

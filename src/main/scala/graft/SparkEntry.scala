@@ -668,6 +668,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), 8000L)
     }),
+    "c5_quality_ensemble" -> ((s, d) =>
+      // CCNet-style combined quality: t5 heuristics + t10 repetition +
+      // t19 LM-NLL blended with documented integer weights (×10⁴
+      // quantized longs, exact arithmetic end to end) — the ONE score
+      // deployment filters on and d6b's alternative election policy
+      graft.llm.CurationOps.qualityEnsemble(documents(s, d))),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

@@ -162,6 +162,60 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** C5 — CCNet-style QUALITY ENSEMBLE: ONE combined per-document score
+    * from the three independent signals the pipeline already computes —
+    * t5's heuristic composite, t10's repetition fractions, t19's
+    * unigram-LM NLL — because deployment filters (and d6b's keeper
+    * election) want one number, not three. CCNet buckets on LM
+    * perplexity alone; Gopher ANDs hard heuristic rules; this is the
+    * weighted-blend form with documented weights:
+    *   40% heuristic quality (t5 quality_score),
+    *   20% vocabulary diversity (1 − dup_word_frac),
+    *   10% non-boilerplate    (1 − top2_frac),
+    *   30% LM fluency         (mean NLL mapped linearly to [0,1] with a
+    *       15.0-nat ceiling — beyond that a doc reads as noise either way).
+    *
+    * Exact-arithmetic combine (t19's integer-quantization discipline):
+    * each signal is quantized to a ×10⁴ long, the blend is
+    * `(4·heur + 2·rep + top + 3·lm) div 10` — integer ops only, so engine
+    * and oracle agree bit-for-bit; the double `ensemble_score` derives
+    * from the exact long at the end.
+    *
+    * Scale shape: three one-row-per-doc frames joined on doc_id (t5 is a
+    * narrow map; t10/t19 are map-side-combinable doc-keyed aggregations
+    * that leave the frames co-partitioned on the join key) — no window,
+    * no corpus-sized driver state. In deployment the t19 leg swaps to
+    * `TextOps.unigramNllServed` against the maintained wordcounts side,
+    * so scoring an increment never re-tokenizes the corpus. */
+  def qualityEnsemble(documents: DataFrame): DataFrame = {
+    def q10k(c: org.apache.spark.sql.Column) = round(c * 10000.0).cast("long")
+    val heur = TextOps.textStats(documents)
+      .select(col("doc_id"), q10k(col("quality_score")).as("heur_x10k"))
+    val rep = TextOps.repetitionStats(documents)
+      .select(col("doc_id"),
+        (lit(10000L) - q10k(col("dup_word_frac"))).as("rep_x10k"),
+        (lit(10000L) - q10k(col("top2_frac"))).as("top_x10k"))
+    val lm = TextOps.unigramNll(documents)
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          lit(10000L) - expr("(nll_x10k div n_words) div 15")).as("lm_x10k"))
+    heur.join(rep, "doc_id").join(lm, "doc_id")
+      .withColumn("score_x10k",
+        expr("(4 * heur_x10k + 2 * rep_x10k + top_x10k + 3 * lm_x10k) div 10"))
+      .withColumn("ensemble_score", round(col("score_x10k") / 10000.0, 4))
+      .orderBy("doc_id")
+  }
+
+  /** The c5 score shaped for [[DedupOps.qualityKeepers]] — d6b's
+    * ALTERNATIVE election policy: keep the ensemble-best member of each
+    * near-dup group instead of the t5-heuristic-best (a repetitive chant
+    * can ace the heuristic on length + stopwords; the ensemble's
+    * repetition and LM legs demote it). Same query-time-view discipline
+    * as d6b — nothing persisted, a changed policy re-elects. */
+  def ensembleQuality(documents: DataFrame): DataFrame =
+    qualityEnsemble(documents)
+      .select(col("doc_id"), col("ensemble_score").as("quality_score"))
+
   /** C3 — LEAKAGE-SAFE train/val/test split: deterministic hash-bucketed
     * assignment at the near-dup GROUP level, so every member of a
     * component co-travels into one split. Splitting on the doc hash

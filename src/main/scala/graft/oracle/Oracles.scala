@@ -1067,6 +1067,44 @@ SELECT doc_id, lang, n_tokens, quality_score, cum_tokens, group_id,
   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
 FROM bk WHERE cum_tokens <= 8000 ORDER BY quality_score DESC, doc_id""",
 
+    // c5 = the quality ensemble: t5's quality_score, t10's repetition
+    // fractions and t19's unigram NLL, each quantized to a ×10⁴ BIGINT
+    // AFTER its own 4-decimal rounding (mirroring the Spark composition
+    // exactly), blended with integer weights 4/2/1/3 and // 10 — exact
+    // integer arithmetic end to end; the double score derives at the end.
+    "c5_quality_ensemble" -> s"""WITH $QualityCte,
+hx AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS heur_x10k FROM q),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac
+         FROM w),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM w WHERE len(w) >= 2),
+top AS (SELECT doc_id, max(c) AS top_c FROM (
+          SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        GROUP BY doc_id),
+rep AS (SELECT b.doc_id,
+               CAST(10000 - round(b.dup_word_frac * 10000) AS BIGINT) AS rep_x10k,
+               CAST(10000 - round(round(least(1.0,
+                 CAST(coalesce(t.top_c, 0) * 2 AS DOUBLE) / b.n_words), 4) * 10000) AS BIGINT) AS top_x10k
+        FROM base b LEFT JOIN top t USING (doc_id)),
+tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $Docs),
+f AS (SELECT word, count(*) AS n FROM tw GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM f),
+nsc AS (SELECT doc_id,
+               CAST(round(-ln(CAST(n AS DOUBLE) / (SELECT nn FROM tot)) * 10000) AS BIGINT) AS wn
+        FROM tw JOIN f USING (word)),
+nll AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw, CAST(sum(wn) AS BIGINT) AS nll_x10k
+        FROM nsc GROUP BY doc_id),
+lm AS (SELECT doc_id,
+              CAST(greatest(0, 10000 - (nll_x10k // nw) // 15) AS BIGINT) AS lm_x10k
+       FROM nll)
+SELECT h.doc_id, h.heur_x10k, r.rep_x10k, r.top_x10k, l.lm_x10k,
+       CAST((4 * h.heur_x10k + 2 * r.rep_x10k + r.top_x10k + 3 * l.lm_x10k) // 10 AS BIGINT) AS score_x10k,
+       round(CAST((4 * h.heur_x10k + 2 * r.rep_x10k + r.top_x10k + 3 * l.lm_x10k) // 10 AS DOUBLE) / 10000.0, 4) AS ensemble_score
+FROM hx h JOIN rep r USING (doc_id) JOIN lm l USING (doc_id)
+ORDER BY h.doc_id""",
+
     // c2 = the incremental admission composition: one verdict per
     // increment doc (doc_id >= 400, the d5 split) with screen precedence
     // near_dup (d5 fragment: corpus band index ∪ increment self-join) >

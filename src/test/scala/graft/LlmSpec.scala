@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.llm.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.model.Tables
 
 /** LLM data-pipeline operators: LSH candidate soundness, MinHash recall vs
@@ -1424,6 +1424,30 @@ class LlmSpec extends SparkSpec {
       "all words are OOV under the empty model")
     assert(r.isNullAt(3) && r.isNullAt(4),
       "an empty model must score null, never a perfect 0")
+  }
+
+  test("ensemble election demotes the repetitive chant t5 promotes (c5 ∘ d6b)") {
+    import spark.implicits._
+    // doc 1: a stopword chant — aces t5 (length cap + stopword ratio) but
+    // is pure repetition; doc 2: varied vocabulary, zero stopwords — t5
+    // floor of 0.5. Same near-dup group (assignment is an input here).
+    val chant = Seq.fill(50)("the a").mkString(" ")
+    val varied = (0 until 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, chant), (2L, varied)).toDF("doc_id", "text")
+    val groups = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "group_id")
+    def keeperOf(quality: org.apache.spark.sql.DataFrame): Long =
+      DedupOps.qualityKeepers(groups, quality)
+        .filter(col("keep")).select("doc_id").as[Long].head()
+    assert(keeperOf(TextOps.textStats(docs)) === 1L,
+      "the heuristic-only policy keeps the chant")
+    assert(keeperOf(CurationOps.ensembleQuality(docs)) === 2L,
+      "the ensemble's repetition + LM legs elect the varied member")
+    // and the ensemble row itself is exact-integer consistent
+    val row = CurationOps.qualityEnsemble(docs).filter(col("doc_id") === 1L).head()
+    val blend = (4 * row.getLong(1) + 2 * row.getLong(2) + row.getLong(3) +
+      3 * row.getLong(4)) / 10
+    assert(row.getLong(5) === blend)
+    assert(row.getDouble(6) === row.getLong(5) / 10000.0)
   }
 
   test("registered served NLL never re-tokenizes the corpus (t19b plan gate)") {

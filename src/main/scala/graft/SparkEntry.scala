@@ -844,7 +844,11 @@ object SparkEntry {
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))
         .toDF().orderBy("doc_id")),
     "m3_frame_sample" -> ((s, d) =>
-      MultimodalOps.sampleFrames(s, MultimodalOps.asMediaTable(documents(s, d)))
+      // keyframe sampling is a VIDEO op: feed it the media table's video
+      // subset (the image rows carry PNG containers, not frame streams)
+      MultimodalOps.sampleFrames(s,
+        MultimodalOps.asMediaTable(documents(s, d))
+          .filter(col("media_type").startsWith("video/")))
         .toDF().orderBy("doc_id", "frame_idx")),
 
     // ---- flagship relational agg ---------------------------------------

@@ -1,5 +1,9 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,64 +11,134 @@ import org.apache.spark.sql.functions._
   * opaque `BINARY` columns with typed metadata, and decode/feature-extract
   * runs batched inside `mapPartitions` over a typed Dataset.
   *
-  * The actual image/audio decoding libraries are not available in this
-  * environment, so [[FakeDecoder.decode]] is a clearly-marked deterministic
-  * STUB — but everything Spark-side is real and tested: the binary schema,
-  * the encoder plumbing, the per-partition batched decode shape (decode
-  * `BatchSize` records at a time, exactly how you'd feed a vectorized or
-  * GPU decoder), and the partitioning (decode is a narrow map — no
-  * shuffle; repartition upstream only to right-size decode tasks).
+  * The IMAGE path is REAL: payloads are PNG bytes and [[ImageDecoder]]
+  * parses width/height/format off the actual container with the JDK's
+  * `javax.imageio` (PNG + JPEG readers ship with every JDK — no external
+  * codec needed). The deterministic stub ([[FakeDecoder]]) now covers only
+  * the media kinds with no JDK decoder in this environment (video/audio);
+  * everything Spark-side — binary schema, encoder plumbing, the
+  * per-partition `BatchSize`-batched decode shape (exactly how you'd feed
+  * a vectorized or GPU decoder), and the narrow no-shuffle partitioning —
+  * is real and tested for both paths.
   */
 object MultimodalOps {
+
+  // imageio's default disk-backed stream cache costs a temp file per
+  // decode; decode sources here are in-memory byte arrays, so cache in
+  // memory (safe to set globally — it is a pure performance knob)
+  ImageIO.setUseCache(false)
 
   /** A media record: opaque payload + envelope metadata. */
   final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Extracted features: container format + dimensions as parsed by the
+    * decoder; `n_pixels` = width·height, the decode-cost unit a pipeline
+    * budgets batch sizes and GPU memory on. */
   final case class MediaMeta(
-      doc_id: Long, media_type: String, n_bytes: Long,
-      width: Long, height: Long, first_byte: Long)
+      doc_id: Long, media_type: String, format: String,
+      width: Long, height: Long, n_pixels: Long)
 
-  /** Batch shape for the (stubbed) decoder — mirrors feeding a vectorized
+  /** Batch shape for the decode kernel — mirrors feeding a vectorized
     * decode kernel 32 records at a time. */
   val BatchSize = 32
 
-  object FakeDecoder {
-    /** STUB — deterministic fake standing in for e.g. libjpeg/ffmpeg decode.
-      * Real implementation would parse the payload container; the fake
-      * derives "dimensions" from payload bytes so results are verifiable.
-      */
-    def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
-      batch.map { r =>
-        val n = r.payload.length.toLong
-        MediaMeta(
-          doc_id = r.doc_id,
-          media_type = r.media_type,
-          n_bytes = n,
-          width = 64 + (n % 512),
-          height = 64 + ((n * 7) % 512),
-          first_byte = if (n > 0) r.payload(0).toLong & 0xffL else -1L)
+  /** Deterministic PNG generation for the fixture media table: dims
+    * derive from the text length (so the DuckDB oracle can predict what
+    * the decoder must parse back), pixels from a cheap deterministic
+    * ramp. Real corpora carry real image bytes; the generator stands in
+    * for the fixture's ingest only — the DECODE side is real either way,
+    * which is exactly what makes the m1/m2 rows a decoder test. */
+  object ImageGen {
+    def dims(textLen: Long): (Int, Int) =
+      ((16 + textLen % 48).toInt, (16 + (textLen * 7) % 48).toInt)
+
+    def png(textLen: Long): Array[Byte] = {
+      val (w, h) = dims(textLen)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + textLen.toInt) & 0xffffff)
+          x += 1
+        }
+        y += 1
       }
-  }
-
-  /** Wrap the documents table as a media table: payload = UTF-8 bytes of the
-    * text (standing in for image bytes), media_type derived from source. */
-  def asMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      concat(lit("image/"), col("source")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** Batched decode via mapPartitions: the per-partition iterator is grouped
-    * into `BatchSize` chunks and each chunk hits the decoder once. */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(batch => FakeDecoder.decode(batch))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
-  /** M1 — full plumbing: documents → binary media column → batched decode →
+  /** The REAL image decoder: container sniffed from magic bytes, parsed
+    * by `javax.imageio`. None = not an image this JDK can decode — the
+    * caller falls back to the declared stub. */
+  object ImageDecoder {
+    /** PNG / JPEG magic → format name; None = not a decodable image. */
+    def sniff(payload: Array[Byte]): Option[String] =
+      if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') Some("png")
+      else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8) Some("jpeg")
+      else None
+
+    def decode(r: MediaRecord): Option[MediaMeta] =
+      sniff(r.payload).flatMap { fmt =>
+        Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map { img =>
+          val w = img.getWidth.toLong
+          val h = img.getHeight.toLong
+          MediaMeta(r.doc_id, r.media_type, fmt, w, h, w * h)
+        }
+      }
+  }
+
+  object FakeDecoder {
+    /** STUB — now scoped to the genuinely undecodable media kinds
+      * (video/audio: no ffmpeg-class codec ships with the JDK):
+      * deterministic fake dims from the payload length so results stay
+      * verifiable. Image records never reach this path. */
+    def decode(r: MediaRecord): MediaMeta = {
+      val n = r.payload.length.toLong
+      val w = 64 + (n % 512)
+      val h = 64 + ((n * 7) % 512)
+      MediaMeta(r.doc_id, r.media_type, "raw", w, h, w * h)
+    }
+  }
+
+  /** One batch through the decode kernel: real imageio decode for image
+    * payloads, the declared stub for the rest — per-record dispatch
+    * inside the batch, the shape a mixed-modality feed has in practice. */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+    batch.map(r => ImageDecoder.decode(r).getOrElse(FakeDecoder.decode(r)))
+
+  /** Fixture media table over documents: every 4th doc is a video record
+    * (UTF-8 text bytes standing in for an undecodable container — the
+    * stub's remaining scope), the rest are REAL PNGs generated
+    * deterministically from the text length. Narrow per-row map (the
+    * fixture's ingest stage); no shuffle. */
+  def asMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        if (id % 4 == 0)
+          MediaRecord(id, s"video/$source", text.getBytes("UTF-8"))
+        else MediaRecord(id, "image/png", ImageGen.png(text.length.toLong))
+      }.toDF()
+  }
+
+  /** Batched decode via mapPartitions: the per-partition iterator is grouped
+    * into `BatchSize` chunks and each chunk hits the decode kernel once. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(decodeBatch)
+    }
+  }
+
+  /** M1 — full plumbing: documents → binary media column → batched decode
+    * (REAL imageio parse for the PNG rows, declared stub for video) →
     * typed metadata, ordered for the oracle. */
   def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")
@@ -96,8 +170,9 @@ object MultimodalOps {
 
   /** M3 — FRAME-SAMPLE: treat the payload as a fixed-rate stream and
     * sample `frames` evenly-spaced offsets (a video keyframe-sampling
-    * stand-in) — the decoder-side generator shape: `frames` rows out per
-    * record in. Offset arithmetic is per-record, so a plain flatMap (the
+    * stand-in — callers feed it the video subset of the media table) —
+    * the decoder-side generator shape: `frames` rows out per record in.
+    * Offset arithmetic is per-record, so a plain flatMap (the
     * batched-kernel shape lives in [[decodeMeta]]). frame_idx is the
     * sample ordinal i itself — for n ≥ 1 every offset i·n/frames is < n,
     * so only empty payloads yield no frames. */

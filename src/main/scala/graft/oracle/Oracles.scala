@@ -1650,16 +1650,26 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half
 FROM q GROUP BY lang ORDER BY lang""",
 
+    // m1: the mixed-modality media table — every 4th doc is a video
+    // record (stub-decoded: fake dims off the UTF-8 payload length), the
+    // rest REAL PNGs whose dims the generator derives from text length
+    // and javax.imageio parses back off the container. The oracle
+    // predicts both paths; equality on the image rows is evidence the
+    // real decoder ran (the engine never sees the generator's dims — it
+    // re-reads them from the PNG bytes).
     "m1_media_meta" -> s"""
-SELECT doc_id, 'image/' || source AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
-       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
-FROM $Docs ORDER BY doc_id""",
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'raw' ELSE 'png' END AS format,
+       w AS width, h AS height, w * h AS n_pixels
+FROM (SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
+                  ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS w,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+                  ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS h
+      FROM $Docs)
+ORDER BY doc_id""",
 
-    // documents are pure ASCII at every SF (verified), so byte offsets into
-    // the UTF-8 payload equal character positions in `text`
     "m2_resize" -> s"""
 SELECT doc_id, width, height,
        CASE WHEN greatest(width, height) <= 128 THEN width
@@ -1667,16 +1677,21 @@ SELECT doc_id, width, height,
        CASE WHEN greatest(width, height) <= 128 THEN height
             ELSE CAST(floor(height * 128.0 / greatest(width, height)) AS BIGINT) END AS thumb_h
 FROM (SELECT doc_id,
-             CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
-             CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
+                  ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS width,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+                  ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS height
       FROM $Docs)
 ORDER BY doc_id""",
 
+    // m3 samples the VIDEO subset (doc_id % 4 = 0): those payloads are the
+    // UTF-8 text bytes, and documents are pure ASCII at every SF
+    // (verified), so byte offsets equal character positions in `text`
     "m3_frame_sample" -> s"""
 SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
        CAST(floor(i * n / 4) AS BIGINT) AS frame_offset,
        CAST(ascii(substr(text, CAST(floor(i * n / 4) AS BIGINT) + 1, 1)) AS BIGINT) AS frame_byte
-FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM $Docs),
+FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM $Docs WHERE doc_id % 4 = 0),
      (SELECT unnest(range(0, 4)) AS i)
 WHERE n > 0
 ORDER BY doc_id, frame_idx""",

@@ -99,12 +99,45 @@ class LlmSpec extends SparkSpec {
     assert(row.getAs[Double]("avg_token_len") > 1.0)
   }
 
-  test("multimodal decode emits one meta row per document with real byte counts") {
+  test("multimodal decode parses real PNGs via imageio; stub only for video (m1)") {
     val meta = MultimodalOps.mediaPipeline(spark, docs)
     assert(meta.count() === docs.count())
     val joined = meta.join(docs, "doc_id")
-      .withColumn("expected", octet_length(col("text")).cast("long"))
-    assert(joined.filter(col("n_bytes") =!= col("expected")).count() === 0)
+    // image rows: format parsed off the container, dims are the
+    // generator's (the engine re-reads them from the PNG bytes — the
+    // generator's numbers never flow to the output directly)
+    assert(joined.filter(col("doc_id") % 4 =!= 0)
+      .filter(col("format") =!= "png" ||
+        col("width") =!= (octet_length(col("text")) % 48 + 16).cast("long") ||
+        col("height") =!= ((octet_length(col("text")) * 7) % 48 + 16).cast("long"))
+      .count() === 0)
+    // video rows: the declared stub's math over the raw payload length
+    assert(joined.filter(col("doc_id") % 4 === 0)
+      .filter(col("format") =!= "raw" ||
+        col("width") =!= (octet_length(col("text")) % 512 + 64).cast("long"))
+      .count() === 0)
+  }
+
+  test("imageio decodes hand-built PNG and JPEG through the batched mapPartitions path") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{MediaRecord, MediaMeta}
+    def bytesOf(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image/png", bytesOf(123, 45, "png")),
+      MediaRecord(2L, "image/jpeg", bytesOf(77, 33, "jpg")),
+      MediaRecord(3L, "audio/opus", Array[Byte](1, 2, 3, 4))).toDS().toDF()
+    val got = MultimodalOps.decodeMeta(spark, media)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L) === MediaMeta(1L, "image/png", "png", 123L, 45L, 123L * 45L))
+    assert(got(2L) === MediaMeta(2L, "image/jpeg", "jpeg", 77L, 33L, 77L * 33L))
+    // the undecodable payload falls through to the declared stub
+    assert(got(3L).format === "raw" && got(3L).width === 64L + 4L)
   }
 
   test("shingle arrays match an independent reimplementation (seeded property)") {

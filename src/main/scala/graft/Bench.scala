@@ -52,20 +52,44 @@ object Bench {
   /** `"loadavg":…,"procs":…` — the machine-context fields both line
     * shapes carry (procs = JVM-visible cores, the denominator a load
     * reading is judged against). */
-  private def telemetryJson(): String =
-    s""""loadavg":${num("%.2f", loadAvg())},"procs":${Runtime.getRuntime.availableProcessors}"""
+  private def telemetryJson(load: Double): String =
+    s""""loadavg":${num("%.2f", load)},"procs":${Runtime.getRuntime.availableProcessors}"""
 
-  /** The ONE parseable stdout line. The harness keeps only the LAST ~2000
-    * characters of output, and sbt appends a ~70-char "[success]" line
-    * after us — the line must stay well under that budget. Full query
-    * names at 74+ queries overflow it (exactly how rounds 1-5 lost their
-    * machine-readable bench), so it keys on the short SURVEY §2 ids (the
-    * token before the first '_': "d3b_simhash_neardups" → "d3b"), which
-    * are unique across the registry (asserted). Carries machine-load
-    * telemetry (see [[loadAvg]]) and a build/serve subtotal split:
-    * `buildQueries` names the rows that price an inline index BUILD
-    * (Lloyd passes, codebook training), so a load spike on one build row
-    * reads as exactly that instead of inflating the serving story. */
+  /** Ledger v2 constants. Healthy rows faster than [[FastFloor]] seconds
+    * are summarized into `"fast":{"n":…,"sum":…,"floor":…}` instead of
+    * printing their own entry, and at most [[MaxLedgerRows]] named rows
+    * print (slowest first pick; error rows ALWAYS print). This bounds the
+    * stdout line for ANY registry size — the v1 line scaled linearly with
+    * the registry and sat at ~1.45 KB of its ~1.9 KB budget by 122
+    * queries; v2's worst case is ~80 four-digit entries ≈ 1.4 KB with the
+    * registry free to grow indefinitely. The stderr full-names line still
+    * carries EVERY row, so nothing is lost to logs — only the tail-window
+    * artifact elides its fastest (least regression-relevant) rows. */
+  val FastFloor = 0.25
+  val MaxLedgerRows = 80
+
+  /** 1-min loadavg above this marks the artifact `"noisy":true`:
+    * per-query times in a noisy artifact are re-measured before being
+    * believed (rounds 5/7/9/11/13 each needed exactly this adjudication
+    * — 13 apparent r13 regressions were all machine load). The artifact
+    * now self-adjudicates instead of requiring a judge rerun. */
+  val NoisyLoadThreshold = 3.5
+
+  /** The ONE parseable stdout line (format v2). The harness keeps only
+    * the LAST ~2000 characters of output, and sbt appends a ~70-char
+    * "[success]" line after us — the line must stay well under that
+    * budget. Full query names at 74+ queries overflow it (exactly how
+    * rounds 1-5 lost their machine-readable bench), so it keys on the
+    * short SURVEY §2 ids (the token before the first '_':
+    * "d3b_simhash_neardups" → "d3b"), which are unique across the
+    * registry (asserted), and v2 additionally elides sub-[[FastFloor]]
+    * rows into a "fast" summary and caps named rows at [[MaxLedgerRows]]
+    * (see those constants). Carries machine-load telemetry (see
+    * [[loadAvg]]), the [[NoisyLoadThreshold]]-derived "noisy" flag, and
+    * a build/serve subtotal split: `buildQueries` names the rows that
+    * price an inline index BUILD (Lloyd passes, codebook training), so a
+    * load spike on one build row reads as exactly that instead of
+    * inflating the serving story. */
   /** (name, seconds) entries as a JSON object — shared by the stdout
     * ledger line (short ids) and the stderr full-names line so the two
     * renderings cannot drift. Names are Jsons.quote-escaped like every
@@ -81,7 +105,8 @@ object Bench {
 
   def jsonLine(results: Seq[(String, Double)], errors: List[String],
       sfDir: String,
-      buildQueries: Set[String] = SparkEntry.buildQueries): String = {
+      buildQueries: Set[String] = SparkEntry.buildQueries,
+      load: Double = loadAvg()): String = {
     def fmt(v: Double): String = num("%.3f", v)
     val shortIds = results.map { case (k, v) => k.split('_').head -> v }
     require(shortIds.map(_._1).distinct.size == shortIds.size,
@@ -90,7 +115,19 @@ object Bench {
     val total = healthy.map(_._2).sum
     val build = healthy.filter(r => buildQueries.contains(r._1)).map(_._2).sum
     val errJson = errors.sorted.map(Jsons.quote).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson()},"queries":${queriesJson(shortIds)},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
+    // v2 row selection: error rows always print; healthy rows print when
+    // ≥ FastFloor AND inside the MaxLedgerRows slowest — the rest fold
+    // into the "fast" summary (count + exact sum, so the named rows plus
+    // the summary still reconstruct the total)
+    val (errRows, healthyRows) = shortIds.partition(_._2 < 0)
+    val named = healthyRows.filter(_._2 >= FastFloor)
+      .sortBy { case (n, v) => (-v, n) }.take(MaxLedgerRows)
+    val namedKeys = named.map(_._1).toSet
+    val elided = healthyRows.filterNot(r => namedKeys.contains(r._1))
+    val fastJson = s""""fast":{"n":${elided.size},"sum":${fmt(elided.map(_._2).sum)},"floor":${num("%.2f", FastFloor)}}"""
+    val rows = (errRows ++ named).sortBy(_._1)
+    val noisy = load > NoisyLoadThreshold
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","v":2,"noisy":$noisy,"tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson(load)},"queries":${queriesJson(rows)},$fastJson,"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   /** Emitted when the run dies before per-query timing can even start
@@ -99,7 +136,7 @@ object Bench {
     * ledger-comparable (error class + sf + machine load recorded) instead
     * of leaving only a raw stack tail. */
   def fatalLine(sfDir: String, e: Throwable): String =
-    s"""{"metric":"total","value":-1.000,"unit":"sec",${telemetryJson()},"queries":{},"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
+    s"""{"metric":"total","value":-1.000,"unit":"sec","v":2,${telemetryJson(loadAvg())},"queries":{},"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,7 +31,7 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(errors === List("x1_boom"))
     val line = Bench.jsonLine(results, errors, sf0001)
     // the driver parses this with json.loads — it must be valid JSON with
-    // the error named and the healthy query timed
+    // the error named and the healthy query accounted for
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.contains(""""x1":-1.00"""), line)
     assert(line.contains(""""errors":["x1_boom"]"""), line)
@@ -41,10 +41,41 @@ class DriverSurfaceSpec extends SparkSpec {
     // after-the-fact load adjudication of driver-bench inflation)
     assert(node.get("loadavg").isNumber, line)
     assert(node.get("procs").asInt > 0, line)
+    assert(node.get("v").asInt === 2, line)
+    assert(node.get("noisy").isBoolean, line)
+    // the healthy row is either named (≥ floor) or in the fast summary —
+    // never silently dropped
+    val fastN = node.get("fast").get("n").asInt
+    assert((node.get("queries").has("g1") && fastN === 0) ||
+      (!node.get("queries").has("g1") && fastN === 1), line)
     // build/serve subtotals: no build rows in this registry → all serve
     assert(node.get("tiers").get("build").asDouble === 0.0, line)
     assert(math.abs(node.get("tiers").get("serve").asDouble
       - node.get("value").asDouble) < 0.002, line)
+  }
+
+  test("noisy flag derives from the pinned loadavg threshold") {
+    val results = Seq("g1_good" -> 1.0)
+    val quiet = parse(Bench.jsonLine(results, Nil, sf0001, load = 1.0))
+    val busy = parse(Bench.jsonLine(results, Nil, sf0001,
+      load = Bench.NoisyLoadThreshold + 0.1))
+    assert(!quiet.get("noisy").asBoolean)
+    assert(busy.get("noisy").asBoolean)
+    assert(quiet.get("loadavg").asDouble === 1.0)
+  }
+
+  test("v2 ledger elides sub-floor rows into an exact fast summary; errors always print") {
+    val results = Seq("a1_x" -> 0.10, "b1_x" -> 0.05, "c1_x" -> 2.0,
+      "x1_boom" -> -1.0)
+    val node = parse(Bench.jsonLine(results, List("x1_boom"), sf0001))
+    val q = node.get("queries")
+    assert(q.has("c1") && q.has("x1"), node.toString)
+    assert(!q.has("a1") && !q.has("b1"), node.toString)
+    assert(node.get("fast").get("n").asInt === 2)
+    assert(math.abs(node.get("fast").get("sum").asDouble - 0.15) < 0.002)
+    // named rows + fast sum reconstruct the healthy total
+    assert(math.abs(q.get("c1").asDouble + node.get("fast").get("sum").asDouble
+      - node.get("value").asDouble) < 0.005)
   }
 
   test("build rows split into the build subtotal; error rows count in neither") {
@@ -65,15 +96,24 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(parse(fatal).get("sf").asText === evil, fatal)
   }
 
-  test("the REAL registry's ledger line fits the driver's ~2KB tail window") {
+  test("the REAL registry's ledger line fits the driver's ~2KB tail window with 30+ rows headroom") {
     // rounds 1-5 lost their machine-readable bench to an overflowing line;
-    // this pins the budget against the live registry size, with worst-case
-    // 4-digit-second timings and the telemetry/tier fields included
-    val results = SparkEntry.queries.keySet.toSeq.sorted.map(_ -> 1234.567)
+    // this pins the budget against the live registry size PLUS 30 future
+    // rows, with worst-case 4-digit-second timings (every row above the
+    // fast floor, so MaxLedgerRows is what bounds the line)
+    val grown = SparkEntry.queries.keySet.toSeq.sorted ++
+      (0 until 30).map(i => f"z$i%02d_future_row")
+    val results = grown.map(_ -> 1234.567)
     val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
-    assert(parse(line).get("queries").size === results.size)
+    val node = parse(line)
+    assert(node.get("queries").size === Bench.MaxLedgerRows)
+    assert(node.get("fast").get("n").asInt === results.size - Bench.MaxLedgerRows)
     assert(line.length < 1900,
       s"ledger line ${line.length} chars — sbt's trailing [success] eats the rest of 2000")
+    // and the all-fast opposite extreme stays tiny and exact
+    val allFast = parse(Bench.jsonLine(grown.map(_ -> 0.01), Nil, "/root/testdata/sf0.1"))
+    assert(allFast.get("queries").size === 0)
+    assert(allFast.get("fast").get("n").asInt === results.size)
   }
 
   test("fatal bench crash still emits one parseable ledger line") {

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.{CurationOps, DedupOps}
+
+/** DUAL-TIER streaming admission — ONE call that screens an increment
+  * against BOTH maintained index tiers (the text tier's six
+  * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
+  * tree), emits the single c2b-shaped verdict, and commits the admitted
+  * survivors to BOTH tiers. This is the service form of the batch
+  * `c2b_semantic_admission` composition: same screens, same precedence
+  * (near_dup > span_dup > semantic_dup > contaminated > low_quality >
+  * admitted), same oracle — where the two single-tier services each fold
+  * only their OWN screen into admission, this one commits the complete
+  * curation policy.
+  *
+  * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
+  * three phases run in a fixed order —
+  *   1. VERDICT — computed over both tiers with the batch's own
+  *      `batch=<lineage>-<id>` dirs EXCLUDED from every maintained-side
+  *      read ([[DedupStream.sideExcluding]] /
+  *      [[VectorStream.screenExcluding]]), materialized BEFORE any
+  *      write, and stored at `outDir/verdicts/batch=<tag>` (idempotent
+  *      overwrite);
+  *   2. TEXT COMMIT — the admitted docs through
+  *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
+  *      replay discipline, all six sides + groups);
+  *   3. VECTOR COMMIT — the admitted ids' vectors through
+  *      [[VectorStream.admitBatch]] (cells + stats + codes, same
+  *      discipline).
+  * A crash ANYWHERE — before the verdict write, BETWEEN the tiers (text
+  * committed, vector not: the window the round-13 verdict called out),
+  * or mid-vector-commit — replays the whole batch idempotently. The
+  * phase-1 exclusion is what makes the replayed VERDICT STABLE: no
+  * matter which tier(s) already committed, the replay reads exactly the
+  * corpus the original attempt saw — an admitted doc's own shingles or
+  * cells landing in tier state cannot flip its replayed verdict to
+  * near_dup/semantic_dup, and its own seeds cannot manufacture a span
+  * self-match — so each tier's batch-keyed overwrite rewrites itself
+  * with identical content. Compaction carries each lineage's latest
+  * (only replayable) batch dir un-folded, so the exclusion stays
+  * addressable across an intervening compact on either tier.
+  *
+  * Preconditions: the vector tier is built once ([[VectorStream.build]]
+  * — the frozen centroids are the screen's serving state) and the
+  * single-writer-per-index discipline of each tier extends to the PAIR
+  * (one CurationStream owns both index dirs between its microbatches).
+  * Docs without a vector simply skip the semantic screen — multimodal
+  * feeds are rarely total — and vectors without a doc are ignored (the
+  * doc frame is the admission spine).
+  *
+  * Reference: the reference runs backfills through its livescan path
+  * (main/src/etl.rs) — this service extends that one-path discipline
+  * across two index tiers. */
+object CurationStream {
+
+  /** Thrown only by the spec's injected-crash seam, between phases 2 and
+    * 3 — the exact window the cross-tier replay contract covers. */
+  private[graft] final class CrashBetweenTiers
+    extends RuntimeException("injected crash: text tier committed, vector tier not")
+
+  /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
+    * excluded, nothing committed): what WOULD this increment do under
+    * the full curation policy. One call, both tiers — the audit form of
+    * [[admitBatch]], composing [[DedupStream.admissionVerdicts]] with
+    * the vector tier's served screen. */
+  def verdicts(spark: SparkSession, textIndexDir: String,
+      vectorIndexDir: String, docs: DataFrame, vectors: DataFrame,
+      benchmark: DataFrame, threshold: Double = 0.5,
+      semThreshold: Double = 0.9, minQuality: Double = 0.5,
+      contamK: Int = 4, contamMinShared: Int = 1,
+      maxCell: Int = 256): DataFrame =
+    DedupStream.admissionVerdicts(spark, textIndexDir, docs, benchmark,
+      threshold, minQuality, contamK, contamMinShared,
+      semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
+        semThreshold, maxCell)))
+
+  /** One microbatch: dual-tier verdict, then commit admitted docs to the
+    * text tier and their vectors to the vector tier. Public so batch
+    * backfills reuse the exact streaming admission logic. */
+  def admitBatch(docs: DataFrame, vectors: DataFrame, batchId: Long,
+      textIndexDir: String, vectorIndexDir: String, outDir: String,
+      benchmark: DataFrame, threshold: Double = 0.5,
+      semThreshold: Double = 0.9, minQuality: Double = 0.5,
+      contamK: Int = 4, contamMinShared: Int = 1,
+      lineage: String = "curation", maxCell: Int = 256,
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): Unit =
+    admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
+      outDir, benchmark, threshold, semThreshold, minQuality, contamK,
+      contamMinShared, lineage, maxCell, bloomSizing,
+      failAfterTextTier = false)
+
+  private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
+      batchId: Long, textIndexDir: String, vectorIndexDir: String,
+      outDir: String, benchmark: DataFrame, threshold: Double,
+      semThreshold: Double, minQuality: Double, contamK: Int,
+      contamMinShared: Int, lineage: String, maxCell: Int,
+      bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean): Unit = {
+    val spark = docs.sparkSession
+    if (docs.isEmpty) return // trailing empty trigger: no state change
+    val tag = s"$lineage-$batchId"
+    // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
+    val verdict = CurationOps.admitIncrement(docs,
+      DedupOps.incrementalNearDups(DedupOps.shingleArrays(docs),
+        DedupStream.sideExcluding(spark, textIndexDir, "shingles", tag),
+        DedupStream.sideExcluding(spark, textIndexDir, "bands", tag),
+        threshold),
+      DedupOps.incrementalSpans(docs,
+        DedupStream.sideExcluding(spark, textIndexDir, "seeds", tag),
+        DedupStream.sideExcluding(spark, textIndexDir, "seedstats", tag),
+        k = DedupStream.SeedK),
+      DedupOps.contaminationHits(docs, benchmark, contamK, contamMinShared),
+      minQuality,
+      Some(VectorStream.screenExcluding(spark, vectorIndexDir, vectors,
+        semThreshold, maxCell, tag))).persist()
+    try {
+      // materialize NOW: the verdict lazily reads the very dirs the
+      // commits below append to — forcing it first keeps the read set
+      // consistent (the DedupStream.admitBatch discipline, cross-tier)
+      verdict.count()
+      verdict.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$tag")
+      // the COMMITS consume the durable verdict (a parquet re-read, not
+      // the live plan): the admitted set a replay acts on is exactly the
+      // set the stored verdict names, and the downstream tier plans stop
+      // embedding the full dual-tier screen tree (whose repeated
+      // re-composition otherwise balloons every commit-side plan)
+      val admitted = spark.read.parquet(s"$outDir/verdicts/batch=$tag")
+        .filter(col("verdict") === "admitted")
+        .select("doc_id")
+      // ---- phase 2: TEXT COMMIT ---------------------------------------
+      // DedupStream.admitBatch re-runs its dedup screens over the
+      // admitted set — they find nothing (verdict-admitted docs have no
+      // pairs) — and owns the replay discipline for all six sides
+      DedupStream.admitBatch(
+        docs.join(admitted, Seq("doc_id"), "left_semi"),
+        batchId, textIndexDir, s"$outDir/text", threshold, lineage,
+        bloomSizing)
+      if (failAfterTextTier) throw new CrashBetweenTiers
+      // ---- phase 3: VECTOR COMMIT -------------------------------------
+      VectorStream.admitBatch(
+        vectors.join(admitted.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left_semi"),
+        batchId, vectorIndexDir, s"$outDir/vec", semThreshold, lineage,
+        maxCell)
+    } finally {
+      verdict.unpersist(blocking = false)
+      DedupOps.releaseCaches()
+    }
+  }
+
+  /** The verdict history across the stream: one c2b-shaped row per
+    * screened doc per batch (the service's primary output — kept/dups
+    * details per tier live under `outDir/text` and `outDir/vec`). */
+  def verdictLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/verdicts").drop("batch").orderBy("doc_id")
+
+  /** Start the dual-tier admission stream over a streaming frame carrying
+    * (doc_id, text, …, embedding) — the embedding column may be null for
+    * text-only rows; those skip the semantic screen and the vector
+    * commit. */
+  def start(stream: DataFrame, textIndexDir: String, vectorIndexDir: String,
+      outDir: String, checkpointDir: String, benchmark: DataFrame,
+      threshold: Double = 0.5, semThreshold: Double = 0.9,
+      minQuality: Double = 0.5, maxCell: Int = 256,
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): StreamingQuery = {
+    val lineage = IndexSides.lineageOf(checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(
+          batch.drop("embedding"),
+          batch.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")),
+          batchId, textIndexDir, vectorIndexDir, outDir, benchmark,
+          threshold, semThreshold, minQuality, lineage = lineage,
+          maxCell = maxCell, bloomSizing = bloomSizing)
+      }
+      .start()
+  }
+}

@@ -301,6 +301,27 @@ object DedupStream {
   def liveRoot(spark: SparkSession, indexDir: String): String =
     IndexSides.liveRoot(spark, indexDir)
 
+  /** A maintained side with one `batch=<tag>` dir EXCLUDED (partition
+    * pruning skips it): the dual-tier [[CurationStream]] computes its
+    * pre-commit verdict over these, so a REPLAY whose previous attempt
+    * already committed this tier reads exactly the corpus the original
+    * attempt saw — the same self-exclusion [[admitBatch]]'s prior probe
+    * uses, surfaced for the cross-tier composition. Compaction carries
+    * each lineage's latest (only replayable) batch dir un-folded, so the
+    * exclusion stays addressable across an intervening compact. */
+  private[streaming] def sideExcluding(spark: SparkSession, indexDir: String,
+      side: String, tag: String): DataFrame = {
+    val schema = side match {
+      case "shingles" => ShingleSchema
+      case "bands" => BandSchema
+      case "seeds" => SeedSchema
+      case "seedstats" => StatsSchema
+      case other => throw new IllegalArgumentException(s"no such side: $other")
+    }
+    readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
+      .filter(col("batch") =!= tag).drop("batch")
+  }
+
   def corpusShingles(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/shingles", ShingleSchema)
       .drop("batch")

@@ -192,14 +192,35 @@ object VectorStream {
     * centroids + corpus cells + cell-size stats (nothing corpus-sized is
     * aggregated — the cells table is only joined on `cell`). */
   def screen(spark: SparkSession, indexDir: String, newVectors: DataFrame,
-      threshold: Double, maxCell: Int = 256): DataFrame = {
-    val root = liveRoot(spark, indexDir)
+      threshold: Double, maxCell: Int = 256): DataFrame =
+    screenAt(spark, liveRoot(spark, indexDir), newVectors, threshold,
+      maxCell, excludeTag = None)
+
+  /** [[screen]] with one `batch=<tag>` dir excluded from the corpus
+    * reads — [[admitBatch]]'s replay discipline, shared with the
+    * dual-tier [[CurationStream]] pre-commit verdict (see
+    * [[DedupStream.sideExcluding]] for the rationale; compaction carries
+    * the latest per-lineage dir, so the tag stays addressable). */
+  private[streaming] def screenExcluding(spark: SparkSession, indexDir: String,
+      newVectors: DataFrame, threshold: Double, maxCell: Int,
+      tag: String): DataFrame =
+    screenAt(spark, liveRoot(spark, indexDir), newVectors, threshold,
+      maxCell, excludeTag = Some(tag))
+
+  /** The one screen definition: root resolved by the CALLER (once per
+    * logical operation — the mixed-tree guard), corpus cells + stats read
+    * under it with an optional batch-dir exclusion. */
+  private def screenAt(spark: SparkSession, root: String,
+      newVectors: DataFrame, threshold: Double, maxCell: Int,
+      excludeTag: Option[String]): DataFrame = {
+    def excl(df: DataFrame): DataFrame =
+      excludeTag.fold(df)(t => df.filter(col("batch") =!= t)).drop("batch")
     SimilarityOps.semanticScreen(
       IvfIndex(centroidsAt(spark, root),
-        IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch")),
+        excl(IndexSides.readSide(spark, s"$root/cells", CellSchema))),
       newVectors, threshold, maxCell,
-      corpusCellStats = Some(IndexSides
-        .readSide(spark, s"$root/cellstats", CellStatsSchema).drop("batch")))
+      corpusCellStats = Some(
+        excl(IndexSides.readSide(spark, s"$root/cellstats", CellStatsSchema))))
   }
 
   /** D8b served from maintained state (the [[screen]] discipline applied
@@ -276,13 +297,8 @@ object VectorStream {
     // dups. Excluding the key makes replay read exactly the original
     // run's corpus. Materialize before any write all the same (the plan
     // lazily reads the dirs this batch overwrites).
-    val corpusExcl = IndexSides.readSide(spark, s"$root/cells", CellSchema)
-      .filter(col("batch") =!= batchTag).drop("batch")
-    val statsExcl = IndexSides.readSide(spark, s"$root/cellstats", CellStatsSchema)
-      .filter(col("batch") =!= batchTag).drop("batch")
-    val pairs = SimilarityOps.semanticScreen(
-      IvfIndex(cents, corpusExcl), batch, threshold, maxCell,
-      corpusCellStats = Some(statsExcl)).persist()
+    val pairs = screenAt(spark, root, batch, threshold, maxCell,
+      excludeTag = Some(batchTag)).persist()
     pairs.count()
     // Never index a vec_id twice (the DedupStream probe discipline): a
     // re-ingest under a different lineage is not rejected by the pair

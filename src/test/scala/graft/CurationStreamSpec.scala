@@ -1,0 +1,243 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{CurationOps, DedupOps, SimilarityOps}
+import graft.streaming.{CurationStream, DedupStream, VectorStream}
+
+/** The dual-tier admission service (VERDICT r13 item 1): one call screens
+  * an increment against BOTH maintained tiers and commits both, and the
+  * cross-tier crash window — text tier committed, vector tier not — must
+  * replay idempotently with a verdict equal to the batch c2b composition
+  * (the oracle-checked reference answer). */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The StreamingSpec c2-parity fixture, shared verbatim: corpus docs
+    * 1–2 + vectors on distinct axes; increment 401–405 exercising every
+    * verdict class (near_dup, span_dup, contaminated, semantic_dup,
+    * admitted). */
+  private val span = (1 to 10).map(i => s"s$i").mkString(" ")
+  private val corpusDocs = Seq(
+    (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+    (2L, (1 to 20).map(i => s"c$i").mkString(" ") + " " + span + " " +
+      (21 to 40).map(i => s"c$i").mkString(" ")))
+  private val corpusEmb = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+  private val increment = Seq(
+    (401L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"),
+    (402L, (1 to 15).map(i => s"x$i").mkString(" ") + " " + span + " " +
+      (16 to 30).map(i => s"x$i").mkString(" ")),
+    (403L, "noise one two three alpha beta gamma delta more noise tail"),
+    (404L, "tiny junk words"),
+    (405L, (1 to 60).map(i => s"the w$i").mkString(" ")))
+  private val incEmb = Seq(
+    (401L, Array(0f, 0f, 1f, 0f)), (402L, Array(0f, 0f, 0f, 1f)),
+    (403L, Array(0f, 0f, -1f, 0f)), (404L, Array(0.999f, 0.01f, 0f, 0f)),
+    (405L, Array(0f, 0f, 0f, -1f)))
+  private val benchRows = Seq((50L, "alpha beta gamma delta benchmark probe words here"))
+
+  private def seedTiers(tmp: String): Unit = {
+    DedupStream.admitBatch(corpusDocs.toDF("doc_id", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      corpusEmb.toDF("vec_id", "embedding"), nCells = 2, iterations = 2)
+  }
+
+  /** The reference answer: the batch c2b composition over explicitly
+    * built corpus state — what the oracle checks for the registered
+    * query, rebuilt here from scratch (no streaming state involved). */
+  private def batchC2b(): Seq[(Long, String, Option[Long], Double)] = {
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val inc = increment.toDF("doc_id", "text")
+    val corpusSh = DedupOps.shingleArrays(corpus)
+    val out = CurationOps.admitIncrement(inc,
+      DedupOps.incrementalNearDups(DedupOps.shingleArrays(inc), corpusSh,
+        DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(corpusSh)), 0.5),
+      {
+        val cs = DedupOps.positionalSeeds(corpus)
+        DedupOps.incrementalSpans(inc, cs, DedupOps.seedStats(cs))
+      },
+      DedupOps.contaminationHits(inc, benchRows.toDF("doc_id", "text"), 4, 1),
+      semPairs = Some(SimilarityOps.semanticScreen(
+        SimilarityOps.ivfBuild(corpusEmb.toDF("vec_id", "embedding"), 2, 2),
+        incEmb.toDF("vec_id", "embedding"), 0.9)))
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    DedupOps.releaseCaches()
+    out
+  }
+
+  private def verdictRows(tmp: String): Seq[(Long, String, Option[Long], Double)] =
+    CurationStream.verdictLog(spark, s"$tmp/out")
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+
+  test("crash between tiers replays idempotently with a verdict equal to batch c2b") {
+    val tmp = Files.createTempDirectory("graft_curation").toString
+    seedTiers(tmp)
+    val expected = batchC2b()
+    assert(expected.map(r => (r._1, r._2)) === Seq(
+      401L -> "near_dup", 402L -> "span_dup", 403L -> "contaminated",
+      404L -> "semantic_dup", 405L -> "admitted"),
+      "fixture sanity: every verdict class exercised")
+    val docs = increment.toDF("doc_id", "text")
+    val vecs = incEmb.toDF("vec_id", "embedding")
+    val bench = benchRows.toDF("doc_id", "text")
+
+    // ---- attempt 1: crash BETWEEN the tiers ---------------------------
+    intercept[CurationStream.CrashBetweenTiers] {
+      CurationStream.admitBatchImpl(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+        s"$tmp/out", bench, 0.5, 0.9, 0.5, 4, 1, "cur", 256,
+        DedupOps.BloomSizing.Default, failAfterTextTier = true)
+    }
+    // text tier committed the admitted doc; vector tier did NOT
+    assert(DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 405L),
+      "text tier must hold seed + admitted docs after the crash")
+    assert(VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L),
+      "vector tier must be untouched by the crashed attempt")
+    // the crashed attempt's verdict is already the reference answer
+    assert(verdictRows(tmp) === expected)
+
+    // ---- attempt 2: full replay ---------------------------------------
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "cur")
+    // verdict STABLE across the replay despite the text tier's committed
+    // state (the own-batch exclusion: 405's shingles/seeds cannot flip it)
+    assert(verdictRows(tmp) === expected)
+    // both tiers now committed, exactly once
+    val shingleRows = DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(shingleRows.sorted === Seq(1L, 2L, 405L),
+      "no double-indexed doc after replay over the committed text tier")
+    assert(VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 405L))
+    assert(spark.read.parquet(s"$tmp/out/text/kept")
+      .select("doc_id").as[Long].collect().toSeq === Seq(405L))
+
+    // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "cur")
+    assert(verdictRows(tmp) === expected)
+    assert(DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSeq.sorted === Seq(1L, 2L, 405L))
+    assert(VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 405L))
+
+    // ---- the committed state SERVES: a near-dup of 405 in the next
+    // batch is rejected by the state this batch committed ---------------
+    CurationStream.admitBatch(
+      Seq((501L, (1 to 60).map(i => s"the w$i").mkString(" ") + " coda"))
+        .toDF("doc_id", "text"),
+      Seq((501L, Array(0f, 1f, 1f, 0f))).toDF("vec_id", "embedding"),
+      2L, s"$tmp/text", s"$tmp/vec", s"$tmp/out", bench, lineage = "cur")
+    val next = CurationStream.verdictLog(spark, s"$tmp/out")
+      .filter(col("doc_id") === 501L)
+      .select("verdict").as[String].head()
+    assert(next === "near_dup", s"501 duplicates committed 405, got $next")
+  }
+
+  test("advisory dual-tier verdicts match the committed composition (one call, both tiers)") {
+    val tmp = Files.createTempDirectory("graft_curation_adv").toString
+    seedTiers(tmp)
+    val advisory = CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec",
+      increment.toDF("doc_id", "text"), incEmb.toDF("vec_id", "embedding"),
+      benchRows.toDF("doc_id", "text"))
+      .as[(Long, String, Option[Long], Double)].collect().toSeq
+    DedupOps.releaseCaches()
+    assert(advisory === batchC2b())
+  }
+
+  test("dual-tier reads stay complete and coherent under concurrent admissions + compactions") {
+    val tmp = Files.createTempDirectory("graft_curation_soak").toString
+    // quality-passing unique docs (near 100 tokens, ~0.5 stopword ratio)
+    def doc(i: Long) = (i,
+      s"doc$i " + (1 to 50).map(k => s"the t${i}w$k").mkString(" "))
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    DedupStream.admitBatch(Seq(doc(1L), doc(2L)).toDF("doc_id", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1)), (2L, e(2))).toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 1)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    val committed = new AtomicReference(Set(1L, 2L))
+    val offered = new AtomicReference(Set(1L, 2L))
+
+    val cycles = IndexedSeq.fill(2)(new java.util.concurrent.atomic.AtomicLong(0L))
+    @volatile var stop = false
+    def quiesce(): Unit = {
+      val targets = cycles.map(_.get() + 1)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (cycles.zip(targets).exists { case (c, t) => c.get() < t } &&
+          !stop && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+    val failures = new ConcurrentLinkedQueue[String]
+    val readers = Seq(
+      // reader 0: both tiers' completeness/boundedness + cell coherence
+      () => {
+        val mustHave = committed.get()
+        val seenText = DedupStream.corpusShingles(spark, s"$tmp/text")
+          .select("doc_id").as[Long].collect().toSet
+        val ix = VectorStream.index(spark, s"$tmp/vec")
+        val cells = ix.cells.select("vec_id", "cell").as[(Long, Int)].collect()
+        val mayHave = offered.get()
+        val seenVec = cells.map(_._1).toSet
+        assert(mustHave.subsetOf(seenText), s"text read lost ${mustHave -- seenText}")
+        assert(seenText.subsetOf(mayHave), s"text read foreign ${seenText -- mayHave}")
+        assert(mustHave.subsetOf(seenVec), s"vec read lost ${mustHave -- seenVec}")
+        assert(seenVec.subsetOf(mayHave), s"vec read foreign ${seenVec -- mayHave}")
+        assert(cells.forall(c => c._2 >= 0 && c._2 < ix.centroids.length),
+          "mixed vector tree")
+      },
+      // reader 1: the dual-tier ADVISORY verdict on a probe duplicating a
+      // doc committed before the readers started — must answer near_dup
+      // through every publication
+      () => {
+        val v = CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec",
+          Seq((8001L, doc(1L)._2)).toDF("doc_id", "text"),
+          Seq((8001L, e(1))).toDF("vec_id", "embedding"), bench)
+          .select("verdict").as[String].head()
+        assert(v === "near_dup", s"probe verdict drifted to $v mid-publication")
+      })
+    val threads = readers.zipWithIndex.map { case (body, i) =>
+      val t = new Thread(() => {
+        while (!stop) {
+          try { body(); cycles(i).incrementAndGet() }
+          catch { case ex: Throwable =>
+            failures.add(s"reader$i: ${ex.getClass.getSimpleName}: ${ex.getMessage}")
+            stop = true
+          }
+        }
+      }, s"curation-soak-$i")
+      t.start(); t
+    }
+    try {
+      (3L to 7L).foreach { i =>
+        offered.set(offered.get() + i)
+        CurationStream.admitBatch(
+          Seq(doc(i)).toDF("doc_id", "text"),
+          Seq((i, e(i.toInt))).toDF("vec_id", "embedding"),
+          i, s"$tmp/text", s"$tmp/vec", s"$tmp/out", bench, lineage = "soak")
+        committed.set(committed.get() + i)
+        quiesce()
+        if (i == 5L) {
+          DedupStream.compact(spark, s"$tmp/text")
+          VectorStream.compact(spark, s"$tmp/vec")
+          quiesce()
+        }
+      }
+    } finally { stop = true; threads.foreach(_.join(30000)) }
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    assert(DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === (1L to 7L).toSet)
+    assert(VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSet === (1L to 7L).toSet)
+  }
+}

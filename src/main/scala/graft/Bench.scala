@@ -68,6 +68,15 @@ object Bench {
   val FastFloor = 0.25
   val MaxLedgerRows = 80
 
+  /** Error rows get the same bounding discipline: up to this many -1
+    * markers print in `queries` and this many names in `errors`
+    * (name-sorted, deterministic), with `"n_errors"` always carrying the
+    * true total. Without a cap the DEGRADED mode — the one this line's
+    * budget exists to protect — overflows the tail window exactly when a
+    * broken warm view fails half the registry (the rounds-1-5 failure
+    * shape all over again). */
+  val MaxErrorRows = 20
+
   /** 1-min loadavg above this marks the artifact `"noisy":true`:
     * per-query times in a noisy artifact are re-measured before being
     * believed (rounds 5/7/9/11/13 each needed exactly this adjudication
@@ -114,12 +123,14 @@ object Bench {
     val healthy = results.filter(_._2 >= 0)
     val total = healthy.map(_._2).sum
     val build = healthy.filter(r => buildQueries.contains(r._1)).map(_._2).sum
-    val errJson = errors.sorted.map(Jsons.quote).mkString("[", ",", "]")
-    // v2 row selection: error rows always print; healthy rows print when
-    // ≥ FastFloor AND inside the MaxLedgerRows slowest — the rest fold
-    // into the "fast" summary (count + exact sum, so the named rows plus
-    // the summary still reconstruct the total)
-    val (errRows, healthyRows) = shortIds.partition(_._2 < 0)
+    val errJson = errors.sorted.take(MaxErrorRows).map(Jsons.quote)
+      .mkString("[", ",", "]")
+    // v2 row selection: error rows print first (up to MaxErrorRows);
+    // healthy rows print when ≥ FastFloor AND inside the MaxLedgerRows
+    // slowest — the rest fold into the "fast" summary (count + exact sum,
+    // so the named rows plus the summary still reconstruct the total)
+    val (errAll, healthyRows) = shortIds.partition(_._2 < 0)
+    val errRows = errAll.sortBy(_._1).take(MaxErrorRows)
     val named = healthyRows.filter(_._2 >= FastFloor)
       .sortBy { case (n, v) => (-v, n) }.take(MaxLedgerRows)
     val namedKeys = named.map(_._1).toSet
@@ -127,7 +138,7 @@ object Bench {
     val fastJson = s""""fast":{"n":${elided.size},"sum":${fmt(elided.map(_._2).sum)},"floor":${num("%.2f", FastFloor)}}"""
     val rows = (errRows ++ named).sortBy(_._1)
     val noisy = load > NoisyLoadThreshold
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","v":2,"noisy":$noisy,"tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson(load)},"queries":${queriesJson(rows)},$fastJson,"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","v":2,"noisy":$noisy,"tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson(load)},"queries":${queriesJson(rows)},$fastJson,"n_errors":${errors.size},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   /** Emitted when the run dies before per-query timing can even start
@@ -135,8 +146,10 @@ object Bench {
     * keyed like the healthy artifact, so a crashed round stays
     * ledger-comparable (error class + sf + machine load recorded) instead
     * of leaving only a raw stack tail. */
-  def fatalLine(sfDir: String, e: Throwable): String =
-    s"""{"metric":"total","value":-1.000,"unit":"sec","v":2,${telemetryJson(loadAvg())},"queries":{},"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
+  def fatalLine(sfDir: String, e: Throwable): String = {
+    val load = loadAvg()
+    s"""{"metric":"total","value":-1.000,"unit":"sec","v":2,"noisy":${load > NoisyLoadThreshold},${telemetryJson(load)},"queries":{},"n_errors":1,"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -844,11 +844,13 @@ object SparkEntry {
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))
         .toDF().orderBy("doc_id")),
     "m3_frame_sample" -> ((s, d) =>
-      // keyframe sampling is a VIDEO op: feed it the media table's video
-      // subset (the image rows carry PNG containers, not frame streams)
+      // keyframe sampling is a VIDEO op: prune documents to the video
+      // modality BEFORE the generation map (a media_type filter above the
+      // opaque map would pay the PNG encode for 3/4 of the corpus and
+      // then discard it)
       MultimodalOps.sampleFrames(s,
-        MultimodalOps.asMediaTable(documents(s, d))
-          .filter(col("media_type").startsWith("video/")))
+        MultimodalOps.asMediaTable(
+          documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF().orderBy("doc_id", "frame_idx")),
 
     // ---- flagship relational agg ---------------------------------------

@@ -84,7 +84,13 @@ object MultimodalOps {
 
     def decode(r: MediaRecord): Option[MediaMeta] =
       sniff(r.payload).flatMap { fmt =>
-        Option(ImageIO.read(new ByteArrayInputStream(r.payload))).map { img =>
+        // a TRUNCATED/corrupt payload behind valid magic makes ImageIO
+        // throw (not return null) — that record must fall back to the
+        // stub, never kill the whole decode task (mixed real-world feeds
+        // always carry some rot)
+        scala.util.Try(
+          Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
+        ).toOption.flatten.map { img =>
           val w = img.getWidth.toLong
           val h = img.getHeight.toLong
           MediaMeta(r.doc_id, r.media_type, fmt, w, h, w * h)
@@ -111,11 +117,19 @@ object MultimodalOps {
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
     batch.map(r => ImageDecoder.decode(r).getOrElse(FakeDecoder.decode(r)))
 
-  /** Fixture media table over documents: every 4th doc is a video record
-    * (UTF-8 text bytes standing in for an undecodable container — the
-    * stub's remaining scope), the rest are REAL PNGs generated
-    * deterministically from the text length. Narrow per-row map (the
-    * fixture's ingest stage); no shuffle. */
+  /** The fixture's modality rule — ONE definition so a caller wanting a
+    * single modality can prune documents BEFORE [[asMediaTable]]'s
+    * opaque generation map (a post-hoc media_type filter would pay the
+    * PNG encode for rows it immediately discards; Catalyst cannot push a
+    * filter through a typed map). */
+  def isVideoId(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % 4 === 0
+
+  /** Fixture media table over documents: every 4th doc ([[isVideoId]]) is
+    * a video record (UTF-8 text bytes standing in for an undecodable
+    * container — the stub's remaining scope), the rest are REAL PNGs
+    * generated deterministically from the text length. Narrow per-row map
+    * (the fixture's ingest stage); no shuffle. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

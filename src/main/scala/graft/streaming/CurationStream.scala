@@ -145,6 +145,25 @@ object CurationStream {
           Seq("vec_id"), "left_semi"),
         batchId, vectorIndexDir, s"$outDir/vec", semThreshold, lineage,
         maxCell)
+      // Dual-tier admission accounting (the K4 discipline): the per-tier
+      // metrics under outDir/text|vec see only the verdict-admitted
+      // subset — a 100%-admission picture — so the service exports the
+      // verdict-level reject counts itself. Written LAST on the same
+      // idempotent batch= key: a present metrics row implies the batch
+      // committed BOTH tiers.
+      val counts = spark.read.parquet(s"$outDir/verdicts/batch=$tag")
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      Seq((lineage, batchId, counts.values.sum,
+          counts.getOrElse("admitted", 0L), counts.getOrElse("near_dup", 0L),
+          counts.getOrElse("span_dup", 0L),
+          counts.getOrElse("semantic_dup", 0L),
+          counts.getOrElse("contaminated", 0L),
+          counts.getOrElse("low_quality", 0L)))
+        .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
+          "n_span_dup", "n_semantic_dup", "n_contaminated", "n_low_quality")
+        .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)
       DedupOps.releaseCaches()
@@ -156,6 +175,14 @@ object CurationStream {
     * details per tier live under `outDir/text` and `outDir/vec`). */
   def verdictLog(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/verdicts").drop("batch").orderBy("doc_id")
+
+  /** Per-batch DUAL-TIER admission accounting: the verdict-level counts
+    * (the per-tier metrics under `outDir/text`/`outDir/vec` describe only
+    * the already-admitted subset). A batch appears here only once both
+    * tiers committed. */
+  def metrics(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/metrics")
+      .drop("batch").orderBy("lineage", "batch_id")
 
   /** Start the dual-tier admission stream over a streaming frame carrying
     * (doc_id, text, …, embedding) — the embedding column may be null for

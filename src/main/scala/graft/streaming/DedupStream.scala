@@ -119,25 +119,40 @@ object DedupStream {
       .sortBy(-_._1)
   }
 
-  /** The highest READABLE stamp, with its version: unreadable dirs — a
-    * crash mid-stamp leaving no data files, OR a corrupt/truncated file a
-    * non-atomic copy left behind (the read itself throws) — are skipped,
-    * so every path keeps serving the previous stamp — or Default for a
-    * never-stamped index — rather than failing on an empty head() or a
-    * parquet footer error. */
+  /** The highest READABLE stamp, with its version. Two distinct
+    * can't-read cases, two behaviors:
+    *  - an EMPTY dir (a crash mid-stamp leaves no data files) reads as
+    *    absent — fall through to the previous version, or Default for a
+    *    never-stamped index;
+    *  - a CORRUPT/truncated file (a non-atomic copy; the read throws) is
+    *    skipped ONLY in favor of a readable lower version. If no version
+    *    is readable but a corrupt stamp exists, resolution FAILS — the
+    *    index demonstrably had a stamped geometry, so silently assuming
+    *    Default would test the wrong hash positions against the partials
+    *    and turn the no-false-negative screen into silent misses. */
   private def readConfVersioned(spark: SparkSession,
       live: String): Option[(Long, DedupOps.BloomSizing)] = {
     val fs = IndexSides.fsOf(spark, live)
-    confDirsUnder(fs, live).iterator.flatMap { case (v, name) =>
+    var corrupt = List.empty[String]
+    val resolved = confDirsUnder(fs, live).iterator.flatMap { case (v, name) =>
       scala.util.Try(
         spark.read.schema(BloomConfSchema).parquet(s"$live/$name").take(1).headOption
-      ).toOption.flatten
-        .map(r => v -> (
+      ) match {
+        case scala.util.Success(row) => row.map(r => v -> (
           // stamps written before the design point rode along read as the
           // class default (ONE source of truth for the 1%)
           if (r.isNullAt(3)) DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2))
           else DedupOps.BloomSizing(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))))
+        case scala.util.Failure(_) => corrupt ::= name; None
+      }
     }.nextOption()
+    if (resolved.isEmpty && corrupt.nonEmpty)
+      throw new IllegalStateException(
+        s"no readable Bloom stamp at $live, but corrupt stamp dir(s) " +
+          s"${corrupt.reverse.mkString(", ")} exist — refusing to assume " +
+          "Default geometry (partials of another geometry cannot be " +
+          "screened safely); repair or remove the corrupt stamp")
+    resolved
   }
 
   private def readConfUnder(spark: SparkSession,

@@ -94,7 +94,11 @@ class CurationStreamSpec extends SparkSpec {
         s"$tmp/out", bench, 0.5, 0.9, 0.5, 4, 1, "cur", 256,
         DedupOps.BloomSizing.Default, failAfterTextTier = true)
     }
-    // text tier committed the admitted doc; vector tier did NOT
+    // text tier committed the admitted doc; vector tier did NOT — and the
+    // dual-tier metrics row, written last, must not exist yet (a present
+    // row implies both tiers committed)
+    assert(!new java.io.File(s"$tmp/out/metrics/batch=cur-1").exists(),
+      "metrics must be absent after a crash between the tiers")
     assert(DedupStream.corpusShingles(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 405L),
       "text tier must hold seed + admitted docs after the crash")
@@ -119,6 +123,15 @@ class CurationStreamSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 405L))
     assert(spark.read.parquet(s"$tmp/out/text/kept")
       .select("doc_id").as[Long].collect().toSeq === Seq(405L))
+    // the dual-tier metrics row reports the VERDICT-level reject counts
+    // (the per-tier metrics see only the admitted subset)
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(2) === 5L && m.getLong(3) === 1L,
+      s"n_in=5, n_admitted=1: $m")
+    // one reject per firing class; 404's low_quality is OUTRANKED by its
+    // semantic_dup verdict, so n_low_quality is 0
+    assert((4 to 8).map(m.getLong) === Seq(1L, 1L, 1L, 1L, 0L), m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
     CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",

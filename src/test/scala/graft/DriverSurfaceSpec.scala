@@ -116,6 +116,19 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(allFast.get("fast").get("n").asInt === results.size)
   }
 
+  test("mass failure stays inside the tail window: error rows and names are capped, n_errors exact") {
+    // the degraded mode the budget exists for: a broken warm view fails
+    // the whole registry — v1 would emit every name twice and overflow
+    val all = SparkEntry.queries.keySet.toSeq.sorted
+    val node = parse(Bench.jsonLine(all.map(_ -> -1.0), all.toList,
+      "/root/testdata/sf0.1"))
+    assert(node.get("queries").size === Bench.MaxErrorRows)
+    assert(node.get("errors").size === Bench.MaxErrorRows)
+    assert(node.get("n_errors").asInt === all.size)
+    val line = Bench.jsonLine(all.map(_ -> -1.0), all.toList, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"degraded line ${line.length} chars")
+  }
+
   test("fatal bench crash still emits one parseable ledger line") {
     val line = Bench.fatalLine("/root/testdata/sf0.1",
       new IllegalStateException("env broke"))

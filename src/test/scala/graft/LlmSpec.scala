@@ -138,6 +138,17 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) === MediaMeta(2L, "image/jpeg", "jpeg", 77L, 33L, 77L * 33L))
     // the undecodable payload falls through to the declared stub
     assert(got(3L).format === "raw" && got(3L).width === 64L + 4L)
+    // a TRUNCATED payload behind valid PNG magic (ImageIO throws, not
+    // null) must fall back to the stub for that record, never kill the
+    // decode task
+    val truncated = bytesOf(50, 50, "png").take(24)
+    val mixed = Seq(
+      MediaRecord(4L, "image/png", truncated),
+      MediaRecord(5L, "image/png", bytesOf(10, 20, "png"))).toDS().toDF()
+    val got2 = MultimodalOps.decodeMeta(spark, mixed)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got2(4L).format === "raw" && got2(4L).width === 64L + 24L)
+    assert(got2(5L) === MediaMeta(5L, "image/png", "png", 10L, 20L, 200L))
   }
 
   test("shingle arrays match an independent reimplementation (seeded property)") {

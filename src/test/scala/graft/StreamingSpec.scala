@@ -852,6 +852,17 @@ class StreamingSpec extends SparkSpec {
     val screen = graft.streaming.DedupStream.screenExact(spark, s"$tmp/index",
       Seq((1L, "first admission stamps version zero")).toDF("doc_id", "text"))
     assert(screen.filter(col("maybe_dup")).count() === 1L)
+    // but a corrupt SOLE stamp must fail LOUDLY, never silently resolve
+    // Default: the index demonstrably had a stamped geometry, and serving
+    // Default hash positions against its partials would turn the
+    // no-false-negative screen into silent misses
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/index/bloomconf"), true)
+    val boom = intercept[IllegalStateException] {
+      graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index")
+    }
+    assert(boom.getMessage.contains("corrupt stamp"), boom.getMessage)
   }
 
   test("bloom drift warning emits once per (index, shard, stamp version)") {

@@ -603,6 +603,10 @@ object SparkEntry {
       // verbatim shared spans ≥ 8 words (Lee et al.-style substring dedup;
       // pair-level Jaccard can't see a pasted block inside a long doc)
       DedupOps.duplicatedSpans(documents(s, d))),
+    "d9c_span_scrub" -> ((s, d) =>
+      // the remediation of d9: spans keep their first occurrence, the
+      // later doc's covered words are removed; whole corpus passes through
+      DedupOps.spanScrub(documents(s, d))),
     "d6b_quality_keepers" -> ((s, d) =>
       // keeper policy over the MAINTAINED group assignment: keep the
       // best-quality member per near-dup group, not the min doc_id

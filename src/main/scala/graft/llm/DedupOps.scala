@@ -777,6 +777,51 @@ object DedupOps {
     spanIslands(vsCorpus.drop("kh").unionByName(vsNew.drop("kh")), k, minSpan)
   }
 
+  /** D9c — duplicated-span SCRUB: the remediation half of d9's detection
+    * (Lee et al. 2022's dedup policy — "remove all but one occurrence"):
+    * every reported maximal span keeps its FIRST occurrence (the lower
+    * doc_id, d9's id_a) and its covered words are removed from the later
+    * doc's text. Output is the whole corpus — (doc_id, text_clean,
+    * n_words, n_removed) — untouched docs pass through verbatim at
+    * n_removed = 0. Chained copies converge to ONE surviving occurrence:
+    * with A < B < C sharing a span, B scrubs as (A,B)'s b-side and C as
+    * (A,C)/(B,C)'s, leaving only A's copy. Overlapping spans from
+    * different pairs union their position sets (the exists() test below
+    * is a union by construction).
+    *
+    * Scale shape: d9's detection dominates; remediation adds ONE
+    * doc_id-keyed left join against per-later-doc interval lists (the
+    * collect_list is doc-bounded — ≤ words/k intervals per doc — never
+    * corpus-sized) and a narrow all-codegen higher-order chain: kept
+    * positions = filter(sequence, ¬exists(intervals)), rebuilt by
+    * transform + array_join. No window, no second text shuffle, and the
+    * interval join carries span coordinates only — text stays in its
+    * scan partition. */
+  def spanScrub(documents: DataFrame, k: Int = 5, minSpan: Int = 8,
+      maxDf: Int = 100, algo: String = "md5"): DataFrame = {
+    val spans = duplicatedSpans(documents, k, minSpan, maxDf, algo)
+    val intervals = spans.groupBy(col("id_b").as("doc_id"))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))).as("iv"))
+    documents.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        // null-UNSAFE lambda below: an absent interval list must read as
+        // the empty list, not null (exists over null nulls the keep test
+        // and would scrub the whole untouched doc)
+        coalesce(col("iv"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("iv"))
+      .withColumn("words", split(col("text"), " ", -1))
+      .withColumn("kept", filter(
+        sequence(lit(0), size(col("words")) - 1),
+        p => not(exists(col("iv"), i => p >= i("s") && p < i("e")))))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"),
+          p => element_at(col("words"), p + 1)), " ").as("text_clean"),
+        size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** D6b — quality-aware KEEPER SELECTION: d6/d7 elect the minimum doc_id
     * of each near-dup group, which is the right CANONICAL id but the wrong
     * editorial policy — a production pipeline keeps the best-quality

@@ -1041,6 +1041,32 @@ ORDER BY doc_id, bench_id""",
     // increment self-join — exactly the matches with id_b new
     "d9b_incremental_spans" -> spanOracle(" AND b.doc_id >= 400"),
 
+    // d9c = d9's span set applied as REMEDIATION: each span's covered
+    // word positions drop from the LATER doc (id_b); the first occurrence
+    // survives. Same seed chain, then per-doc position surgery.
+    "d9c_span_scrub" -> s"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", "")},
+spans AS (SELECT id_a, id_b, CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+                 CAST(count(*) + 4 AS BIGINT) AS span_len
+          FROM isl GROUP BY id_a, id_b, diag, island
+          HAVING count(*) + 4 >= 8),
+wpos AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i ->
+           {'pos': i - 1, 'word': w[i]})) AS u FROM docs),
+wp AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.word AS word FROM wpos),
+removed AS (SELECT DISTINCT s.id_b AS doc_id, p.pos
+            FROM spans s JOIN wp p ON p.doc_id = s.id_b
+             AND p.pos >= s.start_b AND p.pos < s.start_b + s.span_len),
+kept AS (SELECT p.doc_id, p.pos, p.word FROM wp p
+         WHERE NOT EXISTS (SELECT 1 FROM removed r
+                           WHERE r.doc_id = p.doc_id AND r.pos = p.pos)),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(len(d.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+
     // c1 = the end-to-end curation composition: exact dedup (d1) →
     // near-dup groups over the survivors (d2/d6 chain, restricted) →
     // quality-keeper election (d6b window) → k=4 decontamination vs the

@@ -871,6 +871,38 @@ class LlmSpec extends SparkSpec {
     assert(spans6.contains((3L, 4L, 0L, 2L, 6L)))
   }
 
+  test("span scrub keeps the first occurrence, strips later copies, converges (d9c)") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"alpha beta gamma $shared tail1 tail2"),     // first occurrence
+      (2L, s"$shared other words entirely here now"),    // b-side of (1,2)
+      (3L, s"prefix words here $shared suffix bits end"), // b-side of (1,3)+(2,3)
+      (5L, "untouched document with no shared content at all okay"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanScrub(synth)
+      .as[(Long, String, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the FIRST occurrence (lowest doc_id) survives verbatim
+    assert(byId(1L)._2 === s"alpha beta gamma $shared tail1 tail2")
+    assert(byId(1L)._3 === 15L && byId(1L)._4 === 0L)
+    // each later copy loses exactly the 10 covered words — including doc 3,
+    // whose positions are covered TWICE ((1,3) and (2,3)) and removed once
+    assert(byId(2L) === ((2L, "other words entirely here now", 15L, 10L)))
+    assert(byId(3L) === ((3L, "prefix words here suffix bits end", 16L, 10L)))
+    // an untouched doc passes through verbatim with zero removals
+    assert(byId(5L)._2 === "untouched document with no shared content at all okay")
+    assert(byId(5L)._4 === 0L)
+    // convergence: one scrub pass leaves no detectable span — exactly one
+    // occurrence of the duplicated block survives in the corpus
+    val rerun = DedupOps.duplicatedSpans(
+      out.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    DedupOps.releaseCaches()
+    assert(rerun.isEmpty, s"scrubbed corpus still has spans: ${rerun.toSeq}")
+  }
+
   test("xxh64 production hash finds the same span set (d9 swap seam)") {
     import spark.implicits._
     // at the default minSpan (4 consecutive seeds at k=5) the sets must

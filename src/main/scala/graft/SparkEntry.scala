@@ -788,6 +788,11 @@ object SparkEntry {
       // reduction is an exact long sum (engine-portable); deployment
       // scores increments against the maintained wordcounts side
       TextOps.unigramNll(documents(s, d))),
+    "t19c_bigram_nll" -> ((s, d) =>
+      // one Markov order up from t19 toward CCNet's KenLM filter: first
+      // word under the unigram model, later words under the MLE
+      // conditional; bigrams via a narrow zip_with — no corpus window
+      TextOps.bigramNll(documents(s, d))),
     "t19b_unigram_nll_served" -> ((s, d) =>
       // t19's SERVED twin (the DedupStream deployment path): the increment
       // is scored against the MAINTAINED word-counts side, Laplace-smoothed

@@ -268,6 +268,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T19c — BIGRAM-LM NLL: one Markov order up from [[unigramNll]] toward
+    * CCNet's 5-gram KenLM filter. The first word scores under the corpus
+    * unigram distribution, −ln(n_w/N); every later word under the MLE
+    * conditional, −ln(c(prev,w)/c(prev)). In-corpus scoring means every
+    * bigram a doc contains is in the corpus counts by construction, so
+    * the conditional is well-defined and positive without smoothing
+    * (the served/increment form is where smoothing lives — see t19b's
+    * Laplace pattern). Same ×10⁴ integer quantization and exact long
+    * sums as t19; avg_nll over all n_words terms (1 unigram + n−1
+    * conditional).
+    *
+    * Scale shape: bigram extraction is a NARROW array map — zip_with over
+    * the split's two shifted slices, never lead() over a corpus window
+    * (which would shuffle the whole token stream per doc); counts are two
+    * map-side-combined shuffles (∝ distinct bigrams / words); scoring
+    * joins the pair stream on (prev, word) and first words on word — AQE
+    * broadcasts the small models — and the per-doc sum reduces map-side.
+    * The tokenize pass runs on the narrow probe side twice rather than
+    * persisting a corpus-token-sized frame (the t19 trade, documented
+    * there). */
+  def bigramNll(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    def pairStream = words.select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("word")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.word").as("word"))
+    val uni = DedupOps.tracked(documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n")))
+    val stats = uni.agg(sum("n")).head()
+    val total = if (stats.isNullAt(0)) 1L else stats.getLong(0)
+    val big = pairStream.groupBy("prev", "word").agg(count(lit(1)).as("nb"))
+    val firstTerms = words
+      .select(col("doc_id"), element_at(col("w"), 1).as("word"))
+      .join(uni, "word")
+      .select(col("doc_id"),
+        round(-log(col("n").cast("double") / total.toDouble) * 10000.0)
+          .cast("long").as("wn"))
+    val condTerms = pairStream
+      .join(big, Seq("prev", "word"))
+      .join(uni.select(col("word").as("prev"), col("n").as("np")), "prev")
+      .select(col("doc_id"),
+        round(-log(col("nb").cast("double") / col("np").cast("double")) * 10000.0)
+          .cast("long").as("wn"))
+    firstTerms.unionByName(condTerms)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("wn").as("nll_x10k"))
+      .select(col("doc_id"), col("n_words"), col("nll_x10k"),
+        round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** T13 — VOCABULARY induction: corpus-wide word frequencies, ranked by
     * (count desc, word), top `maxVocab` entries with cumulative coverage
     * of the token stream — the corpus-side preparation for BPE/unigram

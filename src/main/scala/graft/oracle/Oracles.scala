@@ -1518,6 +1518,32 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
 FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // t19c: bigram-LM NLL — first word under the unigram model, later
+    // words under the MLE conditional c(prev,w)/c(prev); in-corpus
+    // scoring needs no smoothing. Same ×10⁴ quantization + exact sums.
+    "t19c_bigram_nll" -> s"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+uw AS (SELECT doc_id, unnest(w) AS word FROM docs),
+uni AS (SELECT word, count(*) AS n FROM uw GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+pr AS (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1), i ->
+         {'prev': w[i-1], 'word': w[i]})) AS b FROM docs),
+pairs AS (SELECT doc_id, b.prev AS prev, b.word AS word FROM pr),
+big AS (SELECT prev, word, count(*) AS nb FROM pairs GROUP BY 1, 2),
+terms AS (
+  SELECT d.doc_id,
+         CAST(round(-ln(CAST(u.n AS DOUBLE) / (SELECT nn FROM tot)) * 10000) AS BIGINT) AS wn
+  FROM (SELECT doc_id, w[1] AS word FROM docs) d JOIN uni u USING (word)
+  UNION ALL
+  SELECT p.doc_id,
+         CAST(round(-ln(CAST(b.nb AS DOUBLE) / up.n) * 10000) AS BIGINT) AS wn
+  FROM pairs p JOIN big b USING (prev, word)
+  JOIN uni up ON up.word = p.prev)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wn) AS BIGINT) AS nll_x10k,
+       round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
+FROM terms GROUP BY doc_id ORDER BY doc_id""",
+
     "t17_quantile_gate" -> s"""WITH $QualityCte,
 s AS (SELECT doc_id, lang, quality_score,
              CAST(round(quality_score * 10000) AS BIGINT) AS b FROM q),

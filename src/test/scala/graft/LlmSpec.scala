@@ -1598,6 +1598,43 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("bigram NLL matches a hand model; 1-word docs take only the unigram term (t19c)") {
+    import spark.implicits._
+    // uni: a:3 b:3 c:1 x:1 solo:1, N=9; bigrams: (a,b):3 (b,a):1 (b,c):1 (b,x):1
+    val fixture = Seq(
+      (1L, "a b a b c"), (2L, "a b x"), (3L, "solo")).toDF("doc_id", "text")
+    def nll(p: Double): Long = math.round(-math.log(p) * 10000.0)
+    val ln3 = nll(1.0 / 3)                       // 10986
+    val want = Map(
+      // first a: -ln(3/9)=ln3; (a,b): -ln(3/3)=0; (b,a),(b,c): -ln(1/3)
+      1L -> (5L, ln3 + 0L + ln3 + 0L + ln3),
+      2L -> (3L, ln3 + 0L + ln3),
+      // a single word has no bigram: only -ln(1/9)
+      3L -> (1L, nll(1.0 / 9)))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      TextOps.bigramNll(df).as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(fixture) === want)
+    DedupOps.releaseCaches()
+    // exact integer sums → invariant under repartition
+    assert(got(fixture.repartition(7)) === want)
+    DedupOps.releaseCaches()
+    // real corpus: every doc scored, avg is the exact ratio of the
+    // integer columns, and the bigram model orders docs differently from
+    // the unigram one (it sees word order, t19 cannot)
+    val real = TextOps.bigramNll(docs).as[(Long, Long, Long, Double)].collect()
+    DedupOps.releaseCaches()
+    assert(real.length === docs.count())
+    assert(real.forall { case (_, n, s, avg) =>
+      math.abs(avg - math.round(s.toDouble / n / 10000.0 * 10000) / 10000.0) < 1e-9
+    })
+    val uniReal = TextOps.unigramNll(docs).as[(Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r._4).toMap
+    DedupOps.releaseCaches()
+    val ranksDiffer = real.exists { case (id, _, _, avg) => avg != uniReal(id) }
+    assert(ranksDiffer, "bigram scores should not collapse to the unigram scores")
+  }
+
   test("pq encode plans as a zero-join narrow map (e11 encode plan gate)") {
     // the codebooks ride as reference objects inside graft_nearest, so
     // encoding — the projection every coded-corpus scan pays — must plan

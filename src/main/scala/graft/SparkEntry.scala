@@ -231,6 +231,16 @@ object SparkEntry {
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n")))
 
+  /** The t19d MAINTAINED bigram-counts side (DedupStream's bigramcounts
+    * schema): the admitted corpus's conditional model beside the unigram
+    * one — pair extraction shared with the batch scorer via
+    * [[graft.llm.TextOps.bigramPairs]]. Same d5/d9b corpus split. */
+  private def t19BigramCounts(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "t19bigrams")(
+      graft.llm.TextOps.bigramPairs(
+        documents(s, dir).filter(col("doc_id") < 400))
+        .groupBy("prev", "word").agg(count(lit(1)).as("n")))
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -788,6 +798,14 @@ object SparkEntry {
       // reduction is an exact long sum (engine-portable); deployment
       // scores increments against the maintained wordcounts side
       TextOps.unigramNll(documents(s, d))),
+    "t19d_bigram_nll_served" -> ((s, d) =>
+      // t19c's SERVED twin: the increment scored against the MAINTAINED
+      // unigram + bigram count sides, Laplace-smoothed on both models —
+      // unseen bigrams take the per-context ceiling, OOV prevs 1/(V+1);
+      // corpus text never re-tokenized at query time
+      TextOps.bigramNllServed(
+        documents(s, d).filter(col("doc_id") >= 400),
+        t19WordCounts(s, d), t19BigramCounts(s, d))),
     "t19c_bigram_nll" -> ((s, d) =>
       // one Markov order up from t19 toward CCNet's KenLM filter: first
       // word under the unigram model, later words under the MLE
@@ -904,6 +922,7 @@ object SparkEntry {
     d9CorpusSeedStats(spark, dir).count()
     vocab200(spark, dir).count()
     t19WordCounts(spark, dir).count()
+    t19BigramCounts(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -288,13 +288,24 @@ object TextOps {
     * The tokenize pass runs on the narrow probe side twice rather than
     * persisting a corpus-token-sized frame (the t19 trade, documented
     * there). */
-  def bigramNll(documents: DataFrame): DataFrame = {
-    val words = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
-    def pairStream = words.select(col("doc_id"), explode(zip_with(
+  /** The (doc_id, prev, word) consecutive-pair stream — ONE definition
+    * shared by [[bigramNll]], [[bigramNllServed]] and the admission
+    * loop's bigram-counts side write, so the pair extraction cannot
+    * drift between the model builder and its consumers. A narrow
+    * zip_with over two shifted slices of the split: a 1-word doc slices
+    * to two empty arrays and zips to nothing (no sequence(1,0)
+    * descending-range hazard). */
+  def bigramPairs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("prev"), b.as("word")))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.word").as("word"))
+
+  def bigramNll(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    def pairStream = bigramPairs(documents)
     val uni = DedupOps.tracked(documents
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n")))
@@ -319,6 +330,68 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("nll_x10k"),
         round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
           .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** T19d — SERVED bigram NLL: score an increment against MAINTAINED
+    * (word, n) unigram and (prev, word, n) bigram count tables — the
+    * online form of [[bigramNll]], Laplace-smoothed on BOTH models
+    * because an increment can carry words and bigrams the corpus never
+    * saw: the first word scores (n_w+1)/(N+V+1) exactly like t19b, and
+    * every later word scores (c(prev,w)+1)/(c(prev)+V+1) — an unseen
+    * bigram after a known prev takes the per-context ceiling, an OOV
+    * prev degenerates to 1/(V+1). Same ×10⁴ integer quantization and
+    * exact long sums; `n_oov` counts positions whose own word is outside
+    * the unigram vocab (the t19b/t15 signal, judged per word regardless
+    * of bigram membership). An EMPTY model nulls the score like t19b
+    * (n_oov == n_words carries the all-OOV signal).
+    *
+    * Scale shape: N and V are driver scalars off the vocab-sized counts;
+    * the increment's pair stream left-joins the bigram model on (prev,
+    * word) and the vocab twice (as prev for the denominator, as word for
+    * the OOV flag) — AQE broadcasts small models — and reduces map-side.
+    * Per-increment cost is O(increment tokens); corpus text never
+    * touched. NOT tracked-persisted: this is the streaming serving path
+    * (the t19b discipline — no releaseCaches seam there). */
+  def bigramNllServed(documents: DataFrame, wordCounts: DataFrame,
+      bigramCounts: DataFrame): DataFrame = {
+    val vocab = wordCounts.groupBy("word").agg(sum("n").as("n"))
+    val stats = vocab.agg(sum("n"), count(lit(1))).head()
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val vsize = stats.getLong(1)
+    val uniDenom = (total + vsize + 1).toDouble
+    val big = bigramCounts.groupBy("prev", "word").agg(sum("n").as("nb"))
+    val firstTerms = documents
+      .select(col("doc_id"),
+        element_at(split(col("text"), " "), 1).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("n").isNull.cast("long").as("oov"),
+        round(-log((coalesce(col("n"), lit(0L)).cast("double") + 1.0) / uniDenom)
+          * 10000.0).cast("long").as("wn"))
+    val condTerms = bigramPairs(documents)
+      .join(big, Seq("prev", "word"), "left")
+      .join(vocab.select(col("word").as("prev"), col("n").as("np")),
+        Seq("prev"), "left")
+      .join(vocab.select(col("word"), lit(1L).as("in_v")), Seq("word"), "left")
+      .select(col("doc_id"), col("in_v").isNull.cast("long").as("oov"),
+        round(-log((coalesce(col("nb"), lit(0L)).cast("double") + 1.0)
+          / (coalesce(col("np"), lit(0L)).cast("double") + vsize + 1.0))
+          * 10000.0).cast("long").as("wn"))
+    // the t19b empty-model guard: V=0 degenerates every Laplace term to
+    // −ln(1/1) = 0 — gibberish would read as perfect; null the score
+    val scoreCols =
+      if (vsize == 0L)
+        Seq(lit(null).cast("long").as("nll_x10k"),
+          lit(null).cast("double").as("avg_nll"))
+      else
+        Seq(col("nll_x10k"),
+          round(col("nll_x10k").cast("double") / col("n_words") / 10000.0, 4)
+            .as("avg_nll"))
+    firstTerms.unionByName(condTerms)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("oov").as("n_oov"),
+        sum("wn").as("nll_x10k"))
+      .select(col("doc_id") +: col("n_words") +: col("n_oov") +: scoreCols: _*)
       .orderBy("doc_id")
   }
 

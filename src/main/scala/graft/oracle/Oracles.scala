@@ -1518,6 +1518,45 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
 FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // t19d: the SERVED bigram screen — increment (doc_id >= 400) scored
+    // against the corpus's unigram + bigram count models, Laplace-smoothed
+    // on both: first word (n_w+1)/(N+V+1), later words
+    // (c(prev,w)+1)/(c(prev)+V+1). Same ×10⁴ quantization + exact sums.
+    "t19d_bigram_nll_served" -> s"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id >= 400),
+cd AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs WHERE doc_id < 400),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(w) AS word FROM cd) GROUP BY 1),
+st AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v FROM f),
+cbg AS (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1), i ->
+          {'prev': w[i-1], 'word': w[i]})) AS b FROM cd),
+bg AS (SELECT b.prev AS prev, b.word AS word, CAST(count(*) AS BIGINT) AS nb
+       FROM cbg GROUP BY 1, 2),
+ipr AS (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1), i ->
+          {'prev': w[i-1], 'word': w[i]})) AS b FROM docs),
+ip AS (SELECT doc_id, b.prev AS prev, b.word AS word FROM ipr),
+terms AS (
+  SELECT d.doc_id,
+         CASE WHEN f.n IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(round(-ln((COALESCE(f.n, 0) + 1.0) / (st.nn + st.v + 1))
+              * 10000) AS BIGINT) AS wn
+  FROM (SELECT doc_id, w[1] AS word FROM docs) d
+  LEFT JOIN f USING (word), st
+  UNION ALL
+  SELECT p.doc_id,
+         CASE WHEN fv.n IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(round(-ln((COALESCE(b.nb, 0) + 1.0)
+              / (COALESCE(fp.n, 0) + st.v + 1.0)) * 10000) AS BIGINT) AS wn
+  FROM ip p
+  LEFT JOIN bg b ON b.prev = p.prev AND b.word = p.word
+  LEFT JOIN f fp ON fp.word = p.prev
+  LEFT JOIN f fv ON fv.word = p.word, st)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(wn) AS BIGINT) AS nll_x10k,
+       round(CAST(sum(wn) AS DOUBLE) / count(*) / 10000.0, 4) AS avg_nll
+FROM terms GROUP BY doc_id ORDER BY doc_id""",
+
     // t19c: bigram-LM NLL — first word under the unigram model, later
     // words under the MLE conditional c(prev,w)/c(prev); in-corpus
     // scoring needs no smoothing. Same ×10⁴ quantization + exact sums.

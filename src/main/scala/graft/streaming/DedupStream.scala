@@ -31,6 +31,9 @@ import graft.llm.DedupOps
   *                                          df prune, no corpus re-agg
   * indexDir/wordcounts/batch=<lineage>-<id>/ (word, n) sum-partials —
   *                                          t13/t15 vocabulary serving
+  * indexDir/bigramcounts/batch=<lineage>-<id>/ (prev, word, n)
+  *                                          sum-partials — t19d's
+  *                                          conditional LM screen
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -41,7 +44,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The six index sides start flat under `indexDir` and migrate into
+  * The seven index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -75,6 +78,9 @@ object DedupStream {
     StructField("kh", LongType), StructField("df", LongType)))
   private val WordSchema = StructType(Seq(
     StructField("word", StringType), StructField("n", LongType)))
+  private val BigramSchema = StructType(Seq(
+    StructField("prev", StringType), StructField("word", StringType),
+    StructField("n", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -373,6 +379,19 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/wordcounts", WordSchema)
       .drop("batch")
 
+  /** The maintained (prev, word, n) BIGRAM-count side over every ADMITTED
+    * doc — the conditional model beside [[corpusWordCounts]]' unigram
+    * one, same per-batch sum-mergeable partials folded by [[compact]].
+    * Bigram tables grow faster than Heaps' law (≲ corpus tokens in the
+    * worst case) but stay orders of magnitude under corpus TEXT; at
+    * deployment scale the side is (prev, word)-bucketed so the screening
+    * join shuffles only the increment. A pre-seventh-side index simply
+    * has no dirs here and reads empty (every bigram screens as unseen —
+    * the smoothed ceiling — rather than erroring). */
+  def corpusBigramCounts(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/bigramcounts", BigramSchema)
+      .drop("batch")
+
   /** T19 over the maintained side: unigram-LM NLL of an increment under
     * the ADMITTED corpus's word distribution — the LM quality screen a
     * deployment runs per batch, O(increment tokens), corpus text never
@@ -381,6 +400,15 @@ object DedupStream {
   def screenNll(spark: SparkSession, indexDir: String,
       newDocs: DataFrame): DataFrame =
     graft.llm.TextOps.unigramNllServed(newDocs, corpusWordCounts(spark, indexDir))
+
+  /** T19d over the maintained sides: bigram-LM NLL of an increment under
+    * the ADMITTED corpus's unigram + bigram models — the order-sensitive
+    * LM screen ([[screenNll]] sees a bag of words; this sees their
+    * sequence), O(increment tokens), corpus text never touched. */
+  def screenBigramNll(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): DataFrame =
+    graft.llm.TextOps.bigramNllServed(newDocs,
+      corpusWordCounts(spark, indexDir), corpusBigramCounts(spark, indexDir))
 
   /** T13 over the maintained side: the admitted corpus's top-N
     * vocabulary as a served (word, rank) table — one sum over the
@@ -570,6 +598,13 @@ object DedupStream {
       keptOut.select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/wordcounts/$key")
+      // seventh side: the batch's (prev, word, n) bigram counts — the
+      // t19d conditional model beside the unigram one, same sum-mergeable
+      // partials (pair extraction shared with the batch scorer via
+      // TextOps.bigramPairs, so the model and its probe cannot drift)
+      graft.llm.TextOps.bigramPairs(keptOut)
+        .groupBy("prev", "word").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/bigramcounts/$key")
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the
@@ -729,6 +764,8 @@ object DedupStream {
       (df: DataFrame) => df.groupBy("kh").agg(sum("df").as("df"))),
     ("wordcounts", WordSchema,
       (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
+    ("bigramcounts", BigramSchema,
+      (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

@@ -1502,6 +1502,42 @@ class LlmSpec extends SparkSpec {
       "an empty model must score null, never a perfect 0")
   }
 
+  test("served bigram NLL smooths unseen bigrams and OOV prevs (t19d served)") {
+    import spark.implicits._
+    // corpus model: uni alpha:2 beta:2 gamma:1 delta:1 (N=6, V=4,
+    // uniDenom=11); bigrams (alpha,beta) (beta,alpha) (beta,gamma)
+    // (gamma,delta) each 1 — the bigram side arrives as UNSUMMED partials
+    // (two half-count rows per pair) to prove the per-key SUM semantics
+    val uni = Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L), ("delta", 1L))
+      .toDF("word", "n")
+    val bgPairs = Seq(("alpha", "beta"), ("beta", "alpha"),
+      ("beta", "gamma"), ("gamma", "delta"))
+    val bg = (bgPairs.map { case (p, w) => (p, w, 0L) } ++
+      bgPairs.map { case (p, w) => (p, w, 1L) })
+      .toDF("prev", "word", "n")
+    val probe = Seq(
+      (10L, "alpha beta alpha"),  // all known: uni + two seen bigrams
+      (11L, "zz alpha"),          // OOV prev: conditional degenerates to 1/(V+1)
+      (12L, "alpha zz"))          // known prev, unseen bigram: per-context ceiling
+      .toDF("doc_id", "text")
+    def nll(p: Double): Long = math.round(-math.log(p) * 10000.0)
+    val got = TextOps.bigramNllServed(probe, uni, bg)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((3L, 0L, nll(3.0 / 11) + 2 * nll(2.0 / 7))))
+    assert(got(11L) === ((2L, 1L, nll(1.0 / 11) + nll(1.0 / 5))))
+    assert(got(12L) === ((2L, 1L, nll(3.0 / 11) + nll(1.0 / 7))))
+    // EMPTY model (both sides): null score, n_oov carries the signal
+    val emptyU = Seq.empty[(String, Long)].toDF("word", "n")
+    val emptyB = Seq.empty[(String, String, Long)].toDF("prev", "word", "n")
+    val r = TextOps.bigramNllServed(
+      Seq((1L, "total gibberish words")).toDF("doc_id", "text"),
+      emptyU, emptyB).collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.isNullAt(3) && r.isNullAt(4),
+      "an empty model must score null, never a perfect 0")
+  }
+
   test("ensemble election demotes the repetitive chant t5 promotes (c5 ∘ d6b)") {
     import spark.implicits._
     // doc 1: a stopword chant — aces t5 (length cap + stopword ratio) but
@@ -1543,6 +1579,28 @@ class LlmSpec extends SparkSpec {
       case _ => false
     }.isDefined, "the single tokenize pass must sit over the increment filter")
     // and the screen itself answers: every increment doc scores
+    val n = df.count()
+    assert(n > 0 && n === Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 400).count())
+  }
+
+  test("registered served bigram NLL never re-tokenizes the corpus (t19d plan gate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    val df = SparkEntry.queries("t19d_bigram_nll_served")(spark, sf0001)
+    // the corpus enters ONLY through the maintained unigram + bigram
+    // count tables (InMemoryRelations of the served state): the one
+    // Generate is the increment's pair explode (the first-word leg is
+    // element_at — no explode), sitting over the increment filter
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.size === 1,
+      s"exactly one pair explode (the increment's) — got ${gens.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(gens.head.find {
+      case f: Filter =>
+        f.condition.toString.contains("doc_id") &&
+          f.condition.toString.contains("400")
+      case _ => false
+    }.isDefined, "the single pair-explode must sit over the increment filter")
     val n = df.count()
     assert(n > 0 && n === Tables.documents(spark, sf0001)
       .filter(col("doc_id") >= 400).count())

@@ -634,6 +634,35 @@ class StreamingSpec extends SparkSpec {
     assert(screened(11L) === ((3L, 3L, avgOf(wantOov, 3))))
   }
 
+  test("the bigramcounts side serves the conditional LM screen (t19d streaming)") {
+    val tmp = Files.createTempDirectory("graft_bigram_stream").toString
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "alpha beta alpha"), (2L, "beta gamma delta"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen() = graft.streaming.DedupStream.screenBigramNll(spark,
+      s"$tmp/index",
+      Seq((10L, "alpha beta"), (11L, "beta delta")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // hand model over the ADMITTED corpus: uni alpha:2 beta:2 gamma:1
+    // delta:1 (N=6, V=4); bigrams (alpha,beta) (beta,alpha) (beta,gamma)
+    // (gamma,delta) each once. The screen must land on independently
+    // computed Laplace numbers — order sensitivity included: "beta delta"
+    // is a plausible BAG of words but an unseen TRANSITION
+    def nll(p: Double): Long = math.round(-math.log(p) * 10000.0)
+    val want10 = (2L, 0L, nll(3.0 / 11) + nll(2.0 / 7))   // seen bigram
+    val want11 = (2L, 0L, nll(3.0 / 11) + nll(1.0 / 7))   // unseen bigram
+    val first = screen()
+    assert(first(10L) === want10, s"${first(10L)} vs hand $want10")
+    assert(first(11L) === want11)
+    assert(first(11L)._3 > first(10L)._3,
+      "the order-sensitive screen must penalize the unseen transition")
+    // compaction folds the per-batch partials; the screen is unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen() === first)
+  }
+
   test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
     val tmp = Files.createTempDirectory("graft_bloom_stream").toString
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

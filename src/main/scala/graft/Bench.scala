@@ -57,10 +57,13 @@ object Bench {
 
   /** Ledger v2 constants. Healthy rows faster than [[FastFloor]] seconds
     * are summarized into `"fast":{"n":…,"sum":…,"floor":…}` instead of
-    * printing their own entry, and at most [[MaxLedgerRows]] named rows
-    * print (slowest first pick; error rows ALWAYS print). This bounds the
-    * stdout line for ANY registry size — the v1 line scaled linearly with
-    * the registry and sat at ~1.45 KB of its ~1.9 KB budget by 122
+    * printing their own entry, and at most [[MaxLedgerRows]] row slots
+    * print — slowest-first pick, with each printed error row reserving
+    * THREE slots (its -1 marker plus its ~25-char quoted full name cost
+    * about three named rows), so the combined worst case (slow machine
+    * AND broken warm view) fits, not just each extreme alone. This bounds
+    * the stdout line for ANY registry size — the v1 line scaled linearly
+    * with the registry and sat at ~1.45 KB of its ~1.9 KB budget by 122
     * queries; v2's worst case is ~80 four-digit entries ≈ 1.4 KB with the
     * registry free to grow indefinitely. The stderr full-names line still
     * carries EVERY row, so nothing is lost to logs — only the tail-window
@@ -123,16 +126,28 @@ object Bench {
     val healthy = results.filter(_._2 >= 0)
     val total = healthy.map(_._2).sum
     val build = healthy.filter(r => buildQueries.contains(r._1)).map(_._2).sum
-    val errJson = errors.sorted.take(MaxErrorRows).map(Jsons.quote)
-      .mkString("[", ",", "]")
-    // v2 row selection: error rows print first (up to MaxErrorRows);
-    // healthy rows print when ≥ FastFloor AND inside the MaxLedgerRows
-    // slowest — the rest fold into the "fast" summary (count + exact sum,
-    // so the named rows plus the summary still reconstruct the total)
+    // ONE capped error selection (full names, name-sorted) drives BOTH
+    // renderings — the -1 markers in `queries` and the names in `errors`
+    // — so the two fields always describe the same subset (full-name and
+    // short-id sort orders diverge when one short id prefixes another:
+    // "d1" < "d10" but "d10_…" < "d1_…")
+    val errNames = errors.sorted.take(MaxErrorRows)
+    val errJson = errNames.map(Jsons.quote).mkString("[", ",", "]")
+    // v2 row selection: the capped error rows print first; healthy rows
+    // print when ≥ FastFloor AND inside the slowest-first budget — the
+    // rest fold into the "fast" summary (count + exact sum, so the named
+    // rows plus the summary still reconstruct the total)
     val (errAll, healthyRows) = shortIds.partition(_._2 < 0)
-    val errRows = errAll.sortBy(_._1).take(MaxErrorRows)
+    val errKeys = errNames.map(_.split('_').head).toSet
+    val errRows = errAll.filter(r => errKeys.contains(r._1)).sortBy(_._1)
+    // JOINT budget: each printed error costs a -1 marker AND a ~25-char
+    // quoted full name (~3 named-row equivalents at worst-case 4-digit
+    // timings) — reserve its slots out of the named-row budget so the
+    // combined worst case (slow machine AND broken warm view) still fits
+    // the tail window, not just each extreme alone
+    val namedCap = math.max(0, MaxLedgerRows - 3 * errRows.size)
     val named = healthyRows.filter(_._2 >= FastFloor)
-      .sortBy { case (n, v) => (-v, n) }.take(MaxLedgerRows)
+      .sortBy { case (n, v) => (-v, n) }.take(namedCap)
     val namedKeys = named.map(_._1).toSet
     val elided = healthyRows.filterNot(r => namedKeys.contains(r._1))
     val fastJson = s""""fast":{"n":${elided.size},"sum":${fmt(elided.map(_._2).sum)},"floor":${num("%.2f", FastFloor)}}"""

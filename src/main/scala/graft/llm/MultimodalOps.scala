@@ -117,26 +117,29 @@ object MultimodalOps {
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
     batch.map(r => ImageDecoder.decode(r).getOrElse(FakeDecoder.decode(r)))
 
-  /** The fixture's modality rule — ONE definition so a caller wanting a
-    * single modality can prune documents BEFORE [[asMediaTable]]'s
-    * opaque generation map (a post-hoc media_type filter would pay the
-    * PNG encode for rows it immediately discards; Catalyst cannot push a
-    * filter through a typed map). */
+  /** The fixture's modality rule, defined by ONE modulus shared between
+    * the Column form (so a caller wanting a single modality can prune
+    * documents BEFORE [[asMediaTable]]'s opaque generation map — a
+    * post-hoc media_type filter would pay the PNG encode for rows it
+    * immediately discards, and Catalyst cannot push a filter through a
+    * typed map) and the scalar test the map itself applies. */
+  private val VideoMod = 4L
   def isVideoId(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    id % 4 === 0
+    id % VideoMod === 0
+  private def isVideoId(id: Long): Boolean = id % VideoMod == 0
 
-  /** Fixture media table over documents: every 4th doc ([[isVideoId]]) is
-    * a video record (UTF-8 text bytes standing in for an undecodable
-    * container — the stub's remaining scope), the rest are REAL PNGs
-    * generated deterministically from the text length. Narrow per-row map
-    * (the fixture's ingest stage); no shuffle. */
+  /** Fixture media table over documents: every [[VideoMod]]-th doc
+    * ([[isVideoId]]) is a video record (UTF-8 text bytes standing in for
+    * an undecodable container — the stub's remaining scope), the rest are
+    * REAL PNGs generated deterministically from the text length. Narrow
+    * per-row map (the fixture's ingest stage); no shuffle. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .map { case (id, source, text) =>
-        if (id % 4 == 0)
+        if (isVideoId(id))
           MediaRecord(id, s"video/$source", text.getBytes("UTF-8"))
         else MediaRecord(id, "image/png", ImageGen.png(text.length.toLong))
       }.toDF()

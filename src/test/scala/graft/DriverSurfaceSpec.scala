@@ -129,6 +129,34 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(line.length < 1900, s"degraded line ${line.length} chars")
   }
 
+  test("combined degraded worst case fits: slow machine AND broken warm view") {
+    // the two extremes at once — 4-digit timings on every healthy row
+    // PLUS MaxErrorRows+ errors. Each printed error reserves named-row
+    // slots, so the caps are a joint budget, not two independent ones.
+    val all = SparkEntry.queries.keySet.toSeq.sorted
+    val (broken, slow) = all.splitAt(25)
+    val results = broken.map(_ -> -1.0) ++ slow.map(_ -> 1234.56)
+    val line = Bench.jsonLine(results, broken.toList, "/root/testdata/sf0.1")
+    val node = parse(line)
+    assert(node.get("errors").size === Bench.MaxErrorRows)
+    assert(node.get("n_errors").asInt === broken.size)
+    // the -1 markers are EXACTLY the capped error names' short ids — one
+    // selection drives both fields (full-name vs short-id sort orders
+    // diverge when one short id prefixes another)
+    val errShort = (0 until node.get("errors").size)
+      .map(i => node.get("errors").get(i).asText.split('_').head).toSet
+    val markers = node.get("queries").properties().iterator()
+    var nMarkers = 0
+    markers.forEachRemaining { e =>
+      if (e.getValue.asDouble < 0) { nMarkers += 1
+        assert(errShort.contains(e.getKey),
+          s"marker ${e.getKey} has no matching errors[] entry") } }
+    assert(nMarkers === Bench.MaxErrorRows)
+    assert(node.get("queries").size <=
+      Bench.MaxErrorRows + (Bench.MaxLedgerRows - 3 * Bench.MaxErrorRows))
+    assert(line.length < 1900, s"joint degraded line ${line.length} chars")
+  }
+
   test("fatal bench crash still emits one parseable ledger line") {
     val line = Bench.fatalLine("/root/testdata/sf0.1",
       new IllegalStateException("env broke"))

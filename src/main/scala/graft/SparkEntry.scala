@@ -870,6 +870,18 @@ object SparkEntry {
     "m2_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))
         .toDF().orderBy("doc_id")),
+    "m4_image_phash" -> ((s, d) =>
+      // perceptual fingerprints of the image modality, aHashed from
+      // pixels the engine DECODED out of real PNG bytes — the oracle
+      // recomputes the hash from the generative pixel formula, so
+      // agreement proves the decode round-trip bit-exactly
+      MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
+        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+    "m4b_image_dup_groups" -> ((s, d) =>
+      // d1's exact-dedup semantics on the image modality: identical
+      // fingerprints group, keeper = min doc_id
+      MultimodalOps.imageDupGroups(s, MultimodalOps.asMediaTable(
+        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
     "m3_frame_sample" -> ((s, d) =>
       // keyframe sampling is a VIDEO op: prune documents to the video
       // modality BEFORE the generation map (a media_type filter above the

@@ -160,6 +160,73 @@ object MultimodalOps {
   def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")
 
+  final case class ImageHash(doc_id: Long, h_hi: Long, h_lo: Long,
+    width: Long, height: Long)
+
+  /** Average-hash (aHash) of a decoded image, the classic perceptual
+    * fingerprint: an 8×8 NEAREST-NEIGHBOR sample grid (integer positions
+    * (i·w)/8, (j·h)/8 — area-interpolated resizes are
+    * implementation-defined, nearest is exactly mirrorable), integer
+    * luma (r·299+g·587+b·114)/1000 per sample, each bit = luma > the
+    * integer mean, packed row-major. Returned as two 32-bit halves in
+    * longs — a single 64-bit pack would put bit 63 in the sign and make
+    * the cross-engine comparison chase two's-complement behavior. */
+  def aHash(img: BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = Array.tabulate(64) { k =>
+      val v = img.getRGB(((k % 8) * w) / 8, ((k / 8) * h) / 8)
+      (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+    }
+    val mean = gray.sum / 64
+    var (hi, lo) = (0L, 0L)
+    var k = 0
+    while (k < 64) {
+      if (gray(k) > mean) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** M4 — perceptual fingerprints of the image modality: batched
+    * mapPartitions decode (the m1 kernel shape) → [[aHash]] per
+    * decodable image; undecodable payloads (video rows, rot) drop —
+    * a fingerprint of stub metadata would be noise, not a perceptual
+    * signal. Narrow per-partition work, no shuffle; the orderBy is the
+    * oracle-determinism tail. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { r =>
+        ImageDecoder.sniff(r.payload).flatMap { _ =>
+          scala.util.Try(
+            Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
+          ).toOption.flatten.map { img =>
+            val (hi, lo) = aHash(img)
+            ImageHash(r.doc_id, hi, lo,
+              img.getWidth.toLong, img.getHeight.toLong)
+          }
+        }
+      })
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** M4b — d1's exact-dedup semantics lifted to the image modality:
+    * images with an identical perceptual fingerprint form a group whose
+    * keeper is the minimum doc_id (deterministic, like every keeper rule
+    * here). One map-side-combinable (h_hi, h_lo) aggregation — the
+    * fingerprint table is image-count-sized, never pixel-sized. */
+  def imageDupGroups(spark: SparkSession, media: DataFrame): DataFrame = {
+    val hashes = imageHashes(spark, media)
+    hashes.join(
+      hashes.groupBy("h_hi", "h_lo")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies")),
+      Seq("h_hi", "h_lo"))
+      .select("doc_id", "keeper_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Thumbnail metadata: source dims + the fitted target box. */
   final case class ThumbMeta(
       doc_id: Long, width: Long, height: Long, thumb_w: Long, thumb_h: Long)

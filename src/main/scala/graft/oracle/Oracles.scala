@@ -289,6 +289,35 @@ ${p}isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
                pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
         FROM ${p}m)"""
 
+  /** m4's fingerprint chain: the fixture's generative pixel formula
+    * ((x*31 + y*17 + len) & 0xffffff over ImageGen dims) pushed through
+    * the SAME aHash arithmetic the engine applies to DECODED pixels —
+    * 8×8 nearest-neighbor sample grid at integer positions (i·w)/8,
+    * (j·h)/8, integer luma (r·299+g·587+b·114)/1000, strict > against
+    * the integer mean, packed row-major as two 32-bit halves (a 64-bit
+    * pack would put bit 63 in the sign). Exposes `bits` (doc_id, w, h,
+    * h_hi, h_lo) over the image-modality docs. */
+  private val ImagePhashCtes = s"""
+WITH img AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS l
+             FROM $Docs WHERE doc_id % 4 <> 0),
+dm AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h FROM img),
+gr AS (SELECT doc_id, w, h,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM dm),
+mn AS (SELECT doc_id, w, h, gray, list_sum(gray) // 64 AS mean FROM gr),
+bits AS (SELECT doc_id, w, h,
+           CAST(list_sum(list_transform(range(32, 64), k ->
+             CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+                  ELSE 0 END)) AS BIGINT) AS h_hi,
+           CAST(list_sum(list_transform(range(0, 32), k ->
+             CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+                  ELSE 0 END)) AS BIGINT) AS h_lo
+         FROM mn)"""
+
   private def spanOracle(matchExtra: String): String = s"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", matchExtra)}
 SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
@@ -1786,6 +1815,24 @@ FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM $Docs WHERE doc_
      (SELECT unnest(range(0, 4)) AS i)
 WHERE n > 0
 ORDER BY doc_id, frame_idx""",
+
+    // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
+    // oracle computes the same 8×8 nearest-sample / integer-luma /
+    // mean-threshold arithmetic from the generative pixel formula
+    // ((x*31 + y*17 + len) & 0xffffff) — agreement proves the decode
+    // round-trip bit-exactly, the m1-dims trick extended to pixel data.
+    "m4_image_phash" -> s"""$ImagePhashCtes
+SELECT doc_id, h_hi, h_lo, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+FROM bits ORDER BY doc_id""",
+
+    // m4b: d1's exact-dedup semantics on the image modality — identical
+    // fingerprints form a group, keeper = min doc_id.
+    "m4b_image_dup_groups" -> s"""$ImagePhashCtes,
+grp AS (SELECT h_hi, h_lo, min(doc_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM bits GROUP BY 1, 2)
+SELECT b.doc_id, g.keeper_id, g.n_copies
+FROM bits b JOIN grp g USING (h_hi, h_lo) ORDER BY doc_id""",
 
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->

@@ -151,6 +151,50 @@ class LlmSpec extends SparkSpec {
     assert(got2(5L) === MediaMeta(5L, "image/png", "png", 10L, 20L, 200L))
   }
 
+  test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
+    import spark.implicits._
+    // independent hand model: the generative pixel formula pushed through
+    // the aHash arithmetic directly — the ENGINE must land on the same
+    // bits from pixels it decoded out of real PNG bytes (the decode
+    // round-trip proof the m4 oracle runs in DuckDB)
+    def handHash(l: Long): (Long, Long) = {
+      val (w, h) = MultimodalOps.ImageGen.dims(l)
+      val gray = Array.tabulate(64) { k =>
+        val v = ((((k % 8) * w) / 8) * 31 + (((k / 8) * h) / 8) * 17 + l.toInt) & 0xffffff
+        (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      }
+      val mean = gray.sum / 64
+      var (hi, lo) = (0L, 0L)
+      for (k <- 0 until 64 if gray(k) > mean)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val docs = Seq((1L, "src", "x" * 30), (2L, "src", "y" * 30),
+      (3L, "src", "z" * 41)).toDF("doc_id", "source", "text")
+    val media = MultimodalOps.asMediaTable(docs)
+    val got = MultimodalOps.imageHashes(spark, media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === handHash(30L))
+    assert(got(3L) === handHash(41L))
+    // same text length → byte-identical PNG → identical fingerprint;
+    // different length → different dims and pixels → different bits here
+    assert(got(1L) === got(2L))
+    assert(got(1L) !== got(3L))
+    // m4b: d1 semantics on images — the identical pair groups under the
+    // min doc_id, the singleton keeps itself
+    val grp = MultimodalOps.imageDupGroups(spark, media)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(grp(1L) === ((1L, 2L)) && grp(2L) === ((1L, 2L)))
+    assert(grp(3L) === ((3L, 1L)))
+    // a video row (undecodable payload) yields no fingerprint, not noise
+    val withVideo = MultimodalOps.asMediaTable(
+      Seq((4L, "src", "v" * 10), (5L, "src", "w" * 10))
+        .toDF("doc_id", "source", "text"))
+    assert(MultimodalOps.imageHashes(spark, withVideo)
+      .select("doc_id").as[Long].collect().toSet === Set(5L))
+  }
+
   test("shingle arrays match an independent reimplementation (seeded property)") {
     import spark.implicits._
     import java.security.MessageDigest

@@ -877,6 +877,12 @@ object SparkEntry {
       // agreement proves the decode round-trip bit-exactly
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+    "m4c_image_near_dups" -> ((s, d) =>
+      // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
+      // disjoint 16-bit bands: equal-band candidates, exact verify on
+      // candidates only — never an all-pairs product
+      MultimodalOps.imageNearDups(s, MultimodalOps.asMediaTable(
+        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
     "m4b_image_dup_groups" -> ((s, d) =>
       // d1's exact-dedup semantics on the image modality: identical
       // fingerprints group, keeper = min doc_id

@@ -212,6 +212,43 @@ object MultimodalOps {
     }.toDF().orderBy("doc_id")
   }
 
+  /** M4c — NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
+    * [[aHash]] fingerprints, via the d3b pigeonhole: the 64 bits split
+    * into 4 disjoint 16-bit bands, and any pair within Hamming ≤ 3 must
+    * agree on at least one band — so candidates come from equal-band
+    * joins (shuffle keyed on (band, key), never an all-pairs product)
+    * and only candidates pay the exact bit_count verify. maxHamming > 3
+    * would break the 4-band guarantee and is refused. At deployment
+    * scale a degenerate band bucket (a near-constant image flood) rails
+    * exactly like d3b's maxBucket — the banding inherits that design;
+    * the fixture's buckets are group-sized. */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val hashes = imageHashes(spark, media)
+    val bands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.h_hi").as("ha_hi"), col("a.h_lo").as("ha_lo"),
+        col("b.h_hi").as("hb_hi"), col("b.h_lo").as("hb_lo"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+      (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+        bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
+        .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** M4b — d1's exact-dedup semantics lifted to the image modality:
     * images with an identical perceptual fingerprint form a group whose
     * keeper is the minimum doc_id (deterministic, like every keeper rule

@@ -1834,6 +1834,19 @@ grp AS (SELECT h_hi, h_lo, min(doc_id) AS keeper_id,
 SELECT b.doc_id, g.keeper_id, g.n_copies
 FROM bits b JOIN grp g USING (h_hi, h_lo) ORDER BY doc_id""",
 
+    // m4c: Hamming ≤ 3 near-dup image pairs — the oracle brute-forces the
+    // n² bit_count over the formula-derived fingerprints (documented
+    // exact baseline, the d4 pattern); the engine's banded pigeonhole
+    // must reproduce it exactly (4 disjoint 16-bit bands ⇒ full recall
+    // at Hamming ≤ 3).
+    "m4c_image_near_dups" -> s"""$ImagePhashCtes
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

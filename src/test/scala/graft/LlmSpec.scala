@@ -195,6 +195,33 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(5L))
   }
 
+  test("banded image near-dups reproduce the brute-force pair set exactly (m4c)") {
+    import spark.implicits._
+    // pigeonhole completeness: 4 disjoint 16-bit bands give FULL recall
+    // at Hamming ≤ 3 — the banded join must find exactly the pairs a
+    // driver-side all-pairs bit_count finds, nothing dropped, nothing
+    // extra. Run over the real corpus's image modality for bucket variety.
+    val media = MultimodalOps.asMediaTable(
+      docs.filter(!MultimodalOps.isVideoId(col("doc_id"))))
+    val hashes = MultimodalOps.imageHashes(spark, media)
+      .select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, ah, al) <- hashes.iterator
+      (b, bh, bl) <- hashes.iterator if a < b
+      ham = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSeq.sorted
+    val banded = MultimodalOps.imageNearDups(spark, media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(banded.nonEmpty, "fixture should contain near-dup images")
+    assert(banded === brute)
+    // the guarantee boundary is enforced, not silently degraded
+    intercept[IllegalArgumentException] {
+      MultimodalOps.imageNearDups(spark, media, maxHamming = 4)
+    }
+  }
+
   test("shingle arrays match an independent reimplementation (seeded property)") {
     import spark.implicits._
     import java.security.MessageDigest

@@ -82,15 +82,22 @@ object MultimodalOps {
         (payload(1) & 0xff) == 0xd8) Some("jpeg")
       else None
 
+    /** The ONE decode-to-pixels helper every consumer routes through
+      * (metadata extraction AND the m4 fingerprint path), so the
+      * robustness invariant lives in one place: a TRUNCATED/corrupt
+      * payload behind valid magic makes ImageIO throw (not return null)
+      * — that record must read as undecodable, never kill the whole
+      * decode task (mixed real-world feeds always carry some rot). */
+    def image(payload: Array[Byte]): Option[BufferedImage] =
+      sniff(payload).flatMap { _ =>
+        scala.util.Try(
+          Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        ).toOption.flatten
+      }
+
     def decode(r: MediaRecord): Option[MediaMeta] =
       sniff(r.payload).flatMap { fmt =>
-        // a TRUNCATED/corrupt payload behind valid magic makes ImageIO
-        // throw (not return null) — that record must fall back to the
-        // stub, never kill the whole decode task (mixed real-world feeds
-        // always carry some rot)
-        scala.util.Try(
-          Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
-        ).toOption.flatten.map { img =>
+        image(r.payload).map { img =>
           val w = img.getWidth.toLong
           val h = img.getHeight.toLong
           MediaMeta(r.doc_id, r.media_type, fmt, w, h, w * h)
@@ -189,28 +196,34 @@ object MultimodalOps {
     (hi, lo)
   }
 
-  /** M4 — perceptual fingerprints of the image modality: batched
-    * mapPartitions decode (the m1 kernel shape) → [[aHash]] per
-    * decodable image; undecodable payloads (video rows, rot) drop —
-    * a fingerprint of stub metadata would be noise, not a perceptual
-    * signal. Narrow per-partition work, no shuffle; the orderBy is the
-    * oracle-determinism tail. */
-  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** The UNSORTED fingerprint frame m4b/m4c build on — tracked-persisted
+    * because both consumers touch it twice (a group agg rejoined / a
+    * self-join), and without the pin an AQE replan of one side re-runs
+    * the whole decode+hash chain; released by the standard
+    * DedupOps.releaseCaches() every batch query path already makes. A
+    * sort here would cost a range exchange the downstream
+    * posexplode/groupBy immediately destroys (the d3 lesson). */
+  private def imageHashesRaw(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.flatMap { r =>
-        ImageDecoder.sniff(r.payload).flatMap { _ =>
-          scala.util.Try(
-            Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
-          ).toOption.flatten.map { img =>
-            val (hi, lo) = aHash(img)
-            ImageHash(r.doc_id, hi, lo,
-              img.getWidth.toLong, img.getHeight.toLong)
-          }
+    DedupOps.tracked(media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        ImageDecoder.image(r.payload).map { img =>
+          val (hi, lo) = aHash(img)
+          ImageHash(r.doc_id, hi, lo,
+            img.getWidth.toLong, img.getHeight.toLong)
         }
-      })
-    }.toDF().orderBy("doc_id")
+      }
+    }.toDF())
   }
+
+  /** M4 — perceptual fingerprints of the image modality: mapPartitions
+    * decode through [[ImageDecoder.image]] (the one robustness-hardened
+    * pixel path) → [[aHash]] per decodable image; undecodable payloads
+    * (video rows, rot) drop — a fingerprint of stub metadata would be
+    * noise, not a perceptual signal. Narrow per-partition work, no
+    * shuffle; the orderBy is the oracle-determinism tail. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame =
+    imageHashesRaw(spark, media).orderBy("doc_id")
 
   /** M4c — NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
     * [[aHash]] fingerprints, via the d3b pigeonhole: the 64 bits split
@@ -218,22 +231,28 @@ object MultimodalOps {
     * agree on at least one band — so candidates come from equal-band
     * joins (shuffle keyed on (band, key), never an all-pairs product)
     * and only candidates pay the exact bit_count verify. maxHamming > 3
-    * would break the 4-band guarantee and is refused. At deployment
-    * scale a degenerate band bucket (a near-constant image flood) rails
-    * exactly like d3b's maxBucket — the banding inherits that design;
-    * the fixture's buckets are group-sized. */
+    * would break the 4-band guarantee and is refused. A (band, key)
+    * bucket holding more than `maxBucket` images is dropped before the
+    * join — d3b's rail, capping the worst bucket at maxBucket² pairs
+    * under a near-constant image flood (a pair can still surface via
+    * its other, unpruned bands; the fixture's buckets max out at 14, so
+    * the oracle's brute-force stays the exact answer there). */
   def imageNearDups(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming <= 3,
       s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
-    val hashes = imageHashes(spark, media)
-    val bands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+    val hashes = imageHashesRaw(spark, media)
+    val allBands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
       posexplode(array(
         col("h_lo").bitwiseAND(lit(65535L)),
         shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
         col("h_hi").bitwiseAND(lit(65535L)),
         shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
         .as(Seq("band", "key")))
+    val bands = allBands.join(
+      allBands.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") <= maxBucket).select("band", "key"),
+      Seq("band", "key"))
     val cand = bands.as("a").join(bands.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -255,7 +274,7 @@ object MultimodalOps {
     * here). One map-side-combinable (h_hi, h_lo) aggregation — the
     * fingerprint table is image-count-sized, never pixel-sized. */
   def imageDupGroups(spark: SparkSession, media: DataFrame): DataFrame = {
-    val hashes = imageHashes(spark, media)
+    val hashes = imageHashesRaw(spark, media)
     hashes.join(
       hashes.groupBy("h_hi", "h_lo")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies")),

@@ -298,7 +298,7 @@ ${p}isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
     * pack would put bit 63 in the sign). Exposes `bits` (doc_id, w, h,
     * h_hi, h_lo) over the image-modality docs. */
   private val ImagePhashCtes = s"""
-WITH img AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS l
+WITH img AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
              FROM $Docs WHERE doc_id % 4 <> 0),
 dm AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h FROM img),
 gr AS (SELECT doc_id, w, h,

@@ -13,7 +13,8 @@ import graft.llm.DedupOps.BloomSizing
   * equality against the engine run on the non-degenerate subset, or
   * analytic island arithmetic for the span split).
   *
-  * Rails covered: d3b's maxBucket signature-bucket prune, e7's maxCell
+  * Rails covered: d3b's maxBucket signature-bucket prune, m4c's image
+  * band-bucket prune (round 14 — a constant-image flood), e7's maxCell
   * Voronoi-cell prune (members degrade to singleton keeps, never
   * disappear), d8b's combined-population maxCell, d9's df cap
   * (spans SPLIT at a pruned boilerplate seed, never lost), and d10's
@@ -52,6 +53,43 @@ class RailSoakSpec extends SparkSpec {
       // and the surviving content is exactly the 40 triplets' 3 pairs each
       assert(railed.size === 120)
       assert(railed.forall { case (a, b) => a / 3 == b / 3 && a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
+  test("m4c maxBucket binds on a 3000-image constant flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    // 3000 images with ONE fingerprint (the generative pixels depend only
+    // on text length) put the whole flood into a single bucket of every
+    // band — ~4.5M Hamming-0 pairs without the rail; 10 identical-triplet
+    // length classes are the genuine content that must survive
+    val flood = (10000L until 13000L).map(i => (i, "src", "f" * 30))
+    val groups = (0 until 10).flatMap { g =>
+      (0 until 3).map(j => ((g * 3 + j).toLong, "src", "z" * (31 + g)))
+    }
+    val media = MultimodalOps.asMediaTable(
+      (flood ++ groups).toDF("doc_id", "source", "text")
+        .filter(!MultimodalOps.isVideoId(col("doc_id"))))
+    try {
+      // the rail FIRES: the flood's single fingerprint dwarfs maxBucket
+      // (every one of its four band buckets holds the whole flood)
+      val biggest = MultimodalOps.imageHashes(spark, media)
+        .groupBy("h_hi", "h_lo").count().agg(max("count")).head().getLong(0)
+      assert(biggest >= 2000L, s"degenerate fingerprint bucket only $biggest")
+      val railed = MultimodalOps.imageNearDups(spark, media)
+        .as[(Long, Long, Long)].collect().toSet
+      // small-N oracle: the engine on the corpus WITHOUT the flood
+      // (fingerprints are per-image, so removal changes nothing else)
+      val reference = MultimodalOps.imageNearDups(spark,
+        MultimodalOps.asMediaTable(
+          groups.toDF("doc_id", "source", "text")
+            .filter(!MultimodalOps.isVideoId(col("doc_id")))))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      assert(railed.nonEmpty)
+      // surviving pairs are exactly the within-length-class ones, and the
+      // flood contributes none
+      assert(railed.forall { case (a, b, ham) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 && ham === 0L })
     } finally DedupOps.releaseCaches()
   }
 

@@ -241,6 +241,16 @@ object SparkEntry {
         documents(s, dir).filter(col("doc_id") < 400))
         .groupBy("prev", "word").agg(count(lit(1)).as("n")))
 
+  /** The m4 MAINTAINED image-fingerprint table: aHashes are ingest-side
+    * serving state like the IVF cells or the PQ coded corpus (built once
+    * when media lands; m4 itself keeps pricing the inline decode+hash
+    * build, the e11 pattern), so the m4b/m4c dedup queries time
+    * fingerprint READS, never a pixel re-decode. */
+  private def m4Hashes(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m4hashes")(
+      MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
+        documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -880,14 +890,14 @@ object SparkEntry {
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on
-      // candidates only — never an all-pairs product
-      MultimodalOps.imageNearDups(s, MultimodalOps.asMediaTable(
-        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+      // candidates only — never an all-pairs product; reads the
+      // MAINTAINED fingerprint table, never re-decodes pixels
+      MultimodalOps.imageNearDupsFromHashes(m4Hashes(s, d))),
     "m4b_image_dup_groups" -> ((s, d) =>
       // d1's exact-dedup semantics on the image modality: identical
-      // fingerprints group, keeper = min doc_id
-      MultimodalOps.imageDupGroups(s, MultimodalOps.asMediaTable(
-        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+      // fingerprints group, keeper = min doc_id; served off the
+      // maintained fingerprint table like m4c
+      MultimodalOps.imageDupGroupsFromHashes(m4Hashes(s, d))),
     "m3_frame_sample" -> ((s, d) =>
       // keyframe sampling is a VIDEO op: prune documents to the video
       // modality BEFORE the generation map (a media_type filter above the
@@ -941,6 +951,7 @@ object SparkEntry {
     vocab200(spark, dir).count()
     t19WordCounts(spark, dir).count()
     t19BigramCounts(spark, dir).count()
+    m4Hashes(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -238,10 +238,17 @@ object MultimodalOps {
     * its other, unpruned bands; the fixture's buckets max out at 14, so
     * the oracle's brute-force stays the exact answer there). */
   def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
+    imageNearDupsFromHashes(imageHashesRaw(spark, media), maxHamming, maxBucket)
+
+  /** [[imageNearDups]] over an already-built fingerprint frame — the
+    * serving form: in deployment the hashes are MAINTAINED state (built
+    * once at ingest, the e5/e11b discipline), so near-dup search never
+    * re-decodes pixels. */
+  def imageNearDupsFromHashes(hashes: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming <= 3,
       s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
-    val hashes = imageHashesRaw(spark, media)
     val allBands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
       posexplode(array(
         col("h_lo").bitwiseAND(lit(65535L)),
@@ -273,15 +280,18 @@ object MultimodalOps {
     * keeper is the minimum doc_id (deterministic, like every keeper rule
     * here). One map-side-combinable (h_hi, h_lo) aggregation — the
     * fingerprint table is image-count-sized, never pixel-sized. */
-  def imageDupGroups(spark: SparkSession, media: DataFrame): DataFrame = {
-    val hashes = imageHashesRaw(spark, media)
+  def imageDupGroups(spark: SparkSession, media: DataFrame): DataFrame =
+    imageDupGroupsFromHashes(imageHashesRaw(spark, media))
+
+  /** [[imageDupGroups]] over an already-built fingerprint frame (the
+    * serving form — see [[imageNearDupsFromHashes]]). */
+  def imageDupGroupsFromHashes(hashes: DataFrame): DataFrame =
     hashes.join(
       hashes.groupBy("h_hi", "h_lo")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies")),
       Seq("h_hi", "h_lo"))
       .select("doc_id", "keeper_id", "n_copies")
       .orderBy("doc_id")
-  }
 
   /** Thumbnail metadata: source dims + the fitted target box. */
   final case class ThumbMeta(

@@ -251,6 +251,13 @@ object SparkEntry {
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
+  /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
+    * imagehashes schema) under the d5/d9b corpus split: the increment
+    * (doc_id ≥ 400) screens against THESE rows only. */
+  private def m4CorpusHashes(s: SparkSession, dir: String): DataFrame =
+    // a filter over the already-cached fingerprint table — no second pin
+    m4Hashes(s, dir).filter(col("doc_id") < 400)
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -898,6 +905,16 @@ object SparkEntry {
       // fingerprints group, keeper = min doc_id; served off the
       // maintained fingerprint table like m4c
       MultimodalOps.imageDupGroupsFromHashes(m4Hashes(s, d))),
+    "m4d_image_near_dups_served" -> ((s, d) =>
+      // the image rung of the admission ladder: a media increment
+      // screened against the MAINTAINED corpus fingerprint side — corpus
+      // pixels never touched, combined-population band prune (d9b's
+      // union-df rule); same d5/d9b corpus split
+      MultimodalOps.imageNearDupsServed(
+        m4CorpusHashes(s, d),
+        MultimodalOps.asMediaTable(
+          documents(s, d).filter(col("doc_id") >= 400)
+            .filter(!MultimodalOps.isVideoId(col("doc_id")))))),
     "m3_frame_sample" -> ((s, d) =>
       // keyframe sampling is a VIDEO op: prune documents to the video
       // modality BEFORE the generation map (a media_type filter above the

@@ -203,9 +203,17 @@ object MultimodalOps {
     * DedupOps.releaseCaches() every batch query path already makes. A
     * sort here would cost a range exchange the downstream
     * posexplode/groupBy immediately destroys (the d3 lesson). */
-  private def imageHashesRaw(spark: SparkSession, media: DataFrame): DataFrame = {
+  private def imageHashesRaw(spark: SparkSession, media: DataFrame): DataFrame =
+    DedupOps.tracked(fingerprintFrame(media))
+
+  /** The bare decode→hash projection with no persist and no sort — the
+    * INGEST form (DedupStream's imagehashes side write runs once per
+    * admitted batch inside a loop that must not accumulate pinned
+    * frames) and the building block the batch forms track-persist. */
+  def fingerprintFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    DedupOps.tracked(media.as[MediaRecord].mapPartitions { it =>
+    media.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
         ImageDecoder.image(r.payload).map { img =>
           val (hi, lo) = aHash(img)
@@ -213,7 +221,7 @@ object MultimodalOps {
             img.getWidth.toLong, img.getHeight.toLong)
         }
       }
-    }.toDF())
+    }.toDF()
   }
 
   /** M4 — perceptual fingerprints of the image modality: mapPartitions
@@ -245,17 +253,28 @@ object MultimodalOps {
     * serving form: in deployment the hashes are MAINTAINED state (built
     * once at ingest, the e5/e11b discipline), so near-dup search never
     * re-decodes pixels. */
-  def imageNearDupsFromHashes(hashes: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
-    require(maxHamming <= 3,
-      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
-    val allBands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+  /** The 4×16-bit band projection of a fingerprint frame — ONE
+    * definition shared by the batch near-dup search and the served
+    * screen, so the pigeonhole geometry cannot drift between them. */
+  private def bandsOf(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
       posexplode(array(
         col("h_lo").bitwiseAND(lit(65535L)),
         shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
         col("h_hi").bitwiseAND(lit(65535L)),
         shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
         .as(Seq("band", "key")))
+
+  /** Exact Hamming distance between two packed fingerprints. */
+  private def hammingExpr: org.apache.spark.sql.Column =
+    (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+
+  def imageNearDupsFromHashes(hashes: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = bandsOf(hashes)
     val bands = allBands.join(
       allBands.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") <= maxBucket).select("band", "key"),
@@ -267,10 +286,48 @@ object MultimodalOps {
         col("a.h_hi").as("ha_hi"), col("a.h_lo").as("ha_lo"),
         col("b.h_hi").as("hb_hi"), col("b.h_lo").as("hb_lo"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
-      (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
-        bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
-        .cast("long").as("hamming"))
+    cand.select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** M4d — SERVED image near-dup screening: an increment's fingerprints
+    * against a MAINTAINED corpus fingerprint table (DedupStream's
+    * imagehashes side) — pixels decode once at ingest, so screening is
+    * pure bit work over hash tables. Corpus-vs-new candidates keep the
+    * CORPUS member as id_a whatever the numeric order (the d5
+    * non-monotone-id lesson); new-vs-new pairs orient (min, max). The
+    * band prune uses the COMBINED population — corpus counts + increment
+    * counts, d9b's union-df rule — and pruning the increment side alone
+    * suffices (every candidate has a new-side row). The corpus side is a
+    * narrow 4-bit-ops map over its 16-byte-per-image hash table, orders
+    * under the media; at deployment the side is (band, key)-bucketed so
+    * the candidate join shuffles only the increment. */
+  def imageNearDupsServed(corpusHashes: DataFrame, newMedia: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val incr = DedupOps.tracked(fingerprintFrame(newMedia))
+    val cb = bandsOf(corpusHashes.select("doc_id", "h_hi", "h_lo"))
+    val nb = bandsOf(incr)
+    val ok = nb.groupBy("band", "key").agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy("band", "key").agg(count(lit(1)).as("nc")),
+        Seq("band", "key"), "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select("band", "key")
+    val nbp = nb.join(ok, Seq("band", "key"))
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("band"), col("key"), col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    val vsCorpus = sided(cb, "a").join(sided(nbp, "b"), Seq("band", "key"))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = sided(nbp, "a").join(sided(nbp, "b"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .select(col("id_a"), col("id_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }

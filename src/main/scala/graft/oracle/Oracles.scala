@@ -1847,6 +1847,18 @@ FROM bits a JOIN bits b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
 ORDER BY id_a, id_b""",
 
+    // m4d: the SERVED image screen — near-dup pairs whose LATER member is
+    // in the increment (doc_id >= 400, the d5 split); the corpus enters
+    // only through its maintained fingerprint rows. Brute-force restricted
+    // to the increment side, exactly the d9b oracle pattern.
+    "m4d_image_near_dups_served" -> s"""$ImagePhashCtes
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id AND b.doc_id >= 400
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -27,7 +27,7 @@ import graft.llm.{CurationOps, DedupOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all seven sides + groups);
+  *      replay discipline, all eight sides + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -133,7 +133,7 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all seven sides
+      // pairs) — and owns the replay discipline for all eight sides
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,

@@ -34,6 +34,9 @@ import graft.llm.DedupOps
   * indexDir/bigramcounts/batch=<lineage>-<id>/ (prev, word, n)
   *                                          sum-partials — t19d's
   *                                          conditional LM screen
+  * indexDir/imagehashes/batch=<lineage>-<id>/ (doc_id, h_hi, h_lo, w, h)
+  *                                          aHash fingerprints of the
+  *                                          admitted media — m4d serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -44,7 +47,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The seven index sides start flat under `indexDir` and migrate into
+  * The eight index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -81,6 +84,10 @@ object DedupStream {
   private val BigramSchema = StructType(Seq(
     StructField("prev", StringType), StructField("word", StringType),
     StructField("n", LongType)))
+  private val ImgHashSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h_hi", LongType),
+    StructField("h_lo", LongType), StructField("width", LongType),
+    StructField("height", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -392,6 +399,14 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/bigramcounts", BigramSchema)
       .drop("batch")
 
+  /** The maintained image-FINGERPRINT side over every ADMITTED doc's
+    * decodable media (m4's aHash rows, appended per batch, identity
+    * fold) — 16 bytes per image, so screening a media increment is pure
+    * bit work; pixels decoded exactly once, at admission. */
+  def corpusImageHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/imagehashes", ImgHashSchema)
+      .drop("batch")
+
   /** T19 over the maintained side: unigram-LM NLL of an increment under
     * the ADMITTED corpus's word distribution — the LM quality screen a
     * deployment runs per batch, O(increment tokens), corpus text never
@@ -409,6 +424,17 @@ object DedupStream {
       newDocs: DataFrame): DataFrame =
     graft.llm.TextOps.bigramNllServed(newDocs,
       corpusWordCounts(spark, indexDir), corpusBigramCounts(spark, indexDir))
+
+  /** M4d over the maintained side: near-duplicate IMAGES between a media
+    * increment and the admitted corpus's fingerprint table — the image
+    * modality's rung of the admission ladder, corpus pixels never
+    * touched (the hashes are the state). Corpus member rides as id_a
+    * whatever the numeric order. */
+  def screenImageNearDups(spark: SparkSession, indexDir: String,
+      newMedia: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    graft.llm.MultimodalOps.imageNearDupsServed(
+      corpusImageHashes(spark, indexDir), newMedia, maxHamming, maxBucket)
 
   /** T13 over the maintained side: the admitted corpus's top-N
     * vocabulary as a served (word, rank) table — one sum over the
@@ -605,6 +631,18 @@ object DedupStream {
       graft.llm.TextOps.bigramPairs(keptOut)
         .groupBy("prev", "word").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/bigramcounts/$key")
+      // eighth side: the admitted docs' image-modality FINGERPRINTS
+      // (m4's aHash) — pixels decode exactly once, at admission; the m4d
+      // screen and any image-dedup consumer read 16-byte hash rows ever
+      // after. Same idempotent batch= key; undecodable rows (video)
+      // contribute nothing. Test frames may lack the source column the
+      // fixture media table wants — default it rather than forcing every
+      // text-only caller to carry media plumbing.
+      graft.llm.MultimodalOps.fingerprintFrame(
+        graft.llm.MultimodalOps.asMediaTable(
+          if (keptOut.columns.contains("source")) keptOut
+          else keptOut.withColumn("source", lit("src"))))
+        .write.mode("overwrite").parquet(s"$root/imagehashes/$key")
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the
@@ -766,6 +804,7 @@ object DedupStream {
       (df: DataFrame) => df.groupBy("word").agg(sum("n").as("n"))),
     ("bigramcounts", BigramSchema,
       (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
+    ("imagehashes", ImgHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

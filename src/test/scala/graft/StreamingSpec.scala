@@ -663,6 +663,39 @@ class StreamingSpec extends SparkSpec {
     assert(screen() === first)
   }
 
+  test("the imagehashes side serves the image near-dup screen (m4d streaming)") {
+    import graft.llm.MultimodalOps
+    val tmp = Files.createTempDirectory("graft_img_stream").toString
+    // the fixture images depend only on text LENGTH: len 30 and 41 enter
+    // the corpus fingerprint side at admission (pixels decode here, once)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "a" * 30), (2L, "b" * 41)).toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(probe: org.apache.spark.sql.DataFrame) =
+      graft.streaming.DedupStream.screenImageNearDups(spark, s"$tmp/index",
+        MultimodalOps.asMediaTable(probe))
+        .as[(Long, Long, Long)].collect().toSeq
+    val probe = Seq((10L, "src", "c" * 30), (11L, "src", "d" * 57))
+      .toDF("doc_id", "source", "text")
+    val hits = screen(probe)
+    // the same-length probe is an IDENTICAL image: flagged at Hamming 0
+    // against the corpus copy, with the corpus member as id_a
+    assert(hits.contains((1L, 10L, 0L)), s"got $hits")
+    // every reported pair has the increment member on the b side
+    assert(hits.forall(_._2 >= 10L), s"got $hits")
+    // orientation holds for NON-MONOTONE ids too: a corpus doc with a
+    // HIGHER id than the probe still rides as id_a (the d5 lesson)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((501L, "e" * 33)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val low = screen(Seq((3L, "src", "f" * 33)).toDF("doc_id", "source", "text"))
+    assert(low.contains((501L, 3L, 0L)), s"got $low")
+    // compaction folds the per-batch dirs; the screen is unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen(probe) === hits)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
     val tmp = Files.createTempDirectory("graft_bloom_stream").toString
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -203,7 +203,7 @@ object MultimodalOps {
     * DedupOps.releaseCaches() every batch query path already makes. A
     * sort here would cost a range exchange the downstream
     * posexplode/groupBy immediately destroys (the d3 lesson). */
-  private def imageHashesRaw(spark: SparkSession, media: DataFrame): DataFrame =
+  private def imageHashesRaw(media: DataFrame): DataFrame =
     DedupOps.tracked(fingerprintFrame(media))
 
   /** The bare decode→hash projection with no persist and no sort — the
@@ -231,7 +231,7 @@ object MultimodalOps {
     * noise, not a perceptual signal. Narrow per-partition work, no
     * shuffle; the orderBy is the oracle-determinism tail. */
   def imageHashes(spark: SparkSession, media: DataFrame): DataFrame =
-    imageHashesRaw(spark, media).orderBy("doc_id")
+    imageHashesRaw(media).orderBy("doc_id")
 
   /** M4c — NEAR-duplicate image pairs at Hamming ≤ `maxHamming` over the
     * [[aHash]] fingerprints, via the d3b pigeonhole: the 64 bits split
@@ -247,12 +247,8 @@ object MultimodalOps {
     * the oracle's brute-force stays the exact answer there). */
   def imageNearDups(spark: SparkSession, media: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
-    imageNearDupsFromHashes(imageHashesRaw(spark, media), maxHamming, maxBucket)
+    imageNearDupsFromHashes(imageHashesRaw(media), maxHamming, maxBucket)
 
-  /** [[imageNearDups]] over an already-built fingerprint frame — the
-    * serving form: in deployment the hashes are MAINTAINED state (built
-    * once at ingest, the e5/e11b discipline), so near-dup search never
-    * re-decodes pixels. */
   /** The 4×16-bit band projection of a fingerprint frame — ONE
     * definition shared by the batch near-dup search and the served
     * screen, so the pigeonhole geometry cannot drift between them. */
@@ -270,6 +266,10 @@ object MultimodalOps {
     (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
 
+  /** [[imageNearDups]] over an already-built fingerprint frame — the
+    * serving form: in deployment the hashes are MAINTAINED state (built
+    * once at ingest, the e5/e11b discipline), so near-dup search never
+    * re-decodes pixels. */
   def imageNearDupsFromHashes(hashes: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming <= 3,
@@ -302,13 +302,20 @@ object MultimodalOps {
     * suffices (every candidate has a new-side row). The corpus side is a
     * narrow 4-bit-ops map over its 16-byte-per-image hash table, orders
     * under the media; at deployment the side is (band, key)-bucketed so
-    * the candidate join shuffles only the increment. */
+    * the candidate join shuffles only the increment. SELF-EXCLUSION (the
+    * text sides' replay discipline): the increment's own ids are
+    * anti-joined out of the corpus side first, so a REPLAYED batch —
+    * whose previous attempt already appended its fingerprints — screens
+    * against everyone else and its internal pairs surface exactly once,
+    * (min, max)-oriented via the new-vs-new leg, never as two
+    * opposite-orientation corpus rows. */
   def imageNearDupsServed(corpusHashes: DataFrame, newMedia: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming <= 3,
       s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
     val incr = DedupOps.tracked(fingerprintFrame(newMedia))
-    val cb = bandsOf(corpusHashes.select("doc_id", "h_hi", "h_lo"))
+    val cb = bandsOf(corpusHashes.select("doc_id", "h_hi", "h_lo")
+      .join(broadcast(newMedia.select("doc_id")), Seq("doc_id"), "left_anti"))
     val nb = bandsOf(incr)
     val ok = nb.groupBy("band", "key").agg(count(lit(1)).as("nn"))
       .join(cb.groupBy("band", "key").agg(count(lit(1)).as("nc")),
@@ -338,7 +345,7 @@ object MultimodalOps {
     * here). One map-side-combinable (h_hi, h_lo) aggregation — the
     * fingerprint table is image-count-sized, never pixel-sized. */
   def imageDupGroups(spark: SparkSession, media: DataFrame): DataFrame =
-    imageDupGroupsFromHashes(imageHashesRaw(spark, media))
+    imageDupGroupsFromHashes(imageHashesRaw(media))
 
   /** [[imageDupGroups]] over an already-built fingerprint frame (the
     * serving form — see [[imageNearDupsFromHashes]]). */

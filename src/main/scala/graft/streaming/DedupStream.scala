@@ -635,14 +635,15 @@ object DedupStream {
       // (m4's aHash) — pixels decode exactly once, at admission; the m4d
       // screen and any image-dedup consumer read 16-byte hash rows ever
       // after. Same idempotent batch= key; undecodable rows (video)
-      // contribute nothing. Test frames may lack the source column the
-      // fixture media table wants — default it rather than forcing every
-      // text-only caller to carry media plumbing.
-      graft.llm.MultimodalOps.fingerprintFrame(
-        graft.llm.MultimodalOps.asMediaTable(
-          if (keptOut.columns.contains("source")) keptOut
-          else keptOut.withColumn("source", lit("src"))))
-        .write.mode("overwrite").parquet(s"$root/imagehashes/$key")
+      // contribute nothing. WRITTEN ONLY for batches that carry the media
+      // envelope (a `source` column, what [[MultimodalOps.asMediaTable]]
+      // keys the fixture payloads on): a text-only admission must not pay
+      // a per-doc decode for a side it will never query — its dir is
+      // simply absent, which readSide resolves as empty.
+      if (keptOut.columns.contains("source"))
+        graft.llm.MultimodalOps.fingerprintFrame(
+          graft.llm.MultimodalOps.asMediaTable(keptOut))
+          .write.mode("overwrite").parquet(s"$root/imagehashes/$key")
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the

@@ -667,9 +667,12 @@ class StreamingSpec extends SparkSpec {
     import graft.llm.MultimodalOps
     val tmp = Files.createTempDirectory("graft_img_stream").toString
     // the fixture images depend only on text LENGTH: len 30 and 41 enter
-    // the corpus fingerprint side at admission (pixels decode here, once)
+    // the corpus fingerprint side at admission (pixels decode here, once).
+    // The media envelope (source column) is what opts a batch into the
+    // imagehashes side — text-only admissions skip the decode entirely.
     graft.streaming.DedupStream.admitBatch(
-      Seq((1L, "a" * 30), (2L, "b" * 41)).toDF("doc_id", "text"),
+      Seq((1L, "src", "a" * 30), (2L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
       0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
     def screen(probe: org.apache.spark.sql.DataFrame) =
       graft.streaming.DedupStream.screenImageNearDups(spark, s"$tmp/index",
@@ -686,10 +689,25 @@ class StreamingSpec extends SparkSpec {
     // orientation holds for NON-MONOTONE ids too: a corpus doc with a
     // HIGHER id than the probe still rides as id_a (the d5 lesson)
     graft.streaming.DedupStream.admitBatch(
-      Seq((501L, "e" * 33)).toDF("doc_id", "text"),
+      Seq((501L, "src", "e" * 33)).toDF("doc_id", "source", "text"),
       1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
     val low = screen(Seq((3L, "src", "f" * 33)).toDF("doc_id", "source", "text"))
     assert(low.contains((501L, 3L, 0L)), s"got $low")
+    // REPLAY self-exclusion: admit two docs with IDENTICAL images (same
+    // length, disjoint text so the text screen keeps both), then screen
+    // the same two docs again — their fingerprints already sit in the
+    // corpus side, so without self-exclusion the pair would surface in
+    // BOTH orientations via the corpus leg; with it, exactly once,
+    // (min, max)-oriented
+    graft.streaming.DedupStream.admitBatch(
+      Seq((6L, "src", "x" * 35), (7L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val replay = screen(
+      Seq((6L, "src", "x" * 35), (7L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"))
+    assert(replay.count(r => Set(r._1, r._2) == Set(6L, 7L)) === 1, s"got $replay")
+    assert(replay.contains((6L, 7L, 0L)), s"got $replay")
     // compaction folds the per-batch dirs; the screen is unchanged
     graft.streaming.DedupStream.compact(spark, s"$tmp/index")
     assert(screen(probe) === hits)

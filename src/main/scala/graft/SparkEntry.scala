@@ -685,6 +685,28 @@ object SparkEntry {
         semPairs = Some(SimilarityOps.semanticScreen(ivfCorpusIndex(s, d),
           embeddings(s, d).filter(col("vec_id") >= 400), 0.4)))
     }),
+    "c6_multimodal_admission" -> ((s, d) => {
+      // the COMPLETE admission ladder: c2b's text + vector screens plus
+      // the IMAGE rung — the increment's media fingerprints against the
+      // maintained corpus fingerprint table (m4d's served screen), verdict
+      // `image_dup` slotted between semantic_dup and contaminated. Every
+      // tier enters only through its maintained state: band/seed indexes,
+      // IVF cells, 16-byte aHash rows — a doc recycling a corpus image
+      // under fresh text is caught without a single corpus pixel decoded.
+      val inc = documents(s, d).filter(col("doc_id") >= 400)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      graft.llm.CurationOps.admitIncrement(inc,
+        d5Pairs(s, d),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d),
+          d9CorpusSeedStats(s, d)),
+        DedupOps.contaminationHits(inc, bench, 4, 1),
+        semPairs = Some(SimilarityOps.semanticScreen(ivfCorpusIndex(s, d),
+          embeddings(s, d).filter(col("vec_id") >= 400), 0.4)),
+        imagePairs = Some(MultimodalOps.imageNearDupsServed(
+          m4CorpusHashes(s, d),
+          MultimodalOps.asMediaTable(
+            inc.filter(!MultimodalOps.isVideoId(col("doc_id")))))))
+    }),
     "c3_leakage_safe_split" -> ((s, d) =>
       // group-aware train/val/test split: buckets hash the d6 GROUP id,
       // so near-dup components co-travel — the eval-leakage guard. The

@@ -114,11 +114,19 @@ object CurationOps {
     *
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
-    * `semantic_dup` > `contaminated` > `low_quality` > `admitted`.
-    * `detail_id` names the firing screen's witness — the keeper for
-    * dups/spans/semantic dups, the colliding benchmark doc for
-    * contamination (min id for determinism) — and is null for
+    * `semantic_dup` > `image_dup` > `contaminated` > `low_quality` >
+    * `admitted`. `detail_id` names the firing screen's witness — the
+    * keeper for dups/spans/semantic/image dups, the colliding benchmark
+    * doc for contamination (min id for determinism) — and is null for
     * quality-only rejections and admissions.
+    *
+    * `imagePairs` (c6) is the IMAGE-modality rung: near-dup fingerprint
+    * pairs from the served screen
+    * ([[graft.llm.MultimodalOps.imageNearDupsServed]] — corpus member as
+    * id_a, increment member as id_b, the same orientation contract as
+    * every dup frame here), so a doc whose image duplicates the corpus
+    * (or an earlier increment member) is rejected even when its TEXT is
+    * fresh — scraped pages recycling one image under different captions.
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -132,7 +140,8 @@ object CurationOps {
   def admitIncrement(increment: DataFrame, dupPairs: DataFrame,
       spanPairs: DataFrame, contamHits: DataFrame,
       minQuality: Double = 0.5,
-      semPairs: Option[DataFrame] = None): DataFrame = {
+      semPairs: Option[DataFrame] = None,
+      imagePairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -147,17 +156,23 @@ object CurationOps {
         sp.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("sem_id")),
         Seq("doc_id"), "left")
     }
-    withSem
+    val withImg = imagePairs.fold(withSem.withColumn("img_id", lit(null).cast("long"))) {
+      ip => withSem.join(
+        ip.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("img_id")),
+        Seq("doc_id"), "left")
+    }
+    withImg
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
           .when(col("span_id").isNotNull, "span_dup")
           .when(col("sem_id").isNotNull, "semantic_dup")
+          .when(col("img_id").isNotNull, "image_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("contam_id")).as("detail_id"),
+          col("img_id"), col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

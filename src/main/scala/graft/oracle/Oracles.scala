@@ -297,8 +297,12 @@ ${p}isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
     * the integer mean, packed row-major as two 32-bit halves (a 64-bit
     * pack would put bit 63 in the sign). Exposes `bits` (doc_id, w, h,
     * h_hi, h_lo) over the image-modality docs. */
-  private val ImagePhashCtes = s"""
-WITH img AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+  /** The aHash recomputation as a CTE-list FRAGMENT (no WITH), exposing
+    * `bits` (doc_id, w, h, h_hi, h_lo) over every non-video doc — spliced
+    * into the admission oracle's existing WITH chain by
+    * [[admissionOracle]]; [[ImagePhashCtes]] wraps it for the standalone
+    * m4-family oracles. */
+  private val ImagePhashCteList = s"""img AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
              FROM $Docs WHERE doc_id % 4 <> 0),
 dm AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h FROM img),
 gr AS (SELECT doc_id, w, h,
@@ -317,6 +321,9 @@ bits AS (SELECT doc_id, w, h,
              CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
                   ELSE 0 END)) AS BIGINT) AS h_lo
          FROM mn)"""
+
+  private val ImagePhashCtes = s"""
+WITH $ImagePhashCteList"""
 
   private def spanOracle(matchExtra: String): String = s"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", matchExtra)}
@@ -352,7 +359,8 @@ ${p}bset AS (SELECT bench_id, unnest(arr) AS sh FROM ${p}bsh)"""
     * frozen-centroid IVF chain (build corpus = vec_id < 400) + e7's
     * within-cell pairs (6-dp cos ≥ 0.4, 256-member cell rail) restricted
     * to increment-side id_b, corpus member as id_a. */
-  private def admissionOracle(withSemantic: Boolean = false): String = {
+  private def admissionOracle(withSemantic: Boolean = false,
+      withImage: Boolean = false): String = {
     val semCtes = if (!withSemantic) "" else s"""${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
 cellsz AS (SELECT cell FROM a2 GROUP BY cell HAVING count(*) <= 256),
 semp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -366,6 +374,21 @@ sem AS (SELECT id_b AS doc_id, min(id_a) AS sem_id FROM semp GROUP BY id_b),"""
     val semWhen = if (withSemantic)
       "\n            WHEN sem.sem_id IS NOT NULL THEN 'semantic_dup'" else ""
     val semCoalesce = if (withSemantic) " sem.sem_id," else ""
+    // the image rung (c6): brute-force Hamming ≤ 3 over the recomputed
+    // fingerprints — m4d's oracle pattern with the increment as probe
+    // side and the same orientation rule as semp (corpus as id_a, else
+    // (min, max)); non-video docs only (the bits CTE's domain)
+    val imgCtes = if (!withImage) "" else s"""$ImagePhashCteList,
+imgp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bits a JOIN bits b ON b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+         WHERE bit_count(xor(a.h_hi, b.h_hi))
+               + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+imgd AS (SELECT id_b AS doc_id, min(id_a) AS img_id FROM imgp GROUP BY id_b),"""
+    val imgJoin = if (withImage) " LEFT JOIN imgd USING (doc_id)" else ""
+    val imgWhen = if (withImage)
+      "\n            WHEN imgd.img_id IS NOT NULL THEN 'image_dup'" else ""
+    val imgCoalesce = if (withImage) " imgd.img_id," else ""
     s"""WITH $ShingleCtes,${bandCandCtes(" AND bb.doc_id >= 400")},${verifiedPairCtes(0.5)},
 dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_id FROM pairs GROUP BY id_b),${spanSeedCtes("sp", " AND b.doc_id >= 400")},
 spspans AS (SELECT id_a, id_b FROM spisl
@@ -375,17 +398,17 @@ span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b)
       "(SELECT doc_id AS bench_id, w FROM docs WHERE doc_id % 50 = 0)")},
 chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
           GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
-contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$QualityCte
+contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$imgCtes$QualityCte
 SELECT q.doc_id,
        CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
-            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen
+            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen$imgWhen
             WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
             WHEN q.quality_score < 0.5 THEN 'low_quality'
             ELSE 'admitted' END AS verdict,
-       coalesce(dup.dup_id, span.span_id,$semCoalesce contam.contam_id) AS detail_id,
+       coalesce(dup.dup_id, span.span_id,$semCoalesce$imgCoalesce contam.contam_id) AS detail_id,
        q.quality_score
 FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
-LEFT JOIN contam USING (doc_id)$semJoin
+LEFT JOIN contam USING (doc_id)$semJoin$imgJoin
 WHERE q.doc_id >= 400 ORDER BY q.doc_id"""
   }
 
@@ -1173,6 +1196,8 @@ ORDER BY h.doc_id""",
     // to the increment as probe side (admissionOracle composes them).
     "c2_incremental_admission" -> admissionOracle(),
     "c2b_semantic_admission" -> admissionOracle(withSemantic = true),
+    "c6_multimodal_admission" ->
+      admissionOracle(withSemantic = true, withImage = true),
 
     // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id

@@ -12,10 +12,13 @@ import graft.llm.{CurationOps, DedupOps}
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
-  * (near_dup > span_dup > semantic_dup > contaminated > low_quality >
-  * admitted), same oracle — where the two single-tier services each fold
-  * only their OWN screen into admission, this one commits the complete
-  * curation policy.
+  * (near_dup > span_dup > semantic_dup > image_dup > contaminated >
+  * low_quality > admitted), same oracle — where the two single-tier
+  * services each fold only their OWN screen into admission, this one
+  * commits the complete curation policy. Feeds carrying the media
+  * envelope (a `source` column) additionally pass the IMAGE rung — the
+  * increment's fingerprints against the maintained imagehashes side
+  * (the c6 composition); text-only feeds skip it entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -76,7 +79,19 @@ object CurationStream {
     DedupStream.admissionVerdicts(spark, textIndexDir, docs, benchmark,
       threshold, minQuality, contamK, contamMinShared,
       semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
-        semThreshold, maxCell)))
+        semThreshold, maxCell)),
+      imagePairs = imageScreen(docs,
+        DedupStream.corpusImageHashes(spark, textIndexDir)))
+
+  /** The IMAGE rung's pairs for an increment, or None when the increment
+    * carries no media envelope (a `source` column — the same opt-in that
+    * gates the imagehashes side write): text-only feeds pay nothing. */
+  private def imageScreen(docs: DataFrame,
+      corpusHashes: DataFrame): Option[DataFrame] =
+    if (docs.columns.contains("source"))
+      Some(graft.llm.MultimodalOps.imageNearDupsServed(
+        corpusHashes, graft.llm.MultimodalOps.asMediaTable(docs)))
+    else None
 
   /** One microbatch: dual-tier verdict, then commit admitted docs to the
     * text tier and their vectors to the vector tier. Public so batch
@@ -115,7 +130,14 @@ object CurationStream {
       DedupOps.contaminationHits(docs, benchmark, contamK, contamMinShared),
       minQuality,
       Some(VectorStream.screenExcluding(spark, vectorIndexDir, vectors,
-        semThreshold, maxCell, tag))).persist()
+        semThreshold, maxCell, tag)),
+      // the image rung (when the feed carries media): the maintained
+      // fingerprint side with this batch's own dir excluded — on top of
+      // imageNearDupsServed's id-level self-exclusion — so a replay
+      // screens exactly the corpus the original attempt saw
+      imageScreen(docs,
+        DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag)))
+      .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
       // commits below append to — forcing it first keeps the read set
@@ -159,10 +181,12 @@ object CurationStream {
           counts.getOrElse("admitted", 0L), counts.getOrElse("near_dup", 0L),
           counts.getOrElse("span_dup", 0L),
           counts.getOrElse("semantic_dup", 0L),
+          counts.getOrElse("image_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
-          "n_span_dup", "n_semantic_dup", "n_contaminated", "n_low_quality")
+          "n_span_dup", "n_semantic_dup", "n_image_dup", "n_contaminated",
+          "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)

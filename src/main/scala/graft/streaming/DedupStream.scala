@@ -344,6 +344,7 @@ object DedupStream {
       case "bands" => BandSchema
       case "seeds" => SeedSchema
       case "seedstats" => StatsSchema
+      case "imagehashes" => ImgHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -749,13 +750,14 @@ object DedupStream {
   def admissionVerdicts(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, benchmark: DataFrame, threshold: Double = 0.5,
       minQuality: Double = 0.5, contamK: Int = 4,
-      contamMinShared: Int = 1, semPairs: Option[DataFrame] = None): DataFrame =
+      contamMinShared: Int = 1, semPairs: Option[DataFrame] = None,
+      imagePairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
       screenSpans(spark, indexDir, newDocs),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality, semPairs)
+      minQuality, semPairs, imagePairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the

@@ -130,8 +130,9 @@ class CurationStreamSpec extends SparkSpec {
     assert(m.getLong(2) === 5L && m.getLong(3) === 1L,
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
-    // semantic_dup verdict, so n_low_quality is 0
-    assert((4 to 8).map(m.getLong) === Seq(1L, 1L, 1L, 1L, 0L), m.toString)
+    // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
+    // never fires the image rung (n_image_dup 0)
+    assert((4 to 9).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 1L, 0L), m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
     CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
@@ -164,6 +165,62 @@ class CurationStreamSpec extends SparkSpec {
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     DedupOps.releaseCaches()
     assert(advisory === batchC2b())
+  }
+
+  test("a media feed's image rung rejects a corpus-image recycler (c6 streaming)") {
+    val tmp = Files.createTempDirectory("graft_curation_img").toString
+    // the fixture image depends only on text LENGTH: every text below is
+    // built so lengths pair up exactly (398/398 and 406/406) while the
+    // WORDS stay disjoint — fresh text, recycled image, the case the
+    // image rung exists for (cross-length fingerprints sit at Hamming 32;
+    // ~101 tokens half of them stopwords keeps quality_score ≈ 0.75)
+    def shaped(prefix: String, tag: String, n: Int) =
+      s"$prefix " + (1 to n).map(k => s"the $tag$k").mkString(" ")
+    val corpusText = shaped("imgseed", "a", 50)    // len 398
+    val recycler = shaped("recycle", "b", 50)      // len 398 — same image
+    val fresh402 = shaped("fresh02", "c", 51)      // len 406
+    val again403 = shaped("again03", "d", 51)      // len 406 — dups 402's
+    assert(corpusText.length === recycler.length)
+    assert(fresh402.length === again403.length)
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // corpus admitted WITH the media envelope → fingerprint side written
+    DedupStream.admitBatch(
+      Seq((1L, "src", corpusText)).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val docs = Seq((401L, "src", recycler), (402L, "src", fresh402))
+      .toDF("doc_id", "source", "text")
+    val vecs = Seq((401L, e(2)), (402L, e(3))).toDF("vec_id", "embedding")
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "img")
+    def verdictOf(id: Long) = CurationStream.verdictLog(spark, s"$tmp/out")
+      .filter(col("doc_id") === id)
+      .select("verdict", "detail_id").as[(String, Option[Long])].head()
+    // 401's TEXT is fresh (no shared shingle/span) but its IMAGE is the
+    // corpus doc's: the image rung rejects it, witness = the corpus copy
+    assert(verdictOf(401L) === ("image_dup", Some(1L)))
+    assert(verdictOf(402L) === ("admitted", None))
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_image_dup")) === 1L, m.toString)
+    // replay over the committed state: 402's own fingerprint now sits in
+    // the side, and the id-level self-exclusion keeps the verdict stable
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "img")
+    assert(verdictOf(401L) === ("image_dup", Some(1L)))
+    assert(verdictOf(402L) === ("admitted", None))
+    // the ADMITTED doc's fingerprint serves the next batch: 403 recycles
+    // 402's image under fresh text and is rejected against it; the
+    // REJECTED 401's fingerprint was never indexed
+    CurationStream.admitBatch(
+      Seq((403L, "src", again403)).toDF("doc_id", "source", "text"),
+      Seq((403L, e(4))).toDF("vec_id", "embedding"),
+      2L, s"$tmp/text", s"$tmp/vec", s"$tmp/out", bench, lineage = "img")
+    assert(verdictOf(403L) === ("image_dup", Some(402L)))
+    DedupOps.releaseCaches()
   }
 
   test("dual-tier reads stay complete and coherent under concurrent admissions + compactions") {

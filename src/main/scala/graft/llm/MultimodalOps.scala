@@ -140,6 +140,13 @@ object MultimodalOps {
     * an undecodable container — the stub's remaining scope), the rest are
     * REAL PNGs generated deterministically from the text length. Narrow
     * per-row map (the fixture's ingest stage); no shuffle. */
+  /** The ONE media-envelope test (a `source` column — what
+    * [[asMediaTable]] keys the fixture payloads on): gates both the
+    * imagehashes side WRITE at admission and the image-rung screen READ,
+    * from a single definition so the two cannot drift — a side that gets
+    * written but never screened (or vice versa) would be silent. */
+  def hasMediaEnvelope(df: DataFrame): Boolean = df.columns.contains("source")
+
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -203,7 +210,7 @@ object MultimodalOps {
     * DedupOps.releaseCaches() every batch query path already makes. A
     * sort here would cost a range exchange the downstream
     * posexplode/groupBy immediately destroys (the d3 lesson). */
-  private def imageHashesRaw(media: DataFrame): DataFrame =
+  private[graft] def imageHashesRaw(media: DataFrame): DataFrame =
     DedupOps.tracked(fingerprintFrame(media))
 
   /** The bare decode→hash projection with no persist and no sort — the
@@ -310,13 +317,27 @@ object MultimodalOps {
     * (min, max)-oriented via the new-vs-new leg, never as two
     * opposite-orientation corpus rows. */
   def imageNearDupsServed(corpusHashes: DataFrame, newMedia: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
+    imageNearDupsServedHashes(corpusHashes,
+      DedupOps.tracked(fingerprintFrame(newMedia)),
+      newMedia.select("doc_id"), maxHamming, maxBucket)
+
+  /** The hash-level core of [[imageNearDupsServed]] — for callers that
+    * already hold the increment's fingerprints (CurationStream computes
+    * them ONCE per batch and feeds the same frame to this screen and to
+    * the admission-side write, so an admitted image decodes exactly
+    * once). `incrIds` is the FULL increment id set, decodable or not —
+    * the self-exclusion domain must cover probe rows whose fingerprint
+    * didn't materialize (video, rot), or a replayed undecodable doc's
+    * stale corpus row could still pair against its batch. */
+  def imageNearDupsServedHashes(corpusHashes: DataFrame,
+      incrHashes: DataFrame, incrIds: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming <= 3,
       s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
-    val incr = DedupOps.tracked(fingerprintFrame(newMedia))
     val cb = bandsOf(corpusHashes.select("doc_id", "h_hi", "h_lo")
-      .join(broadcast(newMedia.select("doc_id")), Seq("doc_id"), "left_anti"))
-    val nb = bandsOf(incr)
+      .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOf(incrHashes)
     val ok = nb.groupBy("band", "key").agg(count(lit(1)).as("nn"))
       .join(cb.groupBy("band", "key").agg(count(lit(1)).as("nc")),
         Seq("band", "key"), "left")

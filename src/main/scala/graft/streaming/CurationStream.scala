@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.llm.{CurationOps, DedupOps}
+import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's six
+  * against BOTH maintained index tiers (the text tier's eight
   * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
@@ -80,17 +80,20 @@ object CurationStream {
       threshold, minQuality, contamK, contamMinShared,
       semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
         semThreshold, maxCell)),
-      imagePairs = imageScreen(docs,
-        DedupStream.corpusImageHashes(spark, textIndexDir)))
+      imagePairs =
+        if (MultimodalOps.hasMediaEnvelope(docs))
+          Some(DedupStream.screenImageNearDups(spark, textIndexDir,
+            MultimodalOps.asMediaTable(docs)))
+        else None)
 
-  /** The IMAGE rung's pairs for an increment, or None when the increment
-    * carries no media envelope (a `source` column — the same opt-in that
-    * gates the imagehashes side write): text-only feeds pay nothing. */
-  private def imageScreen(docs: DataFrame,
-      corpusHashes: DataFrame): Option[DataFrame] =
-    if (docs.columns.contains("source"))
-      Some(graft.llm.MultimodalOps.imageNearDupsServed(
-        corpusHashes, graft.llm.MultimodalOps.asMediaTable(docs)))
+  /** The increment's image fingerprints, decoded ONCE per batch and fed
+    * to BOTH the phase-1 screen and the phase-2 side write — or None
+    * when the feed carries no media envelope ([[MultimodalOps
+    * .hasMediaEnvelope]], the same single gate the side write keys on):
+    * text-only feeds pay nothing, not even the side's FS probes. */
+  private def incrementHashes(docs: DataFrame): Option[DataFrame] =
+    if (MultimodalOps.hasMediaEnvelope(docs))
+      Some(MultimodalOps.imageHashesRaw(MultimodalOps.asMediaTable(docs)))
     else None
 
   /** One microbatch: dual-tier verdict, then commit admitted docs to the
@@ -117,6 +120,9 @@ object CurationStream {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
+    // the increment's fingerprints, decoded ONCE (None for text-only
+    // feeds) — the screen below and the phase-2 side write share them
+    val incrHashes = incrementHashes(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
     val verdict = CurationOps.admitIncrement(docs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(docs),
@@ -133,10 +139,11 @@ object CurationStream {
         semThreshold, maxCell, tag)),
       // the image rung (when the feed carries media): the maintained
       // fingerprint side with this batch's own dir excluded — on top of
-      // imageNearDupsServed's id-level self-exclusion — so a replay
-      // screens exactly the corpus the original attempt saw
-      imageScreen(docs,
-        DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag)))
+      // the screen's id-level self-exclusion — so a replay screens
+      // exactly the corpus the original attempt saw
+      incrHashes.map(h => MultimodalOps.imageNearDupsServedHashes(
+        DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag),
+        h, docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -159,7 +166,10 @@ object CurationStream {
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
-        bloomSizing)
+        bloomSizing,
+        // the phase-1 fingerprints, restricted to the kept set inside
+        // admitBatch — the admitted images are NOT re-decoded
+        imageHashes = incrHashes)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -203,10 +213,26 @@ object CurationStream {
   /** Per-batch DUAL-TIER admission accounting: the verdict-level counts
     * (the per-tier metrics under `outDir/text`/`outDir/vec` describe only
     * the already-admitted subset). A batch appears here only once both
-    * tiers committed. */
-  def metrics(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/metrics")
+    * tiers committed. Read under an EXPLICIT schema (the readSide
+    * discipline): a long-lived outDir mixing rows written before the
+    * image rung with rows after must not let one parquet footer decide
+    * the column set — legacy rows surface n_image_dup as 0, the count a
+    * rung that didn't exist yet genuinely had. */
+  def metrics(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(StructField("lineage", StringType), StructField("batch_id", LongType),
+        StructField("n_in", LongType), StructField("n_admitted", LongType),
+        StructField("n_near_dup", LongType), StructField("n_span_dup", LongType),
+        StructField("n_semantic_dup", LongType),
+        StructField("n_image_dup", LongType),
+        StructField("n_contaminated", LongType),
+        StructField("n_low_quality", LongType),
+        StructField("batch", StringType)))
+    spark.read.schema(schema).parquet(s"$outDir/metrics")
+      .na.fill(0L, Seq("n_image_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
+  }
 
   /** Start the dual-tier admission stream over a streaming frame carrying
     * (doc_id, text, …, embedding) — the embedding column may be null for

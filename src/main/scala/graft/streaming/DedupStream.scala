@@ -551,7 +551,8 @@ object DedupStream {
     * backfill-runs-the-livescan-path design). */
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
       outDir: String, threshold: Double, lineage: String = "batch",
-      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): Unit = {
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
+      imageHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -636,15 +637,21 @@ object DedupStream {
       // (m4's aHash) — pixels decode exactly once, at admission; the m4d
       // screen and any image-dedup consumer read 16-byte hash rows ever
       // after. Same idempotent batch= key; undecodable rows (video)
-      // contribute nothing. WRITTEN ONLY for batches that carry the media
-      // envelope (a `source` column, what [[MultimodalOps.asMediaTable]]
-      // keys the fixture payloads on): a text-only admission must not pay
-      // a per-doc decode for a side it will never query — its dir is
-      // simply absent, which readSide resolves as empty.
-      if (keptOut.columns.contains("source"))
-        graft.llm.MultimodalOps.fingerprintFrame(
-          graft.llm.MultimodalOps.asMediaTable(keptOut))
-          .write.mode("overwrite").parquet(s"$root/imagehashes/$key")
+      // contribute nothing. A caller that already decoded the batch
+      // (CurationStream's phase-1 screen) passes its fingerprint frame
+      // via `imageHashes` — restricted here to the kept set — so the
+      // decode truly runs once; otherwise the side is written ONLY for
+      // batches carrying the media envelope: a text-only admission must
+      // not pay a per-doc decode for a side it will never query — its
+      // dir is simply absent, which readSide resolves as empty.
+      imageHashes
+        .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .orElse(
+          if (graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
+            Some(graft.llm.MultimodalOps.fingerprintFrame(
+              graft.llm.MultimodalOps.asMediaTable(keptOut)))
+          else None)
+        .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the

@@ -831,6 +831,15 @@ object SparkEntry {
       // table — the tokenizer-eval data card; exact-long sums, ratios
       // derived at the end, one zero-join encode + one lang roll-up
       TextOps.tokenizerCard(documents(s, d), t18cMerges(s, d))),
+    "t21_winnow_fingerprints" -> ((s, d) =>
+      // MOSS winnowing sketches: window-min over d9's positional k-gram
+      // hash chain — any ≥ 8-word verbatim overlap must share a
+      // fingerprint, at ~1/4 the seed-index size
+      DedupOps.winnowFingerprints(documents(s, d))),
+    "t21b_winnow_similarity" -> ((s, d) =>
+      // the MOSS match report: pairs sharing ≥ 2 sketch fingerprints via
+      // an inverted-index join under the d4/d9 df rail
+      DedupOps.winnowSimilarity(documents(s, d))),
     "t19_unigram_nll" -> ((s, d) =>
       // CCNet-class unigram-LM quality scoring: per-doc NLL under the
       // corpus's own word distribution, integer-quantized per word so the
@@ -946,6 +955,11 @@ object SparkEntry {
         MultimodalOps.asMediaTable(
           documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF().orderBy("doc_id", "frame_idx")),
+    "m6_media_card" -> ((s, d) =>
+      // the media-tier data card: per-(modality, format) counts, total
+      // pixels and dim ranges off the decoded metadata — the decode
+      // budget a curation run publishes beside the tokenizer card
+      MultimodalOps.mediaCard(s, documents(s, d))),
 
     // ---- flagship relational agg ---------------------------------------
     "q1_agg" -> ((s, d) =>

@@ -695,6 +695,64 @@ object DedupOps {
   def seedStats(seeds: DataFrame): DataFrame =
     seeds.groupBy("kh").agg(count(lit(1)).as("df"))
 
+  /** T21 — WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): over the doc's positional k-gram hash
+    * sequence (d9's seed chain, shared via `graft_pos_shingles` so the
+    * two fingerprint families cannot drift), slide a window of `w`
+    * consecutive hashes and keep each window's MINIMUM; the distinct
+    * kept hashes are the doc's sketch. The guarantee that makes it a
+    * dedup primitive: any verbatim overlap of ≥ k + w − 1 words (= 8 at
+    * the defaults, exactly d9's minSpan) contains a full window on both
+    * sides, so the two docs MUST share a fingerprint — detection at
+    * ~1/w the index size of the full seed table.
+    *
+    * Scale shape: one narrow all-codegen HOF chain per doc (transform
+    * over `sequence(0, greatest(m − w, 0))` — greatest() because a
+    * start>stop sequence runs DESCENDING — array_min over slice,
+    * array_distinct, explode); the sketch shuffles at ~tokens/w rows per
+    * doc and text never leaves the projection. Docs shorter than k words
+    * have no k-gram and drop (the d9 domain rule). */
+  def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4,
+      algo: String = "md5"): DataFrame =
+    winnowRaw(documents, k, w, algo).orderBy("doc_id", "fp")
+
+  private def winnowRaw(documents: DataFrame, k: Int, w: Int,
+      algo: String): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        call_function("graft_pos_shingles", col("text"), lit(k), lit(algo))
+          .as("kh"))
+      .filter(size(col("kh")) > 0)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("kh")) - w, lit(0))),
+          i => array_min(slice(col("kh"), i + 1, lit(w)))))).as("fp"))
+  }
+
+  /** T21b — winnow-sketch similarity: pairs sharing ≥ `minShared`
+    * fingerprints, the MOSS match report. Inverted-index join on the
+    * fingerprint (the d4 shape over the 1/w-sized sketch instead of the
+    * full shingle set), (min, max) orientation, and the d4/d9 df rail:
+    * a fingerprint carried by more than `maxDf` docs is boilerplate and
+    * is pruned before the pair join — the worst key posts maxDf² pairs,
+    * never corpus². `n_shared` counts distinct shared fingerprints
+    * (each doc's sketch is distinct by construction). */
+  def winnowSimilarity(documents: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100,
+      algo: String = "md5"): DataFrame = {
+    val fps = tracked(winnowRaw(documents, k, w, algo))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val pr = fps.join(rare, Seq("fp"))
+    pr.as("a").join(pr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared islands tail: merge matched seed positions (id_a, id_b, pos_a,
     * pos_b) into maximal diagonal runs and report spans ≥ minSpan words. */
   private def spanIslands(matches: DataFrame, k: Int, minSpan: Int): DataFrame = {

@@ -174,6 +174,22 @@ object MultimodalOps {
   def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")
 
+  /** M6 — the MEDIA data card: per-(media_type, format) corpus rollup of
+    * item counts, total pixels and dimension ranges — t20's data-card
+    * discipline applied to the media tier (what a curation run publishes
+    * beside the tokenizer card: how much of each modality, how big, and
+    * therefore what the decode/training budget looks like). One
+    * map-side-combinable aggregation over [[decodeMeta]]'s typed rows;
+    * the group count is modality-sized, never corpus-sized. */
+  def mediaCard(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeMeta(spark, asMediaTable(documents)).toDF()
+      .groupBy("media_type", "format")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_pixels").as("total_pixels"),
+        min("width").as("min_w"), max("width").as("max_w"),
+        min("height").as("min_h"), max("height").as("max_h"))
+      .orderBy("media_type", "format")
+
   final case class ImageHash(doc_id: Long, h_hi: Long, h_lo: Long,
     width: Long, height: Long)
 

@@ -325,6 +325,21 @@ bits AS (SELECT doc_id, w, h,
   private val ImagePhashCtes = s"""
 WITH $ImagePhashCteList"""
 
+  /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
+    * form (never unnested) so the window-min runs as a per-doc lambda —
+    * exposes `fps` (doc_id, fp). */
+  private val WinnowCtes = s"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+       FROM docs WHERE len(w) >= 5),
+khs AS (SELECT doc_id, list_transform(range(1, nw - 3), i ->
+          (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007) AS kh
+        FROM wh),
+fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(0, greatest(len(kh) - 4, 0) + 1), i ->
+          list_min(list_slice(kh, i + 1, i + 4))))) AS fp
+        FROM khs WHERE len(kh) > 0)"""
+
   private def spanOracle(matchExtra: String): String = s"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", matchExtra)}
 SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
@@ -1532,6 +1547,25 @@ SELECT d.lang,
 FROM apply3 a JOIN $Docs d USING (doc_id)
 GROUP BY d.lang ORDER BY lang"""),
 
+    // t21: winnowing fingerprints — the MOSS sketch recomputed over the
+    // same md5-word/31-polynomial k-gram hashes as the d9 seed oracle
+    // (k=5), window-min at w=4 with DuckDB's 1-based INCLUSIVE-end
+    // list_slice standing in for Spark's (start, length) slice; docs
+    // shorter than one window keep their global minimum, matching
+    // slice's end-clamp.
+    "t21_winnow_fingerprints" -> s"""$WinnowCtes
+SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""",
+
+    // t21b: the MOSS match report — inverted-index self-join of the
+    // sketches under the df ≤ 100 boilerplate rail, ≥ 2 shared prints.
+    "t21b_winnow_similarity" -> s"""$WinnowCtes,
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY id_a, id_b""",
+
     // t19: unigram-LM NLL — per-word integer-quantized log terms summed
     // exactly (the q1 integer-cents discipline applied to logs), so the
     // per-doc reduction is order-independent on both engines; avg derives
@@ -1814,6 +1848,23 @@ FROM (SELECT doc_id, source,
                   ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS h
       FROM $Docs)
 ORDER BY doc_id""",
+
+    // m6: the media data card — m1's dual-path dims formulas rolled up
+    // per (media_type, format); exact integer sums.
+    "m6_media_card" -> s"""
+WITH m AS (SELECT
+       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'raw' ELSE 'png' END AS format,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
+            ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS w,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
+            ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS h
+     FROM $Docs)
+SELECT media_type, format, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
+FROM m GROUP BY media_type, format
+ORDER BY media_type, format""",
 
     "m2_resize" -> s"""
 SELECT doc_id, width, height,

@@ -1702,6 +1702,64 @@ class LlmSpec extends SparkSpec {
     assert(card.map(_._5).sum === perDoc.map(_._3).sum)
   }
 
+  test("winnow sketch equals the window-min reimplementation; ≥8-word spans share a print (t21/t21b)") {
+    import spark.implicits._
+    // reimplementation equality (the m4 discipline): winnowing recomputed
+    // in plain Scala from the SAME positional seed table the engine's
+    // HOF chain reads
+    def handSketch(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      DedupOps.positionalSeeds(d, 5).as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (id, rows) =>
+          val kh = rows.sortBy(_._2).map(_._3)
+          val wins = (0 to math.max(kh.length - 4, 0))
+            .map(i => kh.slice(i, i + 4).min)
+          id -> wins.toSet
+        }
+    def engineSketch(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      DedupOps.winnowFingerprints(d).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (id, r) => id -> r.map(_._2).toSet }
+    val fixture = Seq(
+      (1L, "one two three four five six seven eight"),     // 8 words: 1 window
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),      // 16 windows
+      (3L, "short doc here"),                              // < k words: drops
+      // 4 shares the verbatim 8-word span "s1 .. s8" with 5 — the
+      // k + w - 1 guarantee says they MUST share a fingerprint
+      (4L, "pre amble words " + (1 to 8).map(i => s"s$i").mkString(" ")),
+      (5L, (1 to 8).map(i => s"s$i").mkString(" ") + " post text tail"))
+      .toDF("doc_id", "text")
+    assert(engineSketch(fixture) === handSketch(fixture))
+    assert(!engineSketch(fixture).contains(3L))
+    val pairs = DedupOps.winnowSimilarity(fixture, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 === 4L && p._2 === 5L), s"got ${pairs.toSeq}")
+    // the engine-scale coherence claim: every d9 span pair (≥ 8 verbatim
+    // words) surfaces in the winnow match report at minShared = 1 — the
+    // sketch detects the span domain at ~1/4 the index size
+    assert(engineSketch(docs) === handSketch(docs))
+    val spanPairs = DedupOps.duplicatedSpans(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val winnowPairs = DedupOps.winnowSimilarity(docs, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(spanPairs.subsetOf(winnowPairs),
+      s"span pairs missing from the sketch report: ${spanPairs -- winnowPairs}")
+    DedupOps.releaseCaches()
+  }
+
+  test("media card equals the decoded metadata rolled up by hand (m6)") {
+    import spark.implicits._
+    val meta = MultimodalOps.mediaPipeline(spark, docs)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    val want = meta.groupBy(r => (r._2, r._3)).map { case ((mt, fmt), rs) =>
+      (mt, fmt, rs.length.toLong, rs.map(_._6).sum,
+        rs.map(_._4).min, rs.map(_._4).max, rs.map(_._5).min, rs.map(_._5).max)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = MultimodalOps.mediaCard(spark, docs)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // both decode paths represented: the real PNG rows and the stub rows
+    assert(got.exists(_._2 === "png") && got.exists(_._2 === "raw"))
+  }
+
   test("unigram NLL matches a hand model and is partitioning-invariant (t19)") {
     import spark.implicits._
     // corpus: 6 words total — "a" 3×, "b" 2×, "c" 1×

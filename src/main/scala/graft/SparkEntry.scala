@@ -258,6 +258,13 @@ object SparkEntry {
     // a filter over the already-cached fingerprint table — no second pin
     m4Hashes(s, dir).filter(col("doc_id") < 400)
 
+  /** The t21c MAINTAINED corpus winnow-sketch table under the d5/d9b
+    * corpus split — the 1/w-sized dedup index a deployment maintains
+    * when it needs pair detection, not span coordinates. */
+  private def t21CorpusFps(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "t21fps")(
+      DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -840,6 +847,13 @@ object SparkEntry {
       // the MOSS match report: pairs sharing ≥ 2 sketch fingerprints via
       // an inverted-index join under the d4/d9 df rail
       DedupOps.winnowSimilarity(documents(s, d))),
+    "t21c_winnow_screen" -> ((s, d) =>
+      // the SERVED sketch screen: an increment's winnow prints against
+      // the MAINTAINED corpus sketch table — the m4d serving discipline
+      // (combined-population df rail, corpus as id_a, id-level
+      // self-exclusion) on the 1/w-sized text-dedup index
+      DedupOps.winnowScreen(t21CorpusFps(s, d),
+        documents(s, d).filter(col("doc_id") >= 400))),
     "t19_unigram_nll" -> ((s, d) =>
       // CCNet-class unigram-LM quality scoring: per-doc NLL under the
       // corpus's own word distribution, integer-quantized per word so the
@@ -1005,6 +1019,7 @@ object SparkEntry {
     t19WordCounts(spark, dir).count()
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
+    t21CorpusFps(spark, dir).count()
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -753,6 +753,40 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** T21c — the SERVED winnow screen: an increment's sketches against a
+    * MAINTAINED corpus fingerprint table (the t21 sketch as serving
+    * state — in a deployment that needs pair-level duplicate detection
+    * but not span coordinates, the 1/w-sized sketch table replaces the
+    * full seed index). The m4d serving discipline: the corpus enters
+    * only through its (doc_id, fp) rows; the COMBINED population drives
+    * the df rail (pruning the increment side suffices — every candidate
+    * has a new-side row); corpus member rides as id_a whatever the
+    * numeric order; the increment's own ids are anti-joined out of the
+    * corpus side so a replayed batch's internal pairs surface exactly
+    * once, (min, max)-oriented. */
+  def winnowScreen(corpusFps: DataFrame, newDocs: DataFrame,
+      k: Int = 5, w: Int = 4, minShared: Int = 2, maxDf: Int = 100,
+      algo: String = "md5"): DataFrame = {
+    val incr = tracked(winnowRaw(newDocs, k, w, algo))
+    val cf = corpusFps.select("doc_id", "fp")
+      .join(broadcast(newDocs.select("doc_id")), Seq("doc_id"), "left_anti")
+    val ok = incr.groupBy("fp").agg(count(lit(1)).as("nn"))
+      .join(cf.groupBy("fp").agg(count(lit(1)).as("nc")), Seq("fp"), "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxDf)
+      .select("fp")
+    val np = incr.join(ok, Seq("fp"))
+    def sided(df: DataFrame, side: String) =
+      df.select(col("fp"), col("doc_id").as(s"id_$side"))
+    val vsCorpus = sided(cf, "a").join(sided(np, "b"), Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = sided(np, "a").join(sided(np, "b"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared islands tail: merge matched seed positions (id_a, id_b, pos_a,
     * pos_b) into maximal diagonal runs and report spans ≥ minSpan words. */
   private def spanIslands(matches: DataFrame, k: Int, minSpan: Int): DataFrame = {

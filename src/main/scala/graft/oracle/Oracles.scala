@@ -1566,6 +1566,19 @@ FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY id_a, id_b""",
 
+    // t21c: the SERVED sketch screen — pairs whose LATER member is in the
+    // increment (doc_id >= 400, the d5 split), corpus entering only
+    // through its sketch rows; the engine's combined-population df rail
+    // equals the whole-corpus rare set for every increment-present print.
+    "t21c_winnow_screen" -> s"""$WinnowCtes,
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.fp = b.fp AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+  AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY id_a, id_b""",
+
     // t19: unigram-LM NLL — per-word integer-quantized log terms summed
     // exactly (the q1 integer-cents discipline applied to logs), so the
     // per-doc reduction is order-independent on both engines; avg derives

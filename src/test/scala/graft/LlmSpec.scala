@@ -1745,6 +1745,34 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("served winnow screen: corpus rides id_a, replay pairs surface once (t21c)") {
+    import spark.implicits._
+    val sharedA = (1 to 12).map(i => s"z$i").mkString(" ")
+    val sharedB = (1 to 12).map(i => s"y$i").mkString(" ")
+    val corpus = Seq(
+      (501L, "front matter words " + sharedA),
+      (6L, "alpha " + sharedB), (7L, "beta " + sharedB))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(corpus)
+    // non-monotone ids: corpus 501 > probe 3, yet the corpus member
+    // rides as id_a (the d5/m4d orientation lesson)
+    val hit = DedupOps.winnowScreen(fps,
+      Seq((3L, sharedA + " closing bits")).toDF("doc_id", "text"),
+      minShared = 1).as[(Long, Long, Long)].collect()
+    assert(hit.exists(r => r._1 === 501L && r._2 === 3L), s"got ${hit.toSeq}")
+    // replay: 6 and 7 are ALREADY in the corpus sketch; re-screening them
+    // self-excludes their corpus rows, so their internal pair surfaces
+    // exactly once, (min, max)-oriented — never twice via the corpus leg
+    val replay = DedupOps.winnowScreen(fps,
+      Seq((6L, "alpha " + sharedB), (7L, "beta " + sharedB))
+        .toDF("doc_id", "text"),
+      minShared = 1).as[(Long, Long, Long)].collect()
+    assert(replay.count(r => Set(r._1, r._2) == Set(6L, 7L)) === 1,
+      s"got ${replay.toSeq}")
+    assert(replay.exists(r => r._1 === 6L && r._2 === 7L), s"got ${replay.toSeq}")
+    DedupOps.releaseCaches()
+  }
+
   test("media card equals the decoded metadata rolled up by hand (m6)") {
     import spark.implicits._
     val meta = MultimodalOps.mediaPipeline(spark, docs)

@@ -274,11 +274,20 @@ c AS (SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score,
     * coefficients (31^4…31^0), range bounds and df prune cannot drift
     * between the batch, incremental and admission oracles. Exposes
     * `<p>m` (id_a, id_b, pos_a, pos_b) and the islands CTE `<p>isl`. */
+  /** The d9/t21 word-hash + k=5 polynomial arithmetic, defined ONCE (the
+    * engine side shares `graft_pos_shingles` the same way): both
+    * [[spanSeedCtes]] and [[WinnowCtes]] compose these fragments, so a
+    * coefficient/modulus/prefix change reaches every dependent oracle. */
+  private val WordHashExpr =
+    "list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007)"
+  private def khPoly(arr: String, i: String): String =
+    s"($arr[$i]*923521 + $arr[$i+1]*29791 + $arr[$i+2]*961 + $arr[$i+3]*31 + $arr[$i+4]) % 1000000007"
+
   private def spanSeedCtes(p: String, matchExtra: String): String = s"""
-${p}wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+${p}wh AS (SELECT doc_id, $WordHashExpr AS wh, len(w) AS nw
        FROM docs WHERE len(w) >= 5),
 ${p}seeds AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3), i ->
-            {'pos': i - 1, 'kh': (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007})) AS s
+            {'pos': i - 1, 'kh': ${khPoly("wh", "i")}})) AS s
           FROM ${p}wh),
 ${p}ps AS (SELECT doc_id, s.pos AS pos, s.kh AS kh FROM ${p}seeds),
 ${p}rare AS (SELECT kh FROM ${p}ps GROUP BY kh HAVING count(*) <= 100),
@@ -330,10 +339,10 @@ WITH $ImagePhashCteList"""
     * exposes `fps` (doc_id, fp). */
   private val WinnowCtes = s"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
-wh AS (SELECT doc_id, list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS wh, len(w) AS nw
+wh AS (SELECT doc_id, $WordHashExpr AS wh, len(w) AS nw
        FROM docs WHERE len(w) >= 5),
 khs AS (SELECT doc_id, list_transform(range(1, nw - 3), i ->
-          (wh[i]*923521 + wh[i+1]*29791 + wh[i+2]*961 + wh[i+3]*31 + wh[i+4]) % 1000000007) AS kh
+          ${khPoly("wh", "i")}) AS kh
         FROM wh),
 fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
           range(0, greatest(len(kh) - 4, 0) + 1), i ->

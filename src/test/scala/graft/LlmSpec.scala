@@ -1720,7 +1720,7 @@ class LlmSpec extends SparkSpec {
         .groupBy(_._1).map { case (id, r) => id -> r.map(_._2).toSet }
     val fixture = Seq(
       (1L, "one two three four five six seven eight"),     // 8 words: 1 window
-      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),      // 16 windows
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),      // 16 khs, 13 windows
       (3L, "short doc here"),                              // < k words: drops
       // 4 shares the verbatim 8-word span "s1 .. s8" with 5 — the
       // k + w - 1 guarantee says they MUST share a fingerprint

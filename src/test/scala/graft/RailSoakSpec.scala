@@ -14,9 +14,10 @@ import graft.llm.DedupOps.BloomSizing
   * analytic island arithmetic for the span split).
   *
   * Rails covered: d3b's maxBucket signature-bucket prune, m4c's image
-  * band-bucket prune (round 14 — a constant-image flood), e7's maxCell
-  * Voronoi-cell prune (members degrade to singleton keeps, never
-  * disappear), d8b's combined-population maxCell, d9's df cap
+  * band-bucket prune (round 14 — a constant-image flood), t21b's
+  * winnow-sketch df prune (round 14 — a boilerplate flood), e7's
+  * maxCell Voronoi-cell prune (members degrade to singleton keeps,
+  * never disappear), d8b's combined-population maxCell, d9's df cap
   * (spans SPLIT at a pruned boilerplate seed, never lost), and d10's
   * Bloom FPR staying at its analytic design point as the key count
   * approaches and passes filter capacity. */
@@ -90,6 +91,41 @@ class RailSoakSpec extends SparkSpec {
       // flood contributes none
       assert(railed.forall { case (a, b, ham) =>
         a / 3 == b / 3 && a < 10000 && b < 10000 && ham === 0L })
+    } finally DedupOps.releaseCaches()
+  }
+
+  // ---- t21b: winnow-sketch df rail ----------------------------------------
+
+  test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {
+    // 5000 byte-identical docs share ONE sketch whose every fingerprint
+    // has df 5000 >> 100 — ~12.5M all-pairs matches without the rail;
+    // 10 identical-triplet groups with distinct ≥ 8-word texts are the
+    // genuine content whose pairs must survive (their prints sit at df 3)
+    val boiler = (10000L until 15000L).map(i =>
+      (i, (1 to 14).map(k => s"boiler$k").mkString(" ")))
+    val groups = (0 until 10).flatMap { g =>
+      val text = (1 to 14).map(k => s"g${g}w$k").mkString(" ")
+      (0 until 3).map(j => ((g * 3 + j).toLong, text))
+    }
+    val corpus = (boiler ++ groups).toDF("doc_id", "text")
+    try {
+      // the rail FIRES: the flood's fingerprint df dwarfs maxDf
+      val maxDf = DedupOps.winnowFingerprints(corpus)
+        .groupBy("fp").count().agg(max("count")).head().getLong(0)
+      assert(maxDf >= 5000L, s"degenerate fingerprint df only $maxDf")
+      val railed = DedupOps.winnowSimilarity(corpus, minShared = 1)
+        .as[(Long, Long, Long)].collect().toSet
+      // small-N oracle: the engine on the corpus WITHOUT the flood
+      // (sketches are per-doc, so removal changes nothing else)
+      val reference = DedupOps.winnowSimilarity(
+        groups.toDF("doc_id", "text"), minShared = 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // surviving pairs are exactly the triplets' 3 pairs each, full
+      // sketch overlap, and the flood contributes none
+      assert(railed.size === 30)
+      assert(railed.forall { case (a, b, _) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 })
     } finally DedupOps.releaseCaches()
   }
 

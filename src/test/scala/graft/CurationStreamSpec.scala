@@ -223,6 +223,62 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the streaming entry drives the full ladder per microbatch, media envelope intact (start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_curation_start").toString
+    def shaped(prefix: String, tag: String, n: Int) =
+      s"$prefix " + (1 to n).map(k => s"the $tag$k").mkString(" ")
+    val corpusText = shaped("imgseed", "a", 50)    // len 398
+    val recycler = shaped("recycle", "b", 50)      // len 398 — same image
+    val fresh402 = shaped("fresh02", "c", 51)      // len 406, fresh image
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    DedupStream.admitBatch(
+      Seq((1L, "src", corpusText)).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Float])]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+      s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench)
+    try {
+      // microbatch 1: an image recycler (fresh text, corpus image) and a
+      // genuinely fresh doc — the foreachBatch wiring must carry the
+      // media envelope through to the image rung
+      stream.addData((401L, "src", recycler, e(2)), (402L, "src", fresh402, e(3)))
+      q.processAllAvailable()
+      // microbatch 2: a near-dup of the JUST-committed 402 — the state
+      // microbatch 1 admitted serves microbatch 2's screens
+      stream.addData((403L, "src", fresh402 + " coda", e(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdicts === Map(
+      401L -> ("image_dup", Some(1L)),
+      402L -> ("admitted", None),
+      403L -> ("near_dup", Some(402L))), verdicts.toString)
+    // both tiers committed exactly the admitted survivor of each batch
+    assert(DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
+    assert(VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 402L))
+    // the admitted doc's fingerprint landed on the imagehashes side
+    assert(DedupStream.corpusImageHashes(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
+    // per-batch dual-tier accounting, image rung included
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .select("batch_id", "n_in", "n_admitted", "n_image_dup", "n_near_dup")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(m === Set((0L, 2L, 1L, 1L, 0L), (1L, 1L, 0L, 0L, 1L)), m.toString)
+    DedupOps.releaseCaches()
+  }
+
   test("dual-tier reads stay complete and coherent under concurrent admissions + compactions") {
     val tmp = Files.createTempDirectory("graft_curation_soak").toString
     // quality-passing unique docs (near 100 tokens, ~0.5 stopword ratio)

@@ -752,6 +752,23 @@ object SparkEntry {
     }),
     "e3_cosine_neardups" -> ((s, d) =>
       SimilarityOps.cosineNearDups(embeddings(s, d), 0.4)),
+    "e13_filtered_topk" -> ((s, d) =>
+      // filtered search, exact baseline: top-k among the ENGLISH docs'
+      // vectors only — the filter lands BEFORE ranking (pre-filter
+      // semantics), so the selective case still returns k
+      SimilarityOps.filteredTopK(embeddings(s, d),
+        documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))),
+    "e13b_filtered_ivf_topk" -> ((s, d) =>
+      // the scale path: same filter as a semi join on the SERVED index's
+      // cell list, then e5's probe-and-rank — centroids untouched
+      SimilarityOps.ivfFilteredTopK(ivfIndex(s, d),
+        documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)),
     "e5_ivf_served_topk" -> ((s, d) =>
       // e4's result served from the MAINTAINED index (build ∉ query):
       // the j1b/k1b/d7 decomposition applied to ANN — same oracle as e4

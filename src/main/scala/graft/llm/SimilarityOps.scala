@@ -43,6 +43,37 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E13 — FILTERED vector search, brute-force form: top-k among the
+    * corpus vectors whose id passes `allowed` (the vector-store
+    * "filtered search" feature — retrieval restricted to a language /
+    * license / split). PRE-filter semantics, the correct top-k: the
+    * semi join lands BEFORE ranking, so a selective filter still yields
+    * k results — post-filtering a plain top-k under-returns exactly
+    * when the filter matters most. The query need not pass the filter
+    * (searching the English corpus from a non-English probe is legal).
+    * At scale the semi join prunes the corpus scan (doc_id-bucketed
+    * both sides at deployment) and everything downstream is e1's
+    * broadcast-query cross. */
+  def filteredTopK(embeddings: DataFrame, allowed: DataFrame,
+      queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(
+      embeddings.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+      queries, k)
+
+  /** E13b — filtered search on the SERVED IVF index: the same pre-filter
+    * semantics with the allowed-id semi join applied to the index's CELL
+    * LIST (centroids untouched — the filter changes which members rank,
+    * not the geometry), then e5's probe-and-rank. Probing stays
+    * recall-dialed by nProbe exactly as unfiltered; at deployment the
+    * (cell)-bucketed member table makes the semi join a bucket-local
+    * prune. */
+  def ivfFilteredTopK(index: IvfIndex, allowed: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    ivfQueryTopK(
+      index.copy(cells = index.cells
+        .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")),
+      queries, k, nProbe)
+
   /** Deterministic hyperplanes for sign-random-projection LSH, generated
     * from a fixed integer recurrence so the DuckDB oracle can inline the
     * same constants. */

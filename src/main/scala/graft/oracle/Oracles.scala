@@ -1300,6 +1300,30 @@ ORDER BY id_a, id_b""",
       dim = 64),
     // e5 = e4 served from the maintained index — the engine must land on
     // the inline pipeline's exact result, so the oracle is identical
+    // e13: filtered search, exact baseline — e1's chain with the English
+    // allow-set semi-joined into the corpus side BEFORE ranking.
+    "e13_filtered_topk" -> s"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $Emb WHERE vec_id < 8),
+al AS (SELECT doc_id FROM $Docs WHERE lang = 'en'),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $Emb JOIN al ON al.doc_id = vec_id),
+scored AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos
+           FROM q, e WHERE vec_id <> query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // e13b: the same filter on the SERVED index — e5's probe chain, the
+    // allow-set applied to the scored members before the rank window
+    // (centroids untouched, mirroring the engine's cell-list semi join).
+    "e13b_filtered_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
+      iterations = 2, dim = 64, tail = Some(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored s JOIN $Docs dd ON dd.doc_id = s.vec_id AND dd.lang = 'en')
+WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     "e5_ivf_served_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64),
     // e6 = e5's served top-k + majority-vote labeling: the identical IVF

@@ -1773,6 +1773,34 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("filtered search pre-filters the allow-set; post-filtering would under-return (e13/e13b)") {
+    import spark.implicits._
+    // vectors fan out on a quarter-circle: cos(query, v_i) strictly
+    // decreases in i, so every ranking is hand-readable
+    val vecs = (0 to 10).map { i =>
+      val th = i * 0.1
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val allowed = Seq(2L, 4L, 6L, 8L, 10L).toDF("vec_id")
+    val query = emb.filter(col("vec_id") === 0)
+    val got = SimilarityOps.filteredTopK(emb, allowed, query, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    // PRE-filter: the 3 nearest ALLOWED vectors — a post-filtered plain
+    // top-3 (neighbors 1,2,3 ∩ allowed = {2}) would return one row
+    assert(got === Seq((1, 2L), (2, 4L), (3, 6L)))
+    val plain = SimilarityOps.bruteForceTopK(emb, query, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((plain & Set(2L, 4L, 6L, 8L, 10L)).size < 3,
+      "fixture sanity: post-filtering the plain top-k must under-return")
+    // the served-index form agrees when probing covers every cell
+    val ix = SimilarityOps.ivfBuild(emb, nCells = 2, iterations = 1)
+    val served = SimilarityOps.ivfFilteredTopK(ix, allowed, query, 3, nProbe = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(served === Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+    DedupOps.releaseCaches()
+  }
+
   test("media card equals the decoded metadata rolled up by hand (m6)") {
     import spark.implicits._
     val meta = MultimodalOps.mediaPipeline(spark, docs)

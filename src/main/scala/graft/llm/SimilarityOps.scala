@@ -63,10 +63,16 @@ object SimilarityOps {
   /** E13b — filtered search on the SERVED IVF index: the same pre-filter
     * semantics with the allowed-id semi join applied to the index's CELL
     * LIST (centroids untouched — the filter changes which members rank,
-    * not the geometry), then e5's probe-and-rank. Probing stays
-    * recall-dialed by nProbe exactly as unfiltered; at deployment the
-    * (cell)-bucketed member table makes the semi join a bucket-local
-    * prune. */
+    * not the geometry), then e5's probe-and-rank. RECALL CAVEAT (the
+    * documented-approximation honesty rule, d4/d2-style): this is still
+    * an ANN — only nProbe cells are searched, and a SELECTIVE filter
+    * whose survivors cluster in unprobed cells returns fewer than k (the
+    * spec pins this). Production filtered-ANN systems compensate by
+    * widening nProbe with selectivity (allowed-fraction f → probe
+    * ~nProbe/f cells) — the dial is this function's parameter; e13's
+    * brute form is the exact baseline when the filter is too selective
+    * to probe around. At deployment the (cell)-bucketed member table
+    * makes the semi join a bucket-local prune. */
   def ivfFilteredTopK(index: IvfIndex, allowed: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
     ivfQueryTopK(

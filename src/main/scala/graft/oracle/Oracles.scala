@@ -596,9 +596,13 @@ scored AS (SELECT p.query_id, c.vec_id,
 
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
       dim: Int, tail: Option[String] = None,
-      corpusWhere: Option[String] = None): String = {
+      corpusWhere: Option[String] = None,
+      memberFilter: Option[String] = None): String = {
     val last = s"a$iterations"
     val lastCent = s"c${iterations - 1}"
+    // memberFilter splices a join suffix onto the default tail's scored
+    // scan (e13b's allow-set), keeping the rank window and `rank <= $k`
+    // single-sourced — a custom tail with its own literal k would drift.
     s"""
 WITH ${ivfChainCtes(nCells, iterations, dim, corpusWhere)},
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -612,7 +616,7 @@ scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v),
 ${tail.getOrElse(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
   SELECT query_id, vec_id AS neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored)
+  FROM scored${memberFilter.getOrElse("")})
 WHERE rank <= $k ORDER BY query_id, rank""")}"""
   }
 
@@ -1318,11 +1322,8 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     // allow-set applied to the scored members before the rank window
     // (centroids untouched, mirroring the engine's cell-list semi join).
     "e13b_filtered_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
-      iterations = 2, dim = 64, tail = Some(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
-  SELECT query_id, vec_id AS neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored s JOIN $Docs dd ON dd.doc_id = s.vec_id AND dd.lang = 'en')
-WHERE rank <= 5 ORDER BY query_id, rank""")),
+      iterations = 2, dim = 64, memberFilter =
+        Some(s" s JOIN $Docs dd ON dd.doc_id = s.vec_id AND dd.lang = 'en'")),
 
     "e5_ivf_served_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64),

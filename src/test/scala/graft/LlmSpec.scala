@@ -1798,6 +1798,22 @@ class LlmSpec extends SparkSpec {
     val served = SimilarityOps.ivfFilteredTopK(ix, allowed, query, 3, nProbe = 2)
       .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
     assert(served === Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+    // the DOCUMENTED recall caveat, pinned: at nProbe = 1 the probe set
+    // is the query's own near cell, and an allow-set clustered in the
+    // far cell under-returns — the ANN form is honest about being
+    // approximate (widen nProbe with selectivity; e13 is the exact
+    // baseline)
+    val farCell = ix.cells.filter(col("vec_id") === 10L)
+      .select("cell").as[Int].head()
+    val nearCellOf0 = ix.cells.filter(col("vec_id") === 0L)
+      .select("cell").as[Int].head()
+    assume(farCell != nearCellOf0, "fixture sanity: 0 and 10 split cells")
+    val farAllowed = ix.cells.filter(col("cell") === farCell)
+      .filter(col("vec_id") =!= 0L).select("vec_id")
+    val partial = SimilarityOps.ivfFilteredTopK(ix, farAllowed, query, 3, nProbe = 1)
+      .collect()
+    assert(partial.length < 3,
+      s"nProbe=1 against a far-cell allow-set must under-return: ${partial.toSeq}")
     DedupOps.releaseCaches()
   }
 

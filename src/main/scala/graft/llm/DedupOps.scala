@@ -707,12 +707,25 @@ object DedupOps {
     * sides, so the two docs MUST share a fingerprint — detection at
     * ~1/w the index size of the full seed table.
     *
+    * Short-doc clamp (the domain rule's fine print): docs shorter than
+    * k words have no k-gram and DROP (the d9 domain rule); docs with at
+    * least k but fewer than k + w − 1 words have fewer than w k-gram
+    * hashes — no full window exists, and the clamped start index
+    * (`greatest(m − w, 0)`) makes them fingerprint their GLOBAL minimum
+    * over the short window instead. Consequence: the ≥ k + w − 1
+    * guarantee above is a LOWER bound on when a shared fingerprint is
+    * forced, not an upper bound on when one can occur — two sub-window
+    * docs (or a sub-window doc against a long one) can still pair on an
+    * overlap below that threshold when the short doc's global min falls
+    * inside it. That is standard winnowing behavior (MOSS fingerprints
+    * short files too); a consumer wanting strict ≥ k + w − 1 semantics
+    * pre-filters probes to `size(split(text)) >= k + w - 1`.
+    *
     * Scale shape: one narrow all-codegen HOF chain per doc (transform
     * over `sequence(0, greatest(m − w, 0))` — greatest() because a
     * start>stop sequence runs DESCENDING — array_min over slice,
     * array_distinct, explode); the sketch shuffles at ~tokens/w rows per
-    * doc and text never leaves the projection. Docs shorter than k words
-    * have no k-gram and drop (the d9 domain rule). */
+    * doc and text never leaves the projection. */
   def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4,
       algo: String = "md5"): DataFrame =
     winnowRaw(documents, k, w, algo).orderBy("doc_id", "fp")

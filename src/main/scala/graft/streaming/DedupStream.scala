@@ -138,11 +138,22 @@ object DedupStream {
     *    absent — fall through to the previous version, or Default for a
     *    never-stamped index;
     *  - a CORRUPT/truncated file (a non-atomic copy; the read throws) is
-    *    skipped ONLY in favor of a readable lower version. If no version
-    *    is readable but a corrupt stamp exists, resolution FAILS — the
-    *    index demonstrably had a stamped geometry, so silently assuming
-    *    Default would test the wrong hash positions against the partials
-    *    and turn the no-false-negative screen into silent misses. */
+    *    skipped ONLY in favor of a readable lower version — and skipping
+    *    it is LOUD: a corrupt dir that OUTRANKS the resolved stamp means
+    *    a newer configuration was written and lost, so resolution emits a
+    *    rate-limited warning naming the skipped version(s) (once per
+    *    (live root, corrupt dir) per process, the drift-warning
+    *    discipline) instead of silently serving the older stamp forever.
+    *    Under the current writers the skip is geometry-safe — every
+    *    stamp version past the first shares the stamped geometry
+    *    (retargetBloomFpr changes only designFpr; the no-partials
+    *    re-stamp path has nothing to screen) — but the warning is the
+    *    operator's cue to repair before any future writer breaks that
+    *    invariant. If no version is readable but a corrupt stamp
+    *    exists, resolution FAILS — the index demonstrably had a stamped
+    *    geometry, so silently assuming Default would test the wrong
+    *    hash positions against the partials and turn the
+    *    no-false-negative screen into silent misses. */
   private def readConfVersioned(spark: SparkSession,
       live: String): Option[(Long, DedupOps.BloomSizing)] = {
     val fs = IndexSides.fsOf(spark, live)
@@ -165,8 +176,22 @@ object DedupStream {
           s"${corrupt.reverse.mkString(", ")} exist — refusing to assume " +
           "Default geometry (partials of another geometry cannot be " +
           "screened safely); repair or remove the corrupt stamp")
+    // corrupt dirs encountered before the resolved one OUTRANK it (the
+    // iteration is version-descending): record each skip, once
+    corrupt.reverse.foreach { name =>
+      if (corruptWarned.add((live, name)))
+        System.err.println(s"[DedupStream] corrupt Bloom stamp dir $name at " +
+          s"$live outranks the resolved version ${resolved.map(_._1).get} — " +
+          "serving the older stamp; repair or remove the corrupt dir (a " +
+          "retarget it recorded is NOT in effect)")
+    }
     resolved
   }
+
+  /** Corrupt-stamp skips already warned this process — bounded by the
+    * set of (live root, corrupt dir) pairs a process actually sees. */
+  private val corruptWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   private def readConfUnder(spark: SparkSession,
       live: String): Option[DedupOps.BloomSizing] =
@@ -197,7 +222,21 @@ object DedupStream {
     * geometry and write partials that silently OR-corrupt on fold. A
     * local-FS rename that moved the temp INSIDE a just-created target is
     * likewise invisible (dot prefix) and deleted. The resolved stamp —
-    * not the argument — is what the caller admits under. */
+    * not the argument — is what the caller admits under.
+    *
+    * OBJECT-STORE caveat: the create-if-absent is `exists` + `rename` —
+    * not atomic. On HDFS/local FS rename-to-existing-dir either fails or
+    * nests (both handled above), so the window is benign; on an object
+    * store WITHOUT atomic exclusive rename (S3A), two same-instant first
+    * admitters can interleave mid-copy and leave a TORN stamp. The
+    * post-rename re-resolve + sameGeometry gate makes that fail LOUDLY
+    * (unreadable or mismatched stamp → exception, never partials under
+    * two geometries) — but recovery is manual. Deployments on such
+    * stores should route the first admission through a coordinator that
+    * has conditional-put (write the stamp, then conditional-create an
+    * empty `_STAMPED` marker; the marker's winner is the stamp), or
+    * simply serialize index CREATION — the steady state (stamp exists)
+    * never writes here. */
   private def stampFirstAdmission(spark: SparkSession, live: String,
       s0: DedupOps.BloomSizing): DedupOps.BloomSizing = {
     val fs = IndexSides.fsOf(spark, live)

@@ -916,14 +916,26 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
     // a non-atomic copy leaves a TRUNCATED parquet in a higher version:
     // resolution must fall through to the readable v0, not throw on every
-    // admit/serve path until manual cleanup
+    // admit/serve path until manual cleanup — but LOUDLY: the corrupt dir
+    // OUTRANKS what it serves (a retarget it recorded is not in effect),
+    // so the skip warns, rate-limited to once per (index, dir) per
+    // process like the drift warning
     val bad = new java.io.File(s"$tmp/index/bloomconf-1")
     bad.mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$tmp/index/bloomconf-1/part-00000.parquet"),
       "not a parquet footer".getBytes)
-    assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
-      "the corrupt higher version must be skipped, serving the v0 stamp")
+    val captured = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(captured, true))
+    try {
+      assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing,
+        "the corrupt higher version must be skipped, serving the v0 stamp")
+      assert(graft.streaming.DedupStream.bloomSizingAt(spark, s"$tmp/index") === sizing)
+    } finally System.setErr(realErr)
+    assert("corrupt Bloom stamp dir bloomconf-1".r
+      .findAllIn(captured.toString).size === 1,
+      s"the outranking-corrupt skip must warn exactly once — got:\n$captured")
     // the admission path keeps working against the surviving stamp
     graft.streaming.DedupStream.admitBatch(
       Seq((2L, "second admission under the surviving stamp resolution"))

@@ -265,6 +265,39 @@ object SparkEntry {
     cachedDf(s, dir, "t21fps")(
       DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
 
+  /** The t21d index: a REAL on-disk [[graft.streaming.DedupStream]]
+    * index (all nine sides) built once per JVM per sfDir by admitting
+    * the corpus docs through the SAME `admitBatch` the streaming loop
+    * runs — the StoreLayout.ensureServingTables discipline applied to
+    * the text tier, so the t21d row serves its winnow screen from the
+    * maintained PARQUET side, not a session cache (t21c keeps the
+    * session-cache twin; the pair is the serve-vs-cache seam, measured).
+    * The build admits everything (threshold > 1): admission POLICY is
+    * orthogonal to the side under test, and an all-admitted corpus makes
+    * the maintained sketch exactly t21c's oracle corpus — the e4/e5
+    * shared-oracle discipline. A leftover dir from a previous JVM is
+    * rebuilt (the driver regenerates testdata between rounds); within a
+    * JVM the sides are immutable parquet any session can read. */
+  private val t21dBuilt = scala.collection.mutable.HashSet.empty[String]
+  private def t21dIndexDir(s: SparkSession, d: String): String =
+    t21dBuilt.synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // PLAIN local path (no file: scheme): the groups side is a
+      // BucketStore, whose manifest IO is java.nio over local paths
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+      val root = new org.apache.hadoop.fs.Path(wh, s"g_t21d_$tag")
+      if (!t21dBuilt.contains(root.toString)) {
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+        graft.streaming.DedupStream.admitBatch(
+          documents(s, d).filter(col("doc_id") < 400).select("doc_id", "text"),
+          0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d")
+        t21dBuilt.add(root.toString)
+      }
+      s"$root/index"
+    }
+
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
     * deployment materializes offline so query time pays cell probing
@@ -871,6 +904,15 @@ object SparkEntry {
       // self-exclusion) on the 1/w-sized text-dedup index
       DedupOps.winnowScreen(t21CorpusFps(s, d),
         documents(s, d).filter(col("doc_id") >= 400))),
+    "t21d_winnow_screen_served" -> ((s, d) =>
+      // the same screen off the STREAMING-MAINTAINED ninth side: the
+      // increment's sketches against winnowfps parquet rows a real
+      // DedupStream admitBatch wrote (one hash evaluation shared with
+      // the seed side at admission) — t21c's serve-from-session-cache
+      // vs THIS serve-from-maintained-state is the measured seam, same
+      // oracle (the e4/e5 discipline)
+      graft.streaming.DedupStream.screenWinnow(s, t21dIndexDir(s, d),
+        documents(s, d).filter(col("doc_id") >= 400))),
     "t19_unigram_nll" -> ((s, d) =>
       // CCNet-class unigram-LM quality scoring: per-doc NLL under the
       // corpus's own word distribution, integer-quantized per word so the
@@ -1037,6 +1079,10 @@ object SparkEntry {
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
     t21CorpusFps(spark, dir).count()
+    // the t21d on-disk index (a real DedupStream admitBatch over the
+    // corpus): ingest-side state, built here so the t21d row times the
+    // maintained-side READ, not the one-time admission
+    t21dIndexDir(spark, dir)
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

@@ -680,12 +680,37 @@ object DedupOps {
     * increment, exactly the d5 band-index discipline applied to span
     * detection. */
   def positionalSeeds(documents: DataFrame, k: Int = 5,
+      algo: String = "md5"): DataFrame =
+    seedsFromKhArrays(khArrays(documents, k, algo))
+
+  /** The per-doc positional k-gram hash ARRAY — the ONE
+    * `graft_pos_shingles` evaluation both positional-index families
+    * derive from: [[seedsFromKhArrays]] posexplodes it into d9's seed
+    * rows, [[winnowFromKhArrays]] window-mins it into t21's sketch. The
+    * admission loop materializes THIS frame once per batch and writes
+    * both sides off it, so maintaining the sketch beside the seeds never
+    * hashes the text a second time. */
+  def khArrays(documents: DataFrame, k: Int = 5,
       algo: String = "md5"): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    documents.select(col("doc_id"), posexplode(
-      call_function("graft_pos_shingles", col("text"), lit(k), lit(algo)))
-      .as(Seq("pos", "kh")))
+    documents.select(col("doc_id"),
+      call_function("graft_pos_shingles", col("text"), lit(k), lit(algo))
+        .as("kh_arr"))
   }
+
+  /** d9's (doc_id, pos, kh) seed rows off a [[khArrays]] frame. */
+  def seedsFromKhArrays(kh: DataFrame): DataFrame =
+    kh.select(col("doc_id"),
+      posexplode(col("kh_arr")).as(Seq("pos", "kh")))
+
+  /** t21's (doc_id, fp) winnow sketch off a [[khArrays]] frame — the
+    * window-min HOF chain of [[winnowFingerprints]] with the hash
+    * evaluation factored out (shared with the seed side at admission). */
+  def winnowFromKhArrays(kh: DataFrame, w: Int = 4): DataFrame =
+    kh.filter(size(col("kh_arr")) > 0)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("kh_arr")) - w, lit(0))),
+          i => array_min(slice(col("kh_arr"), i + 1, lit(w)))))).as("fp"))
 
   /** Per-kh seed-position counts of a seed frame — the (kh, df) STATS row
     * schema maintained beside the seed index (sum-mergeable partials: the
@@ -731,17 +756,8 @@ object DedupOps {
     winnowRaw(documents, k, w, algo).orderBy("doc_id", "fp")
 
   private def winnowRaw(documents: DataFrame, k: Int, w: Int,
-      algo: String): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    documents
-      .select(col("doc_id"),
-        call_function("graft_pos_shingles", col("text"), lit(k), lit(algo))
-          .as("kh"))
-      .filter(size(col("kh")) > 0)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), greatest(size(col("kh")) - w, lit(0))),
-          i => array_min(slice(col("kh"), i + 1, lit(w)))))).as("fp"))
-  }
+      algo: String): DataFrame =
+    winnowFromKhArrays(khArrays(documents, k, algo), w)
 
   /** T21b — winnow-sketch similarity: pairs sharing ≥ `minShared`
     * fingerprints, the MOSS match report. Inverted-index join on the

@@ -349,6 +349,17 @@ fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
           list_min(list_slice(kh, i + 1, i + 4))))) AS fp
         FROM khs WHERE len(kh) > 0)"""
 
+  /** The served winnow screen (t21c and its maintained-side twin t21d —
+    * one definition, the e4/e5 shared-oracle discipline). */
+  private val WinnowScreenSql = s"""$WinnowCtes,
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.fp = b.fp AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+  AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY id_a, id_b"""
+
   private def spanOracle(matchExtra: String): String = s"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),${spanSeedCtes("", matchExtra)}
 SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
@@ -1604,14 +1615,14 @@ ORDER BY id_a, id_b""",
     // increment (doc_id >= 400, the d5 split), corpus entering only
     // through its sketch rows; the engine's combined-population df rail
     // equals the whole-corpus rare set for every increment-present print.
-    "t21c_winnow_screen" -> s"""$WinnowCtes,
-rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
-FROM pr a JOIN pr b ON a.fp = b.fp AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
-  AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
-GROUP BY 1, 2 HAVING count(*) >= 2
-ORDER BY id_a, id_b""",
+    "t21c_winnow_screen" -> WinnowScreenSql,
+
+    // t21d: the same screen off the STREAMING-MAINTAINED winnowfps side
+    // (a real DedupStream admitBatch wrote the corpus sketch; the index
+    // build admits everything, so the served corpus equals t21c's) —
+    // same oracle, different serving state: the e4/e5 shared-oracle
+    // discipline applied to the sketch index.
+    "t21d_winnow_screen_served" -> WinnowScreenSql,
 
     // t19: unigram-LM NLL — per-word integer-quantized log terms summed
     // exactly (the q1 integer-cents discipline applied to logs), so the

@@ -37,6 +37,9 @@ import graft.llm.DedupOps
   * indexDir/imagehashes/batch=<lineage>-<id>/ (doc_id, h_hi, h_lo, w, h)
   *                                          aHash fingerprints of the
   *                                          admitted media — m4d serving
+  * indexDir/winnowfps/batch=<lineage>-<id>/ (doc_id, fp) winnow sketch
+  *                                          rows (t21, ~1/w the seed
+  *                                          side) — t21d pair serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -47,7 +50,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The eight index sides start flat under `indexDir` and migrate into
+  * The nine index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -88,6 +91,8 @@ object DedupStream {
     StructField("doc_id", LongType), StructField("h_hi", LongType),
     StructField("h_lo", LongType), StructField("width", LongType),
     StructField("height", LongType)))
+  private val WinnowSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -352,6 +357,13 @@ object DedupStream {
     * screening against the index must probe at the width it was built. */
   val SeedK: Int = 5
 
+  /** Window width of the maintained winnow-sketch side (t21's default w):
+    * sketch screening must winnow its increment at the width the side was
+    * built. With [[SeedK]] = 5 the k + w − 1 forced-sharing bound is 8
+    * words — exactly the span rung's default minSpan, which is what makes
+    * the sketch side a drop-in ladder option for pair-level detection. */
+  val WinnowW: Int = 4
+
   /** Side reads go through [[IndexSides.readSide]] (shared with the
     * embedding-tier [[VectorStream]]): Hadoop-FS probe, `.old`
     * crash-fallback, `batch=` surfaced for replay self-exclusion. */
@@ -384,6 +396,7 @@ object DedupStream {
       case "seeds" => SeedSchema
       case "seedstats" => StatsSchema
       case "imagehashes" => ImgHashSchema
+      case "winnowfps" => WinnowSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -438,6 +451,32 @@ object DedupStream {
   def corpusBigramCounts(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/bigramcounts", BigramSchema)
       .drop("batch")
+
+  /** The maintained WINNOW-SKETCH side over every ADMITTED doc (t21's
+    * (doc_id, fp) rows at the index's [[SeedK]]/[[WinnowW]] widths,
+    * appended per batch off the SAME positional-hash evaluation the seed
+    * side makes, identity fold) — ~1/w the seed side's row count: the
+    * index a deployment serves pair-level duplicate DETECTION from when
+    * it doesn't need span coordinates. */
+  def corpusWinnowFps(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/winnowfps", WinnowSchema)
+      .drop("batch")
+
+  /** T21d over the maintained side: winnow-sketch pair screening of an
+    * increment against the ADMITTED corpus's fingerprint table — the
+    * m4d serving discipline on the text tier's sketch side (combined-
+    * population df rail, corpus member as id_a, id-level self-exclusion
+    * for replay). The LADDER OPTION this side exists for: a deployment
+    * wanting pair-level verbatim-overlap detection (≥ [[SeedK]] +
+    * [[WinnowW]] − 1 = 8 words forced) without span COORDINATES swaps
+    * the span rung's [[screenSpans]] for this at ~1/w the index size;
+    * pipelines needing the coordinates (d9c's scrub remediation) keep
+    * the seed side — the two are maintained off one hash evaluation, so
+    * carrying both costs one extra narrow projection per admission. */
+  def screenWinnow(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, minShared: Int = 2, maxDf: Int = 100): DataFrame =
+    DedupOps.winnowScreen(corpusWinnowFps(spark, indexDir), newDocs,
+      k = SeedK, w = WinnowW, minShared = minShared, maxDf = maxDf)
 
   /** The maintained image-FINGERPRINT side over every ADMITTED doc's
     * decodable media (m4's aHash rows, appended per batch, identity
@@ -648,9 +687,14 @@ object DedupStream {
       keptSh.write.mode("overwrite").parquet(s"$root/shingles/$key")
       DedupOps.bandIndex(DedupOps.signaturesFromShingleArrays(keptSh))
         .write.mode("overwrite").parquet(s"$root/bands/$key")
-      // third maintained side: the admitted docs' positional seeds (d9b's
-      // span-screening index) — same idempotent batch=-keyed overwrite
-      val keptSeeds = DedupOps.positionalSeeds(keptOut, SeedK).persist()
+      // third + ninth sides off ONE positional-hash evaluation: the
+      // per-doc kh array materializes once; the seed side posexplodes it
+      // (d9b's span-screening index), the winnow side window-mins it
+      // (t21's 1/w-sized pair-detection sketch) — maintaining the sketch
+      // beside the seeds never hashes the text a second time. Same
+      // idempotent batch=-keyed overwrite on both.
+      val keptKh = DedupOps.khArrays(keptOut, SeedK).persist()
+      val keptSeeds = DedupOps.seedsFromKhArrays(keptKh).persist()
       keptSeeds.write.mode("overwrite").parquet(s"$root/seeds/$key")
       // fourth side: the batch's (kh, df) seed-stats partial, upserted
       // beside the seeds (same idempotent key — a replay overwrites its
@@ -659,6 +703,11 @@ object DedupStream {
       DedupOps.seedStats(keptSeeds)
         .write.mode("overwrite").parquet(s"$root/seedstats/$key")
       keptSeeds.unpersist(blocking = false)
+      // ninth side: the winnow sketch (identity fold, the imagehashes
+      // discipline) — t21d's serving state
+      DedupOps.winnowFromKhArrays(keptKh, WinnowW)
+        .write.mode("overwrite").parquet(s"$root/winnowfps/$key")
+      keptKh.unpersist(blocking = false)
       // fifth side: the batch's (word, n) counts — t13's corpus state,
       // maintained so vocabulary/OOV serving never re-tokenizes the
       // corpus; same sum-mergeable-partial discipline as the seed stats
@@ -854,6 +903,7 @@ object DedupStream {
     ("bigramcounts", BigramSchema,
       (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
+    ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

@@ -714,6 +714,70 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the winnowfps side serves the sketch pair screen (t21d streaming)") {
+    val tmp = Files.createTempDirectory("graft_winnow_stream").toString
+    val sharedA = (1 to 12).map(i => s"z$i").mkString(" ")
+    val sharedB = (1 to 12).map(i => s"y$i").mkString(" ")
+    // corpus doc 1 carries sharedA; doc 2 is unrelated — both admit, and
+    // their sketches enter the ninth side (one hash evaluation shared
+    // with the seed side)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "front matter words then " + sharedA),
+        (2L, "a completely different document about catalyst plans today"))
+        .toDF("doc_id", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(probe: org.apache.spark.sql.DataFrame) =
+      graft.streaming.DedupStream.screenWinnow(spark, s"$tmp/index", probe,
+        minShared = 1)
+        .as[(Long, Long, Long)].collect().toSeq
+    val probe = Seq((10L, sharedA + " closing bits"),
+      (11L, "nothing in common with anything admitted so far at all"))
+      .toDF("doc_id", "text")
+    val hits = screen(probe)
+    // the ≥ k+w−1-word shared span forces a shared fingerprint: the
+    // corpus member rides as id_a, the increment as id_b
+    assert(hits.exists(r => r._1 === 1L && r._2 === 10L), s"got $hits")
+    assert(hits.forall(_._2 >= 10L), s"got $hits")
+    // non-monotone ids: a corpus doc with a HIGHER id than the probe
+    // still rides as id_a (the d5/m4d orientation lesson)
+    val sharedC = (1 to 12).map(i => s"q$i").mkString(" ")
+    graft.streaming.DedupStream.admitBatch(
+      Seq((501L, "lead tokens before " + sharedC)).toDF("doc_id", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val low = screen(Seq((3L, sharedC + " trailing words here"))
+      .toDF("doc_id", "text"))
+    assert(low.exists(r => r._1 === 501L && r._2 === 3L), s"got $low")
+    // REPLAY self-exclusion: admit two docs sharing sharedB but with
+    // enough disjoint padding that the near-dup screen keeps both
+    // (Jaccard ≈ 0.2), then screen the SAME two docs again — their
+    // sketches already sit in the side, so without id-level
+    // self-exclusion the internal pair would surface in both
+    // orientations via the corpus leg; with it, exactly once
+    val six = (1 to 20).map(i => s"a$i").mkString(" ") + " " + sharedB
+    val seven = (1 to 20).map(i => s"b$i").mkString(" ") + " " + sharedB
+    graft.streaming.DedupStream.admitBatch(
+      Seq((6L, six), (7L, seven)).toDF("doc_id", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    assert(spark.read.parquet(s"$tmp/out/kept").filter(col("doc_id").isin(6L, 7L))
+      .count() === 2L, "fixture sanity: the text screen must keep both")
+    val replay = screen(Seq((6L, six), (7L, seven)).toDF("doc_id", "text"))
+    assert(replay.count(r => Set(r._1, r._2) == Set(6L, 7L)) === 1, s"got $replay")
+    assert(replay.exists(r => r._1 === 6L && r._2 === 7L), s"got $replay")
+    // compaction folds the per-batch dirs (identity fold); the screen is
+    // unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen(probe) === hits)
+    // the served side IS the admitted corpus's sketch: fold-equal to
+    // winnowing the kept output directly
+    val served = graft.streaming.DedupStream.corpusWinnowFps(spark, s"$tmp/index")
+      .as[(Long, Long)].collect().toSet
+    val direct = graft.llm.DedupOps.winnowFingerprints(
+      spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the bloom side serves the exact-dup pre-screen and folds on compact (d10 streaming)") {
     val tmp = Files.createTempDirectory("graft_bloom_stream").toString
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

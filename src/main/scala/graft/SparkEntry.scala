@@ -251,6 +251,15 @@ object SparkEntry {
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
+  /** The m5/m5b shared audio-meta frame: decoded ONCE per (session,
+    * sfDir) — the m4Hashes discipline on the third modality (fingerprints
+    * are ingest-side serving state; dedup queries time hash reads, never
+    * a PCM re-decode). */
+  private def m5Meta(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m5meta")(
+      MultimodalOps.decodeAudioMeta(s,
+        MultimodalOps.asAudioTable(documents(s, dir))).toDF())
+
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
     * (doc_id ≥ 400) screens against THESE rows only. */
@@ -1028,6 +1037,20 @@ object SparkEntry {
         MultimodalOps.asMediaTable(
           documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF().orderBy("doc_id", "frame_idx")),
+    "m5_audio_meta" -> ((s, d) =>
+      // the REAL audio modality: WAV payloads parsed by
+      // javax.sound.sampled (header fields) + a content hash over the
+      // DECODED PCM — the oracle recomputes both from the generative
+      // formula, so agreement proves the container round-trip bit-exactly
+      // (the m4 discipline on the third modality). Like m4, this row
+      // deliberately prices the INLINE decode; m5b serves the cached
+      // fingerprints — the pair is the serve-vs-inline seam, measured.
+      MultimodalOps.audioMeta(s, documents(s, d))),
+    "m5b_audio_dup_groups" -> ((s, d) =>
+      // d1's exact-dedup semantics on audio: identical PCM content
+      // groups, keeper = min doc_id; served off the maintained meta
+      // frame like m4b — samples hash once, at decode
+      MultimodalOps.audioDupGroupsFromMeta(m5Meta(s, d))),
     "m6_media_card" -> ((s, d) =>
       // the media-tier data card: per-(modality, format) counts, total
       // pixels and dim ranges off the decoded metadata — the decode
@@ -1078,6 +1101,7 @@ object SparkEntry {
     t19WordCounts(spark, dir).count()
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
+    m5Meta(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

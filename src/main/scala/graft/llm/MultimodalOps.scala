@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is REAL: payloads are PNG bytes and [[ImageDecoder]]
   * parses width/height/format off the actual container with the JDK's
   * `javax.imageio` (PNG + JPEG readers ship with every JDK — no external
-  * codec needed). The deterministic stub ([[FakeDecoder]]) now covers only
-  * the media kinds with no JDK decoder in this environment (video/audio);
-  * everything Spark-side — binary schema, encoder plumbing, the
+  * codec needed). The AUDIO path is REAL too: payloads are WAV bytes and
+  * [[AudioDecoder]] parses sample rate / channels / frame count off the
+  * actual container with `javax.sound.sampled` and content-hashes the
+  * decoded PCM. The deterministic stub ([[FakeDecoder]]) now covers only
+  * VIDEO (the one kind with no JDK decoder — no ffmpeg-class codec
+  * ships); everything Spark-side — binary schema, encoder plumbing, the
   * per-partition `BatchSize`-batched decode shape (exactly how you'd feed
   * a vectorized or GPU decoder), and the narrow no-shuffle partitioning —
-  * is real and tested for both paths.
+  * is real and tested for every path.
   */
 object MultimodalOps {
 
@@ -106,10 +109,12 @@ object MultimodalOps {
   }
 
   object FakeDecoder {
-    /** STUB — now scoped to the genuinely undecodable media kinds
-      * (video/audio: no ffmpeg-class codec ships with the JDK):
-      * deterministic fake dims from the payload length so results stay
-      * verifiable. Image records never reach this path. */
+    /** STUB — now scoped to VIDEO only, the one media kind with no JDK
+      * decoder in this environment (no ffmpeg-class codec ships with
+      * the JDK; images decode via `javax.imageio`, audio via
+      * `javax.sound.sampled` — see [[AudioDecoder]]): deterministic
+      * fake dims from the payload length so results stay verifiable.
+      * Image and audio records never reach this path. */
     def decode(r: MediaRecord): MediaMeta = {
       val n = r.payload.length.toLong
       val w = 64 + (n % 512)
@@ -123,6 +128,161 @@ object MultimodalOps {
     * inside the batch, the shape a mixed-modality feed has in practice. */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
     batch.map(r => ImageDecoder.decode(r).getOrElse(FakeDecoder.decode(r)))
+
+  /** An audio record: opaque WAV payload + envelope. */
+  final case class AudioRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded audio features — the header fields a curation pipeline
+    * budgets on (m1's n_pixels analog is `n_frames`) plus `pcm_hash`,
+    * the exact-dedup fingerprint over the DECODED sample stream: a
+    * modular fold (h·31 + unsigned16) % 1e9+7 in stream order, so two
+    * payloads hash equal iff their PCM CONTENT is identical whatever
+    * their container bytes — d1's semantics on the audio modality. */
+  final case class AudioMeta(doc_id: Long, format: String, sample_rate: Long,
+      channels: Long, n_frames: Long, duration_ms: Long, pcm_hash: Long)
+
+  /** Deterministic WAV generation for the fixture audio table — the
+    * ImageGen trick on the third modality: header params and every PCM
+    * sample derive from the text length, so the DuckDB oracle predicts
+    * bit-exactly what the decoder must parse back. The WAV container is
+    * written by `javax.sound.sampled` itself (a real RIFF/WAVE file,
+    * not a hand-rolled header); the DECODE side re-parses it with the
+    * same JDK API, which is what makes m5 a decoder round-trip test. */
+  object AudioGen {
+    val SampleRate = 8000
+    /** (channels, frames) from the text length. */
+    def params(textLen: Long): (Int, Int) =
+      ((1 + textLen % 2).toInt, (200 + (textLen * 13) % 600).toInt)
+    /** 16-bit signed sample at flat index i (= frame·channels + ch). */
+    def sample(textLen: Long, i: Long): Int =
+      (((i * 37L + textLen * 101L) % 65536L) - 32768L).toInt
+    def wav(textLen: Long): Array[Byte] = {
+      val (ch, nf) = params(textLen)
+      val pcm = new Array[Byte](nf * ch * 2)
+      var i = 0
+      while (i < nf * ch) {
+        val s = sample(textLen, i.toLong)
+        pcm(2 * i) = (s & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, nf.toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** The REAL audio decoder — [[ImageDecoder]]'s sibling on
+    * `javax.sound.sampled` (WAV/AIFF/AU readers ship with every JDK):
+    * container sniffed from the RIFF/WAVE magic, header parsed by
+    * `AudioSystem`, PCM read back and content-hashed. None = not audio
+    * this JDK can decode, or rot (a truncated payload behind valid
+    * magic makes the parse throw — that record reads as undecodable,
+    * never kills the decode task: the ImageDecoder robustness rule). */
+  object AudioDecoder {
+    val HashMod = 1000000007L
+
+    /** RIFF/WAVE magic → format name; None = not a decodable container. */
+    def sniff(payload: Array[Byte]): Option[String] =
+      if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') Some("wav")
+      else None
+
+    /** The content fold over a decoded 16-bit PCM byte stream — ONE
+      * definition shared with the spec's hand computation. */
+    def pcmHash(bytes: Array[Byte], bigEndian: Boolean): Long = {
+      var h = 0L
+      var i = 0
+      while (i + 2 <= bytes.length) {
+        val s =
+          if (bigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        h = (h * 31L + (s.toInt + 32768L)) % HashMod
+        i += 2
+      }
+      h
+    }
+
+    def decode(r: AudioRecord): Option[AudioMeta] =
+      sniff(r.payload).flatMap { fmt =>
+        scala.util.Try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16, "only 16-bit PCM is hashed")
+            val nFrames = ais.getFrameLength
+            val bytes = ais.readAllBytes()
+            require(bytes.length == nFrames * f.getFrameSize,
+              s"truncated PCM: ${bytes.length} of ${nFrames * f.getFrameSize}")
+            val rate = f.getSampleRate.toLong
+            AudioMeta(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
+              nFrames * 1000L / rate, pcmHash(bytes, f.isBigEndian))
+          } finally ais.close()
+        }.toOption
+      }
+  }
+
+  /** Fixture audio table over documents: every doc gets a WAV rendition
+    * (the audio modality is a parallel column family, orthogonal to the
+    * image/video media table — a multimodal corpus row can carry both).
+    * Narrow per-row generation map, no shuffle. */
+  def asAudioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        AudioRecord(id, "audio/wav", AudioGen.wav(text.length.toLong))
+      }.toDF()
+  }
+
+  /** One batch through the audio decode kernel — undecodable payloads
+    * (rot, unsupported codecs) drop, the fingerprintFrame rule. */
+  def decodeAudioBatch(batch: Seq[AudioRecord]): Seq[AudioMeta] =
+    batch.flatMap(AudioDecoder.decode)
+
+  /** Batched audio decode via mapPartitions — the [[decodeMeta]] shape
+    * (BatchSize chunks through the kernel) on the third modality. */
+  def decodeAudioMeta(spark: SparkSession, audio: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    audio.as[AudioRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(decodeAudioBatch)
+    }
+  }
+
+  /** M5 — audio metadata + content fingerprints: documents → WAV binary
+    * column → batched REAL `javax.sound.sampled` parse → typed header
+    * fields and the PCM content hash, ordered for the oracle. */
+  def audioMeta(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeAudioMeta(spark, asAudioTable(documents)).toDF().orderBy("doc_id")
+
+  /** The UNSORTED audio-meta frame m5/m5b share — tracked-persisted for
+    * the same reason as [[imageHashesRaw]] (m5b touches it twice). */
+  private[graft] def audioMetaRaw(spark: SparkSession, documents: DataFrame): DataFrame =
+    DedupOps.tracked(decodeAudioMeta(spark, asAudioTable(documents)).toDF())
+
+  /** M5b — d1's exact-dedup semantics on the audio modality: payloads
+    * with an identical PCM content hash form a group whose keeper is the
+    * min doc_id (m4b's rule on the third modality). One map-side-
+    * combinable aggregation over the hash frame — audio-count-sized,
+    * never sample-sized; decode runs once (the maintained-fingerprint
+    * discipline: in deployment this reads DedupStream-style served
+    * state, as m4b does). */
+  def audioDupGroupsFromMeta(meta: DataFrame): DataFrame =
+    meta.join(
+      meta.groupBy("pcm_hash")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies")),
+      Seq("pcm_hash"))
+      .select("doc_id", "keeper_id", "n_copies")
+      .orderBy("doc_id")
 
   /** The fixture's modality rule, defined by ONE modulus shared between
     * the Column form (so a caller wanting a single modality can prune

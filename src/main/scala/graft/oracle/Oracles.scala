@@ -334,6 +334,27 @@ bits AS (SELECT doc_id, w, h,
   private val ImagePhashCtes = s"""
 WITH $ImagePhashCteList"""
 
+  /** m5's fingerprint chain: the fixture's generative audio formula
+    * (8 kHz; channels = 1 + len % 2; frames = 200 + (len·13) % 600;
+    * sample_i = (i·37 + len·101) % 65536 − 32768, interleaved flat index
+    * i = frame·channels + ch) pushed through the SAME content fold the
+    * engine applies to DECODED PCM — unsigned 16-bit samples folded
+    * (h·31 + u) % 1e9+7 in stream order (list_reduce; the engine's
+    * AudioDecoder.pcmHash is the Scala twin). Exposes `am` (doc_id,
+    * sample_rate, channels, n_frames, duration_ms, pcm_hash). */
+  private val AudioCtes = s"""
+WITH al AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+ap AS (SELECT doc_id, l, CAST(8000 AS BIGINT) AS sample_rate,
+              CAST(1 + l % 2 AS BIGINT) AS channels,
+              CAST(200 + (l * 13) % 600 AS BIGINT) AS n_frames FROM al),
+am AS (SELECT doc_id, sample_rate, channels, n_frames,
+              n_frames * 1000 // sample_rate AS duration_ms,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, n_frames * channels),
+                  i -> (i * 37 + l * 101) % 65536)),
+                (acc, x) -> (acc * 31 + x) % 1000000007) AS pcm_hash
+       FROM ap)"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -1992,6 +2013,24 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM bits a JOIN bits b ON a.doc_id < b.doc_id AND b.doc_id >= 400
 WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
 ORDER BY id_a, id_b""",
+
+    // m5: the audio modality — header fields and the PCM content hash
+    // recomputed from the generative formula; the engine parses them out
+    // of a real WAV with javax.sound.sampled, so agreement proves the
+    // container round-trip bit-exactly (the m4 discipline).
+    "m5_audio_meta" -> s"""$AudioCtes
+SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
+       duration_ms, pcm_hash
+FROM am ORDER BY doc_id""",
+
+    // m5b: d1's exact-dedup semantics on audio — identical PCM content
+    // groups, keeper = min doc_id (m4b's rule on the third modality).
+    "m5b_audio_dup_groups" -> s"""$AudioCtes,
+ag AS (SELECT pcm_hash, min(doc_id) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM am GROUP BY 1)
+SELECT am.doc_id, ag.keeper_id, ag.n_copies
+FROM am JOIN ag USING (pcm_hash) ORDER BY doc_id""",
 
     // ---- flagship relational agg (driver-contract example shape) -------
     "q1_agg" ->

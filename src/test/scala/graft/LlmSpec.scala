@@ -151,6 +151,54 @@ class LlmSpec extends SparkSpec {
     assert(got2(5L) === MediaMeta(5L, "image/png", "png", 10L, 20L, 200L))
   }
 
+  test("javax.sound.sampled decodes hand-built WAVs through the batched mapPartitions path (m5)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord, AudioMeta}
+    // a hand-built WAV with KNOWN samples (edge values included): the
+    // engine's decoded-PCM fold must equal the plain-Scala fold over the
+    // same sample values — the decode round-trip proof
+    val samples = Array[Int](0, 1, -1, 32767, -32768, 12345, -12345)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val handHash = samples.foldLeft(0L)((h, s) =>
+      (h * 31 + (s + 32768)) % 1000000007L)
+    val rows = Seq(
+      AudioRecord(1L, "audio/wav", out.toByteArray),
+      AudioRecord(2L, "audio/wav", AudioGen.wav(30L)),
+      // a foreign container and a TRUNCATED payload behind valid RIFF
+      // magic must DROP (the parse throws, never kills the task)
+      AudioRecord(3L, "audio/opus", Array[Byte](1, 2, 3, 4)),
+      AudioRecord(4L, "audio/wav", out.toByteArray.take(20))).toDS().toDF()
+    val got = MultimodalOps.decodeAudioMeta(spark, rows)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L) === AudioMeta(1L, "wav", 8000L, 1L, 7L, 0L, handHash))
+    // the generative fixture round-trips: header params + the fold over
+    // the formula's samples, computed independently here
+    val (ch, nf) = AudioGen.params(30L)
+    val genHash = (0L until nf.toLong * ch).foldLeft(0L)((h, i) =>
+      (h * 31 + (AudioGen.sample(30L, i) + 32768)) % 1000000007L)
+    assert(got(2L) === AudioMeta(2L, "wav", 8000L, ch.toLong, nf.toLong,
+      nf.toLong * 1000L / 8000L, genHash))
+    assert(!got.contains(3L) && !got.contains(4L), s"rot must drop: $got")
+    // m5b: equal text lengths generate identical PCM → one dup group
+    // with keeper = min doc_id (d1 semantics on the third modality)
+    val dup = MultimodalOps.audioDupGroupsFromMeta(
+      MultimodalOps.decodeAudioMeta(spark, MultimodalOps.asAudioTable(
+        Seq((1L, "a" * 30), (2L, "b" * 30), (3L, "c" * 41))
+          .toDF("doc_id", "text"))).toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dup === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
   test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
     import spark.implicits._
     // independent hand model: the generative pixel formula pushed through

@@ -811,6 +811,16 @@ object SparkEntry {
         documents(s, d).filter(col("lang") === "en")
           .select(col("doc_id").as("vec_id")),
         embeddings(s, d).filter(col("vec_id") < 8), 5)),
+    "e13c_filtered_ivf_adaptive" -> ((s, d) =>
+      // e13b's recall dial as code: probe width = exact-integer
+      // ⌈nProbe·corpus/allowed⌉ capped at the cell count, from ONE
+      // measured count ratio (the oracle recomputes the same arithmetic
+      // as a scalar subquery) — a selective filter automatically probes
+      // wider instead of under-returning; fixed nProbe stays e13b
+      SimilarityOps.ivfFilteredTopKAdaptive(ivfIndex(s, d),
+        documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        embeddings(s, d).filter(col("vec_id") < 8), 5)),
     "e5_ivf_served_topk" -> ((s, d) =>
       // e4's result served from the MAINTAINED index (build ∉ query):
       // the j1b/k1b/d7 decomposition applied to ANN — same oracle as e4

@@ -80,6 +80,51 @@ object SimilarityOps {
         .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")),
       queries, k, nProbe)
 
+  /** The e13b SELECTIVITY DIAL as exact integer arithmetic — ONE
+    * definition for the engine, the serving wrapper and (mirrored) the
+    * oracle, so no float-ceil can drift between them: allowed fraction
+    * f = nAllowed/nTotal → probe ceil(nProbe/f) = ⌈nProbe·nTotal /
+    * nAllowed⌉ cells, floored at nProbe, capped at min(nCells,
+    * maxProbe). nAllowed = 0 guards to 1 (the result is empty at any
+    * probe width, so the dial's value is immaterial — it must only not
+    * divide by zero). */
+  def adaptiveProbeWidth(nProbe: Int, nAllowed: Long, nTotal: Long,
+      nCells: Int, maxProbe: Int = Int.MaxValue): Int = {
+    val denom = math.max(nAllowed, 1L)
+    val widened =
+      math.max(nProbe.toLong, (nProbe.toLong * nTotal + denom - 1L) / denom)
+    math.min(math.min(nCells.toLong, maxProbe.toLong), widened).toInt
+  }
+
+  /** E13c — filtered search on the served index with the ADAPTIVE probe
+    * width production filtered-ANN systems use (the dial e13b's recall
+    * caveat documents, as code): a filter keeping fraction f of the
+    * corpus leaves each probed cell ~f·full, so holding nProbe fixed
+    * under-returns exactly when the filter is selective — probing
+    * ~nProbe/f cells restores the expected candidate volume. The
+    * fraction is ONE count ratio: the allowed member count over the
+    * corpus count — `totalCount` lets a serving caller pass the
+    * maintained cell-stats sum ([[graft.streaming.VectorStream
+    * .filteredTopK]] does — bytes, never a corpus pass); the allowed
+    * count reads the same semi-joined frame the query scans anyway
+    * (bucket-pruned at deployment). Fixed-nProbe behavior stays
+    * available as [[ivfFilteredTopK]], the explicit-parameter path;
+    * recall recovery on the clustered-filter fixture is spec-pinned. */
+  def ivfFilteredTopKAdaptive(index: IvfIndex, allowed: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue,
+      totalCount: Option[Long] = None): DataFrame = {
+    // tracked-persisted: the count below and the probe-and-rank both scan
+    // the filtered members — without the pin the semi join runs twice
+    val filtered = DedupOps.tracked(index.cells
+      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val nAllowed = filtered.count()
+    val nTotal = totalCount.getOrElse(index.cells.count())
+    val np = adaptiveProbeWidth(nProbe, nAllowed, nTotal,
+      index.centroids.length, maxProbe)
+    ivfQueryTopK(index.copy(cells = filtered), queries, k, np)
+  }
+
   /** Deterministic hyperplanes for sign-random-projection LSH, generated
     * from a fixed integer recurrence so the DuckDB oracle can inline the
     * same constants. */

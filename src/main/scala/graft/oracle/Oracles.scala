@@ -629,12 +629,15 @@ scored AS (SELECT p.query_id, c.vec_id,
   private def ivfOracle(nCells: Int, nProbe: Int, k: Int, iterations: Int,
       dim: Int, tail: Option[String] = None,
       corpusWhere: Option[String] = None,
-      memberFilter: Option[String] = None): String = {
+      memberFilter: Option[String] = None,
+      probeExpr: Option[String] = None): String = {
     val last = s"a$iterations"
     val lastCent = s"c${iterations - 1}"
     // memberFilter splices a join suffix onto the default tail's scored
     // scan (e13b's allow-set), keeping the rank window and `rank <= $k`
     // single-sourced — a custom tail with its own literal k would drift.
+    // probeExpr replaces the literal probe bound (e13c's adaptive dial —
+    // a scalar subquery recomputing the engine's integer arithmetic).
     s"""
 WITH ${ivfChainCtes(nCells, iterations, dim, corpusWhere)},
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -642,7 +645,7 @@ probes AS (SELECT query_id, qv, cell FROM (
   SELECT q.query_id, q.qv, s.cell,
          row_number() OVER (PARTITION BY q.query_id
            ORDER BY ${ivfScore("q.qv", "s.c")} DESC, s.cell DESC) AS rn
-  FROM q, $lastCent s) WHERE rn <= $nProbe),
+  FROM q, $lastCent s) WHERE rn <= ${probeExpr.getOrElse(nProbe.toString)}),
 scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS cos
            FROM probes p JOIN $last a ON a.cell = p.cell AND a.vec_id <> p.query_id)
 ${tail.getOrElse(s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
@@ -1356,6 +1359,22 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     "e13b_filtered_ivf_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64, memberFilter =
         Some(s" s JOIN $Docs dd ON dd.doc_id = s.vec_id AND dd.lang = 'en'")),
+
+    // e13c: e13b's selectivity dial as code — the probe bound is the
+    // engine's EXACT integer arithmetic recomputed as a scalar subquery:
+    // ⌈nProbe·corpus / allowed⌉ (allowed guarded to ≥ 1), floored at
+    // nProbe = 2, capped at the 16 cells; counts from the same corpus
+    // the engine measures (all vectors / the en-doc vectors).
+    "e13c_filtered_ivf_adaptive" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
+      iterations = 2, dim = 64,
+      memberFilter =
+        Some(s" s JOIN $Docs dd ON dd.doc_id = s.vec_id AND dd.lang = 'en'"),
+      probeExpr = Some(s"""(SELECT least(16, greatest(2,
+    (2 * (SELECT count(*) FROM e)
+       + greatest((SELECT count(*) FROM e x
+                   JOIN $Docs dd ON dd.doc_id = x.vec_id AND dd.lang = 'en'), 1) - 1)
+    // greatest((SELECT count(*) FROM e x
+               JOIN $Docs dd ON dd.doc_id = x.vec_id AND dd.lang = 'en'), 1))))""")),
 
     "e5_ivf_served_topk" -> ivfOracle(nCells = 16, nProbe = 2, k = 5,
       iterations = 2, dim = 64),

@@ -253,6 +253,25 @@ object VectorStream {
       IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch"))
   }
 
+  /** E13c over the maintained index: filtered vector search with the
+    * ADAPTIVE probe width, the corpus count read from the (cell, n)
+    * STATS side — one sum over cell-count rows (bytes), never a pass
+    * over the member table; the live root is resolved once for
+    * centroids, cells and stats (the mixed-tree guard). */
+  def filteredTopK(spark: SparkSession, indexDir: String,
+      allowed: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
+      maxProbe: Int = Int.MaxValue): DataFrame = {
+    val root = liveRoot(spark, indexDir)
+    val total = IndexSides
+      .readSide(spark, s"$root/cellstats", CellStatsSchema).drop("batch")
+      .agg(sum("n")).head()
+    SimilarityOps.ivfFilteredTopKAdaptive(
+      IvfIndex(centroidsAt(spark, root),
+        IndexSides.readSide(spark, s"$root/cells", CellSchema).drop("batch")),
+      allowed, queries, k, nProbe, maxProbe,
+      totalCount = Some(if (total.isNullAt(0)) 0L else total.getLong(0)))
+  }
+
   /** The served PQ index (e11b's deployment form): frozen codebooks +
     * the stream-maintained coded corpus — [[SimilarityOps.pqTopK]] runs
     * unchanged over it, scanning codes only. */

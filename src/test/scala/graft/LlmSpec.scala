@@ -1862,6 +1862,28 @@ class LlmSpec extends SparkSpec {
       .collect()
     assert(partial.length < 3,
       s"nProbe=1 against a far-cell allow-set must under-return: ${partial.toSeq}")
+    // the ADAPTIVE dial (e13c) recovers exactly that case: the measured
+    // allowed fraction widens nProbe=1 to ⌈total/allowed⌉ ≥ 2 (capped at
+    // the 2 cells), the far cell gets probed, and the full filtered
+    // top-k returns — equal to the exact pre-filter baseline, since the
+    // widened probe set covers every cell here
+    val adaptive = SimilarityOps
+      .ivfFilteredTopKAdaptive(ix, farAllowed, query, 3, nProbe = 1)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(adaptive.length === 3,
+      s"the adaptive dial must recover k on the under-return fixture: $adaptive")
+    val exact = SimilarityOps.filteredTopK(emb, farAllowed, query, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+      .map { case (r, n) => (r.toLong, n) }
+    assert(adaptive === exact)
+    // the dial arithmetic, pinned (exact integer ceil — no float path):
+    // floor at nProbe, cap at nCells then maxProbe, zero-allowed guard
+    assert(SimilarityOps.adaptiveProbeWidth(2, 250, 1000, 16) === 8)
+    assert(SimilarityOps.adaptiveProbeWidth(2, 999, 1000, 16) === 3)
+    assert(SimilarityOps.adaptiveProbeWidth(2, 1000, 1000, 16) === 2)
+    assert(SimilarityOps.adaptiveProbeWidth(2, 10, 1000, 16) === 16)
+    assert(SimilarityOps.adaptiveProbeWidth(2, 10, 1000, 16, maxProbe = 6) === 6)
+    assert(SimilarityOps.adaptiveProbeWidth(2, 0, 1000, 16) === 16)
     DedupOps.releaseCaches()
   }
 

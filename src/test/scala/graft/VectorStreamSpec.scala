@@ -70,6 +70,43 @@ class VectorStreamSpec extends SparkSpec {
       s"every batch exports a drift reading: $drift")
   }
 
+  test("adaptive filtered search serves off the maintained index, total from the stats side (e13c streaming)") {
+    val tmp = Files.createTempDirectory("graft_vecfilter").toString
+    // the LlmSpec under-return fixture, here as MAINTAINED state:
+    // quarter-circle vectors, 2 cells — an allow-set clustered in the
+    // far cell under-returns at fixed nProbe = 1
+    val vecs = (0 to 10).map { i =>
+      val th = i * 0.1
+      (i.toLong, e(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f))
+    }
+    VectorStream.build(spark, s"$tmp/index", vecs.toDF("vec_id", "embedding"),
+      nCells = 2, iterations = 1)
+    val served = VectorStream.index(spark, s"$tmp/index")
+    val query = vecs.toDF("vec_id", "embedding").filter(col("vec_id") === 0)
+    val farCell = served.cells.filter(col("vec_id") === 10L)
+      .select("cell").as[Int].head()
+    val near0 = served.cells.filter(col("vec_id") === 0L)
+      .select("cell").as[Int].head()
+    assume(farCell != near0, "fixture sanity: 0 and 10 split cells")
+    val farAllowed = served.cells
+      .filter(col("cell") === farCell && col("vec_id") =!= 0L).select("vec_id")
+    val partial = SimilarityOps
+      .ivfFilteredTopK(served, farAllowed, query, 3, nProbe = 1).collect()
+    assert(partial.length < 3, s"fixture sanity: ${partial.toSeq}")
+    // the SERVING wrapper: corpus total read from the (cell, n) stats
+    // side (bytes), dial widens the probe set, full filtered top-k
+    // returns — equal to the exact pre-filter baseline
+    val got = VectorStream.filteredTopK(spark, s"$tmp/index", farAllowed,
+      query, 3, nProbe = 1)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val exact = SimilarityOps.filteredTopK(
+      vecs.toDF("vec_id", "embedding"), farAllowed, query, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+      .map { case (r, n) => (r.toLong, n) }
+    assert(got.length === 3 && got === exact, s"got $got vs exact $exact")
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("replay and re-ingest are idempotent; compaction preserves the served index") {
     val tmp = Files.createTempDirectory("graft_vecstream2").toString
     val corpus = Seq((1L, e(1f, 0f, 0f, 0f)), (2L, e(0f, 1f, 0f, 0f)))

@@ -776,6 +776,12 @@ object SparkEntry {
       // quantized longs, exact arithmetic end to end) — the ONE score
       // deployment filters on and d6b's alternative election policy
       graft.llm.CurationOps.qualityEnsemble(documents(s, d))),
+    "c5b_quality_ensemble_bigram" -> ((s, d) =>
+      // the ensemble with t19c's BIGRAM model as the fluency term:
+      // unigram fluency is order-blind (word salad scores like prose);
+      // the bigram leg sees transitions — same weights, same integer
+      // arithmetic, so c5 vs c5b isolates the fluency model's effect
+      graft.llm.CurationOps.qualityEnsembleBigram(documents(s, d))),
     "e1_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)

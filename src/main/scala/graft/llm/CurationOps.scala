@@ -202,7 +202,28 @@ object CurationOps {
     * no corpus-sized driver state. In deployment the t19 leg swaps to
     * `TextOps.unigramNllServed` against the maintained wordcounts side,
     * so scoring an increment never re-tokenizes the corpus. */
-  def qualityEnsemble(documents: DataFrame): DataFrame = {
+  def qualityEnsemble(documents: DataFrame): DataFrame =
+    ensembleBlend(documents, TextOps.unigramNll(documents))
+
+  /** C5b — the ensemble with the BIGRAM model (t19c) as the fluency
+    * term: unigram fluency is order-blind, so a shuffled word salad
+    * scores exactly like the coherent doc it was shuffled from (same
+    * bag of words → same unigram NLL — LlmSpec constructs the pair);
+    * the bigram term sees the TRANSITIONS and demotes it, which is why
+    * CCNet's filter is a (5-gram) LM, not a word-frequency table.
+    * Same documented 4/2/1/3 weights, same integer arithmetic, same
+    * 15-nat ceiling on the per-word NLL — only the model under the
+    * fluency leg changes, so c5-vs-c5b isolates the model's effect.
+    * In deployment the leg swaps to [[TextOps.bigramNllServed]] against
+    * the maintained wordcounts + bigramcounts sides. */
+  def qualityEnsembleBigram(documents: DataFrame): DataFrame =
+    ensembleBlend(documents, TextOps.bigramNll(documents))
+
+  /** The shared blend: `nll` is any (doc_id, n_words, nll_x10k, …)
+    * fluency frame (t19's unigram or t19c's bigram — both quantize
+    * per-term ×10⁴ longs and sum exactly, so the blend stays integer
+    * end to end). */
+  private def ensembleBlend(documents: DataFrame, nll: DataFrame): DataFrame = {
     def q10k(c: org.apache.spark.sql.Column) = round(c * 10000.0).cast("long")
     val heur = TextOps.textStats(documents)
       .select(col("doc_id"), q10k(col("quality_score")).as("heur_x10k"))
@@ -210,7 +231,7 @@ object CurationOps {
       .select(col("doc_id"),
         (lit(10000L) - q10k(col("dup_word_frac"))).as("rep_x10k"),
         (lit(10000L) - q10k(col("top2_frac"))).as("top_x10k"))
-    val lm = TextOps.unigramNll(documents)
+    val lm = nll
       .select(col("doc_id"),
         greatest(lit(0L),
           lit(10000L) - expr("(nll_x10k div n_words) div 15")).as("lm_x10k"))

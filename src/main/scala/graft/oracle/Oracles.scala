@@ -1246,6 +1246,53 @@ SELECT h.doc_id, h.heur_x10k, r.rep_x10k, r.top_x10k, l.lm_x10k,
 FROM hx h JOIN rep r USING (doc_id) JOIN lm l USING (doc_id)
 ORDER BY h.doc_id""",
 
+    // c5b = c5 with t19c's BIGRAM chain under the fluency leg (first
+    // word under the unigram model, later words under the MLE
+    // conditional) — heuristic/repetition fragments and the 4/2/1/3
+    // integer blend identical to c5, so the pair isolates the model.
+    "c5b_quality_ensemble_bigram" -> s"""WITH $QualityCte,
+hx AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS heur_x10k FROM q),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac
+         FROM w),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM w WHERE len(w) >= 2),
+top AS (SELECT doc_id, max(c) AS top_c FROM (
+          SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        GROUP BY doc_id),
+rep AS (SELECT b.doc_id,
+               CAST(10000 - round(b.dup_word_frac * 10000) AS BIGINT) AS rep_x10k,
+               CAST(10000 - round(round(least(1.0,
+                 CAST(coalesce(t.top_c, 0) * 2 AS DOUBLE) / b.n_words), 4) * 10000) AS BIGINT) AS top_x10k
+        FROM base b LEFT JOIN top t USING (doc_id)),
+uw AS (SELECT doc_id, unnest(w) AS word FROM w),
+uni AS (SELECT word, count(*) AS n FROM uw GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+bpr AS (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1), i ->
+          {'prev': w[i-1], 'word': w[i]})) AS b FROM w),
+bpairs AS (SELECT doc_id, b.prev AS prev, b.word AS word FROM bpr),
+big AS (SELECT prev, word, count(*) AS nb FROM bpairs GROUP BY 1, 2),
+terms AS (
+  SELECT d.doc_id,
+         CAST(round(-ln(CAST(u.n AS DOUBLE) / (SELECT nn FROM tot)) * 10000) AS BIGINT) AS wn
+  FROM (SELECT doc_id, w[1] AS word FROM w) d JOIN uni u USING (word)
+  UNION ALL
+  SELECT p.doc_id,
+         CAST(round(-ln(CAST(b.nb AS DOUBLE) / up.n) * 10000) AS BIGINT) AS wn
+  FROM bpairs p JOIN big b USING (prev, word)
+  JOIN uni up ON up.word = p.prev),
+nll AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw, CAST(sum(wn) AS BIGINT) AS nll_x10k
+        FROM terms GROUP BY doc_id),
+lm AS (SELECT doc_id,
+              CAST(greatest(0, 10000 - (nll_x10k // nw) // 15) AS BIGINT) AS lm_x10k
+       FROM nll)
+SELECT h.doc_id, h.heur_x10k, r.rep_x10k, r.top_x10k, l.lm_x10k,
+       CAST((4 * h.heur_x10k + 2 * r.rep_x10k + r.top_x10k + 3 * l.lm_x10k) // 10 AS BIGINT) AS score_x10k,
+       round(CAST((4 * h.heur_x10k + 2 * r.rep_x10k + r.top_x10k + 3 * l.lm_x10k) // 10 AS DOUBLE) / 10000.0, 4) AS ensemble_score
+FROM hx h JOIN rep r USING (doc_id) JOIN lm l USING (doc_id)
+ORDER BY h.doc_id""",
+
     // c2 = the incremental admission composition: one verdict per
     // increment doc (doc_id >= 400, the d5 split) with screen precedence
     // near_dup (d5 fragment: corpus band index ∪ increment self-join) >

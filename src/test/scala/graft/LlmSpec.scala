@@ -1821,6 +1821,32 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("word salad passes the unigram ensemble but fails the bigram one (c5 vs c5b)") {
+    import spark.implicits._
+    // 20 docs repeat one phrase; doc 21 is the SAME words reversed (no
+    // bigram shared with the phrase, all words distinct — so heuristic,
+    // repetition AND unigram-fluency legs are bag-identical)
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val salad = t.split(" ").reverse.mkString(" ")
+    val corpus = ((1L to 20L).map(i => (i, t)) :+ (21L -> salad))
+      .toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("doc_id", "ensemble_score").as[(Long, Double)].collect().toMap
+    val uni = scores(CurationOps.qualityEnsemble(corpus))
+    val bi = scores(CurationOps.qualityEnsembleBigram(corpus))
+    // order-blind: the salad is indistinguishable from the prose under
+    // the unigram ensemble — exactly why t19c exists
+    assert(uni(21L) === uni(1L), s"uni salad ${uni(21L)} vs prose ${uni(1L)}")
+    // order-sensitive: the bigram leg sees the transitions the corpus
+    // never makes and demotes the salad; the repeated phrase promotes
+    assert(bi(21L) < bi(1L), s"bi salad ${bi(21L)} vs prose ${bi(1L)}")
+    // the filtering consequence at an explicit cut: a 0.55 quality gate
+    // admits the salad under c5 and rejects it under c5b
+    assert(uni(21L) >= 0.55 && bi(21L) < 0.55 && bi(1L) >= 0.55,
+      s"uni(salad)=${uni(21L)} bi(salad)=${bi(21L)} bi(prose)=${bi(1L)}")
+    DedupOps.releaseCaches()
+  }
+
   test("filtered search pre-filters the allow-set; post-filtering would under-return (e13/e13b)") {
     import spark.implicits._
     // vectors fan out on a quarter-circle: cos(query, v_i) strictly

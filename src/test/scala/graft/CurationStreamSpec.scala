@@ -254,6 +254,13 @@ class CurationStreamSpec extends SparkSpec {
       // microbatch 1 admitted serves microbatch 2's screens
       stream.addData((403L, "src", fresh402 + " coda", e(4)))
       q.processAllAvailable()
+      // microbatch 3: 402's IMAGE recycled under fresh text (same
+      // length, disjoint words; 406 dodges the fixture's video modulus)
+      // — the image rung must fire ACROSS microbatch boundaries under
+      // start(): the verdict reads the MAINTAINED imagehashes side
+      // microbatch 1 committed, not this batch's increment
+      stream.addData((406L, "src", shaped("again06", "g", 51), e(5)))
+      q.processAllAvailable()
     } finally q.stop()
     val verdicts = CurationStream.verdictLog(spark, s"$tmp/out")
       .select("doc_id", "verdict", "detail_id")
@@ -262,20 +269,101 @@ class CurationStreamSpec extends SparkSpec {
     assert(verdicts === Map(
       401L -> ("image_dup", Some(1L)),
       402L -> ("admitted", None),
-      403L -> ("near_dup", Some(402L))), verdicts.toString)
+      403L -> ("near_dup", Some(402L)),
+      406L -> ("image_dup", Some(402L))), verdicts.toString)
     // both tiers committed exactly the admitted survivor of each batch
     assert(DedupStream.corpusShingles(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
     assert(VectorStream.corpusCells(spark, s"$tmp/vec")
       .select("vec_id").as[Long].collect().toSet === Set(1L, 402L))
-    // the admitted doc's fingerprint landed on the imagehashes side
+    // the admitted doc's fingerprint landed on the imagehashes side; the
+    // rejected recyclers' never did
     assert(DedupStream.corpusImageHashes(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
     // per-batch dual-tier accounting, image rung included
     val m = CurationStream.metrics(spark, s"$tmp/out")
       .select("batch_id", "n_in", "n_admitted", "n_image_dup", "n_near_dup")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
-    assert(m === Set((0L, 2L, 1L, 1L, 0L), (1L, 1L, 0L, 0L, 1L)), m.toString)
+    assert(m === Set((0L, 2L, 1L, 1L, 0L), (1L, 1L, 0L, 0L, 1L),
+      (2L, 1L, 0L, 1L, 0L)), m.toString)
+    DedupOps.releaseCaches()
+  }
+
+  test("restart from the same checkpoint: no re-admission, stable verdicts, one metrics row per batch per tier (start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_curation_restart").toString
+    // quality-passing unique docs (the soak fixture's shape)
+    def doc(i: Long) =
+      s"doc$i " + (1 to 50).map(k => s"the t${i}w$k").mkString(" ")
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    DedupStream.admitBatch(Seq((1L, doc(1L))).toDF("doc_id", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Float])]
+    def startQuery() = CurationStream.start(
+      stream.toDF().toDF("doc_id", "text", "embedding"),
+      s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench)
+    // ---- run 1: admit batches 0 and 1, then STOP ----------------------
+    val q1 = startQuery()
+    try {
+      // batch 0: 401 fresh, 402 near-dups the seed corpus doc
+      stream.addData((401L, doc(401L), e(2)), (402L, doc(1L) + " coda", e(3)))
+      q1.processAllAvailable()
+      // batch 1: fresh
+      stream.addData((403L, doc(403L), e(4)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val verdictsBefore = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdictsBefore === Map(
+      401L -> ("admitted", None), 402L -> ("near_dup", Some(1L)),
+      403L -> ("admitted", None)), verdictsBefore.toString)
+    // ---- run 2: SAME checkpoint, a new query, a new batch -------------
+    val q2 = startQuery()
+    try {
+      // 404 near-dups 401 — admitted BEFORE the restart: the recovered
+      // query must keep screening against the pre-restart state; 405 is
+      // fresh and must admit
+      stream.addData((404L, doc(401L) + " coda", e(5)), (405L, doc(405L), e(6)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // pre-restart verdicts are byte-stable (no batch re-ran with a
+    // different answer) and the new batch's verdicts land beside them
+    val verdictsAfter = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdictsAfter === verdictsBefore ++ Map(
+      404L -> ("near_dup", Some(401L)), 405L -> ("admitted", None)),
+      verdictsAfter.toString)
+    // NO re-admission: each admitted doc is indexed exactly once in the
+    // text tier and assigned exactly once in the vector tier
+    val shingleDocs = DedupStream.corpusShingles(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(shingleDocs.sorted === Seq(1L, 401L, 403L, 405L), s"got $shingleDocs")
+    val cellRows = VectorStream.corpusCells(spark, s"$tmp/vec")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(cellRows.sorted === Seq(1L, 401L, 403L, 405L), s"got $cellRows")
+    // one DUAL-TIER metrics row per batch — and one row per batch in
+    // EACH tier's own accounting (a replayed batch rewrites, never adds)
+    val dual = CurationStream.metrics(spark, s"$tmp/out")
+      .groupBy("lineage", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(dual.length === 3 && dual.forall(_ === 1L), s"dual rows: ${dual.toSeq}")
+    val textM = DedupStream.metrics(spark, s"$tmp/out/text")
+      .groupBy("lineage", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(textM.length === 3 && textM.forall(_ === 1L), s"text rows: ${textM.toSeq}")
+    val vecM = VectorStream.metrics(spark, s"$tmp/out/vec")
+      .groupBy("lineage", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(vecM.length === 3 && vecM.forall(_ === 1L), s"vec rows: ${vecM.toSeq}")
     DedupOps.releaseCaches()
   }
 

@@ -756,6 +756,32 @@ object SparkEntry {
           MultimodalOps.asMediaTable(
             inc.filter(!MultimodalOps.isVideoId(col("doc_id")))))))
     }),
+    "c6b_trimodal_admission" -> ((s, d) => {
+      // the TRIMODAL ladder: c6 + the AUDIO rung — the increment's PCM
+      // content hashes against the maintained corpus hash side, verdict
+      // `audio_dup` slotted after image_dup (a non-video doc recycling
+      // a corpus length trips the image rung first; video-id docs have
+      // no image fingerprint, so their recycled clips surface here).
+      // Every tier serves from maintained state; no corpus pixel or
+      // sample is ever re-decoded.
+      val inc = documents(s, d).filter(col("doc_id") >= 400)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      graft.llm.CurationOps.admitIncrement(inc,
+        d5Pairs(s, d),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d),
+          d9CorpusSeedStats(s, d)),
+        DedupOps.contaminationHits(inc, bench, 4, 1),
+        semPairs = Some(SimilarityOps.semanticScreen(ivfCorpusIndex(s, d),
+          embeddings(s, d).filter(col("vec_id") >= 400), 0.4)),
+        imagePairs = Some(MultimodalOps.imageNearDupsServed(
+          m4CorpusHashes(s, d),
+          MultimodalOps.asMediaTable(
+            inc.filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+        audioPairs = Some(MultimodalOps.audioExactDupsServedHashes(
+          m5Meta(s, d).filter(col("doc_id") < 400),
+          m5Meta(s, d).filter(col("doc_id") >= 400),
+          inc.select("doc_id"))))
+    }),
     "c3_leakage_safe_split" -> ((s, d) =>
       // group-aware train/val/test split: buckets hash the d6 GROUP id,
       // so near-dup components co-travel — the eval-leakage guard. The
@@ -1067,6 +1093,15 @@ object SparkEntry {
       // groups, keeper = min doc_id; served off the maintained meta
       // frame like m4b — samples hash once, at decode
       MultimodalOps.audioDupGroupsFromMeta(m5Meta(s, d))),
+    "m5c_audio_dups_served" -> ((s, d) =>
+      // the audio rung of the admission ladder: a media increment's PCM
+      // content hashes against the MAINTAINED corpus hash side — corpus
+      // samples never touched, one equality join over long keys; same
+      // d5/d9b corpus split, m4d orientation + self-exclusion rules
+      MultimodalOps.audioExactDupsServedHashes(
+        m5Meta(s, d).filter(col("doc_id") < 400),
+        m5Meta(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m6_media_card" -> ((s, d) =>
       // the media-tier data card: per-(modality, format) counts, total
       // pixels and dim ranges off the decoded metadata — the decode

@@ -114,11 +114,11 @@ object CurationOps {
     *
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
-    * `semantic_dup` > `image_dup` > `contaminated` > `low_quality` >
-    * `admitted`. `detail_id` names the firing screen's witness — the
-    * keeper for dups/spans/semantic/image dups, the colliding benchmark
-    * doc for contamination (min id for determinism) — and is null for
-    * quality-only rejections and admissions.
+    * `semantic_dup` > `image_dup` > `audio_dup` > `contaminated` >
+    * `low_quality` > `admitted`. `detail_id` names the firing screen's
+    * witness — the keeper for dups/spans/semantic/image/audio dups, the
+    * colliding benchmark doc for contamination (min id for determinism)
+    * — and is null for quality-only rejections and admissions.
     *
     * `imagePairs` (c6) is the IMAGE-modality rung: near-dup fingerprint
     * pairs from the served screen
@@ -127,6 +127,10 @@ object CurationOps {
     * every dup frame here), so a doc whose image duplicates the corpus
     * (or an earlier increment member) is rejected even when its TEXT is
     * fresh — scraped pages recycling one image under different captions.
+    * `audioPairs` (c6b) is the AUDIO rung: exact PCM-content matches
+    * from [[graft.llm.MultimodalOps.audioExactDupsServed]], same
+    * orientation contract — the rung that catches a clip re-uploaded
+    * under fresh text and a fresh thumbnail.
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -141,7 +145,8 @@ object CurationOps {
       spanPairs: DataFrame, contamHits: DataFrame,
       minQuality: Double = 0.5,
       semPairs: Option[DataFrame] = None,
-      imagePairs: Option[DataFrame] = None): DataFrame = {
+      imagePairs: Option[DataFrame] = None,
+      audioPairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -151,28 +156,30 @@ object CurationOps {
     val base = TextOps.textStats(increment).select("doc_id", "quality_score")
       .join(dup, Seq("doc_id"), "left")
       .join(span, Seq("doc_id"), "left")
-    val withSem = semPairs.fold(base.withColumn("sem_id", lit(null).cast("long"))) {
-      sp => base.join(
-        sp.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("sem_id")),
-        Seq("doc_id"), "left")
-    }
-    val withImg = imagePairs.fold(withSem.withColumn("img_id", lit(null).cast("long"))) {
-      ip => withSem.join(
-        ip.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("img_id")),
-        Seq("doc_id"), "left")
-    }
-    withImg
+    // the optional modality rungs share ONE shape: a (id_a, id_b) pair
+    // frame folded to min-witness per rejected doc, left-joined in —
+    // an absent rung contributes a null column, never a join
+    def rung(frame: DataFrame, pairs: Option[DataFrame],
+        witness: String): DataFrame =
+      pairs.fold(frame.withColumn(witness, lit(null).cast("long"))) {
+        p => frame.join(
+          p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
+          Seq("doc_id"), "left")
+      }
+    rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
+        audioPairs, "aud_id")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
           .when(col("span_id").isNotNull, "span_dup")
           .when(col("sem_id").isNotNull, "semantic_dup")
           .when(col("img_id").isNotNull, "image_dup")
+          .when(col("aud_id").isNotNull, "audio_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("img_id"), col("contam_id")).as("detail_id"),
+          col("img_id"), col("aud_id"), col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

@@ -284,6 +284,47 @@ object MultimodalOps {
       .select("doc_id", "keeper_id", "n_copies")
       .orderBy("doc_id")
 
+  /** M5c — SERVED exact-audio screening: an increment's PCM content
+    * hashes against a MAINTAINED corpus hash table (DedupStream's
+    * audiohashes side) — samples hash once, at ingest, so screening a
+    * media batch is one equality join over long keys (d1's exact tier
+    * on the third modality; near-dup audio needs a perceptual
+    * fingerprint — out of scope, the hash is CONTENT identity). The
+    * m4d serving discipline: corpus member rides as id_a whatever the
+    * numeric order; the increment's own ids are anti-joined out of the
+    * corpus side (id-level self-exclusion) so a replayed batch's
+    * internal pairs surface exactly once, (min, max)-oriented via the
+    * new-vs-new leg. `incrIds` is the FULL increment id set (decodable
+    * or not — the m4d rule: a replayed undecodable doc's stale corpus
+    * row must not pair against its batch). At deployment the side is
+    * pcm_hash-bucketed so the join shuffles only the increment. */
+  def audioExactDupsServedHashes(corpusHashes: DataFrame,
+      incrHashes: DataFrame, incrIds: DataFrame): DataFrame = {
+    val cb = corpusHashes.select("doc_id", "pcm_hash")
+      .join(broadcast(incrIds), Seq("doc_id"), "left_anti")
+    val nb = incrHashes.select("doc_id", "pcm_hash")
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("pcm_hash"), col("doc_id").as(s"id_$side"))
+    val vsCorpus = sided(cb, "a").join(sided(nb, "b"), Seq("pcm_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = sided(nb, "a").join(sided(nb, "b"), Seq("pcm_hash"))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .select("id_a", "id_b").distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[audioExactDupsServedHashes]] with the increment decoded here —
+    * the standalone serving form (CurationStream holds the hashes and
+    * calls the hash-level core so an admitted clip decodes once). */
+  def audioExactDupsServed(corpusHashes: DataFrame,
+      newAudioDocs: DataFrame): DataFrame = {
+    val meta = DedupOps.tracked(decodeAudioMeta(
+      newAudioDocs.sparkSession, asAudioTable(newAudioDocs)).toDF())
+    audioExactDupsServedHashes(corpusHashes, meta,
+      newAudioDocs.select("doc_id"))
+  }
+
   /** The fixture's modality rule, defined by ONE modulus shared between
     * the Column form (so a caller wanting a single modality can prune
     * documents BEFORE [[asMediaTable]]'s opaque generation map — a

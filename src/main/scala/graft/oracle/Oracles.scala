@@ -342,8 +342,7 @@ WITH $ImagePhashCteList"""
     * (h·31 + u) % 1e9+7 in stream order (list_reduce; the engine's
     * AudioDecoder.pcmHash is the Scala twin). Exposes `am` (doc_id,
     * sample_rate, channels, n_frames, duration_ms, pcm_hash). */
-  private val AudioCtes = s"""
-WITH al AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+  private val AudioCteList = s"""al AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
 ap AS (SELECT doc_id, l, CAST(8000 AS BIGINT) AS sample_rate,
               CAST(1 + l % 2 AS BIGINT) AS channels,
               CAST(200 + (l * 13) % 600 AS BIGINT) AS n_frames FROM al),
@@ -354,6 +353,9 @@ am AS (SELECT doc_id, sample_rate, channels, n_frames,
                   i -> (i * 37 + l * 101) % 65536)),
                 (acc, x) -> (acc * 31 + x) % 1000000007) AS pcm_hash
        FROM ap)"""
+
+  private val AudioCtes = s"""
+WITH $AudioCteList"""
 
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
@@ -416,7 +418,7 @@ ${p}bset AS (SELECT bench_id, unnest(arr) AS sh FROM ${p}bsh)"""
     * within-cell pairs (6-dp cos ≥ 0.4, 256-member cell rail) restricted
     * to increment-side id_b, corpus member as id_a. */
   private def admissionOracle(withSemantic: Boolean = false,
-      withImage: Boolean = false): String = {
+      withImage: Boolean = false, withAudio: Boolean = false): String = {
     val semCtes = if (!withSemantic) "" else s"""${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
 cellsz AS (SELECT cell FROM a2 GROUP BY cell HAVING count(*) <= 256),
 semp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -445,6 +447,19 @@ imgd AS (SELECT id_b AS doc_id, min(id_a) AS img_id FROM imgp GROUP BY id_b),"""
     val imgWhen = if (withImage)
       "\n            WHEN imgd.img_id IS NOT NULL THEN 'image_dup'" else ""
     val imgCoalesce = if (withImage) " imgd.img_id," else ""
+    // the audio rung (c6b): exact PCM-content matches over the recomputed
+    // generative fingerprints — m5c's oracle pattern, same orientation
+    // rule; covers EVERY doc (the audio rendition has no video carve-out)
+    val audCtes = if (!withAudio) "" else s"""$AudioCteList,
+audp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM am a JOIN am b ON a.pcm_hash = b.pcm_hash
+           AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)),
+audd AS (SELECT id_b AS doc_id, min(id_a) AS aud_id FROM audp GROUP BY id_b),"""
+    val audJoin = if (withAudio) " LEFT JOIN audd USING (doc_id)" else ""
+    val audWhen = if (withAudio)
+      "\n            WHEN audd.aud_id IS NOT NULL THEN 'audio_dup'" else ""
+    val audCoalesce = if (withAudio) " audd.aud_id," else ""
     s"""WITH $ShingleCtes,${bandCandCtes(" AND bb.doc_id >= 400")},${verifiedPairCtes(0.5)},
 dup AS (SELECT id_b AS doc_id, min(id_a) AS dup_id FROM pairs GROUP BY id_b),${spanSeedCtes("sp", " AND b.doc_id >= 400")},
 spspans AS (SELECT id_a, id_b FROM spisl
@@ -454,17 +469,17 @@ span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b)
       "(SELECT doc_id AS bench_id, w FROM docs WHERE doc_id % 50 = 0)")},
 chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
           GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
-contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$imgCtes$QualityCte
+contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$imgCtes$audCtes$QualityCte
 SELECT q.doc_id,
        CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
-            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen$imgWhen
+            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen$imgWhen$audWhen
             WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
             WHEN q.quality_score < 0.5 THEN 'low_quality'
             ELSE 'admitted' END AS verdict,
-       coalesce(dup.dup_id, span.span_id,$semCoalesce$imgCoalesce contam.contam_id) AS detail_id,
+       coalesce(dup.dup_id, span.span_id,$semCoalesce$imgCoalesce$audCoalesce contam.contam_id) AS detail_id,
        q.quality_score
 FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
-LEFT JOIN contam USING (doc_id)$semJoin$imgJoin
+LEFT JOIN contam USING (doc_id)$semJoin$imgJoin$audJoin
 WHERE q.doc_id >= 400 ORDER BY q.doc_id"""
   }
 
@@ -1308,6 +1323,23 @@ ORDER BY h.doc_id""",
     "c2b_semantic_admission" -> admissionOracle(withSemantic = true),
     "c6_multimodal_admission" ->
       admissionOracle(withSemantic = true, withImage = true),
+    // c6b = the TRIMODAL ladder: c6 + the audio rung (exact PCM-content
+    // matches, image_dup > audio_dup — a non-video doc recycling a
+    // corpus doc's length duplicates its image AND audio; precedence
+    // reports the image; video-id docs have no image fingerprint, so
+    // audio is the rung that catches their recycled clips)
+    "c6b_trimodal_admission" ->
+      admissionOracle(withSemantic = true, withImage = true, withAudio = true),
+
+    // m5c: the SERVED exact-audio screen — pairs with equal PCM content
+    // hash whose LATER member is in the increment, corpus as id_a (the
+    // m4d orientation rule), hashes recomputed from the generative
+    // formula.
+    "m5c_audio_dups_served" -> s"""$AudioCtes
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM am a JOIN am b ON a.pcm_hash = b.pcm_hash AND b.doc_id >= 400
+  AND a.doc_id <> b.doc_id AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+ORDER BY id_a, id_b""",
 
     // d6b = d6's recursive group CTE + t5's quality expression: per group
     // keep the max-quality member, ties to the lower doc_id

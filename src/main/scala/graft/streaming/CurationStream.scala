@@ -12,13 +12,14 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
-  * (near_dup > span_dup > semantic_dup > image_dup > contaminated >
-  * low_quality > admitted), same oracle — where the two single-tier
-  * services each fold only their OWN screen into admission, this one
-  * commits the complete curation policy. Feeds carrying the media
-  * envelope (a `source` column) additionally pass the IMAGE rung — the
-  * increment's fingerprints against the maintained imagehashes side
-  * (the c6 composition); text-only feeds skip it entirely.
+  * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
+  * contaminated > low_quality > admitted), same oracle — where the two
+  * single-tier services each fold only their OWN screen into admission,
+  * this one commits the complete curation policy. Feeds carrying the
+  * media envelope (a `source` column) additionally pass the IMAGE and
+  * AUDIO rungs — the increment's fingerprints against the maintained
+  * imagehashes/audiohashes sides (the c6/c6b compositions); text-only
+  * feeds skip both entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -84,6 +85,10 @@ object CurationStream {
         if (MultimodalOps.hasMediaEnvelope(docs))
           Some(DedupStream.screenImageNearDups(spark, textIndexDir,
             MultimodalOps.asMediaTable(docs)))
+        else None,
+      audioPairs =
+        if (MultimodalOps.hasMediaEnvelope(docs))
+          Some(DedupStream.screenAudioDups(spark, textIndexDir, docs))
         else None)
 
   /** The increment's image fingerprints, decoded ONCE per batch and fed
@@ -94,6 +99,14 @@ object CurationStream {
   private def incrementHashes(docs: DataFrame): Option[DataFrame] =
     if (MultimodalOps.hasMediaEnvelope(docs))
       Some(MultimodalOps.imageHashesRaw(MultimodalOps.asMediaTable(docs)))
+    else None
+
+  /** The increment's AUDIO fingerprints, decoded ONCE per batch — the
+    * [[incrementHashes]] discipline on the third modality: phase-1's
+    * audio rung and the phase-2 side write share this frame. */
+  private def incrementAudio(docs: DataFrame): Option[DataFrame] =
+    if (MultimodalOps.hasMediaEnvelope(docs))
+      Some(MultimodalOps.audioMetaRaw(docs.sparkSession, docs))
     else None
 
   /** One microbatch: dual-tier verdict, then commit admitted docs to the
@@ -120,9 +133,11 @@ object CurationStream {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
-    // the increment's fingerprints, decoded ONCE (None for text-only
-    // feeds) — the screen below and the phase-2 side write share them
+    // the increment's image + audio fingerprints, decoded ONCE (None for
+    // text-only feeds) — the screens below and the phase-2 side writes
+    // share them
     val incrHashes = incrementHashes(docs)
+    val incrAudio = incrementAudio(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
     val verdict = CurationOps.admitIncrement(docs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(docs),
@@ -143,7 +158,12 @@ object CurationStream {
       // exactly the corpus the original attempt saw
       incrHashes.map(h => MultimodalOps.imageNearDupsServedHashes(
         DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag),
-        h, docs.select("doc_id"))))
+        h, docs.select("doc_id"))),
+      // the audio rung: maintained side with this batch's own dir
+      // excluded, on top of the screen's id-level self-exclusion
+      incrAudio.map(a => MultimodalOps.audioExactDupsServedHashes(
+        DedupStream.sideExcluding(spark, textIndexDir, "audiohashes", tag),
+        a, docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -168,8 +188,9 @@ object CurationStream {
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
         bloomSizing,
         // the phase-1 fingerprints, restricted to the kept set inside
-        // admitBatch — the admitted images are NOT re-decoded
-        imageHashes = incrHashes)
+        // admitBatch — the admitted images/clips are NOT re-decoded
+        imageHashes = incrHashes,
+        audioHashes = incrAudio)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -192,11 +213,12 @@ object CurationStream {
           counts.getOrElse("span_dup", 0L),
           counts.getOrElse("semantic_dup", 0L),
           counts.getOrElse("image_dup", 0L),
+          counts.getOrElse("audio_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
-          "n_span_dup", "n_semantic_dup", "n_image_dup", "n_contaminated",
-          "n_low_quality")
+          "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
+          "n_contaminated", "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)
@@ -226,11 +248,12 @@ object CurationStream {
         StructField("n_near_dup", LongType), StructField("n_span_dup", LongType),
         StructField("n_semantic_dup", LongType),
         StructField("n_image_dup", LongType),
+        StructField("n_audio_dup", LongType),
         StructField("n_contaminated", LongType),
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
-      .na.fill(0L, Seq("n_image_dup"))
+      .na.fill(0L, Seq("n_image_dup", "n_audio_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
   }
 

@@ -40,6 +40,9 @@ import graft.llm.DedupOps
   * indexDir/winnowfps/batch=<lineage>-<id>/ (doc_id, fp) winnow sketch
   *                                          rows (t21, ~1/w the seed
   *                                          side) — t21d pair serving
+  * indexDir/audiohashes/batch=<lineage>-<id>/ (doc_id, …, pcm_hash) audio
+  *                                          content fingerprints of the
+  *                                          admitted media — m5c serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -50,7 +53,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The nine index sides start flat under `indexDir` and migrate into
+  * The ten index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -93,6 +96,11 @@ object DedupStream {
     StructField("height", LongType)))
   private val WinnowSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp", LongType)))
+  private val AudioHashSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("format", StringType),
+    StructField("sample_rate", LongType), StructField("channels", LongType),
+    StructField("n_frames", LongType), StructField("duration_ms", LongType),
+    StructField("pcm_hash", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -397,6 +405,7 @@ object DedupStream {
       case "seedstats" => StatsSchema
       case "imagehashes" => ImgHashSchema
       case "winnowfps" => WinnowSchema
+      case "audiohashes" => AudioHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -485,6 +494,25 @@ object DedupStream {
   def corpusImageHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/imagehashes", ImgHashSchema)
       .drop("batch")
+
+  /** The maintained AUDIO-fingerprint side over every ADMITTED doc's
+    * audio rendition (m5's meta rows — header fields + the decoded-PCM
+    * content hash — appended per batch, identity fold): one long per
+    * clip, so exact-audio screening is an equality join over hash
+    * tables; samples decoded exactly once, at admission. */
+  def corpusAudioHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/audiohashes", AudioHashSchema)
+      .drop("batch")
+
+  /** M5c over the maintained side: EXACT-duplicate audio between a media
+    * increment and the admitted corpus's hash table — the audio rung of
+    * the admission ladder (d1's content-identity tier on the third
+    * modality), corpus samples never touched. Corpus member rides as
+    * id_a; the increment's own ids self-exclude for replay. */
+  def screenAudioDups(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): DataFrame =
+    graft.llm.MultimodalOps.audioExactDupsServed(
+      corpusAudioHashes(spark, indexDir), newDocs)
 
   /** T19 over the maintained side: unigram-LM NLL of an increment under
     * the ADMITTED corpus's word distribution — the LM quality screen a
@@ -630,7 +658,8 @@ object DedupStream {
   def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
       outDir: String, threshold: Double, lineage: String = "batch",
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
-      imageHashes: Option[DataFrame] = None): Unit = {
+      imageHashes: Option[DataFrame] = None,
+      audioHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -740,6 +769,20 @@ object DedupStream {
               graft.llm.MultimodalOps.asMediaTable(keptOut)))
           else None)
         .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
+      // tenth side: the admitted docs' AUDIO fingerprints (m5's meta —
+      // header fields + the decoded-PCM content hash): samples decode
+      // exactly once, at admission; the m5c screen reads one-long-per-
+      // clip rows ever after. Same media-envelope gate, same idempotent
+      // batch= key, same caller-passed decode-once seam as the image
+      // side (CurationStream feeds its phase-1 frame via `audioHashes`).
+      audioHashes
+        .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .orElse(
+          if (graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
+            Some(graft.llm.MultimodalOps.decodeAudioMeta(spark,
+              graft.llm.MultimodalOps.asAudioTable(keptOut)).toDF())
+          else None)
+        .foreach(_.write.mode("overwrite").parquet(s"$root/audiohashes/$key"))
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the
@@ -846,13 +889,14 @@ object DedupStream {
       newDocs: DataFrame, benchmark: DataFrame, threshold: Double = 0.5,
       minQuality: Double = 0.5, contamK: Int = 4,
       contamMinShared: Int = 1, semPairs: Option[DataFrame] = None,
-      imagePairs: Option[DataFrame] = None): DataFrame =
+      imagePairs: Option[DataFrame] = None,
+      audioPairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
       screenSpans(spark, indexDir, newDocs),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality, semPairs, imagePairs)
+      minQuality, semPairs, imagePairs, audioPairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
@@ -904,6 +948,7 @@ object DedupStream {
       (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
+    ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

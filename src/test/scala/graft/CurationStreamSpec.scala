@@ -131,8 +131,8 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the image rung (n_image_dup 0)
-    assert((4 to 9).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 1L, 0L), m.toString)
+    // never fires the image or audio rungs (n_image_dup/n_audio_dup 0)
+    assert((4 to 10).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 1L, 0L), m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
     CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
@@ -220,6 +220,65 @@ class CurationStreamSpec extends SparkSpec {
       Seq((403L, e(4))).toDF("vec_id", "embedding"),
       2L, s"$tmp/text", s"$tmp/vec", s"$tmp/out", bench, lineage = "img")
     assert(verdictOf(403L) === ("image_dup", Some(402L)))
+    DedupOps.releaseCaches()
+  }
+
+  test("a media feed's audio rung rejects a clip recycler; image precedence holds (c6b streaming)") {
+    val tmp = Files.createTempDirectory("graft_curation_aud").toString
+    // fixture audio depends only on text LENGTH (like the image): the
+    // corpus doc and both recyclers share len 398 with disjoint WORDS.
+    // 404 is a VIDEO id (no image fingerprint), so the audio rung is the
+    // one that catches its recycled clip; 401 is a non-video id whose
+    // identical length trips image AND audio — precedence reports image.
+    def shaped(prefix: String, tag: String, n: Int) =
+      s"$prefix " + (1 to n).map(k => s"the $tag$k").mkString(" ")
+    val corpusText = shaped("audseed", "a", 50)    // len 398
+    val vidRecycler = shaped("vidclip", "v", 50)   // len 398, video id
+    val imgRecycler = shaped("recycle", "b", 50)   // len 398, image id
+    val fresh = shaped("fresh02", "c", 51)         // len 406
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    DedupStream.admitBatch(
+      Seq((1L, "src", corpusText)).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val docs = Seq((404L, "src", vidRecycler), (401L, "src", imgRecycler),
+      (402L, "src", fresh)).toDF("doc_id", "source", "text")
+    val vecs = Seq((404L, e(2)), (401L, e(3)), (402L, e(4)))
+      .toDF("vec_id", "embedding")
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "aud")
+    def verdictOf(id: Long) = CurationStream.verdictLog(spark, s"$tmp/out")
+      .filter(col("doc_id") === id)
+      .select("verdict", "detail_id").as[(String, Option[Long])].head()
+    assert(verdictOf(404L) === ("audio_dup", Some(1L)))
+    assert(verdictOf(401L) === ("image_dup", Some(1L)),
+      "image precedence over the co-firing audio rung")
+    assert(verdictOf(402L) === ("admitted", None))
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_audio_dup")) === 1L, m.toString)
+    assert(m.getLong(m.fieldIndex("n_image_dup")) === 1L, m.toString)
+    // replay: the admitted 402's own audio fingerprint now sits in the
+    // side; id-level self-exclusion keeps every verdict stable
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "aud")
+    assert(verdictOf(404L) === ("audio_dup", Some(1L)))
+    assert(verdictOf(402L) === ("admitted", None))
+    // the ADMITTED doc's clip serves the next batch: a video-id doc
+    // recycling 402's audio is rejected against it; the REJECTED 404's
+    // clip was never indexed
+    CurationStream.admitBatch(
+      Seq((408L, "src", shaped("vidnext", "w", 51)))
+        .toDF("doc_id", "source", "text"),
+      Seq((408L, e(5))).toDF("vec_id", "embedding"),
+      2L, s"$tmp/text", s"$tmp/vec", s"$tmp/out", bench, lineage = "aud")
+    assert(verdictOf(408L) === ("audio_dup", Some(402L)))
+    // the maintained side holds exactly the admitted docs' clips
+    assert(DedupStream.corpusAudioHashes(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
     DedupOps.releaseCaches()
   }
 

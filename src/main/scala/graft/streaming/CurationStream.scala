@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's nine
+  * against BOTH maintained index tiers (the text tier's ten
   * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
@@ -31,7 +31,7 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all nine sides + groups);
+  *      replay discipline, all ten sides + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -182,7 +182,7 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all nine sides
+      // pairs) — and owns the replay discipline for all ten sides
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,

@@ -260,6 +260,13 @@ object SparkEntry {
       MultimodalOps.decodeAudioMeta(s,
         MultimodalOps.asAudioTable(documents(s, dir))).toDF())
 
+  /** The m5d acoustic-fingerprint frame: decoded once per (session,
+    * sfDir) — the m4Hashes discipline on audio PERCEPTUAL prints. */
+  private def m5Afp(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m5afp")(
+      MultimodalOps.audioFingerprintFrame(
+        MultimodalOps.asAudioTable(documents(s, dir))))
+
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
     * (doc_id ≥ 400) screens against THESE rows only. */
@@ -1093,6 +1100,14 @@ object SparkEntry {
       // groups, keeper = min doc_id; served off the maintained meta
       // frame like m4b — samples hash once, at decode
       MultimodalOps.audioDupGroupsFromMeta(m5Meta(s, d))),
+    "m5d_audio_near_dups" -> ((s, d) =>
+      // NEAR-duplicate audio at Hamming ≤ 3 over acoustic fingerprints
+      // (sign-of-energy-delta over 65 windows — the aHash idea on the
+      // time axis): the banded pigeonhole near-dup machinery is
+      // modality-AGNOSTIC over (doc_id, h_hi, h_lo), so the image
+      // tier's operator runs unchanged over the audio print table —
+      // one serving path for every 64-bit fingerprint family
+      MultimodalOps.imageNearDupsFromHashes(m5Afp(s, d))),
     "m5c_audio_dups_served" -> ((s, d) =>
       // the audio rung of the admission ladder: a media increment's PCM
       // content hashes against the MAINTAINED corpus hash side — corpus

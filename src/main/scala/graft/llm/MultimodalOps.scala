@@ -196,20 +196,55 @@ object MultimodalOps {
         payload(10) == 'V' && payload(11) == 'E') Some("wav")
       else None
 
-    /** The content fold over a decoded 16-bit PCM byte stream — ONE
-      * definition shared with the spec's hand computation. */
-    def pcmHash(bytes: Array[Byte], bigEndian: Boolean): Long = {
-      var h = 0L
+    /** The decoded SIGNED sample stream of a 16-bit PCM byte stream —
+      * ONE sample parse shared by the content hash and the acoustic
+      * fingerprint, so the two consumers cannot disagree on endianness
+      * or sign handling. */
+    def pcmSamplesOf(bytes: Array[Byte], bigEndian: Boolean): Array[Int] = {
+      val out = new Array[Int](bytes.length / 2)
       var i = 0
       while (i + 2 <= bytes.length) {
         val s =
           if (bigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
           else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
-        h = (h * 31L + (s.toInt + 32768L)) % HashMod
+        out(i / 2) = s.toInt
         i += 2
+      }
+      out
+    }
+
+    /** The content fold over a decoded 16-bit PCM byte stream — ONE
+      * definition shared with the spec's hand computation. */
+    def pcmHash(bytes: Array[Byte], bigEndian: Boolean): Long = {
+      var h = 0L
+      val samples = pcmSamplesOf(bytes, bigEndian)
+      var i = 0
+      while (i < samples.length) {
+        h = (h * 31L + (samples(i) + 32768L)) % HashMod
+        i += 1
       }
       h
     }
+
+    /** Decode a payload to (frame count, signed sample stream); None on
+      * rot/foreign containers — [[decode]]'s robustness rule, shared by
+      * the fingerprint frame. */
+    def decodeSamples(payload: Array[Byte]): Option[(Long, Array[Int])] =
+      sniff(payload).flatMap { _ =>
+        scala.util.Try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16, "only 16-bit PCM is hashed")
+            val nFrames = ais.getFrameLength
+            val bytes = ais.readAllBytes()
+            require(bytes.length == nFrames * f.getFrameSize,
+              s"truncated PCM: ${bytes.length} of ${nFrames * f.getFrameSize}")
+            (nFrames, pcmSamplesOf(bytes, f.isBigEndian))
+          } finally ais.close()
+        }.toOption
+      }
 
     def decode(r: AudioRecord): Option[AudioMeta] =
       sniff(r.payload).flatMap { fmt =>
@@ -283,6 +318,63 @@ object MultimodalOps {
       Seq("pcm_hash"))
       .select("doc_id", "keeper_id", "n_copies")
       .orderBy("doc_id")
+
+  /** Acoustic FINGERPRINT of a decoded clip — the aHash idea on the
+    * time axis (a chromaprint-class sign-of-energy-delta print, integer
+    * arithmetic end to end): the unsigned 16-bit sample stream is cut
+    * into 65 equal windows (integer bounds w·n/65), each window's
+    * energy is its exact sample SUM, and bit w (of 64) is set iff
+    * E(w+1) > E(w) — packed as two 32-bit halves exactly like the image
+    * hash, so the SAME banded pigeonhole near-dup machinery serves both
+    * modalities. Rate/level robustness comes from the sign-of-delta
+    * form (a clip re-encoded at a different gain keeps its energy
+    * CONTOUR); the fixture exercises the identical-clip case, the m4c
+    * precedent. */
+  def acousticFingerprint(samples: Array[Int]): (Long, Long) = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var i = w * n / 65
+      val end = (w + 1) * n / 65
+      var s = 0L
+      while (i < end) { s += samples(i) + 32768L; i += 1 }
+      e(w) = s
+      w += 1
+    }
+    var (hi, lo) = (0L, 0L)
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  final case class AudioFingerprint(doc_id: Long, h_hi: Long, h_lo: Long,
+    n_frames: Long)
+
+  /** The (doc_id, h_hi, h_lo) acoustic-fingerprint frame — decode →
+    * samples → [[acousticFingerprint]] per clip, batched like every
+    * decode kernel here; undecodable payloads drop. The output schema
+    * is the IMAGE fingerprint table's on purpose: near-dup search over
+    * 64-bit prints is modality-agnostic, so [[imageNearDupsFromHashes]]
+    * (and the whole banded serving path behind it) runs unchanged over
+    * this frame. */
+  def audioFingerprintFrame(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[AudioRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        AudioDecoder.decodeSamples(r.payload).map { case (nFrames, samples) =>
+          val (hi, lo) = acousticFingerprint(samples)
+          AudioFingerprint(r.doc_id, hi, lo, nFrames)
+        }
+      }
+    }.toDF()
+  }
 
   /** M5c — SERVED exact-audio screening: an increment's PCM content
     * hashes against a MAINTAINED corpus hash table (DedupStream's

@@ -2121,6 +2121,33 @@ SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
        duration_ms, pcm_hash
 FROM am ORDER BY doc_id""",
 
+    // m5d: audio NEAR-dups — the acoustic fingerprint (65 equal sample
+    // windows by integer bounds, exact energy sums, bit w = E(w+1) >
+    // E(w), two 32-bit halves) recomputed from the generative formula,
+    // brute-force Hamming ≤ 3 (the m4c oracle pattern; the engine's
+    // banded pigeonhole must land on the identical pair set).
+    "m5d_audio_near_dups" -> s"""$AudioCtes,
+an AS (SELECT doc_id, l, n_frames * channels AS n FROM ap),
+afp AS (SELECT doc_id,
+          list_transform(range(0, 65), w -> list_sum(list_transform(
+            range(n * w // 65, n * (w + 1) // 65),
+            i -> (i * 37 + l * 101) % 65536))) AS e
+        FROM an),
+abits AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(32, 64), k ->
+              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << (k - 32))
+                   ELSE 0 END)) AS BIGINT) AS h_hi,
+            CAST(list_sum(list_transform(range(0, 32), k ->
+              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << k)
+                   ELSE 0 END)) AS BIGINT) AS h_lo
+          FROM afp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+FROM abits a JOIN abits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
     // m5b: d1's exact-dedup semantics on audio — identical PCM content
     // groups, keeper = min doc_id (m4b's rule on the third modality).
     "m5b_audio_dup_groups" -> s"""$AudioCtes,

@@ -199,6 +199,53 @@ class LlmSpec extends SparkSpec {
     assert(dup === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("acoustic fingerprints ride the modality-agnostic banded near-dup machinery (m5d)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.AudioGen
+    // fingerprint vs a plain reimplementation over the generative samples
+    def gen(l: Long): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l, i.toLong))
+    }
+    def hand(samples: Array[Int]): (Long, Long) = {
+      val n = samples.length
+      val e = (0 to 64).map(w =>
+        (w * n / 65 until (w + 1) * n / 65).map(i => samples(i) + 32768L).sum)
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if e(k + 1) > e(k))
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    Seq(30L, 41L, 77L).foreach { l =>
+      assert(MultimodalOps.acousticFingerprint(gen(l)) === hand(gen(l)), s"len $l")
+    }
+    // the DECODED path (WAV container round-trip) lands on the same prints
+    val frame = MultimodalOps.audioFingerprintFrame(MultimodalOps.asAudioTable(
+      Seq((1L, "a" * 30), (2L, "b" * 30), (3L, "c" * 41)).toDF("doc_id", "text")))
+      .select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(frame(1L) === hand(gen(30L)))
+    assert(frame(2L) === hand(gen(30L)), "identical clips share a print")
+    assert(frame(3L) === hand(gen(41L)))
+    // the IMAGE tier's banded pigeonhole runs unchanged over audio
+    // prints and must reproduce the brute-force pair set exactly
+    val full = MultimodalOps.audioFingerprintFrame(
+      MultimodalOps.asAudioTable(docs))
+    val banded = MultimodalOps.imageNearDupsFromHashes(full)
+      .as[(Long, Long, Long)].collect().toSet
+    val prints = full.select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      a <- prints; b <- prints if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(banded === brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(banded.exists(_._3 == 0L), "fixture sanity: identical clips pair")
+    DedupOps.releaseCaches()
+  }
+
   test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
     import spark.implicits._
     // independent hand model: the generative pixel formula pushed through

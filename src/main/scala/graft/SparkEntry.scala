@@ -1168,6 +1168,7 @@ object SparkEntry {
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
     m5Meta(spark, dir).count()
+    m5Afp(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

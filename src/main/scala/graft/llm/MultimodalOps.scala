@@ -226,11 +226,15 @@ object MultimodalOps {
       h
     }
 
-    /** Decode a payload to (frame count, signed sample stream); None on
-      * rot/foreign containers — [[decode]]'s robustness rule, shared by
-      * the fingerprint frame. */
-    def decodeSamples(payload: Array[Byte]): Option[(Long, Array[Int])] =
-      sniff(payload).flatMap { _ =>
+    /** The ONE container parse every consumer routes through (the
+      * ImageDecoder.image discipline): RIFF sniff, header fields, PCM
+      * bytes, with the 16-bit and truncation guards — so the content
+      * hash (m5) and the acoustic fingerprint (m5d) can never disagree
+      * on which payloads are decodable. None = rot/foreign container;
+      * the parse throws inside the Try, never kills the decode task. */
+    private def parsed(payload: Array[Byte])
+        : Option[(String, javax.sound.sampled.AudioFormat, Long, Array[Byte])] =
+      sniff(payload).flatMap { fmt =>
         scala.util.Try {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(payload))
@@ -241,28 +245,23 @@ object MultimodalOps {
             val bytes = ais.readAllBytes()
             require(bytes.length == nFrames * f.getFrameSize,
               s"truncated PCM: ${bytes.length} of ${nFrames * f.getFrameSize}")
-            (nFrames, pcmSamplesOf(bytes, f.isBigEndian))
+            (fmt, f, nFrames, bytes)
           } finally ais.close()
         }.toOption
       }
 
+    /** Decode a payload to (frame count, signed sample stream) — the
+      * fingerprint frame's form of the shared parse. */
+    def decodeSamples(payload: Array[Byte]): Option[(Long, Array[Int])] =
+      parsed(payload).map { case (_, f, nFrames, bytes) =>
+        (nFrames, pcmSamplesOf(bytes, f.isBigEndian))
+      }
+
     def decode(r: AudioRecord): Option[AudioMeta] =
-      sniff(r.payload).flatMap { fmt =>
-        scala.util.Try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(r.payload))
-          try {
-            val f = ais.getFormat
-            require(f.getSampleSizeInBits == 16, "only 16-bit PCM is hashed")
-            val nFrames = ais.getFrameLength
-            val bytes = ais.readAllBytes()
-            require(bytes.length == nFrames * f.getFrameSize,
-              s"truncated PCM: ${bytes.length} of ${nFrames * f.getFrameSize}")
-            val rate = f.getSampleRate.toLong
-            AudioMeta(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
-              nFrames * 1000L / rate, pcmHash(bytes, f.isBigEndian))
-          } finally ais.close()
-        }.toOption
+      parsed(r.payload).map { case (fmt, f, nFrames, bytes) =>
+        val rate = f.getSampleRate.toLong
+        AudioMeta(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
+          nFrames * 1000L / rate, pcmHash(bytes, f.isBigEndian))
       }
   }
 
@@ -335,8 +334,11 @@ object MultimodalOps {
     val e = new Array[Long](65)
     var w = 0
     while (w < 65) {
-      var i = w * n / 65
-      val end = (w + 1) * n / 65
+      // Long bounds: w·n overflows Int past ~33M samples (a ~70-minute
+      // clip at 8 kHz mono) — a real feed's long clip must fingerprint,
+      // not wrap negative and kill the decode task
+      var i = (w.toLong * n / 65).toInt
+      val end = ((w + 1).toLong * n / 65).toInt
       var s = 0L
       while (i < end) { s += samples(i) + 32768L; i += 1 }
       e(w) = s
@@ -356,23 +358,27 @@ object MultimodalOps {
   final case class AudioFingerprint(doc_id: Long, h_hi: Long, h_lo: Long,
     n_frames: Long)
 
+  /** One batch through the fingerprint kernel — undecodable drop. */
+  def fingerprintAudioBatch(batch: Seq[AudioRecord]): Seq[AudioFingerprint] =
+    batch.flatMap { r =>
+      AudioDecoder.decodeSamples(r.payload).map { case (nFrames, samples) =>
+        val (hi, lo) = acousticFingerprint(samples)
+        AudioFingerprint(r.doc_id, hi, lo, nFrames)
+      }
+    }
+
   /** The (doc_id, h_hi, h_lo) acoustic-fingerprint frame — decode →
-    * samples → [[acousticFingerprint]] per clip, batched like every
-    * decode kernel here; undecodable payloads drop. The output schema
-    * is the IMAGE fingerprint table's on purpose: near-dup search over
-    * 64-bit prints is modality-agnostic, so [[imageNearDupsFromHashes]]
-    * (and the whole banded serving path behind it) runs unchanged over
-    * this frame. */
+    * samples → [[acousticFingerprint]], `BatchSize`-chunked through the
+    * kernel like every decode path here; undecodable payloads drop. The
+    * output schema is the IMAGE fingerprint table's on purpose: near-dup
+    * search over 64-bit prints is modality-agnostic, so
+    * [[imageNearDupsFromHashes]] (and the whole banded serving path
+    * behind it) runs unchanged over this frame. */
   def audioFingerprintFrame(audio: DataFrame): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.as[AudioRecord].mapPartitions { it =>
-      it.flatMap { r =>
-        AudioDecoder.decodeSamples(r.payload).map { case (nFrames, samples) =>
-          val (hi, lo) = acousticFingerprint(samples)
-          AudioFingerprint(r.doc_id, hi, lo, nFrames)
-        }
-      }
+      it.grouped(BatchSize).flatMap(fingerprintAudioBatch)
     }.toDF()
   }
 

@@ -1108,6 +1108,19 @@ object SparkEntry {
       // tier's operator runs unchanged over the audio print table —
       // one serving path for every 64-bit fingerprint family
       MultimodalOps.imageNearDupsFromHashes(m5Afp(s, d))),
+    "m5e_audio_near_dups_served" -> ((s, d) =>
+      // m4d's SERVED screen verbatim over audio prints: a media
+      // increment's acoustic fingerprints against the maintained corpus
+      // print table — combined-population band prune, corpus as id_a,
+      // id-level self-exclusion; the image tier's serving operator runs
+      // unchanged because the print schema is shared by design. Same
+      // d5/d9b corpus split; at deployment the print table is an
+      // eleventh index side away (one identity-fold write, the
+      // audiohashes pattern — the screen itself needs no new code)
+      MultimodalOps.imageNearDupsServedHashes(
+        m5Afp(s, d).filter(col("doc_id") < 400),
+        m5Afp(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m5c_audio_dups_served" -> ((s, d) =>
       // the audio rung of the admission ladder: a media increment's PCM
       // content hashes against the MAINTAINED corpus hash side — corpus

@@ -357,6 +357,25 @@ am AS (SELECT doc_id, sample_rate, channels, n_frames,
   private val AudioCtes = s"""
 WITH $AudioCteList"""
 
+  /** m5d/m5e's acoustic-fingerprint chain over the generative samples —
+    * 65 integer-bound windows, exact energy sums, sign-of-delta bits
+    * packed as two 32-bit halves (the engine's acousticFingerprint,
+    * mirrored once). Exposes `abits` (doc_id, h_hi, h_lo). */
+  private val AudioFpCteList = s"""an AS (SELECT doc_id, l, n_frames * channels AS n FROM ap),
+afp AS (SELECT doc_id,
+          list_transform(range(0, 65), w -> list_sum(list_transform(
+            range(n * w // 65, n * (w + 1) // 65),
+            i -> (i * 37 + l * 101) % 65536))) AS e
+        FROM an),
+abits AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(32, 64), k ->
+              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << (k - 32))
+                   ELSE 0 END)) AS BIGINT) AS h_hi,
+            CAST(list_sum(list_transform(range(0, 32), k ->
+              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << k)
+                   ELSE 0 END)) AS BIGINT) AS h_lo
+          FROM afp)"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2127,24 +2146,23 @@ FROM am ORDER BY doc_id""",
     // brute-force Hamming ≤ 3 (the m4c oracle pattern; the engine's
     // banded pigeonhole must land on the identical pair set).
     "m5d_audio_near_dups" -> s"""$AudioCtes,
-an AS (SELECT doc_id, l, n_frames * channels AS n FROM ap),
-afp AS (SELECT doc_id,
-          list_transform(range(0, 65), w -> list_sum(list_transform(
-            range(n * w // 65, n * (w + 1) // 65),
-            i -> (i * 37 + l * 101) % 65536))) AS e
-        FROM an),
-abits AS (SELECT doc_id,
-            CAST(list_sum(list_transform(range(32, 64), k ->
-              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << (k - 32))
-                   ELSE 0 END)) AS BIGINT) AS h_hi,
-            CAST(list_sum(list_transform(range(0, 32), k ->
-              CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << k)
-                   ELSE 0 END)) AS BIGINT) AS h_lo
-          FROM afp)
+$AudioFpCteList
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.h_hi, b.h_hi))
             + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
 FROM abits a JOIN abits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
+    // m5e: m5d's screen SERVED — pairs whose LATER member is in the
+    // increment (the m4d restriction over the same recomputed prints).
+    "m5e_audio_near_dups_served" -> s"""$AudioCtes,
+$AudioFpCteList
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+FROM abits a JOIN abits b ON b.doc_id >= 400 AND a.doc_id <> b.doc_id
+  AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
 WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
 ORDER BY id_a, id_b""",
 

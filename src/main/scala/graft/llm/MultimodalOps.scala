@@ -241,6 +241,11 @@ object MultimodalOps {
           try {
             val f = ais.getFormat
             require(f.getSampleSizeInBits == 16, "only 16-bit PCM is hashed")
+            // the JDK's WAV reader does not validate rate > 0 — a crafted
+            // zero-rate header must drop here (inside the Try), or the
+            // duration division downstream would throw OUTSIDE it and
+            // kill the decode task instead of skipping the record
+            require(f.getSampleRate > 0, "zero sample rate")
             val nFrames = ais.getFrameLength
             val bytes = ais.readAllBytes()
             require(bytes.length == nFrames * f.getFrameSize,

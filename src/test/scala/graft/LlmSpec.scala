@@ -189,6 +189,14 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) === AudioMeta(2L, "wav", 8000L, ch.toLong, nf.toLong,
       nf.toLong * 1000L / 8000L, genHash))
     assert(!got.contains(3L) && !got.contains(4L), s"rot must drop: $got")
+    // a crafted ZERO-SAMPLE-RATE header behind a valid container must
+    // drop too (the JDK reader doesn't validate rate > 0; the duration
+    // division must never throw outside the parse and kill the task)
+    val zeroRate = AudioGen.wav(30L).clone()
+    java.util.Arrays.fill(zeroRate, 24, 28, 0.toByte) // fmt chunk's LE rate
+    val gotZ = MultimodalOps.decodeAudioMeta(spark,
+      Seq(AudioRecord(9L, "audio/wav", zeroRate)).toDS().toDF()).collect()
+    assert(gotZ.isEmpty, s"zero-rate clip must drop: ${gotZ.toSeq}")
     // m5b: equal text lengths generate identical PCM → one dup group
     // with keeper = min doc_id (d1 semantics on the third modality)
     val dup = MultimodalOps.audioDupGroupsFromMeta(
@@ -243,6 +251,30 @@ class LlmSpec extends SparkSpec {
     } yield (a._1, b._1, h.toLong)).toSet
     assert(banded === brute, s"banded ${banded.size} vs brute ${brute.size}")
     assert(banded.exists(_._3 == 0L), "fixture sanity: identical clips pair")
+    // the SERVED split (m5e): the m4d operator over audio prints must
+    // reproduce brute force restricted to increment-later-member pairs —
+    // corpus member as id_a, internal pairs once, (min, max)-oriented
+    val mix = Seq((1L, "g" * 30), (2L, "h" * 47), (401L, "i" * 30),
+      (402L, "j" * 30), (403L, "k" * 99)).toDF("doc_id", "text")
+    val fullM = MultimodalOps.audioFingerprintFrame(
+      MultimodalOps.asAudioTable(mix))
+    val servedPairs = MultimodalOps.imageNearDupsServedHashes(
+      fullM.filter(col("doc_id") < 400), fullM.filter(col("doc_id") >= 400),
+      mix.filter(col("doc_id") >= 400).select("doc_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val printsM = fullM.select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect()
+    val bruteM = (for {
+      a <- printsM; b <- printsM
+      if b._1 >= 400 && a._1 != b._1 && (a._1 < 400 || a._1 < b._1)
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(servedPairs === bruteM, s"served $servedPairs vs brute $bruteM")
+    assert(servedPairs.contains((1L, 401L, 0L)), s"corpus leg: $servedPairs")
+    assert(servedPairs.count(p => Set(p._1, p._2) == Set(401L, 402L)) === 1,
+      "internal pair surfaces once")
     DedupOps.releaseCaches()
   }
 

@@ -251,21 +251,26 @@ object SparkEntry {
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
-  /** The m5/m5b shared audio-meta frame: decoded ONCE per (session,
-    * sfDir) — the m4Hashes discipline on the third modality (fingerprints
-    * are ingest-side serving state; dedup queries time hash reads, never
-    * a PCM re-decode). */
-  private def m5Meta(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "m5meta")(
-      MultimodalOps.decodeAudioMeta(s,
+  /** The COMBINED audio decode frame (header + content hash + acoustic
+    * print off ONE container parse — [[MultimodalOps.decodeAudioFull]]),
+    * decoded once per (session, sfDir): the m4Hashes discipline on the
+    * third modality, with the exact tier (m5b/m5c) and the perceptual
+    * tier (m5d/m5e) PROJECTING their column sets from this one persisted
+    * frame — the corpus's samples are touched once per session however
+    * many audio rows run. */
+  private def m5Full(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m5full")(
+      MultimodalOps.decodeAudioFull(s,
         MultimodalOps.asAudioTable(documents(s, dir))).toDF())
 
-  /** The m5d acoustic-fingerprint frame: decoded once per (session,
-    * sfDir) — the m4Hashes discipline on audio PERCEPTUAL prints. */
+  /** The m5b/m5c meta projection of [[m5Full]] (no second persist — a
+    * narrow column select over the cached frame). */
+  private def m5Meta(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.audioMetaOf(m5Full(s, dir))
+
+  /** The m5d/m5e acoustic-print projection of [[m5Full]]. */
   private def m5Afp(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "m5afp")(
-      MultimodalOps.audioFingerprintFrame(
-        MultimodalOps.asAudioTable(documents(s, dir))))
+    MultimodalOps.audioFpOf(m5Full(s, dir))
 
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
@@ -282,7 +287,7 @@ object SparkEntry {
       DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
 
   /** The t21d index: a REAL on-disk [[graft.streaming.DedupStream]]
-    * index (all nine sides) built once per JVM per sfDir by admitting
+    * index (all eleven sides) built once per JVM per sfDir by admitting
     * the corpus docs through the SAME `admitBatch` the streaming loop
     * runs — the StoreLayout.ensureServingTables discipline applied to
     * the text tier, so the t21d row serves its winnow screen from the
@@ -294,25 +299,43 @@ object SparkEntry {
     * shared-oracle discipline. A leftover dir from a previous JVM is
     * rebuilt (the driver regenerates testdata between rounds); within a
     * JVM the sides are immutable parquet any session can read. */
-  private val t21dBuilt = scala.collection.mutable.HashSet.empty[String]
-  private def t21dIndexDir(s: SparkSession, d: String): String =
-    t21dBuilt.synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      // PLAIN local path (no file: scheme): the groups side is a
-      // BucketStore, whose manifest IO is java.nio over local paths
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-      val root = new org.apache.hadoop.fs.Path(wh, s"g_t21d_$tag")
-      if (!t21dBuilt.contains(root.toString)) {
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(root)) fs.delete(root, true)
-        graft.streaming.DedupStream.admitBatch(
-          documents(s, d).filter(col("doc_id") < 400).select("doc_id", "text"),
-          0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d")
-        t21dBuilt.add(root.toString)
-      }
-      s"$root/index"
-    }
+  // memo of completed builds, keyed (root, source-data fingerprint):
+  // regenerated fixture parquet under the same sfDir changes the
+  // fingerprint, so the index rebuilds instead of silently serving a
+  // stale corpus sketch (r15 advice). computeIfAbsent gives a PER-KEY
+  // critical section — two sessions warming DIFFERENT sfDirs build
+  // concurrently instead of serializing behind one JVM monitor — and a
+  // failed build installs no entry, so the next call retries the
+  // delete-and-rebuild (the failure path the r15 advice asked to name).
+  private val t21dBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private def t21dIndexDir(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // PLAIN local path (no file: scheme): the groups side is a
+    // BucketStore, whose manifest IO is java.nio over local paths
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    val root = new org.apache.hadoop.fs.Path(wh, s"g_t21d_$tag")
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = src.getFileSystem(conf).getFileStatus(src)
+    val fingerprint = s"${st.getLen}-${st.getModificationTime}"
+    t21dBuilt.computeIfAbsent((root.toString, fingerprint), _ => {
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) fs.delete(root, true)
+      // the corpus is admitted WITH its media envelope (`source`), so the
+      // media fingerprint sides — imagehashes, audiohashes, and the
+      // audiofps acoustic prints — land beside the nine text sides: the
+      // m5f row serves the audio near-dup screen off THIS maintained
+      // index, the t21d graduation on the print table
+      graft.streaming.DedupStream.admitBatch(
+        documents(s, d).filter(col("doc_id") < 400)
+          .select("doc_id", "source", "text"),
+        0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d")
+      java.lang.Boolean.TRUE
+    })
+    s"$root/index"
+  }
 
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
@@ -1114,11 +1137,23 @@ object SparkEntry {
       // print table — combined-population band prune, corpus as id_a,
       // id-level self-exclusion; the image tier's serving operator runs
       // unchanged because the print schema is shared by design. Same
-      // d5/d9b corpus split; at deployment the print table is an
-      // eleventh index side away (one identity-fold write, the
-      // audiohashes pattern — the screen itself needs no new code)
+      // d5/d9b corpus split; m5f is the deployment twin whose corpus
+      // side is the MAINTAINED audiofps parquet instead of this session
+      // cache — the pair is the serve-vs-cache seam, measured
       MultimodalOps.imageNearDupsServedHashes(
         m5Afp(s, d).filter(col("doc_id") < 400),
+        m5Afp(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m5f_audio_near_dups_maintained" -> ((s, d) =>
+      // m5e's screen off the STREAMING-MAINTAINED eleventh side: the
+      // increment's acoustic prints against audiofps parquet rows a real
+      // DedupStream admitBatch wrote off ONE combined decode shared with
+      // the audiohashes side — the t21c→t21d graduation on the print
+      // table (same oracle, the e4/e5 shared-oracle discipline); the
+      // perceptual rung CurationStream's ladder serves reads exactly
+      // this side
+      MultimodalOps.imageNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusAudioFps(s, t21dIndexDir(s, d)),
         m5Afp(s, d).filter(col("doc_id") >= 400),
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m5c_audio_dups_served" -> ((s, d) =>
@@ -1180,8 +1215,7 @@ object SparkEntry {
     t19WordCounts(spark, dir).count()
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
-    m5Meta(spark, dir).count()
-    m5Afp(spark, dir).count()
+    m5Full(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

@@ -114,8 +114,9 @@ object CurationOps {
     *
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
-    * `semantic_dup` > `image_dup` > `audio_dup` > `contaminated` >
-    * `low_quality` > `admitted`. `detail_id` names the firing screen's
+    * `semantic_dup` > `image_dup` > `audio_dup` > `audio_near_dup` >
+    * `contaminated` > `low_quality` > `admitted`. `detail_id` names the
+    * firing screen's
     * witness — the keeper for dups/spans/semantic/image/audio dups, the
     * colliding benchmark doc for contamination (min id for determinism)
     * — and is null for quality-only rejections and admissions.
@@ -130,7 +131,15 @@ object CurationOps {
     * `audioPairs` (c6b) is the AUDIO rung: exact PCM-content matches
     * from [[graft.llm.MultimodalOps.audioExactDupsServed]], same
     * orientation contract — the rung that catches a clip re-uploaded
-    * under fresh text and a fresh thumbnail.
+    * under fresh text and a fresh thumbnail. `audioFpPairs` (c6c) is
+    * the PERCEPTUAL audio rung behind it: acoustic-fingerprint near-dup
+    * pairs ([[graft.streaming.DedupStream.screenAudioNearDups]]) — the
+    * rung that catches a RE-ENCODED or gain-shifted clip recycler whose
+    * `pcm_hash` differs (sign-of-energy-delta prints are gain-robust by
+    * design) but whose energy contour the exact tier cannot see. It
+    * slots directly after the exact audio rung: content identity
+    * outranks perceptual similarity on the same modality, exactly as
+    * near_dup (verbatim text) outranks semantic_dup.
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -146,7 +155,8 @@ object CurationOps {
       minQuality: Double = 0.5,
       semPairs: Option[DataFrame] = None,
       imagePairs: Option[DataFrame] = None,
-      audioPairs: Option[DataFrame] = None): DataFrame = {
+      audioPairs: Option[DataFrame] = None,
+      audioFpPairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -166,8 +176,8 @@ object CurationOps {
           p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
           Seq("doc_id"), "left")
       }
-    rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
-        audioPairs, "aud_id")
+    rung(rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
+        audioPairs, "aud_id"), audioFpPairs, "audfp_id")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
@@ -175,11 +185,13 @@ object CurationOps {
           .when(col("sem_id").isNotNull, "semantic_dup")
           .when(col("img_id").isNotNull, "image_dup")
           .when(col("aud_id").isNotNull, "audio_dup")
+          .when(col("audfp_id").isNotNull, "audio_near_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("img_id"), col("aud_id"), col("contam_id")).as("detail_id"),
+          col("img_id"), col("aud_id"), col("audfp_id"),
+          col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

@@ -213,11 +213,11 @@ object MultimodalOps {
       out
     }
 
-    /** The content fold over a decoded 16-bit PCM byte stream — ONE
-      * definition shared with the spec's hand computation. */
-    def pcmHash(bytes: Array[Byte], bigEndian: Boolean): Long = {
+    /** The content fold over an already-decoded sample stream — the ONE
+      * hash arithmetic ([[pcmHash]] wraps it for byte-stream callers;
+      * [[decodeFull]] feeds it the samples it parsed once). */
+    def pcmHashOfSamples(samples: Array[Int]): Long = {
       var h = 0L
-      val samples = pcmSamplesOf(bytes, bigEndian)
       var i = 0
       while (i < samples.length) {
         h = (h * 31L + (samples(i) + 32768L)) % HashMod
@@ -225,6 +225,11 @@ object MultimodalOps {
       }
       h
     }
+
+    /** The content fold over a decoded 16-bit PCM byte stream — ONE
+      * definition shared with the spec's hand computation. */
+    def pcmHash(bytes: Array[Byte], bigEndian: Boolean): Long =
+      pcmHashOfSamples(pcmSamplesOf(bytes, bigEndian))
 
     /** The ONE container parse every consumer routes through (the
       * ImageDecoder.image discipline): RIFF sniff, header fields, PCM
@@ -268,7 +273,49 @@ object MultimodalOps {
         AudioMeta(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
           nFrames * 1000L / rate, pcmHash(bytes, f.isBigEndian))
       }
+
+    /** The COMBINED decode: ONE container parse and ONE sample parse
+      * feeding both the content hash (m5's exact tier) and the acoustic
+      * fingerprint (m5d's perceptual tier) — the decode-once seam the
+      * streaming admission loop rides so a clip's samples are touched
+      * exactly once per admission however many sides consume them. */
+    def decodeFull(r: AudioRecord): Option[AudioFull] =
+      parsed(r.payload).map { case (fmt, f, nFrames, bytes) =>
+        val rate = f.getSampleRate.toLong
+        val samples = pcmSamplesOf(bytes, f.isBigEndian)
+        val (hi, lo) = acousticFingerprint(samples)
+        AudioFull(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
+          nFrames * 1000L / rate, pcmHashOfSamples(samples), hi, lo)
+      }
   }
+
+  /** The combined per-clip decode row: [[AudioMeta]]'s header + content
+    * hash fields PLUS the acoustic-fingerprint halves — one decode, every
+    * audio consumer projects what it needs ([[audioMetaOf]] /
+    * [[audioFpOf]]). */
+  final case class AudioFull(doc_id: Long, format: String, sample_rate: Long,
+      channels: Long, n_frames: Long, duration_ms: Long, pcm_hash: Long,
+      h_hi: Long, h_lo: Long)
+
+  /** Batched combined decode — the [[decodeAudioMeta]] shape with the
+    * fingerprint riding the same parse; undecodable payloads drop. */
+  def decodeAudioFull(spark: SparkSession, audio: DataFrame): Dataset[AudioFull] = {
+    import spark.implicits._
+    audio.as[AudioRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap(AudioDecoder.decodeFull))
+    }
+  }
+
+  /** The audiohashes-side projection of an [[AudioFull]] frame (the
+    * [[AudioMeta]] column set, in schema order). */
+  def audioMetaOf(full: DataFrame): DataFrame =
+    full.select("doc_id", "format", "sample_rate", "channels", "n_frames",
+      "duration_ms", "pcm_hash")
+
+  /** The audiofps-side projection of an [[AudioFull]] frame (the
+    * [[AudioFingerprint]] column set, in schema order). */
+  def audioFpOf(full: DataFrame): DataFrame =
+    full.select("doc_id", "h_hi", "h_lo", "n_frames")
 
   /** Fixture audio table over documents: every doc gets a WAV rendition
     * (the audio modality is a parallel column family, orthogonal to the
@@ -303,10 +350,12 @@ object MultimodalOps {
   def audioMeta(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeAudioMeta(spark, asAudioTable(documents)).toDF().orderBy("doc_id")
 
-  /** The UNSORTED audio-meta frame m5/m5b share — tracked-persisted for
-    * the same reason as [[imageHashesRaw]] (m5b touches it twice). */
-  private[graft] def audioMetaRaw(spark: SparkSession, documents: DataFrame): DataFrame =
-    DedupOps.tracked(decodeAudioMeta(spark, asAudioTable(documents)).toDF())
+  /** The UNSORTED combined-decode frame the dual-tier admission loop
+    * shares between its exact-audio screen, its perceptual-audio screen
+    * and BOTH side writes — tracked-persisted because four consumers
+    * touch it per batch, and decoded ONCE by construction. */
+  private[graft] def audioFullRaw(spark: SparkSession, documents: DataFrame): DataFrame =
+    DedupOps.tracked(decodeAudioFull(spark, asAudioTable(documents)).toDF())
 
   /** M5b — d1's exact-dedup semantics on the audio modality: payloads
     * with an identical PCM content hash form a group whose keeper is the

@@ -120,8 +120,15 @@ object SimilarityOps {
       .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
     val nAllowed = filtered.count()
     val nTotal = totalCount.getOrElse(index.cells.count())
-    val np = adaptiveProbeWidth(nProbe, nAllowed, nTotal,
-      index.centroids.length, maxProbe)
+    // an EMPTY allow-set is known-empty at any probe width: skip the
+    // widening entirely (the dial would max out and probe every cell to
+    // rank zero members) — nProbe over the empty member frame costs
+    // nothing and keeps the output schema; the pure dial arithmetic
+    // above stays the oracle's exact mirror
+    val np =
+      if (nAllowed == 0L) nProbe
+      else adaptiveProbeWidth(nProbe, nAllowed, nTotal,
+        index.centroids.length, maxProbe)
     ivfQueryTopK(index.copy(cells = filtered), queries, k, np)
   }
 

@@ -376,6 +376,45 @@ abits AS (SELECT doc_id,
                    ELSE 0 END)) AS BIGINT) AS h_lo
           FROM afp)"""
 
+  /** The engine's BAND-BUCKET RAIL mirrored into the audio near-dup
+    * oracles (r15 advice: acoustic prints are far more correlated than
+    * image hashes, so at a larger SF a (band, key) bucket CAN exceed
+    * maxBucket=100 — the oracle must drop exactly the pairs the engine
+    * drops, the t21c df-rail discipline, or scale-up flips verification
+    * red). Mirrors [[graft.llm.MultimodalOps.imageNearDupsFromHashes]]:
+    * 4 disjoint 16-bit bands, buckets over the COMBINED population,
+    * a pair survives iff it shares ≥ 1 band in a bucket holding ≤ 100
+    * prints. Exposes `apruned` (doc_id, band, key) over `abits`. */
+  private val AudioBandCteList = s"""abands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h_lo & 65535
+                   WHEN 1 THEN (h_lo >> 16) & 65535
+                   WHEN 2 THEN h_hi & 65535
+                   ELSE (h_hi >> 16) & 65535 END AS key
+  FROM abits, (SELECT unnest(range(0, 4)) AS band)),
+aok AS (SELECT band, key FROM abands GROUP BY band, key HAVING count(*) <= 100),
+apruned AS (SELECT b.doc_id, b.band, b.key FROM abands b JOIN aok USING (band, key))"""
+
+  /** The served audio near-dup screen's oracle (m5e and its maintained-
+    * side twin m5f — ONE definition, the t21c/t21d shared-oracle
+    * discipline): banded candidates under the mirrored rail, pairs whose
+    * LATER member is in the increment, corpus member as id_a. */
+  private val audioServedNearDupSql = s"""$AudioCtes,
+$AudioFpCteList,
+$AudioBandCteList,
+acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM apruned a JOIN apruned b
+            ON a.band = b.band AND a.key = b.key
+           AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id))
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM acand c JOIN abits x ON x.doc_id = c.id_a
+             JOIN abits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2146,25 +2185,29 @@ FROM am ORDER BY doc_id""",
     // brute-force Hamming ≤ 3 (the m4c oracle pattern; the engine's
     // banded pigeonhole must land on the identical pair set).
     "m5d_audio_near_dups" -> s"""$AudioCtes,
-$AudioFpCteList
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.h_hi, b.h_hi))
-            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
-FROM abits a JOIN abits b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+$AudioFpCteList,
+$AudioBandCteList,
+acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM apruned a JOIN apruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM acand c JOIN abits x ON x.doc_id = c.id_a
+             JOIN abits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b""",
 
     // m5e: m5d's screen SERVED — pairs whose LATER member is in the
-    // increment (the m4d restriction over the same recomputed prints).
-    "m5e_audio_near_dups_served" -> s"""$AudioCtes,
-$AudioFpCteList
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.h_hi, b.h_hi))
-            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
-FROM abits a JOIN abits b ON b.doc_id >= 400 AND a.doc_id <> b.doc_id
-  AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
-WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
-ORDER BY id_a, id_b""",
+    // increment (the m4d restriction over the same recomputed prints),
+    // under the same mirrored band rail.
+    "m5e_audio_near_dups_served" -> audioServedNearDupSql,
+
+    // m5f: m5e's screen off the streaming-MAINTAINED audiofps side —
+    // the same pair set by construction (the t21d/t21c shared-oracle
+    // discipline: the side is written by an all-admitted corpus
+    // admission, so the maintained prints equal the session cache's).
+    "m5f_audio_near_dups_maintained" -> audioServedNearDupSql,
 
     // m5b: d1's exact-dedup semantics on audio — identical PCM content
     // groups, keeper = min doc_id (m4b's rule on the third modality).

@@ -13,13 +13,17 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
   * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
-  * contaminated > low_quality > admitted), same oracle — where the two
-  * single-tier services each fold only their OWN screen into admission,
-  * this one commits the complete curation policy. Feeds carrying the
-  * media envelope (a `source` column) additionally pass the IMAGE and
-  * AUDIO rungs — the increment's fingerprints against the maintained
-  * imagehashes/audiohashes sides (the c6/c6b compositions); text-only
-  * feeds skip both entirely.
+  * audio_near_dup > contaminated > low_quality > admitted), same oracle
+  * — where the two single-tier services each fold only their OWN screen
+  * into admission, this one commits the complete curation policy. Feeds
+  * carrying the media envelope (a `source` column) additionally pass
+  * the IMAGE rung and BOTH AUDIO rungs — the increment's fingerprints
+  * against the maintained imagehashes/audiohashes/audiofps sides (the
+  * c6/c6b compositions plus the perceptual-audio tier): the exact rung
+  * is PCM-content identity, and the acoustic-print rung behind it
+  * catches the re-encoded or gain-shifted clip recycler whose hash
+  * differs but whose energy contour survives. Text-only feeds skip all
+  * three entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -31,7 +35,7 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all ten sides + groups);
+  *      replay discipline, all eleven sides + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -89,6 +93,10 @@ object CurationStream {
       audioPairs =
         if (MultimodalOps.hasMediaEnvelope(docs))
           Some(DedupStream.screenAudioDups(spark, textIndexDir, docs))
+        else None,
+      audioFpPairs =
+        if (MultimodalOps.hasMediaEnvelope(docs))
+          Some(DedupStream.screenAudioNearDups(spark, textIndexDir, docs))
         else None)
 
   /** The increment's image fingerprints, decoded ONCE per batch and fed
@@ -101,12 +109,14 @@ object CurationStream {
       Some(MultimodalOps.imageHashesRaw(MultimodalOps.asMediaTable(docs)))
     else None
 
-  /** The increment's AUDIO fingerprints, decoded ONCE per batch — the
-    * [[incrementHashes]] discipline on the third modality: phase-1's
-    * audio rung and the phase-2 side write share this frame. */
+  /** The increment's COMBINED audio decode (header + content hash +
+    * acoustic print), decoded ONCE per batch — the [[incrementHashes]]
+    * discipline on the third modality: phase-1's exact-audio rung, its
+    * perceptual-print rung, and BOTH phase-2 side writes (audiohashes +
+    * audiofps) share this one frame. */
   private def incrementAudio(docs: DataFrame): Option[DataFrame] =
     if (MultimodalOps.hasMediaEnvelope(docs))
-      Some(MultimodalOps.audioMetaRaw(docs.sparkSession, docs))
+      Some(MultimodalOps.audioFullRaw(docs.sparkSession, docs))
     else None
 
   /** One microbatch: dual-tier verdict, then commit admitted docs to the
@@ -159,10 +169,17 @@ object CurationStream {
       incrHashes.map(h => MultimodalOps.imageNearDupsServedHashes(
         DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag),
         h, docs.select("doc_id"))),
-      // the audio rung: maintained side with this batch's own dir
+      // the exact-audio rung: maintained side with this batch's own dir
       // excluded, on top of the screen's id-level self-exclusion
       incrAudio.map(a => MultimodalOps.audioExactDupsServedHashes(
         DedupStream.sideExcluding(spark, textIndexDir, "audiohashes", tag),
+        a, docs.select("doc_id"))),
+      // the PERCEPTUAL audio rung: the increment's acoustic prints (off
+      // the same combined decode) against the maintained audiofps side,
+      // same exclusion discipline — catches the re-encoded clip whose
+      // pcm_hash slipped the exact rung
+      incrAudio.map(a => MultimodalOps.imageNearDupsServedHashes(
+        DedupStream.sideExcluding(spark, textIndexDir, "audiofps", tag),
         a, docs.select("doc_id"))))
       .persist()
     try {
@@ -182,7 +199,7 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all ten sides
+      // pairs) — and owns the replay discipline for all eleven sides
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
@@ -190,7 +207,7 @@ object CurationStream {
         // the phase-1 fingerprints, restricted to the kept set inside
         // admitBatch — the admitted images/clips are NOT re-decoded
         imageHashes = incrHashes,
-        audioHashes = incrAudio)
+        audioFull = incrAudio)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -214,11 +231,12 @@ object CurationStream {
           counts.getOrElse("semantic_dup", 0L),
           counts.getOrElse("image_dup", 0L),
           counts.getOrElse("audio_dup", 0L),
+          counts.getOrElse("audio_near_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
           "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
-          "n_contaminated", "n_low_quality")
+          "n_audio_near_dup", "n_contaminated", "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)
@@ -249,11 +267,12 @@ object CurationStream {
         StructField("n_semantic_dup", LongType),
         StructField("n_image_dup", LongType),
         StructField("n_audio_dup", LongType),
+        StructField("n_audio_near_dup", LongType),
         StructField("n_contaminated", LongType),
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
-      .na.fill(0L, Seq("n_image_dup", "n_audio_dup"))
+      .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
   }
 

@@ -43,6 +43,9 @@ import graft.llm.DedupOps
   * indexDir/audiohashes/batch=<lineage>-<id>/ (doc_id, …, pcm_hash) audio
   *                                          content fingerprints of the
   *                                          admitted media — m5c serving
+  * indexDir/audiofps/batch=<lineage>-<id>/  (doc_id, h_hi, h_lo, n_frames)
+  *                                          acoustic prints off the SAME
+  *                                          decode — m5d/m5e serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -53,7 +56,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The ten index sides start flat under `indexDir` and migrate into
+  * The eleven index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -101,6 +104,9 @@ object DedupStream {
     StructField("sample_rate", LongType), StructField("channels", LongType),
     StructField("n_frames", LongType), StructField("duration_ms", LongType),
     StructField("pcm_hash", LongType)))
+  private val AudioFpSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h_hi", LongType),
+    StructField("h_lo", LongType), StructField("n_frames", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -406,6 +412,7 @@ object DedupStream {
       case "imagehashes" => ImgHashSchema
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
+      case "audiofps" => AudioFpSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -513,6 +520,34 @@ object DedupStream {
       newDocs: DataFrame): DataFrame =
     graft.llm.MultimodalOps.audioExactDupsServed(
       corpusAudioHashes(spark, indexDir), newDocs)
+
+  /** The maintained ACOUSTIC-fingerprint side over every ADMITTED doc's
+    * audio rendition (m5d's sign-of-energy-delta prints in the image
+    * hash schema, appended per batch off the SAME decode as the
+    * audiohashes side, identity fold): 16 bytes of print per clip, so
+    * PERCEPTUAL audio screening is pure bit work — the eleventh side,
+    * the audiohashes↔audiofps pair mirroring the seeds↔winnowfps one
+    * (exact coordinates vs sketch detection, one decode feeding both). */
+  def corpusAudioFps(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/audiofps", AudioFpSchema)
+      .drop("batch")
+
+  /** M5d/m5e over the maintained side: NEAR-duplicate audio between a
+    * media increment and the admitted corpus's acoustic-print table —
+    * the PERCEPTUAL audio rung (a re-encoded or gain-shifted clip keeps
+    * its energy contour, so it lands here even though its `pcm_hash`
+    * differs and slips the exact rung). The prints share the image hash
+    * schema by design, so the banded serving machinery — combined-
+    * population rail, corpus-as-id_a orientation, id-level
+    * self-exclusion — runs unchanged over audio. */
+  def screenAudioNearDups(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    graft.llm.MultimodalOps.imageNearDupsServedHashes(
+      corpusAudioFps(spark, indexDir),
+      graft.llm.MultimodalOps.audioFingerprintFrame(
+        graft.llm.MultimodalOps.asAudioTable(newDocs)),
+      newDocs.select("doc_id"), maxHamming, maxBucket)
 
   /** T19 over the maintained side: unigram-LM NLL of an increment under
     * the ADMITTED corpus's word distribution — the LM quality screen a
@@ -659,7 +694,7 @@ object DedupStream {
       outDir: String, threshold: Double, lineage: String = "batch",
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       imageHashes: Option[DataFrame] = None,
-      audioHashes: Option[DataFrame] = None): Unit = {
+      audioFull: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -769,20 +804,33 @@ object DedupStream {
               graft.llm.MultimodalOps.asMediaTable(keptOut)))
           else None)
         .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
-      // tenth side: the admitted docs' AUDIO fingerprints (m5's meta —
-      // header fields + the decoded-PCM content hash): samples decode
-      // exactly once, at admission; the m5c screen reads one-long-per-
-      // clip rows ever after. Same media-envelope gate, same idempotent
-      // batch= key, same caller-passed decode-once seam as the image
-      // side (CurationStream feeds its phase-1 frame via `audioHashes`).
-      audioHashes
+      // tenth + eleventh sides off ONE audio decode: the combined
+      // AudioFull frame (header + decoded-PCM content hash + acoustic
+      // print — one container parse, one sample parse) projects into the
+      // audiohashes side (m5c's exact tier) AND the audiofps side
+      // (m5d/m5e's perceptual tier), so an admitted clip's samples are
+      // touched exactly once however many screens later consume them —
+      // the khArrays seeds↔winnowfps discipline on the audio modality.
+      // Same media-envelope gate, same idempotent batch= key, same
+      // caller-passed decode-once seam as the image side (CurationStream
+      // feeds its phase-1 frame via `audioFull`).
+      audioFull
         .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
         .orElse(
           if (graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
-            Some(graft.llm.MultimodalOps.decodeAudioMeta(spark,
+            Some(graft.llm.MultimodalOps.decodeAudioFull(spark,
               graft.llm.MultimodalOps.asAudioTable(keptOut)).toDF())
           else None)
-        .foreach(_.write.mode("overwrite").parquet(s"$root/audiohashes/$key"))
+        .foreach { full0 =>
+          // two writes read it — materialize once, never decode twice
+          val full = full0.persist()
+          try {
+            graft.llm.MultimodalOps.audioMetaOf(full)
+              .write.mode("overwrite").parquet(s"$root/audiohashes/$key")
+            graft.llm.MultimodalOps.audioFpOf(full)
+              .write.mode("overwrite").parquet(s"$root/audiofps/$key")
+          } finally full.unpersist(blocking = false)
+        }
       // sixth side: the batch's Bloom bitset partial (d10's filter as
       // maintained state) — one m/8-byte row per admission, OR-mergeable,
       // same idempotent batch=-keyed overwrite (a replay recomputes the
@@ -890,13 +938,14 @@ object DedupStream {
       minQuality: Double = 0.5, contamK: Int = 4,
       contamMinShared: Int = 1, semPairs: Option[DataFrame] = None,
       imagePairs: Option[DataFrame] = None,
-      audioPairs: Option[DataFrame] = None): DataFrame =
+      audioPairs: Option[DataFrame] = None,
+      audioFpPairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
       screenSpans(spark, indexDir, newDocs),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality, semPairs, imagePairs, audioPairs)
+      minQuality, semPairs, imagePairs, audioPairs, audioFpPairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
@@ -949,6 +998,7 @@ object DedupStream {
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
+    ("audiofps", AudioFpSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

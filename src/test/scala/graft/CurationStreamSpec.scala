@@ -131,8 +131,9 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the image or audio rungs (n_image_dup/n_audio_dup 0)
-    assert((4 to 10).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 1L, 0L), m.toString)
+    // never fires the image or audio rungs (n_image_dup / n_audio_dup /
+    // n_audio_near_dup 0)
+    assert((4 to 11).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 1L, 0L), m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
     CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
@@ -279,6 +280,98 @@ class CurationStreamSpec extends SparkSpec {
     // the maintained side holds exactly the admitted docs' clips
     assert(DedupStream.corpusAudioHashes(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 402L))
+    DedupOps.releaseCaches()
+  }
+
+  test("the perceptual audio rung rejects a re-encoded clip across microbatches (audio_near_dup, start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_curation_audfp").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen}
+    // the generative formula evaluated driver-side (the same arithmetic
+    // the decoder round-trips out of real WAV bytes): per text length,
+    // the clip's acoustic print and its PCM content hash
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val band = 350 to 520
+    val prints = band.map(l => l -> MultimodalOps.acousticFingerprint(samplesOf(l))).toMap
+    val hashes = band.map(l => l -> AudioDecoder.pcmHashOfSamples(samplesOf(l))).toMap
+    // the RE-ENCODED-CLIP analog inside the generative fixture: two text
+    // lengths whose clips have DIFFERENT PCM content (the exact rung is
+    // blind) but near-identical energy contours (prints within Hamming 3
+    // — the perceptual rung's catch); sf0.01 carries thousands of such
+    // cross-length pairs, so the band search always lands one
+    val pair = (for {
+      la <- band.iterator
+      lb <- band.iterator if lb > la
+      if hamming(prints(la), prints(lb)) <= 3 && hashes(la) != hashes(lb)
+    } yield (la, lb)).nextOption()
+    assert(pair.isDefined, "fixture search: no near-print length pair in band")
+    val (lenA, lenB) = pair.get
+    // a seed length acoustically FAR from both (the witness must be the
+    // microbatch-1 admission, not the seed) with a distinct content hash
+    val lenC = band.find(l => l != lenA && l != lenB &&
+      hamming(prints(l), prints(lenA)) > 3 &&
+      hamming(prints(l), prints(lenB)) > 3 &&
+      hashes(l) != hashes(lenA) && hashes(l) != hashes(lenB)).get
+    // exact-length text with the quality shape (~half stopwords) and
+    // DISJOINT words per tag — no text rung can fire
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len, s"textOfLen($tag, $len)")
+      sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // every doc id here is a VIDEO id (no image fingerprint exists), so
+    // the audio tiers are the only modality rungs in play — the c6b trick
+    DedupStream.admitBatch(
+      Seq((8L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Float])]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+      s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench)
+    try {
+      // microbatch 1: a fresh clip, acoustically far from the seed —
+      // admitted, and its print lands on the audiofps side
+      stream.addData((404L, "src", textOfLen("orig", lenA), e(2)))
+      q.processAllAvailable()
+      // microbatch 2: the re-encoded recycler — fresh text, fresh
+      // embedding, DIFFERENT pcm_hash (the exact rung passes it), but
+      // its energy contour matches the clip microbatch 1 committed: the
+      // perceptual rung must reject it off the MAINTAINED side, across
+      // the microbatch boundary
+      stream.addData((408L, "src", textOfLen("redo", lenB), e(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdicts === Map(
+      404L -> ("admitted", None),
+      408L -> ("audio_near_dup", Some(404L))), verdicts.toString)
+    // the metrics row names the new class
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_audio_near_dup")) === 1L, m.toString)
+    // only ADMITTED clips' prints sit on the side — the rejected
+    // recycler's never landed
+    assert(DedupStream.corpusAudioFps(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
     DedupOps.releaseCaches()
   }
 

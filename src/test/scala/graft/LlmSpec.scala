@@ -278,6 +278,32 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the combined audio decode feeds hash and print off one parse (m5 full)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.AudioDecoder
+    val tbl = MultimodalOps.asAudioTable(
+      Seq((1L, "a" * 30), (2L, "b" * 41), (3L, "c" * 77)).toDF("doc_id", "text"))
+    // decodeFull ≡ (decodeAudioMeta, audioFingerprintFrame) projection-
+    // wise: one container parse, one sample parse, both consumers agree
+    val full = MultimodalOps.decodeAudioFull(spark, tbl).toDF()
+    assert(MultimodalOps.audioMetaOf(full).collect().toSet ===
+      MultimodalOps.decodeAudioMeta(spark, tbl).toDF().collect().toSet)
+    assert(MultimodalOps.audioFpOf(full).collect().toSet ===
+      MultimodalOps.audioFingerprintFrame(tbl).collect().toSet)
+    // GAIN robustness, the property the perceptual ladder rung exists
+    // for: with equal-size windows (n = 65·m) a constant level shift
+    // moves every window energy by the same amount — every delta's sign
+    // survives, the print is IDENTICAL — while the PCM content hash
+    // differs: the recycled re-leveled clip slips the exact rung and is
+    // caught by the print rung
+    val base = Array.tabulate(65 * 20)(i => ((i * 37) % 4000) - 2000)
+    val shifted = base.map(_ + 100)
+    assert(MultimodalOps.acousticFingerprint(base) ===
+      MultimodalOps.acousticFingerprint(shifted))
+    assert(AudioDecoder.pcmHashOfSamples(base) !==
+      AudioDecoder.pcmHashOfSamples(shifted))
+  }
+
   test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
     import spark.implicits._
     // independent hand model: the generative pixel formula pushed through
@@ -1989,6 +2015,12 @@ class LlmSpec extends SparkSpec {
     assert(SimilarityOps.adaptiveProbeWidth(2, 10, 1000, 16) === 16)
     assert(SimilarityOps.adaptiveProbeWidth(2, 10, 1000, 16, maxProbe = 6) === 6)
     assert(SimilarityOps.adaptiveProbeWidth(2, 0, 1000, 16) === 16)
+    // EMPTY allow-set: the wrapper short-circuits (no full-width probe of
+    // a known-empty member frame) and returns the empty frame directly
+    val none = SimilarityOps
+      .ivfFilteredTopKAdaptive(ix, Seq.empty[Long].toDF("vec_id"), query, 3, nProbe = 1)
+    assert(none.columns.contains("neighbor_id"), "schema stays the ranked one")
+    assert(none.collect().isEmpty)
     DedupOps.releaseCaches()
   }
 

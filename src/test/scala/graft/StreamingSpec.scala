@@ -766,6 +766,57 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the audiofps side serves the perceptual audio screen (m5f streaming)") {
+    val tmp = Files.createTempDirectory("graft_audiofp_stream").toString
+    // same decode-once fixture rule as the m5c test: the WAV depends only
+    // on text LENGTH, so a same-length probe is an IDENTICAL clip
+    // (acoustic Hamming 0); the media envelope opts the batch in, and the
+    // audiofps side is written off the SAME combined decode as the
+    // audiohashes side (one parse, two projections)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "src", "a" * 30), (2L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(probe: org.apache.spark.sql.DataFrame) =
+      graft.streaming.DedupStream.screenAudioNearDups(spark, s"$tmp/index", probe)
+        .as[(Long, Long, Long)].collect().toSeq
+    val probe = Seq((10L, "src", "c" * 30), (11L, "src", "d" * 57))
+      .toDF("doc_id", "source", "text")
+    val hits = screen(probe)
+    assert(hits.contains((1L, 10L, 0L)), s"got $hits")
+    assert(hits.forall(_._2 >= 10L), s"got $hits")
+    // non-monotone orientation (the d5/m4d lesson)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((501L, "src", "e" * 33)).toDF("doc_id", "source", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val low = screen(Seq((3L, "src", "f" * 33)).toDF("doc_id", "source", "text"))
+    assert(low.contains((501L, 3L, 0L)), s"got $low")
+    // REPLAY self-exclusion: the already-admitted pair's internal match
+    // surfaces exactly once, (min, max)-oriented
+    graft.streaming.DedupStream.admitBatch(
+      Seq((6L, "src", "x" * 35), (7L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val replay = screen(
+      Seq((6L, "src", "x" * 35), (7L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"))
+    assert(replay.count(r => Set(r._1, r._2) == Set(6L, 7L)) === 1, s"got $replay")
+    assert(replay.contains((6L, 7L, 0L)), s"got $replay")
+    // compaction folds the per-batch dirs (identity fold); screen unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen(probe) === hits)
+    // the served side IS the admitted corpus's acoustic prints
+    val served = graft.streaming.DedupStream
+      .corpusAudioFps(spark, s"$tmp/index")
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    val direct = graft.llm.MultimodalOps.audioFingerprintFrame(
+      graft.llm.MultimodalOps.asAudioTable(
+        spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text")))
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the winnowfps side serves the sketch pair screen (t21d streaming)") {
     val tmp = Files.createTempDirectory("graft_winnow_stream").toString
     val sharedA = (1 to 12).map(i => s"z$i").mkString(" ")

@@ -1070,7 +1070,9 @@ object SparkEntry {
     "t11_pii_scrub" -> ((s, d) => TextOps.piiScrub(documents(s, d))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
     "m2_resize" -> ((s, d) =>
-      MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)))
+      // box = 32 so the fixture's 16–63-px dims exercise BOTH branches
+      // (fit-through and the floor-arithmetic downscale)
+      MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)), 32L)
         .toDF().orderBy("doc_id")),
     "m4_image_phash" -> ((s, d) =>
       // perceptual fingerprints of the image modality, aHashed from
@@ -1101,14 +1103,33 @@ object SparkEntry {
           documents(s, d).filter(col("doc_id") >= 400)
             .filter(!MultimodalOps.isVideoId(col("doc_id")))))),
     "m3_frame_sample" -> ((s, d) =>
-      // keyframe sampling is a VIDEO op: prune documents to the video
-      // modality BEFORE the generation map (a media_type filter above the
-      // opaque map would pay the PNG encode for 3/4 of the corpus and
-      // then discard it)
+      // REAL keyframe extraction: parse the RIFF/AVI container, decode
+      // the evenly-sampled frames, aHash each — the oracle recomputes
+      // the prints from the generative frame-pixel formula, so agreement
+      // proves the whole container→frame→pixel round-trip. Prune to the
+      // video modality BEFORE the generation map (a media_type filter
+      // above the opaque map would pay the PNG/AVI encode for the whole
+      // corpus and then discard 3/4 of it)
       MultimodalOps.sampleFrames(s,
         MultimodalOps.asMediaTable(
           documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF().orderBy("doc_id", "frame_idx")),
+    "m7_video_meta" -> ((s, d) =>
+      // the last modality made real: header fields + frame count parsed
+      // off an actual RIFF/AVI container by the pure-JDK chunk walk —
+      // the oracle predicts every field from the generative formula
+      // (the m1/m5 round-trip discipline)
+      MultimodalOps.videoMeta(s,
+        documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))),
+    "m7b_video_near_dups" -> ((s, d) =>
+      // NEAR-duplicate videos via KEYFRAME prints (frame 0's aHash —
+      // the thumbnail-print form of clip identity): the banded
+      // pigeonhole machinery runs unchanged over the prints because the
+      // schema is the image hash table's by design — one serving path
+      // for every 64-bit print family (images, audio, now video)
+      MultimodalOps.imageNearDupsFromHashes(
+        MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
+          documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the

@@ -11,18 +11,18 @@ import org.apache.spark.sql.functions._
   * opaque `BINARY` columns with typed metadata, and decode/feature-extract
   * runs batched inside `mapPartitions` over a typed Dataset.
   *
-  * The IMAGE path is REAL: payloads are PNG bytes and [[ImageDecoder]]
-  * parses width/height/format off the actual container with the JDK's
-  * `javax.imageio` (PNG + JPEG readers ship with every JDK — no external
-  * codec needed). The AUDIO path is REAL too: payloads are WAV bytes and
-  * [[AudioDecoder]] parses sample rate / channels / frame count off the
-  * actual container with `javax.sound.sampled` and content-hashes the
-  * decoded PCM. The deterministic stub ([[FakeDecoder]]) now covers only
-  * VIDEO (the one kind with no JDK decoder — no ffmpeg-class codec
-  * ships); everything Spark-side — binary schema, encoder plumbing, the
-  * per-partition `BatchSize`-batched decode shape (exactly how you'd feed
-  * a vectorized or GPU decoder), and the narrow no-shuffle partitioning —
-  * is real and tested for every path.
+  * EVERY modality decodes for real on pure-JDK codecs — no stub remains:
+  * IMAGE payloads are PNG/JPEG bytes parsed by `javax.imageio`
+  * ([[ImageDecoder]]); AUDIO payloads are WAV bytes parsed by
+  * `javax.sound.sampled` with the decoded PCM content-hashed
+  * ([[AudioDecoder]]); VIDEO payloads are RIFF/AVI containers parsed by
+  * a hand-walked chunk reader ([[AviDecoder]] — AVI is the same RIFF
+  * family as WAV) whose self-contained frames (PNG-codec or MJPEG)
+  * decode through `javax.imageio` again. Everything Spark-side — binary
+  * schema, encoder plumbing, the per-partition `BatchSize`-batched
+  * decode shape (exactly how you'd feed a vectorized or GPU decoder),
+  * and the narrow no-shuffle partitioning — is real and tested for
+  * every path.
   */
 object MultimodalOps {
 
@@ -108,26 +108,168 @@ object MultimodalOps {
       }
   }
 
-  object FakeDecoder {
-    /** STUB — now scoped to VIDEO only, the one media kind with no JDK
-      * decoder in this environment (no ffmpeg-class codec ships with
-      * the JDK; images decode via `javax.imageio`, audio via
-      * `javax.sound.sampled` — see [[AudioDecoder]]): deterministic
-      * fake dims from the payload length so results stay verifiable.
-      * Image and audio records never reach this path. */
-    def decode(r: MediaRecord): MediaMeta = {
-      val n = r.payload.length.toLong
-      val w = 64 + (n % 512)
-      val h = 64 + ((n * 7) % 512)
-      MediaMeta(r.doc_id, r.media_type, "raw", w, h, w * h)
+  /** Deterministic AVI generation for the fixture's VIDEO rows — the
+    * ImageGen/AudioGen trick on the last modality: container params and
+    * every frame pixel derive from the text length, so the DuckDB oracle
+    * predicts bit-exactly what the decoder must parse back. The
+    * container is a REAL RIFF/AVI (hdrl with a 56-byte `avih` main
+    * header and a vids `strl`, then the `movi` frame list) around
+    * PNG-codec frames — 'PNG ' is a registered AVI video fourcc, and a
+    * LOSSLESS frame codec is what lets the oracle recompute decoded
+    * pixels (MJPEG's JPEG frames decode through the identical engine
+    * path — [[ImageDecoder.image]] dispatches on the frame's own magic
+    * — but lossy DCT output is not oracle-predictable, so the fixture
+    * ships PNG; LlmSpec drives a hand-built JPEG-frame AVI through the
+    * same parse). */
+  object VideoGen {
+    val UsPerFrame = 40000L // 25 fps
+
+    /** (frames, width, height) from the text length — frame dims share
+      * [[ImageGen.dims]] so ONE generative dim formula serves both pixel
+      * modalities. */
+    def params(textLen: Long): (Int, Int, Int) = {
+      val (w, h) = ImageGen.dims(textLen)
+      ((2 + textLen % 3).toInt, w, h)
+    }
+
+    /** Frame `f`'s pixels: the image formula shifted 7 per frame, so
+      * frames within a clip differ deterministically. */
+    def framePng(textLen: Long, f: Int): Array[Byte] = {
+      val (_, w, h) = params(textLen)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    private def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ payload)
+
+    def avi(textLen: Long): Array[Byte] = {
+      val (nf, w, h) = params(textLen)
+      // 56-byte avih: usPerFrame, maxBytesPerSec, padding, flags,
+      // totalFrames, initialFrames, streams, bufSize, width, height,
+      // reserved[4]
+      val avih = le32(UsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nf.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      // 56-byte strh (vids/'PNG '), 40-byte strf (BITMAPINFOHEADER)
+      val strh = fcc("vids") ++ fcc("PNG ") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(25) ++ le32(0) ++ le32(nf.toLong) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        le32(1L | (24L << 16)) ++ fcc("PNG ") ++ le32(w.toLong * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        (0 until nf).toArray.flatMap(f => chunk("00dc", framePng(textLen, f))))
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ le32(body.length.toLong) ++ body
     }
   }
 
-  /** One batch through the decode kernel: real imageio decode for image
-    * payloads, the declared stub for the rest — per-record dispatch
-    * inside the batch, the shape a mixed-modality feed has in practice. */
+  /** The parsed video container: header fields + the raw frame payloads
+    * (each decoded on demand through [[ImageDecoder.image]]). */
+  final case class AviVideo(width: Long, height: Long, usPerFrame: Long,
+      frames: Vector[Array[Byte]])
+
+  /** The REAL video decoder — pure-JDK RIFF/AVI parse ([[AudioDecoder]]'s
+    * container-family sibling: AVI is RIFF, the magic layout the WAV
+    * sniff already walks) + `javax.imageio` per frame: the chunk walk
+    * pulls the 56-byte `avih` main header (dims, frame timing) and the
+    * `movi` list's `..dc`/`..db` frame payloads; each frame is a
+    * self-contained image (PNG-codec or MJPEG) that [[ImageDecoder]]
+    * dispatches on its own magic. None = rot/foreign container — a
+    * truncated chunk or missing header throws inside the Try and the
+    * record drops, never killing the decode task (the ImageDecoder
+    * robustness rule). */
+  object AviDecoder {
+    def sniff(payload: Array[Byte]): Option[String] =
+      if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'A' && payload(9) == 'V' &&
+        payload(10) == 'I' && payload(11) == ' ') Some("avi")
+      else None
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** The ONE container parse every video consumer routes through (the
+      * AudioDecoder.parsed discipline): RIFF chunk walk with strict
+      * bounds — a chunk size past its enclosing list is rot. */
+    def parse(payload: Array[Byte]): Option[AviVideo] =
+      sniff(payload).flatMap { _ =>
+        scala.util.Try {
+          var avih: Option[Array[Byte]] = None
+          val frames = Vector.newBuilder[Array[Byte]]
+          def fccAt(off: Int): String = new String(payload, off, 4, "US-ASCII")
+          def walk(start: Int, end: Int): Unit = {
+            var pos = start
+            while (pos + 8 <= end) {
+              val id = fccAt(pos)
+              val size = le32(payload, pos + 4).toInt
+              require(size >= 0 && pos + 8 + size <= end, s"truncated chunk $id")
+              if (id == "LIST") {
+                val typ = fccAt(pos + 8)
+                // recurse into the lists that can hold headers/frames;
+                // unknown list types skip whole (never misread as chunks)
+                if (typ == "hdrl" || typ == "strl" || typ == "movi" || typ == "rec ")
+                  walk(pos + 12, pos + 8 + size)
+              } else if (id == "avih")
+                avih = Some(java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size))
+              else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+                frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+              pos += 8 + size + (size & 1)
+            }
+          }
+          val riffSize = le32(payload, 4).toInt
+          require(8 + riffSize <= payload.length, "truncated RIFF body")
+          walk(12, 8 + riffSize)
+          val h = avih.getOrElse(throw new IllegalArgumentException("no avih header"))
+          require(h.length >= 40, "short avih header")
+          val fs = frames.result()
+          require(fs.nonEmpty, "no frames in movi")
+          AviVideo(le32(h, 32), le32(h, 36), le32(h, 0), fs)
+        }.toOption
+      }
+
+    /** m1's metadata row off the container header: `n_pixels` =
+      * w·h·frames — the DECODE-COST unit over the whole clip, the same
+      * budgeting role the single-image w·h plays. */
+    def decode(r: MediaRecord): Option[MediaMeta] =
+      parse(r.payload).map { v =>
+        MediaMeta(r.doc_id, r.media_type, "avi", v.width, v.height,
+          v.width * v.height * v.frames.size)
+      }
+  }
+
+  /** One batch through the decode kernel: per-record dispatch on the
+    * container's own magic — `javax.imageio` for image payloads, the
+    * RIFF/AVI parse for video — the shape a mixed-modality feed has in
+    * practice. Undecodable payloads (rot, foreign codecs) DROP, the
+    * fingerprintFrame rule: every modality now has a real JDK decode
+    * path, so there is no stub to fall back to. */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
-    batch.map(r => ImageDecoder.decode(r).getOrElse(FakeDecoder.decode(r)))
+    batch.flatMap(r => ImageDecoder.decode(r).orElse(AviDecoder.decode(r)))
 
   /** An audio record: opaque WAV payload + envelope. */
   final case class AudioRecord(doc_id: Long, media_type: String, payload: Array[Byte])
@@ -489,10 +631,10 @@ object MultimodalOps {
   private def isVideoId(id: Long): Boolean = id % VideoMod == 0
 
   /** Fixture media table over documents: every [[VideoMod]]-th doc
-    * ([[isVideoId]]) is a video record (UTF-8 text bytes standing in for
-    * an undecodable container — the stub's remaining scope), the rest are
-    * REAL PNGs generated deterministically from the text length. Narrow
-    * per-row map (the fixture's ingest stage); no shuffle. */
+    * ([[isVideoId]]) is a video record — a REAL RIFF/AVI container with
+    * PNG-codec frames ([[VideoGen]]) — and the rest are REAL PNGs, both
+    * generated deterministically from the text length. Narrow per-row
+    * map (the fixture's ingest stage); no shuffle. */
   /** The ONE media-envelope test (a `source` column — what
     * [[asMediaTable]] keys the fixture payloads on): gates both the
     * imagehashes side WRITE at admission and the image-rung screen READ,
@@ -507,7 +649,7 @@ object MultimodalOps {
       .as[(Long, String, String)]
       .map { case (id, source, text) =>
         if (isVideoId(id))
-          MediaRecord(id, s"video/$source", text.getBytes("UTF-8"))
+          MediaRecord(id, s"video/$source", VideoGen.avi(text.length.toLong))
         else MediaRecord(id, "image/png", ImageGen.png(text.length.toLong))
       }.toDF()
   }
@@ -768,28 +910,87 @@ object MultimodalOps {
     }
   }
 
-  /** One sampled frame: byte offset into the payload + the byte there. */
+  /** One sampled keyframe: sample ordinal, the frame number it landed on
+    * (evenly spaced, integer floor — i·nf/frames), and the frame's
+    * perceptual fingerprint. */
   final case class FrameSample(
-      doc_id: Long, frame_idx: Long, frame_offset: Long, frame_byte: Long)
+      doc_id: Long, frame_idx: Long, frame_no: Long, h_hi: Long, h_lo: Long)
 
-  /** M3 — FRAME-SAMPLE: treat the payload as a fixed-rate stream and
-    * sample `frames` evenly-spaced offsets (a video keyframe-sampling
-    * stand-in — callers feed it the video subset of the media table) —
-    * the decoder-side generator shape: `frames` rows out per record in.
-    * Offset arithmetic is per-record, so a plain flatMap (the
-    * batched-kernel shape lives in [[decodeMeta]]). frame_idx is the
-    * sample ordinal i itself — for n ≥ 1 every offset i·n/frames is < n,
-    * so only empty payloads yield no frames. */
+  /** M3 — REAL keyframe extraction: parse each video's RIFF/AVI
+    * container, sample `frames` evenly-spaced frame numbers (i·nf/frames
+    * — the same integer-floor rule the byte sampler used), DECODE each
+    * sampled frame's image payload via the one robustness-hardened pixel
+    * path, and [[aHash]] it — the per-frame fingerprints video dedup and
+    * shot indexing build on. Per-record work inside a flatMap, no
+    * shuffle; a repeated frame number (clips shorter than `frames`)
+    * decodes once per record via the local memo. Undecodable containers
+    * (rot) and undecodable frames drop, never kill the task. */
   def sampleFrames(spark: SparkSession, media: DataFrame, frames: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRecord].flatMap { r =>
-      val n = r.payload.length.toLong
-      (0 until frames).iterator
-        .map(i => (i.toLong, i.toLong * n / frames)) // evenly spaced, integer floor
-        .filter(_._2 < n)
-        .map { case (i, off) =>
-          FrameSample(r.doc_id, i, off, r.payload(off.toInt).toLong & 0xffL)
+      AviDecoder.parse(r.payload).iterator.flatMap { v =>
+        val nf = v.frames.size
+        val memo = scala.collection.mutable.HashMap.empty[Int, Option[(Long, Long)]]
+        (0 until frames).iterator.flatMap { i =>
+          val fno = i.toLong * nf / frames
+          memo.getOrElseUpdate(fno.toInt,
+              ImageDecoder.image(v.frames(fno.toInt)).map(aHash))
+            .map { case (hi, lo) => FrameSample(r.doc_id, i.toLong, fno, hi, lo) }
         }
+      }
     }
+  }
+
+  /** The m7 metadata row: container header fields + the movi list's
+    * actual frame count (the decode truth) + the clip duration the
+    * header timing implies. */
+  final case class VideoMeta(doc_id: Long, format: String, width: Long,
+      height: Long, n_frames: Long, duration_ms: Long)
+
+  /** M7 — VIDEO metadata off the real container parse: documents →
+    * AVI binary column → batched RIFF parse → typed header fields,
+    * ordered for the oracle (the m1/m5 discipline on the last modality:
+    * the oracle recomputes every field from the generative formula, so
+    * agreement proves the container round-trip bit-exactly). Callers
+    * feed the VIDEO subset ([[isVideoId]] pruning BEFORE the generation
+    * map, the m3 rule). */
+  def videoMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    asMediaTable(documents).as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { r =>
+        AviDecoder.parse(r.payload).map { v =>
+          VideoMeta(r.doc_id, "avi", v.width, v.height,
+            v.frames.size.toLong,
+            v.frames.size.toLong * v.usPerFrame / 1000L)
+        }
+      })
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** The video KEYFRAME fingerprint frame — frame 0's [[aHash]] in the
+    * image hash schema (the thumbnail-print form of video identity: a
+    * re-uploaded clip keeps its opening shot). Shares the serving path
+    * of every 64-bit print family: [[imageNearDupsFromHashes]] and the
+    * banded served screens run unchanged over this frame — m7b is the
+    * m5d pattern on the fourth modality. */
+  /** The tracked-persisted form the m7b registry row consumes — the
+    * banded near-dup search scans the print frame more than once, and
+    * without the pin an AQE replan re-runs the container parse + frame
+    * decode (the imageHashesRaw rule). */
+  private[graft] def videoKeyframeHashesRaw(media: DataFrame): DataFrame =
+    DedupOps.tracked(videoKeyframeHashes(media))
+
+  def videoKeyframeHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        AviDecoder.parse(r.payload).flatMap(v =>
+          ImageDecoder.image(v.frames.head).map { img =>
+            val (hi, lo) = aHash(img)
+            ImageHash(r.doc_id, hi, lo, img.getWidth.toLong, img.getHeight.toLong)
+          })
+      }
+    }.toDF()
   }
 }

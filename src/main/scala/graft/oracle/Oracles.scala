@@ -376,7 +376,7 @@ abits AS (SELECT doc_id,
                    ELSE 0 END)) AS BIGINT) AS h_lo
           FROM afp)"""
 
-  /** The engine's BAND-BUCKET RAIL mirrored into the audio near-dup
+  /** The engine's BAND-BUCKET RAIL mirrored into the print near-dup
     * oracles (r15 advice: acoustic prints are far more correlated than
     * image hashes, so at a larger SF a (band, key) bucket CAN exceed
     * maxBucket=100 — the oracle must drop exactly the pairs the engine
@@ -384,8 +384,10 @@ abits AS (SELECT doc_id,
     * red). Mirrors [[graft.llm.MultimodalOps.imageNearDupsFromHashes]]:
     * 4 disjoint 16-bit bands, buckets over the COMBINED population,
     * a pair survives iff it shares ≥ 1 band in a bucket holding ≤ 100
-    * prints. Exposes `apruned` (doc_id, band, key) over `abits`. */
-  private val AudioBandCteList = s"""abands AS (
+    * prints. Operates on whatever print frame the spliced chain names
+    * `abits` (audio acoustic prints; m7b's video keyframe prints);
+    * exposes `apruned` (doc_id, band, key). */
+  private val BandRailCteList = s"""abands AS (
   SELECT doc_id, band,
          CASE band WHEN 0 THEN h_lo & 65535
                    WHEN 1 THEN (h_lo >> 16) & 65535
@@ -401,7 +403,7 @@ apruned AS (SELECT b.doc_id, b.band, b.key FROM abands b JOIN aok USING (band, k
     * LATER member is in the increment, corpus member as id_a. */
   private val audioServedNearDupSql = s"""$AudioCtes,
 $AudioFpCteList,
-$AudioBandCteList,
+$BandRailCteList,
 acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM apruned a JOIN apruned b
             ON a.band = b.band AND a.key = b.key
@@ -414,6 +416,15 @@ FROM acand c JOIN abits x ON x.doc_id = c.id_a
              JOIN abits y ON y.doc_id = c.id_b
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b"""
+
+  /** m3/m7/m7b's generative VIDEO params over the video-modality docs —
+    * frames = 2 + len % 3 at the generator's 25 fps; dims share the
+    * image formula (one generative dim rule across pixel modalities).
+    * Exposes `vp` (doc_id, l, w, h, nf). */
+  private val VideoCteList = s"""vl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+        FROM $Docs WHERE doc_id % 4 = 0),
+vp AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h,
+              2 + l % 3 AS nf FROM vl)"""
 
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
@@ -2064,68 +2075,126 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half
 FROM q GROUP BY lang ORDER BY lang""",
 
-    // m1: the mixed-modality media table — every 4th doc is a video
-    // record (stub-decoded: fake dims off the UTF-8 payload length), the
-    // rest REAL PNGs whose dims the generator derives from text length
-    // and javax.imageio parses back off the container. The oracle
-    // predicts both paths; equality on the image rows is evidence the
-    // real decoder ran (the engine never sees the generator's dims — it
-    // re-reads them from the PNG bytes).
+    // m1: the mixed-modality media table — every 4th doc is a VIDEO
+    // record (a real RIFF/AVI whose avih header the engine's chunk walk
+    // parses back: dims shared with the image formula, n_pixels =
+    // w·h·frames, the whole-clip decode-cost unit), the rest REAL PNGs.
+    // The oracle predicts both paths; equality is evidence the real
+    // decoders ran (the engine never sees the generator's numbers — it
+    // re-reads them from the container bytes).
     "m1_media_meta" -> s"""
 SELECT doc_id,
        CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
-       CASE WHEN doc_id % 4 = 0 THEN 'raw' ELSE 'png' END AS format,
-       w AS width, h AS height, w * h AS n_pixels
-FROM (SELECT doc_id, source,
-             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
-                  ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS w,
-             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
-                  ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS h
+       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN w * h * (2 + l % 3) ELSE w * h END AS BIGINT) AS n_pixels
+FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
+             16 + length(text) % 48 AS w, 16 + (length(text) * 7) % 48 AS h
       FROM $Docs)
 ORDER BY doc_id""",
 
-    // m6: the media data card — m1's dual-path dims formulas rolled up
-    // per (media_type, format); exact integer sums.
+    // m6: the media data card — m1's per-modality formulas rolled up per
+    // (media_type, format); exact integer sums (video pixels carry the
+    // frame-count multiplier).
     "m6_media_card" -> s"""
 WITH m AS (SELECT
        CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
-       CASE WHEN doc_id % 4 = 0 THEN 'raw' ELSE 'png' END AS format,
-       CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
-            ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS w,
-       CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
-            ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS h
+       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
+       CAST(16 + length(text) % 48 AS BIGINT) AS w,
+       CAST(16 + (length(text) * 7) % 48 AS BIGINT) AS h,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(2 + length(text) % 3 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS nf
      FROM $Docs)
 SELECT media_type, format, CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       CAST(sum(w * h * nf) AS BIGINT) AS total_pixels,
        min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
 FROM m GROUP BY media_type, format
 ORDER BY media_type, format""",
 
+    // m2 at box = 32: the fixture's 16–63-px dims (one formula across
+    // modalities — video thumbs come off the avih header dims) exercise
+    // both the fit-through and the floor-arithmetic downscale branch.
     "m2_resize" -> s"""
 SELECT doc_id, width, height,
-       CASE WHEN greatest(width, height) <= 128 THEN width
-            ELSE CAST(floor(width * 128.0 / greatest(width, height)) AS BIGINT) END AS thumb_w,
-       CASE WHEN greatest(width, height) <= 128 THEN height
-            ELSE CAST(floor(height * 128.0 / greatest(width, height)) AS BIGINT) END AS thumb_h
+       CASE WHEN greatest(width, height) <= 32 THEN width
+            ELSE CAST(floor(width * 32.0 / greatest(width, height)) AS BIGINT) END AS thumb_w,
+       CASE WHEN greatest(width, height) <= 32 THEN height
+            ELSE CAST(floor(height * 32.0 / greatest(width, height)) AS BIGINT) END AS thumb_h
 FROM (SELECT doc_id,
-             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)
-                  ELSE CAST(16 + octet_length(encode(text)) % 48 AS BIGINT) END AS width,
-             CASE WHEN doc_id % 4 = 0 THEN CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT)
-                  ELSE CAST(16 + (octet_length(encode(text)) * 7) % 48 AS BIGINT) END AS height
+             CAST(16 + length(text) % 48 AS BIGINT) AS width,
+             CAST(16 + (length(text) * 7) % 48 AS BIGINT) AS height
       FROM $Docs)
 ORDER BY doc_id""",
 
-    // m3 samples the VIDEO subset (doc_id % 4 = 0): those payloads are the
-    // UTF-8 text bytes, and documents are pure ASCII at every SF
-    // (verified), so byte offsets equal character positions in `text`
+    // m3 — REAL keyframe extraction over the VIDEO subset: the engine
+    // parses the AVI container, decodes the evenly-sampled PNG frames
+    // and aHashes them; the oracle recomputes the same prints from the
+    // generative frame-pixel formula ((x·31 + y·17 + len + fno·7) &
+    // 0xffffff) through the shared aHash arithmetic — agreement proves
+    // the container→frame→pixel round-trip bit-exactly.
     "m3_frame_sample" -> s"""
-SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-       CAST(floor(i * n / 4) AS BIGINT) AS frame_offset,
-       CAST(ascii(substr(text, CAST(floor(i * n / 4) AS BIGINT) + 1, 1)) AS BIGINT) AS frame_byte
-FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM $Docs WHERE doc_id % 4 = 0),
-     (SELECT unnest(range(0, 4)) AS i)
-WHERE n > 0
-ORDER BY doc_id, frame_idx""",
+WITH $VideoCteList,
+fs AS (SELECT doc_id, l, w, h, i, i * nf // 4 AS fno
+       FROM vp, (SELECT unnest(range(0, 4)) AS i)),
+fg AS (SELECT doc_id, i, fno,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l + fno * 7) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM fs),
+fm AS (SELECT doc_id, i, fno, gray, list_sum(gray) // 64 AS mean FROM fg)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(fno AS BIGINT) AS frame_no,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+FROM fm ORDER BY doc_id, frame_idx""",
+
+    // m7: the video modality's metadata round-trip — every field (header
+    // dims, movi frame count, timing-implied duration at the generator's
+    // 25 fps) recomputed from the generative formula.
+    "m7_video_meta" -> s"""
+WITH $VideoCteList
+SELECT doc_id, 'avi' AS format, CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 40 AS BIGINT) AS duration_ms
+FROM vp ORDER BY doc_id""",
+
+    // m7b: near-dup videos via KEYFRAME prints (frame 0's aHash — the
+    // fno = 0 case of the m3 chain) under the mirrored band rail; the
+    // rail fragment reads the chain's `abits` like the audio oracles.
+    "m7b_video_near_dups" -> s"""
+WITH $VideoCteList,
+kg AS (SELECT doc_id,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM vp),
+km AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM kg),
+abits AS (SELECT doc_id,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM km),
+$BandRailCteList,
+acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM apruned a JOIN apruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM acand c JOIN abits x ON x.doc_id = c.id_a
+             JOIN abits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b""",
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /
@@ -2186,7 +2255,7 @@ FROM am ORDER BY doc_id""",
     // banded pigeonhole must land on the identical pair set).
     "m5d_audio_near_dups" -> s"""$AudioCtes,
 $AudioFpCteList,
-$AudioBandCteList,
+$BandRailCteList,
 acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM apruned a JOIN apruned b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)

@@ -99,7 +99,7 @@ class LlmSpec extends SparkSpec {
     assert(row.getAs[Double]("avg_token_len") > 1.0)
   }
 
-  test("multimodal decode parses real PNGs via imageio; stub only for video (m1)") {
+  test("multimodal decode parses real PNGs and real AVI containers (m1)") {
     val meta = MultimodalOps.mediaPipeline(spark, docs)
     assert(meta.count() === docs.count())
     val joined = meta.join(docs, "doc_id")
@@ -111,10 +111,15 @@ class LlmSpec extends SparkSpec {
         col("width") =!= (octet_length(col("text")) % 48 + 16).cast("long") ||
         col("height") =!= ((octet_length(col("text")) * 7) % 48 + 16).cast("long"))
       .count() === 0)
-    // video rows: the declared stub's math over the raw payload length
+    // video rows: header fields re-read from the RIFF/AVI container by
+    // the pure-JDK chunk walk — shared dim formula, n_pixels carries the
+    // whole-clip frame multiplier (w·h·nf, the decode-cost unit)
     assert(joined.filter(col("doc_id") % 4 === 0)
-      .filter(col("format") =!= "raw" ||
-        col("width") =!= (octet_length(col("text")) % 512 + 64).cast("long"))
+      .filter(col("format") =!= "avi" ||
+        col("width") =!= (octet_length(col("text")) % 48 + 16).cast("long") ||
+        col("height") =!= ((octet_length(col("text")) * 7) % 48 + 16).cast("long") ||
+        col("n_pixels") =!= (col("width") * col("height") *
+          (octet_length(col("text")) % 3 + 2)).cast("long"))
       .count() === 0)
   }
 
@@ -136,19 +141,81 @@ class LlmSpec extends SparkSpec {
       .collect().map(m => m.doc_id -> m).toMap
     assert(got(1L) === MediaMeta(1L, "image/png", "png", 123L, 45L, 123L * 45L))
     assert(got(2L) === MediaMeta(2L, "image/jpeg", "jpeg", 77L, 33L, 77L * 33L))
-    // the undecodable payload falls through to the declared stub
-    assert(got(3L).format === "raw" && got(3L).width === 64L + 4L)
+    // an undecodable payload DROPS (no stub remains — every modality has
+    // a real decode path; rot must not kill the task either)
+    assert(!got.contains(3L), s"rot must drop: $got")
     // a TRUNCATED payload behind valid PNG magic (ImageIO throws, not
-    // null) must fall back to the stub for that record, never kill the
-    // decode task
+    // null) must drop for that record, never kill the decode task
     val truncated = bytesOf(50, 50, "png").take(24)
     val mixed = Seq(
       MediaRecord(4L, "image/png", truncated),
       MediaRecord(5L, "image/png", bytesOf(10, 20, "png"))).toDS().toDF()
     val got2 = MultimodalOps.decodeMeta(spark, mixed)
       .collect().map(m => m.doc_id -> m).toMap
-    assert(got2(4L).format === "raw" && got2(4L).width === 64L + 24L)
+    assert(!got2.contains(4L), s"truncated rot must drop: $got2")
     assert(got2(5L) === MediaMeta(5L, "image/png", "png", 10L, 20L, 200L))
+  }
+
+  test("the AVI chunk walk decodes hand-built PNG- and MJPEG-frame containers (m7)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AviDecoder, MediaRecord, VideoGen}
+    // the fixture generator's container round-trips through the engine
+    // parse: header fields and frame payloads come back bit-exactly
+    val fix = AviDecoder.parse(VideoGen.avi(37L)).get
+    val (nf, w, h) = VideoGen.params(37L)
+    assert((fix.width, fix.height, fix.usPerFrame, fix.frames.size) ===
+      ((w.toLong, h.toLong, VideoGen.UsPerFrame, nf)))
+    assert(fix.frames(1).toSeq === VideoGen.framePng(37L, 1).toSeq)
+    // a hand-built MJPEG-style AVI (real-world codec: JPEG frame
+    // payloads) decodes through the SAME path — the frame dispatch is on
+    // each frame's own magic, so the spec drives ImageIO's JPEG reader
+    // where the oracle-predictable fixture uses lossless PNG
+    def jpegAvi(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val pngAvi = VideoGen.avi(37L) // template for header layout only
+      assert(pngAvi.nonEmpty)
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, 0x123456 + f)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      }
+      // hand-rolled minimal container: RIFF(AVI ) { LIST hdrl { avih },
+      // LIST movi { 00dc… } } — the decoder needs no strl to parse
+      def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def fcc(s: String) = s.getBytes("US-ASCII")
+      def chunk(id: String, p: Array[Byte]) = fcc(id) ++ le32(p.length.toLong) ++ p ++
+        (if (p.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      val avih = le32(33333L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+      val hdrl = chunk("LIST", fcc("hdrl") ++ chunk("avih", avih))
+      val movi = chunk("LIST", fcc("movi") ++
+        frames.toArray.flatMap(fb => chunk("00dc", fb)))
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+    val media = Seq(
+      MediaRecord(1L, "video/mjpeg", jpegAvi(31, 17, 3)),
+      // truncated mid-movi behind valid magic: the parse throws inside
+      // its Try and the record drops, never killing the task
+      MediaRecord(2L, "video/mjpeg", jpegAvi(31, 17, 3).take(90)),
+      MediaRecord(3L, "video/avi", VideoGen.avi(50L))).toDS().toDF()
+    val metas = MultimodalOps.decodeMeta(spark, media)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).format === "avi" && metas(1L).width === 31L &&
+      metas(1L).height === 17L && metas(1L).n_pixels === 31L * 17L * 3L)
+    assert(!metas.contains(2L), s"truncated AVI must drop: $metas")
+    // keyframe extraction decodes the JPEG frames themselves (dims from
+    // the decoded image, not the header)
+    val samples = MultimodalOps.sampleFrames(spark,
+        Seq(MediaRecord(1L, "video/mjpeg", jpegAvi(31, 17, 3))).toDS().toDF())
+      .collect()
+    assert(samples.length === 4 && samples.forall(_.doc_id === 1L))
+    assert(samples.map(_.frame_no).toSeq === Seq(0L, 0L, 1L, 2L),
+      "evenly spaced integer-floor frame numbers over 3 frames")
   }
 
   test("javax.sound.sampled decodes hand-built WAVs through the batched mapPartitions path (m5)") {
@@ -2035,8 +2102,8 @@ class LlmSpec extends SparkSpec {
     val got = MultimodalOps.mediaCard(spark, docs)
       .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === want)
-    // both decode paths represented: the real PNG rows and the stub rows
-    assert(got.exists(_._2 === "png") && got.exists(_._2 === "raw"))
+    // both real decode paths represented: PNG images and AVI videos
+    assert(got.exists(_._2 === "png") && got.exists(_._2 === "avi"))
   }
 
   test("unigram NLL matches a hand model and is partitioning-invariant (t19)") {

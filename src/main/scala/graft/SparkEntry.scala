@@ -299,43 +299,63 @@ object SparkEntry {
     * shared-oracle discipline. A leftover dir from a previous JVM is
     * rebuilt (the driver regenerates testdata between rounds); within a
     * JVM the sides are immutable parquet any session can read. */
-  // memo of completed builds, keyed (root, source-data fingerprint):
-  // regenerated fixture parquet under the same sfDir changes the
-  // fingerprint, so the index rebuilds instead of silently serving a
-  // stale corpus sketch (r15 advice). computeIfAbsent gives a PER-KEY
-  // critical section — two sessions warming DIFFERENT sfDirs build
-  // concurrently instead of serializing behind one JVM monitor — and a
-  // failed build installs no entry, so the next call retries the
+  // memo of completed ON-DISK state builds, keyed (root, source-data
+  // fingerprint): regenerated fixture parquet under the same sfDir
+  // changes the fingerprint, so the state rebuilds instead of silently
+  // serving a stale derivative (r15 advice). computeIfAbsent gives a
+  // PER-KEY critical section — two sessions warming DIFFERENT sfDirs
+  // build concurrently instead of serializing behind one JVM monitor —
+  // and a failed build installs no entry, so the next call retries the
   // delete-and-rebuild (the failure path the r15 advice asked to name).
-  private val t21dBuilt =
+  private val diskStateBuilt =
     new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
-  private def t21dIndexDir(s: SparkSession, d: String): String = {
+  private def onDiskState(s: SparkSession, d: String, name: String)(
+      build: String => Unit): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    // PLAIN local path (no file: scheme): the groups side is a
+    // PLAIN local path (no file: scheme): the t21d groups side is a
     // BucketStore, whose manifest IO is java.nio over local paths
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-    val root = new org.apache.hadoop.fs.Path(wh, s"g_t21d_$tag")
+    val root = new org.apache.hadoop.fs.Path(wh, s"g_${name}_$tag")
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val st = src.getFileSystem(conf).getFileStatus(src)
     val fingerprint = s"${st.getLen}-${st.getModificationTime}"
-    t21dBuilt.computeIfAbsent((root.toString, fingerprint), _ => {
+    diskStateBuilt.computeIfAbsent((root.toString, fingerprint), _ => {
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) fs.delete(root, true)
+      build(root.toString)
+      java.lang.Boolean.TRUE
+    })
+    root.toString
+  }
+
+  private def t21dIndexDir(s: SparkSession, d: String): String =
+    onDiskState(s, d, "t21d") { root =>
       // the corpus is admitted WITH its media envelope (`source`), so the
       // media fingerprint sides — imagehashes, audiohashes, and the
-      // audiofps acoustic prints — land beside the nine text sides: the
-      // m5f row serves the audio near-dup screen off THIS maintained
-      // index, the t21d graduation on the print table
+      // audiofps acoustic prints — land beside the text sides: the m5f
+      // row serves the audio near-dup screen off THIS maintained index,
+      // the t21d graduation on the print table
       graft.streaming.DedupStream.admitBatch(
         documents(s, d).filter(col("doc_id") < 400)
           .select("doc_id", "source", "text"),
         0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d")
-      java.lang.Boolean.TRUE
-    })
-    s"$root/index"
-  }
+    } + "/index"
+
+  /** Pre-generated PAYLOAD tables — the decode-only twins' input: a real
+    * corpus STORES media bytes, so the fixture's encode cost (PNG/AVI/
+    * WAV generation) is ingest-side state, written once per JVM per
+    * sfDir; the m1b/m5g rows read these and time the DECODE alone,
+    * where m1/m5 keep pricing generation+decode inline (the measured
+    * encode-vs-decode seam, the e4/e5 discipline on fixtures). */
+  private def mediaTableDir(s: SparkSession, d: String): String =
+    onDiskState(s, d, "media") { root =>
+      MultimodalOps.asMediaTable(documents(s, d))
+        .write.mode("overwrite").parquet(s"$root/media")
+      MultimodalOps.asAudioTable(documents(s, d))
+        .write.mode("overwrite").parquet(s"$root/audio")
+    }
 
   /** The served IVF ANN index (E5): build once per (session, sfDir) —
     * centroids + persisted cell assignment — exactly the artifacts a
@@ -1069,6 +1089,14 @@ object SparkEntry {
         "source")),
     "t11_pii_scrub" -> ((s, d) => TextOps.piiScrub(documents(s, d))),
     "m1_media_meta" -> ((s, d) => MultimodalOps.mediaPipeline(s, documents(s, d))),
+    "m1b_media_meta_from_table" -> ((s, d) =>
+      // m1's DECODE-ONLY twin: payloads read from the pre-generated
+      // parquet table (warm()-built ingest-side state — a real corpus
+      // stores media bytes), so this row trends the decoder alone while
+      // m1 keeps pricing generation+decode inline; same oracle
+      MultimodalOps.decodeMeta(s,
+        s.read.parquet(s"${mediaTableDir(s, d)}/media"))
+        .toDF().orderBy("doc_id")),
     "m2_resize" -> ((s, d) =>
       // box = 32 so the fixture's 16–63-px dims exercise BOTH branches
       // (fit-through and the floor-arithmetic downscale)
@@ -1139,6 +1167,13 @@ object SparkEntry {
       // deliberately prices the INLINE decode; m5b serves the cached
       // fingerprints — the pair is the serve-vs-inline seam, measured.
       MultimodalOps.audioMeta(s, documents(s, d))),
+    "m5g_audio_meta_from_table" -> ((s, d) =>
+      // m5's DECODE-ONLY twin (the m1b discipline): WAV payloads read
+      // from the pre-generated parquet table, pricing the
+      // javax.sound.sampled parse + PCM fold alone; same oracle
+      MultimodalOps.decodeAudioMeta(s,
+        s.read.parquet(s"${mediaTableDir(s, d)}/audio"))
+        .toDF().orderBy("doc_id")),
     "m5b_audio_dup_groups" -> ((s, d) =>
       // d1's exact-dedup semantics on audio: identical PCM content
       // groups, keeper = min doc_id; served off the maintained meta
@@ -1242,6 +1277,10 @@ object SparkEntry {
     // corpus): ingest-side state, built here so the t21d row times the
     // maintained-side READ, not the one-time admission
     t21dIndexDir(spark, dir)
+    // the pre-generated payload tables: the decode-only twins (m1b/m5g)
+    // read these, so their rows time the decoders, not the fixture's
+    // PNG/AVI/WAV encode
+    mediaTableDir(spark, dir)
     // d6Groups is NOT warmed: its build rides on d2Pairs, and warming it
     // would silently lift d2's documented first-touch pipeline cost out of
     // d2's own bench timing — d6b pays the assignment build on first touch

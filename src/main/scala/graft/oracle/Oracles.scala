@@ -426,6 +426,26 @@ ORDER BY id_a, id_b"""
 vp AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h,
               2 + l % 3 AS nf FROM vl)"""
 
+  /** m1 and its decode-only twin m1b share ONE oracle: the twin reads
+    * pre-generated payload parquet, so the result is identical by
+    * construction — only the measured cost differs. */
+  private val mediaMetaSql = s"""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN w * h * (2 + l % 3) ELSE w * h END AS BIGINT) AS n_pixels
+FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
+             16 + length(text) % 48 AS w, 16 + (length(text) * 7) % 48 AS h
+      FROM $Docs)
+ORDER BY doc_id"""
+
+  /** m5 and its decode-only twin m5g, one oracle (the m1/m1b rule). */
+  private val audioMetaSql = s"""$AudioCtes
+SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
+       duration_ms, pcm_hash
+FROM am ORDER BY doc_id"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2082,16 +2102,11 @@ FROM q GROUP BY lang ORDER BY lang""",
     // The oracle predicts both paths; equality is evidence the real
     // decoders ran (the engine never sees the generator's numbers — it
     // re-reads them from the container bytes).
-    "m1_media_meta" -> s"""
-SELECT doc_id,
-       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
-       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       CAST(CASE WHEN doc_id % 4 = 0 THEN w * h * (2 + l % 3) ELSE w * h END AS BIGINT) AS n_pixels
-FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
-             16 + length(text) % 48 AS w, 16 + (length(text) * 7) % 48 AS h
-      FROM $Docs)
-ORDER BY doc_id""",
+    "m1_media_meta" -> mediaMetaSql,
+    // m1b: the decode-only twin reads pre-generated payload parquet —
+    // the RESULT is identical by construction, so the oracle is m1's,
+    // byte-shared (what makes the pair a pure encode-vs-decode seam).
+    "m1b_media_meta_from_table" -> mediaMetaSql,
 
     // m6: the media data card — m1's per-modality formulas rolled up per
     // (media_type, format); exact integer sums (video pixels carry the
@@ -2243,10 +2258,9 @@ ORDER BY id_a, id_b""",
     // recomputed from the generative formula; the engine parses them out
     // of a real WAV with javax.sound.sampled, so agreement proves the
     // container round-trip bit-exactly (the m4 discipline).
-    "m5_audio_meta" -> s"""$AudioCtes
-SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
-       duration_ms, pcm_hash
-FROM am ORDER BY doc_id""",
+    "m5_audio_meta" -> audioMetaSql,
+    // m5g: the decode-only twin (the m1b discipline) — oracle byte-shared.
+    "m5g_audio_meta_from_table" -> audioMetaSql,
 
     // m5d: audio NEAR-dups — the acoustic fingerprint (65 equal sample
     // windows by integer bounds, exact energy sums, bit w = E(w+1) >

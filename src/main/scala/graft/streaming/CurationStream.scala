@@ -80,9 +80,11 @@ object CurationStream {
       benchmark: DataFrame, threshold: Double = 0.5,
       semThreshold: Double = 0.9, minQuality: Double = 0.5,
       contamK: Int = 4, contamMinShared: Int = 1,
-      maxCell: Int = 256): DataFrame =
+      maxCell: Int = 256,
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): DataFrame =
     DedupStream.admissionVerdicts(spark, textIndexDir, docs, benchmark,
       threshold, minQuality, contamK, contamMinShared,
+      spanRung = spanRung,
       semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
         semThreshold, maxCell)),
       imagePairs =
@@ -128,18 +130,20 @@ object CurationStream {
       semThreshold: Double = 0.9, minQuality: Double = 0.5,
       contamK: Int = 4, contamMinShared: Int = 1,
       lineage: String = "curation", maxCell: Int = 256,
-      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): Unit =
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): Unit =
     admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
       outDir, benchmark, threshold, semThreshold, minQuality, contamK,
       contamMinShared, lineage, maxCell, bloomSizing,
-      failAfterTextTier = false)
+      failAfterTextTier = false, spanRung = spanRung)
 
   private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
       batchId: Long, textIndexDir: String, vectorIndexDir: String,
       outDir: String, benchmark: DataFrame, threshold: Double,
       semThreshold: Double, minQuality: Double, contamK: Int,
       contamMinShared: Int, lineage: String, maxCell: Int,
-      bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean): Unit = {
+      bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean,
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): Unit = {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
@@ -154,10 +158,14 @@ object CurationStream {
         DedupStream.sideExcluding(spark, textIndexDir, "shingles", tag),
         DedupStream.sideExcluding(spark, textIndexDir, "bands", tag),
         threshold),
-      DedupOps.incrementalSpans(docs,
+      // the span rung on the CONFIGURED index (seeds = coordinates;
+      // sketch = t21d's 1/w-sized winnowfps side), each side through the
+      // own-batch exclusion; the by-name args mean only the chosen
+      // rung's sides are ever probed
+      DedupStream.spanScreenOf(spark, spanRung, docs,
         DedupStream.sideExcluding(spark, textIndexDir, "seeds", tag),
         DedupStream.sideExcluding(spark, textIndexDir, "seedstats", tag),
-        k = DedupStream.SeedK),
+        DedupStream.sideExcluding(spark, textIndexDir, "winnowfps", tag)),
       DedupOps.contaminationHits(docs, benchmark, contamK, contamMinShared),
       minQuality,
       Some(VectorStream.screenExcluding(spark, vectorIndexDir, vectors,
@@ -284,7 +292,8 @@ object CurationStream {
       outDir: String, checkpointDir: String, benchmark: DataFrame,
       threshold: Double = 0.5, semThreshold: Double = 0.9,
       minQuality: Double = 0.5, maxCell: Int = 256,
-      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): StreamingQuery = {
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -295,7 +304,7 @@ object CurationStream {
             .select(col("doc_id").as("vec_id"), col("embedding")),
           batchId, textIndexDir, vectorIndexDir, outDir, benchmark,
           threshold, semThreshold, minQuality, lineage = lineage,
-          maxCell = maxCell, bloomSizing = bloomSizing)
+          maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung)
       }
       .start()
   }

@@ -933,17 +933,47 @@ object DedupStream {
     * IVF index (maintained by the embedding pipeline, not this stream's
     * text index) and the increment's vectors; `semantic_dup` slots
     * between span_dup and contaminated. */
+  /** The span rung's INDEX choice — the documented 1/w-size tradeoff as
+    * a config value instead of prose: `Seeds` serves [[screenSpans]]
+    * (exact span COORDINATES off the positional seed side — what d9c's
+    * scrub remediation needs); `Sketch` serves [[screenWinnow]] off the
+    * winnowfps side at ~1/[[WinnowW]] the index size, detecting the same
+    * ≥ [[SeedK]] + [[WinnowW]] − 1 = 8-word forced overlap at pair level
+    * only. The sketch rung screens at minShared = 1: an exactly-8-word
+    * overlap forces exactly ONE shared fingerprint, so parity with the
+    * seed rung's minSpan = 8 needs the single-print evidence level
+    * (higher minShared trades that boundary recall for precision). */
+  sealed trait SpanRung
+  case object SeedsRung extends SpanRung
+  case object SketchRung extends SpanRung
+
+  /** The rung's screen over the maintained index — ONE dispatch shared
+    * by [[admissionVerdicts]] and [[CurationStream]]'s phase-1 (which
+    * passes each side through its own-batch exclusion first). */
+  private[streaming] def spanScreenOf(spark: SparkSession, rung: SpanRung,
+      newDocs: DataFrame, seeds: => DataFrame, seedStats: => DataFrame,
+      winnowFps: => DataFrame): DataFrame = rung match {
+    case SeedsRung =>
+      DedupOps.incrementalSpans(newDocs, seeds, seedStats, k = SeedK)
+    case SketchRung =>
+      DedupOps.winnowScreen(winnowFps, newDocs, k = SeedK, w = WinnowW,
+        minShared = 1)
+  }
+
   def admissionVerdicts(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, benchmark: DataFrame, threshold: Double = 0.5,
       minQuality: Double = 0.5, contamK: Int = 4,
       contamMinShared: Int = 1, semPairs: Option[DataFrame] = None,
       imagePairs: Option[DataFrame] = None,
       audioPairs: Option[DataFrame] = None,
-      audioFpPairs: Option[DataFrame] = None): DataFrame =
+      audioFpPairs: Option[DataFrame] = None,
+      spanRung: SpanRung = SeedsRung): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
-      screenSpans(spark, indexDir, newDocs),
+      spanScreenOf(spark, spanRung, newDocs,
+        corpusSeeds(spark, indexDir), corpusSeedStats(spark, indexDir),
+        corpusWinnowFps(spark, indexDir)),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
       minQuality, semPairs, imagePairs, audioPairs, audioFpPairs)
 

@@ -168,6 +168,45 @@ class CurationStreamSpec extends SparkSpec {
     assert(advisory === batchC2b())
   }
 
+  test("the span rung serves from the configured index: sketch equals seeds on ≥ 8-word overlap") {
+    val tmp = Files.createTempDirectory("graft_curation_rung").toString
+    seedTiers(tmp)
+    // the documented index-size tradeoff, MEASURED instead of prose: the
+    // winnow sketch side is ~1/w the positional seed side the seeds rung
+    // reads (both maintained off one hash evaluation at admission)
+    val seedRows = DedupStream.corpusSeeds(spark, s"$tmp/text").count()
+    val fpRows = DedupStream.corpusWinnowFps(spark, s"$tmp/text").count()
+    assert(fpRows < seedRows, s"sketch side $fpRows must be < seed side $seedRows")
+    val docs = increment.toDF("doc_id", "text")
+    val vecs = incEmb.toDF("vec_id", "embedding")
+    val bench = benchRows.toDF("doc_id", "text")
+    // the fixture's span_dup doc (402) carries a 10-word verbatim span —
+    // ≥ SeedK + WinnowW − 1 = 8 words, the bound at which the sketch is
+    // FORCED to share a fingerprint: both rungs must produce the same
+    // verdict for every doc, witness included
+    def adv(rung: DedupStream.SpanRung) =
+      CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec", docs, vecs,
+        bench, spanRung = rung)
+        .as[(Long, String, Option[Long], Double)].collect().toSeq
+    val viaSeeds = adv(DedupStream.SeedsRung)
+    val viaSketch = adv(DedupStream.SketchRung)
+    DedupOps.releaseCaches()
+    assert(viaSeeds === viaSketch)
+    assert(viaSeeds.find(_._1 == 402L).map(_._2) === Some("span_dup"))
+    // the COMMITTED path under the sketch rung: same verdicts, and the
+    // replay — whose previous attempt already appended this batch's own
+    // winnowfps rows — stays stable via the own-batch exclusion
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "rung",
+      spanRung = DedupStream.SketchRung)
+    assert(verdictRows(tmp) === viaSeeds)
+    CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
+      s"$tmp/out", bench, lineage = "rung",
+      spanRung = DedupStream.SketchRung)
+    assert(verdictRows(tmp) === viaSeeds)
+    DedupOps.releaseCaches()
+  }
+
   test("a media feed's image rung rejects a corpus-image recycler (c6 streaming)") {
     val tmp = Files.createTempDirectory("graft_curation_img").toString
     // the fixture image depends only on text LENGTH: every text below is

@@ -94,6 +94,65 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m5d band rail binds on a 5000-clip silence-class flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    // 5000 same-length clips share ONE acoustic print (the generative
+    // samples depend only on text length), collapsing every band bucket
+    // the flood touches — ~12.5M Hamming-0 pairs without the rail; 10
+    // identical-triplet length classes are the genuine content whose
+    // pairs must survive (the m4c flood on the audio modality — the
+    // degenerate feed the r15 verdict asked to soak: every clip of one
+    // re-used jingle/silence class lands in one bucket)
+    val flood = (10000L until 15000L).map(i => (i, "s" * 30))
+    // group lengths are SEARCHED off the generative formula so no group
+    // print shares a band key with the flood print — acoustic prints
+    // genuinely collide across lengths (the r15 advice's point), and a
+    // class whose print IS the flood's is absorbed by the rail by
+    // design, which is not what this soak measures
+    def printOf(l: Int): (Long, Long) = {
+      val (ch, nf) = graft.llm.MultimodalOps.AudioGen.params(l.toLong)
+      graft.llm.MultimodalOps.acousticFingerprint(
+        Array.tabulate(nf * ch)(i => graft.llm.MultimodalOps.AudioGen.sample(l.toLong, i.toLong)))
+    }
+    def bandsOf(p: (Long, Long)): Set[(Int, Long)] = Set(
+      0 -> (p._2 & 0xffffL), 1 -> ((p._2 >> 16) & 0xffffL),
+      2 -> (p._1 & 0xffffL), 3 -> ((p._1 >> 16) & 0xffffL))
+    val floodBands = bandsOf(printOf(30))
+    val groupLens = (31 to 300).iterator
+      .filter(l => (bandsOf(printOf(l)) & floodBands).isEmpty)
+      .take(10).toSeq
+    assert(groupLens.size === 10, "fixture search: need 10 flood-disjoint lengths")
+    val groups = groupLens.zipWithIndex.flatMap { case (len, g) =>
+      (0 until 3).map(j => ((g * 3 + j).toLong, "z" * len))
+    }
+    try {
+      val prints = MultimodalOps.audioFingerprintFrame(
+        MultimodalOps.asAudioTable((flood ++ groups).toDF("doc_id", "text")))
+      // the rail FIRES: the flood's single print dwarfs maxBucket in all
+      // four of its band buckets
+      val biggest = prints.groupBy("h_hi", "h_lo").count()
+        .agg(max("count")).head().getLong(0)
+      assert(biggest >= 5000L, s"degenerate print bucket only $biggest")
+      val railed = MultimodalOps.imageNearDupsFromHashes(prints)
+        .as[(Long, Long, Long)].collect().toSet
+      // small-N oracle: the engine on the corpus WITHOUT the flood
+      // (prints are per-clip, so removal changes nothing else)
+      val reference = MultimodalOps.imageNearDupsFromHashes(
+        MultimodalOps.audioFingerprintFrame(
+          MultimodalOps.asAudioTable(groups.toDF("doc_id", "text"))))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      assert(railed.nonEmpty)
+      // every within-length-class triplet pair survives at Hamming 0;
+      // the flood contributes none
+      assert((0 until 10).forall { g =>
+        val ids = (0 until 3).map(j => (g * 3 + j).toLong)
+        ids.combinations(2).forall(p => railed.contains((p(0), p(1), 0L)))
+      }, s"genuine triplet pairs lost: $railed")
+      assert(railed.forall { case (a, b, _) => a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
   // ---- t21b: winnow-sketch df rail ----------------------------------------
 
   test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {

@@ -287,7 +287,7 @@ object SparkEntry {
       DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
 
   /** The t21d index: a REAL on-disk [[graft.streaming.DedupStream]]
-    * index (all eleven sides) built once per JVM per sfDir by admitting
+    * index (all twelve sides) built once per JVM per sfDir by admitting
     * the corpus docs through the SAME `admitBatch` the streaming loop
     * runs — the StoreLayout.ensureServingTables discipline applied to
     * the text tier, so the t21d row serves its winnow screen from the
@@ -1158,6 +1158,20 @@ object SparkEntry {
       MultimodalOps.imageNearDupsFromHashes(
         MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
           documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m7c_video_near_dups_served" -> ((s, d) =>
+      // the VIDEO rung served from the STREAMING-MAINTAINED twelfth
+      // side: the increment's keyframe prints against videohashes
+      // parquet rows a real DedupStream admitBatch wrote off the same
+      // media-table materialization as the image side — the m5f
+      // discipline on the fourth modality (same oracle family, served
+      // pair restriction; corpus containers parse once, at admission)
+      MultimodalOps.imageNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusVideoHashes(s, t21dIndexDir(s, d)),
+        MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
+          documents(s, d).filter(col("doc_id") >= 400)
+            .filter(MultimodalOps.isVideoId(col("doc_id"))))),
+        documents(s, d).filter(col("doc_id") >= 400)
+          .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the

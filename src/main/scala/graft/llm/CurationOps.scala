@@ -115,8 +115,8 @@ object CurationOps {
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
     * `semantic_dup` > `image_dup` > `audio_dup` > `audio_near_dup` >
-    * `contaminated` > `low_quality` > `admitted`. `detail_id` names the
-    * firing screen's
+    * `video_dup` > `contaminated` > `low_quality` > `admitted`.
+    * `detail_id` names the firing screen's
     * witness — the keeper for dups/spans/semantic/image/audio dups, the
     * colliding benchmark doc for contamination (min id for determinism)
     * — and is null for quality-only rejections and admissions.
@@ -139,7 +139,13 @@ object CurationOps {
     * design) but whose energy contour the exact tier cannot see. It
     * slots directly after the exact audio rung: content identity
     * outranks perceptual similarity on the same modality, exactly as
-    * near_dup (verbatim text) outranks semantic_dup.
+    * near_dup (verbatim text) outranks semantic_dup. `videoPairs` (m7c)
+    * is the VIDEO rung — keyframe-print near-dup pairs
+    * ([[graft.streaming.DedupStream.screenVideoNearDups]]): a clip
+    * re-uploaded with its opening shot intact is caught by thumbnail-
+    * print identity even when its text, image and audio read fresh; it
+    * ranks last among the modality rungs (the newest, least-specific
+    * evidence class).
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -156,7 +162,8 @@ object CurationOps {
       semPairs: Option[DataFrame] = None,
       imagePairs: Option[DataFrame] = None,
       audioPairs: Option[DataFrame] = None,
-      audioFpPairs: Option[DataFrame] = None): DataFrame = {
+      audioFpPairs: Option[DataFrame] = None,
+      videoPairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -176,8 +183,8 @@ object CurationOps {
           p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
           Seq("doc_id"), "left")
       }
-    rung(rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
-        audioPairs, "aud_id"), audioFpPairs, "audfp_id")
+    rung(rung(rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
+        audioPairs, "aud_id"), audioFpPairs, "audfp_id"), videoPairs, "vid_id")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
@@ -186,11 +193,12 @@ object CurationOps {
           .when(col("img_id").isNotNull, "image_dup")
           .when(col("aud_id").isNotNull, "audio_dup")
           .when(col("audfp_id").isNotNull, "audio_near_dup")
+          .when(col("vid_id").isNotNull, "video_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("img_id"), col("aud_id"), col("audfp_id"),
+          col("img_id"), col("aud_id"), col("audfp_id"), col("vid_id"),
           col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")

@@ -980,6 +980,13 @@ object MultimodalOps {
   private[graft] def videoKeyframeHashesRaw(media: DataFrame): DataFrame =
     DedupOps.tracked(videoKeyframeHashes(media))
 
+  /** The tracked-persisted MEDIA TABLE the dual-tier admission loop
+    * shares between its image-print and keyframe-print consumers: the
+    * fixture's payload generation (and in production the payload READ)
+    * runs once per batch however many modality screens look at it. */
+  private[graft] def mediaTableRaw(documents: DataFrame): DataFrame =
+    DedupOps.tracked(asMediaTable(documents))
+
   def videoKeyframeHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -446,6 +446,40 @@ SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
        duration_ms, pcm_hash
 FROM am ORDER BY doc_id"""
 
+  /** m7b/m7c's keyframe near-dup chain: frame 0's aHash recomputed from
+    * the generative formula, the band rail mirrored, candidates from
+    * pruned band joins under the given pair condition (batch form:
+    * id_a < id_b; served form: the m4d increment-later restriction). */
+  private def videoKeyframeNearDupSql(pairCond: String): String = s"""
+WITH $VideoCteList,
+kg AS (SELECT doc_id,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM vp),
+km AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM kg),
+abits AS (SELECT doc_id,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM km),
+$BandRailCteList,
+acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM apruned a JOIN apruned b
+            ON a.band = b.band AND a.key = b.key AND $pairCond)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM acand c JOIN abits x ON x.doc_id = c.id_a
+             JOIN abits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2179,37 +2213,13 @@ SELECT doc_id, 'avi' AS format, CAST(w AS BIGINT) AS width,
 FROM vp ORDER BY doc_id""",
 
     // m7b: near-dup videos via KEYFRAME prints (frame 0's aHash — the
-    // fno = 0 case of the m3 chain) under the mirrored band rail; the
-    // rail fragment reads the chain's `abits` like the audio oracles.
-    "m7b_video_near_dups" -> s"""
-WITH $VideoCteList,
-kg AS (SELECT doc_id,
-         list_transform(
-           list_transform(range(0, 64), k ->
-             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l) & 16777215),
-           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-                 + (v & 255) * 114) // 1000) AS gray
-       FROM vp),
-km AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM kg),
-abits AS (SELECT doc_id,
-       CAST(list_sum(list_transform(range(32, 64), k ->
-         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
-              ELSE 0 END)) AS BIGINT) AS h_hi,
-       CAST(list_sum(list_transform(range(0, 32), k ->
-         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
-              ELSE 0 END)) AS BIGINT) AS h_lo
-     FROM km),
-$BandRailCteList,
-acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM apruned a JOIN apruned b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b,
-       CAST(bit_count(xor(x.h_hi, y.h_hi))
-            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
-FROM acand c JOIN abits x ON x.doc_id = c.id_a
-             JOIN abits y ON y.doc_id = c.id_b
-WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
-ORDER BY id_a, id_b""",
+    // fno = 0 case of the m3 chain) under the mirrored band rail; m7c is
+    // the SERVED restriction over the same chain (the m5e/m5f rule).
+    "m7b_video_near_dups" ->
+      videoKeyframeNearDupSql("a.doc_id < b.doc_id"),
+    "m7c_video_near_dups_served" ->
+      videoKeyframeNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /

@@ -7,23 +7,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's ten
+  * against BOTH maintained index tiers (the text tier's twelve
   * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
   * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
-  * audio_near_dup > contaminated > low_quality > admitted), same oracle
+  * audio_near_dup > video_dup > contaminated > low_quality > admitted),
+  * same oracle
   * — where the two single-tier services each fold only their OWN screen
   * into admission, this one commits the complete curation policy. Feeds
   * carrying the media envelope (a `source` column) additionally pass
-  * the IMAGE rung and BOTH AUDIO rungs — the increment's fingerprints
-  * against the maintained imagehashes/audiohashes/audiofps sides (the
-  * c6/c6b compositions plus the perceptual-audio tier): the exact rung
-  * is PCM-content identity, and the acoustic-print rung behind it
-  * catches the re-encoded or gain-shifted clip recycler whose hash
-  * differs but whose energy contour survives. Text-only feeds skip all
-  * three entirely.
+  * the IMAGE rung, BOTH AUDIO rungs and the VIDEO rung — the
+  * increment's fingerprints against the maintained imagehashes /
+  * audiohashes / audiofps / videohashes sides: the exact audio rung is
+  * PCM-content identity, the acoustic-print rung behind it catches the
+  * re-encoded or gain-shifted clip recycler whose hash differs but
+  * whose energy contour survives, and the video rung catches the clip
+  * re-uploaded with its opening shot intact (keyframe-print identity).
+  * Text-only feeds skip all four entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -35,7 +37,7 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all eleven sides + groups);
+  *      replay discipline, all twelve sides + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -99,20 +101,27 @@ object CurationStream {
       audioFpPairs =
         if (MultimodalOps.hasMediaEnvelope(docs))
           Some(DedupStream.screenAudioNearDups(spark, textIndexDir, docs))
+        else None,
+      videoPairs =
+        if (MultimodalOps.hasMediaEnvelope(docs))
+          Some(DedupStream.screenVideoNearDups(spark, textIndexDir, docs))
         else None)
 
-  /** The increment's image fingerprints, decoded ONCE per batch and fed
-    * to BOTH the phase-1 screen and the phase-2 side write — or None
-    * when the feed carries no media envelope ([[MultimodalOps
-    * .hasMediaEnvelope]], the same single gate the side write keys on):
-    * text-only feeds pay nothing, not even the side's FS probes. */
-  private def incrementHashes(docs: DataFrame): Option[DataFrame] =
-    if (MultimodalOps.hasMediaEnvelope(docs))
-      Some(MultimodalOps.imageHashesRaw(MultimodalOps.asMediaTable(docs)))
-    else None
+  /** The increment's image fingerprints AND video keyframe prints,
+    * decoded ONCE per batch off ONE materialized media table and fed to
+    * both the phase-1 screens and the phase-2 side writes — or None when
+    * the feed carries no media envelope ([[MultimodalOps
+    * .hasMediaEnvelope]], the same single gate the side writes key on):
+    * text-only feeds pay nothing, not even the sides' FS probes. */
+  private def incrementMedia(docs: DataFrame): Option[(DataFrame, DataFrame)] =
+    if (MultimodalOps.hasMediaEnvelope(docs)) {
+      val media = MultimodalOps.mediaTableRaw(docs)
+      Some((MultimodalOps.imageHashesRaw(media),
+        MultimodalOps.videoKeyframeHashesRaw(media)))
+    } else None
 
   /** The increment's COMBINED audio decode (header + content hash +
-    * acoustic print), decoded ONCE per batch — the [[incrementHashes]]
+    * acoustic print), decoded ONCE per batch — the [[incrementMedia]]
     * discipline on the third modality: phase-1's exact-audio rung, its
     * perceptual-print rung, and BOTH phase-2 side writes (audiohashes +
     * audiofps) share this one frame. */
@@ -150,7 +159,9 @@ object CurationStream {
     // the increment's image + audio fingerprints, decoded ONCE (None for
     // text-only feeds) — the screens below and the phase-2 side writes
     // share them
-    val incrHashes = incrementHashes(docs)
+    val incrMedia = incrementMedia(docs)
+    val incrHashes = incrMedia.map(_._1)
+    val incrVideo = incrMedia.map(_._2)
     val incrAudio = incrementAudio(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
     val verdict = CurationOps.admitIncrement(docs,
@@ -188,7 +199,14 @@ object CurationStream {
       // pcm_hash slipped the exact rung
       incrAudio.map(a => MultimodalOps.imageNearDupsServedHashes(
         DedupStream.sideExcluding(spark, textIndexDir, "audiofps", tag),
-        a, docs.select("doc_id"))))
+        a, docs.select("doc_id"))),
+      // the VIDEO rung: the increment's keyframe prints (off the same
+      // materialized media table as the image rung) against the
+      // maintained videohashes side, same exclusion discipline — the
+      // clip re-uploaded with its opening shot intact
+      incrVideo.map(v => MultimodalOps.imageNearDupsServedHashes(
+        DedupStream.sideExcluding(spark, textIndexDir, "videohashes", tag),
+        v, docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -207,7 +225,7 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all eleven sides
+      // pairs) — and owns the replay discipline for all twelve sides
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
@@ -215,7 +233,8 @@ object CurationStream {
         // the phase-1 fingerprints, restricted to the kept set inside
         // admitBatch — the admitted images/clips are NOT re-decoded
         imageHashes = incrHashes,
-        audioFull = incrAudio)
+        audioFull = incrAudio,
+        videoHashes = incrVideo)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -240,11 +259,12 @@ object CurationStream {
           counts.getOrElse("image_dup", 0L),
           counts.getOrElse("audio_dup", 0L),
           counts.getOrElse("audio_near_dup", 0L),
+          counts.getOrElse("video_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
           "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
-          "n_audio_near_dup", "n_contaminated", "n_low_quality")
+          "n_audio_near_dup", "n_video_dup", "n_contaminated", "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)
@@ -276,11 +296,13 @@ object CurationStream {
         StructField("n_image_dup", LongType),
         StructField("n_audio_dup", LongType),
         StructField("n_audio_near_dup", LongType),
+        StructField("n_video_dup", LongType),
         StructField("n_contaminated", LongType),
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
-      .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup"))
+      .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup",
+        "n_video_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
   }
 

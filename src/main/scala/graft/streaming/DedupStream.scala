@@ -46,6 +46,9 @@ import graft.llm.DedupOps
   * indexDir/audiofps/batch=<lineage>-<id>/  (doc_id, h_hi, h_lo, n_frames)
   *                                          acoustic prints off the SAME
   *                                          decode — m5d/m5e serving
+  * indexDir/videohashes/batch=<lineage>-<id>/ (imagehashes schema) keyframe
+  *                                          prints of the admitted video
+  *                                          renditions — m7c serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -56,7 +59,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The eleven index sides start flat under `indexDir` and migrate into
+  * The twelve index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -413,6 +416,7 @@ object DedupStream {
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
+      case "videohashes" => ImgHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -531,6 +535,30 @@ object DedupStream {
   def corpusAudioFps(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/audiofps", AudioFpSchema)
       .drop("batch")
+
+  /** The maintained video KEYFRAME-print side over every ADMITTED doc's
+    * video rendition (m7b's frame-0 aHash rows in the imagehashes
+    * schema, appended per batch off the media table the image side
+    * shares, identity fold): 16 bytes per clip, so video identity
+    * screening — thumbnail-print identity — is pure bit work; the
+    * container parses once, at admission. */
+  def corpusVideoHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/videohashes", ImgHashSchema)
+      .drop("batch")
+
+  /** M7b/m7c over the maintained side: NEAR-duplicate videos between a
+    * media increment and the admitted corpus's keyframe-print table —
+    * the VIDEO rung of the admission ladder (the clip re-uploaded with
+    * its opening shot intact), riding the same banded machinery as the
+    * image and acoustic print families. */
+  def screenVideoNearDups(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    graft.llm.MultimodalOps.imageNearDupsServedHashes(
+      corpusVideoHashes(spark, indexDir),
+      graft.llm.MultimodalOps.videoKeyframeHashes(
+        graft.llm.MultimodalOps.asMediaTable(newDocs)),
+      newDocs.select("doc_id"), maxHamming, maxBucket)
 
   /** M5d/m5e over the maintained side: NEAR-duplicate audio between a
     * media increment and the admitted corpus's acoustic-print table —
@@ -694,7 +722,8 @@ object DedupStream {
       outDir: String, threshold: Double, lineage: String = "batch",
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       imageHashes: Option[DataFrame] = None,
-      audioFull: Option[DataFrame] = None): Unit = {
+      audioFull: Option[DataFrame] = None,
+      videoHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -785,25 +814,35 @@ object DedupStream {
       graft.llm.TextOps.bigramPairs(keptOut)
         .groupBy("prev", "word").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$root/bigramcounts/$key")
-      // eighth side: the admitted docs' image-modality FINGERPRINTS
-      // (m4's aHash) — pixels decode exactly once, at admission; the m4d
-      // screen and any image-dedup consumer read 16-byte hash rows ever
-      // after. Same idempotent batch= key; undecodable rows (video)
-      // contribute nothing. A caller that already decoded the batch
-      // (CurationStream's phase-1 screen) passes its fingerprint frame
-      // via `imageHashes` — restricted here to the kept set — so the
-      // decode truly runs once; otherwise the side is written ONLY for
-      // batches carrying the media envelope: a text-only admission must
-      // not pay a per-doc decode for a side it will never query — its
-      // dir is simply absent, which readSide resolves as empty.
-      imageHashes
-        .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
-        .orElse(
-          if (graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
-            Some(graft.llm.MultimodalOps.fingerprintFrame(
-              graft.llm.MultimodalOps.asMediaTable(keptOut)))
-          else None)
-        .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
+      // eighth + twelfth sides: the admitted docs' image-modality
+      // FINGERPRINTS (m4's aHash) and the video renditions' KEYFRAME
+      // prints (m7b's frame-0 aHash, imagehashes schema) — pixels and
+      // containers decode exactly once, at admission; the m4d/m7c
+      // screens read 16-byte hash rows ever after. Same idempotent
+      // batch= key. A caller that already decoded the batch
+      // (CurationStream's phase-1 screens) passes its fingerprint
+      // frames via `imageHashes`/`videoHashes` — restricted here to the
+      // kept set; otherwise BOTH sides derive from ONE materialized
+      // media table (the payload generation/read must not run twice),
+      // and only for batches carrying the media envelope: a text-only
+      // admission must not pay a per-doc decode for sides it will never
+      // query — its dirs are simply absent, which readSide resolves as
+      // empty.
+      val mediaFallback =
+        if ((imageHashes.isEmpty || videoHashes.isEmpty) &&
+          graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
+          Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
+        else None
+      try {
+        imageHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(mediaFallback.map(graft.llm.MultimodalOps.fingerprintFrame))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
+        videoHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(mediaFallback.map(graft.llm.MultimodalOps.videoKeyframeHashes))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/videohashes/$key"))
+      } finally mediaFallback.foreach(_.unpersist(blocking = false))
       // tenth + eleventh sides off ONE audio decode: the combined
       // AudioFull frame (header + decoded-PCM content hash + acoustic
       // print — one container parse, one sample parse) projects into the
@@ -967,6 +1006,7 @@ object DedupStream {
       imagePairs: Option[DataFrame] = None,
       audioPairs: Option[DataFrame] = None,
       audioFpPairs: Option[DataFrame] = None,
+      videoPairs: Option[DataFrame] = None,
       spanRung: SpanRung = SeedsRung): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
@@ -975,7 +1015,7 @@ object DedupStream {
         corpusSeeds(spark, indexDir), corpusSeedStats(spark, indexDir),
         corpusWinnowFps(spark, indexDir)),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality, semPairs, imagePairs, audioPairs, audioFpPairs)
+      minQuality, semPairs, imagePairs, audioPairs, audioFpPairs, videoPairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
@@ -1029,6 +1069,7 @@ object DedupStream {
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
+    ("videohashes", ImgHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

@@ -131,9 +131,10 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the image or audio rungs (n_image_dup / n_audio_dup /
-    // n_audio_near_dup 0)
-    assert((4 to 11).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 1L, 0L), m.toString)
+    // never fires the media rungs (n_image_dup / n_audio_dup /
+    // n_audio_near_dup / n_video_dup 0)
+    assert((4 to 12).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 1L, 0L),
+      m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
     CurationStream.admitBatch(docs, vecs, 1L, s"$tmp/text", s"$tmp/vec",
@@ -352,10 +353,17 @@ class CurationStreamSpec extends SparkSpec {
     assert(pair.isDefined, "fixture search: no near-print length pair in band")
     val (lenA, lenB) = pair.get
     // a seed length acoustically FAR from both (the witness must be the
-    // microbatch-1 admission, not the seed) with a distinct content hash
+    // microbatch-1 admission, not the seed) with a distinct content
+    // hash, AND a keyframe print far from the microbatch-1 clip's (all
+    // fixture ids are video ids, so the VIDEO rung also screens them —
+    // a near keyframe would reject 404 before it could be admitted)
+    def kfOf(l: Int): (Long, Long) = MultimodalOps.aHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        MultimodalOps.VideoGen.framePng(l.toLong, 0))))
     val lenC = band.find(l => l != lenA && l != lenB &&
       hamming(prints(l), prints(lenA)) > 3 &&
       hamming(prints(l), prints(lenB)) > 3 &&
+      hamming(kfOf(l), kfOf(lenA)) > 3 &&
       hashes(l) != hashes(lenA) && hashes(l) != hashes(lenB)).get
     // exact-length text with the quality shape (~half stopwords) and
     // DISJOINT words per tag — no text rung can fire
@@ -410,6 +418,105 @@ class CurationStreamSpec extends SparkSpec {
     // only ADMITTED clips' prints sit on the side — the rejected
     // recycler's never landed
     assert(DedupStream.corpusAudioFps(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
+    DedupOps.releaseCaches()
+  }
+
+  test("the video rung rejects a keyframe recycler across microbatches (video_dup, start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_curation_vid").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, VideoGen}
+    // driver-side generative evaluations: keyframe print (frame 0 through
+    // the REAL PNG round-trip + aHash), acoustic print and PCM hash
+    def kfOf(l: Int): (Long, Long) = MultimodalOps.aHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        VideoGen.framePng(l.toLong, 0))))
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // the KEYFRAME-RECYCLER analog inside the generative fixture: lenB =
+    // lenA + 48k keeps the frame dims identical (both dim formulas have
+    // period 48) and shifts every pixel by a near-constant, which the
+    // mean-relative aHash mostly cancels — keyframe prints land within
+    // Hamming 3 — while the AUDIO diverges (sample count moves by
+    // (48k·13) mod 600): different pcm_hash, acoustic prints far. The
+    // video rung is then the ONLY rung that can see the recycling.
+    val cand = (for {
+      lenA <- (350 to 480).iterator
+      k <- (1 to 6).iterator
+      lenB = lenA + 48 * k
+      if hamming(kfOf(lenA), kfOf(lenB)) <= 3
+      if hamming(MultimodalOps.acousticFingerprint(samplesOf(lenA)),
+        MultimodalOps.acousticFingerprint(samplesOf(lenB))) > 3
+      if AudioDecoder.pcmHashOfSamples(samplesOf(lenA)) !=
+        AudioDecoder.pcmHashOfSamples(samplesOf(lenB))
+    } yield (lenA, lenB)).nextOption()
+    assert(cand.isDefined, "fixture search: no keyframe-near/audio-far pair")
+    val (lenA, lenB) = cand.get
+    // a seed length FAR from both on EVERY print family (and hash-distinct)
+    val lenC = (350 to 600).find(l => l != lenA && l != lenB &&
+      hamming(kfOf(l), kfOf(lenA)) > 3 && hamming(kfOf(l), kfOf(lenB)) > 3 &&
+      hamming(MultimodalOps.acousticFingerprint(samplesOf(l)),
+        MultimodalOps.acousticFingerprint(samplesOf(lenA))) > 3 &&
+      hamming(MultimodalOps.acousticFingerprint(samplesOf(l)),
+        MultimodalOps.acousticFingerprint(samplesOf(lenB))) > 3 &&
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)) !=
+        AudioDecoder.pcmHashOfSamples(samplesOf(lenA)) &&
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)) !=
+        AudioDecoder.pcmHashOfSamples(samplesOf(lenB))).get
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len, s"textOfLen($tag, $len)")
+      sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // every doc id is a VIDEO id: no image prints exist, the audio rungs
+    // are silenced by the search, and the video rung carries the catch
+    DedupStream.admitBatch(
+      Seq((8L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Float])]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+      s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench)
+    try {
+      // microbatch 1: a fresh clip, far from the seed on every print
+      // family — admitted; its keyframe print lands on the twelfth side
+      stream.addData((404L, "src", textOfLen("orig", lenA), e(2)))
+      q.processAllAvailable()
+      // microbatch 2: the keyframe recycler — fresh text, fresh
+      // embedding, fresh AUDIO (different pcm_hash, far acoustic print),
+      // but its opening shot matches the clip microbatch 1 committed:
+      // the video rung must reject it off the MAINTAINED side, across
+      // the microbatch boundary
+      stream.addData((408L, "src", textOfLen("redo", lenB), e(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdicts === Map(
+      404L -> ("admitted", None),
+      408L -> ("video_dup", Some(404L))), verdicts.toString)
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_video_dup")) === 1L, m.toString)
+    // only ADMITTED clips' keyframe prints sit on the side
+    assert(DedupStream.corpusVideoHashes(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
     DedupOps.releaseCaches()
   }

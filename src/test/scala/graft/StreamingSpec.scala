@@ -817,6 +817,57 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the videohashes side serves the keyframe screen (m7c streaming)") {
+    val tmp = Files.createTempDirectory("graft_video_stream").toString
+    // VIDEO ids only (doc_id % 4 == 0): the media envelope opts the
+    // batch in, and the keyframe prints land on the twelfth side off the
+    // SAME media-table materialization as the image side; the fixture
+    // AVI depends only on text LENGTH, so a same-length probe is an
+    // identical clip (keyframe Hamming 0)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((4L, "src", "a" * 30), (8L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(probe: org.apache.spark.sql.DataFrame) =
+      graft.streaming.DedupStream.screenVideoNearDups(spark, s"$tmp/index", probe)
+        .as[(Long, Long, Long)].collect().toSeq
+    val probe = Seq((12L, "src", "c" * 30), (16L, "src", "d" * 57))
+      .toDF("doc_id", "source", "text")
+    val hits = screen(probe)
+    assert(hits.contains((4L, 12L, 0L)), s"got $hits")
+    assert(hits.forall(_._2 >= 12L), s"got $hits")
+    // non-monotone orientation (the d5/m4d lesson)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((500L, "src", "e" * 33)).toDF("doc_id", "source", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val low = screen(Seq((20L, "src", "f" * 33)).toDF("doc_id", "source", "text"))
+    assert(low.contains((500L, 20L, 0L)), s"got $low")
+    // REPLAY self-exclusion: the already-admitted pair's internal match
+    // surfaces exactly once, (min, max)-oriented
+    graft.streaming.DedupStream.admitBatch(
+      Seq((24L, "src", "x" * 35), (28L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val replay = screen(
+      Seq((24L, "src", "x" * 35), (28L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"))
+    assert(replay.count(r => Set(r._1, r._2) == Set(24L, 28L)) === 1, s"got $replay")
+    assert(replay.contains((24L, 28L, 0L)), s"got $replay")
+    // compaction folds the per-batch dirs (identity fold); screen unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen(probe) === hits)
+    // the served side IS the admitted corpus's keyframe prints
+    val served = graft.streaming.DedupStream
+      .corpusVideoHashes(spark, s"$tmp/index")
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    val direct = graft.llm.MultimodalOps.videoKeyframeHashes(
+      graft.llm.MultimodalOps.asMediaTable(
+        spark.read.parquet(s"$tmp/out/kept").select("doc_id", "source", "text")))
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the winnowfps side serves the sketch pair screen (t21d streaming)") {
     val tmp = Files.createTempDirectory("graft_winnow_stream").toString
     val sharedA = (1 to 12).map(i => s"z$i").mkString(" ")

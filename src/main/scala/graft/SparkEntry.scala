@@ -1142,6 +1142,17 @@ object SparkEntry {
         MultimodalOps.asMediaTable(
           documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF().orderBy("doc_id", "frame_idx")),
+    "m3b_frame_near_dups" -> ((s, d) =>
+      // SHOT-LEVEL video near-dups: same-ordinal sampled frames within
+      // Hamming 3, banded candidates keyed (ordinal, band, key) — the
+      // re-edit that swaps the opening shot but keeps later footage
+      // still matches on the ordinals it kept (keyframe screens can't
+      // see that); frame prints decoded once (tracked), the rail keys
+      // per ordinal
+      MultimodalOps.frameNearDups(
+        MultimodalOps.sampleFramesRaw(s,
+          MultimodalOps.asMediaTable(
+            documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
     "m7_video_meta" -> ((s, d) =>
       // the last modality made real: header fields + frame count parsed
       // off an actual RIFF/AVI container by the pure-JDK chunk walk —
@@ -1172,6 +1183,14 @@ object SparkEntry {
             .filter(MultimodalOps.isVideoId(col("doc_id"))))),
         documents(s, d).filter(col("doc_id") >= 400)
           .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
+    "m7d_video_dup_groups" -> ((s, d) =>
+      // d1's exact-dedup semantics on the fourth modality: identical
+      // keyframe prints group, keeper = min doc_id — m4b/m5b's rule over
+      // the video print family (every print family now carries the
+      // exact-group / near-dup / served trio)
+      MultimodalOps.imageDupGroupsFromHashes(
+        MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
+          documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the

@@ -941,6 +941,57 @@ object MultimodalOps {
     }
   }
 
+  /** The tracked-persisted frame-print frame the m3b registry row
+    * consumes (the videoKeyframeHashesRaw rule: the banded search scans
+    * it more than once). */
+  private[graft] def sampleFramesRaw(spark: SparkSession,
+      media: DataFrame, frames: Int = 4): DataFrame =
+    DedupOps.tracked(sampleFrames(spark, media, frames).toDF())
+
+  /** M3b — SHOT-LEVEL video near-dups: pairs of videos whose SAME
+    * sampled ordinal's frames sit within `maxHamming` — the banded
+    * pigeonhole keyed by (frame_idx, band, key), so a re-edit that
+    * replaces the opening shot but keeps later footage still matches on
+    * the ordinals it kept (the keyframe screen m7b/m7c structurally
+    * cannot see that). Input is [[sampleFrames]]' output — the frame
+    * prints a deployment maintains beside the keyframe side; candidates
+    * come from equal-(ordinal, band) joins under the combined-population
+    * rail, and only candidates pay the exact bit_count verify — the
+    * image/audio machinery's discipline with one more partition key. */
+  def frameNearDups(frames: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = frames.select(col("doc_id"), col("frame_idx"),
+      col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val ok = allBands.groupBy("frame_idx", "band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("frame_idx", "band", "key")
+    val bands = allBands.join(ok, Seq("frame_idx", "band", "key"))
+    def sided(side: String): DataFrame =
+      bands.select(col("frame_idx"), col("band"), col("key"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    sided("a").join(sided("b"),
+        Seq("frame_idx", "band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), col("frame_idx"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b", "frame_idx")
+  }
+
   /** The m7 metadata row: container header fields + the movi list's
     * actual frame count (the decode truth) + the clip duration the
     * header timing implies. */

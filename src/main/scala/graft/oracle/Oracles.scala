@@ -446,13 +446,36 @@ SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
        duration_ms, pcm_hash
 FROM am ORDER BY doc_id"""
 
+  /** m3/m3b's per-ordinal frame-print chain over the video docs: frame
+    * numbers i·nf/4, pixels from the generative formula, aHash bits —
+    * exposes `fbits` (doc_id, i, fno, h_hi, h_lo). */
+  private val VideoFrameBitsCteList = s"""fs AS (SELECT doc_id, l, w, h, i, i * nf // 4 AS fno
+       FROM vp, (SELECT unnest(range(0, 4)) AS i)),
+fg AS (SELECT doc_id, i, fno,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l + fno * 7) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM fs),
+fm AS (SELECT doc_id, i, fno, gray, list_sum(gray) // 64 AS mean FROM fg),
+fbits AS (SELECT doc_id, i, fno,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM fm)"""
+
   /** m7b/m7c's keyframe near-dup chain: frame 0's aHash recomputed from
     * the generative formula, the band rail mirrored, candidates from
     * pruned band joins under the given pair condition (batch form:
     * id_a < id_b; served form: the m4d increment-later restriction). */
-  private def videoKeyframeNearDupSql(pairCond: String): String = s"""
-WITH $VideoCteList,
-kg AS (SELECT doc_id,
+  /** The keyframe (frame 0) aHash chain — exposes `abits` (doc_id,
+    * h_hi, h_lo); shared by the m7b/m7c near-dup builder and m7d's
+    * group oracle. */
+  private val VideoKeyframeBitsCteList = s"""kg AS (SELECT doc_id,
          list_transform(
            list_transform(range(0, 64), k ->
              ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l) & 16777215),
@@ -467,7 +490,11 @@ abits AS (SELECT doc_id,
        CAST(list_sum(list_transform(range(0, 32), k ->
          CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
               ELSE 0 END)) AS BIGINT) AS h_lo
-     FROM km),
+     FROM km)"""
+
+  private def videoKeyframeNearDupSql(pairCond: String): String = s"""
+WITH $VideoCteList,
+$VideoKeyframeBitsCteList,
 $BandRailCteList,
 acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM apruned a JOIN apruned b
@@ -2183,24 +2210,50 @@ ORDER BY doc_id""",
     // the container→frame→pixel round-trip bit-exactly.
     "m3_frame_sample" -> s"""
 WITH $VideoCteList,
-fs AS (SELECT doc_id, l, w, h, i, i * nf // 4 AS fno
-       FROM vp, (SELECT unnest(range(0, 4)) AS i)),
-fg AS (SELECT doc_id, i, fno,
-         list_transform(
-           list_transform(range(0, 64), k ->
-             ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17 + l + fno * 7) & 16777215),
-           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-                 + (v & 255) * 114) // 1000) AS gray
-       FROM fs),
-fm AS (SELECT doc_id, i, fno, gray, list_sum(gray) // 64 AS mean FROM fg)
+$VideoFrameBitsCteList
 SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(fno AS BIGINT) AS frame_no,
-       CAST(list_sum(list_transform(range(32, 64), k ->
-         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
-              ELSE 0 END)) AS BIGINT) AS h_hi,
-       CAST(list_sum(list_transform(range(0, 32), k ->
-         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
-              ELSE 0 END)) AS BIGINT) AS h_lo
-FROM fm ORDER BY doc_id, frame_idx""",
+       h_hi, h_lo
+FROM fbits ORDER BY doc_id, frame_idx""",
+
+    // m3b: SHOT-LEVEL near-dups — same-ordinal frame prints within
+    // Hamming 3, banded candidates keyed (ordinal, band, key) under the
+    // mirrored combined-population rail (the engine's frameNearDups).
+    "m3b_frame_near_dups" -> s"""
+WITH $VideoCteList,
+$VideoFrameBitsCteList,
+fbands AS (SELECT doc_id, i, band,
+         CASE band WHEN 0 THEN h_lo & 65535
+                   WHEN 1 THEN (h_lo >> 16) & 65535
+                   WHEN 2 THEN h_hi & 65535
+                   ELSE (h_hi >> 16) & 65535 END AS key
+  FROM fbits, (SELECT unnest(range(0, 4)) AS band)),
+fok AS (SELECT i, band, key FROM fbands GROUP BY i, band, key
+        HAVING count(*) <= 100),
+fpruned AS (SELECT b.doc_id, b.i, b.band, b.key
+            FROM fbands b JOIN fok USING (i, band, key)),
+fcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i
+          FROM fpruned a JOIN fpruned b
+            ON a.i = b.i AND a.band = b.band AND a.key = b.key
+           AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, CAST(c.i AS BIGINT) AS frame_idx,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM fcand c JOIN fbits x ON x.doc_id = c.id_a AND x.i = c.i
+             JOIN fbits y ON y.doc_id = c.id_b AND y.i = c.i
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b, frame_idx""",
+
+    // m7d: d1's exact-dedup semantics on video — identical keyframe
+    // prints form a group, keeper = min doc_id (m4b/m5b's rule on the
+    // fourth modality), over the m7b keyframe chain.
+    "m7d_video_dup_groups" -> s"""
+WITH $VideoCteList,
+$VideoKeyframeBitsCteList,
+grp AS (SELECT h_hi, h_lo, min(doc_id) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM abits GROUP BY 1, 2)
+SELECT b.doc_id, g.keeper_id, g.n_copies
+FROM abits b JOIN grp g USING (h_hi, h_lo) ORDER BY doc_id""",
 
     // m7: the video modality's metadata round-trip — every field (header
     // dims, movi frame count, timing-implied duration at the generator's

@@ -218,6 +218,41 @@ class LlmSpec extends SparkSpec {
       "evenly spaced integer-floor frame numbers over 3 frames")
   }
 
+  test("shot-level frame near-dups equal same-ordinal brute force (m3b)") {
+    import spark.implicits._
+    val frames = MultimodalOps.sampleFrames(spark,
+      MultimodalOps.asMediaTable(
+        docs.filter(MultimodalOps.isVideoId(col("doc_id"))))).toDF()
+    val banded = MultimodalOps.frameNearDups(frames)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val prints = frames.select("doc_id", "frame_idx", "h_hi", "h_lo")
+      .as[(Long, Long, Long, Long)].collect()
+    val brute = (for {
+      a <- prints; b <- prints
+      if a._1 < b._1 && a._2 == b._2
+      h = java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4)
+      if h <= 3
+    } yield (a._1, b._1, a._2, h.toLong)).toSet
+    assert(banded === brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // same-length videos are identical clips: every sampled ordinal
+    // matches at Hamming 0 — the full-match case
+    assert(banded.exists(_._4 == 0L), "fixture sanity: identical clips pair")
+    // the SHOT-LEVEL claim: a hand fixture where only LATER ordinals
+    // match (the re-edit that swaps the opening shot) — keyframe
+    // screens see nothing, the frame screen reports exactly the kept
+    // ordinals
+    val reEdit = Seq(
+      (1L, 10L, 100L, 200L), (1L, 11L, 300L, 400L),  // doc 1: shots A,B
+      (2L, 10L, 999L, 888L), (2L, 11L, 300L, 400L))  // doc 2: new open, same B
+      .toDF("doc_id", "frame_idx", "h_hi", "h_lo")
+    val got = MultimodalOps.frameNearDups(reEdit)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 11L, 0L)),
+      s"only the kept ordinal matches: $got")
+    DedupOps.releaseCaches()
+  }
+
   test("javax.sound.sampled decodes hand-built WAVs through the batched mapPartitions path (m5)") {
     import spark.implicits._
     import graft.llm.MultimodalOps.{AudioGen, AudioRecord, AudioMeta}

@@ -272,6 +272,15 @@ object SparkEntry {
   private def m5Afp(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.audioFpOf(m5Full(s, dir))
 
+  /** The m7 MAINTAINED keyframe-print table (the m4Hashes discipline on
+    * the video modality): containers parse once per (session, sfDir);
+    * m7d and m7c's increment serve reads while m7b keeps pricing the
+    * inline parse+decode (the measured seam). */
+  private def m7Keyframes(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m7keyframes")(
+      MultimodalOps.videoKeyframeHashes(MultimodalOps.asMediaTable(
+        documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id"))))))
+
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
     * (doc_id ≥ 400) screens against THESE rows only. */
@@ -1178,19 +1187,16 @@ object SparkEntry {
       // pair restriction; corpus containers parse once, at admission)
       MultimodalOps.imageNearDupsServedHashes(
         graft.streaming.DedupStream.corpusVideoHashes(s, t21dIndexDir(s, d)),
-        MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
-          documents(s, d).filter(col("doc_id") >= 400)
-            .filter(MultimodalOps.isVideoId(col("doc_id"))))),
+        m7Keyframes(s, d).filter(col("doc_id") >= 400),
         documents(s, d).filter(col("doc_id") >= 400)
           .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
     "m7d_video_dup_groups" -> ((s, d) =>
       // d1's exact-dedup semantics on the fourth modality: identical
       // keyframe prints group, keeper = min doc_id — m4b/m5b's rule over
       // the video print family (every print family now carries the
-      // exact-group / near-dup / served trio)
-      MultimodalOps.imageDupGroupsFromHashes(
-        MultimodalOps.videoKeyframeHashesRaw(MultimodalOps.asMediaTable(
-          documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
+      // exact-group / near-dup / served trio); serves the cached print
+      // table like m4b — m7b alone keeps pricing the inline parse
+      MultimodalOps.imageDupGroupsFromHashes(m7Keyframes(s, d))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the
@@ -1305,6 +1311,7 @@ object SparkEntry {
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
     m5Full(spark, dir).count()
+    m7Keyframes(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

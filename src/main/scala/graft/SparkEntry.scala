@@ -272,14 +272,20 @@ object SparkEntry {
   private def m5Afp(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.audioFpOf(m5Full(s, dir))
 
-  /** The m7 MAINTAINED keyframe-print table (the m4Hashes discipline on
-    * the video modality): containers parse once per (session, sfDir);
-    * m7d and m7c's increment serve reads while m7b keeps pricing the
-    * inline parse+decode (the measured seam). */
+  /** The m3 MAINTAINED sampled-frame-print table (the m4Hashes
+    * discipline on the video modality): containers parse once per
+    * (session, sfDir); m3c's increment and the m7c/m7d keyframe
+    * consumers serve reads — the keyframe table is this frame's
+    * ordinal-0 PROJECTION — while m7b/m3b keep pricing their inline
+    * parse+decode (the measured seams). */
+  private def m3Frames(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m3frames")(
+      MultimodalOps.sampleFrames(s, MultimodalOps.asMediaTable(
+        documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id")))))
+        .toDF())
+
   private def m7Keyframes(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "m7keyframes")(
-      MultimodalOps.videoKeyframeHashes(MultimodalOps.asMediaTable(
-        documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id"))))))
+    MultimodalOps.keyframeOf(m3Frames(s, dir))
 
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
@@ -1162,6 +1168,17 @@ object SparkEntry {
         MultimodalOps.sampleFramesRaw(s,
           MultimodalOps.asMediaTable(
             documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m3c_frame_near_dups_served" -> ((s, d) =>
+      // the SHOT-LEVEL screen served from the STREAMING-MAINTAINED
+      // thirteenth side: the increment's sampled-frame prints against
+      // framehashes parquet rows a real DedupStream admitBatch wrote off
+      // ONE frame decode shared with the keyframe side — the rung that
+      // catches a re-edit keeping later footage under a new opening shot
+      MultimodalOps.frameNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusFrameHashes(s, t21dIndexDir(s, d)),
+        m3Frames(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400)
+          .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
     "m7_video_meta" -> ((s, d) =>
       // the last modality made real: header fields + frame count parsed
       // off an actual RIFF/AVI container by the pure-JDK chunk walk —
@@ -1311,7 +1328,7 @@ object SparkEntry {
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
     m5Full(spark, dir).count()
-    m7Keyframes(spark, dir).count()
+    m3Frames(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

@@ -115,7 +115,8 @@ object CurationOps {
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
     * `semantic_dup` > `image_dup` > `audio_dup` > `audio_near_dup` >
-    * `video_dup` > `contaminated` > `low_quality` > `admitted`.
+    * `video_dup` > `video_near_dup` > `contaminated` > `low_quality` >
+    * `admitted`.
     * `detail_id` names the firing screen's
     * witness — the keeper for dups/spans/semantic/image/audio dups, the
     * colliding benchmark doc for contamination (min id for determinism)
@@ -143,9 +144,13 @@ object CurationOps {
     * is the VIDEO rung — keyframe-print near-dup pairs
     * ([[graft.streaming.DedupStream.screenVideoNearDups]]): a clip
     * re-uploaded with its opening shot intact is caught by thumbnail-
-    * print identity even when its text, image and audio read fresh; it
-    * ranks last among the modality rungs (the newest, least-specific
-    * evidence class).
+    * print identity even when its text, image and audio read fresh.
+    * `videoFramePairs` (m3c) is the SHOT-LEVEL rung behind it
+    * ([[graft.streaming.DedupStream.screenFrameNearDups]]): same-ordinal
+    * sampled-frame matches catch the RE-EDIT that swaps the opening
+    * shot but keeps later footage — the keyframe rung structurally
+    * cannot see it; it ranks last among the modality rungs (the widest,
+    * least-specific evidence class).
     *
     * Scale shape: the three screen outputs are rejected-id frames
     * (increment-sized at worst, usually far smaller) aggregated to one
@@ -163,7 +168,8 @@ object CurationOps {
       imagePairs: Option[DataFrame] = None,
       audioPairs: Option[DataFrame] = None,
       audioFpPairs: Option[DataFrame] = None,
-      videoPairs: Option[DataFrame] = None): DataFrame = {
+      videoPairs: Option[DataFrame] = None,
+      videoFramePairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -183,8 +189,10 @@ object CurationOps {
           p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
           Seq("doc_id"), "left")
       }
-    rung(rung(rung(rung(rung(base, semPairs, "sem_id"), imagePairs, "img_id"),
-        audioPairs, "aud_id"), audioFpPairs, "audfp_id"), videoPairs, "vid_id")
+    rung(rung(rung(rung(rung(rung(base, semPairs, "sem_id"),
+        imagePairs, "img_id"), audioPairs, "aud_id"),
+        audioFpPairs, "audfp_id"), videoPairs, "vid_id"),
+        videoFramePairs, "vidfr_id")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
@@ -194,12 +202,13 @@ object CurationOps {
           .when(col("aud_id").isNotNull, "audio_dup")
           .when(col("audfp_id").isNotNull, "audio_near_dup")
           .when(col("vid_id").isNotNull, "video_dup")
+          .when(col("vidfr_id").isNotNull, "video_near_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
           col("img_id"), col("aud_id"), col("audfp_id"), col("vid_id"),
-          col("contam_id")).as("detail_id"),
+          col("vidfr_id"), col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

@@ -911,10 +911,14 @@ object MultimodalOps {
   }
 
   /** One sampled keyframe: sample ordinal, the frame number it landed on
-    * (evenly spaced, integer floor — i·nf/frames), and the frame's
-    * perceptual fingerprint. */
+    * (evenly spaced, integer floor — i·nf/frames), the decoded frame's
+    * dims and its perceptual fingerprint. Ordinal 0 IS the keyframe, so
+    * [[keyframeOf]] projects the imagehashes-schema keyframe table out
+    * of this frame — one decode feeds both the frame side and the
+    * keyframe side. */
   final case class FrameSample(
-      doc_id: Long, frame_idx: Long, frame_no: Long, h_hi: Long, h_lo: Long)
+      doc_id: Long, frame_idx: Long, frame_no: Long, width: Long,
+      height: Long, h_hi: Long, h_lo: Long)
 
   /** M3 — REAL keyframe extraction: parse each video's RIFF/AVI
     * container, sample `frames` evenly-spaced frame numbers (i·nf/frames
@@ -930,12 +934,15 @@ object MultimodalOps {
     media.as[MediaRecord].flatMap { r =>
       AviDecoder.parse(r.payload).iterator.flatMap { v =>
         val nf = v.frames.size
-        val memo = scala.collection.mutable.HashMap.empty[Int, Option[(Long, Long)]]
+        val memo = scala.collection.mutable
+          .HashMap.empty[Int, Option[((Long, Long), Long, Long)]]
         (0 until frames).iterator.flatMap { i =>
           val fno = i.toLong * nf / frames
           memo.getOrElseUpdate(fno.toInt,
-              ImageDecoder.image(v.frames(fno.toInt)).map(aHash))
-            .map { case (hi, lo) => FrameSample(r.doc_id, i.toLong, fno, hi, lo) }
+              ImageDecoder.image(v.frames(fno.toInt)).map(img =>
+                (aHash(img), img.getWidth.toLong, img.getHeight.toLong)))
+            .map { case ((hi, lo), w, h) =>
+              FrameSample(r.doc_id, i.toLong, fno, w, h, hi, lo) }
         }
       }
     }
@@ -984,6 +991,65 @@ object MultimodalOps {
     sided("a").join(sided("b"),
         Seq("frame_idx", "band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), col("frame_idx"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b", "frame_idx")
+  }
+
+  /** The KEYFRAME projection of a frame-print frame (ordinal 0 IS frame
+    * 0 — i·nf/frames = 0 at i = 0 for every clip), in the imagehashes
+    * schema: the streaming admission path derives its keyframe side
+    * from the one frame decode it already makes, never decoding the
+    * container a second time. */
+  def keyframeOf(frames: DataFrame): DataFrame =
+    frames.filter(col("frame_idx") === 0)
+      .select("doc_id", "h_hi", "h_lo", "width", "height")
+
+  /** M3c — [[frameNearDups]] SERVED: a media increment's sampled frame
+    * prints against a MAINTAINED corpus frame table (DedupStream's
+    * framehashes side) — the m4d discipline with the ordinal partition
+    * key: combined-population rail per (ordinal, band, key), corpus
+    * member as id_a whatever the numeric order, id-level self-exclusion
+    * of the increment from the corpus side for replay; new-vs-new pairs
+    * orient (min, max). Containers parse once, at admission — screening
+    * a video batch is pure bit work over ≤ 4 prints per clip. */
+  def frameNearDupsServedHashes(corpusFrames: DataFrame,
+      incrFrames: DataFrame, incrIds: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    def bandsOfF(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("frame_idx"), col("h_hi"), col("h_lo"),
+        posexplode(array(
+          col("h_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+          col("h_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band", "key")))
+    val keyCols = Seq("frame_idx", "band", "key")
+    val cb = bandsOfF(corpusFrames.select("doc_id", "frame_idx", "h_hi", "h_lo")
+      .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOfF(incrFrames.select("doc_id", "frame_idx", "h_hi", "h_lo"))
+    val ok = nb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nc")),
+        keyCols, "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select(keyCols.map(col): _*)
+    val nbp = nb.join(ok, keyCols)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("frame_idx"), col("band"), col("key"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    val vsCorpus = sided(cb, "a").join(sided(nbp, "b"), keyCols)
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = sided(nbp, "a").join(sided(nbp, "b"), keyCols)
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
       .select(col("id_a"), col("id_b"), col("frame_idx"),
         col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
       .distinct()

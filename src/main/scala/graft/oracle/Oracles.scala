@@ -472,6 +472,34 @@ fbits AS (SELECT doc_id, i, fno,
     * the generative formula, the band rail mirrored, candidates from
     * pruned band joins under the given pair condition (batch form:
     * id_a < id_b; served form: the m4d increment-later restriction). */
+  /** m3b/m3c's shot-level chain: per-ordinal frame prints, the band
+    * rail keyed (ordinal, band, key), candidates under the given pair
+    * condition (batch form: id_a < id_b; served: increment-later). */
+  private def frameNearDupSql(pairCond: String): String = s"""
+WITH $VideoCteList,
+$VideoFrameBitsCteList,
+fbands AS (SELECT doc_id, i, band,
+         CASE band WHEN 0 THEN h_lo & 65535
+                   WHEN 1 THEN (h_lo >> 16) & 65535
+                   WHEN 2 THEN h_hi & 65535
+                   ELSE (h_hi >> 16) & 65535 END AS key
+  FROM fbits, (SELECT unnest(range(0, 4)) AS band)),
+fok AS (SELECT i, band, key FROM fbands GROUP BY i, band, key
+        HAVING count(*) <= 100),
+fpruned AS (SELECT b.doc_id, b.i, b.band, b.key
+            FROM fbands b JOIN fok USING (i, band, key)),
+fcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i
+          FROM fpruned a JOIN fpruned b
+            ON a.i = b.i AND a.band = b.band AND a.key = b.key
+           AND $pairCond)
+SELECT c.id_a, c.id_b, CAST(c.i AS BIGINT) AS frame_idx,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM fcand c JOIN fbits x ON x.doc_id = c.id_a AND x.i = c.i
+             JOIN fbits y ON y.doc_id = c.id_b AND y.i = c.i
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b, frame_idx"""
+
   /** The keyframe (frame 0) aHash chain — exposes `abits` (doc_id,
     * h_hi, h_lo); shared by the m7b/m7c near-dup builder and m7d's
     * group oracle. */
@@ -2211,37 +2239,23 @@ ORDER BY doc_id""",
     "m3_frame_sample" -> s"""
 WITH $VideoCteList,
 $VideoFrameBitsCteList
-SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(fno AS BIGINT) AS frame_no,
-       h_hi, h_lo
-FROM fbits ORDER BY doc_id, frame_idx""",
+SELECT f.doc_id, CAST(f.i AS BIGINT) AS frame_idx,
+       CAST(f.fno AS BIGINT) AS frame_no,
+       CAST(v.w AS BIGINT) AS width, CAST(v.h AS BIGINT) AS height,
+       f.h_hi, f.h_lo
+FROM fbits f JOIN vp v ON v.doc_id = f.doc_id
+ORDER BY f.doc_id, frame_idx""",
 
     // m3b: SHOT-LEVEL near-dups — same-ordinal frame prints within
     // Hamming 3, banded candidates keyed (ordinal, band, key) under the
-    // mirrored combined-population rail (the engine's frameNearDups).
-    "m3b_frame_near_dups" -> s"""
-WITH $VideoCteList,
-$VideoFrameBitsCteList,
-fbands AS (SELECT doc_id, i, band,
-         CASE band WHEN 0 THEN h_lo & 65535
-                   WHEN 1 THEN (h_lo >> 16) & 65535
-                   WHEN 2 THEN h_hi & 65535
-                   ELSE (h_hi >> 16) & 65535 END AS key
-  FROM fbits, (SELECT unnest(range(0, 4)) AS band)),
-fok AS (SELECT i, band, key FROM fbands GROUP BY i, band, key
-        HAVING count(*) <= 100),
-fpruned AS (SELECT b.doc_id, b.i, b.band, b.key
-            FROM fbands b JOIN fok USING (i, band, key)),
-fcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i
-          FROM fpruned a JOIN fpruned b
-            ON a.i = b.i AND a.band = b.band AND a.key = b.key
-           AND a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b, CAST(c.i AS BIGINT) AS frame_idx,
-       CAST(bit_count(xor(x.h_hi, y.h_hi))
-            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
-FROM fcand c JOIN fbits x ON x.doc_id = c.id_a AND x.i = c.i
-             JOIN fbits y ON y.doc_id = c.id_b AND y.i = c.i
-WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
-ORDER BY id_a, id_b, frame_idx""",
+    // mirrored combined-population rail (the engine's frameNearDups);
+    // m3c is the SERVED restriction over the same chain (the m5e/m5f
+    // rule — its corpus is the all-admitted t21d index, so the pair set
+    // equals the session-split form by construction).
+    "m3b_frame_near_dups" -> frameNearDupSql("a.doc_id < b.doc_id"),
+    "m3c_frame_near_dups_served" ->
+      frameNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
 
     // m7d: d1's exact-dedup semantics on video — identical keyframe
     // prints form a group, keeper = min doc_id (m4b/m5b's rule on the

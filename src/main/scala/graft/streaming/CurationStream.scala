@@ -7,14 +7,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's twelve
+  * against BOTH maintained index tiers (the text tier's thirteen
   * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
   * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
-  * audio_near_dup > video_dup > contaminated > low_quality > admitted),
-  * same oracle
+  * audio_near_dup > video_dup > video_near_dup > contaminated >
+  * low_quality > admitted), same oracle
   * — where the two single-tier services each fold only their OWN screen
   * into admission, this one commits the complete curation policy. Feeds
   * carrying the media envelope (a `source` column) additionally pass
@@ -23,9 +23,11 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * audiohashes / audiofps / videohashes sides: the exact audio rung is
   * PCM-content identity, the acoustic-print rung behind it catches the
   * re-encoded or gain-shifted clip recycler whose hash differs but
-  * whose energy contour survives, and the video rung catches the clip
-  * re-uploaded with its opening shot intact (keyframe-print identity).
-  * Text-only feeds skip all four entirely.
+  * whose energy contour survives, the video rung catches the clip
+  * re-uploaded with its opening shot intact (keyframe-print identity),
+  * and the SHOT-LEVEL rung behind it catches the re-edit keeping later
+  * footage under a new opening (same-ordinal frame prints against the
+  * framehashes side). Text-only feeds skip all of them entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -37,7 +39,7 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all twelve sides + groups);
+  *      replay discipline, all thirteen sides + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -105,19 +107,26 @@ object CurationStream {
       videoPairs =
         if (MultimodalOps.hasMediaEnvelope(docs))
           Some(DedupStream.screenVideoNearDups(spark, textIndexDir, docs))
+        else None,
+      videoFramePairs =
+        if (MultimodalOps.hasMediaEnvelope(docs))
+          Some(DedupStream.screenFrameNearDups(spark, textIndexDir, docs))
         else None)
 
-  /** The increment's image fingerprints AND video keyframe prints,
+  /** The increment's image fingerprints AND sampled-frame prints,
     * decoded ONCE per batch off ONE materialized media table and fed to
-    * both the phase-1 screens and the phase-2 side writes — or None when
-    * the feed carries no media envelope ([[MultimodalOps
-    * .hasMediaEnvelope]], the same single gate the side writes key on):
-    * text-only feeds pay nothing, not even the sides' FS probes. */
+    * the phase-1 screens and the phase-2 side writes — the keyframe
+    * table is the frame prints' ordinal-0 PROJECTION
+    * ([[MultimodalOps.keyframeOf]]), so a video container parses exactly
+    * once per batch however many rungs consume it. None when the feed
+    * carries no media envelope ([[MultimodalOps.hasMediaEnvelope]], the
+    * same single gate the side writes key on): text-only feeds pay
+    * nothing, not even the sides' FS probes. */
   private def incrementMedia(docs: DataFrame): Option[(DataFrame, DataFrame)] =
     if (MultimodalOps.hasMediaEnvelope(docs)) {
       val media = MultimodalOps.mediaTableRaw(docs)
       Some((MultimodalOps.imageHashesRaw(media),
-        MultimodalOps.videoKeyframeHashesRaw(media)))
+        MultimodalOps.sampleFramesRaw(docs.sparkSession, media)))
     } else None
 
   /** The increment's COMBINED audio decode (header + content hash +
@@ -161,7 +170,8 @@ object CurationStream {
     // share them
     val incrMedia = incrementMedia(docs)
     val incrHashes = incrMedia.map(_._1)
-    val incrVideo = incrMedia.map(_._2)
+    val incrFrames = incrMedia.map(_._2)
+    val incrVideo = incrFrames.map(MultimodalOps.keyframeOf)
     val incrAudio = incrementAudio(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
     val verdict = CurationOps.admitIncrement(docs,
@@ -206,7 +216,14 @@ object CurationStream {
       // clip re-uploaded with its opening shot intact
       incrVideo.map(v => MultimodalOps.imageNearDupsServedHashes(
         DedupStream.sideExcluding(spark, textIndexDir, "videohashes", tag),
-        v, docs.select("doc_id"))))
+        v, docs.select("doc_id"))),
+      // the SHOT-LEVEL rung: the increment's sampled-frame prints (the
+      // same frame the keyframe projection rode) against the maintained
+      // framehashes side, same exclusion discipline — catches the
+      // re-edit whose opening shot is new
+      incrFrames.map(fr => MultimodalOps.frameNearDupsServedHashes(
+        DedupStream.sideExcluding(spark, textIndexDir, "framehashes", tag),
+        fr, docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -234,7 +251,8 @@ object CurationStream {
         // admitBatch — the admitted images/clips are NOT re-decoded
         imageHashes = incrHashes,
         audioFull = incrAudio,
-        videoHashes = incrVideo)
+        videoHashes = incrVideo,
+        frameHashes = incrFrames)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -260,11 +278,13 @@ object CurationStream {
           counts.getOrElse("audio_dup", 0L),
           counts.getOrElse("audio_near_dup", 0L),
           counts.getOrElse("video_dup", 0L),
+          counts.getOrElse("video_near_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
           "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
-          "n_audio_near_dup", "n_video_dup", "n_contaminated", "n_low_quality")
+          "n_audio_near_dup", "n_video_dup", "n_video_near_dup",
+          "n_contaminated", "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
       verdict.unpersist(blocking = false)
@@ -297,12 +317,13 @@ object CurationStream {
         StructField("n_audio_dup", LongType),
         StructField("n_audio_near_dup", LongType),
         StructField("n_video_dup", LongType),
+        StructField("n_video_near_dup", LongType),
         StructField("n_contaminated", LongType),
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
       .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup",
-        "n_video_dup"))
+        "n_video_dup", "n_video_near_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
   }
 

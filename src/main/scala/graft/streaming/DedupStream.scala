@@ -49,6 +49,10 @@ import graft.llm.DedupOps
   * indexDir/videohashes/batch=<lineage>-<id>/ (imagehashes schema) keyframe
   *                                          prints of the admitted video
   *                                          renditions — m7c serving
+  * indexDir/framehashes/batch=<lineage>-<id>/ (doc_id, frame_idx,
+  *                                          frame_no, h_hi, h_lo) the
+  *                                          sampled-frame prints behind
+  *                                          them — m3c shot-level serving
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -59,7 +63,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The twelve index sides start flat under `indexDir` and migrate into
+  * The thirteen index sides start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -110,6 +114,10 @@ object DedupStream {
   private val AudioFpSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("h_hi", LongType),
     StructField("h_lo", LongType), StructField("n_frames", LongType)))
+  private val FrameHashSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("frame_idx", LongType),
+    StructField("frame_no", LongType), StructField("h_hi", LongType),
+    StructField("h_lo", LongType)))
   // (shard, bits): one bitset partial per shard per batch. Legacy
   // pre-shard partials lack the column — they read as NULL and fold as
   // shard 0, so unsharded history and sharded appends coexist.
@@ -417,6 +425,7 @@ object DedupStream {
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
       case "videohashes" => ImgHashSchema
+      case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
     }
     readSide(spark, s"${liveRoot(spark, indexDir)}/$side", schema)
@@ -558,6 +567,30 @@ object DedupStream {
       corpusVideoHashes(spark, indexDir),
       graft.llm.MultimodalOps.videoKeyframeHashes(
         graft.llm.MultimodalOps.asMediaTable(newDocs)),
+      newDocs.select("doc_id"), maxHamming, maxBucket)
+
+  /** The maintained sampled-FRAME-print side over every ADMITTED doc's
+    * video rendition (m3's per-ordinal aHash rows, appended per batch
+    * off the SAME frame decode that derives the keyframe side, identity
+    * fold): ≤ 4 prints per clip, so SHOT-LEVEL screening is pure bit
+    * work — the side behind the video_near_dup rung. */
+  def corpusFrameHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/framehashes", FrameHashSchema)
+      .drop("batch")
+
+  /** M3c over the maintained side: SHOT-LEVEL video near-dups between a
+    * media increment and the admitted corpus's frame-print table — the
+    * rung that catches a RE-EDIT keeping later footage under a new
+    * opening shot (keyframe identity, m7c's rung, structurally cannot
+    * see it): same-ordinal banded candidates under the per-ordinal
+    * combined-population rail. */
+  def screenFrameNearDups(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    graft.llm.MultimodalOps.frameNearDupsServedHashes(
+      corpusFrameHashes(spark, indexDir),
+      graft.llm.MultimodalOps.sampleFrames(spark,
+        graft.llm.MultimodalOps.asMediaTable(newDocs)).toDF(),
       newDocs.select("doc_id"), maxHamming, maxBucket)
 
   /** M5d/m5e over the maintained side: NEAR-duplicate audio between a
@@ -723,7 +756,8 @@ object DedupStream {
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       imageHashes: Option[DataFrame] = None,
       audioFull: Option[DataFrame] = None,
-      videoHashes: Option[DataFrame] = None): Unit = {
+      videoHashes: Option[DataFrame] = None,
+      frameHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -829,9 +863,18 @@ object DedupStream {
       // query — its dirs are simply absent, which readSide resolves as
       // empty.
       val mediaFallback =
-        if ((imageHashes.isEmpty || videoHashes.isEmpty) &&
+        if ((imageHashes.isEmpty || videoHashes.isEmpty || frameHashes.isEmpty) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
+        else None
+      // the fallback's video sides derive from ONE frame decode: the
+      // sampled-frame prints materialize once, the keyframe side is the
+      // ordinal-0 projection (keyframeOf) — a container never parses
+      // twice inside an admission, caller-passed or not
+      val framesFallback =
+        if ((videoHashes.isEmpty || frameHashes.isEmpty) && mediaFallback.nonEmpty)
+          mediaFallback.map(m =>
+            graft.llm.MultimodalOps.sampleFrames(spark, m).toDF().persist())
         else None
       try {
         imageHashes
@@ -840,9 +883,17 @@ object DedupStream {
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
         videoHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
-          .orElse(mediaFallback.map(graft.llm.MultimodalOps.videoKeyframeHashes))
+          .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/videohashes/$key"))
-      } finally mediaFallback.foreach(_.unpersist(blocking = false))
+        frameHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(framesFallback)
+          .foreach(_.select("doc_id", "frame_idx", "frame_no", "h_hi", "h_lo")
+            .write.mode("overwrite").parquet(s"$root/framehashes/$key"))
+      } finally {
+        framesFallback.foreach(_.unpersist(blocking = false))
+        mediaFallback.foreach(_.unpersist(blocking = false))
+      }
       // tenth + eleventh sides off ONE audio decode: the combined
       // AudioFull frame (header + decoded-PCM content hash + acoustic
       // print — one container parse, one sample parse) projects into the
@@ -1007,6 +1058,7 @@ object DedupStream {
       audioPairs: Option[DataFrame] = None,
       audioFpPairs: Option[DataFrame] = None,
       videoPairs: Option[DataFrame] = None,
+      videoFramePairs: Option[DataFrame] = None,
       spanRung: SpanRung = SeedsRung): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
@@ -1015,7 +1067,8 @@ object DedupStream {
         corpusSeeds(spark, indexDir), corpusSeedStats(spark, indexDir),
         corpusWinnowFps(spark, indexDir)),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
-      minQuality, semPairs, imagePairs, audioPairs, audioFpPairs, videoPairs)
+      minQuality, semPairs, imagePairs, audioPairs, audioFpPairs,
+      videoPairs, videoFramePairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
@@ -1070,6 +1123,7 @@ object DedupStream {
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
     ("videohashes", ImgHashSchema, identity[DataFrame] _),
+    ("framehashes", FrameHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

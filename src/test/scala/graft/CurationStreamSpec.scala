@@ -41,6 +41,26 @@ class CurationStreamSpec extends SparkSpec {
     (405L, Array(0f, 0f, 0f, -1f)))
   private val benchRows = Seq((50L, "alpha beta gamma delta benchmark probe words here"))
 
+  /** Driver-side generative frame print: frame `fno` of a length-`l`
+    * clip through the REAL PNG round-trip + aHash. */
+  private def framePrintOf(l: Int, fno: Int = 0): (Long, Long) =
+    graft.llm.MultimodalOps.aHash(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        graft.llm.MultimodalOps.VideoGen.framePng(l.toLong, fno))))
+
+  private def ham64(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  /** True iff EVERY sampled ordinal's frames sit > Hamming 3 apart —
+    * the guard a "must be admitted" video-id fixture doc needs now that
+    * both the keyframe rung and the shot-level rung screen it. */
+  private def framesFarAll(la: Int, lb: Int): Boolean = {
+    val (nfa, nfb) = (2 + la % 3, 2 + lb % 3)
+    (0 until 4).forall { i =>
+      ham64(framePrintOf(la, i * nfa / 4), framePrintOf(lb, i * nfb / 4)) > 3
+    }
+  }
+
   private def seedTiers(tmp: String): Unit = {
     DedupStream.admitBatch(corpusDocs.toDF("doc_id", "text"),
       0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
@@ -131,9 +151,8 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the media rungs (n_image_dup / n_audio_dup /
-    // n_audio_near_dup / n_video_dup 0)
-    assert((4 to 12).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 1L, 0L),
+    // never fires the media rungs
+    assert((4 to 13).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
       m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
@@ -354,16 +373,14 @@ class CurationStreamSpec extends SparkSpec {
     val (lenA, lenB) = pair.get
     // a seed length acoustically FAR from both (the witness must be the
     // microbatch-1 admission, not the seed) with a distinct content
-    // hash, AND a keyframe print far from the microbatch-1 clip's (all
-    // fixture ids are video ids, so the VIDEO rung also screens them —
-    // a near keyframe would reject 404 before it could be admitted)
-    def kfOf(l: Int): (Long, Long) = MultimodalOps.aHash(
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-        MultimodalOps.VideoGen.framePng(l.toLong, 0))))
+    // hash, AND every sampled frame print far from the microbatch-1
+    // clip's (all fixture ids are video ids, so the keyframe AND
+    // shot-level video rungs also screen them — any near frame would
+    // reject 404 before it could be admitted)
     val lenC = band.find(l => l != lenA && l != lenB &&
       hamming(prints(l), prints(lenA)) > 3 &&
       hamming(prints(l), prints(lenB)) > 3 &&
-      hamming(kfOf(l), kfOf(lenA)) > 3 &&
+      framesFarAll(l, lenA) &&
       hashes(l) != hashes(lenA) && hashes(l) != hashes(lenB)).get
     // exact-length text with the quality shape (~half stopwords) and
     // DISJOINT words per tag — no text rung can fire
@@ -457,9 +474,11 @@ class CurationStreamSpec extends SparkSpec {
     } yield (lenA, lenB)).nextOption()
     assert(cand.isDefined, "fixture search: no keyframe-near/audio-far pair")
     val (lenA, lenB) = cand.get
-    // a seed length FAR from both on EVERY print family (and hash-distinct)
+    // a seed length FAR from both on EVERY print family — every sampled
+    // ordinal, not just the keyframe, now that the shot-level rung also
+    // screens these ids — and hash-distinct
     val lenC = (350 to 600).find(l => l != lenA && l != lenB &&
-      hamming(kfOf(l), kfOf(lenA)) > 3 && hamming(kfOf(l), kfOf(lenB)) > 3 &&
+      framesFarAll(l, lenA) && framesFarAll(l, lenB) &&
       hamming(MultimodalOps.acousticFingerprint(samplesOf(l)),
         MultimodalOps.acousticFingerprint(samplesOf(lenA))) > 3 &&
       hamming(MultimodalOps.acousticFingerprint(samplesOf(l)),
@@ -517,6 +536,94 @@ class CurationStreamSpec extends SparkSpec {
     assert(m.getLong(m.fieldIndex("n_video_dup")) === 1L, m.toString)
     // only ADMITTED clips' keyframe prints sit on the side
     assert(DedupStream.corpusVideoHashes(spark, s"$tmp/text")
+      .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
+    DedupOps.releaseCaches()
+  }
+
+  test("the shot-level rung rejects a re-edit across microbatches (video_near_dup, start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_curation_shot").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen}
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    def afpOf(l: Int): (Long, Long) =
+      MultimodalOps.acousticFingerprint(samplesOf(l))
+    def pcmOf(l: Int): Long = AudioDecoder.pcmHashOfSamples(samplesOf(l))
+    // the RE-EDIT analog inside the generative fixture: a pair of
+    // lengths whose KEYFRAMES are far (the video_dup rung is blind) but
+    // some LATER sampled ordinal's frames collide — ordinal i maps to
+    // frame i·nf/4 per clip, and differing frame counts can land one
+    // clip's later frame on the other's opening footage — while the
+    // audio is far on both tiers. Memoized frame prints keep the
+    // search driver-cheap.
+    val fpMemo = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long)]
+    def fp(l: Int, fno: Int) = fpMemo.getOrElseUpdate((l, fno), framePrintOf(l, fno))
+    def shotNearKeyframeFar(la: Int, lb: Int): Boolean = {
+      val (nfa, nfb) = (2 + la % 3, 2 + lb % 3)
+      ham64(fp(la, 0), fp(lb, 0)) > 3 &&
+        (1 until 4).exists(i =>
+          ham64(fp(la, i * nfa / 4), fp(lb, i * nfb / 4)) <= 3)
+    }
+    val cand = (for {
+      la <- (330 to 560).iterator
+      lb <- (la + 1 to 560).iterator
+      if shotNearKeyframeFar(la, lb)
+      if ham64(afpOf(la), afpOf(lb)) > 3 && pcmOf(la) != pcmOf(lb)
+    } yield (la, lb)).nextOption()
+    assert(cand.isDefined, "fixture search: no shot-near/keyframe-far pair")
+    val (lenA, lenB) = cand.get
+    val lenC = (330 to 620).find(l => l != lenA && l != lenB &&
+      framesFarAll(l, lenA) && framesFarAll(l, lenB) &&
+      ham64(afpOf(l), afpOf(lenA)) > 3 && ham64(afpOf(l), afpOf(lenB)) > 3 &&
+      pcmOf(l) != pcmOf(lenA) && pcmOf(l) != pcmOf(lenB)).get
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len, s"textOfLen($tag, $len)")
+      sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    DedupStream.admitBatch(
+      Seq((8L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Float])]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+      s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench)
+    try {
+      stream.addData((404L, "src", textOfLen("orig", lenA), e(2)))
+      q.processAllAvailable()
+      // the re-edit: fresh text, embedding and audio; its OPENING shot
+      // is new (the keyframe rung passes it) but a later sampled
+      // ordinal matches footage the microbatch-1 clip kept — the
+      // shot-level rung must reject it off the MAINTAINED framehashes
+      // side, across the microbatch boundary
+      stream.addData((408L, "src", textOfLen("redo", lenB), e(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = CurationStream.verdictLog(spark, s"$tmp/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdicts === Map(
+      404L -> ("admitted", None),
+      408L -> ("video_near_dup", Some(404L))), verdicts.toString)
+    val m = CurationStream.metrics(spark, s"$tmp/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_video_near_dup")) === 1L, m.toString)
+    // only ADMITTED clips' frame prints sit on the side (≤ 4 per clip)
+    assert(DedupStream.corpusFrameHashes(spark, s"$tmp/text")
       .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
     DedupOps.releaseCaches()
   }

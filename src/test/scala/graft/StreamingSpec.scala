@@ -868,6 +868,67 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the framehashes side serves the shot-level screen (m3c streaming)") {
+    val tmp = Files.createTempDirectory("graft_frame_stream").toString
+    // VIDEO ids; a same-length probe is an identical clip, so EVERY
+    // sampled ordinal matches at Hamming 0; the side is written off the
+    // same frame decode whose ordinal-0 projection is the keyframe side
+    graft.streaming.DedupStream.admitBatch(
+      Seq((4L, "src", "a" * 30), (8L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    def screen(probe: org.apache.spark.sql.DataFrame) =
+      graft.streaming.DedupStream.screenFrameNearDups(spark, s"$tmp/index", probe)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val probe = Seq((12L, "src", "c" * 30), (16L, "src", "d" * 57))
+      .toDF("doc_id", "source", "text")
+    val hits = screen(probe)
+    assert(hits.count(r => r._1 == 4L && r._2 == 12L && r._4 == 0L) === 4,
+      s"identical clips match on every sampled ordinal: $hits")
+    assert(hits.forall(_._2 >= 12L), s"got $hits")
+    // non-monotone orientation (the d5/m4d lesson)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((500L, "src", "e" * 33)).toDF("doc_id", "source", "text"),
+      1L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val low = screen(Seq((20L, "src", "f" * 33)).toDF("doc_id", "source", "text"))
+    assert(low.exists(r => r._1 == 500L && r._2 == 20L && r._4 == 0L), s"got $low")
+    // REPLAY self-exclusion: internal pairs once, (min, max)-oriented
+    graft.streaming.DedupStream.admitBatch(
+      Seq((24L, "src", "x" * 35), (28L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"),
+      2L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    val replay = screen(
+      Seq((24L, "src", "x" * 35), (28L, "src", "y" * 35))
+        .toDF("doc_id", "source", "text"))
+    assert(replay.filter(r => Set(r._1, r._2) == Set(24L, 28L))
+      .forall(r => r._1 == 24L && r._2 == 28L), s"got $replay")
+    assert(replay.count(r => r._1 == 24L && r._2 == 28L && r._3 == 0L) === 1,
+      s"ordinal 0 pair surfaces once: $replay")
+    // compaction folds the per-batch dirs (identity fold); screen unchanged
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen(probe) === hits)
+    // the served side IS the admitted corpus's frame prints, and the
+    // keyframe side is exactly its ordinal-0 projection (one decode
+    // wrote both)
+    val frames = graft.streaming.DedupStream
+      .corpusFrameHashes(spark, s"$tmp/index")
+    val direct = graft.llm.MultimodalOps.sampleFrames(spark,
+      graft.llm.MultimodalOps.asMediaTable(
+        spark.read.parquet(s"$tmp/out/kept").select("doc_id", "source", "text")))
+      .toDF()
+    assert(frames.select("doc_id", "frame_idx", "h_hi", "h_lo")
+      .as[(Long, Long, Long, Long)].collect().toSet ===
+      direct.select("doc_id", "frame_idx", "h_hi", "h_lo")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    val kf = graft.streaming.DedupStream
+      .corpusVideoHashes(spark, s"$tmp/index")
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    val kfDirect = graft.llm.MultimodalOps.keyframeOf(direct)
+      .select("doc_id", "h_hi", "h_lo").as[(Long, Long, Long)].collect().toSet
+    assert(kf === kfDirect)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the winnowfps side serves the sketch pair screen (t21d streaming)") {
     val tmp = Files.createTempDirectory("graft_winnow_stream").toString
     val sharedA = (1 to 12).map(i => s"z$i").mkString(" ")

@@ -153,6 +153,60 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m3b per-ordinal band rail binds on a 5000-clip flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.VideoGen
+    // 5000 same-length clips share every sampled frame print, collapsing
+    // every (ordinal, band, key) bucket the flood touches (~12.5M
+    // Hamming-0 rows per ordinal unrailed); 10 identical-triplet length
+    // classes are the genuine content. The per-ordinal rail is NEW CODE
+    // (frameNearDups carries its own bucket prune keyed by the ordinal),
+    // so it gets its own soak — group lengths are searched so no group
+    // frame shares a band key with the flood's same-ordinal frame.
+    val floodLen = 30
+    def frameBandKeys(l: Int, i: Int): Set[(Int, Long)] = {
+      val nf = 2 + l % 3
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        VideoGen.framePng(l.toLong, i * nf / 4)))
+      val (hi, lo) = MultimodalOps.aHash(img)
+      Set(0 -> (lo & 0xffffL), 1 -> ((lo >> 16) & 0xffffL),
+        2 -> (hi & 0xffffL), 3 -> ((hi >> 16) & 0xffffL))
+    }
+    val floodKeys = (0 until 4).map(i => i -> frameBandKeys(floodLen, i)).toMap
+    val groupLens = (31 to 400).iterator
+      .filter(l => (0 until 4).forall(i =>
+        (frameBandKeys(l, i) & floodKeys(i)).isEmpty))
+      .take(10).toSeq
+    assert(groupLens.size === 10, "fixture search: need 10 flood-disjoint lengths")
+    // all VIDEO ids (doc_id % 4 == 0)
+    val flood = (0 until 5000).map(k => (10000L + 4L * k, "src", "s" * floodLen))
+    val groups = groupLens.zipWithIndex.flatMap { case (len, g) =>
+      (0 until 3).map(j => ((g * 3 + j) * 4L, "src", "z" * len))
+    }
+    try {
+      val frames = MultimodalOps.sampleFrames(spark,
+        MultimodalOps.asMediaTable(
+          (flood ++ groups).toDF("doc_id", "source", "text"))).toDF()
+      val railed = MultimodalOps.frameNearDups(frames)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val reference = MultimodalOps.frameNearDups(
+        MultimodalOps.sampleFrames(spark,
+          MultimodalOps.asMediaTable(
+            groups.toDF("doc_id", "source", "text"))).toDF())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      assert(railed.nonEmpty)
+      // every within-class triplet pair survives on EVERY sampled
+      // ordinal at Hamming 0; the flood contributes none
+      assert((0 until 10).forall { g =>
+        val ids = (0 until 3).map(j => (g * 3 + j) * 4L)
+        ids.combinations(2).forall(p =>
+          (0 until 4).forall(i => railed.contains((p(0), p(1), i.toLong, 0L))))
+      }, s"genuine triplet ordinals lost: ${railed.size}")
+      assert(railed.forall { case (a, b, _, _) => a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
   // ---- t21b: winnow-sketch df rail ----------------------------------------
 
   test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {

@@ -1124,6 +1124,14 @@ object SparkEntry {
       // agreement proves the decode round-trip bit-exactly
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+    "m4e_image_dhash" -> ((s, d) =>
+      // the GRADIENT lens beside m4's mean-threshold aHash: bit (x,y) =
+      // luma(x+1,y) > luma(x,y) over a 9×8 nearest grid — robust to any
+      // within-row order-preserving luma transform (brightness shifts,
+      // vertical gradients/vignettes) where the global-mean hash moves;
+      // production dedup stacks several hash families over one decode
+      MultimodalOps.imageDHashes(s, MultimodalOps.asMediaTable(
+        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on

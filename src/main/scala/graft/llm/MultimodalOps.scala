@@ -714,6 +714,54 @@ object MultimodalOps {
     (hi, lo)
   }
 
+  /** Difference-hash (dHash) — the GRADIENT lens beside [[aHash]]'s
+    * mean-threshold lens: a 9×8 nearest-neighbor luma grid (the extra
+    * column gives 8 horizontal comparisons per row), bit (x, y) =
+    * luma(x+1, y) > luma(x, y), packed row-major as two 32-bit halves.
+    * Robust where aHash is weakest: any luma transform that preserves
+    * LEFT-TO-RIGHT ordering within a row — uniform brightness shifts,
+    * but also smooth vertical gradients and per-row level changes
+    * (vignettes, scanner shading) — leaves every comparison, and so the
+    * print, unchanged, while aHash's global mean moves (the spec pins
+    * exactly that separation). Same integer arithmetic discipline as
+    * aHash (nearest sampling at (x·w)/9, (y·h)/8; integer luma), same
+    * 64-bit print schema, so every banded consumer can serve dHash
+    * tables unchanged. */
+  def dHash(img: BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = Array.tabulate(8, 9) { (y, x) =>
+      val v = img.getRGB((x * w) / 9, (y * h) / 8)
+      (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+    }
+    var (hi, lo) = (0L, 0L)
+    var k = 0
+    while (k < 64) {
+      if (gray(k / 8)(k % 8 + 1) > gray(k / 8)(k % 8)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** M4e — the dHash fingerprint table of the image modality: the same
+    * decode path as [[imageHashes]] with the gradient kernel — a second
+    * perceptual LENS over the same pixels (production dedup stacks run
+    * several hash families and union or vote their candidates; the
+    * shared print schema makes that a frame union here). */
+  def imageDHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        ImageDecoder.image(r.payload).map { img =>
+          val (hi, lo) = dHash(img)
+          ImageHash(r.doc_id, hi, lo,
+            img.getWidth.toLong, img.getHeight.toLong)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** The UNSORTED fingerprint frame m4b/m4c build on — tracked-persisted
     * because both consumers touch it twice (a group agg rejoined / a
     * self-join), and without the pin an AQE replan of one side re-runs

@@ -2297,6 +2297,28 @@ FROM vp ORDER BY doc_id""",
 SELECT doc_id, h_hi, h_lo, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
 FROM bits ORDER BY doc_id""",
 
+    // m4e: the dHash GRADIENT lens — a 9×8 nearest-sample luma grid over
+    // the same generative pixels, bit (x, y) = luma(x+1, y) > luma(x, y)
+    // (flat 1-based list index y·9 + x + 1); the engine must land on the
+    // same bits from pixels it decoded out of real PNG bytes.
+    "m4e_image_dhash" -> s"""$ImagePhashCtes,
+dgr AS (SELECT doc_id, w, h,
+         list_transform(
+           list_transform(range(0, 72), k ->
+             ((((k % 9) * w) // 9) * 31 + (((k // 9) * h) // 8) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM dm)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
+              THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
+              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h_lo,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+FROM dgr ORDER BY doc_id""",
+
     // m4b: d1's exact-dedup semantics on the image modality — identical
     // fingerprints form a group, keeper = min doc_id.
     "m4b_image_dup_groups" -> s"""$ImagePhashCtes,

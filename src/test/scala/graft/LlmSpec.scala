@@ -406,6 +406,54 @@ class LlmSpec extends SparkSpec {
       AudioDecoder.pcmHashOfSamples(shifted))
   }
 
+  test("dHash equals the hand model and survives a vertical gradient aHash does not (m4e)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{ImageGen, MediaRecord}
+    // hand model: the generative pixel formula through the 9×8 grid /
+    // horizontal-gradient arithmetic directly
+    def handD(l: Long): (Long, Long) = {
+      val (w, h) = ImageGen.dims(l)
+      val gray = Array.tabulate(8, 9) { (y, x) =>
+        val v = (((x * w) / 9) * 31 + ((y * h) / 8) * 17 + l.toInt) & 0xffffff
+        (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      }
+      var (hi, lo) = (0L, 0L)
+      for (k <- 0 until 64 if gray(k / 8)(k % 8 + 1) > gray(k / 8)(k % 8))
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val got = MultimodalOps.imageDHashes(spark, Seq(
+        MediaRecord(1L, "image/png", ImageGen.png(30L)),
+        MediaRecord(2L, "image/png", ImageGen.png(30L)),
+        MediaRecord(3L, "image/png", ImageGen.png(41L))).toDS().toDF())
+      .select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === handD(30L))
+    assert(got(2L) === handD(30L), "identical images share a dHash")
+    assert(got(3L) === handD(41L))
+    // the SEPARATION the second lens exists for: a smooth VERTICAL
+    // gradient (vignette/scanner shading) preserves left-to-right luma
+    // order within every row — dHash is IDENTICAL — while the global
+    // mean moves relative to rows, flipping aHash bits
+    def grayImg(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = math.min(240, math.max(0, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // base: a row-wise pattern with headroom; shaded: + 4·y per row
+    def base(x: Int, y: Int): Int = 40 + ((x * 13 + y * 5) % 97)
+    val plain = grayImg(base)
+    val shaded = grayImg((x, y) => base(x, y) + 4 * y)
+    assert(MultimodalOps.dHash(plain) === MultimodalOps.dHash(shaded),
+      "a vertical gradient must not move the gradient hash")
+    assert(MultimodalOps.aHash(plain) !== MultimodalOps.aHash(shaded),
+      "fixture sanity: the same shading DOES move the mean-threshold hash")
+  }
+
   test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
     import spark.implicits._
     // independent hand model: the generative pixel formula pushed through

@@ -251,6 +251,21 @@ object SparkEntry {
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
+  /** The MAINTAINED dual-lens print table (aHash + dHash off ONE decode
+    * — [[MultimodalOps.lensFingerprintFrame]]): the m4Hashes discipline
+    * with the second lens riding the same pixels, so m4f/m4g time print
+    * READS + bit work, never a re-decode. The dHash-only consumers
+    * PROJECT their column set ([[MultimodalOps.dHashOf]]) from this one
+    * persisted frame — the m5Full pattern on the image modality. */
+  private def m4Lens(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m4lens")(
+      MultimodalOps.lensFingerprintFrame(MultimodalOps.asMediaTable(
+        documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
+
+  /** The dHash-lens projection of [[m4Lens]] (no second persist). */
+  private def m4DHashes(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.dHashOf(m4Lens(s, dir))
+
   /** The COMBINED audio decode frame (header + content hash + acoustic
     * print off ONE container parse — [[MultimodalOps.decodeAudioFull]]),
     * decoded once per (session, sfDir): the m4Hashes discipline on the
@@ -1117,6 +1132,16 @@ object SparkEntry {
       // (fit-through and the floor-arithmetic downscale)
       MultimodalOps.resizeMeta(s, MultimodalOps.asMediaTable(documents(s, d)), 32L)
         .toDF().orderBy("doc_id")),
+    "m2b_thumb_hashes" -> ((s, d) =>
+      // m2 made REAL: the fitted pixels are MATERIALIZED (nearest-neighbor
+      // sampling — the one resize rule the oracle can mirror exactly) and
+      // the thumbnail is aHashed; the oracle recomputes the sampled grid
+      // at thumb dims through the nested-floor arithmetic, so agreement
+      // proves the engine resized exactly as declared (the rendition-
+      // invariance seam image dedup leans on; LlmSpec pins the
+      // aHash(thumb) == aHash(original) property at integer scale)
+      MultimodalOps.thumbHashes(s, MultimodalOps.asMediaTable(
+        documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))), 32L)),
     "m4_image_phash" -> ((s, d) =>
       // perceptual fingerprints of the image modality, aHashed from
       // pixels the engine DECODED out of real PNG bytes — the oracle
@@ -1132,6 +1157,20 @@ object SparkEntry {
       // production dedup stacks several hash families over one decode
       MultimodalOps.imageDHashes(s, MultimodalOps.asMediaTable(
         documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id")))))),
+    "m4f_image_dhash_near_dups" -> ((s, d) =>
+      // m4c's banded near-dup search over the GRADIENT lens: the shared
+      // 64-bit print schema means the pigeonhole machinery runs
+      // unchanged over dHash tables — served from the maintained
+      // dual-lens frame (one decode built both lenses), pure bit work
+      MultimodalOps.imageNearDupsFromHashes(m4DHashes(s, d))),
+    "m4g_image_lens_union" -> ((s, d) =>
+      // the MULTI-LENS candidate union over one decode: aHash candidates
+      // ∪ dHash candidates (each under its own band rail), dedup on
+      // (id_a, id_b), ONE verify computing BOTH exact distances — a pair
+      // within Hamming 3 under EITHER lens surfaces (the recall win the
+      // second lens exists for: vignettes/vertical gradients move the
+      // global mean but no within-row comparison)
+      MultimodalOps.imageLensUnionNearDups(m4Lens(s, d))),
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on
@@ -1335,6 +1374,7 @@ object SparkEntry {
     t19WordCounts(spark, dir).count()
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
+    m4Lens(spark, dir).count()
     m5Full(spark, dir).count()
     m3Frames(spark, dir).count()
     t21CorpusFps(spark, dir).count()

@@ -334,6 +334,41 @@ bits AS (SELECT doc_id, w, h,
   private val ImagePhashCtes = s"""
 WITH $ImagePhashCteList"""
 
+  /** m4e/m4f/m4g's dHash chain — the GRADIENT lens recomputed from the
+    * generative pixels: a 9×8 nearest-sample luma grid over `dm`'s dims
+    * (flat 1-based list index y·9 + x + 1), bit (x, y) = luma(x+1, y) >
+    * luma(x, y), packed like the aHash. Exposes `dbits` (doc_id, w, h,
+    * h_hi, h_lo) — spliced after [[ImagePhashCteList]] (needs `dm`). */
+  private val ImageDHashBitsCteList = s"""dgr AS (SELECT doc_id, w, h,
+         list_transform(
+           list_transform(range(0, 72), k ->
+             ((((k % 9) * w) // 9) * 31 + (((k // 9) * h) // 8) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM dm),
+dbits AS (SELECT doc_id, w, h,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
+              THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
+              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM dgr)"""
+
+  /** The engine's band-bucket rail over an arbitrary print CTE (the
+    * [[BandRailCteList]] arithmetic parametrized by source and name
+    * prefix, so one oracle can rail TWO lenses side by side — m4g's
+    * union): exposes `<p>pruned` (doc_id, band, key). */
+  private def bandRailOver(bits: String, p: String): String = s"""${p}bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h_lo & 65535
+                   WHEN 1 THEN (h_lo >> 16) & 65535
+                   WHEN 2 THEN h_hi & 65535
+                   ELSE (h_hi >> 16) & 65535 END AS key
+  FROM $bits, (SELECT unnest(range(0, 4)) AS band)),
+${p}ok AS (SELECT band, key FROM ${p}bands GROUP BY band, key HAVING count(*) <= 100),
+${p}pruned AS (SELECT b.doc_id, b.band, b.key FROM ${p}bands b JOIN ${p}ok USING (band, key))"""
+
   /** m5's fingerprint chain: the fixture's generative audio formula
     * (8 kHz; channels = 1 + len % 2; frames = 200 + (len·13) % 600;
     * sample_i = (i·37 + len·101) % 65536 − 32768, interleaved flat index
@@ -440,10 +475,17 @@ FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
       FROM $Docs)
 ORDER BY doc_id"""
 
-  /** m5 and its decode-only twin m5g, one oracle (the m1/m1b rule). */
+  /** m5 and its decode-only twin m5g, one oracle (the m1/m1b rule). The
+    * format CASE mirrors the fixture's audioContainerOf modulus — the
+    * MIXED-container feed (WAV / AIFF / AU, all JDK-native) whose header
+    * fields, pcm_hash and prints are container-INVARIANT because one
+    * generative sample formula feeds all three writers. */
   private val audioMetaSql = s"""$AudioCtes
-SELECT doc_id, 'wav' AS format, sample_rate, channels, n_frames,
-       duration_ms, pcm_hash
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 1 THEN 'aiff'
+            WHEN doc_id % 5 = 3 THEN 'au'
+            ELSE 'wav' END AS format,
+       sample_rate, channels, n_frames, duration_ms, pcm_hash
 FROM am ORDER BY doc_id"""
 
   /** m3/m3b's per-ordinal frame-print chain over the video docs: frame
@@ -2302,22 +2344,90 @@ FROM bits ORDER BY doc_id""",
     // (flat 1-based list index y·9 + x + 1); the engine must land on the
     // same bits from pixels it decoded out of real PNG bytes.
     "m4e_image_dhash" -> s"""$ImagePhashCtes,
-dgr AS (SELECT doc_id, w, h,
+$ImageDHashBitsCteList
+SELECT doc_id, h_hi, h_lo,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+FROM dbits ORDER BY doc_id""",
+
+    // m4f: the banded near-dup search over the GRADIENT lens — the m4c
+    // arithmetic on the dHash prints, with the engine's band rail
+    // MIRRORED (the m5d discipline: gradient prints of a generative ramp
+    // are far more correlated than mean-threshold ones, so a (band, key)
+    // bucket CAN exceed maxBucket at a larger SF — the oracle must drop
+    // exactly the pairs the engine drops or scale-up flips this red).
+    "m4f_image_dhash_near_dups" -> s"""$ImagePhashCtes,
+$ImageDHashBitsCteList,
+${bandRailOver("dbits", "d")},
+dcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM dpruned a JOIN dpruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM dcand c JOIN dbits x ON x.doc_id = c.id_a
+             JOIN dbits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
+    // m4g: the MULTI-LENS candidate union — aHash band candidates ∪
+    // dHash band candidates (each under its own mirrored rail), dedup on
+    // (id_a, id_b), ONE verify computing BOTH exact distances; a pair
+    // survives if EITHER lens sees it within Hamming 3. The engine must
+    // land on the identical pair set AND both distances from pixels it
+    // decoded once out of real PNG bytes.
+    "m4g_image_lens_union" -> s"""$ImagePhashCtes,
+$ImageDHashBitsCteList,
+${bandRailOver("bits", "ua")},
+${bandRailOver("dbits", "ud")},
+ucand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM uapruned a JOIN uapruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM udpruned a JOIN udpruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(xa.h_hi, xb.h_hi))
+            + bit_count(xor(xa.h_lo, xb.h_lo)) AS BIGINT) AS ham_ahash,
+       CAST(bit_count(xor(ya.h_hi, yb.h_hi))
+            + bit_count(xor(ya.h_lo, yb.h_lo)) AS BIGINT) AS ham_dhash
+FROM ucand c JOIN bits xa ON xa.doc_id = c.id_a
+             JOIN bits xb ON xb.doc_id = c.id_b
+             JOIN dbits ya ON ya.doc_id = c.id_a
+             JOIN dbits yb ON yb.doc_id = c.id_b
+WHERE bit_count(xor(xa.h_hi, xb.h_hi)) + bit_count(xor(xa.h_lo, xb.h_lo)) <= 3
+   OR bit_count(xor(ya.h_hi, yb.h_hi)) + bit_count(xor(ya.h_lo, yb.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
+    // m2b: REAL thumbnails — thumb dims from the integer box-fit rule,
+    // thumb pixel (x, y) = src((x·w)//tw, (y·h)//th) (nearest sampling,
+    // the engine's one resize rule), then the standard aHash over the
+    // thumb grid: sample position ((k%8)·tw)//8 in THUMB space composes
+    // with the resize into nested integer floors over the generative
+    // source pixels — exactly what the engine's materialized pixels
+    // produce, so agreement proves the resample bit-exactly.
+    "m2b_thumb_hashes" -> s"""$ImagePhashCtes,
+td AS (SELECT doc_id, l, w, h,
+        CASE WHEN greatest(w, h) <= 32 THEN w ELSE w * 32 // greatest(w, h) END AS tw,
+        CASE WHEN greatest(w, h) <= 32 THEN h ELSE h * 32 // greatest(w, h) END AS th
+      FROM dm),
+tg AS (SELECT doc_id, tw, th,
          list_transform(
-           list_transform(range(0, 72), k ->
-             ((((k % 9) * w) // 9) * 31 + (((k // 9) * h) // 8) * 17 + l) & 16777215),
+           list_transform(range(0, 64), k ->
+             (((((k % 8) * tw) // 8) * w // tw) * 31
+              + ((((k // 8) * th) // 8) * h // th) * 17 + l) & 16777215),
            v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
                  + (v & 255) * 114) // 1000) AS gray
-       FROM dm)
-SELECT doc_id,
+       FROM td),
+tm AS (SELECT doc_id, tw, th, gray, list_sum(gray) // 64 AS mean FROM tg)
+SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
        CAST(list_sum(list_transform(range(32, 64), k ->
-         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
-              THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) AS h_hi,
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
        CAST(list_sum(list_transform(range(0, 32), k ->
-         CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2] > gray[(k // 8) * 9 + (k % 8) + 1]
-              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h_lo,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
-FROM dgr ORDER BY doc_id""",
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+FROM tm ORDER BY doc_id""",
 
     // m4b: d1's exact-dedup semantics on the image modality — identical
     // fingerprints form a group, keeper = min doc_id.

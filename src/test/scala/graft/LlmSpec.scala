@@ -454,6 +454,155 @@ class LlmSpec extends SparkSpec {
       "fixture sanity: the same shading DOES move the mean-threshold hash")
   }
 
+  test("the lens union catches the vertical-gradient recycler ONLY via the dHash leg (m4f/m4g)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.MediaRecord
+    def grayImg(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.min(250, math.max(0, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // original: luma rises with x only (every row identical); recycler:
+    // the SAME image under a per-row level shift (+y) — within-row order
+    // preserved, so every dHash comparison survives, while the global
+    // mean moves relative to each row and flips aHash bits far past the
+    // Hamming-3 gate
+    val orig = grayImg((x, _) => 40 + 2 * x)
+    val recycled = grayImg((x, y) => 40 + 2 * x + y)
+    def ham(p: (Long, Long), q: (Long, Long)): Int =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    assert(ham(MultimodalOps.dHash(orig), MultimodalOps.dHash(recycled)) === 0,
+      "within-row order preserved: the gradient prints are identical")
+    assert(ham(MultimodalOps.aHash(orig), MultimodalOps.aHash(recycled)) > 3,
+      "the mean-threshold prints are beyond the near-dup gate")
+    // ONE decode, both lenses: the union operator surfaces the pair with
+    // both exact distances — caught by the dHash leg alone
+    val media = Seq(MediaRecord(1L, "image/png", png(orig)),
+      MediaRecord(2L, "image/png", png(recycled))).toDS().toDF()
+    val lens = MultimodalOps.lensFingerprintFrame(media)
+    // the lens frame's projections agree with the single-lens paths
+    assert(MultimodalOps.aHashOf(lens).collect().toSet ===
+      MultimodalOps.fingerprintFrame(media).collect().toSet)
+    assert(MultimodalOps.dHashOf(lens).collect().toSet ===
+      MultimodalOps.imageDHashes(spark, media).collect().toSet)
+    val union = MultimodalOps.imageLensUnionNearDups(lens)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(union.toSeq.map(r => (r._1, r._2, r._4)) === Seq((1L, 2L, 0L)),
+      s"the union must surface exactly the dHash-leg pair: ${union.toSeq}")
+    assert(union.head._3 > 3L, "ham_ahash rides along, beyond the gate")
+    // the aHash-only search misses it (the gap the union closes); the
+    // dHash family (m4f) sees it
+    assert(MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.aHashOf(lens)).collect().isEmpty)
+    assert(MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.dHashOf(lens)).count() === 1L)
+    DedupOps.releaseCaches()
+  }
+
+  test("AIFF and AU containers decode to the WAV rendition's exact PCM (m5 mixed feed)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, AudioRecord}
+    // the sniff accepts all three JDK-native magics — and ONLY those:
+    // AIFC (compressed AIFF) and foreign codecs read as None
+    assert(AudioDecoder.sniff(AudioGen.wav(30L)) === Some("wav"))
+    assert(AudioDecoder.sniff(AudioGen.aiff(30L)) === Some("aiff"))
+    assert(AudioDecoder.sniff(AudioGen.au(30L)) === Some("au"))
+    val aifc = AudioGen.aiff(30L).clone()
+    aifc(11) = 'C' // FORM....AIFC
+    assert(AudioDecoder.sniff(aifc) === None,
+      "compressed AIFF is outside the 16-bit-PCM scope")
+    // container-INVARIANCE: one generative sample formula under three
+    // containers (different bytes, different endianness) → identical
+    // header fields, pcm_hash AND acoustic print
+    val full = MultimodalOps.decodeAudioFull(spark, Seq(
+        AudioRecord(1L, "audio/wav", AudioGen.wav(30L)),
+        AudioRecord(2L, "audio/aiff", AudioGen.aiff(30L)),
+        AudioRecord(3L, "audio/au", AudioGen.au(30L))).toDS().toDF())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(full.size === 3, "every container decodes")
+    assert(full(1L).format === "wav")
+    assert(full(2L).format === "aiff")
+    assert(full(3L).format === "au")
+    Seq(2L, 3L).foreach { id =>
+      assert(full(id).pcm_hash === full(1L).pcm_hash, s"pcm_hash of $id")
+      assert((full(id).h_hi, full(id).h_lo) === (full(1L).h_hi, full(1L).h_lo))
+      assert(full(id).n_frames === full(1L).n_frames)
+      assert(full(id).sample_rate === full(1L).sample_rate)
+      assert(full(id).channels === full(1L).channels)
+      assert(full(id).duration_ms === full(1L).duration_ms)
+    }
+    // rot rule on the new containers: truncation behind valid magic
+    // drops the record, never kills the decode task
+    assert(MultimodalOps.decodeAudioBatch(Seq(
+      AudioRecord(8L, "audio/aiff", AudioGen.aiff(30L).take(40)),
+      AudioRecord(9L, "audio/au", AudioGen.au(30L).take(20)))).isEmpty)
+    // the cross-container dup: asAudioTable's mixed feed (1 → AIFF,
+    // 3 → AU, 5 → WAV) of one text length lands in ONE m5b group —
+    // d1's content identity does not see the container
+    val dup = MultimodalOps.audioDupGroupsFromMeta(
+      MultimodalOps.decodeAudioMeta(spark, MultimodalOps.asAudioTable(
+        Seq((1L, "a" * 30), (3L, "b" * 30), (5L, "c" * 30))
+          .toDF("doc_id", "text"))).toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dup === Set((1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L)),
+      s"WAV/AIFF/AU renditions of one PCM must form one group: $dup")
+  }
+
+  test("aHash is invariant under the materialized thumbnail at integer scale (m2b)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{ImageGen, MediaRecord}
+    def grayImg(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17 + 7) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // the THEOREM the nearest-neighbor construction buys: with tw, th
+    // multiples of 8 at integer scale, aHash-of-thumb's nested floors
+    // (((k·tw)/8)·w)/tw collapse to aHash-of-source's (k·w)/8 — the
+    // prints are EQUAL, not merely close (the invariant image dedup
+    // leans on when a feed carries multiple renditions of one image)
+    Seq((64, 64, 32L), (128, 64, 32L), (64, 128, 32L), (96, 96, 48L))
+      .foreach { case (w, h, box) =>
+        val img = grayImg(w, h)
+        val (tw, th) = MultimodalOps.fitBox(w.toLong, h.toLong, box)
+        assert(tw % 8 == 0 && th % 8 == 0, s"case sanity ($w,$h,$box)")
+        val thumb = MultimodalOps.thumbnail(img, tw.toInt, th.toInt)
+        assert((thumb.getWidth, thumb.getHeight) === (tw.toInt, th.toInt))
+        assert(MultimodalOps.aHash(thumb) === MultimodalOps.aHash(img),
+          s"resize-invariance broke at ($w, $h) -> ($tw, $th)")
+      }
+    // the frame form over the generative fixture agrees with a direct
+    // per-record recompute (decode → fitBox → thumbnail → aHash)
+    val media = Seq(
+      MediaRecord(1L, "image/png", ImageGen.png(30L)),
+      MediaRecord(2L, "image/png", ImageGen.png(41L)),
+      MediaRecord(3L, "image/png", ImageGen.png(77L))).toDS().toDF()
+    val got = MultimodalOps.thumbHashes(spark, media, 32L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    Seq(1L -> 30L, 2L -> 41L, 3L -> 77L).foreach { case (id, l) =>
+      val img = graft.llm.MultimodalOps.ImageDecoder.image(ImageGen.png(l)).get
+      val (tw, th) = MultimodalOps.fitBox(
+        img.getWidth.toLong, img.getHeight.toLong, 32L)
+      val (hi, lo) = MultimodalOps.aHash(
+        MultimodalOps.thumbnail(img, tw.toInt, th.toInt))
+      assert(got(id) === ((tw, th, hi, lo)), s"doc $id")
+    }
+  }
+
   test("image aHash equals the pixel-formula reimplementation; identical images group (m4)") {
     import spark.implicits._
     // independent hand model: the generative pixel formula pushed through

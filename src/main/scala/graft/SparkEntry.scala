@@ -317,7 +317,7 @@ object SparkEntry {
       DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
 
   /** The t21d index: a REAL on-disk [[graft.streaming.DedupStream]]
-    * index (all twelve sides) built once per JVM per sfDir by admitting
+    * index (all thirteen sides) built once per JVM per sfDir by admitting
     * the corpus docs through the SAME `admitBatch` the streaming loop
     * runs — the StoreLayout.ensureServingTables discipline applied to
     * the text tier, so the t21d row serves its winnow screen from the
@@ -332,13 +332,21 @@ object SparkEntry {
   // memo of completed ON-DISK state builds, keyed (root, source-data
   // fingerprint): regenerated fixture parquet under the same sfDir
   // changes the fingerprint, so the state rebuilds instead of silently
-  // serving a stale derivative (r15 advice). computeIfAbsent gives a
-  // PER-KEY critical section — two sessions warming DIFFERENT sfDirs
-  // build concurrently instead of serializing behind one JVM monitor —
-  // and a failed build installs no entry, so the next call retries the
-  // delete-and-rebuild (the failure path the r15 advice asked to name).
+  // serving a stale derivative (r15 advice). The critical section is
+  // PER-ROOT, not per-(root, fingerprint): a rebuild for a NEW
+  // fingerprint deletes the root dir, so it must serialize against
+  // every builder of that root — per-key sections would let the delete
+  // race a concurrent session still building under the previous
+  // fingerprint (r16 advice). Entering the root lock, the root's stale
+  // fingerprint entries are invalidated so latecomers re-enter the
+  // build path instead of serving a deleted dir. Two sessions warming
+  // DIFFERENT sfDirs still build concurrently (distinct roots, distinct
+  // locks), and a failed build installs no entry, so the next call
+  // retries the delete-and-rebuild.
   private val diskStateBuilt =
     new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private val diskStateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def onDiskState(s: SparkSession, d: String, name: String)(
       build: String => Unit): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -351,13 +359,21 @@ object SparkEntry {
     val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val st = src.getFileSystem(conf).getFileStatus(src)
     val fingerprint = s"${st.getLen}-${st.getModificationTime}"
-    diskStateBuilt.computeIfAbsent((root.toString, fingerprint), _ => {
-      val fs = root.getFileSystem(conf)
-      if (fs.exists(root)) fs.delete(root, true)
-      build(root.toString)
-      java.lang.Boolean.TRUE
-    })
-    root.toString
+    val rootKey = root.toString
+    if (!diskStateBuilt.containsKey((rootKey, fingerprint)))
+      diskStateLocks.computeIfAbsent(rootKey, _ => new Object).synchronized {
+        if (!diskStateBuilt.containsKey((rootKey, fingerprint))) {
+          // invalidate the root's superseded fingerprints BEFORE the
+          // delete: a session that raced past the outer check re-enters
+          // here and rebuilds rather than serving the deleted dir
+          diskStateBuilt.keySet.removeIf(_._1 == rootKey)
+          val fs = root.getFileSystem(conf)
+          if (fs.exists(root)) fs.delete(root, true)
+          build(rootKey)
+          diskStateBuilt.put((rootKey, fingerprint), java.lang.Boolean.TRUE)
+        }
+      }
+    rootKey
   }
 
   private def t21dIndexDir(s: SparkSession, d: String): String =

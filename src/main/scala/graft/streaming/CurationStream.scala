@@ -8,7 +8,8 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
   * against BOTH maintained index tiers (the text tier's thirteen
-  * [[DedupStream]] sides and the vector tier's [[VectorStream]] serving
+  * [[DedupStream]] sides — fourteen under a dHash-bearing `imageLens` —
+  * and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
@@ -39,7 +40,7 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   *      overwrite);
   *   2. TEXT COMMIT — the admitted docs through
   *      [[DedupStream.admitBatch]] (its own self-exclusion + prior-probe
-  *      replay discipline, all thirteen sides + groups);
+  *      replay discipline, every maintained side + groups);
   *   3. VECTOR COMMIT — the admitted ids' vectors through
   *      [[VectorStream.admitBatch]] (cells + stats + codes, same
   *      discipline).
@@ -74,59 +75,90 @@ object CurationStream {
   private[graft] final class CrashBetweenTiers
     extends RuntimeException("injected crash: text tier committed, vector tier not")
 
+  /** The increment's per-batch media decode products, computed ONCE and
+    * shared by the phase-1 screens and the phase-2 side writes. Which
+    * image lens frames exist follows the `imageLens` config: `aHashes`
+    * under AHashLens/BothLens, `dHashes` under DHashLens/BothLens —
+    * under BothLens both PROJECT from one dual-lens decode
+    * ([[MultimodalOps.lensFingerprintFrame]]); `frames` always (the
+    * keyframe table is its ordinal-0 projection). */
+  private final case class IncrMedia(aHashes: Option[DataFrame],
+      dHashes: Option[DataFrame], frames: DataFrame)
+
   /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
     * excluded, nothing committed): what WOULD this increment do under
     * the full curation policy. One call, both tiers — the audit form of
     * [[admitBatch]], composing [[DedupStream.admissionVerdicts]] with
-    * the vector tier's served screen. */
+    * the vector tier's served screen. The media/audio decode products
+    * are computed ONCE and shared across the four media screens exactly
+    * like the committed path (the [[incrementMedia]]/[[incrementAudio]]
+    * seam — an advisory call must not pay the payload generation and
+    * container/PCM decode once per screen). */
   def verdicts(spark: SparkSession, textIndexDir: String,
       vectorIndexDir: String, docs: DataFrame, vectors: DataFrame,
       benchmark: DataFrame, threshold: Double = 0.5,
       semThreshold: Double = 0.9, minQuality: Double = 0.5,
       contamK: Int = 4, contamMinShared: Int = 1,
       maxCell: Int = 256,
-      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): DataFrame =
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): DataFrame = {
+    val incrMedia = incrementMedia(docs, imageLens)
+    val incrAudio = incrementAudio(docs)
+    val ids = docs.select("doc_id")
     DedupStream.admissionVerdicts(spark, textIndexDir, docs, benchmark,
       threshold, minQuality, contamK, contamMinShared,
       spanRung = spanRung,
       semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
         semThreshold, maxCell)),
-      imagePairs =
-        if (MultimodalOps.hasMediaEnvelope(docs))
-          Some(DedupStream.screenImageNearDups(spark, textIndexDir,
-            MultimodalOps.asMediaTable(docs)))
-        else None,
-      audioPairs =
-        if (MultimodalOps.hasMediaEnvelope(docs))
-          Some(DedupStream.screenAudioDups(spark, textIndexDir, docs))
-        else None,
-      audioFpPairs =
-        if (MultimodalOps.hasMediaEnvelope(docs))
-          Some(DedupStream.screenAudioNearDups(spark, textIndexDir, docs))
-        else None,
-      videoPairs =
-        if (MultimodalOps.hasMediaEnvelope(docs))
-          Some(DedupStream.screenVideoNearDups(spark, textIndexDir, docs))
-        else None,
-      videoFramePairs =
-        if (MultimodalOps.hasMediaEnvelope(docs))
-          Some(DedupStream.screenFrameNearDups(spark, textIndexDir, docs))
-        else None)
+      imagePairs = incrMedia.map(im =>
+        DedupStream.imageScreenOfHashes(imageLens,
+          DedupStream.corpusImageHashes(spark, textIndexDir),
+          DedupStream.corpusImageDHashes(spark, textIndexDir),
+          im.aHashes.get, im.dHashes.get, ids)),
+      audioPairs = incrAudio.map(a =>
+        MultimodalOps.audioExactDupsServedHashes(
+          DedupStream.corpusAudioHashes(spark, textIndexDir), a, ids)),
+      audioFpPairs = incrAudio.map(a =>
+        MultimodalOps.imageNearDupsServedHashes(
+          DedupStream.corpusAudioFps(spark, textIndexDir), a, ids)),
+      videoPairs = incrMedia.map(im =>
+        MultimodalOps.imageNearDupsServedHashes(
+          DedupStream.corpusVideoHashes(spark, textIndexDir),
+          MultimodalOps.keyframeOf(im.frames), ids)),
+      videoFramePairs = incrMedia.map(im =>
+        MultimodalOps.frameNearDupsServedHashes(
+          DedupStream.corpusFrameHashes(spark, textIndexDir),
+          im.frames, ids)))
+  }
 
-  /** The increment's image fingerprints AND sampled-frame prints,
+  /** The increment's image-lens fingerprints AND sampled-frame prints,
     * decoded ONCE per batch off ONE materialized media table and fed to
     * the phase-1 screens and the phase-2 side writes — the keyframe
     * table is the frame prints' ordinal-0 PROJECTION
     * ([[MultimodalOps.keyframeOf]]), so a video container parses exactly
-    * once per batch however many rungs consume it. None when the feed
-    * carries no media envelope ([[MultimodalOps.hasMediaEnvelope]], the
-    * same single gate the side writes key on): text-only feeds pay
-    * nothing, not even the sides' FS probes. */
-  private def incrementMedia(docs: DataFrame): Option[(DataFrame, DataFrame)] =
+    * once per batch however many rungs consume it; under a dHash-bearing
+    * lens both print families project from ONE dual-lens decode. None
+    * when the feed carries no media envelope
+    * ([[MultimodalOps.hasMediaEnvelope]], the same single gate the side
+    * writes key on): text-only feeds pay nothing, not even the sides'
+    * FS probes. */
+  private def incrementMedia(docs: DataFrame,
+      lens: DedupStream.ImageLens): Option[IncrMedia] =
     if (MultimodalOps.hasMediaEnvelope(docs)) {
       val media = MultimodalOps.mediaTableRaw(docs)
-      Some((MultimodalOps.imageHashesRaw(media),
-        MultimodalOps.sampleFramesRaw(docs.sparkSession, media)))
+      val frames = MultimodalOps.sampleFramesRaw(docs.sparkSession, media)
+      Some(lens match {
+        case DedupStream.AHashLens =>
+          IncrMedia(Some(MultimodalOps.imageHashesRaw(media)), None, frames)
+        case DedupStream.DHashLens =>
+          IncrMedia(None,
+            Some(MultimodalOps.dHashOf(
+              MultimodalOps.lensFingerprintFrameRaw(media))), frames)
+        case DedupStream.BothLens =>
+          val lensRaw = MultimodalOps.lensFingerprintFrameRaw(media)
+          IncrMedia(Some(MultimodalOps.aHashOf(lensRaw)),
+            Some(MultimodalOps.dHashOf(lensRaw)), frames)
+      })
     } else None
 
   /** The increment's COMBINED audio decode (header + content hash +
@@ -149,11 +181,12 @@ object CurationStream {
       contamK: Int = 4, contamMinShared: Int = 1,
       lineage: String = "curation", maxCell: Int = 256,
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
-      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): Unit =
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): Unit =
     admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
       outDir, benchmark, threshold, semThreshold, minQuality, contamK,
       contamMinShared, lineage, maxCell, bloomSizing,
-      failAfterTextTier = false, spanRung = spanRung)
+      failAfterTextTier = false, spanRung = spanRung, imageLens = imageLens)
 
   private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
       batchId: Long, textIndexDir: String, vectorIndexDir: String,
@@ -161,16 +194,16 @@ object CurationStream {
       semThreshold: Double, minQuality: Double, contamK: Int,
       contamMinShared: Int, lineage: String, maxCell: Int,
       bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean,
-      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): Unit = {
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): Unit = {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
-    // the increment's image + audio fingerprints, decoded ONCE (None for
-    // text-only feeds) — the screens below and the phase-2 side writes
-    // share them
-    val incrMedia = incrementMedia(docs)
-    val incrHashes = incrMedia.map(_._1)
-    val incrFrames = incrMedia.map(_._2)
+    // the increment's image-lens + audio fingerprints, decoded ONCE (None
+    // for text-only feeds) — the screens below and the phase-2 side
+    // writes share them
+    val incrMedia = incrementMedia(docs, imageLens)
+    val incrFrames = incrMedia.map(_.frames)
     val incrVideo = incrFrames.map(MultimodalOps.keyframeOf)
     val incrAudio = incrementAudio(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
@@ -191,13 +224,16 @@ object CurationStream {
       minQuality,
       Some(VectorStream.screenExcluding(spark, vectorIndexDir, vectors,
         semThreshold, maxCell, tag)),
-      // the image rung (when the feed carries media): the maintained
-      // fingerprint side with this batch's own dir excluded — on top of
-      // the screen's id-level self-exclusion — so a replay screens
-      // exactly the corpus the original attempt saw
-      incrHashes.map(h => MultimodalOps.imageNearDupsServedHashes(
+      // the image rung (when the feed carries media): the CONFIGURED
+      // lens's maintained side(s) with this batch's own dir excluded —
+      // on top of the screen's id-level self-exclusion — so a replay
+      // screens exactly the corpus the original attempt saw; under
+      // BothLens the two lens screens' pairs union (the m4g semantics,
+      // served)
+      incrMedia.map(im => DedupStream.imageScreenOfHashes(imageLens,
         DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag),
-        h, docs.select("doc_id"))),
+        DedupStream.sideExcluding(spark, textIndexDir, "imagedhashes", tag),
+        im.aHashes.get, im.dHashes.get, docs.select("doc_id"))),
       // the exact-audio rung: maintained side with this batch's own dir
       // excluded, on top of the screen's id-level self-exclusion
       incrAudio.map(a => MultimodalOps.audioExactDupsServedHashes(
@@ -242,17 +278,20 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all twelve sides
+      // pairs) — and owns the replay discipline for all thirteen sides
+      // (fourteen under a dHash-bearing lens)
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
         bloomSizing,
         // the phase-1 fingerprints, restricted to the kept set inside
         // admitBatch — the admitted images/clips are NOT re-decoded
-        imageHashes = incrHashes,
+        imageHashes = incrMedia.flatMap(_.aHashes),
         audioFull = incrAudio,
         videoHashes = incrVideo,
-        frameHashes = incrFrames)
+        frameHashes = incrFrames,
+        imageLens = imageLens,
+        imageDHashes = incrMedia.flatMap(_.dHashes))
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -336,7 +375,8 @@ object CurationStream {
       threshold: Double = 0.5, semThreshold: Double = 0.9,
       minQuality: Double = 0.5, maxCell: Int = 256,
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
-      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung): StreamingQuery = {
+      spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -347,7 +387,8 @@ object CurationStream {
             .select(col("doc_id").as("vec_id"), col("embedding")),
           batchId, textIndexDir, vectorIndexDir, outDir, benchmark,
           threshold, semThreshold, minQuality, lineage = lineage,
-          maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung)
+          maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung,
+          imageLens = imageLens)
       }
       .start()
   }

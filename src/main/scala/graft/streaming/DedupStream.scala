@@ -37,6 +37,12 @@ import graft.llm.DedupOps
   * indexDir/imagehashes/batch=<lineage>-<id>/ (doc_id, h_hi, h_lo, w, h)
   *                                          aHash fingerprints of the
   *                                          admitted media — m4d serving
+  * indexDir/imagedhashes/batch=<lineage>-<id>/ (imagehashes schema) dHash
+  *                                          GRADIENT-lens prints — the
+  *                                          OPTIONAL fourteenth side,
+  *                                          written under imageLens =
+  *                                          DHashLens|BothLens off the
+  *                                          SAME decode (m4f/m4g serving)
   * indexDir/winnowfps/batch=<lineage>-<id>/ (doc_id, fp) winnow sketch
   *                                          rows (t21, ~1/w the seed
   *                                          side) — t21d pair serving
@@ -63,7 +69,8 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The thirteen index sides start flat under `indexDir` and migrate into
+  * The thirteen index sides (fourteen under `imageLens = DHashLens |
+  * BothLens`) start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -421,6 +428,7 @@ object DedupStream {
       case "seeds" => SeedSchema
       case "seedstats" => StatsSchema
       case "imagehashes" => ImgHashSchema
+      case "imagedhashes" => ImgHashSchema
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
@@ -514,6 +522,59 @@ object DedupStream {
   def corpusImageHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/imagehashes", ImgHashSchema)
       .drop("batch")
+
+  /** The maintained image DHASH-print side over every ADMITTED doc's
+    * decodable media — the GRADIENT lens beside [[corpusImageHashes]]'
+    * mean-threshold one, written only under `imageLens = DHashLens |
+    * BothLens` (the OPTIONAL fourteenth side: an AHash-configured index
+    * simply has no dirs here and reads empty). Same 16-byte print
+    * schema, so the whole banded serving machinery runs unchanged. */
+  def corpusImageDHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/imagedhashes", ImgHashSchema)
+      .drop("batch")
+
+  /** The image rung's LENS choice — the spanRung discipline on the image
+    * modality: `AHashLens` screens the mean-threshold prints against the
+    * imagehashes side (the default, the original single-lens rung);
+    * `DHashLens` screens the gradient prints against the imagedhashes
+    * side (robust to within-row order-preserving luma transforms —
+    * vignettes, scanner shading — where the global mean moves);
+    * `BothLens` maintains BOTH sides off ONE decode
+    * ([[graft.llm.MultimodalOps.lensFingerprintFrame]]) and screens on
+    * the CANDIDATE UNION (m4g's recall win: a pair within the gate under
+    * EITHER lens rejects) at one extra 16-byte print per image. */
+  sealed trait ImageLens
+  case object AHashLens extends ImageLens
+  case object DHashLens extends ImageLens
+  case object BothLens extends ImageLens
+
+  /** The lens rung's screen for callers that already hold the
+    * increment's prints — ONE dispatch shared by [[CurationStream]]'s
+    * advisory and committed paths (each passes its own corpus-side
+    * frames: own-batch-excluded on the committed path). All frame
+    * arguments are by-name so the un-chosen lens's side is never probed
+    * and its prints never computed. Under `BothLens` the two screens'
+    * verified pairs union on (id_a, id_b) — each pair already verified
+    * within its own lens space, the m4g semantics served. */
+  private[streaming] def imageScreenOfHashes(lens: ImageLens,
+      aSide: => DataFrame, dSide: => DataFrame,
+      incrA: => DataFrame, incrD: => DataFrame, incrIds: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = lens match {
+    case AHashLens =>
+      graft.llm.MultimodalOps.imageNearDupsServedHashes(
+        aSide, incrA, incrIds, maxHamming, maxBucket)
+    case DHashLens =>
+      graft.llm.MultimodalOps.imageNearDupsServedHashes(
+        dSide, incrD, incrIds, maxHamming, maxBucket)
+    case BothLens =>
+      graft.llm.MultimodalOps.imageNearDupsServedHashes(
+          aSide, incrA, incrIds, maxHamming, maxBucket)
+        .select("id_a", "id_b")
+        .unionByName(graft.llm.MultimodalOps.imageNearDupsServedHashes(
+            dSide, incrD, incrIds, maxHamming, maxBucket)
+          .select("id_a", "id_b"))
+        .distinct()
+  }
 
   /** The maintained AUDIO-fingerprint side over every ADMITTED doc's
     * audio rendition (m5's meta rows — header fields + the decoded-PCM
@@ -757,7 +818,9 @@ object DedupStream {
       imageHashes: Option[DataFrame] = None,
       audioFull: Option[DataFrame] = None,
       videoHashes: Option[DataFrame] = None,
-      frameHashes: Option[DataFrame] = None): Unit = {
+      frameHashes: Option[DataFrame] = None,
+      imageLens: ImageLens = AHashLens,
+      imageDHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -862,8 +925,15 @@ object DedupStream {
       // admission must not pay a per-doc decode for sides it will never
       // query — its dirs are simply absent, which readSide resolves as
       // empty.
+      // the LENS config decides which image print sides this index
+      // maintains: aHash (imagehashes), dHash (the optional fourteenth
+      // side, imagedhashes), or both off ONE decode
+      val writesA = imageLens != DHashLens
+      val writesD = imageLens != AHashLens
       val mediaFallback =
-        if ((imageHashes.isEmpty || videoHashes.isEmpty || frameHashes.isEmpty) &&
+        if (((writesA && imageHashes.isEmpty) ||
+          (writesD && imageDHashes.isEmpty) ||
+          videoHashes.isEmpty || frameHashes.isEmpty) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
         else None
@@ -876,11 +946,25 @@ object DedupStream {
           mediaFallback.map(m =>
             graft.llm.MultimodalOps.sampleFrames(spark, m).toDF().persist())
         else None
+      // when the dHash side needs a fallback, ONE dual-lens decode feeds
+      // BOTH image sides (lensFingerprintFrame — aHash and dHash off the
+      // same pixels); the aHash-only fallback keeps the original
+      // single-lens decode
+      val lensFallback =
+        if (writesD && imageDHashes.isEmpty && mediaFallback.nonEmpty)
+          mediaFallback.map(m =>
+            graft.llm.MultimodalOps.lensFingerprintFrame(m).persist())
+        else None
       try {
-        imageHashes
+        if (writesA) imageHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(lensFallback.map(graft.llm.MultimodalOps.aHashOf))
           .orElse(mediaFallback.map(graft.llm.MultimodalOps.fingerprintFrame))
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
+        if (writesD) imageDHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(lensFallback.map(graft.llm.MultimodalOps.dHashOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/imagedhashes/$key"))
         videoHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
@@ -891,6 +975,7 @@ object DedupStream {
           .foreach(_.select("doc_id", "frame_idx", "frame_no", "h_hi", "h_lo")
             .write.mode("overwrite").parquet(s"$root/framehashes/$key"))
       } finally {
+        lensFallback.foreach(_.unpersist(blocking = false))
         framesFallback.foreach(_.unpersist(blocking = false))
         mediaFallback.foreach(_.unpersist(blocking = false))
       }
@@ -1032,7 +1117,24 @@ object DedupStream {
     * only. The sketch rung screens at minShared = 1: an exactly-8-word
     * overlap forces exactly ONE shared fingerprint, so parity with the
     * seed rung's minSpan = 8 needs the single-print evidence level
-    * (higher minShared trades that boundary recall for precision). */
+    * (higher minShared trades that boundary recall for precision).
+    *
+    * PRECISION ASYMMETRY (accepted, by design): minShared = 1 makes the
+    * sketch rung's recall direction exact — every ≥ 8-word overlap is
+    * caught — but its PRECISION direction is weaker than the seed
+    * rung's: one shared fingerprint only proves one shared SELECTED
+    * k-gram ([[SeedK]] = 5 words), so two docs sharing a short phrase
+    * below the 8-word span bound CAN reject `span_dup` under SketchRung
+    * where SeedsRung admits (CurationStreamSpec pins exactly that
+    * divergence). This is the standard sketch-index tradeoff: the
+    * winnow side holds 1/w of the evidence, so its positives are
+    * k-gram-level, not span-level. A deployment wanting span-level
+    * precision keeps SeedsRung (exact coordinates); one preferring the
+    * 1/w index size accepts that a selected-k-gram collision is
+    * rejection-worthy — for verbatim-duplication screens over web-scale
+    * corpora a shared rare 5-gram is itself a strong duplication
+    * signal, which is why minShared = 1 is the shipped default rather
+    * than a recall hole. */
   sealed trait SpanRung
   case object SeedsRung extends SpanRung
   case object SketchRung extends SpanRung
@@ -1119,6 +1221,7 @@ object DedupStream {
     ("bigramcounts", BigramSchema,
       (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
+    ("imagedhashes", ImgHashSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),

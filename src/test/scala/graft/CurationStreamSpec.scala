@@ -227,6 +227,69 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the sketch rung's minShared=1 precision asymmetry: a shared 5-word phrase diverges from the seeds rung (accepted)") {
+    // the FALSE-POSITIVE direction of minShared = 1 (r16 advice): one
+    // shared fingerprint only proves one shared SELECTED k-gram (SeedK =
+    // 5 words), not the ≥ 8-word overlap the seeds rung requires — so a
+    // short shared phrase, when winnowing happens to select its k-gram
+    // in both docs, rejects span_dup under SketchRung where SeedsRung
+    // admits. The divergence is ACCEPTED and documented (the SpanRung
+    // scaladoc); this test pins its existence and direction.
+    val tmp = Files.createTempDirectory("graft_curation_asym").toString
+    def textOfLen(tag: String, len: Int, insert: String): String = {
+      val sb = new StringBuilder(tag)
+      if (insert.nonEmpty) sb.append(" ").append(insert)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      sb.append(" ").append("z" * (len - sb.length - 1))
+      sb.toString
+    }
+    // search phrase variants until winnowing SELECTS the shared k-gram
+    // in both surroundings (selection depends on neighboring hashes —
+    // each variant has ~a-few-in-ten odds per doc, so a handful of
+    // candidates always lands one); the seeds screen must stay empty for
+    // EVERY variant (5 shared words can never reach an 8-word span)
+    val hit = (1 to 40).iterator.map { i =>
+      val phrase = s"qa$i qb$i qc$i qd$i qe$i"
+      val corpus = Seq((1L, textOfLen("corp", 400, phrase))).toDF("doc_id", "text")
+      val inc = Seq((401L, textOfLen("incr", 450, phrase))).toDF("doc_id", "text")
+      val seeds = DedupOps.positionalSeeds(corpus)
+      val spans = DedupOps.incrementalSpans(inc, seeds,
+        DedupOps.seedStats(seeds), k = DedupStream.SeedK).count()
+      assert(spans === 0L,
+        s"a 5-word phrase must never form a span (variant $i)")
+      val sketch = DedupOps.winnowScreen(
+        DedupOps.winnowFingerprints(corpus, DedupStream.SeedK, DedupStream.WinnowW),
+        inc, k = DedupStream.SeedK, w = DedupStream.WinnowW,
+        minShared = 1).count()
+      DedupOps.releaseCaches()
+      (i, phrase, sketch)
+    }.find(_._3 > 0L)
+    assert(hit.isDefined,
+      "fixture search: no variant's shared k-gram was winnow-selected in both docs")
+    val (_, phrase, _) = hit.get
+    // the rung-level divergence, end to end: same increment, same index,
+    // opposite verdicts under the two configured rungs
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    DedupStream.admitBatch(
+      Seq((1L, textOfLen("corp", 400, phrase))).toDF("doc_id", "text"),
+      0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+    DedupOps.releaseCaches()
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val docs = Seq((401L, textOfLen("incr", 450, phrase))).toDF("doc_id", "text")
+    val vecs = Seq((401L, e(2))).toDF("vec_id", "embedding")
+    def verdictUnder(rung: DedupStream.SpanRung): String =
+      CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec", docs, vecs,
+        bench, spanRung = rung).select("verdict").as[String].head()
+    assert(verdictUnder(DedupStream.SeedsRung) === "admitted",
+      "the seeds rung needs a ≥ 8-word span and must admit")
+    assert(verdictUnder(DedupStream.SketchRung) === "span_dup",
+      "the sketch rung's k-gram-level evidence rejects — the documented asymmetry")
+    DedupOps.releaseCaches()
+  }
+
   test("a media feed's image rung rejects a corpus-image recycler (c6 streaming)") {
     val tmp = Files.createTempDirectory("graft_curation_img").toString
     // the fixture image depends only on text LENGTH: every text below is
@@ -628,6 +691,125 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the image lens config: a gradient recycler admits under AHash, rejects image_dup under Both (start)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, ImageGen}
+    // driver-side generative prints through the REAL PNG round-trip —
+    // both lenses of each length's fixture image, memoized (the
+    // framePrintOf discipline)
+    val imgMemo = scala.collection.mutable.HashMap.empty[Int, ((Long, Long), (Long, Long))]
+    def lensOf(l: Int): ((Long, Long), (Long, Long)) =
+      imgMemo.getOrElseUpdate(l, {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(ImageGen.png(l.toLong)))
+        (MultimodalOps.aHash(img), MultimodalOps.dHash(img))
+      })
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    val afpMemo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def afpOf(l: Int) = afpMemo.getOrElseUpdate(l,
+      MultimodalOps.acousticFingerprint(samplesOf(l)))
+    val pcmMemo = scala.collection.mutable.HashMap.empty[Int, Long]
+    def pcmOf(l: Int) = pcmMemo.getOrElseUpdate(l,
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)))
+    // the VERTICAL-GRADIENT-RECYCLER analog inside the generative
+    // family: a length pair whose dHash prints sit within the gate while
+    // the aHash prints sit beyond it (the m4e separation, surfacing
+    // naturally from the ramp formula's byte wrapping), with the audio
+    // far on BOTH tiers — so under AHashLens nothing can reject the
+    // second doc, and under BothLens ONLY the dHash leg can
+    def audioFar(a: Int, b: Int): Boolean =
+      ham64(afpOf(a), afpOf(b)) > 3 && pcmOf(a) != pcmOf(b)
+    val cand = (for {
+      la <- (330 to 700).iterator
+      lb <- (la + 1 to 700).iterator
+      if ham64(lensOf(la)._2, lensOf(lb)._2) <= 3
+      if ham64(lensOf(la)._1, lensOf(lb)._1) > 3
+      if audioFar(la, lb)
+    } yield (la, lb)).nextOption()
+    assert(cand.isDefined, "fixture search: no dHash-near/aHash-far pair")
+    val (lenA, lenB) = cand.get
+    // a seed far from both on EVERY print family in play (both image
+    // lenses + both audio tiers; all ids are non-video, so the video
+    // rungs never see them)
+    val lenC = (330 to 700).find(l => l != lenA && l != lenB &&
+      Seq(lenA, lenB).forall(x =>
+        ham64(lensOf(l)._1, lensOf(x)._1) > 3 &&
+          ham64(lensOf(l)._2, lensOf(x)._2) > 3 && audioFar(l, x))).get
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len, s"textOfLen($tag, $len)")
+      sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // one run per lens config over IDENTICAL feeds: seed, then the
+    // original in microbatch 1, then the gradient recycler in
+    // microbatch 2 — the verdict difference isolates the lens
+    def runWith(lens: DedupStream.ImageLens): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_lens_$lens").toString
+      DedupStream.admitBatch(
+        Seq((1L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        imageLens = lens)
+      try {
+        stream.addData((401L, "src", textOfLen("orig", lenA), e(2)))
+        q.processAllAvailable()
+        stream.addData((403L, "src", textOfLen("redo", lenB), e(3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    // under the default mean-threshold lens the recycler sails through —
+    // the exact gap the second lens exists to close
+    val (viaA, _) = runWith(DedupStream.AHashLens)
+    assert(viaA === Map(401L -> ("admitted", None), 403L -> ("admitted", None)),
+      viaA.toString)
+    // under BothLens the dHash leg of the candidate union rejects it off
+    // the MAINTAINED fourteenth side, across the microbatch boundary —
+    // witness = the microbatch-1 admission
+    val (viaBoth, tmpBoth) = runWith(DedupStream.BothLens)
+    assert(viaBoth === Map(401L -> ("admitted", None),
+      403L -> ("image_dup", Some(401L))), viaBoth.toString)
+    // the metrics row names the class; the sides hold exactly the
+    // admitted docs' prints (the seed predates the dHash config, so the
+    // fourteenth side holds only the microbatch-1 admission)
+    val m = CurationStream.metrics(spark, s"$tmpBoth/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_image_dup")) === 1L, m.toString)
+    assert(DedupStream.corpusImageHashes(spark, s"$tmpBoth/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 401L))
+    assert(DedupStream.corpusImageDHashes(spark, s"$tmpBoth/text")
+      .select("doc_id").as[Long].collect().toSet === Set(401L))
+    // the DHash-only config rejects it too (the rung serves the gradient
+    // side alone), and never writes the aHash side for its admissions
+    val (viaD, tmpD) = runWith(DedupStream.DHashLens)
+    assert(viaD === Map(401L -> ("admitted", None),
+      403L -> ("image_dup", Some(401L))), viaD.toString)
+    assert(DedupStream.corpusImageHashes(spark, s"$tmpD/text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L),
+      "a DHash-configured run must not grow the aHash side")
+    DedupOps.releaseCaches()
+  }
+
   test("the streaming entry drives the full ladder per microbatch, media envelope intact (start)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_curation_start").toString
@@ -769,6 +951,220 @@ class CurationStreamSpec extends SparkSpec {
       .groupBy("lineage", "batch_id").count()
       .select("count").as[Long].collect()
     assert(vecM.length === 3 && vecM.forall(_ === 1L), s"vec rows: ${vecM.toSeq}")
+    DedupOps.releaseCaches()
+  }
+
+  test("mixed-modality soak: five microbatches plant every verdict class, equal the one-batch run, sides fold-equal across compactIfDue") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, ImageGen}
+    // ---- driver-side generative print helpers, memoized ----------------
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    val afpMemo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def afpOf(l: Int) = afpMemo.getOrElseUpdate(l,
+      MultimodalOps.acousticFingerprint(samplesOf(l)))
+    val pcmMemo = scala.collection.mutable.HashMap.empty[Int, Long]
+    def pcmOf(l: Int) = pcmMemo.getOrElseUpdate(l,
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)))
+    val imgMemo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def imgOf(l: Int) = imgMemo.getOrElseUpdate(l, MultimodalOps.aHash(
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ImageGen.png(l.toLong)))))
+    def farAudio(a: Int, b: Int): Boolean =
+      ham64(afpOf(a), afpOf(b)) > 3 && pcmOf(a) != pcmOf(b)
+    def farImage(a: Int, b: Int): Boolean = ham64(imgOf(a), imgOf(b)) > 3
+    val fpMemo = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long)]
+    def fp(l: Int, fno: Int) = fpMemo.getOrElseUpdate((l, fno), framePrintOf(l, fno))
+    def framesFar(la: Int, lb: Int): Boolean = {
+      val (nfa, nfb) = (2 + la % 3, 2 + lb % 3)
+      (0 until 4).forall(i =>
+        ham64(fp(la, i * nfa / 4), fp(lb, i * nfb / 4)) > 3)
+    }
+    // ---- the VIDEO length family: one original supporting all three
+    // planted video-side recyclers (keyframe-near, shot-near, afp-near),
+    // the three recyclers pairwise far so the one-batch twin's
+    // new-vs-new legs cannot flip a class ------------------------------
+    // every family member is also audio-far from the low-quality doc's
+    // length (15): its afp colliding with a video-family clip would flip
+    // that doc's class through the one-batch twin's new-vs-new legs
+    def vidFamily(la: Int): Option[(Int, Int, Int)] = for {
+      _ <- Some(la).filter(l => farAudio(l, 15))
+      kf <- (1 to 7).map(k => la + 48 * k).find(l =>
+        ham64(imgOf(l), imgOf(la)) <= 3 && farAudio(l, la) && farAudio(l, 15))
+      shot <- (la + 1 to 700).find(l => l != kf &&
+        ham64(fp(l, 0), fp(la, 0)) > 3 && {
+          val (nfa, nfl) = (2 + la % 3, 2 + l % 3)
+          (1 until 4).exists(i => ham64(fp(l, i * nfl / 4), fp(la, i * nfa / 4)) <= 3)
+        } && farAudio(l, la) && farAudio(l, kf) && framesFar(l, kf) &&
+          farAudio(l, 15))
+      aud <- (330 to 700).find(l => l != kf && l != shot && l != la &&
+        ham64(afpOf(l), afpOf(la)) <= 3 && pcmOf(l) != pcmOf(la) &&
+        farAudio(l, kf) && farAudio(l, shot) && framesFar(l, shot) &&
+        farAudio(l, 15))
+    } yield (kf, shot, aud)
+    val (lVid, (lbKf, lbShot, lbAud)) = (330 to 700).iterator
+      .flatMap(la => vidFamily(la).map(la -> _)).next()
+    // ---- the clean pool: six non-video lengths pairwise far on image
+    // and audio, and far from every video-family length and from the
+    // low-quality doc's length (15) on audio (+ image, it carries one) --
+    val taken = Seq(lVid, lbKf, lbShot, lbAud)
+    val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val poolIt = (330 to 700).iterator.filterNot(taken.contains)
+    while (pool.size < 9 && poolIt.hasNext) {
+      val l = poolIt.next()
+      if ((pool.toSeq ++ taken :+ 15).forall(p => farAudio(l, p)) &&
+        (pool.toSeq :+ 15).forall(p => farImage(l, p)))
+        pool += l
+    }
+    assert(pool.size === 9, "fixture search: clean pool incomplete")
+    val Seq(lA, lS, lF, lSp, lSem, lCon, lF2, lF3, lF4) = pool.toSeq
+    // ---- texts: exact-length, disjoint words, quality-passing ----------
+    def textOfLen(tag: String, len: Int, insert: String = ""): String = {
+      val sb = new StringBuilder(tag)
+      if (insert.nonEmpty) sb.append(" ").append(insert)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      assert(pad >= 1, s"textOfLen($tag, $len): insert too long")
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len, s"textOfLen($tag, $len)")
+      sb.toString
+    }
+    val span = (1 to 10).map(i => s"sp$i").mkString(" ")
+    val s1Text = textOfLen("seedi", lA)
+    // the near-dup variant: same length (so its prints are s1's, already
+    // committed — no fresh print interactions), one token changed
+    val nearText = s1Text.dropRight(s1Text.length - s1Text.lastIndexOf(' ')) +
+      " " + "y" * (s1Text.length - s1Text.lastIndexOf(' ') - 1)
+    assert(nearText.length === lA)
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // seeds: the image/audio original (1), the clip original (4, a video
+    // id), the span + semantic original (5)
+    val seedDocs = Seq((1L, "src", s1Text), (4L, "src", textOfLen("seedv", lVid)),
+      (5L, "src", textOfLen("seeds", lS, insert = span)))
+    val seedVecs = Seq((1L, e(1)), (4L, e(2)), (5L, e(3)))
+    // the increment: one planted recycler per verdict class + one fresh
+    val incDocs = Seq(
+      (101L, "src", textOfLen("fresh", lF)),          // admitted
+      (102L, "src", nearText),                        // near_dup(1)
+      (103L, "src", textOfLen("imgcp", lA)),          // image_dup(1): same image, fresh words
+      (104L, "src", textOfLen("audcp", lVid)),        // audio_dup(4): video id, same clip
+      (105L, "src", textOfLen("spans", lSp, insert = span)), // span_dup(5)
+      (106L, "src", textOfLen("semcp", lSem)),        // semantic_dup(5): e(3) vector
+      (107L, "src", textOfLen("contm", lCon, insert = "benchmark only words qq")),
+      (109L, "src", "tiny junk words"),               // low_quality
+      (112L, "src", textOfLen("audnr", lbAud)),       // audio_near_dup(4): video id
+      (116L, "src", textOfLen("vidcp", lbKf)),        // video_dup(4): video id
+      (120L, "src", textOfLen("shotc", lbShot)),      // video_near_dup(4): video id
+      // fresh admissions spread across batches so each batch COMMITS —
+      // the compactIfDue interleaves have real dirs to fold (a batch
+      // whose every doc is rejected writes nothing; carried
+      // latest-per-lineage dirs are never foldable)
+      (113L, "src", textOfLen("fres2", lF2)),
+      (117L, "src", textOfLen("fres3", lF3)),
+      (121L, "src", textOfLen("fres4", lF4)))
+    val incVecs = Map(101L -> e(7), 102L -> e(8), 103L -> e(9), 104L -> e(10),
+      105L -> e(11), 106L -> e(3), 107L -> e(12), 109L -> e(13),
+      112L -> e(6), 116L -> e(14), 120L -> e(15),
+      113L -> e(4), 117L -> e(5), 121L -> e(0))
+    val expected = Map(
+      101L -> ("admitted", None), 102L -> ("near_dup", Some(1L)),
+      103L -> ("image_dup", Some(1L)), 104L -> ("audio_dup", Some(4L)),
+      105L -> ("span_dup", Some(5L)), 106L -> ("semantic_dup", Some(5L)),
+      107L -> ("contaminated", Some(9000L)), 109L -> ("low_quality", None),
+      112L -> ("audio_near_dup", Some(4L)), 116L -> ("video_dup", Some(4L)),
+      120L -> ("video_near_dup", Some(4L)),
+      113L -> ("admitted", None), 117L -> ("admitted", None),
+      121L -> ("admitted", None))
+    def seedAt(tmp: String): Unit = {
+      DedupStream.admitBatch(seedDocs.toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        seedVecs.toDF("vec_id", "embedding"), nCells = 2, iterations = 2)
+    }
+    // ---- run A: FIVE microbatches under start(), compactIfDue (forced
+    // thresholds) interleaved on BOTH tiers ------------------------------
+    val tmpA = Files.createTempDirectory("graft_soak_mm_stream").toString
+    seedAt(tmpA)
+    val batches = Seq(Seq(101L, 102L), Seq(103L, 104L, 113L),
+      Seq(105L, 106L, 117L), Seq(107L, 109L, 121L), Seq(112L, 116L, 120L))
+    val byId = incDocs.map(d => d._1 -> d).toMap
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Float])]
+    val policy = graft.streaming.CompactionPolicy(maxFoldableDirs = 1)
+    var compactions = 0
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+      s"$tmpA/text", s"$tmpA/vec", s"$tmpA/out", s"$tmpA/ckpt", bench)
+    try {
+      batches.zipWithIndex.foreach { case (ids, i) =>
+        stream.addData(ids.map(id =>
+          (id, byId(id)._2, byId(id)._3, incVecs(id))): _*)
+        q.processAllAvailable()
+        if (i == 1 || i == 3) {
+          // the cron seam, between microbatches (single-writer window)
+          if (DedupStream.compactIfDue(spark, s"$tmpA/text", policy)) compactions += 1
+          if (VectorStream.compactIfDue(spark, s"$tmpA/vec", policy)) compactions += 1
+        }
+      }
+    } finally q.stop()
+    assert(compactions >= 2, s"forced thresholds must fire: $compactions")
+    val streamed = CurationStream.verdictLog(spark, s"$tmpA/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === expected, s"streamed: $streamed")
+    // ---- run B: the SAME feed as ONE batch on fresh dirs ---------------
+    val tmpB = Files.createTempDirectory("graft_soak_mm_batch").toString
+    seedAt(tmpB)
+    CurationStream.admitBatch(incDocs.toDF("doc_id", "source", "text"),
+      incVecs.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding"),
+      1L, s"$tmpB/text", s"$tmpB/vec", s"$tmpB/out", bench, lineage = "one")
+    val oneBatch = CurationStream.verdictLog(spark, s"$tmpB/out")
+      .select("doc_id", "verdict", "detail_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(oneBatch === expected, s"one-batch: $oneBatch")
+    // ---- fold-equality: every maintained side's CONTENT is identical
+    // between the compacted five-batch run and the one-batch run --------
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case x => x
+      }).toSet
+    def foldedEqual(side: String, get: String => org.apache.spark.sql.DataFrame): Unit =
+      assert(rowsOf(get(s"$tmpA/text")) === rowsOf(get(s"$tmpB/text")),
+        s"side $side diverged between the compacted and one-batch runs")
+    foldedEqual("shingles", DedupStream.corpusShingles(spark, _))
+    foldedEqual("bands", DedupStream.corpusBands(spark, _))
+    foldedEqual("seeds", DedupStream.corpusSeeds(spark, _))
+    foldedEqual("winnowfps", DedupStream.corpusWinnowFps(spark, _))
+    foldedEqual("imagehashes", DedupStream.corpusImageHashes(spark, _))
+    foldedEqual("audiohashes", DedupStream.corpusAudioHashes(spark, _))
+    foldedEqual("audiofps", DedupStream.corpusAudioFps(spark, _))
+    foldedEqual("videohashes", DedupStream.corpusVideoHashes(spark, _))
+    foldedEqual("framehashes", DedupStream.corpusFrameHashes(spark, _))
+    foldedEqual("seedstats", d => DedupStream.corpusSeedStats(spark, d)
+      .groupBy("kh").agg(sum("df").as("df")))
+    foldedEqual("wordcounts", d => DedupStream.corpusWordCounts(spark, d)
+      .groupBy("word").agg(sum("n").as("n")))
+    foldedEqual("bigramcounts", d => DedupStream.corpusBigramCounts(spark, d)
+      .groupBy("prev", "word").agg(sum("n").as("n")))
+    assert(java.util.Arrays.equals(DedupStream.corpusBloom(spark, s"$tmpA/text"),
+      DedupStream.corpusBloom(spark, s"$tmpB/text")), "bloom fold diverged")
+    assert(rowsOf(DedupStream.corpusGroups(spark, s"$tmpA/text")) ===
+      rowsOf(DedupStream.corpusGroups(spark, s"$tmpB/text")), "groups diverged")
+    assert(rowsOf(VectorStream.corpusCells(spark, s"$tmpA/vec")) ===
+      rowsOf(VectorStream.corpusCells(spark, s"$tmpB/vec")), "vector cells diverged")
+    // both runs admitted exactly the fresh docs + seeds
+    assert(DedupStream.corpusShingles(spark, s"$tmpA/text")
+      .select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 4L, 5L, 101L, 113L, 117L, 121L))
     DedupOps.releaseCaches()
   }
 

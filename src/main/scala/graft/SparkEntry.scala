@@ -382,11 +382,16 @@ object SparkEntry {
       // media fingerprint sides — imagehashes, audiohashes, and the
       // audiofps acoustic prints — land beside the text sides: the m5f
       // row serves the audio near-dup screen off THIS maintained index,
-      // the t21d graduation on the print table
+      // the t21d graduation on the print table. Built under BothLens
+      // (round 17): the dual-lens decode additionally writes the
+      // imagedhashes side, so the m4i row serves the CANDIDATE-UNION
+      // screen off maintained parquet — one decode, both lens sides,
+      // the admitBatch fallback's decode-once seam
       graft.streaming.DedupStream.admitBatch(
         documents(s, d).filter(col("doc_id") < 400)
           .select("doc_id", "source", "text"),
-        0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d")
+        0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d",
+        imageLens = graft.streaming.DedupStream.BothLens)
     } + "/index"
 
   /** Pre-generated PAYLOAD tables — the decode-only twins' input: a real
@@ -1187,6 +1192,37 @@ object SparkEntry {
       // second lens exists for: vignettes/vertical gradients move the
       // global mean but no within-row comparison)
       MultimodalOps.imageLensUnionNearDups(m4Lens(s, d))),
+    "m4h_image_lens_union_served" -> ((s, d) => {
+      // the m4g union as the ADMISSION-TIME screen: the increment's two
+      // lens prints (one decode) against the corpus split of the session
+      // dual-lens cache — m4d's serving discipline per lens, pairs
+      // unioned on (id_a, id_b); a pair rejects if EITHER lens sees it
+      val lens = m4Lens(s, d)
+      val corpus = lens.filter(col("doc_id") < 400)
+      val incr = lens.filter(col("doc_id") >= 400)
+      graft.streaming.DedupStream.imageScreenOfHashes(
+        graft.streaming.DedupStream.BothLens,
+        MultimodalOps.aHashOf(corpus), MultimodalOps.dHashOf(corpus),
+        MultimodalOps.aHashOf(incr), MultimodalOps.dHashOf(incr),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+    "m4i_image_lens_union_maintained" -> ((s, d) => {
+      // m4h off the STREAMING-MAINTAINED sides: the t21d index is built
+      // under BothLens, so its imagehashes AND imagedhashes parquet
+      // sides exist off one admission-time decode — the t21c→t21d /
+      // m5e→m5f graduation on the lens union (same oracle, the e4/e5
+      // shared-oracle discipline); this is exactly what CurationStream's
+      // image rung reads under imageLens = BothLens
+      val incr = m4Lens(s, d).filter(col("doc_id") >= 400)
+      graft.streaming.DedupStream.imageScreenOfHashes(
+        graft.streaming.DedupStream.BothLens,
+        graft.streaming.DedupStream.corpusImageHashes(s, t21dIndexDir(s, d)),
+        graft.streaming.DedupStream.corpusImageDHashes(s, t21dIndexDir(s, d)),
+        MultimodalOps.aHashOf(incr), MultimodalOps.dHashOf(incr),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on

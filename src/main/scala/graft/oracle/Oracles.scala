@@ -475,6 +475,41 @@ FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
       FROM $Docs)
 ORDER BY doc_id"""
 
+  /** m4h and its maintained-side twin m4i, ONE definition (the m5e/m5f
+    * shared-oracle discipline): the multi-lens candidate union under the
+    * SERVED pair restriction — each lens's railed band candidates with
+    * the increment-later rule, verified within its own lens space
+    * (a pair can be an aHash band candidate yet only dHash-verified —
+    * the legs stay separate until the final union), deduped on
+    * (id_a, id_b). The rail population is corpus + increment = all
+    * non-video docs, exactly the served screen's combined-population
+    * prune. */
+  private val imageLensUnionServedSql = s"""$ImagePhashCtes,
+$ImageDHashBitsCteList,
+${bandRailOver("bits", "ua")},
+${bandRailOver("dbits", "ud")},
+sac AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM uapruned a JOIN uapruned b
+          ON a.band = b.band AND a.key = b.key
+         AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+         AND (a.doc_id < 400 OR a.doc_id < b.doc_id)),
+sdc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM udpruned a JOIN udpruned b
+          ON a.band = b.band AND a.key = b.key
+         AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+         AND (a.doc_id < 400 OR a.doc_id < b.doc_id)),
+sav AS (SELECT c.id_a, c.id_b FROM sac c
+        JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b
+        WHERE bit_count(xor(x.h_hi, y.h_hi))
+              + bit_count(xor(x.h_lo, y.h_lo)) <= 3),
+sdv AS (SELECT c.id_a, c.id_b FROM sdc c
+        JOIN dbits x ON x.doc_id = c.id_a JOIN dbits y ON y.doc_id = c.id_b
+        WHERE bit_count(xor(x.h_hi, y.h_hi))
+              + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b FROM (SELECT id_a, id_b FROM sav
+                        UNION SELECT id_a, id_b FROM sdv)
+ORDER BY id_a, id_b"""
+
   /** m5 and its decode-only twin m5g, one oracle (the m1/m1b rule). The
     * format CASE mirrors the fixture's audioContainerOf modulus — the
     * MIXED-container feed (WAV / AIFF / AU, all JDK-native) whose header
@@ -2428,6 +2463,15 @@ SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
          CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
               ELSE 0 END)) AS BIGINT) AS h_lo
 FROM tm ORDER BY doc_id""",
+
+    // m4h: the lens union SERVED — each lens's railed band candidates
+    // under the m4d increment-later restriction, verified within its OWN
+    // lens space, pairs unioned. m4i is the maintained-side twin (the
+    // t21d index is built under BothLens, so its imagehashes/imagedhashes
+    // parquet equals the session cache's corpus split — same oracle, the
+    // e4/e5 shared-oracle discipline).
+    "m4h_image_lens_union_served" -> imageLensUnionServedSql,
+    "m4i_image_lens_union_maintained" -> imageLensUnionServedSql,
 
     // m4b: d1's exact-dedup semantics on the image modality — identical
     // fingerprints form a group, keeper = min doc_id.

@@ -551,12 +551,14 @@ object DedupStream {
   /** The lens rung's screen for callers that already hold the
     * increment's prints — ONE dispatch shared by [[CurationStream]]'s
     * advisory and committed paths (each passes its own corpus-side
-    * frames: own-batch-excluded on the committed path). All frame
+    * frames: own-batch-excluded on the committed path) and by the
+    * m4h/m4i registry rows (session-cache and maintained-side corpus
+    * splits). All frame
     * arguments are by-name so the un-chosen lens's side is never probed
     * and its prints never computed. Under `BothLens` the two screens'
     * verified pairs union on (id_a, id_b) — each pair already verified
     * within its own lens space, the m4g semantics served. */
-  private[streaming] def imageScreenOfHashes(lens: ImageLens,
+  def imageScreenOfHashes(lens: ImageLens,
       aSide: => DataFrame, dSide: => DataFrame,
       incrA: => DataFrame, incrD: => DataFrame, incrIds: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = lens match {

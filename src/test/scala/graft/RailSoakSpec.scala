@@ -94,6 +94,36 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m4g lens-union rails bind on a 3000-image constant flood; railed union equals the small-N run") {
+    import graft.llm.MultimodalOps
+    // the m4c flood against BOTH lenses at once: 3000 same-length images
+    // share ONE aHash and ONE dHash (generative pixels depend only on
+    // text length), so the flood collapses a bucket of every band in
+    // BOTH rails — without them the union's candidate front would carry
+    // ~4.5M pairs TWICE (once per lens, deduped after the damage). The
+    // union must drop the flood via both legs and keep every genuine
+    // triplet pair, whose distances are 0 under both lenses.
+    val flood = (10000L until 13000L).map(i => (i, "src", "f" * 30))
+    val groups = (0 until 10).flatMap { g =>
+      (0 until 3).map(j => ((g * 3 + j).toLong, "src", "z" * (31 + g)))
+    }
+    def lensOf(rows: Seq[(Long, String, String)]) =
+      MultimodalOps.lensFingerprintFrameRaw(MultimodalOps.asMediaTable(
+        rows.toDF("doc_id", "source", "text")
+          .filter(!MultimodalOps.isVideoId(col("doc_id")))))
+    try {
+      val railed = MultimodalOps.imageLensUnionNearDups(lensOf(flood ++ groups))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val reference = MultimodalOps.imageLensUnionNearDups(lensOf(groups))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed union must equal the small-N run")
+      assert(railed.nonEmpty)
+      assert(railed.forall { case (a, b, hamA, hamD) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 &&
+          hamA === 0L && hamD === 0L })
+    } finally DedupOps.releaseCaches()
+  }
+
   test("m5d band rail binds on a 5000-clip silence-class flood; railed pairs equal the small-N run") {
     import graft.llm.MultimodalOps
     // 5000 same-length clips share ONE acoustic print (the generative

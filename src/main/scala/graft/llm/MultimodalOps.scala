@@ -68,7 +68,7 @@ object MultimodalOps {
     def dims(textLen: Long): (Int, Int) =
       ((16 + textLen % 48).toInt, (16 + (textLen * 7) % 48).toInt)
 
-    def png(textLen: Long): Array[Byte] = {
+    private def image(textLen: Long): BufferedImage = {
       val (w, h) = dims(textLen)
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -80,22 +80,50 @@ object MultimodalOps {
         }
         y += 1
       }
+      img
+    }
+
+    def png(textLen: Long): Array[Byte] = {
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
+      ImageIO.write(image(textLen), "png", out)
+      out.toByteArray
+    }
+
+    /** BMP rendition of the same generative pixels — 24-bit BMP is
+      * LOSSLESS, so the cross-container image dup (identical prints
+      * under a byte-different container) is testable exactly; GIF's
+      * palette quantization and JPEG's DCT are not oracle-predictable
+      * and stay spec-exercised only. */
+    def bmp(textLen: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(image(textLen), "bmp", out)
       out.toByteArray
     }
   }
 
   /** The REAL image decoder: container sniffed from magic bytes, parsed
     * by `javax.imageio`. None = not an image this JDK can decode — the
-    * caller falls back to the declared stub. */
+    * caller tries the other modality decoders, then drops the record. */
   object ImageDecoder {
-    /** PNG / JPEG magic → format name; None = not a decodable image. */
+    /** Container magic → format name; None = not an image this JDK
+      * decodes. All FOUR magics the JDK ships readers for are accepted —
+      * PNG, JPEG, GIF (`GIF8`) and BMP (`BM`) — so a mixed-container
+      * image feed never silently drops a decodable rendition from the
+      * image rungs (the AIFF/AU move on the pixel modality). PNG and
+      * BMP round-trip 24-bit RGB losslessly (a re-encoded rendition
+      * keeps its EXACT prints); JPEG is lossy-DCT and GIF
+      * palette-quantizes, so their renditions land in the NEAR-dup
+      * tier, not the exact one — which is precisely what the
+      * perceptual-hash ladder exists for. */
     def sniff(payload: Array[Byte]): Option[String] =
       if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') Some("png")
       else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8) Some("jpeg")
+      else if (payload.length >= 4 && payload(0) == 'G' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') Some("gif")
+      else if (payload.length >= 2 && payload(0) == 'B' &&
+        payload(1) == 'M') Some("bmp")
       else None
 
     /** The ONE decode-to-pixels helper every consumer routes through
@@ -730,6 +758,15 @@ object MultimodalOps {
     * written but never screened (or vice versa) would be silent. */
   def hasMediaEnvelope(df: DataFrame): Boolean = df.columns.contains("source")
 
+  /** The fixture's image-CONTAINER rule ([[audioContainerOf]]'s sibling
+    * on the pixel modality, one modulus shared with the oracle's format
+    * CASE): every 7th-remainder-2 non-video doc is a BMP rendition —
+    * lossless 24-bit, so its prints are container-INVARIANT — and the
+    * rest are PNGs. The mixed feed is what proves the sniff accepts
+    * every image container the JDK decodes. */
+  def imageContainerOf(id: Long): String =
+    if (id % 7 == 2) "bmp" else "png"
+
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -738,6 +775,8 @@ object MultimodalOps {
       .map { case (id, source, text) =>
         if (isVideoId(id))
           MediaRecord(id, s"video/$source", VideoGen.avi(text.length.toLong))
+        else if (imageContainerOf(id) == "bmp")
+          MediaRecord(id, "image/bmp", ImageGen.bmp(text.length.toLong))
         else MediaRecord(id, "image/png", ImageGen.png(text.length.toLong))
       }.toDF()
   }
@@ -752,7 +791,8 @@ object MultimodalOps {
   }
 
   /** M1 — full plumbing: documents → binary media column → batched decode
-    * (REAL imageio parse for the PNG rows, declared stub for video) →
+    * (REAL imageio parse for the image rows, REAL RIFF/AVI walk for
+    * video) →
     * typed metadata, ordered for the oracle. */
   def mediaPipeline(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, asMediaTable(documents)).toDF().orderBy("doc_id")

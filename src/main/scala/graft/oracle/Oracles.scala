@@ -466,8 +466,12 @@ vp AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h,
     * construction — only the measured cost differs. */
   private val mediaMetaSql = s"""
 SELECT doc_id,
-       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
-       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
+       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source
+            WHEN doc_id % 7 = 2 THEN 'image/bmp'
+            ELSE 'image/png' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'avi'
+            WHEN doc_id % 7 = 2 THEN 'bmp'
+            ELSE 'png' END AS format,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        CAST(CASE WHEN doc_id % 4 = 0 THEN w * h * (2 + l % 3) ELSE w * h END AS BIGINT) AS n_pixels
 FROM (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS l,
@@ -2279,8 +2283,12 @@ FROM q GROUP BY lang ORDER BY lang""",
     // frame-count multiplier).
     "m6_media_card" -> s"""
 WITH m AS (SELECT
-       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source ELSE 'image/png' END AS media_type,
-       CASE WHEN doc_id % 4 = 0 THEN 'avi' ELSE 'png' END AS format,
+       CASE WHEN doc_id % 4 = 0 THEN 'video/' || source
+            WHEN doc_id % 7 = 2 THEN 'image/bmp'
+            ELSE 'image/png' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'avi'
+            WHEN doc_id % 7 = 2 THEN 'bmp'
+            ELSE 'png' END AS format,
        CAST(16 + length(text) % 48 AS BIGINT) AS w,
        CAST(16 + (length(text) * 7) % 48 AS BIGINT) AS h,
        CASE WHEN doc_id % 4 = 0 THEN CAST(2 + length(text) % 3 AS BIGINT)

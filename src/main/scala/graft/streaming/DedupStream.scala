@@ -1266,12 +1266,14 @@ object DedupStream {
     * the d10 filter geometry on the index's first admission. */
   def start(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5,
-      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default): StreamingQuery = {
+      bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
+      imageLens: ImageLens = AHashLens): StreamingQuery = {
     val lineage = lineageOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage, bloomSizing)
+        admitBatch(batch, batchId, indexDir, outDir, threshold, lineage,
+          bloomSizing, imageLens = imageLens)
       }
       .start()
   }

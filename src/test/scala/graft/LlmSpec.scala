@@ -103,11 +103,13 @@ class LlmSpec extends SparkSpec {
     val meta = MultimodalOps.mediaPipeline(spark, docs)
     assert(meta.count() === docs.count())
     val joined = meta.join(docs, "doc_id")
-    // image rows: format parsed off the container, dims are the
-    // generator's (the engine re-reads them from the PNG bytes — the
-    // generator's numbers never flow to the output directly)
+    // image rows: format parsed off the container — the MIXED feed's
+    // bmp renditions (doc_id % 7 == 2) must sniff as bmp — and dims are
+    // the generator's (the engine re-reads them from the image bytes;
+    // the generator's numbers never flow to the output directly)
     assert(joined.filter(col("doc_id") % 4 =!= 0)
-      .filter(col("format") =!= "png" ||
+      .filter(col("format") =!=
+          when(col("doc_id") % 7 === 2, "bmp").otherwise("png") ||
         col("width") =!= (octet_length(col("text")) % 48 + 16).cast("long") ||
         col("height") =!= ((octet_length(col("text")) * 7) % 48 + 16).cast("long"))
       .count() === 0)
@@ -555,6 +557,63 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(dup === Set((1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L)),
       s"WAV/AIFF/AU renditions of one PCM must form one group: $dup")
+  }
+
+  test("BMP and GIF containers decode beside PNG; lossless renditions share exact prints (m1/m4 mixed feed)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{ImageDecoder, ImageGen, MediaRecord}
+    // the sniff accepts all four JDK-native image magics
+    assert(ImageDecoder.sniff(ImageGen.png(30L)) === Some("png"))
+    assert(ImageDecoder.sniff(ImageGen.bmp(30L)) === Some("bmp"))
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // a grayscale image with few distinct levels: GIF's 256-color
+    // palette holds it EXACTLY, so all three non-DCT containers are
+    // lossless here and must land on identical prints
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = ((x * 7 + y * 13) % 16) * 16
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val (png, bmp, gif) = (enc(img, "png"), enc(img, "bmp"), enc(img, "gif"))
+    assert(ImageDecoder.sniff(gif) === Some("gif"))
+    // container-INVARIANCE on the lossless paths: byte-different
+    // payloads, identical decoded pixels, identical prints → ONE m4b
+    // group across three containers (the WAV/AIFF/AU trick on pixels)
+    val media = Seq(MediaRecord(1L, "image/png", png),
+      MediaRecord(2L, "image/bmp", bmp),
+      MediaRecord(3L, "image/gif", gif)).toDS().toDF()
+    val metas = MultimodalOps.decodeMeta(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas.size === 3, "every container decodes")
+    assert(metas(2L).format === "bmp" && metas(3L).format === "gif")
+    assert(Seq(2L, 3L).forall(id =>
+      (metas(id).width, metas(id).height) === (40L, 24L)))
+    val groups = MultimodalOps.imageDupGroupsFromHashes(
+      MultimodalOps.fingerprintFrame(media))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(groups === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"lossless renditions of one image must form one group: $groups")
+    // rot rule on the new containers: truncation behind valid magic
+    // drops the record, never kills the decode task
+    assert(MultimodalOps.decodeBatch(Seq(
+      MediaRecord(8L, "image/bmp", bmp.take(20)),
+      MediaRecord(9L, "image/gif", gif.take(8)))).isEmpty)
+    // the fixture's mixed feed: a doc_id % 7 == 2 non-video doc carries
+    // a BMP rendition whose prints EQUAL the same-length PNG doc's (the
+    // lossless-container invariance the image dedup tier rides)
+    val mixed = MultimodalOps.fingerprintFrame(MultimodalOps.asMediaTable(
+      Seq((2L, "src", "a" * 30), (3L, "src", "b" * 30))
+        .toDF("doc_id", "source", "text")))
+      .select("doc_id", "h_hi", "h_lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mixed(2L) === mixed(3L),
+      "a BMP rendition must print identically to the PNG of the same pixels")
+    DedupOps.releaseCaches()
   }
 
   test("aHash is invariant under the materialized thumbnail at integer scale (m2b)") {
@@ -2334,8 +2393,10 @@ class LlmSpec extends SparkSpec {
     val got = MultimodalOps.mediaCard(spark, docs)
       .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === want)
-    // both real decode paths represented: PNG images and AVI videos
-    assert(got.exists(_._2 === "png") && got.exists(_._2 === "avi"))
+    // all three real decode paths represented: PNG and BMP images
+    // (the mixed-container feed) and AVI videos
+    assert(got.exists(_._2 === "png") && got.exists(_._2 === "bmp") &&
+      got.exists(_._2 === "avi"))
   }
 
   test("unigram NLL matches a hand model and is partitioning-invariant (t19)") {

@@ -603,6 +603,24 @@ class LlmSpec extends SparkSpec {
     assert(MultimodalOps.decodeBatch(Seq(
       MediaRecord(8L, "image/bmp", bmp.take(20)),
       MediaRecord(9L, "image/gif", gif.take(8)))).isEmpty)
+    // the LOSSY container lands in the NEAR-dup tier, as the sniff doc
+    // claims: a JPEG rendition of a smooth image decodes to slightly
+    // different pixels — not print-identical, but within the banded
+    // search's Hamming-3 gate (low-frequency content keeps DCT loss
+    // small), so the m4c tier catches the re-encode the exact tier
+    // misses
+    val smooth = new java.awt.image.BufferedImage(48, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 48) {
+      val v = 60 + 2 * x + y
+      smooth.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jm = MultimodalOps.ImageDecoder.image(enc(smooth, "jpg")).get
+    val hamJ = {
+      val (a, b) = (MultimodalOps.aHash(smooth), MultimodalOps.aHash(jm))
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    }
+    assert(hamJ <= 3, s"JPEG rendition must sit within the near-dup gate ($hamJ)")
     // the fixture's mixed feed: a doc_id % 7 == 2 non-video doc carries
     // a BMP rendition whose prints EQUAL the same-length PNG doc's (the
     // lossless-container invariance the image dedup tier rides)

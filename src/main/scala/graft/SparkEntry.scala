@@ -266,6 +266,14 @@ object SparkEntry {
   private def m4DHashes(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.dHashOf(m4Lens(s, dir))
 
+  /** The MAINTAINED dihedral-canonical print table (m4k/m4l's serving
+    * state — the m4Hashes discipline on the orientation-invariant
+    * family). */
+  private def m4KHashes(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m4khashes")(
+      MultimodalOps.dihedralFingerprintFrame(MultimodalOps.asMediaTable(
+        documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
+
   /** The COMBINED audio decode frame (header + content hash + acoustic
     * print off ONE container parse — [[MultimodalOps.decodeAudioFull]]),
     * decoded once per (session, sfDir): the m4Hashes discipline on the
@@ -1192,6 +1200,21 @@ object SparkEntry {
       // second lens exists for: vignettes/vertical gradients move the
       // global mean but no within-row comparison)
       MultimodalOps.imageLensUnionNearDups(m4Lens(s, d))),
+    "m4k_image_dihedral_phash" -> ((s, d) =>
+      // the ORIENTATION-INVARIANT print: minimum over the 8 dihedral
+      // permutations of the symmetric-grid mean-threshold print —
+      // exactly invariant under flips/rotations/transposes by
+      // construction (the transform permutes the sampled grid; the min
+      // ranges over the orbit), the family that catches the MIRROR-FLIP
+      // recycler plain orientation-sensitive hashes miss by ~half their
+      // bits; the oracle recomputes all 8 orientations and their
+      // HUGEINT-packed minimum from the generative pixels
+      m4KHashes(s, d).orderBy("doc_id")),
+    "m4l_image_dihedral_near_dups" -> ((s, d) =>
+      // the banded pigeonhole over canonical prints — a mirrored
+      // re-upload lands at Hamming 0 of its original here; one serving
+      // path for every 64-bit print family, unchanged
+      MultimodalOps.imageNearDupsFromHashes(m4KHashes(s, d))),
     "m4h_image_lens_union_served" -> ((s, d) => {
       // the m4g union as the ADMISSION-TIME screen: the increment's two
       // lens prints (one decode) against the corpus split of the session
@@ -1427,6 +1450,7 @@ object SparkEntry {
     t19BigramCounts(spark, dir).count()
     m4Hashes(spark, dir).count()
     m4Lens(spark, dir).count()
+    m4KHashes(spark, dir).count()
     m5Full(spark, dir).count()
     m3Frames(spark, dir).count()
     t21CorpusFps(spark, dir).count()

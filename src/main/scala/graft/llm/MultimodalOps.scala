@@ -872,6 +872,78 @@ object MultimodalOps {
     (hi, lo)
   }
 
+  /** The SYMMETRIC 8×8 luma sample grid behind the dihedral-canonical
+    * print: sample positions are mirror-symmetric by construction —
+    * x_i = (i·w)/8 for i < 4 and w−1−((7−i)·w)/8 for i ≥ 4 (same rule on
+    * y) — so every dihedral transform of the IMAGE (flips, 90°/180°/270°
+    * rotations, transposes) exactly PERMUTES the sampled grid instead of
+    * shifting it onto different source pixels ([[aHash]]'s plain floor
+    * grid does not have this property: w−1−(i·w)/8 ≠ ((7−i)·w)/8 in
+    * general, so its prints are only approximately flip-stable). Luma
+    * and packing match [[aHash]]'s integer arithmetic. */
+  def symGray(img: BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def pos(i: Int, d: Int): Int =
+      if (i < 4) (i * d) / 8 else d - 1 - ((7 - i) * d) / 8
+    Array.tabulate(64) { k =>
+      val v = img.getRGB(pos(k % 8, w), pos(k / 8, h))
+      (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+    }
+  }
+
+  /** The 8 dihedral index maps on the 8×8 grid — (x, y) of the SOURCE
+    * bit each transformed grid position reads. ONE definition shared by
+    * the print and the spec's hand model. */
+  val DihedralMaps: Seq[(Int, Int) => (Int, Int)] = Seq(
+    (x, y) => (x, y), (x, y) => (7 - x, y),
+    (x, y) => (x, 7 - y), (x, y) => (7 - x, 7 - y),
+    (x, y) => (y, x), (x, y) => (7 - y, x),
+    (x, y) => (y, 7 - x), (x, y) => (7 - y, 7 - x))
+
+  /** M4k — the DIHEDRAL-CANONICAL perceptual print: the minimum (by the
+    * (h_hi, h_lo) pair — both halves carry 32 bits, so natural long
+    * ordering is the unsigned order) over the 8 dihedral orientations of
+    * the symmetric-grid mean-threshold print. EXACTLY invariant under
+    * image flips, rotations and transposes by construction (the
+    * transform permutes the grid; the mean is permutation-invariant; the
+    * min ranges over the same orbit) — the print family that catches the
+    * MIRROR-FLIP recycler, the classic image-dedup evasion every plain
+    * orientation-sensitive hash misses by ~half its bits. Same 64-bit
+    * schema, so the whole banded machinery serves it unchanged. */
+  def dihedralAHash(img: BufferedImage): (Long, Long) = {
+    val g = symGray(img)
+    val mean = g.sum / 64
+    val bit = Array.tabulate(8, 8)((y, x) => g(y * 8 + x) > mean)
+    DihedralMaps.map { f =>
+      var (hi, lo) = (0L, 0L)
+      var k = 0
+      while (k < 64) {
+        val (sx, sy) = f(k % 8, k / 8)
+        if (bit(sy)(sx)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      (hi, lo)
+    }.min
+  }
+
+  /** The bare decode→canonical-print projection (the fingerprintFrame
+    * form on the dihedral family). */
+  def dihedralFingerprintFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        ImageDecoder.image(r.payload).map { img =>
+          val (hi, lo) = dihedralAHash(img)
+          ImageHash(r.doc_id, hi, lo,
+            img.getWidth.toLong, img.getHeight.toLong)
+        }
+      }
+    }.toDF()
+  }
+
   /** M4e — the dHash fingerprint table of the image modality: the same
     * decode path as [[imageHashes]] with the gradient kernel — a second
     * perceptual LENS over the same pixels (production dedup stacks run

@@ -355,6 +355,55 @@ dbits AS (SELECT doc_id, w, h,
               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h_lo
      FROM dgr)"""
 
+  /** m4k/m4l's dihedral-canonical chain: the SYMMETRIC sample grid
+    * (x_i = (i·w)//8 for i < 4, w−1−((7−i)·w)//8 for i ≥ 4 — exactly the
+    * engine's symGray rule, so dihedral image transforms permute the
+    * grid), the mean-threshold bits, then the MINIMUM over the 8
+    * dihedral orientations of the packed print — each orientation's
+    * (hi, lo) combined into one HUGEINT (hi·2³² + lo; both halves carry
+    * 32 bits, so the combined value is the unsigned 64-bit print and
+    * `least` is the engine's lexicographic pair min), split back after.
+    * Exposes `kbits` (doc_id, w, h, h_hi, h_lo). */
+  private val DihedralBitsCteList: String = {
+    // gray index each transformed grid position reads, per orientation
+    // (x = k % 8, y = k // 8; index = sy·8 + sx) — the engine's
+    // DihedralMaps in SQL
+    val idx = Seq(
+      "k",
+      "(k // 8) * 8 + (7 - (k % 8))",
+      "(7 - (k // 8)) * 8 + (k % 8)",
+      "(7 - (k // 8)) * 8 + (7 - (k % 8))",
+      "(k % 8) * 8 + (k // 8)",
+      "(k % 8) * 8 + (7 - (k // 8))",
+      "(7 - (k % 8)) * 8 + (k // 8)",
+      "(7 - (k % 8)) * 8 + (7 - (k // 8))")
+    val packs = idx.map { m =>
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS HUGEINT) * 4294967296
+       + CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS HUGEINT)"""
+    }
+    s"""kg AS (SELECT doc_id, w, h,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((CASE WHEN (k % 8) < 4 THEN ((k % 8) * w) // 8
+                    ELSE w - 1 - (((7 - (k % 8)) * w) // 8) END) * 31
+              + (CASE WHEN (k // 8) < 4 THEN ((k // 8) * h) // 8
+                      ELSE h - 1 - (((7 - (k // 8)) * h) // 8) END) * 17
+              + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM dm),
+km2 AS (SELECT doc_id, w, h, gray, list_sum(gray) // 64 AS mean FROM kg),
+kc AS (SELECT doc_id, w, h, least(${packs.mkString(",\n  ")}) AS comb FROM km2),
+kbits AS (SELECT doc_id, w, h,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo
+     FROM kc)"""
+  }
+
   /** The engine's band-bucket rail over an arbitrary print CTE (the
     * [[BandRailCteList]] arithmetic parametrized by source and name
     * prefix, so one oracle can rail TWO lenses side by side — m4g's
@@ -2471,6 +2520,33 @@ SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
          CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
               ELSE 0 END)) AS BIGINT) AS h_lo
 FROM tm ORDER BY doc_id""",
+
+    // m4k: the dihedral-canonical print — the oracle recomputes the
+    // symmetric grid and ALL 8 orientations' packed prints from the
+    // generative pixels and takes their HUGEINT minimum; agreement
+    // proves the engine's canonicalization bit-exactly.
+    "m4k_image_dihedral_phash" -> s"""$ImagePhashCtes,
+$DihedralBitsCteList
+SELECT doc_id, h_hi, h_lo,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+FROM kbits ORDER BY doc_id""",
+
+    // m4l: banded near-dups over the canonical prints, rail mirrored
+    // (the m4f discipline — canonical prints of structured content can
+    // correlate, so the oracle must prune exactly the engine's buckets).
+    "m4l_image_dihedral_near_dups" -> s"""$ImagePhashCtes,
+$DihedralBitsCteList,
+${bandRailOver("kbits", "dk")},
+kcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM dkpruned a JOIN dkpruned b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM kcand c JOIN kbits x ON x.doc_id = c.id_a
+             JOIN kbits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b""",
 
     // m4h: the lens union SERVED — each lens's railed band candidates
     // under the m4d increment-later restriction, verified within its OWN

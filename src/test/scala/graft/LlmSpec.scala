@@ -634,6 +634,81 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the dihedral-canonical print is EXACTLY flip/rotation-invariant; the banded tier catches the mirrored recycler (m4k/m4l)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.MediaRecord
+    def img(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(250, math.max(0, f(x, y)))
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    // an ASYMMETRIC pattern (no dihedral self-symmetry) on NON-SQUARE
+    // dims — the hard case: rotation swaps the dims
+    val a = img(56, 40)((x, y) => 30 + ((x * 5 + y * y) % 200))
+    def flipH(src: java.awt.image.BufferedImage) =
+      img(src.getWidth, src.getHeight)((x, y) =>
+        src.getRGB(src.getWidth - 1 - x, y) & 255)
+    def rot90(src: java.awt.image.BufferedImage) =
+      // (x', y') of the rotated image reads source (y', h-1-x')... define
+      // clockwise: rotated(x, y) = src(y, H-1-x) with rotated dims (H, W)
+      img(src.getHeight, src.getWidth)((x, y) =>
+        src.getRGB(y, src.getHeight - 1 - x) & 255)
+    val b = flipH(a)
+    val c = rot90(a)
+    val d = rot90(rot90(a)) // 180°
+    // hand model, independently reimplemented: symmetric positions, luma
+    // = gray value (r=g=b), mean threshold, min over the 8 index maps
+    def hand(src: java.awt.image.BufferedImage): (Long, Long) = {
+      val (w, h) = (src.getWidth, src.getHeight)
+      def pos(i: Int, dim: Int) =
+        if (i < 4) i * dim / 8 else dim - 1 - (7 - i) * dim / 8
+      val g = Array.tabulate(64)(k => src.getRGB(pos(k % 8, w), pos(k / 8, h)) & 255)
+      val mean = g.sum / 64
+      val bit = (k: Int) => g(k) > mean
+      (for (f <- graft.llm.MultimodalOps.DihedralMaps) yield {
+        var hi = 0L; var lo = 0L
+        for (k <- 0 until 64) {
+          val (sx, sy) = f(k % 8, k / 8)
+          if (bit(sy * 8 + sx)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+        }
+        (hi, lo)
+      }).min
+    }
+    assert(MultimodalOps.dihedralAHash(a) === hand(a), "engine == hand model")
+    // EXACT invariance across the orbit — flips, 90° (dims swapped), 180°
+    Seq(b, c, d).foreach(t =>
+      assert(MultimodalOps.dihedralAHash(t) === MultimodalOps.dihedralAHash(a),
+        "the canonical print must be exactly orientation-invariant"))
+    // the plain orientation-sensitive print misses the mirror by far
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    assert(ham(MultimodalOps.aHash(a), MultimodalOps.aHash(b)) > 3,
+      "fixture sanity: plain aHash misses the mirrored recycler")
+    // frame level: the mirrored recycler lands at Hamming 0 in the m4l
+    // tier off one decode per rendition
+    def png(src: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(MediaRecord(1L, "image/png", png(a)),
+      MediaRecord(2L, "image/png", png(b))).toDS().toDF()
+    val pairs = MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.dihedralFingerprintFrame(media))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)), s"mirrored pair must surface: $pairs")
+    assert(MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.fingerprintFrame(media)).collect().isEmpty,
+      "the orientation-sensitive tier misses it — the gap m4k closes")
+    DedupOps.releaseCaches()
+  }
+
   test("aHash is invariant under the materialized thumbnail at integer scale (m2b)") {
     import spark.implicits._
     import graft.llm.MultimodalOps.{ImageGen, MediaRecord}

@@ -1215,6 +1215,13 @@ object SparkEntry {
       // re-upload lands at Hamming 0 of its original here; one serving
       // path for every 64-bit print family, unchanged
       MultimodalOps.imageNearDupsFromHashes(m4KHashes(s, d))),
+    "m4m_image_dihedral_dup_groups" -> ((s, d) =>
+      // d1's exact-dedup semantics on the CANONICAL print: every
+      // orientation variant of one image shares the canonical form, so
+      // mirrored/rotated re-uploads COLLAPSE INTO ONE GROUP (keeper =
+      // min doc_id) — the trio rule: every print family carries
+      // exact-groups / near-dups / a serving path
+      MultimodalOps.imageDupGroupsFromHashes(m4KHashes(s, d))),
     "m4h_image_lens_union_served" -> ((s, d) => {
       // the m4g union as the ADMISSION-TIME screen: the increment's two
       // lens prints (one decode) against the corpus split of the session

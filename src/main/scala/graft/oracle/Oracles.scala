@@ -2548,6 +2548,17 @@ FROM kcand c JOIN kbits x ON x.doc_id = c.id_a
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b""",
 
+    // m4m: exact-dedup over the canonical prints — orientation variants
+    // collapse into one group, keeper = min doc_id (the m4b rule on the
+    // dihedral family).
+    "m4m_image_dihedral_dup_groups" -> s"""$ImagePhashCtes,
+$DihedralBitsCteList,
+kgrp AS (SELECT h_hi, h_lo, min(doc_id) AS keeper_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM kbits GROUP BY 1, 2)
+SELECT b.doc_id, g.keeper_id, g.n_copies
+FROM kbits b JOIN kgrp g USING (h_hi, h_lo) ORDER BY doc_id""",
+
     // m4h: the lens union SERVED — each lens's railed band candidates
     // under the m4d increment-later restriction, verified within its OWN
     // lens space, pairs unioned. m4i is the maintained-side twin (the

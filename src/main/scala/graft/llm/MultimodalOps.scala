@@ -944,6 +944,11 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** The tracked-persisted canonical-print frame (the imageHashesRaw
+    * rule: the banded search scans it more than once). */
+  private[graft] def dihedralFingerprintFrameRaw(media: DataFrame): DataFrame =
+    DedupOps.tracked(dihedralFingerprintFrame(media))
+
   /** M4e — the dHash fingerprint table of the image modality: the same
     * decode path as [[imageHashes]] with the gradient kernel — a second
     * perceptual LENS over the same pixels (production dedup stacks run

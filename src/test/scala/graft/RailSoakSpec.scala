@@ -124,6 +124,33 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m4l dihedral rail binds on a 3000-image constant flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    // the m4c flood against the CANONICAL print family: 3000 same-length
+    // images share one canonical print (canonicalization is
+    // deterministic over identical pixels), collapsing a bucket of every
+    // band — the rail must drop the flood while the genuine triplets'
+    // Hamming-0 pairs survive
+    val flood = (10000L until 13000L).map(i => (i, "src", "f" * 30))
+    val groups = (0 until 10).flatMap { g =>
+      (0 until 3).map(j => ((g * 3 + j).toLong, "src", "z" * (31 + g)))
+    }
+    def printsOf(rows: Seq[(Long, String, String)]) =
+      MultimodalOps.dihedralFingerprintFrameRaw(
+        MultimodalOps.asMediaTable(rows.toDF("doc_id", "source", "text")
+          .filter(!MultimodalOps.isVideoId(col("doc_id")))))
+    try {
+      val railed = MultimodalOps.imageNearDupsFromHashes(printsOf(flood ++ groups))
+        .as[(Long, Long, Long)].collect().toSet
+      val reference = MultimodalOps.imageNearDupsFromHashes(printsOf(groups))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      assert(railed.nonEmpty)
+      assert(railed.forall { case (a, b, ham) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 && ham === 0L })
+    } finally DedupOps.releaseCaches()
+  }
+
   test("m5d band rail binds on a 5000-clip silence-class flood; railed pairs equal the small-N run") {
     import graft.llm.MultimodalOps
     // 5000 same-length clips share ONE acoustic print (the generative

@@ -399,7 +399,10 @@ object SparkEntry {
         documents(s, d).filter(col("doc_id") < 400)
           .select("doc_id", "source", "text"),
         0L, s"$root/index", s"$root/out", threshold = 1.1, lineage = "t21d",
-        imageLens = graft.streaming.DedupStream.BothLens)
+        imageLens = graft.streaming.DedupStream.BothLens,
+        // dihedralRung additionally stocks the imagekhashes side (m4n's
+        // serving state) off the same multi-lens decode
+        dihedralRung = true)
     } + "/index"
 
   /** Pre-generated PAYLOAD tables — the decode-only twins' input: a real
@@ -1215,6 +1218,16 @@ object SparkEntry {
       // re-upload lands at Hamming 0 of its original here; one serving
       // path for every 64-bit print family, unchanged
       MultimodalOps.imageNearDupsFromHashes(m4KHashes(s, d))),
+    "m4n_image_dihedral_served_maintained" -> ((s, d) =>
+      // the dihedral rung SERVED from the streaming-maintained fifteenth
+      // side (the t21d index builds under dihedralRung = true): the
+      // increment's canonical prints against imagekhashes parquet — the
+      // admission-time form of the mirror-flip catch, exactly what
+      // CurationStream's image rung unions in under dihedralRung
+      MultimodalOps.imageNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusImageKHashes(s, t21dIndexDir(s, d)),
+        m4KHashes(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m4m_image_dihedral_dup_groups" -> ((s, d) =>
       // d1's exact-dedup semantics on the CANONICAL print: every
       // orientation variant of one image shares the canonical form, so

@@ -967,21 +967,24 @@ object MultimodalOps {
     }.toDF().orderBy("doc_id")
   }
 
-  /** BOTH perceptual lenses of one decoded image — the decode-once row
+  /** EVERY perceptual lens of one decoded image — the decode-once row
     * behind the multi-lens candidate union: production dedup stacks run
     * several hash families over ONE decode ([[dHash]]'s doc); this frame
-    * is that seam as a schema. [[aHashOf]]/[[dHashOf]] project each
-    * lens's [[ImageHash]]-schema table, so every banded consumer (batch
-    * near-dups, served screens, dup groups) runs unchanged over either
-    * projection. */
+    * is that seam as a schema. The mean-threshold aHash, the gradient
+    * dHash AND the dihedral-canonical print ([[dihedralAHash]]) ride one
+    * [[ImageDecoder.image]] decode; [[aHashOf]]/[[dHashOf]]/
+    * [[dihedralOf]] project each lens's [[ImageHash]]-schema table, so
+    * every banded consumer (batch near-dups, served screens, dup groups)
+    * runs unchanged over any projection. */
   final case class ImageLensHash(doc_id: Long, a_hi: Long, a_lo: Long,
-      d_hi: Long, d_lo: Long, width: Long, height: Long)
+      d_hi: Long, d_lo: Long, k_hi: Long, k_lo: Long,
+      width: Long, height: Long)
 
-  /** The bare decode→both-prints projection (no persist, no sort) — the
+  /** The bare decode→all-prints projection (no persist, no sort) — the
     * INGEST form ([[fingerprintFrame]]'s discipline): one
-    * [[ImageDecoder.image]] decode feeds the mean-threshold aHash AND
-    * the gradient dHash, so carrying the second lens costs bit
-    * arithmetic, never a second pixel decode. */
+    * [[ImageDecoder.image]] decode feeds all three lens families, so
+    * carrying extra lenses costs bit arithmetic, never a second pixel
+    * decode. */
   def lensFingerprintFrame(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -990,7 +993,8 @@ object MultimodalOps {
         ImageDecoder.image(r.payload).map { img =>
           val (ahi, alo) = aHash(img)
           val (dhi, dlo) = dHash(img)
-          ImageLensHash(r.doc_id, ahi, alo, dhi, dlo,
+          val (khi, klo) = dihedralAHash(img)
+          ImageLensHash(r.doc_id, ahi, alo, dhi, dlo, khi, klo,
             img.getWidth.toLong, img.getHeight.toLong)
         }
       }
@@ -1012,6 +1016,12 @@ object MultimodalOps {
     * schema. */
   def dHashOf(lens: DataFrame): DataFrame =
     lens.select(col("doc_id"), col("d_hi").as("h_hi"), col("d_lo").as("h_lo"),
+      col("width"), col("height"))
+
+  /** The dihedral-canonical projection of a lens frame, in the
+    * imagehashes schema. */
+  def dihedralOf(lens: DataFrame): DataFrame =
+    lens.select(col("doc_id"), col("k_hi").as("h_hi"), col("k_lo").as("h_lo"),
       col("width"), col("height"))
 
   /** The banded candidate pairs of one print table — [[

@@ -2548,6 +2548,26 @@ FROM kcand c JOIN kbits x ON x.doc_id = c.id_a
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b""",
 
+    // m4n: the dihedral rung SERVED — the m4l railed search under the
+    // m4d increment-later restriction (the t21d index builds under
+    // dihedralRung, so the maintained imagekhashes side equals the
+    // session print cache's corpus split by the all-admitted build).
+    "m4n_image_dihedral_served_maintained" -> s"""$ImagePhashCtes,
+$DihedralBitsCteList,
+${bandRailOver("kbits", "sk")},
+skc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM skpruned a JOIN skpruned b
+          ON a.band = b.band AND a.key = b.key
+         AND b.doc_id >= 400 AND a.doc_id <> b.doc_id
+         AND (a.doc_id < 400 OR a.doc_id < b.doc_id))
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM skc c JOIN kbits x ON x.doc_id = c.id_a
+           JOIN kbits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b""",
+
     // m4m: exact-dedup over the canonical prints — orientation variants
     // collapse into one group, keeper = min doc_id (the m4b rule on the
     // dihedral family).

@@ -83,7 +83,8 @@ object CurationStream {
     * ([[MultimodalOps.lensFingerprintFrame]]); `frames` always (the
     * keyframe table is its ordinal-0 projection). */
   private final case class IncrMedia(aHashes: Option[DataFrame],
-      dHashes: Option[DataFrame], frames: DataFrame)
+      dHashes: Option[DataFrame], kHashes: Option[DataFrame],
+      frames: DataFrame)
 
   /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
     * excluded, nothing committed): what WOULD this increment do under
@@ -101,8 +102,9 @@ object CurationStream {
       contamK: Int = 4, contamMinShared: Int = 1,
       maxCell: Int = 256,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
-      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): DataFrame = {
-    val incrMedia = incrementMedia(docs, imageLens)
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
+      dihedralRung: Boolean = false): DataFrame = {
+    val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrAudio = incrementAudio(docs)
     val ids = docs.select("doc_id")
     DedupStream.admissionVerdicts(spark, textIndexDir, docs, benchmark,
@@ -111,10 +113,10 @@ object CurationStream {
       semPairs = Some(VectorStream.screen(spark, vectorIndexDir, vectors,
         semThreshold, maxCell)),
       imagePairs = incrMedia.map(im =>
-        DedupStream.imageScreenOfHashes(imageLens,
+        imagePairsOf(im, imageLens,
           DedupStream.corpusImageHashes(spark, textIndexDir),
           DedupStream.corpusImageDHashes(spark, textIndexDir),
-          im.aHashes.get, im.dHashes.get, ids)),
+          DedupStream.corpusImageKHashes(spark, textIndexDir), ids)),
       audioPairs = incrAudio.map(a =>
         MultimodalOps.audioExactDupsServedHashes(
           DedupStream.corpusAudioHashes(spark, textIndexDir), a, ids)),
@@ -142,24 +144,47 @@ object CurationStream {
     * ([[MultimodalOps.hasMediaEnvelope]], the same single gate the side
     * writes key on): text-only feeds pay nothing, not even the sides'
     * FS probes. */
-  private def incrementMedia(docs: DataFrame,
-      lens: DedupStream.ImageLens): Option[IncrMedia] =
+  private def incrementMedia(docs: DataFrame, lens: DedupStream.ImageLens,
+      dihedralRung: Boolean): Option[IncrMedia] =
     if (MultimodalOps.hasMediaEnvelope(docs)) {
       val media = MultimodalOps.mediaTableRaw(docs)
       val frames = MultimodalOps.sampleFramesRaw(docs.sparkSession, media)
-      Some(lens match {
-        case DedupStream.AHashLens =>
-          IncrMedia(Some(MultimodalOps.imageHashesRaw(media)), None, frames)
-        case DedupStream.DHashLens =>
-          IncrMedia(None,
-            Some(MultimodalOps.dHashOf(
-              MultimodalOps.lensFingerprintFrameRaw(media))), frames)
-        case DedupStream.BothLens =>
+      Some((lens, dihedralRung) match {
+        case (DedupStream.AHashLens, false) =>
+          // the original single-lens decode path, byte-stable
+          IncrMedia(Some(MultimodalOps.imageHashesRaw(media)), None, None,
+            frames)
+        case _ =>
+          // any extra print family rides ONE multi-lens decode; each
+          // configured family projects its column set
           val lensRaw = MultimodalOps.lensFingerprintFrameRaw(media)
-          IncrMedia(Some(MultimodalOps.aHashOf(lensRaw)),
-            Some(MultimodalOps.dHashOf(lensRaw)), frames)
+          IncrMedia(
+            if (lens != DedupStream.DHashLens)
+              Some(MultimodalOps.aHashOf(lensRaw)) else None,
+            if (lens != DedupStream.AHashLens)
+              Some(MultimodalOps.dHashOf(lensRaw)) else None,
+            if (dihedralRung)
+              Some(MultimodalOps.dihedralOf(lensRaw)) else None,
+            frames)
       })
     } else None
+
+  /** The image rung's COMPLETE pair frame: the configured lens screen,
+    * unioned (on (id_a, id_b)) with the dihedral-canonical screen when
+    * `dihedralRung` is on — the mirrored/rotated recycler rejects as
+    * `image_dup` like any other image recycling. */
+  private def imagePairsOf(im: IncrMedia, lens: DedupStream.ImageLens,
+      aSide: => DataFrame, dSide: => DataFrame, kSide: => DataFrame,
+      ids: DataFrame): DataFrame = {
+    val base = DedupStream.imageScreenOfHashes(lens, aSide, dSide,
+      im.aHashes.get, im.dHashes.get, ids)
+    im.kHashes.fold(base) { k =>
+      base.select("id_a", "id_b").unionByName(
+          MultimodalOps.imageNearDupsServedHashes(kSide, k, ids)
+            .select("id_a", "id_b"))
+        .distinct()
+    }
+  }
 
   /** The increment's COMBINED audio decode (header + content hash +
     * acoustic print), decoded ONCE per batch — the [[incrementMedia]]
@@ -182,11 +207,13 @@ object CurationStream {
       lineage: String = "curation", maxCell: Int = 256,
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
-      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): Unit =
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
+      dihedralRung: Boolean = false): Unit =
     admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
       outDir, benchmark, threshold, semThreshold, minQuality, contamK,
       contamMinShared, lineage, maxCell, bloomSizing,
-      failAfterTextTier = false, spanRung = spanRung, imageLens = imageLens)
+      failAfterTextTier = false, spanRung = spanRung, imageLens = imageLens,
+      dihedralRung = dihedralRung)
 
   private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
       batchId: Long, textIndexDir: String, vectorIndexDir: String,
@@ -195,14 +222,15 @@ object CurationStream {
       contamMinShared: Int, lineage: String, maxCell: Int,
       bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
-      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): Unit = {
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
+      dihedralRung: Boolean = false): Unit = {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
     // the increment's image-lens + audio fingerprints, decoded ONCE (None
     // for text-only feeds) — the screens below and the phase-2 side
     // writes share them
-    val incrMedia = incrementMedia(docs, imageLens)
+    val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrFrames = incrMedia.map(_.frames)
     val incrVideo = incrFrames.map(MultimodalOps.keyframeOf)
     val incrAudio = incrementAudio(docs)
@@ -229,11 +257,13 @@ object CurationStream {
       // on top of the screen's id-level self-exclusion — so a replay
       // screens exactly the corpus the original attempt saw; under
       // BothLens the two lens screens' pairs union (the m4g semantics,
-      // served)
-      incrMedia.map(im => DedupStream.imageScreenOfHashes(imageLens,
+      // served), and under dihedralRung the canonical-print screen's
+      // pairs join the union (the mirror-flip catch)
+      incrMedia.map(im => imagePairsOf(im, imageLens,
         DedupStream.sideExcluding(spark, textIndexDir, "imagehashes", tag),
         DedupStream.sideExcluding(spark, textIndexDir, "imagedhashes", tag),
-        im.aHashes.get, im.dHashes.get, docs.select("doc_id"))),
+        DedupStream.sideExcluding(spark, textIndexDir, "imagekhashes", tag),
+        docs.select("doc_id"))),
       // the exact-audio rung: maintained side with this batch's own dir
       // excluded, on top of the screen's id-level self-exclusion
       incrAudio.map(a => MultimodalOps.audioExactDupsServedHashes(
@@ -291,7 +321,9 @@ object CurationStream {
         videoHashes = incrVideo,
         frameHashes = incrFrames,
         imageLens = imageLens,
-        imageDHashes = incrMedia.flatMap(_.dHashes))
+        imageDHashes = incrMedia.flatMap(_.dHashes),
+        dihedralRung = dihedralRung,
+        imageKHashes = incrMedia.flatMap(_.kHashes))
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -376,7 +408,8 @@ object CurationStream {
       minQuality: Double = 0.5, maxCell: Int = 256,
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
-      imageLens: DedupStream.ImageLens = DedupStream.AHashLens): StreamingQuery = {
+      imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
+      dihedralRung: Boolean = false): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -388,7 +421,7 @@ object CurationStream {
           batchId, textIndexDir, vectorIndexDir, outDir, benchmark,
           threshold, semThreshold, minQuality, lineage = lineage,
           maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung,
-          imageLens = imageLens)
+          imageLens = imageLens, dihedralRung = dihedralRung)
       }
       .start()
   }

@@ -43,6 +43,13 @@ import graft.llm.DedupOps
   *                                          written under imageLens =
   *                                          DHashLens|BothLens off the
   *                                          SAME decode (m4f/m4g serving)
+  * indexDir/imagekhashes/batch=<lineage>-<id>/ (imagehashes schema)
+  *                                          DIHEDRAL-canonical prints —
+  *                                          the OPTIONAL fifteenth side,
+  *                                          written under dihedralRung
+  *                                          (orthogonal to imageLens)
+  *                                          off the SAME decode — the
+  *                                          mirror-flip-recycler catch
   * indexDir/winnowfps/batch=<lineage>-<id>/ (doc_id, fp) winnow sketch
   *                                          rows (t21, ~1/w the seed
   *                                          side) — t21d pair serving
@@ -69,8 +76,9 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The thirteen index sides (fourteen under `imageLens = DHashLens |
-  * BothLens`) start flat under `indexDir` and migrate into
+  * The thirteen index sides (plus the optional imagedhashes under
+  * `imageLens = DHashLens | BothLens` and imagekhashes under
+  * `dihedralRung`) start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -429,6 +437,7 @@ object DedupStream {
       case "seedstats" => StatsSchema
       case "imagehashes" => ImgHashSchema
       case "imagedhashes" => ImgHashSchema
+      case "imagekhashes" => ImgHashSchema
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
@@ -531,6 +540,17 @@ object DedupStream {
     * schema, so the whole banded serving machinery runs unchanged. */
   def corpusImageDHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/imagedhashes", ImgHashSchema)
+      .drop("batch")
+
+  /** The maintained DIHEDRAL-CANONICAL print side over every ADMITTED
+    * doc's decodable media (m4k's orientation-invariant prints,
+    * imagehashes schema, identity fold) — written only under
+    * `dihedralRung = true`, a config ORTHOGONAL to [[ImageLens]]
+    * (production lens families COMPOSE: the canonical print rides the
+    * same decode as the other lenses and adds its own 16 bytes). The
+    * side behind the mirror-flip-recycler catch. */
+  def corpusImageKHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/imagekhashes", ImgHashSchema)
       .drop("batch")
 
   /** The image rung's LENS choice — the spanRung discipline on the image
@@ -822,7 +842,9 @@ object DedupStream {
       videoHashes: Option[DataFrame] = None,
       frameHashes: Option[DataFrame] = None,
       imageLens: ImageLens = AHashLens,
-      imageDHashes: Option[DataFrame] = None): Unit = {
+      imageDHashes: Option[DataFrame] = None,
+      dihedralRung: Boolean = false,
+      imageKHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -935,6 +957,7 @@ object DedupStream {
       val mediaFallback =
         if (((writesA && imageHashes.isEmpty) ||
           (writesD && imageDHashes.isEmpty) ||
+          (dihedralRung && imageKHashes.isEmpty) ||
           videoHashes.isEmpty || frameHashes.isEmpty) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
@@ -948,12 +971,13 @@ object DedupStream {
           mediaFallback.map(m =>
             graft.llm.MultimodalOps.sampleFrames(spark, m).toDF().persist())
         else None
-      // when the dHash side needs a fallback, ONE dual-lens decode feeds
-      // BOTH image sides (lensFingerprintFrame — aHash and dHash off the
-      // same pixels); the aHash-only fallback keeps the original
-      // single-lens decode
+      // when a second/third print side needs a fallback, ONE multi-lens
+      // decode feeds EVERY image side (lensFingerprintFrame — aHash,
+      // dHash and the dihedral-canonical print off the same pixels); the
+      // aHash-only fallback keeps the original single-lens decode
       val lensFallback =
-        if (writesD && imageDHashes.isEmpty && mediaFallback.nonEmpty)
+        if (((writesD && imageDHashes.isEmpty) ||
+          (dihedralRung && imageKHashes.isEmpty)) && mediaFallback.nonEmpty)
           mediaFallback.map(m =>
             graft.llm.MultimodalOps.lensFingerprintFrame(m).persist())
         else None
@@ -967,6 +991,10 @@ object DedupStream {
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(lensFallback.map(graft.llm.MultimodalOps.dHashOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagedhashes/$key"))
+        if (dihedralRung) imageKHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(lensFallback.map(graft.llm.MultimodalOps.dihedralOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/imagekhashes/$key"))
         videoHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
@@ -1224,6 +1252,7 @@ object DedupStream {
       (df: DataFrame) => df.groupBy("prev", "word").agg(sum("n").as("n"))),
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
     ("imagedhashes", ImgHashSchema, identity[DataFrame] _),
+    ("imagekhashes", ImgHashSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),

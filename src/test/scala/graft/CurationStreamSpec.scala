@@ -810,6 +810,103 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the dihedral rung: a canonical-print recycler admits without it, rejects image_dup under dihedralRung (start)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, ImageGen}
+    // driver-side generative prints, all three lens families + audio
+    val lensMemo = scala.collection.mutable
+      .HashMap.empty[Int, ((Long, Long), (Long, Long), (Long, Long))]
+    def lensOf(l: Int) = lensMemo.getOrElseUpdate(l, {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ImageGen.png(l.toLong)))
+      (MultimodalOps.aHash(img), MultimodalOps.dHash(img),
+        MultimodalOps.dihedralAHash(img))
+    })
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    val afpMemo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def afpOf(l: Int) = afpMemo.getOrElseUpdate(l,
+      MultimodalOps.acousticFingerprint(samplesOf(l)))
+    val pcmMemo = scala.collection.mutable.HashMap.empty[Int, Long]
+    def pcmOf(l: Int) = pcmMemo.getOrElseUpdate(l,
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)))
+    def audioFar(a: Int, b: Int) =
+      ham64(afpOf(a), afpOf(b)) > 3 && pcmOf(a) != pcmOf(b)
+    // the MIRROR-RECYCLER analog in the generative family: a length pair
+    // whose CANONICAL prints sit within the gate while BOTH plain lenses
+    // sit beyond it (the orbit minimum colliding where the
+    // orientation-sensitive forms differ) and the audio far on both
+    // tiers — so without the dihedral rung NOTHING rejects the second
+    // doc, and with it ONLY the canonical screen can
+    val cand = (for {
+      la <- (330 to 700).iterator
+      lb <- (la + 1 to 700).iterator
+      if ham64(lensOf(la)._3, lensOf(lb)._3) <= 3
+      if ham64(lensOf(la)._1, lensOf(lb)._1) > 3
+      if ham64(lensOf(la)._2, lensOf(lb)._2) > 3
+      if audioFar(la, lb)
+    } yield (la, lb)).nextOption()
+    assert(cand.isDefined, "fixture search: no canonical-near/lenses-far pair")
+    val (lenA, lenB) = cand.get
+    val lenC = (330 to 700).find(l => l != lenA && l != lenB &&
+      Seq(lenA, lenB).forall(x =>
+        ham64(lensOf(l)._1, lensOf(x)._1) > 3 &&
+          ham64(lensOf(l)._2, lensOf(x)._2) > 3 &&
+          ham64(lensOf(l)._3, lensOf(x)._3) > 3 && audioFar(l, x))).get
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len); sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    def runWith(rung: Boolean): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_dih_$rung").toString
+      DedupStream.admitBatch(
+        Seq((1L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        dihedralRung = rung)
+      try {
+        stream.addData((401L, "src", textOfLen("orig", lenA), e(2)))
+        q.processAllAvailable()
+        stream.addData((403L, "src", textOfLen("redo", lenB), e(3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    // without the rung both plain lenses pass the recycler — the gap
+    val (without, _) = runWith(rung = false)
+    assert(without === Map(401L -> ("admitted", None),
+      403L -> ("admitted", None)), without.toString)
+    // with it: rejected image_dup off the MAINTAINED fifteenth side,
+    // across the microbatch boundary, witness = the batch-1 admission
+    val (withRung, tmpK) = runWith(rung = true)
+    assert(withRung === Map(401L -> ("admitted", None),
+      403L -> ("image_dup", Some(401L))), withRung.toString)
+    // only ADMITTED docs' canonical prints sit on the side (the seed
+    // predates the rung config, so the side holds just the admission)
+    assert(DedupStream.corpusImageKHashes(spark, s"$tmpK/text")
+      .select("doc_id").as[Long].collect().toSet === Set(401L))
+    DedupOps.releaseCaches()
+  }
+
   test("the streaming entry drives the full ladder per microbatch, media envelope intact (start)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_curation_start").toString

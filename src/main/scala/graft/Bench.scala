@@ -52,8 +52,8 @@ object Bench {
   /** `"loadavg":…,"procs":…` — the machine-context fields both line
     * shapes carry (procs = JVM-visible cores, the denominator a load
     * reading is judged against). */
-  private def telemetryJson(load: Double): String =
-    s""""loadavg":${num("%.2f", load)},"procs":${Runtime.getRuntime.availableProcessors}"""
+  private def telemetryJson(load: Double, procs: Int): String =
+    s""""loadavg":${num("%.2f", load)},"procs":$procs"""
 
   /** Ledger v2 constants. Healthy rows faster than [[FastFloor]] seconds
     * are summarized into `"fast":{"n":…,"sum":…,"floor":…}` instead of
@@ -80,12 +80,33 @@ object Bench {
     * shape all over again). */
   val MaxErrorRows = 20
 
-  /** 1-min loadavg above this marks the artifact `"noisy":true`:
-    * per-query times in a noisy artifact are re-measured before being
-    * believed (rounds 5/7/9/11/13 each needed exactly this adjudication
-    * — 13 apparent r13 regressions were all machine load). The artifact
-    * now self-adjudicates instead of requiring a judge rerun. */
-  val NoisyLoadThreshold = 3.5
+  /** 1-min loadavg above `1.5·procs/16` marks the artifact
+    * `"noisy":true` (32 procs → 3.0): per-query times in a noisy
+    * artifact are re-measured before being believed (rounds 5/7/9/11/13
+    * each needed exactly this adjudication — 13 apparent r13 regressions
+    * were all machine load). Scaled to the core count instead of the old
+    * fixed 3.5: the r17 driver artifact carried 3-5× per-query outliers
+    * at loadavg 2.69 and the fixed threshold stayed silent. */
+  def noisyLoadThreshold(procs: Int): Double = 1.5 * procs / 16.0
+
+  /** Whether a run's evidence says "re-measure before believing":
+    * ambient load above [[noisyLoadThreshold]], OR any ledger-visible
+    * row (protocol minimum ≥ [[FastFloor]]) running beyond 2.5× its
+    * recorded [[BenchProtocol.mins]] minimum plus a 0.2 s jitter guard —
+    * the second signal is what the r17 artifact needed (t19c at 4.67 s
+    * vs a 1.17 s protocol min under loadavg 2.69). A GENUINE regression
+    * also trips the row signal by construction: `noisy` means exactly
+    * "per-query times here need a quiet-window re-measure"; a real
+    * regression persists across quiet reruns (and moves the protocol
+    * record), while a load blip does not. Rows without a recorded
+    * minimum (new this round) never trip it. */
+  def noisyOf(load: Double, procs: Int, results: Seq[(String, Double)],
+      mins: Map[String, Double] = BenchProtocol.mins): Boolean =
+    load > noisyLoadThreshold(procs) ||
+      results.exists { case (name, v) =>
+        v >= 0 && mins.get(name).exists(m =>
+          m >= FastFloor && v > 2.5 * m + 0.2)
+      }
 
   /** The ONE parseable stdout line (format v2). The harness keeps only
     * the LAST ~2000 characters of output, and sbt appends a ~70-char
@@ -118,7 +139,9 @@ object Bench {
   def jsonLine(results: Seq[(String, Double)], errors: List[String],
       sfDir: String,
       buildQueries: Set[String] = SparkEntry.buildQueries,
-      load: Double = loadAvg()): String = {
+      load: Double = loadAvg(),
+      procs: Int = Runtime.getRuntime.availableProcessors,
+      protocolMins: Map[String, Double] = BenchProtocol.mins): String = {
     def fmt(v: Double): String = num("%.3f", v)
     val shortIds = results.map { case (k, v) => k.split('_').head -> v }
     require(shortIds.map(_._1).distinct.size == shortIds.size,
@@ -152,8 +175,8 @@ object Bench {
     val elided = healthyRows.filterNot(r => namedKeys.contains(r._1))
     val fastJson = s""""fast":{"n":${elided.size},"sum":${fmt(elided.map(_._2).sum)},"floor":${num("%.2f", FastFloor)}}"""
     val rows = (errRows ++ named).sortBy(_._1)
-    val noisy = load > NoisyLoadThreshold
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","v":2,"noisy":$noisy,"tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson(load)},"queries":${queriesJson(rows)},$fastJson,"n_errors":${errors.size},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
+    val noisy = noisyOf(load, procs, results, protocolMins)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","v":2,"noisy":$noisy,"tiers":{"build":${fmt(build)},"serve":${fmt(total - build)}},${telemetryJson(load, procs)},"queries":${queriesJson(rows)},$fastJson,"n_errors":${errors.size},"errors":$errJson,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   /** Emitted when the run dies before per-query timing can even start
@@ -163,7 +186,8 @@ object Bench {
     * of leaving only a raw stack tail. */
   def fatalLine(sfDir: String, e: Throwable): String = {
     val load = loadAvg()
-    s"""{"metric":"total","value":-1.000,"unit":"sec","v":2,"noisy":${load > NoisyLoadThreshold},${telemetryJson(load)},"queries":{},"n_errors":1,"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
+    val procs = Runtime.getRuntime.availableProcessors
+    s"""{"metric":"total","value":-1.000,"unit":"sec","v":2,"noisy":${load > noisyLoadThreshold(procs)},${telemetryJson(load, procs)},"queries":{},"n_errors":1,"errors":["__fatal__"],"fatal":${Jsons.quote(e.getClass.getName)},"sf":${Jsons.quote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

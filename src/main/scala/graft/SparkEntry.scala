@@ -300,15 +300,27 @@ object SparkEntry {
     * (session, sfDir); m3c's increment and the m7c/m7d keyframe
     * consumers serve reads — the keyframe table is this frame's
     * ordinal-0 PROJECTION — while m7b/m3b keep pricing their inline
-    * parse+decode (the measured seams). */
+    * parse+decode (the measured seams). Since round 18 the cached frame
+    * is the DUAL-FAMILY one ([[MultimodalOps.sampleFrameLens]]: plain +
+    * dihedral-canonical prints off one decode memo), so the m3d/m7e/m7f
+    * canonical consumers are column projections of the same parse —
+    * the m4Lens discipline on the video modality. */
   private def m3Frames(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "m3frames")(
-      MultimodalOps.sampleFrames(s, MultimodalOps.asMediaTable(
+      MultimodalOps.sampleFrameLens(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF())
 
   private def m7Keyframes(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.keyframeOf(m3Frames(s, dir))
+
+  /** The dihedral-canonical projections of [[m3Frames]] (no second
+    * parse): per-ordinal frame prints (m3d) and their ordinal-0 keyframe
+    * table (m7e/m7f). */
+  private def m3KFrames(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.frameDihedralOf(m3Frames(s, dir))
+  private def m7KKeyframes(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.keyframeOf(m3KFrames(s, dir))
 
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
@@ -337,22 +349,23 @@ object SparkEntry {
     * shared-oracle discipline. A leftover dir from a previous JVM is
     * rebuilt (the driver regenerates testdata between rounds); within a
     * JVM the sides are immutable parquet any session can read. */
-  // memo of completed ON-DISK state builds, keyed (root, source-data
-  // fingerprint): regenerated fixture parquet under the same sfDir
-  // changes the fingerprint, so the state rebuilds instead of silently
-  // serving a stale derivative (r15 advice). The critical section is
-  // PER-ROOT, not per-(root, fingerprint): a rebuild for a NEW
-  // fingerprint deletes the root dir, so it must serialize against
-  // every builder of that root — per-key sections would let the delete
-  // race a concurrent session still building under the previous
-  // fingerprint (r16 advice). Entering the root lock, the root's stale
-  // fingerprint entries are invalidated so latecomers re-enter the
-  // build path instead of serving a deleted dir. Two sessions warming
-  // DIFFERENT sfDirs still build concurrently (distinct roots, distinct
-  // locks), and a failed build installs no entry, so the next call
-  // retries the delete-and-rebuild.
+  // memo of completed ON-DISK state builds. The build root is
+  // FINGERPRINT-SUFFIXED (the IndexSides.compact generation-tree
+  // discipline, r17 advice): regenerated fixture parquet under the same
+  // sfDir changes the fingerprint, so a rebuild lands in its OWN
+  // generation dir and never deletes the one a concurrent session — or
+  // any caller holding a lazy, not-yet-executed Spark read of the
+  // returned path — is still scanning (the reader/deleter race the old
+  // delete-and-rebuild-in-place carried). Superseded generations are
+  // left for the JVM's lifetime: test-fixture-sized state, one extra
+  // copy per fixture regeneration, under the session warehouse dir. The
+  // per-generation critical section still serializes two sessions
+  // building the SAME generation; the same-generation delete inside it
+  // only ever removes a dir no reader can hold yet (a path escapes this
+  // method only after its memo entry is installed) — it exists to
+  // rebuild a previous JVM's crashed half-build.
   private val diskStateBuilt =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private val diskStateLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def onDiskState(s: SparkSession, d: String, name: String)(
@@ -362,23 +375,20 @@ object SparkEntry {
     // BucketStore, whose manifest IO is java.nio over local paths
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-    val root = new org.apache.hadoop.fs.Path(wh, s"g_${name}_$tag")
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val st = src.getFileSystem(conf).getFileStatus(src)
-    val fingerprint = s"${st.getLen}-${st.getModificationTime}"
+    val fingerprint = s"${st.getLen}_${st.getModificationTime}"
+    val root = new org.apache.hadoop.fs.Path(
+      wh, s"g_${name}_${tag}_$fingerprint")
     val rootKey = root.toString
-    if (!diskStateBuilt.containsKey((rootKey, fingerprint)))
+    if (!diskStateBuilt.containsKey(rootKey))
       diskStateLocks.computeIfAbsent(rootKey, _ => new Object).synchronized {
-        if (!diskStateBuilt.containsKey((rootKey, fingerprint))) {
-          // invalidate the root's superseded fingerprints BEFORE the
-          // delete: a session that raced past the outer check re-enters
-          // here and rebuilds rather than serving the deleted dir
-          diskStateBuilt.keySet.removeIf(_._1 == rootKey)
+        if (!diskStateBuilt.containsKey(rootKey)) {
           val fs = root.getFileSystem(conf)
           if (fs.exists(root)) fs.delete(root, true)
           build(rootKey)
-          diskStateBuilt.put((rootKey, fingerprint), java.lang.Boolean.TRUE)
+          diskStateBuilt.put(rootKey, java.lang.Boolean.TRUE)
         }
       }
     rootKey
@@ -1356,6 +1366,35 @@ object SparkEntry {
       // exact-group / near-dup / served trio); serves the cached print
       // table like m4b — m7b alone keeps pricing the inline parse
       MultimodalOps.imageDupGroupsFromHashes(m7Keyframes(s, d))),
+    "m7e_video_dihedral_near_dups" -> ((s, d) =>
+      // the DIHEDRAL-CANONICAL print carried to the video tier: keyframe
+      // prints that are exactly flip/rotation-invariant (m4k's symmetric
+      // grid + min-over-8-orientations per frame), so a clip re-uploaded
+      // MIRRORED or rotated lands at Hamming 0 of its original — the
+      // orientation evasion the plain keyframe screen (m7b) misses by
+      // ~half its bits; the canonical prints ride the SAME frame decode
+      // as m3/m7b (one dual-family sampler, column projections), and the
+      // banded machinery runs unchanged over the shared print schema
+      MultimodalOps.imageNearDupsFromHashes(m7KKeyframes(s, d))),
+    "m7f_video_dihedral_served_maintained" -> ((s, d) =>
+      // m7e SERVED from the STREAMING-MAINTAINED sixteenth side: the
+      // increment's canonical keyframe prints against videokhashes
+      // parquet a real DedupStream admitBatch wrote under dihedralRung
+      // off the same frame decode as the other video sides — exactly
+      // what CurationStream's video rung unions in under the rung (the
+      // m4n discipline on the fourth modality)
+      MultimodalOps.imageNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusVideoKHashes(s, t21dIndexDir(s, d)),
+        m7KKeyframes(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400)
+          .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
+    "m3d_frame_dihedral_near_dups" -> ((s, d) =>
+      // the SHOT-LEVEL screen on canonical prints: same-ordinal sampled
+      // frames matched orientation-invariantly — catches the re-edit
+      // that keeps later footage AND flips it (m3b sees the kept
+      // ordinals only if orientation survives; this rung does not care);
+      // per-ordinal band rail, prints off the shared dual-family frame
+      MultimodalOps.frameNearDups(m3KFrames(s, d))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the
@@ -1410,6 +1449,22 @@ object SparkEntry {
         graft.streaming.DedupStream.corpusAudioFps(s, t21dIndexDir(s, d)),
         m5Afp(s, d).filter(col("doc_id") >= 400),
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m5h_audio_shift_near_dups" -> ((s, d) =>
+      // TIME-SHIFT-ROBUST audio near-dups: the clip recycled behind
+      // leading silence shifts every window of m5d's whole-clip contour
+      // print — this rung prints fixed 128-sample WINDOWS instead
+      // (constant/silence windows drop) and matches them per ordinal
+      // under a ±3-window offset via the m3b pigeonhole on the TIME
+      // axis, reporting each pair at its true offset with the matched-
+      // window count; the fixture pads doc_id%3 windows of silence ahead
+      // of the generative stream, so equal-length clips under different
+      // pads are caught at exactly their pad delta — the evasion the
+      // whole-clip gate structurally misses. Prices the inline decode +
+      // window prints (the m7b seam); the search is pure bit work over
+      // banded 16-byte sub-prints
+      MultimodalOps.audioShiftNearDups(
+        MultimodalOps.audioWindowPrintsRaw(
+          MultimodalOps.asShiftedAudioTable(documents(s, d))))),
     "m5c_audio_dups_served" -> ((s, d) =>
       // the audio rung of the admission ladder: a media increment's PCM
       // content hashes against the MAINTAINED corpus hash side — corpus

@@ -395,6 +395,30 @@ object MultimodalOps {
     def au(textLen: Long): Array[Byte] =
       container(textLen, bigEndian = true,
         javax.sound.sampled.AudioFileFormat.Type.AU)
+
+    /** RIFF/WAVE rendition of an EXPLICIT sample array (flat interleaved,
+      * length a multiple of `ch`) — the writer behind the time-SHIFTED
+      * fixture ([[MultimodalOps.asShiftedAudioTable]]): a silence-padded
+      * rendition is the base formula's samples behind `pad` zeros, which
+      * no whole-clip formula rendition can express. Same JDK writer, same
+      * decode round trip. */
+    def wavOf(ch: Int, samples: Array[Int]): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, (samples.length / ch).toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
   }
 
   /** The REAL audio decoder — [[ImageDecoder]]'s sibling on
@@ -692,6 +716,160 @@ object MultimodalOps {
     audio.as[AudioRecord].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(fingerprintAudioBatch)
     }.toDF()
+  }
+
+  /** Samples per windowed sub-print — the time-axis analog of the 8×8
+    * pixel grid: the whole-clip contour print (m5d) shifts EVERY window
+    * when a clip is recycled behind leading silence or a trim, so the
+    * shift-robust tier ([[audioShiftNearDups]]) prints fixed
+    * `ShiftWindow`-sample windows instead and matches them per ordinal
+    * with a bounded offset tolerance. Shift robustness holds at WINDOW
+    * granularity (a pad of k·`ShiftWindow` samples maps window j onto
+    * window j+k exactly); sub-window shifts land in the near-dup Hamming
+    * gate, the documented boundary (the AIFC rule: exact where the
+    * arithmetic is exact, gated where it is not). */
+  val ShiftWindow = 128
+
+  /** The fixture's leading-silence rule for the SHIFTED audio table —
+    * whole windows so the catch is exact, one modulus shared with the
+    * oracle: doc_id % 3 windows of zeros ahead of the generative
+    * stream. */
+  def shiftPadOf(id: Long): Long = (id % 3) * ShiftWindow
+
+  /** Fixture audio table whose renditions carry LEADING SILENCE
+    * ([[shiftPadOf]] zeros ahead of the [[AudioGen]] stream) — the
+    * recycled-clip evasion m5d structurally misses: the pad shifts every
+    * whole-clip contour window, so the m5d print differs, while the
+    * windowed sub-prints behind [[audioShiftNearDups]] are shifted
+    * VERBATIM (pad is whole windows) and the banded per-ordinal search
+    * catches the pair at its true offset. Same narrow per-row generation
+    * map as [[asAudioTable]]. */
+  def asShiftedAudioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (ch, nf) = AudioGen.params(l)
+        val pad = shiftPadOf(id).toInt
+        val samples = new Array[Int](pad + nf * ch)
+        var i = 0
+        while (i < nf * ch) {
+          samples(pad + i) = AudioGen.sample(l, i.toLong)
+          i += 1
+        }
+        AudioRecord(id, "audio/wav", AudioGen.wavOf(ch, samples))
+      }.toDF()
+  }
+
+  /** One windowed acoustic sub-print: the clip's `ordinal`-th
+    * [[ShiftWindow]]-sample window pushed through [[acousticFingerprint]]
+    * (65 sub-window energy deltas of the SLICE — absolute sample
+    * positions, so a whole-window shift maps prints onto later ordinals
+    * unchanged). */
+  final case class AudioWindowPrint(doc_id: Long, ordinal: Long,
+    h_hi: Long, h_lo: Long)
+
+  /** M5h's print table: decode → fixed [[ShiftWindow]]-sample windows →
+    * [[acousticFingerprint]] per window. The tail partial window drops
+    * (its length — and so its print — depends on total clip length, the
+    * one thing a shift changes); CONSTANT windows drop (leading silence
+    * prints identically in every padded clip — a flat window carries no
+    * acoustic evidence and would cross-match every padded feed through
+    * one degenerate bucket). Narrow per-record decode, no shuffle. */
+  def audioWindowPrints(audio: DataFrame,
+      window: Int = ShiftWindow): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[AudioRecord].flatMap { r =>
+      AudioDecoder.decodeSamples(r.payload).iterator.flatMap {
+        case (_, samples) =>
+          (0 until samples.length / window).iterator.flatMap { w =>
+            val slice = java.util.Arrays.copyOfRange(
+              samples, w * window, (w + 1) * window)
+            var (mn, mx) = (slice(0), slice(0))
+            var j = 1
+            while (j < slice.length) {
+              if (slice(j) < mn) mn = slice(j)
+              if (slice(j) > mx) mx = slice(j)
+              j += 1
+            }
+            if (mn == mx) None
+            else {
+              val (hi, lo) = acousticFingerprint(slice)
+              Some(AudioWindowPrint(r.doc_id, w.toLong, hi, lo))
+            }
+          }
+      }
+    }.toDF()
+  }
+
+  /** The tracked-persisted window-print frame (the imageHashesRaw rule:
+    * the banded search scans it more than once). */
+  private[graft] def audioWindowPrintsRaw(audio: DataFrame,
+      window: Int = ShiftWindow): DataFrame =
+    DedupOps.tracked(audioWindowPrints(audio, window))
+
+  /** M5h — TIME-SHIFT-ROBUST audio near-dups: pairs of clips whose
+    * windowed sub-prints match per ordinal under a bounded offset — the
+    * m3b shot-level pigeonhole on the TIME axis. A clip recycled behind
+    * leading silence (or trimmed by whole windows) shifts every window
+    * of the whole-clip contour print, so m5d's gate misses it; here the
+    * banded candidates stay keyed (ordinal, band, key) — per-ordinal
+    * buckets, never one global band population — and the OFFSET
+    * tolerance comes from replicating the a-side's banded rows across
+    * `±maxOffset` ordinals (a bounded 2·maxOffset+1 fan-out of 16-byte
+    * rows, not a wider bucket). Only candidates pay the exact bit_count
+    * verify; a pair reports per OFFSET with the count of matched
+    * windows, and `minMatched` screens out single-window coincidences.
+    * Output: (id_a, id_b, win_offset = ord_b − ord_a, n_matched) —
+    * `win_offset` because bare `offset` is a reserved word in ANSI/
+    * DuckDB SQL and the oracle must name the same column. */
+  def audioShiftNearDups(prints: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 3,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = prints.select(col("doc_id"), col("ordinal"),
+      col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val ok = allBands.groupBy("ordinal", "band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("ordinal", "band", "key")
+    val bands = allBands.join(ok, Seq("ordinal", "band", "key"))
+    def sided(side: String): DataFrame =
+      bands.select(col("ordinal").as(s"ord_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // the a side fans out across the tolerated offsets; the join key is
+    // the b side's exact (ordinal, band, key). Explicit per-side column
+    // names — a self-join of one lineage must never rely on df("col")
+    // disambiguation.
+    val aSide = sided("a").withColumn("join_ord",
+      explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    aSide.join(sided("b"),
+        col("join_ord") === col("ord_b") &&
+          col("band_a") === col("band_b") &&
+          col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ord_a"), col("ord_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("ord_b") - col("ord_a")).as("win_offset"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "win_offset")
   }
 
   /** M5c — SERVED exact-audio screening: an increment's PCM content
@@ -1371,6 +1549,67 @@ object MultimodalOps {
   private[graft] def sampleFramesRaw(spark: SparkSession,
       media: DataFrame, frames: Int = 4): DataFrame =
     DedupOps.tracked(sampleFrames(spark, media, frames).toDF())
+
+  /** One sampled frame under BOTH print families: the plain [[aHash]]
+    * (h_hi/h_lo — the ordinal-keyed shot prints m3b matches on) AND the
+    * dihedral-canonical print (k_hi/k_lo — [[dihedralAHash]], exactly
+    * flip/rotation-invariant) off ONE frame decode — the
+    * [[ImageLensHash]] discipline on the video modality. [[frameAHashOf]]
+    * / [[frameDihedralOf]] project each family's [[FrameSample]]-schema
+    * table, so every ordinal-keyed and keyframe consumer runs unchanged
+    * over either projection. */
+  final case class FrameLensSample(
+      doc_id: Long, frame_idx: Long, frame_no: Long, width: Long,
+      height: Long, h_hi: Long, h_lo: Long, k_hi: Long, k_lo: Long)
+
+  /** [[sampleFrames]] with the dihedral-canonical print riding the same
+    * per-frame decode memo — the mirror-flip-recycler catch carried to
+    * the video tier: a clip re-uploaded FLIPPED or ROTATED keeps every
+    * frame's canonical print, so the keyframe screen (m7e) and the
+    * per-ordinal screen (m3d) land at Hamming 0 where the plain prints
+    * miss by ~half their bits. Carrying the second family costs bit
+    * arithmetic over already-decoded pixels, never a second frame
+    * decode. */
+  def sampleFrameLens(spark: SparkSession, media: DataFrame,
+      frames: Int = 4): Dataset[FrameLensSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      AviDecoder.parse(r.payload).iterator.flatMap { v =>
+        val nf = v.frames.size
+        val memo = scala.collection.mutable
+          .HashMap.empty[Int, Option[((Long, Long), (Long, Long), Long, Long)]]
+        (0 until frames).iterator.flatMap { i =>
+          val fno = i.toLong * nf / frames
+          memo.getOrElseUpdate(fno.toInt,
+              ImageDecoder.image(v.frames(fno.toInt)).map(img =>
+                (aHash(img), dihedralAHash(img),
+                  img.getWidth.toLong, img.getHeight.toLong)))
+            .map { case ((hi, lo), (khi, klo), w, h) =>
+              FrameLensSample(r.doc_id, i.toLong, fno, w, h, hi, lo, khi, klo) }
+        }
+      }
+    }
+  }
+
+  /** The tracked-persisted dual-family frame table (the sampleFramesRaw
+    * rule: several screens scan it per session). */
+  private[graft] def sampleFrameLensRaw(spark: SparkSession,
+      media: DataFrame, frames: Int = 4): DataFrame =
+    DedupOps.tracked(sampleFrameLens(spark, media, frames).toDF())
+
+  /** The plain-aHash projection of a [[FrameLensSample]] frame, in the
+    * [[FrameSample]] schema. */
+  def frameAHashOf(lensFrames: DataFrame): DataFrame =
+    lensFrames.select(col("doc_id"), col("frame_idx"), col("frame_no"),
+      col("width"), col("height"), col("h_hi"), col("h_lo"))
+
+  /** The dihedral-canonical projection of a [[FrameLensSample]] frame,
+    * in the [[FrameSample]] schema (k as h — every banded consumer runs
+    * unchanged). */
+  def frameDihedralOf(lensFrames: DataFrame): DataFrame =
+    lensFrames.select(col("doc_id"), col("frame_idx"), col("frame_no"),
+      col("width"), col("height"),
+      col("k_hi").as("h_hi"), col("k_lo").as("h_lo"))
 
   /** M3b — SHOT-LEVEL video near-dups: pairs of videos whose SAME
     * sampled ordinal's frames sit within `maxHamming` — the banded

@@ -404,6 +404,54 @@ kbits AS (SELECT doc_id, w, h,
      FROM kc)"""
   }
 
+  /** [[DihedralBitsCteList]]'s arithmetic parameterized over source and
+    * luma term — the m4k chain carried to the VIDEO tier: `src` must
+    * expose (doc_id, w, h, plus whatever `carry` names), `lumaAdd` is
+    * the generative pixel's additive term (`l` for keyframes — frame 0's
+    * fno·7 is 0 — and `l + fno * 7` for sampled frames). Exposes
+    * `<p>bits` (doc_id, <carry>, h_hi, h_lo). Same symmetric grid, same
+    * 8-orientation HUGEINT `least`, re-declared here because the chains
+    * must stay independently readable per family (the oracle-file
+    * discipline: each query's SQL is the full recomputation). */
+  private def dihedralBitsOver(src: String, carry: Seq[String],
+      lumaAdd: String, p: String): String = {
+    val idx = Seq(
+      "k",
+      "(k // 8) * 8 + (7 - (k % 8))",
+      "(7 - (k // 8)) * 8 + (k % 8)",
+      "(7 - (k // 8)) * 8 + (7 - (k % 8))",
+      "(k % 8) * 8 + (k // 8)",
+      "(k % 8) * 8 + (7 - (k // 8))",
+      "(7 - (k % 8)) * 8 + (k // 8)",
+      "(7 - (k % 8)) * 8 + (7 - (k // 8))")
+    val packs = idx.map { m =>
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS HUGEINT) * 4294967296
+       + CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS HUGEINT)"""
+    }
+    val cols = ("doc_id" +: carry).mkString(", ")
+    s"""${p}dg AS (SELECT $cols,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((CASE WHEN (k % 8) < 4 THEN ((k % 8) * w) // 8
+                    ELSE w - 1 - (((7 - (k % 8)) * w) // 8) END) * 31
+              + (CASE WHEN (k // 8) < 4 THEN ((k // 8) * h) // 8
+                      ELSE h - 1 - (((7 - (k // 8)) * h) // 8) END) * 17
+              + $lumaAdd) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM $src),
+${p}dm AS (SELECT $cols, gray, list_sum(gray) // 64 AS mean FROM ${p}dg),
+${p}dc AS (SELECT $cols, least(${packs.mkString(",\n  ")}) AS comb FROM ${p}dm),
+${p}bits AS (SELECT $cols,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo
+     FROM ${p}dc)"""
+  }
+
   /** The engine's band-bucket rail over an arbitrary print CTE (the
     * [[BandRailCteList]] arithmetic parametrized by source and name
     * prefix, so one oracle can rail TWO lenses side by side — m4g's
@@ -664,6 +712,122 @@ FROM acand c JOIN abits x ON x.doc_id = c.id_a
              JOIN abits y ON y.doc_id = c.id_b
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b"""
+
+  /** m7e/m7f's DIHEDRAL-canonical keyframe chain: the m4k HUGEINT-least
+    * recomputation applied to frame 0's generative pixels (fno = 0, so
+    * the luma term is plain `l`), then the mirrored band rail and the
+    * banded candidates under the given pair condition (batch: id_a <
+    * id_b; served: the m4d increment-later restriction — the t21d index
+    * is all-admitted, so the maintained videokhashes side equals the
+    * session split by construction). */
+  private def videoDihedralNearDupSql(pairCond: String): String = s"""
+WITH $VideoCteList,
+${dihedralBitsOver("vp", Seq(), "l", "vk")},
+${bandRailOver("vkbits", "ve")},
+vkcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM vepruned a JOIN vepruned b
+             ON a.band = b.band AND a.key = b.key AND $pairCond)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM vkcand c JOIN vkbits x ON x.doc_id = c.id_a
+              JOIN vkbits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b"""
+
+  /** m3d's per-ordinal canonical chain: the dihedral recomputation per
+    * sampled frame (luma term `l + fno·7`), the band rail keyed
+    * (ordinal, band, key), same-ordinal candidates — the m3b structure
+    * over orientation-invariant prints. */
+  private val frameDihedralNearDupSql: String = s"""
+WITH $VideoCteList,
+fs AS (SELECT doc_id, l, w, h, i, i * nf // 4 AS fno
+       FROM vp, (SELECT unnest(range(0, 4)) AS i)),
+${dihedralBitsOver("fs", Seq("i"), "l + fno * 7", "fk")},
+fkbands AS (SELECT doc_id, i, band,
+         CASE band WHEN 0 THEN h_lo & 65535
+                   WHEN 1 THEN (h_lo >> 16) & 65535
+                   WHEN 2 THEN h_hi & 65535
+                   ELSE (h_hi >> 16) & 65535 END AS key
+  FROM fkbits, (SELECT unnest(range(0, 4)) AS band)),
+fkok AS (SELECT i, band, key FROM fkbands GROUP BY i, band, key
+         HAVING count(*) <= 100),
+fkpruned AS (SELECT b.doc_id, b.i, b.band, b.key
+             FROM fkbands b JOIN fkok USING (i, band, key)),
+fkcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i
+           FROM fkpruned a JOIN fkpruned b
+             ON a.i = b.i AND a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, CAST(c.i AS BIGINT) AS frame_idx,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM fkcand c JOIN fkbits x ON x.doc_id = c.id_a AND x.i = c.i
+              JOIN fkbits y ON y.doc_id = c.id_b AND y.i = c.i
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b, frame_idx"""
+
+  /** m5h's TIME-SHIFT-robust audio chain: the shifted fixture's stream
+    * (doc_id % 3 · 128 zeros of leading silence ahead of the generative
+    * samples), cut into fixed 128-sample windows — constant (silence)
+    * windows and the tail partial drop — each window pushed through the
+    * 65-bound energy-delta print (the engine's acousticFingerprint over
+    * the SLICE; list values are sample+32768, which for the generative
+    * stream is the raw mod value and for silence is the constant 32768),
+    * then the per-(ordinal, band, key) rail, candidates within ±3
+    * ordinals, the exact verify, and the per-offset matched-window
+    * count with the ≥ 2 floor. */
+  private val audioShiftNearDupSql: String = s"""
+WITH shl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+shp AS (SELECT doc_id, l, 1 + l % 2 AS ch, 200 + (l * 13) % 600 AS nf,
+               (doc_id % 3) * 128 AS pad FROM shl),
+shn AS (SELECT doc_id, l, pad, pad + nf * ch AS n FROM shp),
+shw AS (SELECT doc_id, l, pad, unnest(range(0, n // 128)) AS w FROM shn),
+shg AS (SELECT doc_id, w AS ordinal,
+         list_transform(range(0, 128), j ->
+           CASE WHEN w * 128 + j < pad THEN 32768
+                ELSE ((w * 128 + j - pad) * 37 + l * 101) % 65536 END) AS vals
+        FROM shw),
+shc AS (SELECT doc_id, ordinal, vals FROM shg
+        WHERE list_min(vals) <> list_max(vals)),
+she AS (SELECT doc_id, ordinal,
+         list_transform(range(0, 65), u ->
+           list_sum(list_slice(vals, (u * 128) // 65 + 1,
+                               ((u + 1) * 128) // 65))) AS e
+        FROM shc),
+shbits AS (SELECT doc_id, ordinal,
+   CAST(list_sum(list_transform(range(32, 64), k ->
+     CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << (k - 32))
+          ELSE 0 END)) AS BIGINT) AS h_hi,
+   CAST(list_sum(list_transform(range(0, 32), k ->
+     CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << k)
+          ELSE 0 END)) AS BIGINT) AS h_lo
+   FROM she),
+shbands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM shbits, (SELECT unnest(range(0, 4)) AS band)),
+shok AS (SELECT ordinal, band, key FROM shbands GROUP BY ordinal, band, key
+         HAVING count(*) <= 100),
+shpr AS (SELECT b.doc_id, b.ordinal, b.band, b.key
+         FROM shbands b JOIN shok USING (ordinal, band, key)),
+shcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ordinal AS oa, b.ordinal AS ob
+           FROM shpr a JOIN shpr b
+             ON a.band = b.band AND a.key = b.key
+            AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+            AND a.doc_id < b.doc_id),
+shver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM shcand c
+          JOIN shbits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN shbits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM shver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
 
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
@@ -2421,6 +2585,28 @@ FROM vp ORDER BY doc_id""",
     "m7c_video_near_dups_served" ->
       videoKeyframeNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
            AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
+
+    // m7e: the DIHEDRAL-canonical keyframe print — the m4k chain applied
+    // to frame 0's generative pixels; the engine must land on the same
+    // canonical prints from frames it decoded out of a real AVI
+    // container. m7f is the SERVED restriction off the maintained
+    // videokhashes side (the m4n rule on the fourth modality).
+    "m7e_video_dihedral_near_dups" ->
+      videoDihedralNearDupSql("a.doc_id < b.doc_id"),
+    "m7f_video_dihedral_served_maintained" ->
+      videoDihedralNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
+
+    // m3d: the shot-level screen over canonical prints — per-ordinal
+    // dihedral recomputation (luma term l + fno·7), same-ordinal banded
+    // candidates under the mirrored per-ordinal rail.
+    "m3d_frame_dihedral_near_dups" -> frameDihedralNearDupSql,
+
+    // m5h: time-shift-robust audio near-dups over the SHIFTED fixture —
+    // windowed sub-prints recomputed from the generative sample formula
+    // behind each clip's leading-silence pad; a pair of equal-length
+    // clips under different pads matches at exactly its pad delta.
+    "m5h_audio_shift_near_dups" -> audioShiftNearDupSql,
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /

@@ -81,7 +81,10 @@ object CurationStream {
     * under AHashLens/BothLens, `dHashes` under DHashLens/BothLens —
     * under BothLens both PROJECT from one dual-lens decode
     * ([[MultimodalOps.lensFingerprintFrame]]); `frames` always (the
-    * keyframe table is its ordinal-0 projection). */
+    * keyframe table is its ordinal-0 projection) — under `dihedralRung`
+    * it is the DUAL-FAMILY frame ([[MultimodalOps.sampleFrameLens]]:
+    * plain + canonical prints off one decode memo), whose projections
+    * feed both video screens and all three video sides. */
   private final case class IncrMedia(aHashes: Option[DataFrame],
       dHashes: Option[DataFrame], kHashes: Option[DataFrame],
       frames: DataFrame)
@@ -124,9 +127,9 @@ object CurationStream {
         MultimodalOps.imageNearDupsServedHashes(
           DedupStream.corpusAudioFps(spark, textIndexDir), a, ids)),
       videoPairs = incrMedia.map(im =>
-        MultimodalOps.imageNearDupsServedHashes(
+        videoPairsOf(im, dihedralRung,
           DedupStream.corpusVideoHashes(spark, textIndexDir),
-          MultimodalOps.keyframeOf(im.frames), ids)),
+          DedupStream.corpusVideoKHashes(spark, textIndexDir), ids)),
       videoFramePairs = incrMedia.map(im =>
         MultimodalOps.frameNearDupsServedHashes(
           DedupStream.corpusFrameHashes(spark, textIndexDir),
@@ -148,7 +151,14 @@ object CurationStream {
       dihedralRung: Boolean): Option[IncrMedia] =
     if (MultimodalOps.hasMediaEnvelope(docs)) {
       val media = MultimodalOps.mediaTableRaw(docs)
-      val frames = MultimodalOps.sampleFramesRaw(docs.sparkSession, media)
+      // under the dihedral rung the frame sampler is the DUAL-FAMILY one
+      // (plain + canonical prints off one decode memo): the video rung's
+      // canonical keyframe screen and the videokhashes side write are
+      // projections of this one frame — a container never parses twice
+      val frames =
+        if (dihedralRung)
+          MultimodalOps.sampleFrameLensRaw(docs.sparkSession, media)
+        else MultimodalOps.sampleFramesRaw(docs.sparkSession, media)
       Some((lens, dihedralRung) match {
         case (DedupStream.AHashLens, false) =>
           // the original single-lens decode path, byte-stable
@@ -184,6 +194,25 @@ object CurationStream {
             .select("id_a", "id_b"))
         .distinct()
     }
+  }
+
+  /** The video rung's COMPLETE pair frame: the plain keyframe screen,
+    * unioned (on (id_a, id_b)) with the DIHEDRAL-CANONICAL keyframe
+    * screen when `dihedralRung` is on — the clip recycled MIRRORED or
+    * rotated rejects as `video_dup` like any other clip recycling (the
+    * imagePairsOf rule on the fourth modality; both screens' keyframes
+    * project from the ONE dual-family frame decode). */
+  private def videoPairsOf(im: IncrMedia, dihedralRung: Boolean,
+      vSide: => DataFrame, vkSide: => DataFrame,
+      ids: DataFrame): DataFrame = {
+    val base = MultimodalOps.imageNearDupsServedHashes(
+      vSide, MultimodalOps.keyframeOf(im.frames), ids)
+    if (!dihedralRung) base
+    else base.select("id_a", "id_b").unionByName(
+        MultimodalOps.imageNearDupsServedHashes(vkSide,
+          MultimodalOps.keyframeOf(MultimodalOps.frameDihedralOf(im.frames)),
+          ids).select("id_a", "id_b"))
+      .distinct()
   }
 
   /** The increment's COMBINED audio decode (header + content hash +
@@ -233,6 +262,13 @@ object CurationStream {
     val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrFrames = incrMedia.map(_.frames)
     val incrVideo = incrFrames.map(MultimodalOps.keyframeOf)
+    // the canonical keyframe projection (videokhashes' rows) — off the
+    // same dual-family frame decode, only under the rung
+    val incrVideoK =
+      if (dihedralRung)
+        incrFrames.map(f =>
+          MultimodalOps.keyframeOf(MultimodalOps.frameDihedralOf(f)))
+      else None
     val incrAudio = incrementAudio(docs)
     // ---- phase 1: VERDICT, both tiers' own-batch dirs excluded --------
     val verdict = CurationOps.admitIncrement(docs,
@@ -279,10 +315,13 @@ object CurationStream {
       // the VIDEO rung: the increment's keyframe prints (off the same
       // materialized media table as the image rung) against the
       // maintained videohashes side, same exclusion discipline — the
-      // clip re-uploaded with its opening shot intact
-      incrVideo.map(v => MultimodalOps.imageNearDupsServedHashes(
+      // clip re-uploaded with its opening shot intact; under
+      // dihedralRung the CANONICAL keyframe screen's pairs join the
+      // union (the mirrored-clip catch, videokhashes side)
+      incrMedia.map(im => videoPairsOf(im, dihedralRung,
         DedupStream.sideExcluding(spark, textIndexDir, "videohashes", tag),
-        v, docs.select("doc_id"))),
+        DedupStream.sideExcluding(spark, textIndexDir, "videokhashes", tag),
+        docs.select("doc_id"))),
       // the SHOT-LEVEL rung: the increment's sampled-frame prints (the
       // same frame the keyframe projection rode) against the maintained
       // framehashes side, same exclusion discipline — catches the
@@ -323,7 +362,8 @@ object CurationStream {
         imageLens = imageLens,
         imageDHashes = incrMedia.flatMap(_.dHashes),
         dihedralRung = dihedralRung,
-        imageKHashes = incrMedia.flatMap(_.kHashes))
+        imageKHashes = incrMedia.flatMap(_.kHashes),
+        videoKHashes = incrVideoK)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(

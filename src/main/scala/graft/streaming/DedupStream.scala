@@ -62,6 +62,14 @@ import graft.llm.DedupOps
   * indexDir/videohashes/batch=<lineage>-<id>/ (imagehashes schema) keyframe
   *                                          prints of the admitted video
   *                                          renditions — m7c serving
+  * indexDir/videokhashes/batch=<lineage>-<id>/ (imagehashes schema)
+  *                                          DIHEDRAL-canonical keyframe
+  *                                          prints — the OPTIONAL
+  *                                          sixteenth side, written under
+  *                                          dihedralRung off the SAME
+  *                                          frame decode — the mirrored/
+  *                                          rotated clip-recycler catch
+  *                                          (m7f serving)
   * indexDir/framehashes/batch=<lineage>-<id>/ (doc_id, frame_idx,
   *                                          frame_no, h_hi, h_lo) the
   *                                          sampled-frame prints behind
@@ -77,8 +85,10 @@ import graft.llm.DedupOps
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
   * The thirteen index sides (plus the optional imagedhashes under
-  * `imageLens = DHashLens | BothLens` and imagekhashes under
-  * `dihedralRung`) start flat under `indexDir` and migrate into
+  * `imageLens = DHashLens | BothLens`, and imagekhashes + videokhashes
+  * under `dihedralRung`; the lens/rung pair is STAMPED at the index root
+  * on first admission and a mismatch fails fast — `mediaconf`, the
+  * bloom-geometry discipline) start flat under `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -364,6 +374,69 @@ object DedupStream {
     }
   }
 
+  private def lensName(lens: ImageLens): String = lens match {
+    case AHashLens => "ahash"
+    case DHashLens => "dhash"
+    case BothLens => "both"
+  }
+
+  /** Resolve (and on the index's FIRST admission, stamp) the media PRINT
+    * CONFIG — which image lens side(s) the index maintains and whether
+    * the dihedral rung's sides (imagekhashes + videokhashes) exist.
+    * The bloom-geometry discipline applied to the lens/rung pair: the
+    * sides a config gates are ALL-OR-NOTHING per index, because a
+    * mid-stream toggle leaves a side partially populated and `readSide`
+    * cannot distinguish "side not maintained" from "side missing earlier
+    * batches" — every later screen against it silently loses recall
+    * (e.g. a DHashLens-era batch is invisible to every later AHashLens
+    * screen). So the config is persisted at the index root on the first
+    * admission and a mismatch FAILS FAST with the index untouched; to
+    * change a live index's config, create a new index (or backfill the
+    * missing side dirs explicitly, then stamp by hand). A pre-stamp
+    * (round-17 or older) index adopts the next admission's config as its
+    * stamp — the bloom legacy rule. Single-writer-per-index discipline
+    * makes the create-if-absent rename sufficient; a torn stamp on an
+    * object store fails loudly on read-back, never admits under two
+    * configs. */
+  private def resolveMediaConf(spark: SparkSession, indexDir: String,
+      root: String, lens: ImageLens, dihedralRung: Boolean): Unit = {
+    val fs = IndexSides.fsOf(spark, root)
+    val dir = new Path(s"$root/mediaconf")
+    def readBack(): Option[(String, Boolean)] =
+      if (!fs.exists(dir)) None
+      else Some(scala.util.Try {
+        val r = spark.read.parquet(dir.toString)
+          .select("image_lens", "dihedral_rung").head()
+        (r.getString(0), r.getBoolean(1))
+      }.getOrElse(throw new IllegalStateException(
+        s"unreadable media-config stamp at $dir — repair or remove it " +
+          "(the sides it described are still intact)")))
+    def check(l: String, r: Boolean): Unit =
+      require(l == lensName(lens) && r == dihedralRung,
+        s"index at $indexDir maintains media print sides under " +
+          s"imageLens=$l, dihedralRung=$r; cannot admit with " +
+          s"imageLens=${lensName(lens)}, dihedralRung=$dihedralRung — a " +
+          "mid-stream lens/rung change would leave print sides partially " +
+          "populated and silently lose screen recall; use a new index")
+    readBack() match {
+      case Some((l, r)) => check(l, r)
+      case None =>
+        import spark.implicits._
+        val tmp = new Path(
+          s"$root/.mediaconf-tmp-${java.util.UUID.randomUUID}")
+        Seq((lensName(lens), dihedralRung))
+          .toDF("image_lens", "dihedral_rung")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.exists(dir)) fs.rename(tmp, dir)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val nested = new Path(dir, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+        val (l, r) = readBack().getOrElse(throw new IllegalStateException(
+          s"media-config stamp at $dir unreadable immediately after stamping"))
+        check(l, r)
+    }
+  }
+
   /** Retarget the drift-warning threshold of an EXISTING, stamped index —
     * an explicit maintenance call under the single-writer discipline (run
     * between microbatches, like compact). The new threshold is written as
@@ -438,6 +511,7 @@ object DedupStream {
       case "imagehashes" => ImgHashSchema
       case "imagedhashes" => ImgHashSchema
       case "imagekhashes" => ImgHashSchema
+      case "videokhashes" => ImgHashSchema
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
@@ -577,7 +651,25 @@ object DedupStream {
     * arguments are by-name so the un-chosen lens's side is never probed
     * and its prints never computed. Under `BothLens` the two screens'
     * verified pairs union on (id_a, id_b) — each pair already verified
-    * within its own lens space, the m4g semantics served. */
+    * within its own lens space, the m4g semantics served.
+    *
+    * Output is (id_a, id_b) under EVERY lens — the served screen is a
+    * pair REJECTER, and a config-dependent column set would break any
+    * distance-reading caller silently the day the lens changes (callers
+    * that want distances run the batch operators, which carry per-lens
+    * ham_ahash/ham_dhash).
+    *
+    * DESIGNED divergence from the batch union (m4g,
+    * [[graft.llm.MultimodalOps.imageLensUnionNearDups]]): m4g verifies
+    * the DEDUPED candidate union under an OR of both exact distances, so
+    * an aHash band candidate that is only dHash-near still surfaces;
+    * this served form verifies each leg WITHIN ITS OWN lens space before
+    * unioning, so that same pair surfaces only if its dHash bucket also
+    * survives the rail. Each form matches its own oracle (the m4h/m4i
+    * oracle verifies per-leg; m4g's verifies the union) — under rail
+    * pressure the batch row can carry a pair its served twin misses, the
+    * honest price of never paying a cross-lens verify join on the
+    * admission path. */
   def imageScreenOfHashes(lens: ImageLens,
       aSide: => DataFrame, dSide: => DataFrame,
       incrA: => DataFrame, incrD: => DataFrame, incrIds: DataFrame,
@@ -585,9 +677,11 @@ object DedupStream {
     case AHashLens =>
       graft.llm.MultimodalOps.imageNearDupsServedHashes(
         aSide, incrA, incrIds, maxHamming, maxBucket)
+        .select("id_a", "id_b")
     case DHashLens =>
       graft.llm.MultimodalOps.imageNearDupsServedHashes(
         dSide, incrD, incrIds, maxHamming, maxBucket)
+        .select("id_a", "id_b")
     case BothLens =>
       graft.llm.MultimodalOps.imageNearDupsServedHashes(
           aSide, incrA, incrIds, maxHamming, maxBucket)
@@ -636,6 +730,21 @@ object DedupStream {
     * container parses once, at admission. */
   def corpusVideoHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/videohashes", ImgHashSchema)
+      .drop("batch")
+
+  /** The maintained DIHEDRAL-CANONICAL keyframe-print side over every
+    * ADMITTED doc's video rendition (m7e's orientation-invariant frame-0
+    * prints, imagehashes schema, identity fold) — written only under
+    * `dihedralRung = true`, the video analog of [[corpusImageKHashes]]:
+    * a clip re-uploaded MIRRORED or rotated keeps its canonical keyframe
+    * print, so the video_dup rung catches the recycler the plain
+    * keyframe side misses by ~half its bits. Rides the same per-frame
+    * decode as the videohashes/framehashes sides (the
+    * [[graft.llm.MultimodalOps.sampleFrameLens]] seam) — the rung costs
+    * bit arithmetic and 16 bytes per clip, never a second container
+    * parse. */
+  def corpusVideoKHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/videokhashes", ImgHashSchema)
       .drop("batch")
 
   /** M7b/m7c over the maintained side: NEAR-duplicate videos between a
@@ -844,7 +953,8 @@ object DedupStream {
       imageLens: ImageLens = AHashLens,
       imageDHashes: Option[DataFrame] = None,
       dihedralRung: Boolean = false,
-      imageKHashes: Option[DataFrame] = None): Unit = {
+      imageKHashes: Option[DataFrame] = None,
+      videoKHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -859,6 +969,10 @@ object DedupStream {
     // only confirm it (geometry-wise; a differing designFpr INHERITS the
     // stamp — [[retargetBloomFpr]] is the explicit, atomic retarget path).
     val sizing = resolveBloomSizing(spark, indexDir, root, bloomSizing)
+    // Resolve (first admission: stamp) the lens/rung config the same way
+    // — a toggled config must fail fast HERE, with the index untouched,
+    // never leave a print side partially populated.
+    resolveMediaConf(spark, indexDir, root, imageLens, dihedralRung)
     val batchSh = DedupOps.shingleArrays(batch)
     val pairs = DedupOps.incrementalNearDups(
       batchSh,
@@ -958,18 +1072,27 @@ object DedupStream {
         if (((writesA && imageHashes.isEmpty) ||
           (writesD && imageDHashes.isEmpty) ||
           (dihedralRung && imageKHashes.isEmpty) ||
-          videoHashes.isEmpty || frameHashes.isEmpty) &&
+          videoHashes.isEmpty || frameHashes.isEmpty ||
+          (dihedralRung && videoKHashes.isEmpty)) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
         else None
       // the fallback's video sides derive from ONE frame decode: the
       // sampled-frame prints materialize once, the keyframe side is the
       // ordinal-0 projection (keyframeOf) — a container never parses
-      // twice inside an admission, caller-passed or not
+      // twice inside an admission, caller-passed or not. Under the
+      // dihedral rung the decode is the DUAL-FAMILY sampler
+      // (sampleFrameLens): the canonical prints ride the same decoded
+      // frames, so the sixteenth side costs bit arithmetic, never a
+      // second container parse.
       val framesFallback =
-        if ((videoHashes.isEmpty || frameHashes.isEmpty) && mediaFallback.nonEmpty)
+        if ((videoHashes.isEmpty || frameHashes.isEmpty ||
+          (dihedralRung && videoKHashes.isEmpty)) && mediaFallback.nonEmpty)
           mediaFallback.map(m =>
-            graft.llm.MultimodalOps.sampleFrames(spark, m).toDF().persist())
+            (if (dihedralRung)
+              graft.llm.MultimodalOps.sampleFrameLens(spark, m).toDF()
+            else graft.llm.MultimodalOps.sampleFrames(spark, m).toDF())
+              .persist())
         else None
       // when a second/third print side needs a fallback, ONE multi-lens
       // decode feeds EVERY image side (lensFingerprintFrame — aHash,
@@ -999,6 +1122,15 @@ object DedupStream {
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/videohashes/$key"))
+        // the sixteenth side: dihedral-canonical KEYFRAME prints — the
+        // ordinal-0 projection of the dual-family sampler's k columns
+        // (keyframeOf over frameDihedralOf), the video analog of the
+        // imagekhashes side
+        if (dihedralRung) videoKHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(framesFallback.map(f => graft.llm.MultimodalOps.keyframeOf(
+            graft.llm.MultimodalOps.frameDihedralOf(f))))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/videokhashes/$key"))
         frameHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback)
@@ -1257,6 +1389,7 @@ object DedupStream {
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
     ("videohashes", ImgHashSchema, identity[DataFrame] _),
+    ("videokhashes", ImgHashSchema, identity[DataFrame] _),
     ("framehashes", FrameHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
@@ -1269,7 +1402,7 @@ object DedupStream {
     * (tree layouts carry them as unknown members anyway). */
   private def confExtras(spark: SparkSession, indexDir: String): Seq[String] = {
     val live = liveRoot(spark, indexDir)
-    confDirsUnder(IndexSides.fsOf(spark, live), live).map(_._2)
+    confDirsUnder(IndexSides.fsOf(spark, live), live).map(_._2) :+ "mediaconf"
   }
 
   def compact(spark: SparkSession, indexDir: String): Unit =
@@ -1296,13 +1429,14 @@ object DedupStream {
   def start(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5,
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
-      imageLens: ImageLens = AHashLens): StreamingQuery = {
+      imageLens: ImageLens = AHashLens,
+      dihedralRung: Boolean = false): StreamingQuery = {
     val lineage = lineageOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, batchId, indexDir, outDir, threshold, lineage,
-          bloomSizing, imageLens = imageLens)
+          bloomSizing, imageLens = imageLens, dihedralRung = dihedralRung)
       }
       .start()
   }

@@ -54,14 +54,39 @@ class DriverSurfaceSpec extends SparkSpec {
       - node.get("value").asDouble) < 0.002, line)
   }
 
-  test("noisy flag derives from the pinned loadavg threshold") {
+  test("noisy flag fires on core-scaled load OR a row beyond 2.5x its protocol min") {
     val results = Seq("g1_good" -> 1.0)
-    val quiet = parse(Bench.jsonLine(results, Nil, sf0001, load = 1.0))
+    // load signal: the threshold scales with the core count (32 -> 3.0)
+    val quiet = parse(Bench.jsonLine(results, Nil, sf0001, load = 1.0,
+      procs = 32, protocolMins = Map.empty))
     val busy = parse(Bench.jsonLine(results, Nil, sf0001,
-      load = Bench.NoisyLoadThreshold + 0.1))
+      load = Bench.noisyLoadThreshold(32) + 0.1, procs = 32,
+      protocolMins = Map.empty))
     assert(!quiet.get("noisy").asBoolean)
     assert(busy.get("noisy").asBoolean)
     assert(quiet.get("loadavg").asDouble === 1.0)
+    // row signal (the r17 gap: 3-5x outliers under loadavg below the
+    // load threshold): a ledger-visible row beyond 2.5x its recorded
+    // protocol minimum + 0.2 s flags even on a quiet loadavg reading
+    val mins = Map("g1_good" -> 1.0, "t9_tiny" -> 0.05)
+    val inflated = parse(Bench.jsonLine(Seq("g1_good" -> 2.71), Nil,
+      sf0001, load = 1.0, procs = 32, protocolMins = mins))
+    assert(inflated.get("noisy").asBoolean)
+    // within 2.5x + 0.2: quiet
+    val within = parse(Bench.jsonLine(Seq("g1_good" -> 2.69), Nil,
+      sf0001, load = 1.0, procs = 32, protocolMins = mins))
+    assert(!within.get("noisy").asBoolean)
+    // sub-floor minima never trip (measurement jitter territory), and
+    // rows with no recorded minimum (new this round) never trip
+    val tiny = parse(Bench.jsonLine(
+      Seq("t9_tiny" -> 0.2, "z9_new" -> 50.0), Nil,
+      sf0001, load = 1.0, procs = 32, protocolMins = mins))
+    assert(!tiny.get("noisy").asBoolean)
+    // an errored row (-1 marker) is not a timing — never trips
+    val errd = parse(Bench.jsonLine(Seq("g1_good" -> -1.0),
+      List("g1_good"), sf0001, load = 1.0, procs = 32,
+      protocolMins = mins))
+    assert(!errd.get("noisy").asBoolean)
   }
 
   test("v2 ledger elides sub-floor rows into an exact fast summary; errors always print") {

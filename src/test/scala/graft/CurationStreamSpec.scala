@@ -755,9 +755,12 @@ class CurationStreamSpec extends SparkSpec {
     // microbatch 2 — the verdict difference isolates the lens
     def runWith(lens: DedupStream.ImageLens): (Map[Long, (String, Option[Long])], String) = {
       val tmp = Files.createTempDirectory(s"graft_curation_lens_$lens").toString
+      // the seed admission carries the run's lens config: the mediaconf
+      // stamp (r17 advice) pins the lens per index on first admission,
+      // so a mixed-config seed would now fail fast by design
       DedupStream.admitBatch(
         Seq((1L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
-        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed", imageLens = lens)
       DedupOps.releaseCaches()
       VectorStream.build(spark, s"$tmp/vec",
         Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
@@ -790,23 +793,25 @@ class CurationStreamSpec extends SparkSpec {
     assert(viaBoth === Map(401L -> ("admitted", None),
       403L -> ("image_dup", Some(401L))), viaBoth.toString)
     // the metrics row names the class; the sides hold exactly the
-    // admitted docs' prints (the seed predates the dHash config, so the
-    // fourteenth side holds only the microbatch-1 admission)
+    // admitted docs' prints (the seed admits under the SAME stamped lens
+    // config — r17 advice — so under BothLens both sides carry it too:
+    // the stamp is what guarantees no partially-populated side exists)
     val m = CurationStream.metrics(spark, s"$tmpBoth/out")
       .filter(col("batch_id") === 1L).head()
     assert(m.getLong(m.fieldIndex("n_image_dup")) === 1L, m.toString)
     assert(DedupStream.corpusImageHashes(spark, s"$tmpBoth/text")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 401L))
     assert(DedupStream.corpusImageDHashes(spark, s"$tmpBoth/text")
-      .select("doc_id").as[Long].collect().toSet === Set(401L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 401L))
     // the DHash-only config rejects it too (the rung serves the gradient
-    // side alone), and never writes the aHash side for its admissions
+    // side alone), and never writes the aHash side at all — every
+    // admission, seed included, is gradient-only under the stamp
     val (viaD, tmpD) = runWith(DedupStream.DHashLens)
     assert(viaD === Map(401L -> ("admitted", None),
       403L -> ("image_dup", Some(401L))), viaD.toString)
     assert(DedupStream.corpusImageHashes(spark, s"$tmpD/text")
-      .select("doc_id").as[Long].collect().toSet === Set(1L),
-      "a DHash-configured run must not grow the aHash side")
+      .select("doc_id").as[Long].collect().isEmpty,
+      "a DHash-configured index must not populate the aHash side")
     DedupOps.releaseCaches()
   }
 
@@ -868,9 +873,11 @@ class CurationStreamSpec extends SparkSpec {
     val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
     def runWith(rung: Boolean): (Map[Long, (String, Option[Long])], String) = {
       val tmp = Files.createTempDirectory(s"graft_curation_dih_$rung").toString
+      // the seed admission carries the run's rung config: the mediaconf
+      // stamp (r17 advice) pins lens/rung per index on first admission
       DedupStream.admitBatch(
         Seq((1L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
-        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed", dihedralRung = rung)
       DedupOps.releaseCaches()
       VectorStream.build(spark, s"$tmp/vec",
         Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
@@ -901,9 +908,122 @@ class CurationStreamSpec extends SparkSpec {
     assert(withRung === Map(401L -> ("admitted", None),
       403L -> ("image_dup", Some(401L))), withRung.toString)
     // only ADMITTED docs' canonical prints sit on the side (the seed
-    // predates the rung config, so the side holds just the admission)
+    // admitted under the same stamped rung config, so its print is
+    // there too — the stamp is what guarantees no partially-populated
+    // side can exist)
     assert(DedupStream.corpusImageKHashes(spark, s"$tmpK/text")
-      .select("doc_id").as[Long].collect().toSet === Set(401L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 401L))
+    DedupOps.releaseCaches()
+  }
+
+  test("the dihedral rung on VIDEO: a mirrored-keyframe clip recycler admits without it, rejects video_dup under dihedralRung (start)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, VideoGen}
+    // driver-side generative prints, memoized per (length, frame):
+    // plain aHash AND the dihedral-canonical print off one decode
+    val frameMemo = scala.collection.mutable
+      .HashMap.empty[(Int, Int), ((Long, Long), (Long, Long))]
+    def framePrints(l: Int, fno: Int) = frameMemo.getOrElseUpdate((l, fno), {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        VideoGen.framePng(l.toLong, fno)))
+      (MultimodalOps.aHash(img), MultimodalOps.dihedralAHash(img))
+    })
+    def allOrdinalsFar(la: Int, lb: Int): Boolean = {
+      val (nfa, nfb) = (2 + la % 3, 2 + lb % 3)
+      (0 until 4).forall(i => ham64(
+        framePrints(la, i * nfa / 4)._1, framePrints(lb, i * nfb / 4)._1) > 3)
+    }
+    def samplesOf(l: Int): Array[Int] = {
+      val (ch, nf) = AudioGen.params(l.toLong)
+      Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
+    }
+    val afpMemo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    def afpOf(l: Int) = afpMemo.getOrElseUpdate(l,
+      MultimodalOps.acousticFingerprint(samplesOf(l)))
+    val pcmMemo = scala.collection.mutable.HashMap.empty[Int, Long]
+    def pcmOf(l: Int) = pcmMemo.getOrElseUpdate(l,
+      AudioDecoder.pcmHashOfSamples(samplesOf(l)))
+    def audioFar(a: Int, b: Int) =
+      ham64(afpOf(a), afpOf(b)) > 3 && pcmOf(a) != pcmOf(b)
+    // the MIRROR-RECYCLER analog for CLIPS in the generative family: a
+    // length pair whose canonical KEYFRAME prints sit within the gate
+    // while the plain keyframe AND every sampled ordinal's plain prints
+    // sit beyond it, audio far on both tiers — so without the rung
+    // NOTHING rejects the second clip (keyframe rung far, shot rung far
+    // at every ordinal, audio rungs far, no image prints on video ids),
+    // and with it only the videokhashes canonical screen can
+    val cand = (for {
+      la <- (330 to 700).iterator
+      lb <- (la + 1 to 700).iterator
+      if ham64(framePrints(la, 0)._2, framePrints(lb, 0)._2) <= 3
+      if ham64(framePrints(la, 0)._1, framePrints(lb, 0)._1) > 3
+      if allOrdinalsFar(la, lb)
+      if audioFar(la, lb)
+    } yield (la, lb)).nextOption()
+    assert(cand.isDefined, "fixture search: no canonical-keyframe-near/plain-far pair")
+    val (lenA, lenB) = cand.get
+    // a seed far from both on EVERY family the rung-on run screens:
+    // plain keyframe + ordinals, canonical keyframe, audio
+    val lenC = (330 to 700).find(l => l != lenA && l != lenB &&
+      Seq(lenA, lenB).forall(x =>
+        ham64(framePrints(l, 0)._1, framePrints(x, 0)._1) > 3 &&
+          ham64(framePrints(l, 0)._2, framePrints(x, 0)._2) > 3 &&
+          allOrdinalsFar(l, x) && audioFar(l, x))).get
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len); sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // every id is a VIDEO id (mod 4 == 0): the video rungs carry the catch
+    def runWith(rung: Boolean): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_vdih_$rung").toString
+      DedupStream.admitBatch(
+        Seq((8L, "src", textOfLen("seed", lenC))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed", dihedralRung = rung)
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        dihedralRung = rung)
+      try {
+        stream.addData((404L, "src", textOfLen("orig", lenA), e(2)))
+        q.processAllAvailable()
+        // the mirrored-clip recycler analog: fresh text/embedding/audio,
+        // plain prints far at keyframe and every ordinal — only the
+        // canonical keyframe print collides, ACROSS the microbatch
+        // boundary off the maintained side
+        stream.addData((408L, "src", textOfLen("redo", lenB), e(3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    // without the rung every plain video screen passes the recycler
+    val (without, _) = runWith(rung = false)
+    assert(without === Map(404L -> ("admitted", None),
+      408L -> ("admitted", None)), without.toString)
+    // with it: rejected video_dup off the MAINTAINED sixteenth side
+    val (withRung, tmpK) = runWith(rung = true)
+    assert(withRung === Map(404L -> ("admitted", None),
+      408L -> ("video_dup", Some(404L))), withRung.toString)
+    val m = CurationStream.metrics(spark, s"$tmpK/out")
+      .filter(col("batch_id") === 1L).head()
+    assert(m.getLong(m.fieldIndex("n_video_dup")) === 1L, m.toString)
+    // only ADMITTED clips' canonical keyframe prints sit on the side
+    assert(DedupStream.corpusVideoKHashes(spark, s"$tmpK/text")
+      .select("doc_id").as[Long].collect().toSet === Set(8L, 404L))
     DedupOps.releaseCaches()
   }
 

@@ -709,6 +709,179 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the dual-family frame sampler catches a MIRRORED clip re-upload the plain video tiers miss (m7e/m3d)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.MediaRecord
+    def img(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(250, math.max(0, f(x, y)))
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    def flipH(src: java.awt.image.BufferedImage) =
+      img(src.getWidth, src.getHeight)((x, y) =>
+        src.getRGB(src.getWidth - 1 - x, y) & 255)
+    def png(src: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "png", out)
+      out.toByteArray
+    }
+    // two ASYMMETRIC frames on non-square dims — the m4k hard case, as
+    // a two-shot clip; the mirrored re-upload flips EVERY frame
+    val f0 = img(56, 40)((x, y) => 30 + ((x * 5 + y * y) % 200))
+    val f1 = img(56, 40)((x, y) => 25 + ((x * 3 + 2 * y + x * y) % 190))
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    Seq(f0, f1).foreach(f =>
+      assert(ham(MultimodalOps.aHash(f), MultimodalOps.aHash(flipH(f))) > 3,
+        "fixture sanity: plain prints must miss the mirror on every frame"))
+    // hand-rolled minimal RIFF/AVI (avih + movi) around real PNG frames
+    // — the jpegAvi shape, so the REAL container parse is in the loop
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, p: Array[Byte]) = fcc(id) ++ le32(p.length.toLong) ++ p ++
+      (if (p.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def avi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val avih = le32(33333L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.size.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = chunk("LIST", fcc("hdrl") ++ chunk("avih", avih))
+      val movi = chunk("LIST", fcc("movi") ++ frames.flatMap(chunk("00dc", _)).toArray)
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+    val media = Seq(
+      MediaRecord(1L, "video/avi", avi(Seq(png(f0), png(f1)), 56, 40)),
+      MediaRecord(2L, "video/avi", avi(Seq(png(flipH(f0)), png(flipH(f1))), 56, 40)))
+      .toDS().toDF()
+    val lens = MultimodalOps.sampleFrameLens(spark, media).collect()
+    // decode-once consistency: the sampler's plain columns equal
+    // sampleFrames' prints, its k columns equal dihedralAHash of the
+    // decoded frame each ordinal landed on (fno = i·2/4 -> 0,0,1,1)
+    val plain = MultimodalOps.sampleFrames(spark, media).collect()
+      .map(s => (s.doc_id, s.frame_idx) -> ((s.h_hi, s.h_lo))).toMap
+    assert(lens.length === 8)
+    lens.foreach { s =>
+      assert((s.h_hi, s.h_lo) === plain((s.doc_id, s.frame_idx)),
+        s"plain projection drifted at $s")
+      val src = if (s.doc_id == 1L) Seq(f0, f1) else Seq(flipH(f0), flipH(f1))
+      assert((s.k_hi, s.k_lo) ===
+        MultimodalOps.dihedralAHash(src(s.frame_no.toInt)),
+        s"canonical print drifted at $s")
+    }
+    // per-ordinal EXACT invariance: the mirrored clip's canonical prints
+    // equal the original's at every ordinal
+    val byKey = lens.map(s => (s.doc_id, s.frame_idx) -> ((s.k_hi, s.k_lo))).toMap
+    (0L until 4L).foreach(i =>
+      assert(byKey((1L, i)) === byKey((2L, i)), s"ordinal $i"))
+    val lensDf = MultimodalOps.sampleFrameLens(spark, media).toDF()
+    // the canonical keyframe tier (m7e) catches at Hamming 0; the plain
+    // keyframe tier (m7b) misses — the video analog of the m4k gap
+    val kf = MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.keyframeOf(MultimodalOps.frameDihedralOf(lensDf)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kf === Seq((1L, 2L, 0L)), s"mirrored clip must surface: $kf")
+    assert(MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.videoKeyframeHashes(media)).collect().isEmpty,
+      "the plain keyframe tier misses the mirrored clip")
+    // the shot-level canonical tier (m3d) matches EVERY ordinal; the
+    // plain shot tier (m3b) matches none
+    val shots = MultimodalOps.frameNearDups(
+      MultimodalOps.frameDihedralOf(lensDf))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(shots === (0L until 4L).map(i => (1L, 2L, i, 0L)), shots.toString)
+    assert(MultimodalOps.frameNearDups(
+      MultimodalOps.frameAHashOf(lensDf)).collect().isEmpty,
+      "the plain shot tier misses the mirrored re-edit")
+    DedupOps.releaseCaches()
+  }
+
+  test("m5h catches a silence-padded rendition at its true offset; sub-window shifts stay in the documented boundary") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(5 * 128)(rnd.nextInt(65536) - 32768)
+    val clipA = AudioGen.wavOf(1, base)
+    // the recycler: TWO whole windows of leading silence — every window
+    // of the whole-clip contour print shifts, the m5d gate misses, but
+    // the windowed sub-prints are the base's verbatim at ordinal + 2
+    val clipB = AudioGen.wavOf(1, new Array[Int](2 * 128) ++ base)
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    assert(ham(
+      MultimodalOps.acousticFingerprint(base),
+      MultimodalOps.acousticFingerprint(new Array[Int](2 * 128) ++ base)) > 3,
+      "fixture sanity: the whole-clip print must miss the padded rendition")
+    val audio = Seq(AudioRecord(1L, "audio/wav", clipA),
+      AudioRecord(2L, "audio/wav", clipB)).toDS().toDF()
+    val prints = MultimodalOps.audioWindowPrints(audio)
+    // the pad's silence windows drop (constant), the base's 5 windows
+    // print on both clips — B's shifted by exactly 2 ordinals
+    assert(prints.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ===
+      Map(1L -> (0L until 5L), 2L -> (2L until 7L)))
+    val caught = MultimodalOps.audioShiftNearDups(prints)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(caught === Seq((1L, 2L, 2L, 5L)),
+      s"must catch at the true offset with all 5 windows: $caught")
+    // the documented boundary: a SUB-window pad (64 samples) shifts
+    // every window's content, so no sub-print matches — robustness is
+    // exact at window granularity, gated (not guaranteed) below it
+    val clipC = AudioGen.wavOf(1, new Array[Int](64) ++ base)
+    val subWin = MultimodalOps.audioShiftNearDups(
+      MultimodalOps.audioWindowPrints(
+        Seq(AudioRecord(1L, "audio/wav", clipA),
+          AudioRecord(3L, "audio/wav", clipC)).toDS().toDF()))
+      .collect()
+    assert(subWin.isEmpty,
+      s"sub-window shift is outside the exact catch by design: ${subWin.toSeq}")
+    DedupOps.releaseCaches()
+  }
+
+  test("a 0.7x nearest-neighbor rescale of a SMOOTH image stays within the near-dup gate (the fractional-scale boundary of m2b)") {
+    // m2b's theorem is EXACT invariance at integer scale; real feeds
+    // rescale arbitrarily. For smooth content (real photos after any
+    // low-pass, unlike the deliberately noise-like generative fixture)
+    // the sampled luma moves by O(gradient) under the +/-1-pixel
+    // position rounding a fractional resample introduces, so the print
+    // lands within the Hamming-3 near-dup gate — the tier that catches
+    // fractional rescales by DESIGN (IMPLEMENTATION.md documents this
+    // boundary; the JPEG near-dup pin is the same claim on re-encoding).
+    def smooth(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(250, 20 + (2 * x * 100) / w + (3 * y * 100) / h)
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    // property sweep over the fixture's dim range: the gate holds from
+    // 21 px per side up (every dim pair, square and non-square)
+    for (w <- 21 to 63; h <- Seq(w, w + 7)) {
+      val src = smooth(w, h)
+      val (tw, th) = (math.max(8, (w * 7) / 10), math.max(8, (h * 7) / 10))
+      val scaled = MultimodalOps.thumbnail(src, tw, th)
+      val d = ham(MultimodalOps.aHash(src), MultimodalOps.aHash(scaled))
+      assert(d <= 3, s"0.7x rescale of smooth ${w}x$h drifted to Hamming $d")
+    }
+    // the honest LOWER boundary: below ~21 px a fractional resample's
+    // position rounding is a whole grid cell, and even smooth content
+    // drifts past the gate (16x16 measures Hamming 6) — tiny thumbprints
+    // are outside the fractional-rescale claim, documented in
+    // IMPLEMENTATION.md (real feed images sit far above this)
+    val tiny = smooth(16, 16)
+    assert(ham(MultimodalOps.aHash(tiny),
+      MultimodalOps.aHash(MultimodalOps.thumbnail(tiny, 11, 11))) > 3,
+      "the sub-21-px boundary unexpectedly closed — update the doc")
+  }
+
   test("aHash is invariant under the materialized thumbnail at integer scale (m2b)") {
     import spark.implicits._
     import graft.llm.MultimodalOps.{ImageGen, MediaRecord}

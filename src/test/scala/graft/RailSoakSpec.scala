@@ -264,6 +264,67 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m5h per-ordinal rail binds on a 5000-clip silence-padded flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    // 5000 renditions of ONE base stream behind rotating whole-window
+    // silence pads: each pad class shares every windowed sub-print, so
+    // each (ordinal, band, key) bucket holds ~1667 clips — far past
+    // maxBucket — and the ±3-ordinal fan-out would cube the pair front
+    // unrailed. 8 triplet classes of DISTINCT random base streams are
+    // the genuine content, each class's three renditions padded 0/1/2
+    // windows, so the engine must catch every class pair at its true
+    // nonzero offset while the rail drops the flood. Base streams are
+    // searched (seeded, deterministic) so no group window shares a band
+    // key with the flood's — removing the flood must not move any
+    // group bucket's population, keeping the equality test exact.
+    val rnd = new scala.util.Random(11)
+    def stream(n: Int): Array[Int] =
+      Array.fill(n * 128)(rnd.nextInt(65536) - 32768)
+    def windowKeys(s: Array[Int]): Set[(Int, Long)] =
+      (0 until s.length / 128).flatMap { w =>
+        val (hi, lo) = MultimodalOps.acousticFingerprint(
+          java.util.Arrays.copyOfRange(s, w * 128, (w + 1) * 128))
+        Set(0 -> (lo & 0xffffL), 1 -> ((lo >> 16) & 0xffffL),
+          2 -> (hi & 0xffffL), 3 -> ((hi >> 16) & 0xffffL))
+      }.toSet
+    val floodBase = stream(4)
+    val floodKeys = windowKeys(floodBase)
+    // 8 flood-disjoint 5-window base streams (mutually distinct prints
+    // come free with random samples; only flood disjointness is load-
+    // bearing for the removal test)
+    val bases = Iterator.continually(stream(5))
+      .filter(s => (windowKeys(s) & floodKeys).isEmpty).take(8).toSeq
+    def padded(s: Array[Int], padWins: Int): Array[Byte] =
+      AudioGen.wavOf(1, new Array[Int](padWins * 128) ++ s)
+    val flood = (0 until 5000).map(k =>
+      AudioRecord(10000L + k, "audio/wav", padded(floodBase, k % 3)))
+    val groups = bases.zipWithIndex.flatMap { case (s, g) =>
+      (0 until 3).map(j =>
+        AudioRecord((g * 3 + j).toLong, "audio/wav", padded(s, j)))
+    }
+    def shiftPairsOf(rows: Seq[AudioRecord]) =
+      MultimodalOps.audioShiftNearDups(
+        MultimodalOps.audioWindowPrintsRaw(rows.toDS().toDF()))
+    try {
+      val railed = shiftPairsOf(flood ++ groups)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val reference = shiftPairsOf(groups)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // every class pair is caught at EXACTLY its pad delta with all 5
+      // base windows matched; the flood contributes nothing
+      val expected = (0 until 8).flatMap { g =>
+        val id = (j: Int) => (g * 3 + j).toLong
+        Seq((id(0), id(1), 1L, 5L), (id(0), id(2), 2L, 5L),
+          (id(1), id(2), 1L, 5L))
+      }.toSet
+      assert(expected.subsetOf(railed),
+        s"class pairs lost or mis-offset: ${(expected -- railed).take(5)}")
+      assert(railed.forall { case (a, b, _, _) => a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
   // ---- t21b: winnow-sketch df rail ----------------------------------------
 
   test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {

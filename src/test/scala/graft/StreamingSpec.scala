@@ -415,6 +415,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the lens/rung config stamps on first admission; a mid-stream toggle fails fast with the index untouched") {
+    val tmp = Files.createTempDirectory("graft_mediaconf").toString
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStream
+    val docs1 = Seq((1L, "src", "one distinct document with enough words to shingle cleanly today"))
+      .toDF("doc_id", "source", "text")
+    val docs2 = Seq((2L, "src", "another fully different set of vocabulary items for the second batch"))
+      .toDF("doc_id", "source", "text")
+    DedupStream.admitBatch(docs1, 0L, s"$tmp/index", s"$tmp/out", 0.5, "a")
+    // toggled LENS: fails before any side write (a DHashLens-era batch
+    // invisible to later AHashLens screens is the silent-recall-loss the
+    // stamp exists to prevent — r17 advice)
+    val exLens = intercept[IllegalArgumentException] {
+      DedupStream.admitBatch(docs2, 1L, s"$tmp/index", s"$tmp/out", 0.5, "a",
+        imageLens = DedupStream.BothLens)
+    }
+    assert(exLens.getMessage.contains("imageLens"), exLens.getMessage)
+    // toggled RUNG: same failure
+    val exRung = intercept[IllegalArgumentException] {
+      DedupStream.admitBatch(docs2, 1L, s"$tmp/index", s"$tmp/out", 0.5, "a",
+        dihedralRung = true)
+    }
+    assert(exRung.getMessage.contains("dihedralRung"), exRung.getMessage)
+    // the index is untouched by the failed admissions: no batch=a-1 dir
+    // landed on any side, and the SAME config still admits normally
+    assert(spark.read.parquet(s"$tmp/index/shingles")
+      .select("batch").distinct().as[String].collect().toSeq === Seq("a-0"))
+    DedupStream.admitBatch(docs2, 1L, s"$tmp/index", s"$tmp/out", 0.5, "a")
+    assert(spark.read.parquet(s"$tmp/index/shingles")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("incremental dedup stream admits uniques, flags cross- and within-batch dups (D5 streaming)") {
     val tmp = Files.createTempDirectory("graft_dedup_stream").toString
     implicit val sqlCtx = spark.sqlContext

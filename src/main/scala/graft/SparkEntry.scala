@@ -295,6 +295,23 @@ object SparkEntry {
   private def m5Afp(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.audioFpOf(m5Full(s, dir))
 
+  /** The m5i/m5j windowed-sub-print projection of [[m5Full]] (the
+    * audiowins side's rows — the nested wins exploded, no second
+    * decode). */
+  private def m5Wins(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.audioWinsOf(m5Full(s, dir))
+
+  /** The m5i/m5j INCREMENT: the d5/d9b increment docs' SILENCE-PADDED
+    * renditions (doc_id % 3 whole windows ahead of the generative
+    * stream) decoded to window prints once per (session, sfDir) — the
+    * recycler feed the shift screens catch against the UNPADDED
+    * admitted corpus. */
+  private def m5ShiftIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m5shiftincr")(
+      MultimodalOps.audioWindowPrints(
+        MultimodalOps.asShiftedAudioTable(
+          documents(s, dir).filter(col("doc_id") >= 400))))
+
   /** The m3 MAINTAINED sampled-frame-print table (the m4Hashes
     * discipline on the video modality): containers parse once per
     * (session, sfDir); m3c's increment and the m7c/m7d keyframe
@@ -337,7 +354,7 @@ object SparkEntry {
       DedupOps.winnowFingerprints(documents(s, dir).filter(col("doc_id") < 400)))
 
   /** The t21d index: a REAL on-disk [[graft.streaming.DedupStream]]
-    * index (all thirteen sides) built once per JVM per sfDir by admitting
+    * index (every maintained side) built once per JVM per sfDir by admitting
     * the corpus docs through the SAME `admitBatch` the streaming loop
     * runs — the StoreLayout.ensureServingTables discipline applied to
     * the text tier, so the t21d row serves its winnow screen from the
@@ -1395,6 +1412,18 @@ object SparkEntry {
       // ordinals only if orientation survives; this rung does not care);
       // per-ordinal band rail, prints off the shared dual-family frame
       MultimodalOps.frameNearDups(m3KFrames(s, d))),
+    "m3e_frame_dihedral_served_maintained" -> ((s, d) =>
+      // m3d SERVED from the STREAMING-MAINTAINED eighteenth side: the
+      // increment's canonical per-ordinal prints against framekhashes
+      // parquet a real DedupStream admitBatch wrote under dihedralRung
+      // off the same dual-family frame decode — exactly what
+      // CurationStream's shot-level rung unions in under the rung (the
+      // m7f discipline one rung down)
+      MultimodalOps.frameNearDupsServedHashes(
+        graft.streaming.DedupStream.corpusFrameKHashes(s, t21dIndexDir(s, d)),
+        m3KFrames(s, d).filter(col("doc_id") >= 400),
+        documents(s, d).filter(col("doc_id") >= 400)
+          .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the
@@ -1465,6 +1494,30 @@ object SparkEntry {
       MultimodalOps.audioShiftNearDups(
         MultimodalOps.audioWindowPrintsRaw(
           MultimodalOps.asShiftedAudioTable(documents(s, d))))),
+    "m5i_audio_shift_served" -> ((s, d) =>
+      // the m5h screen SERVED: the increment's silence-padded renditions
+      // (pads of doc_id%3 whole windows — the recycler feed) against the
+      // session cache's UNPADDED corpus window prints — caught at
+      // exactly their pad offsets, which the whole-clip contour rung
+      // (m5e) structurally misses; combined-population rail per
+      // (ordinal, band, key), increment-side ±3-ordinal fan-out, corpus
+      // as id_a. m5j is the deployment twin off the maintained
+      // seventeenth side — the serve-vs-cache seam, measured
+      MultimodalOps.audioShiftNearDupsServedWins(
+        m5Wins(s, d).filter(col("doc_id") < 400),
+        m5ShiftIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m5j_audio_shift_maintained" -> ((s, d) =>
+      // m5i off the STREAMING-MAINTAINED seventeenth side: audiowins
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined decode as the audiohashes/audiofps sides (the nested
+      // wins column of one AudioFull row) — the t21c→t21d / m5e→m5f
+      // graduation on the shift tier (same oracle, the e4/e5
+      // shared-oracle discipline)
+      MultimodalOps.audioShiftNearDupsServedWins(
+        graft.streaming.DedupStream.corpusAudioWins(s, t21dIndexDir(s, d)),
+        m5ShiftIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m5c_audio_dups_served" -> ((s, d) =>
       // the audio rung of the admission ladder: a media increment's PCM
       // content hashes against the MAINTAINED corpus hash side — corpus

@@ -549,17 +549,20 @@ object MultimodalOps {
         val samples = pcmSamplesOf(bytes, f.isBigEndian)
         val (hi, lo) = acousticFingerprint(samples)
         AudioFull(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
-          nFrames * 1000L / rate, pcmHashOfSamples(samples), hi, lo)
+          nFrames * 1000L / rate, pcmHashOfSamples(samples), hi, lo,
+          windowPrintsOfSamples(samples))
       }
   }
 
   /** The combined per-clip decode row: [[AudioMeta]]'s header + content
-    * hash fields PLUS the acoustic-fingerprint halves — one decode, every
-    * audio consumer projects what it needs ([[audioMetaOf]] /
-    * [[audioFpOf]]). */
+    * hash fields PLUS the acoustic-fingerprint halves PLUS the windowed
+    * sub-prints (`wins` — the m5h/m5i shift tier's rows, nested so one
+    * decode feeds the audiohashes, audiofps AND audiowins sides) — one
+    * decode, every audio consumer projects what it needs
+    * ([[audioMetaOf]] / [[audioFpOf]] / [[audioWinsOf]]). */
   final case class AudioFull(doc_id: Long, format: String, sample_rate: Long,
       channels: Long, n_frames: Long, duration_ms: Long, pcm_hash: Long,
-      h_hi: Long, h_lo: Long)
+      h_hi: Long, h_lo: Long, wins: Seq[AudioWin])
 
   /** Batched combined decode — the [[decodeAudioMeta]] shape with the
     * fingerprint riding the same parse; undecodable payloads drop. */
@@ -580,6 +583,15 @@ object MultimodalOps {
     * [[AudioFingerprint]] column set, in schema order). */
   def audioFpOf(full: DataFrame): DataFrame =
     full.select("doc_id", "h_hi", "h_lo", "n_frames")
+
+  /** The audiowins-side projection of an [[AudioFull]] frame — the
+    * nested windowed sub-prints exploded into the [[AudioWindowPrint]]
+    * schema (doc_id, ordinal, h_hi, h_lo): the shift tier's serving
+    * rows, off the same decode as the other two audio sides. */
+  def audioWinsOf(full: DataFrame): DataFrame =
+    full.select(col("doc_id"), explode(col("wins")).as("w"))
+      .select(col("doc_id"), col("w.ordinal").as("ordinal"),
+        col("w.h_hi").as("h_hi"), col("w.h_lo").as("h_lo"))
 
   /** The fixture's audio-CONTAINER rule (the [[isVideoId]] discipline):
     * one modulus shared between the generation map and the oracle's
@@ -770,6 +782,36 @@ object MultimodalOps {
   final case class AudioWindowPrint(doc_id: Long, ordinal: Long,
     h_hi: Long, h_lo: Long)
 
+  /** One window's sub-print WITHOUT the doc envelope — the nested form
+    * [[AudioFull.wins]] carries so the admission decode feeds the
+    * audiowins side too. */
+  final case class AudioWin(ordinal: Long, h_hi: Long, h_lo: Long)
+
+  /** The windowed sub-prints of one decoded sample stream — ONE kernel
+    * shared by [[audioWindowPrints]] (the batch operator's decode path)
+    * and [[AudioDecoder.decodeFull]] (the admission path that stocks the
+    * maintained audiowins side), so the served screen and the batch
+    * operator cannot drift. Constant (silence) windows and the tail
+    * partial drop — see [[audioWindowPrints]]. */
+  def windowPrintsOfSamples(samples: Array[Int],
+      window: Int = ShiftWindow): Seq[AudioWin] =
+    (0 until samples.length / window).iterator.flatMap { w =>
+      val slice = java.util.Arrays.copyOfRange(
+        samples, w * window, (w + 1) * window)
+      var (mn, mx) = (slice(0), slice(0))
+      var j = 1
+      while (j < slice.length) {
+        if (slice(j) < mn) mn = slice(j)
+        if (slice(j) > mx) mx = slice(j)
+        j += 1
+      }
+      if (mn == mx) None
+      else {
+        val (hi, lo) = acousticFingerprint(slice)
+        Some(AudioWin(w.toLong, hi, lo))
+      }
+    }.toVector
+
   /** M5h's print table: decode → fixed [[ShiftWindow]]-sample windows →
     * [[acousticFingerprint]] per window. The tail partial window drops
     * (its length — and so its print — depends on total clip length, the
@@ -784,22 +826,8 @@ object MultimodalOps {
     audio.as[AudioRecord].flatMap { r =>
       AudioDecoder.decodeSamples(r.payload).iterator.flatMap {
         case (_, samples) =>
-          (0 until samples.length / window).iterator.flatMap { w =>
-            val slice = java.util.Arrays.copyOfRange(
-              samples, w * window, (w + 1) * window)
-            var (mn, mx) = (slice(0), slice(0))
-            var j = 1
-            while (j < slice.length) {
-              if (slice(j) < mn) mn = slice(j)
-              if (slice(j) > mx) mx = slice(j)
-              j += 1
-            }
-            if (mn == mx) None
-            else {
-              val (hi, lo) = acousticFingerprint(slice)
-              Some(AudioWindowPrint(r.doc_id, w.toLong, hi, lo))
-            }
-          }
+          windowPrintsOfSamples(samples, window).map(w =>
+            AudioWindowPrint(r.doc_id, w.ordinal, w.h_hi, w.h_lo))
       }
     }.toDF()
   }
@@ -861,6 +889,74 @@ object MultimodalOps {
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
           col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ord_a"), col("ord_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("ord_b") - col("ord_a")).as("win_offset"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "win_offset")
+  }
+
+  /** M5i/m5j — [[audioShiftNearDups]] SERVED: an increment's windowed
+    * sub-prints against a MAINTAINED corpus window table (DedupStream's
+    * audiowins side) — the m3c discipline on the TIME axis: combined-
+    * population rail per (ordinal, band, key), corpus member as id_a
+    * whatever the numeric order, id-level self-exclusion of the
+    * increment from the corpus side for replay; new-vs-new pairs orient
+    * (min, max). The INCREMENT side fans across the `±maxOffset`
+    * ordinals (the corpus side never replicates — at 100 TB the corpus
+    * window table dwarfs any batch), so the silence-padded or trimmed
+    * recycler is caught at its true offset against clips admitted
+    * unpadded. Samples decode once, at admission/screen time; the
+    * search is pure bit work over 16-byte rows. Output:
+    * (id_a, id_b, win_offset = ord_b − ord_a, n_matched ≥ minMatched). */
+  def audioShiftNearDupsServedWins(corpusWins: DataFrame,
+      incrWins: DataFrame, incrIds: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 3,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    def bandsOfW(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("ordinal"), col("h_hi"), col("h_lo"),
+        posexplode(array(
+          col("h_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+          col("h_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band", "key")))
+    val keyCols = Seq("ordinal", "band", "key")
+    val cb = bandsOfW(corpusWins.select("doc_id", "ordinal", "h_hi", "h_lo")
+      .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOfW(incrWins.select("doc_id", "ordinal", "h_hi", "h_lo"))
+    val ok = nb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nc")),
+        keyCols, "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select(keyCols.map(col): _*)
+    val nbp = nb.join(ok, keyCols)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("ordinal").as(s"ord_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // the increment (b) side fans across the tolerated offsets; the
+    // join lands on the a side's exact (ordinal, band, key)
+    def fanned(df: DataFrame): DataFrame =
+      sided(df, "b").withColumn("join_ord",
+        explode(sequence(col("ord_b") - maxOffset, col("ord_b") + maxOffset)))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("join_ord") === col("ord_a") &&
+        col("band_a") === col("band_b") && col("key_a") === col("key_b"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    val vsCorpus = joined(sided(cb, "a"), fanned(nbp))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = joined(sided(nbp, "a"), fanned(nbp))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
       .select(col("id_a"), col("id_b"), col("ord_a"), col("ord_b"),
         col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
       .distinct()

@@ -735,11 +735,14 @@ FROM vkcand c JOIN vkbits x ON x.doc_id = c.id_a
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b"""
 
-  /** m3d's per-ordinal canonical chain: the dihedral recomputation per
-    * sampled frame (luma term `l + fno·7`), the band rail keyed
-    * (ordinal, band, key), same-ordinal candidates — the m3b structure
-    * over orientation-invariant prints. */
-  private val frameDihedralNearDupSql: String = s"""
+  /** m3d/m3e's per-ordinal canonical chain: the dihedral recomputation
+    * per sampled frame (luma term `l + fno·7`), the band rail keyed
+    * (ordinal, band, key), same-ordinal candidates under the given pair
+    * condition — the m3b/m3c structure over orientation-invariant
+    * prints (served form: the m4d increment-later restriction; the t21d
+    * corpus is all-admitted, so the maintained framekhashes side equals
+    * the session split by construction). */
+  private def frameDihedralNearDupSql(pairCond: String): String = s"""
 WITH $VideoCteList,
 fs AS (SELECT doc_id, l, w, h, i, i * nf // 4 AS fno
        FROM vp, (SELECT unnest(range(0, 4)) AS i)),
@@ -757,7 +760,7 @@ fkpruned AS (SELECT b.doc_id, b.i, b.band, b.key
 fkcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i
            FROM fkpruned a JOIN fkpruned b
              ON a.i = b.i AND a.band = b.band AND a.key = b.key
-            AND a.doc_id < b.doc_id)
+            AND $pairCond)
 SELECT c.id_a, c.id_b, CAST(c.i AS BIGINT) AS frame_idx,
        CAST(bit_count(xor(x.h_hi, y.h_hi))
             + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
@@ -827,6 +830,78 @@ shver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
 SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
        CAST(count(*) AS BIGINT) AS n_matched
 FROM shver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
+
+  /** m5i/m5j's SERVED shift chain, ONE definition (the m5e/m5f
+    * shared-oracle discipline — the t21d corpus is all-admitted, so the
+    * maintained audiowins side equals the session cache's corpus split):
+    * corpus docs (< 400) window-printed UNPADDED, increment docs
+    * (≥ 400) behind their doc_id%3-window silence pads, the combined-
+    * population rail per (ordinal, band, key) with only the INCREMENT
+    * side prune-joined (the engine's m3c form: corpus rows participate
+    * through the pruned increment keys; within-increment pairs prune
+    * both sides), candidates within ±3 ordinals, exact verify, and the
+    * per-offset matched-window count with the ≥ 2 floor. A padded
+    * recycler is caught at exactly its pad offset. */
+  private val audioShiftServedSql: String = s"""
+WITH svl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+svp AS (SELECT doc_id, l, 1 + l % 2 AS ch, 200 + (l * 13) % 600 AS nf,
+               CASE WHEN doc_id < 400 THEN 0
+                    ELSE (doc_id % 3) * 128 END AS pad FROM svl),
+svn AS (SELECT doc_id, l, pad, pad + nf * ch AS n FROM svp),
+svw AS (SELECT doc_id, l, pad, unnest(range(0, n // 128)) AS w FROM svn),
+svg AS (SELECT doc_id, w AS ordinal,
+         list_transform(range(0, 128), j ->
+           CASE WHEN w * 128 + j < pad THEN 32768
+                ELSE ((w * 128 + j - pad) * 37 + l * 101) % 65536 END) AS vals
+        FROM svw),
+svc AS (SELECT doc_id, ordinal, vals FROM svg
+        WHERE list_min(vals) <> list_max(vals)),
+sve AS (SELECT doc_id, ordinal,
+         list_transform(range(0, 65), u ->
+           list_sum(list_slice(vals, (u * 128) // 65 + 1,
+                               ((u + 1) * 128) // 65))) AS e
+        FROM svc),
+svbits AS (SELECT doc_id, ordinal,
+   CAST(list_sum(list_transform(range(32, 64), k ->
+     CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << (k - 32))
+          ELSE 0 END)) AS BIGINT) AS h_hi,
+   CAST(list_sum(list_transform(range(0, 32), k ->
+     CASE WHEN e[k + 2] > e[k + 1] THEN (CAST(1 AS BIGINT) << k)
+          ELSE 0 END)) AS BIGINT) AS h_lo
+   FROM sve),
+svbands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM svbits, (SELECT unnest(range(0, 4)) AS band)),
+svok AS (SELECT ordinal, band, key FROM svbands
+         GROUP BY ordinal, band, key HAVING count(*) <= 100),
+svip AS (SELECT b.doc_id, b.ordinal, b.band, b.key FROM svbands b
+         JOIN svok USING (ordinal, band, key) WHERE b.doc_id >= 400),
+svcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ordinal AS oa, b.ordinal AS ob
+  FROM svbands a JOIN svip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, a.ordinal, b.ordinal
+  FROM svip a JOIN svip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < b.doc_id),
+svver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM svcand c
+          JOIN svbits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN svbits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM svver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
 ORDER BY id_a, id_b, win_offset"""
 
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
@@ -2599,14 +2674,25 @@ FROM vp ORDER BY doc_id""",
 
     // m3d: the shot-level screen over canonical prints — per-ordinal
     // dihedral recomputation (luma term l + fno·7), same-ordinal banded
-    // candidates under the mirrored per-ordinal rail.
-    "m3d_frame_dihedral_near_dups" -> frameDihedralNearDupSql,
+    // candidates under the mirrored per-ordinal rail; m3e is the SERVED
+    // restriction off the maintained framekhashes side (the m3c rule).
+    "m3d_frame_dihedral_near_dups" ->
+      frameDihedralNearDupSql("a.doc_id < b.doc_id"),
+    "m3e_frame_dihedral_served_maintained" ->
+      frameDihedralNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
+           AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
 
     // m5h: time-shift-robust audio near-dups over the SHIFTED fixture —
     // windowed sub-prints recomputed from the generative sample formula
     // behind each clip's leading-silence pad; a pair of equal-length
     // clips under different pads matches at exactly its pad delta.
     "m5h_audio_shift_near_dups" -> audioShiftNearDupSql,
+
+    // m5i: the shift screen SERVED (padded increment vs the unpadded
+    // session-cache corpus); m5j is the maintained-side twin off the
+    // seventeenth audiowins side — one oracle (the m5e/m5f rule).
+    "m5i_audio_shift_served" -> audioShiftServedSql,
+    "m5j_audio_shift_maintained" -> audioShiftServedSql,
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /

@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's thirteen
-  * [[DedupStream]] sides — fourteen under a dHash-bearing `imageLens` —
+  * against BOTH maintained index tiers (the text tier's fourteen
+  * always-on [[DedupStream]] sides — more under a dHash-bearing
+  * `imageLens` or `dihedralRung` —
   * and the vector tier's [[VectorStream]] serving
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
@@ -107,6 +108,11 @@ object CurationStream {
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
       dihedralRung: Boolean = false): DataFrame = {
+    // advisory calls never stamp, but a mismatched lens/rung must still
+    // fail fast: screening against sides the index never maintained
+    // reads empty and silently loses recall (the mediaconf discipline's
+    // read-only half)
+    DedupStream.checkMediaConf(spark, textIndexDir, imageLens, dihedralRung)
     val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrAudio = incrementAudio(docs)
     val ids = docs.select("doc_id")
@@ -131,9 +137,9 @@ object CurationStream {
           DedupStream.corpusVideoHashes(spark, textIndexDir),
           DedupStream.corpusVideoKHashes(spark, textIndexDir), ids)),
       videoFramePairs = incrMedia.map(im =>
-        MultimodalOps.frameNearDupsServedHashes(
+        videoFramePairsOf(im, dihedralRung,
           DedupStream.corpusFrameHashes(spark, textIndexDir),
-          im.frames, ids)))
+          DedupStream.corpusFrameKHashes(spark, textIndexDir), ids)))
   }
 
   /** The increment's image-lens fingerprints AND sampled-frame prints,
@@ -212,6 +218,28 @@ object CurationStream {
         MultimodalOps.imageNearDupsServedHashes(vkSide,
           MultimodalOps.keyframeOf(MultimodalOps.frameDihedralOf(im.frames)),
           ids).select("id_a", "id_b"))
+      .distinct()
+  }
+
+  /** The shot-level rung's COMPLETE pair frame: the plain per-ordinal
+    * screen, unioned with the DIHEDRAL-CANONICAL per-ordinal screen when
+    * `dihedralRung` is on — the re-edit that keeps later footage AND
+    * flips it rejects as `video_near_dup` (the [[videoPairsOf]] rule one
+    * rung down; the canonical frame prints project from the same
+    * dual-family decode). Output is (id_a, id_b) under both configs —
+    * the screen is a pair rejecter, and a config-dependent column set
+    * breaks distance-reading callers silently (the imageScreenOfHashes
+    * normalization rule). */
+  private def videoFramePairsOf(im: IncrMedia, dihedralRung: Boolean,
+      fSide: => DataFrame, fkSide: => DataFrame,
+      ids: DataFrame): DataFrame = {
+    val base = MultimodalOps.frameNearDupsServedHashes(fSide, im.frames, ids)
+      .select("id_a", "id_b")
+    if (!dihedralRung) base
+    else base.unionByName(
+        MultimodalOps.frameNearDupsServedHashes(fkSide,
+          MultimodalOps.frameDihedralOf(im.frames), ids)
+          .select("id_a", "id_b"))
       .distinct()
   }
 
@@ -325,10 +353,13 @@ object CurationStream {
       // the SHOT-LEVEL rung: the increment's sampled-frame prints (the
       // same frame the keyframe projection rode) against the maintained
       // framehashes side, same exclusion discipline — catches the
-      // re-edit whose opening shot is new
-      incrFrames.map(fr => MultimodalOps.frameNearDupsServedHashes(
+      // re-edit whose opening shot is new; under dihedralRung the
+      // CANONICAL per-ordinal screen's pairs join the union (the
+      // flipped-re-edit catch, framekhashes side)
+      incrMedia.map(im => videoFramePairsOf(im, dihedralRung,
         DedupStream.sideExcluding(spark, textIndexDir, "framehashes", tag),
-        fr, docs.select("doc_id"))))
+        DedupStream.sideExcluding(spark, textIndexDir, "framekhashes", tag),
+        docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -347,8 +378,8 @@ object CurationStream {
       // ---- phase 2: TEXT COMMIT ---------------------------------------
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
-      // pairs) — and owns the replay discipline for all thirteen sides
-      // (fourteen under a dHash-bearing lens)
+      // pairs) — and owns the replay discipline for every maintained
+      // side (fourteen always-on, plus the lens/rung-configured ones)
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
@@ -363,7 +394,11 @@ object CurationStream {
         imageDHashes = incrMedia.flatMap(_.dHashes),
         dihedralRung = dihedralRung,
         imageKHashes = incrMedia.flatMap(_.kHashes),
-        videoKHashes = incrVideoK)
+        videoKHashes = incrVideoK,
+        frameKHashes =
+          if (dihedralRung)
+            incrFrames.map(MultimodalOps.frameDihedralOf)
+          else None)
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(

@@ -59,6 +59,12 @@ import graft.llm.DedupOps
   * indexDir/audiofps/batch=<lineage>-<id>/  (doc_id, h_hi, h_lo, n_frames)
   *                                          acoustic prints off the SAME
   *                                          decode — m5d/m5e serving
+  * indexDir/audiowins/batch=<lineage>-<id>/ (doc_id, ordinal, h_hi, h_lo)
+  *                                          WINDOWED sub-prints off the
+  *                                          SAME decode — m5h's shift
+  *                                          tier served (m5i/m5j): the
+  *                                          silence-padded recycler
+  *                                          caught at its true offset
   * indexDir/videohashes/batch=<lineage>-<id>/ (imagehashes schema) keyframe
   *                                          prints of the admitted video
   *                                          renditions — m7c serving
@@ -74,6 +80,13 @@ import graft.llm.DedupOps
   *                                          frame_no, h_hi, h_lo) the
   *                                          sampled-frame prints behind
   *                                          them — m3c shot-level serving
+  * indexDir/framekhashes/batch=<lineage>-<id>/ (framehashes schema)
+  *                                          DIHEDRAL-canonical per-
+  *                                          ordinal prints — OPTIONAL,
+  *                                          under dihedralRung off the
+  *                                          SAME frame decode: the
+  *                                          flipped re-edit catch (m3e
+  *                                          serving)
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -84,11 +97,12 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The thirteen index sides (plus the optional imagedhashes under
-  * `imageLens = DHashLens | BothLens`, and imagekhashes + videokhashes
-  * under `dihedralRung`; the lens/rung pair is STAMPED at the index root
-  * on first admission and a mismatch fails fast — `mediaconf`, the
-  * bloom-geometry discipline) start flat under `indexDir` and migrate into
+  * The fourteen always-on index sides (plus the optional imagedhashes
+  * under `imageLens = DHashLens | BothLens`, and imagekhashes +
+  * videokhashes under `dihedralRung`; the lens/rung pair is STAMPED at
+  * the index root on first admission and a mismatch fails fast —
+  * `mediaconf`, the bloom-geometry discipline) start flat under
+  * `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
   * ([[IndexSides.compact]]), readers resolve the highest generation via
@@ -139,6 +153,9 @@ object DedupStream {
   private val AudioFpSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("h_hi", LongType),
     StructField("h_lo", LongType), StructField("n_frames", LongType)))
+  private val AudioWinSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("ordinal", LongType),
+    StructField("h_hi", LongType), StructField("h_lo", LongType)))
   private val FrameHashSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("frame_idx", LongType),
     StructField("frame_no", LongType), StructField("h_hi", LongType),
@@ -437,6 +454,32 @@ object DedupStream {
     }
   }
 
+  /** READ-ONLY form of [[resolveMediaConf]] for advisory/serving callers
+    * ([[CurationStream.verdicts]]): verify the caller's lens/rung against
+    * the stamp WITHOUT ever writing one — an advisory call with a
+    * mismatched config would silently screen against sides the index
+    * never maintained (empty reads, lost recall), the exact failure the
+    * stamp exists to surface. A pre-stamp (legacy) index checks nothing:
+    * absence means "never admitted under a stamped config", not a
+    * mismatch. */
+  private[streaming] def checkMediaConf(spark: SparkSession,
+      indexDir: String, lens: ImageLens, dihedralRung: Boolean): Unit = {
+    val root = liveRoot(spark, indexDir)
+    val dir = new Path(s"$root/mediaconf")
+    if (!IndexSides.fsOf(spark, root).exists(dir)) return
+    val r = scala.util.Try {
+      val row = spark.read.parquet(dir.toString)
+        .select("image_lens", "dihedral_rung").head()
+      (row.getString(0), row.getBoolean(1))
+    }.getOrElse(throw new IllegalStateException(
+      s"unreadable media-config stamp at $dir — repair or remove it"))
+    require(r == ((lensName(lens), dihedralRung)),
+      s"index at $indexDir maintains media print sides under " +
+        s"imageLens=${r._1}, dihedralRung=${r._2}; screening with " +
+        s"imageLens=${lensName(lens)}, dihedralRung=$dihedralRung would " +
+        "read sides the index never maintained (silent recall loss)")
+  }
+
   /** Retarget the drift-warning threshold of an EXISTING, stamped index —
     * an explicit maintenance call under the single-writer discipline (run
     * between microbatches, like compact). The new threshold is written as
@@ -512,9 +555,11 @@ object DedupStream {
       case "imagedhashes" => ImgHashSchema
       case "imagekhashes" => ImgHashSchema
       case "videokhashes" => ImgHashSchema
+      case "framekhashes" => FrameHashSchema
       case "winnowfps" => WinnowSchema
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
+      case "audiowins" => AudioWinSchema
       case "videohashes" => ImgHashSchema
       case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
@@ -722,6 +767,37 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/audiofps", AudioFpSchema)
       .drop("batch")
 
+  /** The maintained WINDOWED-sub-print side over every ADMITTED doc's
+    * audio rendition (m5h's fixed-128-sample window prints, appended per
+    * batch off the SAME combined decode as the audiohashes/audiofps
+    * sides, identity fold): the seventeenth side, the shift tier's
+    * serving state — a clip recycled behind leading silence or a whole-
+    * window trim is caught at its true offset against clips admitted
+    * unpadded, which the whole-clip audiofps contour gate structurally
+    * misses. ≤ ~n_samples/128 rows of 16-byte prints per clip. */
+  def corpusAudioWins(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/audiowins", AudioWinSchema)
+      .drop("batch")
+
+  /** M5i/m5j over the maintained side: TIME-SHIFT-robust audio near-dups
+    * between a media increment and the admitted corpus's window-print
+    * table — the serving form of [[graft.llm.MultimodalOps
+    * .audioShiftNearDups]] (combined-population rail per (ordinal, band,
+    * key), increment-side ±offset fan-out, corpus as id_a, id-level
+    * self-exclusion). The admission-LADDER wiring is deliberately not
+    * folded into the audio_near_dup class yet: on offset 0 this screen
+    * overlaps the contour rung (and the exact rung above it), so the
+    * union is a policy choice — the serving path here is the complete
+    * mechanism a deployment composes. */
+  def screenAudioShiftDups(spark: SparkSession, indexDir: String,
+      newAudio: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 3, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.audioShiftNearDupsServedWins(
+      corpusAudioWins(spark, indexDir),
+      graft.llm.MultimodalOps.audioWindowPrints(newAudio),
+      newAudio.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
+
   /** The maintained video KEYFRAME-print side over every ADMITTED doc's
     * video rendition (m7b's frame-0 aHash rows in the imagehashes
     * schema, appended per batch off the media table the image side
@@ -768,6 +844,19 @@ object DedupStream {
     * work — the side behind the video_near_dup rung. */
   def corpusFrameHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/framehashes", FrameHashSchema)
+      .drop("batch")
+
+  /** The maintained DIHEDRAL-CANONICAL per-ordinal print side over every
+    * ADMITTED doc's video rendition (m3d's orientation-invariant frame
+    * prints, framehashes schema, identity fold) — written only under
+    * `dihedralRung = true`, the shot-level analog of
+    * [[corpusVideoKHashes]]: a re-edit that keeps later footage AND
+    * flips it matches on the ordinals it kept, which the plain
+    * framehashes screen misses by ~half its bits. Same dual-family
+    * frame decode — the side costs bit arithmetic and ≤ 4 extra
+    * 16-byte prints per clip. */
+  def corpusFrameKHashes(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/framekhashes", FrameHashSchema)
       .drop("batch")
 
   /** M3c over the maintained side: SHOT-LEVEL video near-dups between a
@@ -954,7 +1043,8 @@ object DedupStream {
       imageDHashes: Option[DataFrame] = None,
       dihedralRung: Boolean = false,
       imageKHashes: Option[DataFrame] = None,
-      videoKHashes: Option[DataFrame] = None): Unit = {
+      videoKHashes: Option[DataFrame] = None,
+      frameKHashes: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -1073,7 +1163,7 @@ object DedupStream {
           (writesD && imageDHashes.isEmpty) ||
           (dihedralRung && imageKHashes.isEmpty) ||
           videoHashes.isEmpty || frameHashes.isEmpty ||
-          (dihedralRung && videoKHashes.isEmpty)) &&
+          (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
         else None
@@ -1087,7 +1177,8 @@ object DedupStream {
       // second container parse.
       val framesFallback =
         if ((videoHashes.isEmpty || frameHashes.isEmpty ||
-          (dihedralRung && videoKHashes.isEmpty)) && mediaFallback.nonEmpty)
+          (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
+          mediaFallback.nonEmpty)
           mediaFallback.map(m =>
             (if (dihedralRung)
               graft.llm.MultimodalOps.sampleFrameLens(spark, m).toDF()
@@ -1136,6 +1227,15 @@ object DedupStream {
           .orElse(framesFallback)
           .foreach(_.select("doc_id", "frame_idx", "frame_no", "h_hi", "h_lo")
             .write.mode("overwrite").parquet(s"$root/framehashes/$key"))
+        // the eighteenth side: dihedral-canonical PER-ORDINAL prints —
+        // the frameDihedralOf projection of the same dual-family sampler
+        // (the shot-level analog of videokhashes: the flipped RE-EDIT
+        // that keeps later footage)
+        if (dihedralRung) frameKHashes
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(framesFallback.map(graft.llm.MultimodalOps.frameDihedralOf))
+          .foreach(_.select("doc_id", "frame_idx", "frame_no", "h_hi", "h_lo")
+            .write.mode("overwrite").parquet(s"$root/framekhashes/$key"))
       } finally {
         lensFallback.foreach(_.unpersist(blocking = false))
         framesFallback.foreach(_.unpersist(blocking = false))
@@ -1159,13 +1259,19 @@ object DedupStream {
               graft.llm.MultimodalOps.asAudioTable(keptOut)).toDF())
           else None)
         .foreach { full0 =>
-          // two writes read it — materialize once, never decode twice
+          // three writes read it — materialize once, never decode twice
           val full = full0.persist()
           try {
             graft.llm.MultimodalOps.audioMetaOf(full)
               .write.mode("overwrite").parquet(s"$root/audiohashes/$key")
             graft.llm.MultimodalOps.audioFpOf(full)
               .write.mode("overwrite").parquet(s"$root/audiofps/$key")
+            // seventeenth side: the windowed sub-prints (m5h's shift
+            // tier) — the nested wins column exploded off the SAME
+            // decode row, so time-shift screening serves maintained
+            // 16-byte rows ever after (≤ ~n_samples/128 rows per clip)
+            graft.llm.MultimodalOps.audioWinsOf(full)
+              .write.mode("overwrite").parquet(s"$root/audiowins/$key")
           } finally full.unpersist(blocking = false)
         }
       // sixth side: the batch's Bloom bitset partial (d10's filter as
@@ -1388,9 +1494,11 @@ object DedupStream {
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
+    ("audiowins", AudioWinSchema, identity[DataFrame] _),
     ("videohashes", ImgHashSchema, identity[DataFrame] _),
     ("videokhashes", ImgHashSchema, identity[DataFrame] _),
     ("framehashes", FrameHashSchema, identity[DataFrame] _),
+    ("framekhashes", FrameHashSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

@@ -186,6 +186,17 @@ class CurationStreamSpec extends SparkSpec {
       .as[(Long, String, Option[Long], Double)].collect().toSeq
     DedupOps.releaseCaches()
     assert(advisory === batchC2b())
+    // the read-only half of the mediaconf discipline: an ADVISORY call
+    // with a mismatched lens/rung must fail fast too — it would screen
+    // against sides this index never maintained (empty reads, silent
+    // recall loss), never stamp anything
+    val ex = intercept[IllegalArgumentException] {
+      CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec",
+        increment.toDF("doc_id", "text"), incEmb.toDF("vec_id", "embedding"),
+        benchRows.toDF("doc_id", "text"),
+        imageLens = DedupStream.BothLens)
+    }
+    assert(ex.getMessage.contains("never maintained"), ex.getMessage)
   }
 
   test("the span rung serves from the configured index: sketch equals seeds on ≥ 8-word overlap") {
@@ -934,6 +945,15 @@ class CurationStreamSpec extends SparkSpec {
       (0 until 4).forall(i => ham64(
         framePrints(la, i * nfa / 4)._1, framePrints(lb, i * nfb / 4)._1) > 3)
     }
+    // the seed must ALSO be canonical-far at every ordinal: under the
+    // rung the shot-level screen unions the framekhashes side, and a
+    // coincidental canonical frame match would flip the "must admit"
+    // batch-1 doc to video_near_dup
+    def allOrdinalsFarK(la: Int, lb: Int): Boolean = {
+      val (nfa, nfb) = (2 + la % 3, 2 + lb % 3)
+      (0 until 4).forall(i => ham64(
+        framePrints(la, i * nfa / 4)._2, framePrints(lb, i * nfb / 4)._2) > 3)
+    }
     def samplesOf(l: Int): Array[Int] = {
       val (ch, nf) = AudioGen.params(l.toLong)
       Array.tabulate(nf * ch)(i => AudioGen.sample(l.toLong, i.toLong))
@@ -969,7 +989,8 @@ class CurationStreamSpec extends SparkSpec {
       Seq(lenA, lenB).forall(x =>
         ham64(framePrints(l, 0)._1, framePrints(x, 0)._1) > 3 &&
           ham64(framePrints(l, 0)._2, framePrints(x, 0)._2) > 3 &&
-          allOrdinalsFar(l, x) && audioFar(l, x))).get
+          allOrdinalsFar(l, x) && allOrdinalsFarK(l, x) &&
+          audioFar(l, x))).get
     def textOfLen(tag: String, len: Int): String = {
       val sb = new StringBuilder(tag)
       var k = 1
@@ -1364,6 +1385,7 @@ class CurationStreamSpec extends SparkSpec {
     foldedEqual("imagehashes", DedupStream.corpusImageHashes(spark, _))
     foldedEqual("audiohashes", DedupStream.corpusAudioHashes(spark, _))
     foldedEqual("audiofps", DedupStream.corpusAudioFps(spark, _))
+    foldedEqual("audiowins", DedupStream.corpusAudioWins(spark, _))
     foldedEqual("videohashes", DedupStream.corpusVideoHashes(spark, _))
     foldedEqual("framehashes", DedupStream.corpusFrameHashes(spark, _))
     foldedEqual("seedstats", d => DedupStream.corpusSeedStats(spark, d)

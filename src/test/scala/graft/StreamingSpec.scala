@@ -415,6 +415,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the audiowins side serves the time-shift screen; a silence-padded recycler is caught at its true offset (m5i/m5j streaming)") {
+    val tmp = Files.createTempDirectory("graft_audiowins_stream").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    // admission stocks the seventeenth side off the same combined decode
+    // as audiohashes/audiofps (the nested wins column of one AudioFull)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "src", "a" * 30), (2L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // the recycler: doc 1's exact PCM behind TWO whole windows of
+    // leading silence — every whole-clip contour window shifts (the m5e
+    // rung's blind spot), but the windowed sub-prints land verbatim at
+    // ordinal + 2
+    val (ch, nf) = AudioGen.params(30L)
+    val base = Array.tabulate(nf * ch)(i => AudioGen.sample(30L, i.toLong))
+    val probe = Seq(AudioRecord(10L, "audio/wav",
+      AudioGen.wavOf(ch, new Array[Int](2 * 128) ++ base))).toDS().toDF()
+    def screen() = graft.streaming.DedupStream
+      .screenAudioShiftDups(spark, s"$tmp/index", probe)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val hits = screen()
+    // caught at exactly the pad offset with every base window matched,
+    // corpus member as id_a
+    assert(hits.contains((1L, 10L, 2L, (nf * ch / 128).toLong)), s"got $hits")
+    // the contour rung misses this exact pair (the gap the side closes)
+    val contour = MultimodalOps.imageNearDupsServedHashes(
+      graft.streaming.DedupStream.corpusAudioFps(spark, s"$tmp/index"),
+      MultimodalOps.audioFingerprintFrame(probe), probe.select("doc_id"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!contour.contains((1L, 10L)),
+      s"contour rung unexpectedly caught the padded rendition: $contour")
+    // compaction folds the per-batch dirs (identity fold); screen stable
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen() === hits)
+    // the maintained side IS the admitted corpus's window prints
+    val served = graft.streaming.DedupStream
+      .corpusAudioWins(spark, s"$tmp/index")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = MultimodalOps.audioWinsOf(
+      MultimodalOps.decodeAudioFull(spark, MultimodalOps.asAudioTable(
+        spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"))).toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the lens/rung config stamps on first admission; a mid-stream toggle fails fast with the index untouched") {
     val tmp = Files.createTempDirectory("graft_mediaconf").toString
     implicit val sqlCtx = spark.sqlContext

@@ -325,6 +325,69 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m5i served shift rail binds on a 5000-clip padded flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    // the SERVED form's combined-population rail (corpus + increment per
+    // (ordinal, band, key)) under a degenerate increment: 5000 padded
+    // renditions of ONE stream — whose unpadded original sits in the
+    // corpus, so without the rail every flood clip is a genuine
+    // offset-match (5000 corpus hits + ~12.5M within-increment pairs).
+    // 8 corpus streams with two genuine padded renditions each are the
+    // content that must survive at its true offsets. Stream prints are
+    // searched band-disjoint from the flood's so removing the flood
+    // moves no genuine bucket.
+    val rnd = new scala.util.Random(13)
+    def stream(n: Int): Array[Int] =
+      Array.fill(n * 128)(rnd.nextInt(65536) - 32768)
+    def windowKeys(s: Array[Int]): Set[(Int, Long)] =
+      (0 until s.length / 128).flatMap { w =>
+        val (hi, lo) = MultimodalOps.acousticFingerprint(
+          java.util.Arrays.copyOfRange(s, w * 128, (w + 1) * 128))
+        Set(0 -> (lo & 0xffffL), 1 -> ((lo >> 16) & 0xffffL),
+          2 -> (hi & 0xffffL), 3 -> ((hi >> 16) & 0xffffL))
+      }.toSet
+    val floodBase = stream(5)
+    val floodKeys = windowKeys(floodBase)
+    val bases = Iterator.continually(stream(5))
+      .filter(s => (windowKeys(s) & floodKeys).isEmpty).take(8).toSeq
+    def padded(s: Array[Int], padWins: Int): Array[Byte] =
+      AudioGen.wavOf(1, new Array[Int](padWins * 128) ++ s)
+    // corpus: the 8 streams AND the flood's original, all unpadded
+    val corpus = bases.zipWithIndex.map { case (s, g) =>
+      AudioRecord(g.toLong, "audio/wav", padded(s, 0)) } :+
+      AudioRecord(50L, "audio/wav", padded(floodBase, 0))
+    val genuine = bases.zipWithIndex.flatMap { case (s, g) =>
+      Seq(AudioRecord(100L + 2 * g, "audio/wav", padded(s, 1)),
+        AudioRecord(101L + 2 * g, "audio/wav", padded(s, 2)))
+    }
+    val flood = (0 until 5000).map(k =>
+      AudioRecord(10000L + k, "audio/wav", padded(floodBase, k % 3)))
+    def screen(incr: Seq[AudioRecord]) = {
+      implicit val sqlCtx = spark.sqlContext
+      MultimodalOps.audioShiftNearDupsServedWins(
+        MultimodalOps.audioWindowPrintsRaw(corpus.toDS().toDF()),
+        MultimodalOps.audioWindowPrintsRaw(incr.toDS().toDF()),
+        incr.map(_.doc_id).toDF("doc_id"))
+    }
+    try {
+      val railed = screen(genuine ++ flood)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val reference = screen(genuine)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // every genuine rendition is caught against its corpus original at
+      // exactly its pad offset with all 5 windows; the flood — corpus
+      // partner and all — contributes nothing (its buckets are railed)
+      val expected = (0 until 8).flatMap(g =>
+        Seq((g.toLong, 100L + 2 * g, 1L, 5L), (g.toLong, 101L + 2 * g, 2L, 5L)))
+        .toSet
+      assert(expected.subsetOf(railed),
+        s"genuine renditions lost or mis-offset: ${(expected -- railed).take(5)}")
+      assert(railed.forall { case (a, b, _, _) => a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
   // ---- t21b: winnow-sketch df rail ----------------------------------------
 
   test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {

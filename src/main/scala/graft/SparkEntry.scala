@@ -1478,6 +1478,23 @@ object SparkEntry {
         graft.streaming.DedupStream.corpusAudioFps(s, t21dIndexDir(s, d)),
         m5Afp(s, d).filter(col("doc_id") >= 400),
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m5k_audio_reversal_phash" -> ((s, d) =>
+      // the REVERSAL-CANONICAL acoustic print: symmetric window bounds
+      // make time reversal exactly REVERSE the 65 window energies, so
+      // min over the two packed sign-of-delta prints is exactly
+      // reversal-invariant (the m4k dihedral argument on the time axis)
+      // — the print family that catches the REVERSED clip recycler every
+      // orientation-sensitive contour print misses by ~half its bits;
+      // prices the inline decode (the m5/m4k discipline)
+      MultimodalOps.audioReversalFrame(
+        MultimodalOps.asAudioTable(documents(s, d))).orderBy("doc_id")),
+    "m5l_audio_reversal_near_dups" -> ((s, d) =>
+      // the banded pigeonhole over canonical prints — a reversed
+      // re-upload lands at Hamming 0 of its original; one serving path
+      // for every 64-bit print family, unchanged
+      MultimodalOps.imageNearDupsFromHashes(
+        MultimodalOps.audioReversalFrameRaw(
+          MultimodalOps.asAudioTable(documents(s, d))))),
     "m5h_audio_shift_near_dups" -> ((s, d) =>
       // TIME-SHIFT-ROBUST audio near-dups: the clip recycled behind
       // leading silence shifts every window of m5d's whole-clip contour

@@ -706,6 +706,71 @@ object MultimodalOps {
   final case class AudioFingerprint(doc_id: Long, h_hi: Long, h_lo: Long,
     n_frames: Long)
 
+  /** M5k — the REVERSAL-CANONICAL acoustic print: the m4k dihedral
+    * argument carried to the TIME axis. [[acousticFingerprint]]'s plain
+    * floor bounds w·n/65 are not reversal-stable (n − ⌊k·n/65⌋ ≠
+    * ⌊(65−k)·n/65⌋ in general), so a clip re-uploaded REVERSED moves
+    * every window edge by a sample and the contour print drifts. Here
+    * the window bounds are MIRROR-SYMMETRIC by construction — b_k =
+    * ⌊k·n/65⌋ for k ≤ 32 and n − ⌊(65−k)·n/65⌋ above — so reversing the
+    * samples exactly REVERSES the 65 window energies (e'(w) = e(64−w)),
+    * the reversed clip's sign-of-delta bits are computable from the SAME
+    * energy array (bit'(k) = e(63−k) > e(64−k)), and the minimum of the
+    * two packed prints (both 32-bit halves non-negative, so tuple min =
+    * unsigned min — the m4k rule) is EXACTLY invariant under time
+    * reversal. Same 64-bit schema: the whole banded machinery serves it
+    * unchanged. */
+  def reversalAHash(samples: Array[Int]): (Long, Long) = {
+    val n = samples.length
+    def bound(k: Int): Int =
+      if (k <= 32) (k.toLong * n / 65).toInt
+      else (n - (65L - k) * n / 65).toInt
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var i = bound(w)
+      val end = bound(w + 1)
+      var s = 0L
+      while (i < end) { s += samples(i) + 32768L; i += 1 }
+      e(w) = s
+      w += 1
+    }
+    def pack(bit: Int => Boolean): (Long, Long) = {
+      var (hi, lo) = (0L, 0L)
+      var k = 0
+      while (k < 64) {
+        if (bit(k)) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+        k += 1
+      }
+      (hi, lo)
+    }
+    val fwd = pack(k => e(k + 1) > e(k))
+    val rev = pack(k => e(63 - k) > e(64 - k))
+    if (fwd._1 < rev._1 || (fwd._1 == rev._1 && fwd._2 <= rev._2)) fwd
+    else rev
+  }
+
+  /** The (doc_id, h_hi, h_lo, n_frames) reversal-canonical print frame —
+    * the [[audioFingerprintFrame]] shape on the canonical family;
+    * undecodable payloads drop. */
+  def audioReversalFrame(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[AudioRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { r =>
+        AudioDecoder.decodeSamples(r.payload).map { case (nFrames, samples) =>
+          val (hi, lo) = reversalAHash(samples)
+          AudioFingerprint(r.doc_id, hi, lo, nFrames)
+        }
+      })
+    }.toDF()
+  }
+
+  /** The tracked-persisted form the m5l registry row consumes (the
+    * imageHashesRaw rule: the banded search scans it more than once). */
+  private[graft] def audioReversalFrameRaw(audio: DataFrame): DataFrame =
+    DedupOps.tracked(audioReversalFrame(audio))
+
   /** One batch through the fingerprint kernel — undecodable drop. */
   def fingerprintAudioBatch(batch: Seq[AudioRecord]): Seq[AudioFingerprint] =
     batch.flatMap { r =>

@@ -904,6 +904,42 @@ SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
 FROM svver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
 ORDER BY id_a, id_b, win_offset"""
 
+  /** m5k/m5l's REVERSAL-canonical chain: the SYMMETRIC window bounds
+    * (b_k = k·n//65 for k ≤ 32, n − (65−k)·n//65 above — exactly the
+    * engine's rule, so time reversal reverses the energy array), the
+    * forward sign-of-delta pack AND the reversed-clip pack (bit k =
+    * e[64−k] > e[65−k], 1-based) computed from ONE energy list, their
+    * HUGEINT minimum split back after (the m4k least discipline).
+    * Exposes `rvbits` (doc_id, nf, h_hi, h_lo). */
+  private val ReversalBitsCteList: String = {
+    def pk(cond: String): String =
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+       CASE WHEN $cond THEN (CAST(1 AS BIGINT) << (k - 32))
+            ELSE 0 END)) AS HUGEINT) * 4294967296
+     + CAST(list_sum(list_transform(range(0, 32), k ->
+       CASE WHEN $cond THEN (CAST(1 AS BIGINT) << k)
+            ELSE 0 END)) AS HUGEINT)"""
+    s"""rvl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+rvp AS (SELECT doc_id, l, 200 + (l * 13) % 600 AS nf,
+               (1 + l % 2) * (200 + (l * 13) % 600) AS n FROM rvl),
+rve AS (SELECT doc_id, nf,
+         list_transform(range(0, 65), w -> list_sum(list_transform(
+           range(CASE WHEN w <= 32 THEN w * n // 65
+                      ELSE n - (65 - w) * n // 65 END,
+                 CASE WHEN w + 1 <= 32 THEN (w + 1) * n // 65
+                      ELSE n - (65 - (w + 1)) * n // 65 END),
+           i -> (i * 37 + l * 101) % 65536))) AS e
+        FROM rvp),
+rvc AS (SELECT doc_id, nf,
+         least(${pk("e[k + 2] > e[k + 1]")},
+               ${pk("e[64 - k] > e[65 - k]")}) AS comb
+        FROM rve),
+rvbits AS (SELECT doc_id, nf,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo
+     FROM rvc)"""
+  }
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2693,6 +2729,33 @@ FROM vp ORDER BY doc_id""",
     // seventeenth audiowins side — one oracle (the m5e/m5f rule).
     "m5i_audio_shift_served" -> audioShiftServedSql,
     "m5j_audio_shift_maintained" -> audioShiftServedSql,
+
+    // m5k: the reversal-canonical print — the oracle recomputes the
+    // symmetric-bound energies and BOTH packings from the generative
+    // sample formula and takes their HUGEINT minimum; agreement proves
+    // the engine's canonicalization bit-exactly off real decoded PCM.
+    "m5k_audio_reversal_phash" -> s"""
+WITH $ReversalBitsCteList
+SELECT doc_id, h_hi, h_lo, CAST(nf AS BIGINT) AS n_frames
+FROM rvbits ORDER BY doc_id""",
+
+    // m5l: banded near-dups over the canonical prints, rail mirrored
+    // (the m4l discipline — canonical acoustic prints of the generative
+    // sawtooth correlate heavily, so the oracle must prune exactly the
+    // engine's buckets).
+    "m5l_audio_reversal_near_dups" -> s"""
+WITH $ReversalBitsCteList,
+${bandRailOver("rvbits", "rv")},
+rvcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM rvpruned a JOIN rvpruned b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(x.h_hi, y.h_hi))
+            + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+FROM rvcand c JOIN rvbits x ON x.doc_id = c.id_a
+              JOIN rvbits y ON y.doc_id = c.id_b
+WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
+ORDER BY id_a, id_b""",
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /

@@ -800,6 +800,50 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the reversal-canonical print is EXACTLY time-reversal-invariant; the banded tier catches the reversed recycler (m5k/m5l)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    val rnd = new scala.util.Random(19)
+    val base = Array.fill(700)(rnd.nextInt(65536) - 32768)
+    val rev = base.reverse
+    // hand model, independently reimplemented: symmetric bounds, both
+    // packings off one energy array, tuple min
+    def hand(s: Array[Int]): (Long, Long) = {
+      val n = s.length
+      def b(k: Int) = if (k <= 32) k * n / 65 else n - (65 - k) * n / 65
+      val e = Array.tabulate(65)(w =>
+        (b(w) until b(w + 1)).map(i => s(i) + 32768L).sum)
+      def pack(bit: Int => Boolean) =
+        (0 until 64).foldLeft((0L, 0L)) { case ((hi, lo), k) =>
+          if (!bit(k)) (hi, lo)
+          else if (k < 32) (hi, lo | (1L << k)) else (hi | (1L << (k - 32)), lo)
+        }
+      Seq(pack(k => e(k + 1) > e(k)), pack(k => e(63 - k) > e(64 - k))).min
+    }
+    assert(MultimodalOps.reversalAHash(base) === hand(base), "engine == hand model")
+    // EXACT invariance under reversal
+    assert(MultimodalOps.reversalAHash(rev) === MultimodalOps.reversalAHash(base),
+      "the canonical print must be exactly reversal-invariant")
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    // the plain orientation-sensitive contour print misses the reversal
+    assert(ham(MultimodalOps.acousticFingerprint(base),
+      MultimodalOps.acousticFingerprint(rev)) > 3,
+      "fixture sanity: the plain contour print misses the reversed clip")
+    // frame level off real WAV round-trips: the reversed re-upload lands
+    // at Hamming 0 in the m5l tier; the plain m5d tier misses it
+    val audio = Seq(AudioRecord(1L, "audio/wav", AudioGen.wavOf(1, base)),
+      AudioRecord(2L, "audio/wav", AudioGen.wavOf(1, rev))).toDS().toDF()
+    val pairs = MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.audioReversalFrame(audio))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)), s"reversed pair must surface: $pairs")
+    assert(MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.audioFingerprintFrame(audio)).collect().isEmpty,
+      "the orientation-sensitive tier misses it — the gap m5k closes")
+    DedupOps.releaseCaches()
+  }
+
   test("m5h catches a silence-padded rendition at its true offset; sub-window shifts stay in the documented boundary") {
     import spark.implicits._
     import graft.llm.MultimodalOps.{AudioGen, AudioRecord}

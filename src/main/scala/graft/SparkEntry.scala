@@ -312,6 +312,24 @@ object SparkEntry {
         MultimodalOps.asShiftedAudioTable(
           documents(s, dir).filter(col("doc_id") >= 400))))
 
+  /** The m5n/m5o reversal-canonical window projection of [[m5Full]]
+    * (the audiorwins side's rows — the nested rwins exploded, no second
+    * decode). */
+  private def m5RWins(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.audioRWinsOf(m5Full(s, dir))
+
+  /** The m5n/m5o INCREMENT: the d5/d9b increment docs under the MIXED
+    * reversed/plain rule (odd ids REVERSED behind doc_id%3 windows of
+    * leading silence — the recycler feed that slips the exact, contour,
+    * forward-window AND whole-clip-canonical rungs at once; even ids
+    * plain copies), decoded to dual-family canonical window prints once
+    * per (session, sfDir). */
+  private def m5RevIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m5revincr")(
+      MultimodalOps.audioRevWindowPrints(
+        MultimodalOps.asReversedAudioTable(
+          documents(s, dir).filter(col("doc_id") >= 400))))
+
   /** The m3 MAINTAINED sampled-frame-print table (the m4Hashes
     * discipline on the video modality): containers parse once per
     * (session, sfDir); m3c's increment and the m7c/m7d keyframe
@@ -1495,6 +1513,44 @@ object SparkEntry {
       MultimodalOps.imageNearDupsFromHashes(
         MultimodalOps.audioReversalFrameRaw(
           MultimodalOps.asAudioTable(documents(s, d))))),
+    "m5m_audio_revwin_near_dups" -> ((s, d) =>
+      // the REVERSAL∘SHIFT composition: reversalAHash's symmetric-bound
+      // argument applied PER 128-sample window, in TWO cut families (f
+      // from the head, b from the tail — the tail anchor is what makes
+      // window-level reversal matching exact whatever n mod 128 is).
+      // Catches the recycler that evades m5h AND m5k at once: a clip
+      // re-uploaded REVERSED behind leading silence prints forward
+      // windows m5h never saw and a whole-clip print m5k canonicalized
+      // over different boundaries; here it matches on the cross-family
+      // legs at its true offset. Fixture: odd docs reversed behind
+      // doc_id%3 silence windows, even docs plain — both channels fire.
+      // Prices the inline decode + dual-family prints (the m5h seam)
+      MultimodalOps.audioRevShiftNearDups(
+        MultimodalOps.audioRevWindowPrintsRaw(
+          MultimodalOps.asReversedAudioTable(documents(s, d))))),
+    "m5n_audio_revwin_served" -> ((s, d) =>
+      // the m5m screen SERVED: the increment's mixed reversed/plain
+      // renditions against the session cache's PLAIN corpus canonical
+      // window prints — the reversed recycler caught at admission time;
+      // combined-population rail per (family, ordinal, band, key),
+      // increment-side ±3-ordinal fan-out only, corpus as id_a. m5o is
+      // the deployment twin off the maintained nineteenth side — the
+      // serve-vs-cache seam, measured
+      MultimodalOps.audioRevNearDupsServedWins(
+        m5RWins(s, d).filter(col("doc_id") < 400),
+        m5RevIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m5o_audio_revwin_maintained" -> ((s, d) =>
+      // m5n off the STREAMING-MAINTAINED nineteenth side: audiorwins
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined decode as the other three audio sides (the nested
+      // rwins column of one AudioFull row) — the m5i→m5j graduation on
+      // the reversal∘shift tier (same oracle, the e4/e5 shared-oracle
+      // discipline)
+      MultimodalOps.audioRevNearDupsServedWins(
+        graft.streaming.DedupStream.corpusAudioRWins(s, t21dIndexDir(s, d)),
+        m5RevIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m5h_audio_shift_near_dups" -> ((s, d) =>
       // TIME-SHIFT-ROBUST audio near-dups: the clip recycled behind
       // leading silence shifts every window of m5d's whole-clip contour

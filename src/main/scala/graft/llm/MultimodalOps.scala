@@ -550,7 +550,7 @@ object MultimodalOps {
         val (hi, lo) = acousticFingerprint(samples)
         AudioFull(r.doc_id, fmt, rate, f.getChannels.toLong, nFrames,
           nFrames * 1000L / rate, pcmHashOfSamples(samples), hi, lo,
-          windowPrintsOfSamples(samples))
+          windowPrintsOfSamples(samples), revWindowPrintsOfSamples(samples))
       }
   }
 
@@ -562,7 +562,7 @@ object MultimodalOps {
     * ([[audioMetaOf]] / [[audioFpOf]] / [[audioWinsOf]]). */
   final case class AudioFull(doc_id: Long, format: String, sample_rate: Long,
       channels: Long, n_frames: Long, duration_ms: Long, pcm_hash: Long,
-      h_hi: Long, h_lo: Long, wins: Seq[AudioWin])
+      h_hi: Long, h_lo: Long, wins: Seq[AudioWin], rwins: Seq[AudioRWin])
 
   /** Batched combined decode — the [[decodeAudioMeta]] shape with the
     * fingerprint riding the same parse; undecodable payloads drop. */
@@ -591,6 +591,17 @@ object MultimodalOps {
   def audioWinsOf(full: DataFrame): DataFrame =
     full.select(col("doc_id"), explode(col("wins")).as("w"))
       .select(col("doc_id"), col("w.ordinal").as("ordinal"),
+        col("w.h_hi").as("h_hi"), col("w.h_lo").as("h_lo"))
+
+  /** The audiorwins-side projection of an [[AudioFull]] frame — the
+    * nested dual-family reversal-canonical sub-prints exploded into the
+    * [[AudioRWinPrint]] schema (doc_id, family, ordinal, h_hi, h_lo):
+    * the reversal∘shift tier's serving rows, off the same decode as the
+    * other three audio sides. */
+  def audioRWinsOf(full: DataFrame): DataFrame =
+    full.select(col("doc_id"), explode(col("rwins")).as("w"))
+      .select(col("doc_id"), col("w.family").as("family"),
+        col("w.ordinal").as("ordinal"),
         col("w.h_hi").as("h_hi"), col("w.h_lo").as("h_lo"))
 
   /** The fixture's audio-CONTAINER rule (the [[isVideoId]] discipline):
@@ -771,6 +782,267 @@ object MultimodalOps {
   private[graft] def audioReversalFrameRaw(audio: DataFrame): DataFrame =
     DedupOps.tracked(audioReversalFrame(audio))
 
+  /** One REVERSAL-CANONICAL windowed sub-print: `family` names which end
+    * of the clip the window was cut from ('f' = forward, from the head;
+    * 'b' = backward, from the tail), `ordinal` its distance (in windows)
+    * from that end, and the print is [[reversalAHash]] of the
+    * 128-sample slice — canonical under reversal of the slice ITSELF.
+    * The nested form [[AudioFull.rwins]] carries (the audiorwins side's
+    * rows, the [[AudioWin]] pattern with the family tag). */
+  final case class AudioRWin(family: String, ordinal: Long,
+    h_hi: Long, h_lo: Long)
+
+  /** The doc-enveloped row of the m5m print table. */
+  final case class AudioRWinPrint(doc_id: Long, family: String,
+    ordinal: Long, h_hi: Long, h_lo: Long)
+
+  /** The REVERSAL∘SHIFT composition — [[reversalAHash]]'s symmetric-
+    * bound argument applied PER 128-sample WINDOW, in TWO cut families.
+    * Why two: a reversed clip maps windows onto windows only up to the
+    * tail remainder (n mod 128) — reverse the samples and the head
+    * windows of the copy land on the TAIL of the original, misaligned
+    * by the remainder unless windows are also cut from that end. So
+    * every clip prints each family once:
+    *   f[j] = samples[j·128, (j+1)·128)       (head-anchored)
+    *   b[j] = samples[n−(j+1)·128, n−j·128)   (tail-anchored)
+    * both through [[reversalAHash]] (within-window canonical). The
+    * algebra that makes the four recycler evasions ONE search problem:
+    *   • copy:              copy.f[j] = orig.f[j]            (ff, offset 0)
+    *   • lead-padded copy:  copy.f[j+k] = orig.f[j]          (ff, offset k)
+    *                        copy.b[j] = orig.b[j]            exactly — the
+    *                        b family is INVARIANT to leading pads
+    *   • reversed:          rev.f[j] = reverse(orig.b[j])    (print-equal:
+    *                        fb/bf, offset 0)
+    *   • reversed + padded: rev.b[j] = reverse(orig.f[j])    (offset 0 —
+    *                        the pad rides ahead of the reversed stream,
+    *                        so the TAIL anchor never moves) and
+    *                        rev.f[j+k] = reverse(orig.b[j])  (offset k)
+    * Constant (silence) windows drop and the per-family window count
+    * caps at [[MaxWinsPerClip]] — the same degenerate-bucket and growth
+    * rails as the plain shift tier. ~2× the audiowins rows per clip,
+    * 16 bytes each. */
+  def revWindowPrintsOfSamples(samples: Array[Int],
+      window: Int = ShiftWindow): Seq[AudioRWin] = {
+    val n = samples.length
+    val nw = math.min(n / window, MaxWinsPerClip)
+    def printOf(start: Int): Option[(Long, Long)] = {
+      val slice = java.util.Arrays.copyOfRange(samples, start, start + window)
+      var (mn, mx) = (slice(0), slice(0))
+      var j = 1
+      while (j < slice.length) {
+        if (slice(j) < mn) mn = slice(j)
+        if (slice(j) > mx) mx = slice(j)
+        j += 1
+      }
+      if (mn == mx) None else Some(reversalAHash(slice))
+    }
+    val fwd = (0 until nw).iterator.flatMap { j =>
+      printOf(j * window).map { case (hi, lo) =>
+        AudioRWin("f", j.toLong, hi, lo) }
+    }
+    val bwd = (0 until nw).iterator.flatMap { j =>
+      printOf(n - (j + 1) * window).map { case (hi, lo) =>
+        AudioRWin("b", j.toLong, hi, lo) }
+    }
+    (fwd ++ bwd).toVector
+  }
+
+  /** The fixture's REVERSED-rendition rule, one modulus pair shared with
+    * the oracle: odd docs re-upload REVERSED behind [[revPadOf]] windows
+    * of leading silence (the recycler feed — evades m5d's contour, m5h's
+    * forward windows AND m5k's whole-clip canonical print all at once);
+    * even docs render plain. */
+  def isReversedId(id: Long): Boolean = id % 2 == 1
+  def revPadOf(id: Long): Long = (id % 3) * ShiftWindow
+
+  /** Fixture audio table under the mixed reversed/plain rule — the
+    * [[asShiftedAudioTable]] discipline with time REVERSAL composed in:
+    * an odd doc's rendition is the generative stream reversed (flat
+    * sample order — channels ride the reversal) behind [[revPadOf]]
+    * zeros; an even doc's is the plain stream. Narrow per-row generation
+    * map, no shuffle. */
+  def asReversedAudioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (ch, nf) = AudioGen.params(l)
+        val n0 = nf * ch
+        val samples =
+          if (!isReversedId(id)) Array.tabulate(n0)(i => AudioGen.sample(l, i.toLong))
+          else {
+            val pad = revPadOf(id).toInt
+            val out = new Array[Int](pad + n0)
+            var i = 0
+            while (i < n0) {
+              out(pad + i) = AudioGen.sample(l, (n0 - 1 - i).toLong)
+              i += 1
+            }
+            out
+          }
+        AudioRecord(id, "audio/wav", AudioGen.wavOf(ch, samples))
+      }.toDF()
+  }
+
+  /** M5m's print table: decode → BOTH cut families' reversal-canonical
+    * window prints ([[revWindowPrintsOfSamples]]). Narrow per-record
+    * decode, no shuffle; undecodable payloads drop. */
+  def audioRevWindowPrints(audio: DataFrame,
+      window: Int = ShiftWindow): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[AudioRecord].flatMap { r =>
+      AudioDecoder.decodeSamples(r.payload).iterator.flatMap {
+        case (_, samples) =>
+          revWindowPrintsOfSamples(samples, window).map(w =>
+            AudioRWinPrint(r.doc_id, w.family, w.ordinal, w.h_hi, w.h_lo))
+      }
+    }.toDF()
+  }
+
+  /** The tracked-persisted form (the audioWindowPrintsRaw rule). */
+  private[graft] def audioRevWindowPrintsRaw(audio: DataFrame,
+      window: Int = ShiftWindow): DataFrame =
+    DedupOps.tracked(audioRevWindowPrints(audio, window))
+
+  /** M5m — REVERSAL∘SHIFT-robust audio near-dups: the m5h banded
+    * machinery over [[revWindowPrintsOfSamples]]' dual-family canonical
+    * prints, with the family pair as one more join dimension. Candidates
+    * stay keyed (family, ordinal, band, key) — per-family-per-ordinal
+    * buckets under the rail, never one global band population — and the
+    * ±`maxOffset` tolerance is the same bounded a-side fan-out of
+    * 16-byte rows. Three legs join: (f,f) catches the plain/padded copy,
+    * (f,b) and (b,f) the reversed one (see the algebra on the kernel);
+    * (b,b) is redundant with (f,f) — a reversed pair never meets on it
+    * and a forward pair already met — and is skipped, so the fan-out
+    * work stays 3/4 of the naive family cross. Output: (id_a, id_b,
+    * orient = fam_a‖fam_b ∈ {ff, fb, bf}, win_offset = ord_b − ord_a,
+    * n_matched ≥ `minMatched`) — a clean reversal reports on BOTH cross
+    * legs (fb at the pad offset, bf at 0): two independent witnesses of
+    * one recycling, each its own row, exactly what the oracle
+    * recomputes. */
+  def audioRevShiftNearDups(rprints: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 3,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = rprints.select(col("doc_id"), col("family"),
+      col("ordinal"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val ok = allBands.groupBy("family", "ordinal", "band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("family", "ordinal", "band", "key")
+    val bands = allBands.join(ok, Seq("family", "ordinal", "band", "key"))
+    def sided(side: String): DataFrame =
+      bands.select(col("family").as(s"fam_$side"),
+        col("ordinal").as(s"ord_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    val aSide = sided("a").withColumn("join_ord",
+      explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    aSide.join(sided("b"),
+        col("join_ord") === col("ord_b") &&
+          col("band_a") === col("band_b") &&
+          col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b") &&
+          !(col("fam_a") === "b" && col("fam_b") === "b"))
+      .select(col("id_a"), col("id_b"), col("fam_a"), col("fam_b"),
+        col("ord_a"), col("ord_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        concat(col("fam_a"), col("fam_b")).as("orient"),
+        (col("ord_b") - col("ord_a")).as("win_offset"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "orient", "win_offset")
+  }
+
+  /** M5n/m5o — [[audioRevShiftNearDups]] SERVED: an increment's
+    * dual-family canonical window prints against a MAINTAINED corpus
+    * table (DedupStream's audiorwins side) — the m5i discipline with the
+    * family dimension: combined-population rail per (family, ordinal,
+    * band, key), INCREMENT-side ±`maxOffset` fan-out only (the corpus
+    * never replicates — the 100 TB asymmetry), corpus member as id_a
+    * whatever the numeric order, id-level self-exclusion for replay;
+    * the (b,b) leg skipped as in the batch form. A clip recycled
+    * REVERSED (± leading silence) is caught at admission time on the
+    * cross legs — the evasion that slips the exact, contour AND
+    * forward-window rungs simultaneously. Output shape = the batch
+    * form's, with win_offset = ord_b − ord_a (increment minus corpus on
+    * the vsCorpus leg: a padded INCREMENT reports positive offsets; a
+    * padded CORPUS clip would report negative — the m5i sign rule). */
+  def audioRevNearDupsServedWins(corpusRWins: DataFrame,
+      incrRWins: DataFrame, incrIds: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 3,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    def bandsOfR(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("family"), col("ordinal"),
+        col("h_hi"), col("h_lo"),
+        posexplode(array(
+          col("h_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+          col("h_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band", "key")))
+    val keyCols = Seq("family", "ordinal", "band", "key")
+    val cb = bandsOfR(
+      corpusRWins.select("doc_id", "family", "ordinal", "h_hi", "h_lo")
+        .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOfR(
+      incrRWins.select("doc_id", "family", "ordinal", "h_hi", "h_lo"))
+    val ok = nb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nc")),
+        keyCols, "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select(keyCols.map(col): _*)
+    val nbp = nb.join(ok, keyCols)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("family").as(s"fam_$side"),
+        col("ordinal").as(s"ord_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    def fanned(df: DataFrame): DataFrame =
+      sided(df, "b").withColumn("join_ord",
+        explode(sequence(col("ord_b") - maxOffset, col("ord_b") + maxOffset)))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("join_ord") === col("ord_a") &&
+        col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        !(col("fam_a") === "b" && col("fam_b") === "b"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    val vsCorpus = joined(sided(cb, "a"), fanned(nbp))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = joined(sided(nbp, "a"), fanned(nbp))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .select(col("id_a"), col("id_b"), col("fam_a"), col("fam_b"),
+        col("ord_a"), col("ord_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        concat(col("fam_a"), col("fam_b")).as("orient"),
+        (col("ord_b") - col("ord_a")).as("win_offset"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "orient", "win_offset")
+  }
+
   /** One batch through the fingerprint kernel — undecodable drop. */
   def fingerprintAudioBatch(batch: Seq[AudioRecord]): Seq[AudioFingerprint] =
     batch.flatMap { r =>
@@ -852,6 +1124,20 @@ object MultimodalOps {
     * audiowins side too. */
   final case class AudioWin(ordinal: Long, h_hi: Long, h_lo: Long)
 
+  /** HARD per-clip, per-family window cap shared by the plain
+    * ([[windowPrintsOfSamples]]) and reversal-canonical
+    * ([[revWindowPrintsOfSamples]]) sub-print kernels — the growth rail
+    * the maintained audiowins/audiorwins sides need: window counts scale
+    * with clip LENGTH (the one per-record quantity an uploader controls),
+    * so without a cap one hostile 10-hour upload writes ~2M print rows
+    * where every other clip writes ~10. At 128-sample windows and the
+    * fixture's 8 kHz rate, 4096 windows ≈ 65 s of PCM per family — a
+    * recycler burying its payload deeper than the printed prefix (f
+    * family) AND suffix (b family) has transformed the clip beyond what
+    * a shift screen claims to catch. The fixture's longest clip cuts
+    * ~15 windows; the cap never binds below ~65 s of audio. */
+  val MaxWinsPerClip = 4096
+
   /** The windowed sub-prints of one decoded sample stream — ONE kernel
     * shared by [[audioWindowPrints]] (the batch operator's decode path)
     * and [[AudioDecoder.decodeFull]] (the admission path that stocks the
@@ -860,7 +1146,8 @@ object MultimodalOps {
     * partial drop — see [[audioWindowPrints]]. */
   def windowPrintsOfSamples(samples: Array[Int],
       window: Int = ShiftWindow): Seq[AudioWin] =
-    (0 until samples.length / window).iterator.flatMap { w =>
+    (0 until math.min(samples.length / window, MaxWinsPerClip))
+      .iterator.flatMap { w =>
       val slice = java.util.Arrays.copyOfRange(
         samples, w * window, (w + 1) * window)
       var (mn, mx) = (slice(0), slice(0))

@@ -940,6 +940,149 @@ rvbits AS (SELECT doc_id, nf,
      FROM rvc)"""
   }
 
+  /** m5m/m5n/m5o's REVERSAL∘SHIFT chain: the mixed reversed/plain
+    * fixture stream (a reversed doc's sample at stream position p ≥ pad
+    * is the generative formula at n0−1−(p−pad); silence is the 32768
+    * offset value), cut into BOTH cut families' 128-sample windows —
+    * f from the head (start j·128), b from the tail (start n−(j+1)·128)
+    * — each window through the SYMMETRIC-bound energy list and the
+    * fwd/rev pack HUGEINT least (the m5k arithmetic PER WINDOW; constant
+    * windows drop). Exposes `<p>bits` (doc_id, family, ordinal, h_hi,
+    * h_lo). `plainBelow400` renders docs under 400 PLAIN whatever their
+    * parity (the served corpus split); false = the mixed rule everywhere
+    * (the m5m batch fixture). */
+  private def revWinBitsCtes(p: String, plainBelow400: Boolean): String = {
+    val revCond =
+      if (plainBelow400) "doc_id >= 400 AND doc_id % 2 = 1"
+      else "doc_id % 2 = 1"
+    def pk(cond: String): String =
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+       CASE WHEN $cond THEN (CAST(1 AS BIGINT) << (k - 32))
+            ELSE 0 END)) AS HUGEINT) * 4294967296
+     + CAST(list_sum(list_transform(range(0, 32), k ->
+       CASE WHEN $cond THEN (CAST(1 AS BIGINT) << k)
+            ELSE 0 END)) AS HUGEINT)"""
+    s"""${p}l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs),
+${p}p AS (SELECT doc_id, l, (1 + l % 2) * (200 + (l * 13) % 600) AS n0,
+         CASE WHEN $revCond THEN (doc_id % 3) * 128 ELSE 0 END AS pad,
+         CASE WHEN $revCond THEN 1 ELSE 0 END AS rev FROM ${p}l),
+${p}n AS (SELECT doc_id, l, n0, pad, rev, pad + n0 AS n, family
+          FROM ${p}p, (SELECT unnest(['f', 'b']) AS family)),
+-- the family cross join rides a LEVEL ABOVE the unnest: DuckDB 1.x hits
+-- an internal binder error ("Failed to bind column reference") when a
+-- list lambda later references the unnest alias of a SELECT that also
+-- carried a cross join
+${p}w AS (SELECT doc_id, l, n0, pad, rev, n, family,
+          unnest(range(0, n // 128)) AS j FROM ${p}n),
+${p}s AS (SELECT doc_id, l, n0, pad, rev, family, j,
+          CASE WHEN family = 'f' THEN j * 128
+               ELSE n - (j + 1) * 128 END AS st FROM ${p}w),
+${p}g AS (SELECT doc_id, family, j AS ordinal,
+           list_transform(range(0, 128), t ->
+             CASE WHEN st + t < pad THEN 32768
+                  WHEN rev = 1
+                    THEN ((n0 - 1 - (st + t - pad)) * 37 + l * 101) % 65536
+                  ELSE ((st + t - pad) * 37 + l * 101) % 65536 END) AS vals
+          FROM ${p}s),
+${p}c AS (SELECT doc_id, family, ordinal, vals FROM ${p}g
+          WHERE list_min(vals) <> list_max(vals)),
+${p}e AS (SELECT doc_id, family, ordinal,
+           list_transform(range(0, 65), w -> list_sum(list_slice(vals,
+             CASE WHEN w <= 32 THEN w * 128 // 65
+                  ELSE 128 - (65 - w) * 128 // 65 END + 1,
+             CASE WHEN w + 1 <= 32 THEN (w + 1) * 128 // 65
+                  ELSE 128 - (65 - (w + 1)) * 128 // 65 END))) AS e
+          FROM ${p}c),
+${p}m AS (SELECT doc_id, family, ordinal,
+           least(${pk("e[k + 2] > e[k + 1]")},
+                 ${pk("e[64 - k] > e[65 - k]")}) AS comb
+          FROM ${p}e),
+${p}bits AS (SELECT doc_id, family, ordinal,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo FROM ${p}m)"""
+  }
+
+  /** The (family, ordinal, band, key)-railed band rows over a
+    * `<p>bits` table — shared by the m5m self form and the m5n/m5o
+    * served form. */
+  private def revWinBandCtes(p: String): String = s"""
+${p}bands AS (SELECT doc_id, family, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM ${p}bits, (SELECT unnest(range(0, 4)) AS band)),
+${p}ok AS (SELECT family, ordinal, band, key FROM ${p}bands
+           GROUP BY family, ordinal, band, key HAVING count(*) <= 100)"""
+
+  /** m5m — the batch self-search: three family legs ((b,b) skipped, the
+    * engine's rule), candidates within ±3 ordinals, exact verify, the
+    * per-(orient, offset) matched-window count with the ≥ 2 floor. */
+  private val audioRevNearDupSql: String = s"""
+WITH ${revWinBitsCtes("rw", plainBelow400 = false)},${revWinBandCtes("rw")},
+rwpr AS (SELECT b.doc_id, b.family, b.ordinal, b.band, b.key
+         FROM rwbands b JOIN rwok USING (family, ordinal, band, key)),
+rwcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.family AS fa, b.family AS fb,
+                  a.ordinal AS oa, b.ordinal AS ob
+           FROM rwpr a JOIN rwpr b
+             ON a.band = b.band AND a.key = b.key
+            AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+            AND a.doc_id < b.doc_id
+            AND NOT (a.family = 'b' AND b.family = 'b')),
+rwver AS (SELECT c.id_a, c.id_b, c.fa || c.fb AS orient,
+                 c.ob - c.oa AS win_offset
+          FROM rwcand c
+          JOIN rwbits x ON x.doc_id = c.id_a AND x.family = c.fa
+                       AND x.ordinal = c.oa
+          JOIN rwbits y ON y.doc_id = c.id_b AND y.family = c.fb
+                       AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, orient, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM rwver GROUP BY id_a, id_b, orient, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, orient, win_offset"""
+
+  /** m5n/m5o — the served form, ONE definition (the m5e/m5f rule):
+    * plain corpus (< 400) vs the mixed-rule increment (≥ 400), combined-
+    * population rail with only the increment side prune-joined, the
+    * same three family legs. */
+  private val audioRevServedSql: String = s"""
+WITH ${revWinBitsCtes("sv", plainBelow400 = true)},${revWinBandCtes("sv")},
+svip AS (SELECT b.doc_id, b.family, b.ordinal, b.band, b.key
+         FROM svbands b JOIN svok USING (family, ordinal, band, key)
+         WHERE b.doc_id >= 400),
+svcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.family AS fa, b.family AS fb, a.ordinal AS oa, b.ordinal AS ob
+  FROM svbands a JOIN svip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND NOT (a.family = 'b' AND b.family = 'b')
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, a.family, b.family,
+         a.ordinal, b.ordinal
+  FROM svip a JOIN svip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND NOT (a.family = 'b' AND b.family = 'b')
+   AND a.doc_id < b.doc_id),
+svver AS (SELECT c.id_a, c.id_b, c.fa || c.fb AS orient,
+                 c.ob - c.oa AS win_offset
+          FROM svcand c
+          JOIN svbits x ON x.doc_id = c.id_a AND x.family = c.fa
+                       AND x.ordinal = c.oa
+          JOIN svbits y ON y.doc_id = c.id_b AND y.family = c.fb
+                       AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, orient, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM svver GROUP BY id_a, id_b, orient, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, orient, win_offset"""
+
   /** t21's sketch chain: d9's word/k-gram hash arithmetic kept in array
     * form (never unnested) so the window-min runs as a per-doc lambda —
     * exposes `fps` (doc_id, fp). */
@@ -2756,6 +2899,18 @@ FROM rvcand c JOIN rvbits x ON x.doc_id = c.id_a
               JOIN rvbits y ON y.doc_id = c.id_b
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b""",
+
+    // m5m: the reversal∘shift composition — dual-family canonical window
+    // prints recomputed from the generative formula under the mixed
+    // reversed/plain rule; a reversed(+padded) rendition matches on the
+    // cross family legs, a plain copy on (f,f).
+    "m5m_audio_revwin_near_dups" -> audioRevNearDupSql,
+
+    // m5n: the reversal∘shift screen SERVED (mixed-rule increment vs the
+    // plain session-cache corpus); m5o is the maintained-side twin off
+    // the nineteenth audiorwins side — one oracle (the m5e/m5f rule).
+    "m5n_audio_revwin_served" -> audioRevServedSql,
+    "m5o_audio_revwin_maintained" -> audioRevServedSql,
 
     // m4: the engine aHashes PIXELS it decoded from real PNG bytes; the
     // oracle computes the same 8×8 nearest-sample / integer-luma /

@@ -65,6 +65,14 @@ import graft.llm.DedupOps
   *                                          tier served (m5i/m5j): the
   *                                          silence-padded recycler
   *                                          caught at its true offset
+  * indexDir/audiorwins/batch=<lineage>-<id>/ (doc_id, family, ordinal,
+  *                                          h_hi, h_lo) dual-family
+  *                                          REVERSAL-canonical window
+  *                                          prints off the SAME decode —
+  *                                          m5m's reversal∘shift tier
+  *                                          served (m5n/m5o): the
+  *                                          reversed(+padded) recycler
+  *                                          caught at admission
   * indexDir/videohashes/batch=<lineage>-<id>/ (imagehashes schema) keyframe
   *                                          prints of the admitted video
   *                                          renditions — m7c serving
@@ -155,6 +163,10 @@ object DedupStream {
     StructField("h_lo", LongType), StructField("n_frames", LongType)))
   private val AudioWinSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("ordinal", LongType),
+    StructField("h_hi", LongType), StructField("h_lo", LongType)))
+  private val AudioRWinSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("family", StringType),
+    StructField("ordinal", LongType),
     StructField("h_hi", LongType), StructField("h_lo", LongType)))
   private val FrameHashSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("frame_idx", LongType),
@@ -560,6 +572,7 @@ object DedupStream {
       case "audiohashes" => AudioHashSchema
       case "audiofps" => AudioFpSchema
       case "audiowins" => AudioWinSchema
+      case "audiorwins" => AudioRWinSchema
       case "videohashes" => ImgHashSchema
       case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
@@ -784,17 +797,48 @@ object DedupStream {
     * table — the serving form of [[graft.llm.MultimodalOps
     * .audioShiftNearDups]] (combined-population rail per (ordinal, band,
     * key), increment-side ±offset fan-out, corpus as id_a, id-level
-    * self-exclusion). The admission-LADDER wiring is deliberately not
-    * folded into the audio_near_dup class yet: on offset 0 this screen
-    * overlaps the contour rung (and the exact rung above it), so the
-    * union is a policy choice — the serving path here is the complete
-    * mechanism a deployment composes. */
+    * self-exclusion). Since round 19 the admission LADDER composes this
+    * screen (plus the reversal-canonical one) into the `audio_shift_dup`
+    * class under [[CurationStream]]'s `audioShiftRung` — offset-0 pairs
+    * deliberately INCLUDED: a pair the exact or contour rung also sees
+    * classes as the HIGHER rung by the verdict precedence (the
+    * imagePairsOf rule), so no suppression logic is needed and the
+    * screen stays complete for standalone callers. */
   def screenAudioShiftDups(spark: SparkSession, indexDir: String,
       newAudio: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
       maxOffset: Int = 3, minMatched: Int = 2): DataFrame =
     graft.llm.MultimodalOps.audioShiftNearDupsServedWins(
       corpusAudioWins(spark, indexDir),
       graft.llm.MultimodalOps.audioWindowPrints(newAudio),
+      newAudio.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
+
+  /** The maintained dual-family REVERSAL-CANONICAL window-print side
+    * over every ADMITTED doc's audio rendition
+    * ([[graft.llm.MultimodalOps.revWindowPrintsOfSamples]]' rows,
+    * appended per batch off the SAME combined decode as the other three
+    * audio sides — the nested rwins column of one AudioFull row,
+    * identity fold): the nineteenth side, the reversal∘shift tier's
+    * serving state. ~2× the audiowins rows per clip, 16-byte prints,
+    * both families capped at [[graft.llm.MultimodalOps.MaxWinsPerClip]]
+    * windows. */
+  def corpusAudioRWins(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/audiorwins", AudioRWinSchema)
+      .drop("batch")
+
+  /** M5n/m5o over the maintained side: REVERSAL∘SHIFT-robust audio
+    * near-dups between a media increment and the admitted corpus's
+    * canonical window-print table — the serving form of
+    * [[graft.llm.MultimodalOps.audioRevShiftNearDups]]. The rung that
+    * catches the clip recycled REVERSED, PADDED, or both: the
+    * composition the plain shift tier (forward windows) and the
+    * whole-clip canonical print (m5k) each structurally miss alone. */
+  def screenAudioRevDups(spark: SparkSession, indexDir: String,
+      newAudio: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 3, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.audioRevNearDupsServedWins(
+      corpusAudioRWins(spark, indexDir),
+      graft.llm.MultimodalOps.audioRevWindowPrints(newAudio),
       newAudio.select("doc_id"), maxHamming, maxBucket, maxOffset,
       minMatched)
 
@@ -1272,6 +1316,13 @@ object DedupStream {
             // 16-byte rows ever after (≤ ~n_samples/128 rows per clip)
             graft.llm.MultimodalOps.audioWinsOf(full)
               .write.mode("overwrite").parquet(s"$root/audiowins/$key")
+            // nineteenth side: the dual-family REVERSAL-canonical window
+            // prints (m5m's reversal∘shift tier) — the nested rwins
+            // column off the same decode row, so a clip recycled
+            // REVERSED (± leading silence) is caught at admission time;
+            // ~2× the audiowins rows, both capped per clip
+            graft.llm.MultimodalOps.audioRWinsOf(full)
+              .write.mode("overwrite").parquet(s"$root/audiorwins/$key")
           } finally full.unpersist(blocking = false)
         }
       // sixth side: the batch's Bloom bitset partial (d10's filter as
@@ -1495,6 +1546,7 @@ object DedupStream {
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
     ("audiowins", AudioWinSchema, identity[DataFrame] _),
+    ("audiorwins", AudioRWinSchema, identity[DataFrame] _),
     ("videohashes", ImgHashSchema, identity[DataFrame] _),
     ("videokhashes", ImgHashSchema, identity[DataFrame] _),
     ("framehashes", FrameHashSchema, identity[DataFrame] _),

@@ -1386,6 +1386,7 @@ class CurationStreamSpec extends SparkSpec {
     foldedEqual("audiohashes", DedupStream.corpusAudioHashes(spark, _))
     foldedEqual("audiofps", DedupStream.corpusAudioFps(spark, _))
     foldedEqual("audiowins", DedupStream.corpusAudioWins(spark, _))
+    foldedEqual("audiorwins", DedupStream.corpusAudioRWins(spark, _))
     foldedEqual("videohashes", DedupStream.corpusVideoHashes(spark, _))
     foldedEqual("framehashes", DedupStream.corpusFrameHashes(spark, _))
     foldedEqual("seedstats", d => DedupStream.corpusSeedStats(spark, d)

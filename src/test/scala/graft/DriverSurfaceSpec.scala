@@ -89,6 +89,33 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(!errd.get("noisy").asBoolean)
   }
 
+  test("total-level noisy signal catches uniform inflation no row test sees") {
+    // the r18 judge's run-4 shape: EVERY covered row inflated ~1.5x by
+    // machine-wide load — each row sits under 2.5x·min + 0.2 (no row
+    // trip) but the covered total is 1.5x the minima sum (total trip)
+    val mins = (1 to 15).map(i => f"q$i%02d_x" -> 1.0).toMap
+    val uniform15 = (1 to 15).map(i => f"q$i%02d_x" -> 1.5)
+    val inflated = parse(Bench.jsonLine(uniform15, Nil, sf0001,
+      load = 1.0, procs = 32, protocolMins = mins))
+    assert(inflated.get("noisy").asBoolean)
+    // the same registry at 1.2x: inside the quiet-window spread — quiet
+    val uniform12 = (1 to 15).map(i => f"q$i%02d_x" -> 1.2)
+    val quiet = parse(Bench.jsonLine(uniform12, Nil, sf0001,
+      load = 1.0, procs = 32, protocolMins = mins))
+    assert(!quiet.get("noisy").asBoolean)
+    // below the minima-sum floor the total signal stays silent (a
+    // one-row "total" is already owned by the per-row 2.5x test)
+    val tinyReg = parse(Bench.jsonLine(Seq("q01_x" -> 2.0), Nil, sf0001,
+      load = 1.0, procs = 32, protocolMins = Map("q01_x" -> 1.0)))
+    assert(!tinyReg.get("noisy").asBoolean)
+    // uncovered rows (no protocol record) inflate neither side of the
+    // ratio: a new family's rows cannot manufacture a total trip
+    val mixed = parse(Bench.jsonLine(
+      uniform12 :+ ("z9_new" -> 50.0), Nil, sf0001,
+      load = 1.0, procs = 32, protocolMins = mins))
+    assert(!mixed.get("noisy").asBoolean)
+  }
+
   test("v2 ledger elides sub-floor rows into an exact fast summary; errors always print") {
     val results = Seq("a1_x" -> 0.10, "b1_x" -> 0.05, "c1_x" -> 2.0,
       "x1_boom" -> -1.0)

@@ -886,6 +886,74 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("m5m catches a reversed+padded rendition that evades the forward-window AND whole-clip-canonical tiers at once") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    val rnd = new scala.util.Random(19)
+    // length deliberately NOT a multiple of 128: the misalignment that
+    // makes the tail-anchored b family load-bearing (reversing the
+    // stream slides every head-anchored window by n mod 128)
+    val base = Array.fill(5 * 128 + 37)(rnd.nextInt(65536) - 32768)
+    val clipA = AudioGen.wavOf(1, base)
+    // the recycler: time-REVERSE the stream, then hide it behind two
+    // whole windows of leading silence
+    val clipB = AudioGen.wavOf(1, new Array[Int](2 * 128) ++ base.reverse)
+    val both = Seq(AudioRecord(1L, "audio/wav", clipA),
+      AudioRecord(2L, "audio/wav", clipB)).toDS().toDF()
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    // evasion 1: the forward-window shift tier (m5h) misses — every
+    // window of the reversed stream prints reversed content
+    assert(MultimodalOps.audioShiftNearDups(
+      MultimodalOps.audioWindowPrints(both)).collect().isEmpty,
+      "fixture sanity: the forward-window tier must miss the reversal")
+    // evasion 2: the whole-clip canonical print (m5k) misses too — the
+    // pad moves every symmetric window boundary, so the canonicalized
+    // print is no longer the original's
+    assert(ham(MultimodalOps.reversalAHash(base),
+      MultimodalOps.reversalAHash(new Array[Int](2 * 128) ++ base.reverse)) > 3,
+      "fixture sanity: the whole-clip canonical print must miss the pad")
+    // the composed tier catches on BOTH cross-family legs: the b family
+    // is leading-pad-invariant, so (f_A, b_B) matches at offset 0; the
+    // f windows of B land on A's b windows shifted by the pad, so
+    // (b_A, f_B) matches at offset 2 — five windows each, two
+    // independent witnesses of one recycling
+    val caught = MultimodalOps.audioRevShiftNearDups(
+      MultimodalOps.audioRevWindowPrints(both))
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(Set((1L, 2L, "fb", 0L, 5L), (1L, 2L, "bf", 2L, 5L))
+      .subsetOf(caught), s"cross-family catches missing: $caught")
+    // window-level invariance, the kernel's algebra: an EXACT reversal
+    // swaps the families print-for-print at every ordinal, any length
+    val of = MultimodalOps.revWindowPrintsOfSamples(base)
+      .map(w => (w.family, w.ordinal) -> (w.h_hi, w.h_lo)).toMap
+    val ofRev = MultimodalOps.revWindowPrintsOfSamples(base.reverse)
+      .map(w => (w.family, w.ordinal) -> (w.h_hi, w.h_lo)).toMap
+    assert(of.map { case ((f, j), h) =>
+      ((if (f == "f") "b" else "f", j), h) }.toMap === ofRev,
+      "reversal must exactly swap the cut families")
+    DedupOps.releaseCaches()
+  }
+
+  test("the per-clip window cap bounds both sub-print families; the b family still anchors the tail") {
+    // a hostile (MaxWinsPerClip + 10)-window stream prints exactly the
+    // cap per family — the audiowins/audiorwins growth rail — and the
+    // capped b family still covers the clip's TAIL (its anchor), so a
+    // recycler appending rot after real content keeps its tail prints
+    val cap = MultimodalOps.MaxWinsPerClip
+    val n = (cap + 10) * 128
+    val samples = Array.tabulate(n)(i => (i % 251) - 125) // never constant
+    assert(MultimodalOps.windowPrintsOfSamples(samples).size === cap)
+    val r = MultimodalOps.revWindowPrintsOfSamples(samples)
+    assert(r.count(_.family == "f") === cap)
+    assert(r.count(_.family == "b") === cap)
+    // b ordinal 0 IS the last 128 samples
+    val tail = java.util.Arrays.copyOfRange(samples, n - 128, n)
+    val (thi, tlo) = MultimodalOps.reversalAHash(tail)
+    assert(r.find(w => w.family == "b" && w.ordinal == 0L)
+      .exists(w => w.h_hi == thi && w.h_lo == tlo))
+  }
+
   test("a 0.7x nearest-neighbor rescale of a SMOOTH image stays within the near-dup gate (the fractional-scale boundary of m2b)") {
     // m2b's theorem is EXACT invariance at integer scale; real feeds
     // rescale arbitrarily. For smooth content (real photos after any

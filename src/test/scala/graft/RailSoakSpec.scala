@@ -388,6 +388,69 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m5m reversal-window rail binds on a 5000-clip reversed-padded flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    // 5000 REVERSED renditions of ONE base stream behind rotating
+    // whole-window silence pads: every clip shares both families'
+    // canonical window prints (the b family pad-invariantly, the f
+    // family shifted ≤ 2 ordinals), so each (family, ordinal, band, key)
+    // bucket holds ~thousands — far past maxBucket — and the three-leg
+    // family join would cube the pair front unrailed. 8 classes of
+    // [plain, reversed+1-window pad, reversed+2-window pad] renditions
+    // of DISTINCT streams are the genuine content the rail must keep,
+    // each reversal caught on its cross legs at its exact offsets.
+    // Streams are searched canonical-band-disjoint from the flood's so
+    // removing the flood moves no genuine bucket.
+    val rnd = new scala.util.Random(17)
+    // length NOT a multiple of 128 — the b family must be load-bearing
+    def stream(): Array[Int] =
+      Array.fill(5 * 128 + 37)(rnd.nextInt(65536) - 32768)
+    def canonKeys(s: Array[Int]): Set[(Int, Long)] =
+      MultimodalOps.revWindowPrintsOfSamples(s).flatMap { w =>
+        Seq(0 -> (w.h_lo & 0xffffL), 1 -> ((w.h_lo >> 16) & 0xffffL),
+          2 -> (w.h_hi & 0xffffL), 3 -> ((w.h_hi >> 16) & 0xffffL))
+      }.toSet
+    val floodBase = stream()
+    val floodKeys = canonKeys(floodBase) ++ canonKeys(floodBase.reverse)
+    val bases = Iterator.continually(stream())
+      .filter(s => ((canonKeys(s) ++ canonKeys(s.reverse)) & floodKeys).isEmpty)
+      .take(8).toSeq
+    def revPadded(s: Array[Int], padWins: Int): Array[Byte] =
+      AudioGen.wavOf(1, new Array[Int](padWins * 128) ++ s.reverse)
+    val flood = (0 until 5000).map(k =>
+      AudioRecord(10000L + k, "audio/wav", revPadded(floodBase, k % 3)))
+    val groups = bases.zipWithIndex.flatMap { case (s, g) =>
+      Seq(AudioRecord((g * 3).toLong, "audio/wav", AudioGen.wavOf(1, s)),
+        AudioRecord((g * 3 + 1).toLong, "audio/wav", revPadded(s, 1)),
+        AudioRecord((g * 3 + 2).toLong, "audio/wav", revPadded(s, 2)))
+    }
+    def revPairsOf(rows: Seq[AudioRecord]) =
+      MultimodalOps.audioRevShiftNearDups(
+        MultimodalOps.audioRevWindowPrintsRaw(rows.toDS().toDF()))
+    try {
+      val railed = revPairsOf(flood ++ groups)
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      val reference = revPairsOf(groups)
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // each class: both reversals caught against the plain original on
+      // the pad-invariant (f,b) leg at offset 0 AND the (b,f) leg at the
+      // pad offset; the two reversed renditions are a forward shift of
+      // each other — the (f,f) leg at offset 1. The flood contributes
+      // nothing.
+      val expected = (0 until 8).flatMap { g =>
+        val id = (j: Int) => (g * 3 + j).toLong
+        Seq((id(0), id(1), "fb", 0L, 5L), (id(0), id(1), "bf", 1L, 5L),
+          (id(0), id(2), "fb", 0L, 5L), (id(0), id(2), "bf", 2L, 5L),
+          (id(1), id(2), "ff", 1L, 5L))
+      }.toSet
+      assert(expected.subsetOf(railed),
+        s"class catches lost or mis-offset: ${(expected -- railed).take(5)}")
+      assert(railed.forall { case (a, b, _, _, _) => a < 10000 && b < 10000 })
+    } finally DedupOps.releaseCaches()
+  }
+
   // ---- t21b: winnow-sketch df rail ----------------------------------------
 
   test("t21b df rail binds on a 5000-doc boilerplate flood; railed pairs equal the small-N run") {

@@ -462,6 +462,55 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the audiorwins side serves the reversal screen; a reversed+padded recycler is caught at admission (m5n/m5o streaming)") {
+    val tmp = Files.createTempDirectory("graft_audiorwins_stream").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{AudioGen, AudioRecord}
+    // admission stocks the nineteenth side off the same combined decode
+    // (the nested rwins column of one AudioFull)
+    graft.streaming.DedupStream.admitBatch(
+      Seq((1L, "src", "a" * 30), (2L, "src", "b" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // the recycler: doc 1's PCM time-REVERSED behind two whole windows
+    // of leading silence — the shift screen's forward windows never
+    // match it, the reversal screen's cross legs do
+    val (ch, nf) = AudioGen.params(30L)
+    val base = Array.tabulate(nf * ch)(i => AudioGen.sample(30L, i.toLong))
+    val nw = (nf * ch / 128).toLong
+    val probe = Seq(AudioRecord(10L, "audio/wav",
+      AudioGen.wavOf(ch, new Array[Int](2 * 128) ++ base.reverse)))
+      .toDS().toDF()
+    def screen() = graft.streaming.DedupStream
+      .screenAudioRevDups(spark, s"$tmp/index", probe)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val hits = screen()
+    // both cross legs fire: the pad-invariant (f, b) leg at offset 0
+    // and the (b, f) leg at the pad offset — corpus member as id_a
+    assert(Set((1L, 10L, "fb", 0L, nw), (1L, 10L, "bf", 2L, nw))
+      .subsetOf(hits), s"got $hits")
+    // the FORWARD shift screen misses the reversal — the gap this side
+    // closes
+    val fwd = graft.streaming.DedupStream
+      .screenAudioShiftDups(spark, s"$tmp/index", probe)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(!fwd.exists(r => r._1 == 1L && r._2 == 10L),
+      s"forward-window rung unexpectedly caught the reversal: $fwd")
+    // compaction folds the per-batch dirs (identity fold); screen stable
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen() === hits)
+    // the maintained side IS the admitted corpus's dual-family prints
+    val served = graft.streaming.DedupStream
+      .corpusAudioRWins(spark, s"$tmp/index")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val direct = MultimodalOps.audioRWinsOf(
+      MultimodalOps.decodeAudioFull(spark, MultimodalOps.asAudioTable(
+        spark.read.parquet(s"$tmp/out/kept").select("doc_id", "text"))).toDF())
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the lens/rung config stamps on first admission; a mid-stream toggle fails fast with the index untouched") {
     val tmp = Files.createTempDirectory("graft_mediaconf").toString
     implicit val sqlCtx = spark.sqlContext

@@ -357,6 +357,27 @@ object SparkEntry {
   private def m7KKeyframes(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.keyframeOf(m3KFrames(s, dir))
 
+  /** The m3g/m3h MAINTAINED fixed-stride frame-print table (the
+    * framestride side's rows): every frame of the UNPREPENDED corpus
+    * videos printed at stride 1, containers parsed once per
+    * (session, sfDir) — the m3Frames discipline on the shift tier. */
+  private def m3Strides(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m3strides")(
+      MultimodalOps.frameStridePrints(s, MultimodalOps.asMediaTable(
+        documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id"))))))
+
+  /** The m3g/m3h INCREMENT: the d5/d9b increment videos' PREPENDED-intro
+    * re-edits (doc_id % 3 intro frames ahead of the real footage — the
+    * recycler feed whose every proportionally-sampled ordinal shifts, so
+    * the keyframe AND shot rungs miss it) decoded to stride prints once
+    * per (session, sfDir). */
+  private def m3StrideIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m3strideincr")(
+      MultimodalOps.frameStridePrints(s,
+        MultimodalOps.asPrependedMediaTable(
+          documents(s, dir).filter(col("doc_id") >= 400)
+            .filter(MultimodalOps.isVideoId(col("doc_id"))))))
+
   /** The m4d MAINTAINED corpus fingerprint side (DedupStream's
     * imagehashes schema) under the d5/d9b corpus split: the increment
     * (doc_id ≥ 400) screens against THESE rows only. */
@@ -1442,6 +1463,43 @@ object SparkEntry {
         m3KFrames(s, d).filter(col("doc_id") >= 400),
         documents(s, d).filter(col("doc_id") >= 400)
           .filter(MultimodalOps.isVideoId(col("doc_id"))).select("doc_id"))),
+    "m3f_frame_shift_near_dups" -> ((s, d) =>
+      // TIME-SHIFT-ROBUST video near-dups: a re-edit that PREPENDS intro
+      // frames shifts every proportionally-sampled ordinal (fno = i·nf/4
+      // moves when nf grows), so the keyframe (m7b) AND shot (m3b) gates
+      // both miss it — this rung prints every frame at a fixed STRIDE
+      // and matches per ordinal under a ±3 offset via the m5h machinery
+      // VERBATIM over frame-axis rows (one serving path per schema).
+      // Fixture: each video re-edited behind doc_id%3 intro frames, so
+      // equal-length clips under different prepends are caught at
+      // exactly their prepend delta. Prices the inline container parse +
+      // frame decode (the m5h seam)
+      MultimodalOps.audioShiftNearDups(
+        MultimodalOps.frameStridePrintsRaw(s,
+          MultimodalOps.asPrependedMediaTable(
+            documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m3g_frame_shift_served" -> ((s, d) =>
+      // the m3f screen SERVED: the increment's prepended re-edits against
+      // the session cache's UNPREPENDED corpus stride prints — caught at
+      // exactly their intro offsets; combined-population rail per
+      // (ordinal, band, key), increment-side fan-out, corpus as id_a.
+      // m3h is the deployment twin off the maintained twentieth side —
+      // the serve-vs-cache seam, measured
+      MultimodalOps.audioShiftNearDupsServedWins(
+        m3Strides(s, d).filter(col("doc_id") < 400),
+        m3StrideIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m3h_frame_shift_maintained" -> ((s, d) =>
+      // m3g off the STREAMING-MAINTAINED twentieth side: framestride
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined frame decode as the keyframe/shot/canonical sides (the
+      // strides projection of one VideoFull row) — the m5i→m5j
+      // graduation on the video shift tier (same oracle, the e4/e5
+      // shared-oracle discipline)
+      MultimodalOps.audioShiftNearDupsServedWins(
+        graft.streaming.DedupStream.corpusFrameStrides(s, t21dIndexDir(s, d)),
+        m3StrideIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m5_audio_meta" -> ((s, d) =>
       // the REAL audio modality: WAV payloads parsed by
       // javax.sound.sampled (header fields) + a content hash over the

@@ -202,8 +202,13 @@ object MultimodalOps {
     private def list(typ: String, payload: Array[Byte]): Array[Byte] =
       chunk("LIST", fcc(typ) ++ payload)
 
-    def avi(textLen: Long): Array[Byte] = {
-      val (nf, w, h) = params(textLen)
+    /** RIFF/AVI container over EXPLICIT frame payloads — the
+      * [[AudioGen.wavOf]] analog on the video modality: a re-EDITED
+      * rendition (intro frames prepended, footage spliced) is a frame
+      * sequence no whole-clip formula rendition can express. Same real
+      * container layout, same decode round trip. */
+    def aviOf(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val nf = frames.size
       // 56-byte avih: usPerFrame, maxBytesPerSec, padding, flags,
       // totalFrames, initialFrames, streams, bufSize, width, height,
       // reserved[4]
@@ -220,9 +225,46 @@ object MultimodalOps {
       val hdrl = list("hdrl",
         chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
       val movi = list("movi",
-        (0 until nf).toArray.flatMap(f => chunk("00dc", framePng(textLen, f))))
+        frames.toArray.flatMap(f => chunk("00dc", f)))
       val body = fcc("AVI ") ++ hdrl ++ movi
       fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+
+    def avi(textLen: Long): Array[Byte] = {
+      val (nf, w, h) = params(textLen)
+      aviOf(w, h, (0 until nf).map(f => framePng(textLen, f)))
+    }
+
+    /** INTRO frame `j`'s pixels: the frame formula displaced by a large
+      * constant (7000 ≫ the nf·7 range real frames span) so the
+      * prepended-fixture's intro frames are a distinct generative family
+      * the oracle recomputes the same way. */
+    def introPng(textLen: Long, j: Int): Array[Byte] = {
+      val (_, w, h) = params(textLen)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (x * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** The PREPENDED-intro re-edit: `pad` intro frames ahead of the
+      * clip's real frame sequence — the video recycling the proportional
+      * sampler structurally mis-ordinals (fno = i·nf/4 shifts for every
+      * i when nf grows). */
+    def aviWithIntro(textLen: Long, pad: Int): Array[Byte] = {
+      val (nf, w, h) = params(textLen)
+      aviOf(w, h, (0 until pad).map(j => introPng(textLen, j)) ++
+        (0 until nf).map(f => framePng(textLen, f)))
     }
   }
 
@@ -2221,4 +2263,140 @@ object MultimodalOps {
       }
     }.toDF()
   }
+
+  // ---- the video time-SHIFT tier (m3f/m3g/m3h) ----------------------------
+
+  /** HARD per-clip cap on stride prints — the [[MaxWinsPerClip]] growth
+    * rail on the frame axis: at stride 1 a 2-hour 25 fps upload would
+    * write 180k print rows; the cap bounds the framestride side at 4096
+    * rows/clip whatever the duration (a deployment tunes `stride` so the
+    * cap covers its longest legitimate clip — 4096 prints at one per
+    * second is ~68 minutes). */
+  val MaxStridePrintsPerClip = 4096
+
+  /** The fixture's PREPENDED-intro rule ([[revPadOf]]'s sibling on the
+    * video modality, one modulus shared with the oracle): each video doc
+    * re-edits behind `doc_id % 3` intro frames. Video ids are multiples
+    * of 4, so pads cycle 0/1/2 across the video population. */
+  def vidPadOf(id: Long): Long = id % 3
+
+  /** Fixture media table of PREPENDED-intro video renditions —
+    * [[asShiftedAudioTable]]'s sibling on the video modality: the
+    * recycled clip whose opening the proportional sampler (fno = i·nf/4)
+    * structurally mis-ordinals, because prepending shifts EVERY sampled
+    * frame number at once (the m5h evasion on the frame axis). Callers
+    * feed the VIDEO subset ([[isVideoId]] pruning BEFORE the generation
+    * map, the m3 rule). Narrow per-row map, no shuffle. */
+  def asPrependedMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        MediaRecord(id, s"video/$source",
+          VideoGen.aviWithIntro(text.length.toLong, vidPadOf(id).toInt))
+      }.toDF()
+  }
+
+  /** One sampled frame's dual-family prints WITHOUT the doc envelope —
+    * the nested form [[VideoFull.frames]] carries (the
+    * [[FrameLensSample]] column set minus doc_id). */
+  final case class FrameLensNested(frame_idx: Long, frame_no: Long,
+    width: Long, height: Long, h_hi: Long, h_lo: Long,
+    k_hi: Long, k_lo: Long)
+
+  /** One fixed-stride frame print WITHOUT the doc envelope — the nested
+    * form [[VideoFull.strides]] carries (the [[AudioWin]] shape on the
+    * frame axis). */
+  final case class FrameStride(ordinal: Long, h_hi: Long, h_lo: Long)
+
+  /** The COMBINED per-clip video decode row: the proportional dual-family
+    * frame samples (keyframe/shot/dihedral rungs' rows) PLUS the
+    * fixed-STRIDE frame prints (the shift tier's rows) off ONE container
+    * parse and ONE decode memo — the [[AudioFull]] decode-once seam on
+    * the video modality: a clip's frames are decoded exactly once per
+    * admission however many sides and screens consume them. */
+  final case class VideoFull(doc_id: Long, frames: Seq[FrameLensNested],
+    strides: Seq[FrameStride])
+
+  /** Batched combined video decode: parse the container once, decode the
+    * UNION of {proportionally sampled frame numbers} ∪ {every `stride`-th
+    * frame} through one memo, print both families on the sampled frames
+    * and the plain family on the stride frames. At the default stride 1
+    * the sampled set is a subset of the stride set, so the memo makes
+    * the proportional rows free; stride prints cap at
+    * [[MaxStridePrintsPerClip]]. Undecodable containers drop; a clip
+    * whose every frame is rot emits empty print seqs (the envelope
+    * survives, its sides get no rows). */
+  def decodeVideoFull(spark: SparkSession, media: DataFrame,
+      frames: Int = 4, stride: Int = 1): Dataset[VideoFull] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      AviDecoder.parse(r.payload).iterator.map { v =>
+        val nf = v.frames.size
+        val memo = scala.collection.mutable
+          .HashMap.empty[Int, Option[((Long, Long), (Long, Long), Long, Long)]]
+        def dec(fno: Int) = memo.getOrElseUpdate(fno,
+          ImageDecoder.image(v.frames(fno)).map(img =>
+            (aHash(img), dihedralAHash(img),
+              img.getWidth.toLong, img.getHeight.toLong)))
+        val sampled = (0 until frames).flatMap { i =>
+          val fno = i.toLong * nf / frames
+          dec(fno.toInt).map { case ((hi, lo), (khi, klo), w, h) =>
+            FrameLensNested(i.toLong, fno, w, h, hi, lo, khi, klo) }
+        }
+        val strides = (0 until nf by stride).take(MaxStridePrintsPerClip)
+          .zipWithIndex.flatMap { case (fno, ord) =>
+            dec(fno).map { case ((hi, lo), _, _, _) =>
+              FrameStride(ord.toLong, hi, lo) }
+          }
+        VideoFull(r.doc_id, sampled, strides)
+      }
+    }
+  }
+
+  /** The dual-family sampled-frame projection of a [[VideoFull]] frame,
+    * in the [[FrameLensSample]] schema — [[frameAHashOf]] /
+    * [[frameDihedralOf]] / [[keyframeOf]] compose over it unchanged. */
+  def videoFramesOf(full: DataFrame): DataFrame =
+    full.select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_no").as("frame_no"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.h_hi").as("h_hi"),
+        col("f.h_lo").as("h_lo"), col("f.k_hi").as("k_hi"),
+        col("f.k_lo").as("k_lo"))
+
+  /** The framestride-side projection of a [[VideoFull]] frame — the
+    * (doc_id, ordinal, h_hi, h_lo) schema the whole windowed search
+    * family serves: [[audioShiftNearDups]] and
+    * [[audioShiftNearDupsServedWins]] run UNCHANGED over these rows
+    * (one serving path per schema, the audio↔image precedent carried to
+    * the frame axis). */
+  def videoStridesOf(full: DataFrame): DataFrame =
+    full.select(col("doc_id"), explode(col("strides")).as("s"))
+      .select(col("doc_id"), col("s.ordinal").as("ordinal"),
+        col("s.h_hi").as("h_hi"), col("s.h_lo").as("h_lo"))
+
+  /** The tracked-persisted combined decode the admission loop shares
+    * between every video screen and side write. */
+  private[graft] def videoFullRaw(spark: SparkSession,
+      media: DataFrame): DataFrame =
+    DedupOps.tracked(decodeVideoFull(spark, media).toDF())
+
+  /** M3f's print table: every `stride`-th frame's plain aHash keyed by
+    * stride ordinal — ONE kernel with the admission path
+    * ([[decodeVideoFull]]'s strides projection) so the batch operator
+    * and the maintained side cannot drift. Matching is
+    * [[audioShiftNearDups]] verbatim: a re-edit that PREPENDS k·stride
+    * intro frames shifts every ordinal by exactly k and is caught at
+    * that offset (sub-stride prepends land in the Hamming gate — the
+    * ShiftWindow boundary rule on the frame axis). */
+  def frameStridePrints(spark: SparkSession, media: DataFrame,
+      stride: Int = 1): DataFrame =
+    videoStridesOf(decodeVideoFull(spark, media, stride = stride).toDF())
+
+  /** The tracked-persisted form (the audioWindowPrintsRaw rule). */
+  private[graft] def frameStridePrintsRaw(spark: SparkSession,
+      media: DataFrame, stride: Int = 1): DataFrame =
+    DedupOps.tracked(frameStridePrints(spark, media, stride))
 }

@@ -678,6 +678,117 @@ FROM fcand c JOIN fbits x ON x.doc_id = c.id_a AND x.i = c.i
 WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)) <= 3
 ORDER BY id_a, id_b, frame_idx"""
 
+  /** m3f/m3g/m3h's video time-SHIFT chain: the prepended fixture's frame
+    * sequence (doc_id % 3 intro frames — the +7000-displaced generative
+    * pixel family — ahead of the real footage), EVERY frame printed at
+    * stride 1 through the aHash grid, keyed by frame ordinal. Exposes
+    * `<p>bits` (doc_id, ordinal, h_hi, h_lo). `plainBelow400` renders
+    * corpus docs UNPREPENDED (the served split); false = every video doc
+    * prepended (the m3f batch fixture). */
+  private def strideBitsCtes(p: String, plainBelow400: Boolean): String = {
+    val padExpr =
+      if (plainBelow400) "CASE WHEN doc_id >= 400 THEN doc_id % 3 ELSE 0 END"
+      else "doc_id % 3"
+    s"""${p}vl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+        FROM $Docs WHERE doc_id % 4 = 0),
+${p}vp AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h,
+              2 + l % 3 AS nf, $padExpr AS pad FROM ${p}vl),
+${p}fs AS (SELECT doc_id, l, w, h, pad,
+           unnest(range(0, nf + pad)) AS f FROM ${p}vp),
+${p}fg AS (SELECT doc_id, f AS ordinal,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             CASE WHEN f < pad
+               THEN ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17
+                     + l + 7000 + f * 7) & 16777215
+               ELSE ((((k % 8) * w) // 8) * 31 + (((k // 8) * h) // 8) * 17
+                     + l + (f - pad) * 7) & 16777215 END),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM ${p}fs),
+${p}fm AS (SELECT doc_id, ordinal, gray, list_sum(gray) // 64 AS mean
+           FROM ${p}fg),
+${p}bits AS (SELECT doc_id, ordinal,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM ${p}fm)"""
+  }
+
+  /** m3f — the batch self-search over the prepended fixture: the m5h
+    * candidate/verify/count chain verbatim on the frame axis. */
+  private val frameShiftNearDupSql: String = s"""
+WITH ${strideBitsCtes("fx", plainBelow400 = false)},
+fxbands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM fxbits, (SELECT unnest(range(0, 4)) AS band)),
+fxok AS (SELECT ordinal, band, key FROM fxbands GROUP BY ordinal, band, key
+         HAVING count(*) <= 100),
+fxpr AS (SELECT b.doc_id, b.ordinal, b.band, b.key
+         FROM fxbands b JOIN fxok USING (ordinal, band, key)),
+fxcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ordinal AS oa, b.ordinal AS ob
+           FROM fxpr a JOIN fxpr b
+             ON a.band = b.band AND a.key = b.key
+            AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+            AND a.doc_id < b.doc_id),
+fxver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM fxcand c
+          JOIN fxbits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN fxbits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM fxver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
+
+  /** m3g/m3h — the served form, ONE definition (the m5e/m5f rule):
+    * unprepended corpus (< 400) vs the prepended increment (≥ 400),
+    * combined-population rail with only the increment side
+    * prune-joined. */
+  private val frameShiftServedSql: String = s"""
+WITH ${strideBitsCtes("fy", plainBelow400 = true)},
+fybands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM fybits, (SELECT unnest(range(0, 4)) AS band)),
+fyok AS (SELECT ordinal, band, key FROM fybands
+         GROUP BY ordinal, band, key HAVING count(*) <= 100),
+fyip AS (SELECT b.doc_id, b.ordinal, b.band, b.key FROM fybands b
+         JOIN fyok USING (ordinal, band, key) WHERE b.doc_id >= 400),
+fycand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ordinal AS oa, b.ordinal AS ob
+  FROM fybands a JOIN fyip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, a.ordinal, b.ordinal
+  FROM fyip a JOIN fyip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < b.doc_id),
+fyver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM fycand c
+          JOIN fybits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN fybits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM fyver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
+
   /** The keyframe (frame 0) aHash chain — exposes `abits` (doc_id,
     * h_hi, h_lo); shared by the m7b/m7c near-dup builder and m7d's
     * group oracle. */
@@ -2808,6 +2919,18 @@ ORDER BY f.doc_id, frame_idx""",
     "m3c_frame_near_dups_served" ->
       frameNearDupSql("""b.doc_id >= 400 AND a.doc_id <> b.doc_id
            AND (a.doc_id < 400 OR a.doc_id < b.doc_id)"""),
+
+    // m3f: the video time-shift tier — fixed-stride frame prints of the
+    // prepended fixture recomputed from the generative formulas (intro
+    // family +7000-displaced), the m5h per-ordinal chain on the frame
+    // axis; a prepended re-edit matches at exactly its intro count.
+    "m3f_frame_shift_near_dups" -> frameShiftNearDupSql,
+
+    // m3g: the stride screen SERVED (prepended increment vs the
+    // unprepended corpus); m3h is the maintained-side twin off the
+    // twentieth framestride side — one oracle (the m5e/m5f rule).
+    "m3g_frame_shift_served" -> frameShiftServedSql,
+    "m3h_frame_shift_maintained" -> frameShiftServedSql,
 
     // m7d: d1's exact-dedup semantics on video — identical keyframe
     // prints form a group, keeper = min doc_id (m4b/m5b's rule on the

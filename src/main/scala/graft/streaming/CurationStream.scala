@@ -88,7 +88,7 @@ object CurationStream {
     * feed both video screens and all three video sides. */
   private final case class IncrMedia(aHashes: Option[DataFrame],
       dHashes: Option[DataFrame], kHashes: Option[DataFrame],
-      frames: DataFrame)
+      frames: DataFrame, strides: DataFrame)
 
   /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
     * excluded, nothing committed): what WOULD this increment do under
@@ -157,19 +157,19 @@ object CurationStream {
       dihedralRung: Boolean): Option[IncrMedia] =
     if (MultimodalOps.hasMediaEnvelope(docs)) {
       val media = MultimodalOps.mediaTableRaw(docs)
-      // under the dihedral rung the frame sampler is the DUAL-FAMILY one
-      // (plain + canonical prints off one decode memo): the video rung's
-      // canonical keyframe screen and the videokhashes side write are
-      // projections of this one frame — a container never parses twice
-      val frames =
-        if (dihedralRung)
-          MultimodalOps.sampleFrameLensRaw(docs.sparkSession, media)
-        else MultimodalOps.sampleFramesRaw(docs.sparkSession, media)
+      // ONE combined video decode (decodeVideoFull: proportional
+      // dual-family samples + fixed-stride prints off one container
+      // parse and one frame memo): the keyframe, shot, canonical and
+      // SHIFT screens — and all four video side writes — are column
+      // projections of this frame; a container never parses twice
+      val vfull = MultimodalOps.videoFullRaw(docs.sparkSession, media)
+      val frames = MultimodalOps.videoFramesOf(vfull)
+      val strides = MultimodalOps.videoStridesOf(vfull)
       Some((lens, dihedralRung) match {
         case (DedupStream.AHashLens, false) =>
           // the original single-lens decode path, byte-stable
           IncrMedia(Some(MultimodalOps.imageHashesRaw(media)), None, None,
-            frames)
+            frames, strides)
         case _ =>
           // any extra print family rides ONE multi-lens decode; each
           // configured family projects its column set
@@ -181,7 +181,7 @@ object CurationStream {
               Some(MultimodalOps.dHashOf(lensRaw)) else None,
             if (dihedralRung)
               Some(MultimodalOps.dihedralOf(lensRaw)) else None,
-            frames)
+            frames, strides)
       })
     } else None
 
@@ -398,7 +398,8 @@ object CurationStream {
         frameKHashes =
           if (dihedralRung)
             incrFrames.map(MultimodalOps.frameDihedralOf)
-          else None)
+          else None,
+        frameStrides = incrMedia.map(_.strides))
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(

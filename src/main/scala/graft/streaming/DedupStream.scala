@@ -95,6 +95,13 @@ import graft.llm.DedupOps
   *                                          SAME frame decode: the
   *                                          flipped re-edit catch (m3e
   *                                          serving)
+  * indexDir/framestride/batch=<lineage>-<id>/ (doc_id, ordinal, h_hi,
+  *                                          h_lo) fixed-STRIDE frame
+  *                                          prints off the SAME frame
+  *                                          decode — m3f's video shift
+  *                                          tier served (m3g/m3h): the
+  *                                          prepended-intro re-edit
+  *                                          caught at its true offset
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -105,11 +112,11 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The fourteen always-on index sides (plus the optional imagedhashes
+  * The sixteen always-on index sides (plus the optional imagedhashes
   * under `imageLens = DHashLens | BothLens`, and imagekhashes +
-  * videokhashes under `dihedralRung`; the lens/rung pair is STAMPED at
-  * the index root on first admission and a mismatch fails fast —
-  * `mediaconf`, the bloom-geometry discipline) start flat under
+  * videokhashes + framekhashes under `dihedralRung`; the lens/rung pair
+  * is STAMPED at the index root on first admission and a mismatch fails
+  * fast — `mediaconf`, the bloom-geometry discipline) start flat under
   * `indexDir` and migrate into
   * GENERATION TREES on first [[compact]]: the fold is staged and
   * published atomically as `indexDir/tree-<g>/<side>/…`
@@ -573,6 +580,9 @@ object DedupStream {
       case "audiofps" => AudioFpSchema
       case "audiowins" => AudioWinSchema
       case "audiorwins" => AudioRWinSchema
+      // the stride side shares the windowed-print schema by design (the
+      // one-serving-path-per-schema rule on the frame axis)
+      case "framestride" => AudioWinSchema
       case "videohashes" => ImgHashSchema
       case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
@@ -903,6 +913,37 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/framekhashes", FrameHashSchema)
       .drop("batch")
 
+  /** The maintained fixed-STRIDE frame-print side over every ADMITTED
+    * doc's video rendition ([[graft.llm.MultimodalOps.decodeVideoFull]]'s
+    * strides projection, appended per batch off the SAME combined frame
+    * decode as the keyframe/shot/canonical sides, identity fold): the
+    * twentieth side, the video shift tier's serving state — a clip
+    * re-edited behind PREPENDED intro frames shifts every proportionally
+    * sampled ordinal (fno = i·nf/4 moves when nf grows), so both the
+    * keyframe and shot rungs structurally miss it; the stride prints
+    * shift by exactly the prepend count and match per ordinal under the
+    * bounded offset fan. Shares the audiowins row schema by design. */
+  def corpusFrameStrides(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/framestride", AudioWinSchema)
+      .drop("batch")
+
+  /** M3g/m3h over the maintained side: TIME-SHIFT-robust video near-dups
+    * between a media increment's stride prints and the admitted corpus's
+    * framestride side — [[graft.llm.MultimodalOps
+    * .audioShiftNearDupsServedWins]] VERBATIM over frame-axis rows (the
+    * one-serving-path-per-schema rule): combined-population rail per
+    * (ordinal, band, key), increment-side ±offset fan-out only, corpus
+    * as id_a, id-level self-exclusion. The prepended-intro re-edit is
+    * caught at its true offset at admission time. */
+  def screenVideoShiftDups(spark: SparkSession, indexDir: String,
+      newMedia: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 3, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.audioShiftNearDupsServedWins(
+      corpusFrameStrides(spark, indexDir),
+      graft.llm.MultimodalOps.frameStridePrints(spark, newMedia),
+      newMedia.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
+
   /** M3c over the maintained side: SHOT-LEVEL video near-dups between a
     * media increment and the admitted corpus's frame-print table — the
     * rung that catches a RE-EDIT keeping later footage under a new
@@ -1088,7 +1129,8 @@ object DedupStream {
       dihedralRung: Boolean = false,
       imageKHashes: Option[DataFrame] = None,
       videoKHashes: Option[DataFrame] = None,
-      frameKHashes: Option[DataFrame] = None): Unit = {
+      frameKHashes: Option[DataFrame] = None,
+      frameStrides: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -1207,28 +1249,28 @@ object DedupStream {
           (writesD && imageDHashes.isEmpty) ||
           (dihedralRung && imageKHashes.isEmpty) ||
           videoHashes.isEmpty || frameHashes.isEmpty ||
+          frameStrides.isEmpty ||
           (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
         else None
-      // the fallback's video sides derive from ONE frame decode: the
-      // sampled-frame prints materialize once, the keyframe side is the
-      // ordinal-0 projection (keyframeOf) — a container never parses
-      // twice inside an admission, caller-passed or not. Under the
-      // dihedral rung the decode is the DUAL-FAMILY sampler
-      // (sampleFrameLens): the canonical prints ride the same decoded
-      // frames, so the sixteenth side costs bit arithmetic, never a
-      // second container parse.
-      val framesFallback =
+      // the fallback's video sides derive from ONE combined decode
+      // (decodeVideoFull: proportional dual-family samples + fixed-
+      // stride prints off one container parse and one frame memo): the
+      // keyframe side is the ordinal-0 projection (keyframeOf), the
+      // canonical sides cost bit arithmetic over the same pixels, and
+      // the stride side is the strides projection — a container never
+      // parses twice inside an admission, caller-passed or not.
+      val videoFullFallback =
         if ((videoHashes.isEmpty || frameHashes.isEmpty ||
+          frameStrides.isEmpty ||
           (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           mediaFallback.nonEmpty)
           mediaFallback.map(m =>
-            (if (dihedralRung)
-              graft.llm.MultimodalOps.sampleFrameLens(spark, m).toDF()
-            else graft.llm.MultimodalOps.sampleFrames(spark, m).toDF())
-              .persist())
+            graft.llm.MultimodalOps.decodeVideoFull(spark, m).toDF().persist())
         else None
+      val framesFallback =
+        videoFullFallback.map(graft.llm.MultimodalOps.videoFramesOf)
       // when a second/third print side needs a fallback, ONE multi-lens
       // decode feeds EVERY image side (lensFingerprintFrame — aHash,
       // dHash and the dihedral-canonical print off the same pixels); the
@@ -1280,9 +1322,19 @@ object DedupStream {
           .orElse(framesFallback.map(graft.llm.MultimodalOps.frameDihedralOf))
           .foreach(_.select("doc_id", "frame_idx", "frame_no", "h_hi", "h_lo")
             .write.mode("overwrite").parquet(s"$root/framekhashes/$key"))
+        // the twentieth side: fixed-STRIDE frame prints (m3f's video
+        // shift tier) — the strides projection of the same combined
+        // decode, so a clip re-edited behind prepended intro frames is
+        // caught at its true offset at admission time (the audiowins
+        // discipline on the frame axis; ≤ MaxStridePrintsPerClip rows
+        // of 16-byte prints per clip)
+        frameStrides
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(videoFullFallback.map(graft.llm.MultimodalOps.videoStridesOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/framestride/$key"))
       } finally {
         lensFallback.foreach(_.unpersist(blocking = false))
-        framesFallback.foreach(_.unpersist(blocking = false))
+        videoFullFallback.foreach(_.unpersist(blocking = false))
         mediaFallback.foreach(_.unpersist(blocking = false))
       }
       // tenth + eleventh sides off ONE audio decode: the combined
@@ -1551,6 +1603,7 @@ object DedupStream {
     ("videokhashes", ImgHashSchema, identity[DataFrame] _),
     ("framehashes", FrameHashSchema, identity[DataFrame] _),
     ("framekhashes", FrameHashSchema, identity[DataFrame] _),
+    ("framestride", AudioWinSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

@@ -1389,6 +1389,7 @@ class CurationStreamSpec extends SparkSpec {
     foldedEqual("audiorwins", DedupStream.corpusAudioRWins(spark, _))
     foldedEqual("videohashes", DedupStream.corpusVideoHashes(spark, _))
     foldedEqual("framehashes", DedupStream.corpusFrameHashes(spark, _))
+    foldedEqual("framestride", DedupStream.corpusFrameStrides(spark, _))
     foldedEqual("seedstats", d => DedupStream.corpusSeedStats(spark, d)
       .groupBy("kh").agg(sum("df").as("df")))
     foldedEqual("wordcounts", d => DedupStream.corpusWordCounts(spark, d)

@@ -935,6 +935,42 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("m3f catches a prepended-intro re-edit at its true offset; both proportional-sampler rungs miss it") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{MediaRecord, VideoGen}
+    val rnd = new scala.util.Random(23)
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val real = (0 until 4).map(_ => png())
+    val intro = (0 until 2).map(_ => png())
+    val a = MediaRecord(4L, "video/avi", VideoGen.aviOf(32, 24, real))
+    val b = MediaRecord(8L, "video/avi", VideoGen.aviOf(32, 24, intro ++ real))
+    val media = Seq(a, b).toDS().toDF()
+    // the evasion: prepending two intro frames grows nf from 4 to 6, so
+    // EVERY proportionally sampled frame number moves (0,1,2,3 →
+    // 0,1,3,4) — at each shared ordinal the two clips now show
+    // DIFFERENT frames, so the keyframe rung (ordinal 0 is an intro
+    // frame) and the shot rung (same-ordinal matching) both miss
+    assert(MultimodalOps.frameNearDups(
+      MultimodalOps.sampleFrames(spark, media).toDF()).collect().isEmpty,
+      "fixture sanity: the proportional shot rung must miss the prepend")
+    // the stride tier catches at exactly the intro count with every
+    // real frame matched — the m5h discipline on the frame axis
+    val caught = MultimodalOps.audioShiftNearDups(
+      MultimodalOps.frameStridePrintsRaw(spark, media))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(caught === Seq((4L, 8L, 2L, 4L)),
+      s"must catch at the true offset with all 4 frames: $caught")
+    DedupOps.releaseCaches()
+  }
+
   test("the per-clip window cap bounds both sub-print families; the b family still anchors the tail") {
     // a hostile (MaxWinsPerClip + 10)-window stream prints exactly the
     // cap per family — the audiowins/audiorwins growth rail — and the

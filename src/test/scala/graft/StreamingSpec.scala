@@ -511,6 +511,43 @@ class StreamingSpec extends SparkSpec {
     graft.llm.DedupOps.releaseCaches()
   }
 
+  test("the framestride side serves the video shift screen; a prepended-intro re-edit is caught at admission (m3g/m3h streaming)") {
+    val tmp = Files.createTempDirectory("graft_framestride_stream").toString
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{MediaRecord, VideoGen}
+    // admission stocks the twentieth side off the combined video decode
+    // (the strides projection of one VideoFull row); doc 4 is a video id
+    graft.streaming.DedupStream.admitBatch(
+      Seq((4L, "avi", "x" * 35), (8L, "avi", "y" * 41))
+        .toDF("doc_id", "source", "text"),
+      0L, s"$tmp/index", s"$tmp/out", 0.5, "l1")
+    // the recycler: doc 4's clip re-edited behind TWO intro frames —
+    // every proportionally sampled ordinal shifts (nf 4 → 6)
+    val probe = Seq(MediaRecord(40L, "video/avi",
+      VideoGen.aviWithIntro(35L, 2))).toDS().toDF()
+    def screen() = graft.streaming.DedupStream
+      .screenVideoShiftDups(spark, s"$tmp/index", probe)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val hits = screen()
+    // caught at exactly the intro offset with every real frame matched
+    // (nf(35) = 4), corpus member as id_a
+    assert(hits.contains((4L, 40L, 2L, 4L)), s"got $hits")
+    // compaction folds the per-batch dirs (identity fold); screen stable
+    graft.streaming.DedupStream.compact(spark, s"$tmp/index")
+    assert(screen() === hits)
+    // the maintained side IS the admitted corpus's stride prints
+    val served = graft.streaming.DedupStream
+      .corpusFrameStrides(spark, s"$tmp/index")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = MultimodalOps.frameStridePrints(spark,
+      MultimodalOps.asMediaTable(
+        spark.read.parquet(s"$tmp/out/kept")
+          .select("doc_id", "source", "text")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === direct)
+    graft.llm.DedupOps.releaseCaches()
+  }
+
   test("the lens/rung config stamps on first admission; a mid-stream toggle fails fast with the index untouched") {
     val tmp = Files.createTempDirectory("graft_mediaconf").toString
     implicit val sqlCtx = spark.sqlContext

@@ -960,6 +960,41 @@ object SparkEntry {
           m5Meta(s, d).filter(col("doc_id") >= 400),
           inc.select("doc_id"))))
     }),
+    "c6c_shift_admission" -> ((s, d) => {
+      // the SHIFT-rung ladder: the text tier + the composed audio WINDOW
+      // rung (forward-shift ∪ reversal screens — exactly what
+      // CurationStream unions under audioShiftRung) + the video STRIDE
+      // rung (videoShiftRung) — the increments' renditions are the
+      // recycler feeds (silence-padded, reversed+padded, intro-
+      // prepended) that the exact, contour, keyframe AND shot rungs all
+      // structurally miss; the window/stride screens catch them at their
+      // true offsets off maintained-shape state, and the verdict classes
+      // them audio_shift_dup / video_shift_dup below the whole-clip
+      // rungs (precedence owns any offset-0 overlap — no suppression)
+      val inc = documents(s, d).filter(col("doc_id") >= 400)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      val ids = inc.select("doc_id")
+      graft.llm.CurationOps.admitIncrement(inc,
+        d5Pairs(s, d),
+        DedupOps.incrementalSpans(inc, d9CorpusSeeds(s, d),
+          d9CorpusSeedStats(s, d)),
+        DedupOps.contaminationHits(inc, bench, 4, 1),
+        audioShiftPairs = Some(
+          MultimodalOps.audioShiftNearDupsServedWins(
+              m5Wins(s, d).filter(col("doc_id") < 400),
+              m5ShiftIncr(s, d), ids)
+            .select("id_a", "id_b")
+            .unionByName(MultimodalOps.audioRevNearDupsServedWins(
+                m5RWins(s, d).filter(col("doc_id") < 400),
+                m5RevIncr(s, d), ids)
+              .select("id_a", "id_b"))
+            .distinct()),
+        videoShiftPairs = Some(
+          MultimodalOps.audioShiftNearDupsServedWins(
+              m3Strides(s, d).filter(col("doc_id") < 400),
+              m3StrideIncr(s, d), ids)
+            .select("id_a", "id_b").distinct()))
+    }),
     "c3_leakage_safe_split" -> ((s, d) =>
       // group-aware train/val/test split: buckets hash the d6 GROUP id,
       // so near-dup components co-travel — the eval-leakage guard. The

@@ -169,7 +169,9 @@ object CurationOps {
       audioPairs: Option[DataFrame] = None,
       audioFpPairs: Option[DataFrame] = None,
       videoPairs: Option[DataFrame] = None,
-      videoFramePairs: Option[DataFrame] = None): DataFrame = {
+      videoFramePairs: Option[DataFrame] = None,
+      audioShiftPairs: Option[DataFrame] = None,
+      videoShiftPairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -189,10 +191,11 @@ object CurationOps {
           p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
           Seq("doc_id"), "left")
       }
-    rung(rung(rung(rung(rung(rung(base, semPairs, "sem_id"),
+    rung(rung(rung(rung(rung(rung(rung(rung(base, semPairs, "sem_id"),
         imagePairs, "img_id"), audioPairs, "aud_id"),
-        audioFpPairs, "audfp_id"), videoPairs, "vid_id"),
-        videoFramePairs, "vidfr_id")
+        audioFpPairs, "audfp_id"), audioShiftPairs, "audsh_id"),
+        videoPairs, "vid_id"), videoFramePairs, "vidfr_id"),
+        videoShiftPairs, "vidsh_id")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_id").isNotNull, "near_dup")
@@ -201,14 +204,24 @@ object CurationOps {
           .when(col("img_id").isNotNull, "image_dup")
           .when(col("aud_id").isNotNull, "audio_dup")
           .when(col("audfp_id").isNotNull, "audio_near_dup")
+          // the window-print rung (forward-shift ∪ reversal screens):
+          // sits below the whole-clip rungs — a pair the exact or
+          // contour rung also sees classes as the HIGHER rung, so the
+          // screens stay complete (offset-0 pairs included) with no
+          // suppression logic
+          .when(col("audsh_id").isNotNull, "audio_shift_dup")
           .when(col("vid_id").isNotNull, "video_dup")
           .when(col("vidfr_id").isNotNull, "video_near_dup")
+          // the stride rung: below keyframe/shot identity for the same
+          // reason
+          .when(col("vidsh_id").isNotNull, "video_shift_dup")
           .when(col("contam_id").isNotNull, "contaminated")
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("img_id"), col("aud_id"), col("audfp_id"), col("vid_id"),
-          col("vidfr_id"), col("contam_id")).as("detail_id"),
+          col("img_id"), col("aud_id"), col("audfp_id"), col("audsh_id"),
+          col("vid_id"), col("vidfr_id"), col("vidsh_id"),
+          col("contam_id")).as("detail_id"),
         col("quality_score"))
       .orderBy("doc_id")
   }

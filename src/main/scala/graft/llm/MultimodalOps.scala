@@ -697,12 +697,63 @@ object MultimodalOps {
   def audioMeta(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeAudioMeta(spark, asAudioTable(documents)).toDF().orderBy("doc_id")
 
+  /** Rendition-aware fixture audio table — [[asAudioTable]] extended by
+    * OPTIONAL envelope columns standing in for a real feed's re-rendered
+    * payload bytes (a production pipeline ingests the payload itself;
+    * the fixture ingests the RECIPE, and the decode side stays real
+    * either way):
+    *   `audio_len` — generative stream basis, default the text length:
+    *                 names the SOURCE clip a recycler re-rendered
+    *   `audio_pad` — whole [[ShiftWindow]]-windows of leading silence
+    *   `audio_rev` — time-reverse the stream
+    * A doc without the columns (or carrying the defaults) renders
+    * BYTE-IDENTICALLY to [[asAudioTable]] — container choice included —
+    * so the rendition channel never moves a plain feed's sides. */
+  def asRenditionAudioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cols = documents.columns.toSet
+    documents.select(col("doc_id"), col("text"),
+        (if (cols("audio_len"))
+          coalesce(col("audio_len"), length(col("text")).cast("long"))
+        else length(col("text")).cast("long")).as("alen"),
+        (if (cols("audio_pad")) coalesce(col("audio_pad"), lit(0L))
+        else lit(0L)).as("apad"),
+        (if (cols("audio_rev")) coalesce(col("audio_rev"), lit(false))
+        else lit(false)).as("arev"))
+      .as[(Long, String, Long, Long, Boolean)]
+      .map { case (id, text, alen, apad, arev) =>
+        val tl = text.length.toLong
+        if (alen == tl && apad == 0L && !arev)
+          audioContainerOf(id) match {
+            case "aiff" => AudioRecord(id, "audio/aiff", AudioGen.aiff(tl))
+            case "au" => AudioRecord(id, "audio/au", AudioGen.au(tl))
+            case _ => AudioRecord(id, "audio/wav", AudioGen.wav(tl))
+          }
+        else {
+          val (ch, nf) = AudioGen.params(alen)
+          val n0 = nf * ch
+          val pad = (apad * ShiftWindow).toInt
+          val out = new Array[Int](pad + n0)
+          var i = 0
+          while (i < n0) {
+            out(pad + i) =
+              AudioGen.sample(alen, (if (arev) n0 - 1 - i else i).toLong)
+            i += 1
+          }
+          AudioRecord(id, "audio/wav", AudioGen.wavOf(ch, out))
+        }
+      }.toDF()
+  }
+
   /** The UNSORTED combined-decode frame the dual-tier admission loop
     * shares between its exact-audio screen, its perceptual-audio screen
     * and BOTH side writes — tracked-persisted because four consumers
-    * touch it per batch, and decoded ONCE by construction. */
+    * touch it per batch, and decoded ONCE by construction. Rendition-
+    * aware ([[asRenditionAudioTable]]): a feed carrying the optional
+    * rendition envelope admits its re-rendered clips like any other. */
   private[graft] def audioFullRaw(spark: SparkSession, documents: DataFrame): DataFrame =
-    DedupOps.tracked(decodeAudioFull(spark, asAudioTable(documents)).toDF())
+    DedupOps.tracked(decodeAudioFull(spark, asRenditionAudioTable(documents)).toDF())
 
   /** M5b — d1's exact-dedup semantics on the audio modality: payloads
     * with an identical PCM content hash form a group whose keeper is the
@@ -2243,12 +2294,46 @@ object MultimodalOps {
   private[graft] def videoKeyframeHashesRaw(media: DataFrame): DataFrame =
     DedupOps.tracked(videoKeyframeHashes(media))
 
+  /** Rendition-aware fixture media table — [[asMediaTable]] extended by
+    * the OPTIONAL video rendition envelope (the [[asRenditionAudioTable]]
+    * recipe columns on the pixel modality):
+    *   `video_len` — generative clip basis, default the text length
+    *   `video_pad` — intro frames prepended ([[VideoGen.aviWithIntro]])
+    * Docs without the columns render byte-identically to
+    * [[asMediaTable]]; image payloads never carry a rendition (the
+    * image rungs are orientation/lens-configured instead). */
+  def asRenditionMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cols = documents.columns.toSet
+    documents.select(col("doc_id"), col("source"), col("text"),
+        (if (cols("video_len"))
+          coalesce(col("video_len"), length(col("text")).cast("long"))
+        else length(col("text")).cast("long")).as("vlen"),
+        (if (cols("video_pad")) coalesce(col("video_pad"), lit(0L))
+        else lit(0L)).as("vpad"))
+      .as[(Long, String, String, Long, Long)]
+      .map { case (id, source, text, vlen, vpad) =>
+        val tl = text.length.toLong
+        if (isVideoId(id)) {
+          if (vlen == tl && vpad == 0L)
+            MediaRecord(id, s"video/$source", VideoGen.avi(tl))
+          else MediaRecord(id, s"video/$source",
+            VideoGen.aviWithIntro(vlen, vpad.toInt))
+        }
+        else if (imageContainerOf(id) == "bmp")
+          MediaRecord(id, "image/bmp", ImageGen.bmp(tl))
+        else MediaRecord(id, "image/png", ImageGen.png(tl))
+      }.toDF()
+  }
+
   /** The tracked-persisted MEDIA TABLE the dual-tier admission loop
     * shares between its image-print and keyframe-print consumers: the
     * fixture's payload generation (and in production the payload READ)
-    * runs once per batch however many modality screens look at it. */
+    * runs once per batch however many modality screens look at it.
+    * Rendition-aware ([[asRenditionMediaTable]]). */
   private[graft] def mediaTableRaw(documents: DataFrame): DataFrame =
-    DedupOps.tracked(asMediaTable(documents))
+    DedupOps.tracked(asRenditionMediaTable(documents))
 
   def videoKeyframeHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

@@ -1255,7 +1255,29 @@ ${p}bset AS (SELECT bench_id, unnest(arr) AS sh FROM ${p}bsh)"""
     * within-cell pairs (6-dp cos ≥ 0.4, 256-member cell rail) restricted
     * to increment-side id_b, corpus member as id_a. */
   private def admissionOracle(withSemantic: Boolean = false,
-      withImage: Boolean = false, withAudio: Boolean = false): String = {
+      withImage: Boolean = false, withAudio: Boolean = false,
+      withShift: Boolean = false): String = {
+    // the SHIFT rungs (c6c): the m5i/m5n/m3g row oracles spliced in
+    // VERBATIM as subqueries (one definition per screen across the
+    // whole registry — the m5e/m5f discipline lifted to the admission
+    // composition), folded to min-witness per rejected doc
+    val shiftCtes = if (!withShift) "" else s"""
+audshp AS (SELECT id_a, id_b FROM ($audioShiftServedSql) ashift
+           UNION SELECT id_a, id_b FROM ($audioRevServedSql) arev),
+audshd AS (SELECT id_b AS doc_id, min(id_a) AS audsh_id FROM audshp
+           GROUP BY id_b),
+vidshp AS (SELECT id_a, id_b FROM ($frameShiftServedSql) vshift),
+vidshd AS (SELECT id_b AS doc_id, min(id_a) AS vidsh_id FROM vidshp
+           GROUP BY id_b),"""
+    val shiftJoin = if (withShift)
+      " LEFT JOIN audshd USING (doc_id) LEFT JOIN vidshd USING (doc_id)"
+    else ""
+    val shiftWhen = if (withShift)
+      "\n            WHEN audshd.audsh_id IS NOT NULL THEN 'audio_shift_dup'" +
+        "\n            WHEN vidshd.vidsh_id IS NOT NULL THEN 'video_shift_dup'"
+    else ""
+    val shiftCoalesce = if (withShift) " audshd.audsh_id, vidshd.vidsh_id,"
+    else ""
     val semCtes = if (!withSemantic) "" else s"""${ivfChainCtes(16, 2, 64, Some("vec_id < 400"))},
 cellsz AS (SELECT cell FROM a2 GROUP BY cell HAVING count(*) <= 256),
 semp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1306,17 +1328,17 @@ span AS (SELECT id_b AS doc_id, min(id_a) AS span_id FROM spspans GROUP BY id_b)
       "(SELECT doc_id AS bench_id, w FROM docs WHERE doc_id % 50 = 0)")},
 chits AS (SELECT t.doc_id, b.bench_id FROM c2tset t JOIN c2bset b ON t.sh = b.sh
           GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 1),
-contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$imgCtes$audCtes$QualityCte
+contam AS (SELECT doc_id, min(bench_id) AS contam_id FROM chits GROUP BY doc_id),$semCtes$imgCtes$audCtes$shiftCtes$QualityCte
 SELECT q.doc_id,
        CASE WHEN dup.dup_id IS NOT NULL THEN 'near_dup'
-            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen$imgWhen$audWhen
+            WHEN span.span_id IS NOT NULL THEN 'span_dup'$semWhen$imgWhen$audWhen$shiftWhen
             WHEN contam.contam_id IS NOT NULL THEN 'contaminated'
             WHEN q.quality_score < 0.5 THEN 'low_quality'
             ELSE 'admitted' END AS verdict,
-       coalesce(dup.dup_id, span.span_id,$semCoalesce$imgCoalesce$audCoalesce contam.contam_id) AS detail_id,
+       coalesce(dup.dup_id, span.span_id,$semCoalesce$imgCoalesce$audCoalesce$shiftCoalesce contam.contam_id) AS detail_id,
        q.quality_score
 FROM q LEFT JOIN dup USING (doc_id) LEFT JOIN span USING (doc_id)
-LEFT JOIN contam USING (doc_id)$semJoin$imgJoin$audJoin
+LEFT JOIN contam USING (doc_id)$semJoin$imgJoin$audJoin$shiftJoin
 WHERE q.doc_id >= 400 ORDER BY q.doc_id"""
   }
 
@@ -2167,6 +2189,13 @@ ORDER BY h.doc_id""",
     // audio is the rung that catches their recycled clips)
     "c6b_trimodal_admission" ->
       admissionOracle(withSemantic = true, withImage = true, withAudio = true),
+
+    // c6c = the SHIFT-rung ladder: the c2 text base + the composed audio
+    // window rung (m5i ∪ m5n spliced verbatim) + the video stride rung
+    // (m3g) — the increments' renditions are the recycler feeds
+    // (silence-padded, reversed, intro-prepended) every whole-clip rung
+    // structurally misses.
+    "c6c_shift_admission" -> admissionOracle(withShift = true),
 
     // m5c: the SERVED exact-audio screen — pairs with equal PCM content
     // hash whose LATER member is in the increment, corpus as id_a (the

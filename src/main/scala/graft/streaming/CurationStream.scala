@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.llm.{CurationOps, DedupOps, MultimodalOps}
 
 /** DUAL-TIER streaming admission — ONE call that screens an increment
-  * against BOTH maintained index tiers (the text tier's fourteen
+  * against BOTH maintained index tiers (the text tier's sixteen
   * always-on [[DedupStream]] sides — more under a dHash-bearing
   * `imageLens` or `dihedralRung` —
   * and the vector tier's [[VectorStream]] serving
@@ -15,7 +15,8 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
   * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
-  * audio_near_dup > video_dup > video_near_dup > contaminated >
+  * audio_near_dup > audio_shift_dup > video_dup > video_near_dup >
+  * video_shift_dup > contaminated >
   * low_quality > admitted), same oracle
   * — where the two single-tier services each fold only their OWN screen
   * into admission, this one commits the complete curation policy. Feeds
@@ -29,7 +30,14 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * re-uploaded with its opening shot intact (keyframe-print identity),
   * and the SHOT-LEVEL rung behind it catches the re-edit keeping later
   * footage under a new opening (same-ordinal frame prints against the
-  * framehashes side). Text-only feeds skip all of them entirely.
+  * framehashes side). Under `audioShiftRung` the WINDOW rung joins the
+  * ladder (forward-shift ∪ reversal screens off the audiowins +
+  * audiorwins sides — the silence-padded, trimmed, reversed or
+  * reversed-plus-padded clip recycler rejects as `audio_shift_dup`),
+  * and under `videoShiftRung` the STRIDE rung (framestride side — the
+  * prepended-intro re-edit rejects as `video_shift_dup`); both rungs'
+  * sides are always-on, so the flags gate only the screens and need no
+  * mediaconf stamp. Text-only feeds skip all of them entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -107,11 +115,14 @@ object CurationStream {
       maxCell: Int = 256,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
-      dihedralRung: Boolean = false): DataFrame = {
+      dihedralRung: Boolean = false,
+      audioShiftRung: Boolean = false,
+      videoShiftRung: Boolean = false): DataFrame = {
     // advisory calls never stamp, but a mismatched lens/rung must still
     // fail fast: screening against sides the index never maintained
     // reads empty and silently loses recall (the mediaconf discipline's
-    // read-only half)
+    // read-only half). The shift rungs need no stamp: their sides
+    // (audiowins/audiorwins/framestride) are always-on.
     DedupStream.checkMediaConf(spark, textIndexDir, imageLens, dihedralRung)
     val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrAudio = incrementAudio(docs)
@@ -139,8 +150,48 @@ object CurationStream {
       videoFramePairs = incrMedia.map(im =>
         videoFramePairsOf(im, dihedralRung,
           DedupStream.corpusFrameHashes(spark, textIndexDir),
-          DedupStream.corpusFrameKHashes(spark, textIndexDir), ids)))
+          DedupStream.corpusFrameKHashes(spark, textIndexDir), ids)),
+      audioShiftPairs =
+        if (!audioShiftRung) None
+        else incrAudio.map(a => audioShiftPairsOf(a,
+          DedupStream.corpusAudioWins(spark, textIndexDir),
+          DedupStream.corpusAudioRWins(spark, textIndexDir), ids)),
+      videoShiftPairs =
+        if (!videoShiftRung) None
+        else incrMedia.map(im => videoShiftPairsOf(im,
+          DedupStream.corpusFrameStrides(spark, textIndexDir), ids)))
   }
+
+  /** The audio WINDOW rung's COMPLETE pair frame: the forward-shift
+    * screen (audiowins side) unioned with the reversal-canonical screen
+    * (audiorwins side) — ONE rung class (`audio_shift_dup`) catching
+    * the silence-padded, whole-window-trimmed, reversed AND
+    * reversed-plus-padded clip recyclers, every one of which slips the
+    * exact (pcm identity) and contour (whole-clip print) rungs above
+    * it. Offset-0 pairs are deliberately INCLUDED: a pair a higher rung
+    * also sees classes as that rung by the verdict precedence (the
+    * imagePairsOf rule), so the screens stay complete with no
+    * suppression logic. Both screens consume projections of the ONE
+    * combined audio decode. */
+  private def audioShiftPairsOf(incrAudio: DataFrame, winsSide: => DataFrame,
+      rwinsSide: => DataFrame, ids: DataFrame): DataFrame =
+    MultimodalOps.audioShiftNearDupsServedWins(
+        winsSide, MultimodalOps.audioWinsOf(incrAudio), ids)
+      .select("id_a", "id_b")
+      .unionByName(MultimodalOps.audioRevNearDupsServedWins(
+          rwinsSide, MultimodalOps.audioRWinsOf(incrAudio), ids)
+        .select("id_a", "id_b"))
+      .distinct()
+
+  /** The video STRIDE rung's pair frame: the increment's fixed-stride
+    * prints (the combined decode's strides projection) against the
+    * maintained framestride side — the `video_shift_dup` class catching
+    * the prepended-intro re-edit both whole-clip video rungs
+    * structurally miss. */
+  private def videoShiftPairsOf(im: IncrMedia, strideSide: => DataFrame,
+      ids: DataFrame): DataFrame =
+    MultimodalOps.audioShiftNearDupsServedWins(strideSide, im.strides, ids)
+      .select("id_a", "id_b").distinct()
 
   /** The increment's image-lens fingerprints AND sampled-frame prints,
     * decoded ONCE per batch off ONE materialized media table and fed to
@@ -265,12 +316,15 @@ object CurationStream {
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
-      dihedralRung: Boolean = false): Unit =
+      dihedralRung: Boolean = false,
+      audioShiftRung: Boolean = false,
+      videoShiftRung: Boolean = false): Unit =
     admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
       outDir, benchmark, threshold, semThreshold, minQuality, contamK,
       contamMinShared, lineage, maxCell, bloomSizing,
       failAfterTextTier = false, spanRung = spanRung, imageLens = imageLens,
-      dihedralRung = dihedralRung)
+      dihedralRung = dihedralRung, audioShiftRung = audioShiftRung,
+      videoShiftRung = videoShiftRung)
 
   private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
       batchId: Long, textIndexDir: String, vectorIndexDir: String,
@@ -280,7 +334,9 @@ object CurationStream {
       bloomSizing: DedupOps.BloomSizing, failAfterTextTier: Boolean,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
-      dihedralRung: Boolean = false): Unit = {
+      dihedralRung: Boolean = false,
+      audioShiftRung: Boolean = false,
+      videoShiftRung: Boolean = false): Unit = {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
@@ -359,6 +415,19 @@ object CurationStream {
       incrMedia.map(im => videoFramePairsOf(im, dihedralRung,
         DedupStream.sideExcluding(spark, textIndexDir, "framehashes", tag),
         DedupStream.sideExcluding(spark, textIndexDir, "framekhashes", tag),
+        docs.select("doc_id"))),
+      // the audio WINDOW rung (forward-shift ∪ reversal screens off the
+      // always-on audiowins/audiorwins sides) and the video STRIDE rung
+      // (framestride side): both consume projections of the batch's one
+      // combined decode, both under the own-batch exclusion discipline
+      if (!audioShiftRung) None
+      else incrAudio.map(a => audioShiftPairsOf(a,
+        DedupStream.sideExcluding(spark, textIndexDir, "audiowins", tag),
+        DedupStream.sideExcluding(spark, textIndexDir, "audiorwins", tag),
+        docs.select("doc_id"))),
+      if (!videoShiftRung) None
+      else incrMedia.map(im => videoShiftPairsOf(im,
+        DedupStream.sideExcluding(spark, textIndexDir, "framestride", tag),
         docs.select("doc_id"))))
       .persist()
     try {
@@ -379,7 +448,7 @@ object CurationStream {
       // DedupStream.admitBatch re-runs its dedup screens over the
       // admitted set — they find nothing (verdict-admitted docs have no
       // pairs) — and owns the replay discipline for every maintained
-      // side (fourteen always-on, plus the lens/rung-configured ones)
+      // side (sixteen always-on, plus the lens/rung-configured ones)
       DedupStream.admitBatch(
         docs.join(admitted, Seq("doc_id"), "left_semi"),
         batchId, textIndexDir, s"$outDir/text", threshold, lineage,
@@ -424,13 +493,16 @@ object CurationStream {
           counts.getOrElse("image_dup", 0L),
           counts.getOrElse("audio_dup", 0L),
           counts.getOrElse("audio_near_dup", 0L),
+          counts.getOrElse("audio_shift_dup", 0L),
           counts.getOrElse("video_dup", 0L),
           counts.getOrElse("video_near_dup", 0L),
+          counts.getOrElse("video_shift_dup", 0L),
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
           "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
-          "n_audio_near_dup", "n_video_dup", "n_video_near_dup",
+          "n_audio_near_dup", "n_audio_shift_dup", "n_video_dup",
+          "n_video_near_dup", "n_video_shift_dup",
           "n_contaminated", "n_low_quality")
         .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$tag")
     } finally {
@@ -463,14 +535,17 @@ object CurationStream {
         StructField("n_image_dup", LongType),
         StructField("n_audio_dup", LongType),
         StructField("n_audio_near_dup", LongType),
+        StructField("n_audio_shift_dup", LongType),
         StructField("n_video_dup", LongType),
         StructField("n_video_near_dup", LongType),
+        StructField("n_video_shift_dup", LongType),
         StructField("n_contaminated", LongType),
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
       .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup",
-        "n_video_dup", "n_video_near_dup"))
+        "n_audio_shift_dup", "n_video_dup", "n_video_near_dup",
+        "n_video_shift_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
   }
 
@@ -485,7 +560,9 @@ object CurationStream {
       bloomSizing: DedupOps.BloomSizing = DedupOps.BloomSizing.Default,
       spanRung: DedupStream.SpanRung = DedupStream.SeedsRung,
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
-      dihedralRung: Boolean = false): StreamingQuery = {
+      dihedralRung: Boolean = false,
+      audioShiftRung: Boolean = false,
+      videoShiftRung: Boolean = false): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -497,7 +574,8 @@ object CurationStream {
           batchId, textIndexDir, vectorIndexDir, outDir, benchmark,
           threshold, semThreshold, minQuality, lineage = lineage,
           maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung,
-          imageLens = imageLens, dihedralRung = dihedralRung)
+          imageLens = imageLens, dihedralRung = dihedralRung,
+          audioShiftRung = audioShiftRung, videoShiftRung = videoShiftRung)
       }
       .start()
   }

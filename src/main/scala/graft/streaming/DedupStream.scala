@@ -1252,7 +1252,7 @@ object DedupStream {
           frameStrides.isEmpty ||
           (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
-          Some(graft.llm.MultimodalOps.asMediaTable(keptOut).persist())
+          Some(graft.llm.MultimodalOps.asRenditionMediaTable(keptOut).persist())
         else None
       // the fallback's video sides derive from ONE combined decode
       // (decodeVideoFull: proportional dual-family samples + fixed-
@@ -1352,7 +1352,7 @@ object DedupStream {
         .orElse(
           if (graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
             Some(graft.llm.MultimodalOps.decodeAudioFull(spark,
-              graft.llm.MultimodalOps.asAudioTable(keptOut)).toDF())
+              graft.llm.MultimodalOps.asRenditionAudioTable(keptOut)).toDF())
           else None)
         .foreach { full0 =>
           // three writes read it — materialize once, never decode twice
@@ -1532,7 +1532,9 @@ object DedupStream {
       audioFpPairs: Option[DataFrame] = None,
       videoPairs: Option[DataFrame] = None,
       videoFramePairs: Option[DataFrame] = None,
-      spanRung: SpanRung = SeedsRung): DataFrame =
+      spanRung: SpanRung = SeedsRung,
+      audioShiftPairs: Option[DataFrame] = None,
+      videoShiftPairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
@@ -1541,7 +1543,8 @@ object DedupStream {
         corpusWinnowFps(spark, indexDir)),
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
       minQuality, semPairs, imagePairs, audioPairs, audioFpPairs,
-      videoPairs, videoFramePairs)
+      videoPairs, videoFramePairs,
+      audioShiftPairs = audioShiftPairs, videoShiftPairs = videoShiftPairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the

@@ -1048,6 +1048,87 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the shift rungs reject padded/reversed/prepended recyclers across start() microbatches; without them every one admits") {
+    implicit val sqlCtx = spark.sqlContext
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len); sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // Searched fixture over the generative arithmetic (all video ids, so
+    // the image rung is structurally absent): corpus doc 8 at text
+    // length 335 (710-sample stream, 5 windows; 2-frame clip). Probes
+    // carry the RENDITION envelope — fresh text/embedding/image/video of
+    // their own, their AUDIO (or VIDEO) a re-rendering of doc 8's:
+    //   404: doc 8's stream behind 2 whole windows of silence — the
+    //        exact rung misses (pcm moved) and the contour rung misses
+    //        (every whole-clip window shifted, Hamming 33);
+    //   408: doc 8's stream REVERSED behind 1 window — contour Hamming
+    //        46, and the forward-window screen never matches a reversal;
+    //   412: doc 8's CLIP behind 2 intro frames — the keyframe rung sees
+    //        an intro print (Hamming ~40) and every proportionally
+    //        sampled ordinal lands on a different frame (all > 3).
+    // Without the rungs each probe therefore ADMITS; with them the
+    // window/stride screens catch each at its true offset off the
+    // maintained always-on sides, ACROSS start() microbatch boundaries.
+    def runWith(rungs: Boolean): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_shift_$rungs").toString
+      DedupStream.admitBatch(
+        Seq((8L, "src", textOfLen("seed", 335))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float], Option[Long],
+          Option[Long], Option[Boolean], Option[Long], Option[Long])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding",
+          "audio_len", "audio_pad", "audio_rev", "video_len", "video_pad"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        audioShiftRung = rungs, videoShiftRung = rungs)
+      try {
+        stream.addData((404L, "src", textOfLen("pads", 370), e(2),
+          Some(335L), Some(2L), None, None, None))
+        q.processAllAvailable()
+        stream.addData((408L, "src", textOfLen("revs", 372), e(3),
+          Some(335L), Some(1L), Some(true), None, None))
+        q.processAllAvailable()
+        stream.addData((412L, "src", textOfLen("vids", 416), e(4),
+          None, None, None, Some(335L), Some(2L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    val (without, _) = runWith(rungs = false)
+    assert(without === Map(404L -> ("admitted", None),
+      408L -> ("admitted", None), 412L -> ("admitted", None)),
+      without.toString)
+    val (withR, tmpK) = runWith(rungs = true)
+    assert(withR === Map(
+      404L -> ("audio_shift_dup", Some(8L)),
+      408L -> ("audio_shift_dup", Some(8L)),
+      412L -> ("video_shift_dup", Some(8L))), withR.toString)
+    // the dual-tier accounting carries the new classes
+    val m = CurationStream.metrics(spark, s"$tmpK/out")
+    assert(m.agg(sum("n_audio_shift_dup")).head.getLong(0) === 2L)
+    assert(m.agg(sum("n_video_shift_dup")).head.getLong(0) === 1L)
+    // only ADMITTED docs' prints reach the window/stride sides
+    assert(DedupStream.corpusAudioRWins(spark, s"$tmpK/text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(8L))
+    assert(DedupStream.corpusFrameStrides(spark, s"$tmpK/text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(8L))
+    DedupOps.releaseCaches()
+  }
+
   test("the streaming entry drives the full ladder per microbatch, media envelope intact (start)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_curation_start").toString

@@ -1357,7 +1357,11 @@ object MultimodalOps {
     * recycler is caught at its true offset against clips admitted
     * unpadded. Samples decode once, at admission/screen time; the
     * search is pure bit work over 16-byte rows. Output:
-    * (id_a, id_b, win_offset = ord_b − ord_a, n_matched ≥ minMatched). */
+    * (id_a, id_b, win_offset = ord_b − ord_a, n_matched ≥ minMatched).
+    * SIGN RULE: the vs-corpus leg carries the corpus member as id_a, so
+    * a padded INCREMENT reports positive offsets and a padded CORPUS
+    * clip reports negative ones — a consumer keying on "the recycler's
+    * pad" reads |win_offset| with that orientation in mind. */
   def audioShiftNearDupsServedWins(corpusWins: DataFrame,
       incrWins: DataFrame, incrIds: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 100, maxOffset: Int = 3,

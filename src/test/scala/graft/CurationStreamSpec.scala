@@ -151,8 +151,9 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the media rungs
-    assert((4 to 13).map(m.getLong) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
+    // never fires the media rungs (nor the r19 shift rungs)
+    assert((4 to 15).map(m.getLong) ===
+      Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
       m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----

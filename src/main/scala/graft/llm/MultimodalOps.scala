@@ -1007,9 +1007,18 @@ object MultimodalOps {
     * ±`maxOffset` tolerance is the same bounded a-side fan-out of
     * 16-byte rows. Three legs join: (f,f) catches the plain/padded copy,
     * (f,b) and (b,f) the reversed one (see the algebra on the kernel);
-    * (b,b) is redundant with (f,f) — a reversed pair never meets on it
-    * and a forward pair already met — and is skipped, so the fan-out
-    * work stays 3/4 of the naive family cross. Output: (id_a, id_b,
+    * (b,b) is skipped — WITHIN the ±`maxOffset` fan it is redundant (a
+    * reversed pair never meets on it, and a forward pair within the fan
+    * already met on (f,f) at the same offset), so the fan-out work stays
+    * 3/4 of the naive family cross. SCOPE of the skip (r19 advice): a
+    * PLAIN copy behind MORE than `maxOffset` whole windows of leading
+    * silence would match only on the skipped (b,b) leg at offset 0 (the
+    * b family is pad-invariant) — that case is outside this operator's
+    * documented bounded-offset contract (the (f,f) leg misses it for the
+    * same reason the plain m5h tier does), and a deployment wanting
+    * arbitrary-pad plain-copy robustness re-enables the fourth leg at
+    * 4/3 the fan cost rather than widening every family's fan.
+    * Output: (id_a, id_b,
     * orient = fam_a‖fam_b ∈ {ff, fb, bf}, win_offset = ord_b − ord_a,
     * n_matched ≥ `minMatched`) — a clean reversal reports on BOTH cross
     * legs (fb at the pad offset, bf at 0): two independent witnesses of

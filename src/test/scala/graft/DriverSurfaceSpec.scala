@@ -54,6 +54,24 @@ class DriverSurfaceSpec extends SparkSpec {
       - node.get("value").asDouble) < 0.002, line)
   }
 
+  test("BenchProtocol.mins re-record never raises a carried floor (merge invariant)") {
+    // the r19 advice item: a loaded-window re-record silently RAISED two
+    // floors, loosening their 2.5x noisy thresholds. The previous
+    // committed record is kept verbatim in prevMins; every carried key's
+    // current floor must be <= its previous one (merge-min semantics).
+    val raised = BenchProtocol.prevMins.keySet
+      .intersect(BenchProtocol.mins.keySet)
+      .filter(q => BenchProtocol.mins(q) > BenchProtocol.prevMins(q) + 1e-9)
+    assert(raised.isEmpty,
+      s"floors RAISED vs the previous record (merge-min violated): " +
+        raised.toSeq.sorted.map(q =>
+          s"$q ${BenchProtocol.prevMins(q)} -> ${BenchProtocol.mins(q)}")
+          .mkString(", "))
+    // floors are physical times: positive, and at/above the ledger's
+    // fast-floor granularity they remain meaningful thresholds
+    assert(BenchProtocol.mins.values.forall(_ > 0.0))
+  }
+
   test("noisy flag fires on core-scaled load OR a row beyond 2.5x its protocol min") {
     val results = Seq("g1_good" -> 1.0)
     // load signal: the threshold scales with the core count (32 -> 3.0)

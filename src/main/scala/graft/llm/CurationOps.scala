@@ -114,9 +114,10 @@ object CurationOps {
     *
     * Verdict precedence follows the screens' pipeline order (a doc
     * failing several reports the earliest): `near_dup` > `span_dup` >
-    * `semantic_dup` > `image_dup` > `audio_dup` > `audio_near_dup` >
-    * `video_dup` > `video_near_dup` > `contaminated` > `low_quality` >
-    * `admitted`.
+    * `semantic_dup` > `image_dup` > `image_shift_dup` > `audio_dup` >
+    * `audio_near_dup` > `audio_shift_dup` > `video_dup` >
+    * `video_near_dup` > `video_shift_dup` > `contaminated` >
+    * `low_quality` > `admitted`.
     * `detail_id` names the firing screen's
     * witness — the keeper for dups/spans/semantic/image/audio dups, the
     * colliding benchmark doc for contamination (min id for determinism)
@@ -171,7 +172,8 @@ object CurationOps {
       videoPairs: Option[DataFrame] = None,
       videoFramePairs: Option[DataFrame] = None,
       audioShiftPairs: Option[DataFrame] = None,
-      videoShiftPairs: Option[DataFrame] = None): DataFrame = {
+      videoShiftPairs: Option[DataFrame] = None,
+      imageTilePairs: Option[DataFrame] = None): DataFrame = {
     val dup = dupPairs.groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_id"))
     val span = spanPairs.groupBy(col("id_b").as("doc_id"))
@@ -191,8 +193,9 @@ object CurationOps {
           p.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as(witness)),
           Seq("doc_id"), "left")
       }
-    rung(rung(rung(rung(rung(rung(rung(rung(base, semPairs, "sem_id"),
-        imagePairs, "img_id"), audioPairs, "aud_id"),
+    rung(rung(rung(rung(rung(rung(rung(rung(rung(base, semPairs, "sem_id"),
+        imagePairs, "img_id"), imageTilePairs, "imgsh_id"),
+        audioPairs, "aud_id"),
         audioFpPairs, "audfp_id"), audioShiftPairs, "audsh_id"),
         videoPairs, "vid_id"), videoFramePairs, "vidfr_id"),
         videoShiftPairs, "vidsh_id")
@@ -202,6 +205,13 @@ object CurationOps {
           .when(col("span_id").isNotNull, "span_dup")
           .when(col("sem_id").isNotNull, "semantic_dup")
           .when(col("img_id").isNotNull, "image_dup")
+          // the TILE rung (spatial-crop screen): directly below
+          // full-frame image identity — whole-image evidence outranks
+          // tile-level evidence on the same modality, exactly as the
+          // audio window rung sits below the whole-clip audio rungs; an
+          // offset-(0,0) pair the lens rung also sees classes image_dup
+          // by this precedence, so the tile screen stays complete
+          .when(col("imgsh_id").isNotNull, "image_shift_dup")
           .when(col("aud_id").isNotNull, "audio_dup")
           .when(col("audfp_id").isNotNull, "audio_near_dup")
           // the window-print rung (forward-shift ∪ reversal screens):
@@ -219,7 +229,8 @@ object CurationOps {
           .when(col("quality_score") < minQuality, "low_quality")
           .otherwise("admitted").as("verdict"),
         coalesce(col("dup_id"), col("span_id"), col("sem_id"),
-          col("img_id"), col("aud_id"), col("audfp_id"), col("audsh_id"),
+          col("img_id"), col("imgsh_id"), col("aud_id"), col("audfp_id"),
+          col("audsh_id"),
           col("vid_id"), col("vidfr_id"), col("vidsh_id"),
           col("contam_id")).as("detail_id"),
         col("quality_score"))

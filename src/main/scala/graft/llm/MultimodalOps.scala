@@ -99,6 +99,30 @@ object MultimodalOps {
       ImageIO.write(image(textLen), "bmp", out)
       out.toByteArray
     }
+
+    /** The CROPPED re-upload rendition: `cx` whole tiles off the left,
+      * `cy` off the top — pixel (x, y) reads the generative formula at
+      * (x + 16·cx, y + 16·cy) and the dims shrink accordingly: the
+      * spatial evasion every full-frame lens misses (all their sample
+      * positions move), the m4o tile tier's fixture. */
+    def pngCropped(textLen: Long, cx: Int, cy: Int): Array[Byte] = {
+      val (w0, h0) = dims(textLen)
+      val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((x + 16 * cx) * 31 + (y + 16 * cy) * 17 + textLen.toInt) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
   }
 
   /** The REAL image decoder: container sniffed from magic bytes, parsed
@@ -265,6 +289,62 @@ object MultimodalOps {
       val (nf, w, h) = params(textLen)
       aviOf(w, h, (0 until pad).map(j => introPng(textLen, j)) ++
         (0 until nf).map(f => framePng(textLen, f)))
+    }
+
+    /** Frame `f`'s pixels MIRRORED (horizontal flip: pixel (x, y) reads
+      * the formula at (w−1−x, y)) — the dihedral re-edit's footage. */
+    def mirrorFramePng(textLen: Long, f: Int): Array[Byte] = {
+      val (_, w, h) = params(textLen)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((w - 1 - x) * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** INTRO frame `j`'s pixels MIRRORED — [[mirrorFramePng]]'s sibling
+      * on the intro family (the whole re-edit is flipped, intro
+      * included). */
+    def mirrorIntroPng(textLen: Long, j: Int): Array[Byte] = {
+      val (_, w, h) = params(textLen)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((w - 1 - x) * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** The MIRRORED-and-PREPENDED re-edit — the COMPOSED video evasion
+      * (the m5m reversal∘shift class, one modality over): the recycler
+      * splices an intro ahead of the footage and mirrors the WHOLE
+      * re-edit (intro included — one flip of the finished cut, the way a
+      * re-upload tool actually transforms). Every proportionally-sampled
+      * ordinal shifts (so the keyframe, shot and both dihedral rungs
+      * structurally miss), and every plain stride print differs by ~half
+      * its bits under the flip (so the m3f shift tier misses too) — only
+      * CANONICAL stride prints survive both transforms at once. */
+    def aviMirrorWithIntro(textLen: Long, pad: Int): Array[Byte] = {
+      val (nf, w, h) = params(textLen)
+      aviOf(w, h, (0 until pad).map(j => mirrorIntroPng(textLen, j)) ++
+        (0 until nf).map(f => mirrorFramePng(textLen, f)))
     }
   }
 
@@ -1981,6 +2061,345 @@ object MultimodalOps {
       .select("doc_id", "keeper_id", "n_copies")
       .orderBy("doc_id")
 
+  // ---- the image spatial-CROP tier (m4o/m4p/m4q) --------------------------
+
+  /** Tile edge in pixels — the [[ShiftWindow]] analog on the SPATIAL
+    * axes: a re-upload CROPPED by whole tiles maps tile (tx, ty) onto
+    * tile (tx+cx, ty+cy) pixel-for-pixel, so tile prints match per 2-D
+    * ordinal under a bounded offset fan exactly like the audio windows
+    * match per time ordinal. Sub-tile crops land in the Hamming gate —
+    * the documented ShiftWindow boundary rule on the spatial axes. */
+  val TileSize = 16
+
+  /** HARD per-image cap on tile prints — the [[MaxWinsPerClip]] growth
+    * rail on the spatial axes: tile counts scale with image AREA (the
+    * per-record quantity an uploader controls), so without a cap one
+    * hostile gigapixel upload writes millions of print rows. 4096 tiles
+    * at 16 px cover a 1024×1024 region — a recycler cropping beyond
+    * that has transformed the image beyond what a crop screen claims to
+    * catch. The fixture's largest image cuts 3×3 tiles. */
+  val MaxTilesPerImage = 4096
+
+  /** One tile sub-print WITHOUT the doc envelope — the nested form
+    * [[ImageLensTileHash.tiles]] carries. */
+  final case class ImageTileNested(tx: Long, ty: Long, h_hi: Long, h_lo: Long)
+
+  /** The doc-enveloped row of the m4o print table (the imagetiles
+    * side's schema). */
+  final case class ImageTilePrint(doc_id: Long, tx: Long, ty: Long,
+    h_hi: Long, h_lo: Long)
+
+  /** aHash of ONE [[TileSize]]-square tile anchored at (x0, y0) — the
+    * [[aHash]] arithmetic over the tile's own 8×8 nearest-sample grid
+    * (positions x0 + (i·t)/8: exact integers at t = 16): integer luma,
+    * strict > against the integer mean, two 32-bit halves. CONSTANT-luma
+    * tiles drop (a flat background tile carries no spatial evidence and
+    * would cross-match every such image through one degenerate bucket —
+    * the silence-window rule on pixels). */
+  def tileAHash(img: BufferedImage, x0: Int, y0: Int,
+      t: Int = TileSize): Option[(Long, Long)] = {
+    val gray = new Array[Int](64)
+    var k = 0
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var sum = 0
+    while (k < 64) {
+      val v = img.getRGB(x0 + ((k % 8) * t) / 8, y0 + ((k / 8) * t) / 8)
+      val g = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      gray(k) = g
+      if (g < mn) mn = g
+      if (g > mx) mx = g
+      sum += g
+      k += 1
+    }
+    if (mn == mx) None
+    else {
+      val mean = sum / 64
+      var (hi, lo) = (0L, 0L)
+      k = 0
+      while (k < 64) {
+        if (gray(k) > mean) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      Some((hi, lo))
+    }
+  }
+
+  /** Every whole tile's sub-print of one decoded image, row-major,
+    * capped at [[MaxTilesPerImage]]; the right/bottom partial tiles drop
+    * (their dims — and so their prints — depend on total image size, the
+    * one thing a crop changes: the tail-partial rule on pixels). */
+  def tilePrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageTileNested] = {
+    val ntx = img.getWidth / t
+    val nty = img.getHeight / t
+    val out = Vector.newBuilder[ImageTileNested]
+    var count = 0
+    var ty = 0
+    while (ty < nty && count < MaxTilesPerImage) {
+      var tx = 0
+      while (tx < ntx && count < MaxTilesPerImage) {
+        tileAHash(img, tx * t, ty * t, t).foreach { case (hi, lo) =>
+          out += ImageTileNested(tx.toLong, ty.toLong, hi, lo)
+          count += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out.result()
+  }
+
+  /** EVERY image print family + the tile sub-prints of one decoded
+    * image — the [[ImageLensHash]] frame widened by the nested tiles
+    * (the [[AudioFull]] discipline on the pixel modality): ONE
+    * [[ImageDecoder.image]] decode feeds the aHash, dHash,
+    * dihedral-canonical AND tile families, so the admission loop's
+    * image sides — imagetiles included — never decode a pixel twice.
+    * [[aHashOf]]/[[dHashOf]]/[[dihedralOf]] project unchanged (they
+    * select named columns); [[tilesOf]] explodes the tile rows. */
+  final case class ImageLensTileHash(doc_id: Long, a_hi: Long, a_lo: Long,
+      d_hi: Long, d_lo: Long, k_hi: Long, k_lo: Long,
+      width: Long, height: Long, tiles: Seq[ImageTileNested])
+
+  /** The bare decode→all-prints+tiles projection (the ingest form). */
+  def lensTileFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        ImageDecoder.image(r.payload).map { img =>
+          val (ahi, alo) = aHash(img)
+          val (dhi, dlo) = dHash(img)
+          val (khi, klo) = dihedralAHash(img)
+          ImageLensTileHash(r.doc_id, ahi, alo, dhi, dlo, khi, klo,
+            img.getWidth.toLong, img.getHeight.toLong, tilePrintsOf(img))
+        }
+      }
+    }.toDF()
+  }
+
+  /** The tracked-persisted form (several sides/screens scan it per
+    * admission). */
+  private[graft] def lensTileFrameRaw(media: DataFrame): DataFrame =
+    DedupOps.tracked(lensTileFrame(media))
+
+  /** The imagetiles-side projection of a [[lensTileFrame]] — the nested
+    * tile prints exploded into the [[ImageTilePrint]] schema. */
+  def tilesOf(frame: DataFrame): DataFrame =
+    frame.select(col("doc_id"), explode(col("tiles")).as("t"))
+      .select(col("doc_id"), col("t.tx").as("tx"), col("t.ty").as("ty"),
+        col("t.h_hi").as("h_hi"), col("t.h_lo").as("h_lo"))
+
+  /** M4o's print table, decode-inline (the measured seam — the served
+    * rows read maintained/cached prints instead): decode → every whole
+    * tile's sub-print. Narrow per-record work, no shuffle; undecodable
+    * payloads (video, rot) drop. */
+  def tilePrintFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      ImageDecoder.image(r.payload).iterator.flatMap { img =>
+        tilePrintsOf(img).map(t =>
+          ImageTilePrint(r.doc_id, t.tx, t.ty, t.h_hi, t.h_lo))
+      }
+    }.toDF()
+  }
+
+  /** The tracked-persisted form (the imageHashesRaw rule). */
+  private[graft] def tilePrintFrameRaw(media: DataFrame): DataFrame =
+    DedupOps.tracked(tilePrintFrame(media))
+
+  /** The fixture's CROP rules for the spatial tier, one modulus pair
+    * shared with the oracle: an odd doc crops one whole tile column off
+    * the LEFT (when its width allows a second tile), a %3-remainder-1
+    * doc one tile row off the TOP — so the mixed fixture exercises
+    * x-only, y-only, both-axis and no-crop renditions. */
+  def cropXOf(id: Long, w: Long): Long =
+    if (id % 2 == 1 && w / TileSize >= 2) 1L else 0L
+  def cropYOf(id: Long, h: Long): Long =
+    if (id % 3 == 1 && h / TileSize >= 2) 1L else 0L
+
+  /** Fixture media table under the mixed cropped/plain rule — the
+    * [[asMirrorMixMediaTable]] discipline on the image modality: a
+    * crop-rule doc's rendition is the generative pixels shifted by the
+    * cropped tiles (pixel (x, y) reads the formula at (x + 16·cx,
+    * y + 16·cy), dims shrink accordingly — [[ImageGen.pngCropped]]); the
+    * rest render plain. Callers feed the IMAGE subset (non-video ids
+    * pruned BEFORE the generation map). */
+  def asCroppedMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (w, h) = ImageGen.dims(l)
+        val cx = cropXOf(id, w.toLong)
+        val cy = cropYOf(id, h.toLong)
+        if (cx == 0 && cy == 0) MediaRecord(id, "image/png", ImageGen.png(l))
+        else MediaRecord(id, "image/png",
+          ImageGen.pngCropped(l, cx.toInt, cy.toInt))
+      }.toDF()
+  }
+
+  /** Fixture media table of CROPPED re-uploads of EVERY fed image doc —
+    * the m4p/m4q increment feed ([[asMirrorPrependedMediaTable]]'s
+    * sibling on the image modality): each image recycles with one tile
+    * column and one tile row cropped wherever its dims allow, against a
+    * corpus admitted uncropped. */
+  def asCropIncrementMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (w, h) = ImageGen.dims(l)
+        val cx = if (w / TileSize >= 2) 1 else 0
+        val cy = if (h / TileSize >= 2) 1 else 0
+        if (cx == 0 && cy == 0) MediaRecord(id, "image/png", ImageGen.png(l))
+        else MediaRecord(id, "image/png", ImageGen.pngCropped(l, cx, cy))
+      }.toDF()
+  }
+
+  /** M4o — SPATIAL-CROP-robust image near-dups: the m5h windowed
+    * discipline on the x/y axes (the r19 verdict's image-tier ask). A
+    * re-upload CROPPED by whole tiles moves every sample of all three
+    * full-frame lenses (aHash, dHash, even the dihedral-canonical print
+    * — a crop is not a dihedral transform), so the whole m4 ladder
+    * misses it; here each [[TileSize]]-square tile prints its own aHash
+    * keyed by 2-D ordinal (tx, ty), banded candidates stay keyed
+    * (tx, ty, band, key) under the rail, and the offset tolerance is a
+    * bounded (2·maxOffset+1)² a-side fan-out of 16-byte rows across the
+    * 2-D ordinal grid. Only candidates pay the exact bit_count verify; a
+    * pair reports per (dx, dy) offset with the matched-tile count and
+    * `minMatched` screens single-tile coincidences. Output: (id_a, id_b,
+    * dx = tx_b − tx_a, dy = ty_b − ty_a, n_matched ≥ minMatched). */
+  def imageTileNearDups(prints: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 1,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = prints.select(col("doc_id"), col("tx"), col("ty"),
+      col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val ok = allBands.groupBy("tx", "ty", "band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("tx", "ty", "band", "key")
+    val bands = allBands.join(ok, Seq("tx", "ty", "band", "key"))
+    def sided(side: String): DataFrame =
+      bands.select(col("tx").as(s"tx_$side"), col("ty").as(s"ty_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // the a side fans across the 2-D offset square; the join key is the
+    // b side's exact (tx, ty, band, key)
+    val aSide = sided("a")
+      .withColumn("join_tx",
+        explode(sequence(col("tx_a") - maxOffset, col("tx_a") + maxOffset)))
+      .withColumn("join_ty",
+        explode(sequence(col("ty_a") - maxOffset, col("ty_a") + maxOffset)))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    aSide.join(sided("b"),
+        col("join_tx") === col("tx_b") && col("join_ty") === col("ty_b") &&
+          col("band_a") === col("band_b") &&
+          col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
+        col("tx_b"), col("ty_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("tx_b") - col("tx_a")).as("dx"),
+        (col("ty_b") - col("ty_a")).as("dy"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "dx", "dy")
+  }
+
+  /** M4p/m4q — [[imageTileNearDups]] SERVED: an increment's tile prints
+    * against a MAINTAINED corpus tile table (DedupStream's imagetiles
+    * side) — the m5i discipline on the spatial axes: combined-population
+    * rail per (tx, ty, band, key), INCREMENT-side 2-D fan-out only (the
+    * corpus never replicates — the 100 TB asymmetry), corpus member as
+    * id_a whatever the numeric order, id-level self-exclusion for
+    * replay; new-vs-new pairs orient (min, max). The cropped re-upload
+    * is caught at its true (dx, dy) at admission time. SIGN RULE (the
+    * m5i one, per axis): the vs-corpus leg carries the corpus member as
+    * id_a, so a LEFT/TOP-cropped INCREMENT reports negative offsets
+    * (its tile (tx, ty) is the corpus's (tx+cx, ty+cy)). */
+  def imageTileNearDupsServed(corpusTiles: DataFrame,
+      incrTiles: DataFrame, incrIds: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 1,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    def bandsOfT(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("tx"), col("ty"),
+        col("h_hi"), col("h_lo"),
+        posexplode(array(
+          col("h_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+          col("h_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band", "key")))
+    val keyCols = Seq("tx", "ty", "band", "key")
+    val cb = bandsOfT(
+      corpusTiles.select("doc_id", "tx", "ty", "h_hi", "h_lo")
+        .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOfT(
+      incrTiles.select("doc_id", "tx", "ty", "h_hi", "h_lo"))
+    val ok = nb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nc")),
+        keyCols, "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select(keyCols.map(col): _*)
+    val nbp = nb.join(ok, keyCols)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("tx").as(s"tx_$side"), col("ty").as(s"ty_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // the increment (b) side fans across the 2-D offset square; the
+    // join lands on the a side's exact (tx, ty, band, key)
+    def fanned(df: DataFrame): DataFrame =
+      sided(df, "b")
+        .withColumn("join_tx",
+          explode(sequence(col("tx_b") - maxOffset, col("tx_b") + maxOffset)))
+        .withColumn("join_ty",
+          explode(sequence(col("ty_b") - maxOffset, col("ty_b") + maxOffset)))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("join_tx") === col("tx_a") &&
+        col("join_ty") === col("ty_a") &&
+        col("band_a") === col("band_b") && col("key_a") === col("key_b"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    val vsCorpus = joined(sided(cb, "a"), fanned(nbp))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = joined(sided(nbp, "a"), fanned(nbp))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
+        col("tx_b"), col("ty_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"),
+        (col("tx_b") - col("tx_a")).as("dx"),
+        (col("ty_b") - col("ty_a")).as("dy"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "dx", "dy")
+  }
+
   /** Thumbnail metadata: source dims + the fitted target box. */
   final case class ThumbMeta(
       doc_id: Long, width: Long, height: Long, thumb_w: Long, thumb_h: Long)
@@ -2312,9 +2731,16 @@ object MultimodalOps {
     * recipe columns on the pixel modality):
     *   `video_len` — generative clip basis, default the text length
     *   `video_pad` — intro frames prepended ([[VideoGen.aviWithIntro]])
+    *   `video_mirror` — horizontally FLIP the footage
+    *     ([[VideoGen.aviMirrorWithIntro]] — the composed dihedral∘shift
+    *     re-edit when combined with `video_pad`)
+    * and, on the IMAGE modality (round 20 — the spatial-crop tier's
+    * recycler feed):
+    *   `img_len` — generative image basis, default the text length
+    *   `img_crop_x`/`img_crop_y` — whole [[TileSize]]-px tiles cropped
+    *     off the left/top ([[ImageGen.pngCropped]])
     * Docs without the columns render byte-identically to
-    * [[asMediaTable]]; image payloads never carry a rendition (the
-    * image rungs are orientation/lens-configured instead). */
+    * [[asMediaTable]]. */
   def asRenditionMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -2324,16 +2750,30 @@ object MultimodalOps {
           coalesce(col("video_len"), length(col("text")).cast("long"))
         else length(col("text")).cast("long")).as("vlen"),
         (if (cols("video_pad")) coalesce(col("video_pad"), lit(0L))
-        else lit(0L)).as("vpad"))
-      .as[(Long, String, String, Long, Long)]
-      .map { case (id, source, text, vlen, vpad) =>
+        else lit(0L)).as("vpad"),
+        (if (cols("video_mirror")) coalesce(col("video_mirror"), lit(false))
+        else lit(false)).as("vmir"),
+        (if (cols("img_len"))
+          coalesce(col("img_len"), length(col("text")).cast("long"))
+        else length(col("text")).cast("long")).as("ilen"),
+        (if (cols("img_crop_x")) coalesce(col("img_crop_x"), lit(0L))
+        else lit(0L)).as("icx"),
+        (if (cols("img_crop_y")) coalesce(col("img_crop_y"), lit(0L))
+        else lit(0L)).as("icy"))
+      .as[(Long, String, String, Long, Long, Boolean, Long, Long, Long)]
+      .map { case (id, source, text, vlen, vpad, vmir, ilen, icx, icy) =>
         val tl = text.length.toLong
         if (isVideoId(id)) {
-          if (vlen == tl && vpad == 0L)
+          if (vlen == tl && vpad == 0L && !vmir)
             MediaRecord(id, s"video/$source", VideoGen.avi(tl))
+          else if (vmir) MediaRecord(id, s"video/$source",
+            VideoGen.aviMirrorWithIntro(vlen, vpad.toInt))
           else MediaRecord(id, s"video/$source",
             VideoGen.aviWithIntro(vlen, vpad.toInt))
         }
+        else if (ilen != tl || icx != 0L || icy != 0L)
+          MediaRecord(id, "image/png",
+            ImageGen.pngCropped(ilen, icx.toInt, icy.toInt))
         else if (imageContainerOf(id) == "bmp")
           MediaRecord(id, "image/bmp", ImageGen.bmp(tl))
         else MediaRecord(id, "image/png", ImageGen.png(tl))
@@ -2396,6 +2836,48 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** The fixture's MIRROR rule for the composed video re-edit, one
+    * modulus shared with the oracle ([[isReversedId]]'s sibling on the
+    * dihedral axis): video ids are multiples of 4, so (id/4) % 2
+    * alternates across the video population — every other clip recycles
+    * MIRRORED behind [[vidPadOf]] intro frames, the rest render plain. */
+  def vidMirrorOf(id: Long): Boolean = (id / 4) % 2 == 1
+
+  /** Fixture media table under the mixed mirrored/plain rule — the
+    * [[asReversedAudioTable]] discipline on the video modality: a
+    * [[vidMirrorOf]] doc's rendition is the footage MIRRORED behind
+    * [[vidPadOf]] intro frames (the composed recycler that evades the
+    * keyframe, shot, dihedral AND plain-stride rungs all at once); the
+    * rest render plain with no intro. Callers feed the VIDEO subset
+    * ([[isVideoId]] pruning BEFORE the generation map, the m3 rule). */
+  def asMirrorMixMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        val l = text.length.toLong
+        MediaRecord(id, s"video/$source",
+          if (vidMirrorOf(id)) VideoGen.aviMirrorWithIntro(l, vidPadOf(id).toInt)
+          else VideoGen.avi(l))
+      }.toDF()
+  }
+
+  /** Fixture media table of MIRRORED-and-PREPENDED re-edits of EVERY fed
+    * video doc — the m3j/m3k increment feed ([[asPrependedMediaTable]]'s
+    * composed sibling): each clip recycles mirrored behind [[vidPadOf]]
+    * intro frames against a corpus admitted plain. */
+  def asMirrorPrependedMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        MediaRecord(id, s"video/$source",
+          VideoGen.aviMirrorWithIntro(text.length.toLong, vidPadOf(id).toInt))
+      }.toDF()
+  }
+
   /** One sampled frame's dual-family prints WITHOUT the doc envelope —
     * the nested form [[VideoFull.frames]] carries (the
     * [[FrameLensSample]] column set minus doc_id). */
@@ -2404,9 +2886,13 @@ object MultimodalOps {
     k_hi: Long, k_lo: Long)
 
   /** One fixed-stride frame print WITHOUT the doc envelope — the nested
-    * form [[VideoFull.strides]] carries (the [[AudioWin]] shape on the
-    * frame axis). */
-  final case class FrameStride(ordinal: Long, h_hi: Long, h_lo: Long)
+    * form [[VideoFull.strides]] carries: the PLAIN aHash (h — the m3f
+    * shift tier's rows) AND the dihedral-CANONICAL print (k — the m3i
+    * dihedral∘shift tier's rows, closing the r19 verdict's composed-
+    * evasion seam) of the same stride frame, both off the one decode
+    * memo. */
+  final case class FrameStride(ordinal: Long, h_hi: Long, h_lo: Long,
+    k_hi: Long, k_lo: Long)
 
   /** The COMBINED per-clip video decode row: the proportional dual-family
     * frame samples (keyframe/shot/dihedral rungs' rows) PLUS the
@@ -2419,8 +2905,9 @@ object MultimodalOps {
 
   /** Batched combined video decode: parse the container once, decode the
     * UNION of {proportionally sampled frame numbers} ∪ {every `stride`-th
-    * frame} through one memo, print both families on the sampled frames
-    * and the plain family on the stride frames. At the default stride 1
+    * frame} through one memo, print BOTH families on the sampled frames
+    * AND on the stride frames (since r20 — the canonical stride print is
+    * the dihedral∘shift tier's row). At the default stride 1
     * the sampled set is a subset of the stride set, so the memo makes
     * the proportional rows free; stride prints cap at
     * [[MaxStridePrintsPerClip]]. Undecodable containers drop; a clip
@@ -2445,8 +2932,11 @@ object MultimodalOps {
         }
         val strides = (0 until nf by stride).take(MaxStridePrintsPerClip)
           .zipWithIndex.flatMap { case (fno, ord) =>
-            dec(fno).map { case ((hi, lo), _, _, _) =>
-              FrameStride(ord.toLong, hi, lo) }
+            // BOTH print families ride each memoized frame: discarding
+            // the k-print here was the r19 verdict's composed-evasion
+            // seam (a mirrored-AND-prepended re-edit evaded every rung)
+            dec(fno).map { case ((hi, lo), (khi, klo), _, _) =>
+              FrameStride(ord.toLong, hi, lo, khi, klo) }
           }
         VideoFull(r.doc_id, sampled, strides)
       }
@@ -2475,6 +2965,21 @@ object MultimodalOps {
       .select(col("doc_id"), col("s.ordinal").as("ordinal"),
         col("s.h_hi").as("h_hi"), col("s.h_lo").as("h_lo"))
 
+  /** The framestridek-side projection of a [[VideoFull]] frame — the
+    * dihedral-CANONICAL stride prints in the same (doc_id, ordinal,
+    * h_hi, h_lo) schema (k as h — the [[frameDihedralOf]] rule), so
+    * [[audioShiftNearDups]] / [[audioShiftNearDupsServedWins]] run
+    * UNCHANGED over them: the m3i dihedral∘shift tier's rows. A clip
+    * recycled MIRRORED (or rotated) AND intro-prepended keeps every
+    * canonical stride print (the dihedral transform permutes the
+    * symmetric grid; the prepend shifts ordinals by exactly the intro
+    * count), so the composed re-edit that evades the keyframe, shot,
+    * dihedral and plain-stride rungs is caught at its true offset. */
+  def videoStrideKOf(full: DataFrame): DataFrame =
+    full.select(col("doc_id"), explode(col("strides")).as("s"))
+      .select(col("doc_id"), col("s.ordinal").as("ordinal"),
+        col("s.k_hi").as("h_hi"), col("s.k_lo").as("h_lo"))
+
   /** The tracked-persisted combined decode the admission loop shares
     * between every video screen and side write. */
   private[graft] def videoFullRaw(spark: SparkSession,
@@ -2497,4 +3002,19 @@ object MultimodalOps {
   private[graft] def frameStridePrintsRaw(spark: SparkSession,
       media: DataFrame, stride: Int = 1): DataFrame =
     DedupOps.tracked(frameStridePrints(spark, media, stride))
+
+  /** M3i's print table: every `stride`-th frame's dihedral-CANONICAL
+    * print keyed by stride ordinal — the [[frameStridePrints]] twin on
+    * the orientation-invariant family, the SAME [[decodeVideoFull]]
+    * kernel (one container parse, one frame memo, both families), so
+    * the batch operator and the maintained framestridek side cannot
+    * drift. Matching is [[audioShiftNearDups]] verbatim. */
+  def frameStrideKPrints(spark: SparkSession, media: DataFrame,
+      stride: Int = 1): DataFrame =
+    videoStrideKOf(decodeVideoFull(spark, media, stride = stride).toDF())
+
+  /** The tracked-persisted form (the audioWindowPrintsRaw rule). */
+  private[graft] def frameStrideKPrintsRaw(spark: SparkSession,
+      media: DataFrame, stride: Int = 1): DataFrame =
+    DedupOps.tracked(frameStrideKPrints(spark, media, stride))
 }

@@ -355,6 +355,134 @@ dbits AS (SELECT doc_id, w, h,
               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h_lo
      FROM dgr)"""
 
+  /** m4o/m4p/m4q's SPATIAL-CROP chain: the cropped fixture's rendition
+    * (a crop-rule doc's pixel (x, y) reads the generative formula at
+    * (x + 16·cx, y + 16·cy), dims shrunk accordingly), EVERY whole
+    * 16-px tile printed through the tile-grid aHash arithmetic (8×8
+    * nearest samples WITHIN the tile at x0 + (i·16)//8, integer luma,
+    * strict > against the integer mean; constant-luma tiles drop — the
+    * engine's silence-window rule on pixels), keyed by 2-D ordinal.
+    * Exposes `<p>bits` (doc_id, tx, ty, h_hi, h_lo). `plainBelow400`
+    * renders corpus docs UNCROPPED and every increment doc cropped
+    * wherever its dims allow (the m4p/m4q served split); false = the
+    * id%2 / id%3 mixed rule everywhere (the m4o batch fixture). */
+  private def tileBitsCtes(p: String, plainBelow400: Boolean): String = {
+    val cxExpr =
+      if (plainBelow400)
+        "CASE WHEN doc_id >= 400 AND w0 // 16 >= 2 THEN 1 ELSE 0 END"
+      else "CASE WHEN doc_id % 2 = 1 AND w0 // 16 >= 2 THEN 1 ELSE 0 END"
+    val cyExpr =
+      if (plainBelow400)
+        "CASE WHEN doc_id >= 400 AND h0 // 16 >= 2 THEN 1 ELSE 0 END"
+      else "CASE WHEN doc_id % 3 = 1 AND h0 // 16 >= 2 THEN 1 ELSE 0 END"
+    s"""${p}img AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs
+        WHERE doc_id % 4 <> 0),
+${p}dm AS (SELECT doc_id, l, 16 + l % 48 AS w0, 16 + (l * 7) % 48 AS h0
+           FROM ${p}img),
+${p}cr AS (SELECT doc_id, l, $cxExpr AS cx, $cyExpr AS cy, w0, h0 FROM ${p}dm),
+${p}rd AS (SELECT doc_id, l, cx, cy, w0 - 16 * cx AS w, h0 - 16 * cy AS h
+           FROM ${p}cr),
+${p}ti AS (SELECT doc_id, l, cx, cy, w, h,
+           unnest(range(0, (w // 16) * (h // 16))) AS ti FROM ${p}rd),
+${p}tl AS (SELECT doc_id, l, cx, cy,
+           ti % (w // 16) AS tx, ti // (w // 16) AS ty FROM ${p}ti),
+${p}gr AS (SELECT doc_id, tx, ty,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ((tx * 16 + ((k % 8) * 16) // 8 + 16 * cx) * 31
+              + (ty * 16 + ((k // 8) * 16) // 8 + 16 * cy) * 17 + l) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM ${p}tl),
+${p}nc AS (SELECT doc_id, tx, ty, gray FROM ${p}gr
+           WHERE list_min(gray) <> list_max(gray)),
+${p}mn AS (SELECT doc_id, tx, ty, gray, list_sum(gray) // 64 AS mean
+           FROM ${p}nc),
+${p}bits AS (SELECT doc_id, tx, ty,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS BIGINT) AS h_lo
+     FROM ${p}mn)"""
+  }
+
+  /** m4o — the batch self-search over the mixed cropped/plain fixture:
+    * the m3f candidate/verify/count chain with a 2-D ordinal (the ±1
+    * offset square on both axes). */
+  private val imageTileNearDupSql: String = s"""
+WITH ${tileBitsCtes("mo", plainBelow400 = false)},
+mobands AS (SELECT doc_id, tx, ty, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM mobits, (SELECT unnest(range(0, 4)) AS band)),
+mook AS (SELECT tx, ty, band, key FROM mobands GROUP BY tx, ty, band, key
+         HAVING count(*) <= 100),
+mopr AS (SELECT b.doc_id, b.tx, b.ty, b.band, b.key
+         FROM mobands b JOIN mook USING (tx, ty, band, key)),
+mocand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.tx AS txa, a.ty AS tya, b.tx AS txb, b.ty AS tyb
+           FROM mopr a JOIN mopr b
+             ON a.band = b.band AND a.key = b.key
+            AND b.tx BETWEEN a.tx - 1 AND a.tx + 1
+            AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+            AND a.doc_id < b.doc_id),
+mover AS (SELECT c.id_a, c.id_b, c.txb - c.txa AS dx, c.tyb - c.tya AS dy
+          FROM mocand c
+          JOIN mobits x ON x.doc_id = c.id_a AND x.tx = c.txa AND x.ty = c.tya
+          JOIN mobits y ON y.doc_id = c.id_b AND y.tx = c.txb AND y.ty = c.tyb
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM mover GROUP BY id_a, id_b, dx, dy HAVING count(*) >= 2
+ORDER BY id_a, id_b, dx, dy"""
+
+  /** m4p/m4q — the served form, ONE definition (the m5e/m5f rule):
+    * uncropped corpus (< 400) vs the cropped increment (≥ 400),
+    * combined-population rail with only the increment side
+    * prune-joined. */
+  private val imageTileServedSql: String = s"""
+WITH ${tileBitsCtes("mp", plainBelow400 = true)},
+mpbands AS (SELECT doc_id, tx, ty, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM mpbits, (SELECT unnest(range(0, 4)) AS band)),
+mpok AS (SELECT tx, ty, band, key FROM mpbands
+         GROUP BY tx, ty, band, key HAVING count(*) <= 100),
+mpip AS (SELECT b.doc_id, b.tx, b.ty, b.band, b.key FROM mpbands b
+         JOIN mpok USING (tx, ty, band, key) WHERE b.doc_id >= 400),
+mpcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.tx AS txa, a.ty AS tya, b.tx AS txb, b.ty AS tyb
+  FROM mpbands a JOIN mpip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, a.tx, a.ty, b.tx, b.ty
+  FROM mpip a JOIN mpip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+   AND a.doc_id < b.doc_id),
+mpver AS (SELECT c.id_a, c.id_b, c.txb - c.txa AS dx, c.tyb - c.tya AS dy
+          FROM mpcand c
+          JOIN mpbits x ON x.doc_id = c.id_a AND x.tx = c.txa AND x.ty = c.tya
+          JOIN mpbits y ON y.doc_id = c.id_b AND y.tx = c.txb AND y.ty = c.tyb
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM mpver GROUP BY id_a, id_b, dx, dy HAVING count(*) >= 2
+ORDER BY id_a, id_b, dx, dy"""
+
   /** m4k/m4l's dihedral-canonical chain: the SYMMETRIC sample grid
     * (x_i = (i·w)//8 for i < 4, w−1−((7−i)·w)//8 for i ≥ 4 — exactly the
     * engine's symGray rule, so dihedral image transforms permute the
@@ -787,6 +915,148 @@ fyver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
 SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
        CAST(count(*) AS BIGINT) AS n_matched
 FROM fyver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
+
+  /** m3i/m3j/m3k's DIHEDRAL∘SHIFT chain: the mixed mirrored/plain video
+    * fixture (a mirror-rule doc's WHOLE re-edit is horizontally FLIPPED
+    * — pixel (x, y) reads the generative formula at (w−1−x, y), intro
+    * frames included — behind doc_id % 3 intro frames), EVERY frame
+    * printed at stride 1
+    * through the full dihedral-CANONICAL recomputation: symmetric
+    * sample grid, mean-threshold bits, HUGEINT least over the 8
+    * orientations (the m4k arithmetic per stride frame — genuinely
+    * independent: the oracle canonicalizes the MIRRORED pixels, the
+    * engine canonicalizes pixels it decoded from mirrored PNG frames
+    * inside a real AVI, and the two must land on the same print).
+    * Exposes `<p>bits` (doc_id, ordinal, h_hi, h_lo). `plainBelow400`
+    * renders corpus docs plain-unprepended and EVERY increment doc
+    * mirrored+prepended (the m3j/m3k served split); false = the
+    * (doc_id/4) % 2 mixed rule everywhere (the m3i batch fixture). */
+  private def kStrideBitsCtes(p: String, plainBelow400: Boolean): String = {
+    val mirExpr =
+      if (plainBelow400) "CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END"
+      else "CASE WHEN (doc_id // 4) % 2 = 1 THEN 1 ELSE 0 END"
+    val padExpr =
+      if (plainBelow400) "CASE WHEN doc_id >= 400 THEN doc_id % 3 ELSE 0 END"
+      else "CASE WHEN (doc_id // 4) % 2 = 1 THEN doc_id % 3 ELSE 0 END"
+    // the symmetric-grid sample positions (the engine's symGray rule)
+    val gx = """(CASE WHEN (k % 8) < 4 THEN ((k % 8) * w) // 8
+                     ELSE w - 1 - (((7 - (k % 8)) * w) // 8) END)"""
+    val gy = """(CASE WHEN (k // 8) < 4 THEN ((k // 8) * h) // 8
+                     ELSE h - 1 - (((7 - (k // 8)) * h) // 8) END)"""
+    // a mirrored re-edit flips the WHOLE cut — intro frames included
+    // (one flip of the finished re-edit, the engine's aviMirrorWithIntro)
+    val px = s"(CASE WHEN mir = 1 THEN w - 1 - $gx ELSE $gx END)"
+    val term = "(CASE WHEN f < pad THEN l + 7000 + f * 7 ELSE l + (f - pad) * 7 END)"
+    val idx = Seq(
+      "k",
+      "(k // 8) * 8 + (7 - (k % 8))",
+      "(7 - (k // 8)) * 8 + (k % 8)",
+      "(7 - (k // 8)) * 8 + (7 - (k % 8))",
+      "(k % 8) * 8 + (k // 8)",
+      "(k % 8) * 8 + (7 - (k // 8))",
+      "(7 - (k % 8)) * 8 + (k // 8)",
+      "(7 - (k % 8)) * 8 + (7 - (k // 8))")
+    val packs = idx.map { m =>
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS HUGEINT) * 4294967296
+       + CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS HUGEINT)"""
+    }
+    s"""${p}vl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l
+        FROM $Docs WHERE doc_id % 4 = 0),
+${p}vp AS (SELECT doc_id, l, 16 + l % 48 AS w, 16 + (l * 7) % 48 AS h,
+              2 + l % 3 AS nf, $padExpr AS pad, $mirExpr AS mir FROM ${p}vl),
+${p}fs AS (SELECT doc_id, l, w, h, pad, mir,
+           unnest(range(0, nf + pad)) AS f FROM ${p}vp),
+${p}fg AS (SELECT doc_id, f AS ordinal,
+         list_transform(
+           list_transform(range(0, 64), k ->
+             ($px * 31 + $gy * 17 + $term) & 16777215),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM ${p}fs),
+${p}fm AS (SELECT doc_id, ordinal, gray, list_sum(gray) // 64 AS mean
+           FROM ${p}fg),
+${p}fc AS (SELECT doc_id, ordinal,
+           least(${packs.mkString(",\n  ")}) AS comb FROM ${p}fm),
+${p}bits AS (SELECT doc_id, ordinal,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo FROM ${p}fc)"""
+  }
+
+  /** m3i — the batch self-search over the mixed mirrored/plain fixture:
+    * the m3f candidate/verify/count chain verbatim over CANONICAL
+    * stride prints. */
+  private val frameKStrideNearDupSql: String = s"""
+WITH ${kStrideBitsCtes("kx", plainBelow400 = false)},
+kxbands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM kxbits, (SELECT unnest(range(0, 4)) AS band)),
+kxok AS (SELECT ordinal, band, key FROM kxbands GROUP BY ordinal, band, key
+         HAVING count(*) <= 100),
+kxpr AS (SELECT b.doc_id, b.ordinal, b.band, b.key
+         FROM kxbands b JOIN kxok USING (ordinal, band, key)),
+kxcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ordinal AS oa, b.ordinal AS ob
+           FROM kxpr a JOIN kxpr b
+             ON a.band = b.band AND a.key = b.key
+            AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+            AND a.doc_id < b.doc_id),
+kxver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM kxcand c
+          JOIN kxbits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN kxbits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM kxver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
+ORDER BY id_a, id_b, win_offset"""
+
+  /** m3j/m3k — the served form, ONE definition (the m5e/m5f rule):
+    * plain-unprepended corpus (< 400) vs the mirrored+prepended
+    * increment (≥ 400), combined-population rail with only the
+    * increment side prune-joined. */
+  private val frameKStrideServedSql: String = s"""
+WITH ${kStrideBitsCtes("ky", plainBelow400 = true)},
+kybands AS (SELECT doc_id, ordinal, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM kybits, (SELECT unnest(range(0, 4)) AS band)),
+kyok AS (SELECT ordinal, band, key FROM kybands
+         GROUP BY ordinal, band, key HAVING count(*) <= 100),
+kyip AS (SELECT b.doc_id, b.ordinal, b.band, b.key FROM kybands b
+         JOIN kyok USING (ordinal, band, key) WHERE b.doc_id >= 400),
+kycand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ordinal AS oa, b.ordinal AS ob
+  FROM kybands a JOIN kyip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, a.ordinal, b.ordinal
+  FROM kyip a JOIN kyip b
+    ON a.band = b.band AND a.key = b.key
+   AND b.ordinal BETWEEN a.ordinal - 3 AND a.ordinal + 3
+   AND a.doc_id < b.doc_id),
+kyver AS (SELECT c.id_a, c.id_b, c.ob - c.oa AS win_offset
+          FROM kycand c
+          JOIN kybits x ON x.doc_id = c.id_a AND x.ordinal = c.oa
+          JOIN kybits y ON y.doc_id = c.id_b AND y.ordinal = c.ob
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM kyver GROUP BY id_a, id_b, win_offset HAVING count(*) >= 2
 ORDER BY id_a, id_b, win_offset"""
 
   /** The keyframe (frame 0) aHash chain — exposes `abits` (doc_id,
@@ -2961,6 +3231,18 @@ ORDER BY f.doc_id, frame_idx""",
     "m3g_frame_shift_served" -> frameShiftServedSql,
     "m3h_frame_shift_maintained" -> frameShiftServedSql,
 
+    // m3i: the dihedral∘shift composition — dihedral-CANONICAL stride
+    // prints (the m4k HUGEINT-least recomputation per stride frame, over
+    // MIRRORED pixels where the fixture's (doc_id/4)%2 rule says) matched
+    // by the m3f chain verbatim: the mirrored-AND-prepended re-edit the
+    // r19 verdict named, caught at its true intro offset.
+    "m3i_frame_kstride_near_dups" -> frameKStrideNearDupSql,
+    // m3j: the canonical-stride screen SERVED (mirrored+prepended
+    // increment vs the plain corpus); m3k is the maintained-side twin off
+    // the twenty-first framestridek side — one oracle (the m5e/m5f rule).
+    "m3j_frame_kstride_served" -> frameKStrideServedSql,
+    "m3k_frame_kstride_maintained" -> frameKStrideServedSql,
+
     // m7d: d1's exact-dedup semantics on video — identical keyframe
     // prints form a group, keeper = min doc_id (m4b/m5b's rule on the
     // fourth modality), over the m7b keyframe chain.
@@ -3162,6 +3444,17 @@ SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
          CASE WHEN gray[k + 1] > mean THEN (CAST(1 AS BIGINT) << k)
               ELSE 0 END)) AS BIGINT) AS h_lo
 FROM tm ORDER BY doc_id""",
+
+    // m4o: the spatial-crop tier — tile sub-prints (the tile-grid aHash
+    // recomputation over the crop-rule renditions) matched per 2-D
+    // ordinal under a ±1 offset square: the cropped re-upload every
+    // full-frame lens misses, caught at its true (dx, dy).
+    "m4o_image_tile_near_dups" -> imageTileNearDupSql,
+    // m4p: the tile screen SERVED (cropped increment vs the uncropped
+    // corpus); m4q is the maintained-side twin off the twenty-second
+    // imagetiles side — one oracle (the m5e/m5f rule).
+    "m4p_image_tile_served" -> imageTileServedSql,
+    "m4q_image_tile_maintained" -> imageTileServedSql,
 
     // m4k: the dihedral-canonical print — the oracle recomputes the
     // symmetric grid and ALL 8 orientations' packed prints from the

@@ -14,7 +14,8 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * tree), emits the single c2b-shaped verdict, and commits the admitted
   * survivors to BOTH tiers. This is the service form of the batch
   * `c2b_semantic_admission` composition: same screens, same precedence
-  * (near_dup > span_dup > semantic_dup > image_dup > audio_dup >
+  * (near_dup > span_dup > semantic_dup > image_dup > image_shift_dup >
+  * audio_dup >
   * audio_near_dup > audio_shift_dup > video_dup > video_near_dup >
   * video_shift_dup > contaminated >
   * low_quality > admitted), same oracle
@@ -34,10 +35,36 @@ import graft.llm.{CurationOps, DedupOps, MultimodalOps}
   * ladder (forward-shift ∪ reversal screens off the audiowins +
   * audiorwins sides — the silence-padded, trimmed, reversed or
   * reversed-plus-padded clip recycler rejects as `audio_shift_dup`),
-  * and under `videoShiftRung` the STRIDE rung (framestride side — the
-  * prepended-intro re-edit rejects as `video_shift_dup`); both rungs'
-  * sides are always-on, so the flags gate only the screens and need no
-  * mediaconf stamp. Text-only feeds skip all of them entirely.
+  * under `videoShiftRung` the STRIDE rung (framestride ∪ framestridek
+  * sides — the prepended-intro re-edit rejects as `video_shift_dup`,
+  * and since round 20 so does the MIRRORED-and-prepended composed
+  * re-edit, via the dihedral-canonical stride leg), and under
+  * `imageShiftRung` the TILE rung (imagetiles side — the CROPPED
+  * re-upload all three full-frame lenses miss rejects as
+  * `image_shift_dup`).
+  *
+  * WHY THE SHIFT/TILE RUNGS ARE OPT-IN (the r19 verdict's ask #7,
+  * decided and MEASURED in round 20): they are REJECTION rungs whose
+  * false-positive rate is content-dependent in a way the whole-clip
+  * rungs' is not — a 128-sample window (or a 16-px tile) carries far
+  * less evidence than a whole clip, so on highly self-similar or
+  * synthetic content, sub-prints of UNRELATED items land within the
+  * Hamming gate. The fixture demonstrates the extreme: its mod-65536
+  * sawtooth streams collide across unrelated text lengths (defaulting
+  * the audio rung on reclassified nearly every media-feed spec probe
+  * `audio_shift_dup` against clips it merely resembled window-wise),
+  * and its generative ramp tiles collide across lengths the same way.
+  * Real corpora sit between the extremes, so a deployment TUNES
+  * `minMatched`/`maxHamming`/`maxOffset` against its own content
+  * before arming an admission-time rejecter — arming it blind risks
+  * false rejects that silently starve the corpus. The asymmetric
+  * design makes opt-in cheap and late arming safe: the rungs' SIDES
+  * are always-on (a flag toggle can never lose side history), and the
+  * side SET is versioned in the mediaconf stamp (r19 advice), so
+  * arming a rung against an index admitted under an OLDER side set
+  * fails fast and routes through a backfill instead of silently
+  * under-screening the pre-upgrade corpus. Text-only feeds skip all of
+  * them entirely.
   *
   * Cross-tier CRASH SEMANTICS (the seam this type exists to pin): the
   * three phases run in a fixed order —
@@ -96,7 +123,8 @@ object CurationStream {
     * feed both video screens and all three video sides. */
   private final case class IncrMedia(aHashes: Option[DataFrame],
       dHashes: Option[DataFrame], kHashes: Option[DataFrame],
-      frames: DataFrame, strides: DataFrame)
+      frames: DataFrame, strides: DataFrame, kStrides: DataFrame,
+      tiles: DataFrame)
 
   /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
     * excluded, nothing committed): what WOULD this increment do under
@@ -117,13 +145,18 @@ object CurationStream {
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
       dihedralRung: Boolean = false,
       audioShiftRung: Boolean = false,
-      videoShiftRung: Boolean = false): DataFrame = {
+      videoShiftRung: Boolean = false,
+      imageShiftRung: Boolean = false): DataFrame = {
     // advisory calls never stamp, but a mismatched lens/rung must still
     // fail fast: screening against sides the index never maintained
     // reads empty and silently loses recall (the mediaconf discipline's
-    // read-only half). The shift rungs need no stamp: their sides
-    // (audiowins/audiorwins/framestride) are always-on.
-    DedupStream.checkMediaConf(spark, textIndexDir, imageLens, dihedralRung)
+    // read-only half). The shift/tile rungs' sides are always-on, but
+    // the side SET itself is versioned (r19 advice): an index stamped
+    // under an older side set lacks those sides for its earlier batches,
+    // so the rungs would silently under-screen forever — the version
+    // check routes that through a backfill instead.
+    DedupStream.checkMediaConf(spark, textIndexDir, imageLens, dihedralRung,
+      needsShiftSides = audioShiftRung || videoShiftRung || imageShiftRung)
     val incrMedia = incrementMedia(docs, imageLens, dihedralRung)
     val incrAudio = incrementAudio(docs)
     val ids = docs.select("doc_id")
@@ -159,7 +192,12 @@ object CurationStream {
       videoShiftPairs =
         if (!videoShiftRung) None
         else incrMedia.map(im => videoShiftPairsOf(im,
-          DedupStream.corpusFrameStrides(spark, textIndexDir), ids)))
+          DedupStream.corpusFrameStrides(spark, textIndexDir),
+          DedupStream.corpusFrameKStrides(spark, textIndexDir), ids)),
+      imageTilePairs =
+        if (!imageShiftRung) None
+        else incrMedia.map(im => imageTilePairsOf(im,
+          DedupStream.corpusImageTiles(spark, textIndexDir), ids)))
   }
 
   /** The audio WINDOW rung's COMPLETE pair frame: the forward-shift
@@ -183,15 +221,36 @@ object CurationStream {
         .select("id_a", "id_b"))
       .distinct()
 
-  /** The video STRIDE rung's pair frame: the increment's fixed-stride
-    * prints (the combined decode's strides projection) against the
-    * maintained framestride side — the `video_shift_dup` class catching
-    * the prepended-intro re-edit both whole-clip video rungs
-    * structurally miss. */
-  private def videoShiftPairsOf(im: IncrMedia, strideSide: => DataFrame,
+  /** The image TILE rung's pair frame: the increment's tile sub-prints
+    * (the combined image decode's tiles projection) against the
+    * maintained imagetiles side — the `image_shift_dup` class catching
+    * the CROPPED re-upload all three full-frame lenses structurally
+    * miss (every sample position moves under a crop; a crop is not a
+    * dihedral transform). Offset-(0,0) pairs deliberately included —
+    * the verdict precedence classes them image_dup (the audioShiftPairsOf
+    * rule on the spatial axes). */
+  private def imageTilePairsOf(im: IncrMedia, tileSide: => DataFrame,
       ids: DataFrame): DataFrame =
-    MultimodalOps.audioShiftNearDupsServedWins(strideSide, im.strides, ids)
+    MultimodalOps.imageTileNearDupsServed(tileSide, im.tiles, ids)
       .select("id_a", "id_b").distinct()
+
+  /** The video STRIDE rung's COMPLETE pair frame: the PLAIN stride
+    * screen (framestride side — the prepended-intro re-edit) unioned
+    * with the dihedral-CANONICAL stride screen (framestridek side — the
+    * MIRRORED-and-prepended composed re-edit, r20: the r19 verdict's
+    * remaining video evasion), ONE rung class (`video_shift_dup`), the
+    * audioShiftPairsOf rule on the frame axis. Both screens consume
+    * projections of the batch's one combined video decode; the k-prints
+    * ride the same frame memo, so the second leg costs bit work over
+    * 16-byte rows, never a second container parse. */
+  private def videoShiftPairsOf(im: IncrMedia, strideSide: => DataFrame,
+      kStrideSide: => DataFrame, ids: DataFrame): DataFrame =
+    MultimodalOps.audioShiftNearDupsServedWins(strideSide, im.strides, ids)
+      .select("id_a", "id_b")
+      .unionByName(MultimodalOps.audioShiftNearDupsServedWins(
+          kStrideSide, im.kStrides, ids)
+        .select("id_a", "id_b"))
+      .distinct()
 
   /** The increment's image-lens fingerprints AND sampled-frame prints,
     * decoded ONCE per batch off ONE materialized media table and fed to
@@ -216,24 +275,20 @@ object CurationStream {
       val vfull = MultimodalOps.videoFullRaw(docs.sparkSession, media)
       val frames = MultimodalOps.videoFramesOf(vfull)
       val strides = MultimodalOps.videoStridesOf(vfull)
-      Some((lens, dihedralRung) match {
-        case (DedupStream.AHashLens, false) =>
-          // the original single-lens decode path, byte-stable
-          IncrMedia(Some(MultimodalOps.imageHashesRaw(media)), None, None,
-            frames, strides)
-        case _ =>
-          // any extra print family rides ONE multi-lens decode; each
-          // configured family projects its column set
-          val lensRaw = MultimodalOps.lensFingerprintFrameRaw(media)
-          IncrMedia(
-            if (lens != DedupStream.DHashLens)
-              Some(MultimodalOps.aHashOf(lensRaw)) else None,
-            if (lens != DedupStream.AHashLens)
-              Some(MultimodalOps.dHashOf(lensRaw)) else None,
-            if (dihedralRung)
-              Some(MultimodalOps.dihedralOf(lensRaw)) else None,
-            frames, strides)
-      })
+      val kStrides = MultimodalOps.videoStrideKOf(vfull)
+      // ONE combined image decode (lensTileFrame: every lens family AND
+      // the tile sub-prints off the same pixels — the imagetiles side is
+      // always-on since round 20, so the tile rows are needed whatever
+      // the lens config); each configured family projects its column set
+      val lensRaw = MultimodalOps.lensTileFrameRaw(media)
+      Some(IncrMedia(
+        if (lens != DedupStream.DHashLens)
+          Some(MultimodalOps.aHashOf(lensRaw)) else None,
+        if (lens != DedupStream.AHashLens)
+          Some(MultimodalOps.dHashOf(lensRaw)) else None,
+        if (dihedralRung)
+          Some(MultimodalOps.dihedralOf(lensRaw)) else None,
+        frames, strides, kStrides, MultimodalOps.tilesOf(lensRaw)))
     } else None
 
   /** The image rung's COMPLETE pair frame: the configured lens screen,
@@ -318,13 +373,14 @@ object CurationStream {
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
       dihedralRung: Boolean = false,
       audioShiftRung: Boolean = false,
-      videoShiftRung: Boolean = false): Unit =
+      videoShiftRung: Boolean = false,
+      imageShiftRung: Boolean = false): Unit =
     admitBatchImpl(docs, vectors, batchId, textIndexDir, vectorIndexDir,
       outDir, benchmark, threshold, semThreshold, minQuality, contamK,
       contamMinShared, lineage, maxCell, bloomSizing,
       failAfterTextTier = false, spanRung = spanRung, imageLens = imageLens,
       dihedralRung = dihedralRung, audioShiftRung = audioShiftRung,
-      videoShiftRung = videoShiftRung)
+      videoShiftRung = videoShiftRung, imageShiftRung = imageShiftRung)
 
   private[graft] def admitBatchImpl(docs: DataFrame, vectors: DataFrame,
       batchId: Long, textIndexDir: String, vectorIndexDir: String,
@@ -336,7 +392,8 @@ object CurationStream {
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
       dihedralRung: Boolean = false,
       audioShiftRung: Boolean = false,
-      videoShiftRung: Boolean = false): Unit = {
+      videoShiftRung: Boolean = false,
+      imageShiftRung: Boolean = false): Unit = {
     val spark = docs.sparkSession
     if (docs.isEmpty) return // trailing empty trigger: no state change
     val tag = s"$lineage-$batchId"
@@ -428,7 +485,17 @@ object CurationStream {
       if (!videoShiftRung) None
       else incrMedia.map(im => videoShiftPairsOf(im,
         DedupStream.sideExcluding(spark, textIndexDir, "framestride", tag),
-        docs.select("doc_id"))))
+        DedupStream.sideExcluding(spark, textIndexDir, "framestridek", tag),
+        docs.select("doc_id"))),
+      // the image TILE rung: the increment's tile sub-prints (the same
+      // combined image decode) against the maintained imagetiles side,
+      // own-batch exclusion discipline — the cropped re-upload rejects
+      // as image_shift_dup
+      imageTilePairs =
+        if (!imageShiftRung) None
+        else incrMedia.map(im => imageTilePairsOf(im,
+          DedupStream.sideExcluding(spark, textIndexDir, "imagetiles", tag),
+          docs.select("doc_id"))))
       .persist()
     try {
       // materialize NOW: the verdict lazily reads the very dirs the
@@ -468,7 +535,9 @@ object CurationStream {
           if (dihedralRung)
             incrFrames.map(MultimodalOps.frameDihedralOf)
           else None,
-        frameStrides = incrMedia.map(_.strides))
+        frameStrides = incrMedia.map(_.strides),
+        frameKStrides = incrMedia.map(_.kStrides),
+        imageTiles = incrMedia.map(_.tiles))
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(
@@ -491,6 +560,7 @@ object CurationStream {
           counts.getOrElse("span_dup", 0L),
           counts.getOrElse("semantic_dup", 0L),
           counts.getOrElse("image_dup", 0L),
+          counts.getOrElse("image_shift_dup", 0L),
           counts.getOrElse("audio_dup", 0L),
           counts.getOrElse("audio_near_dup", 0L),
           counts.getOrElse("audio_shift_dup", 0L),
@@ -500,7 +570,8 @@ object CurationStream {
           counts.getOrElse("contaminated", 0L),
           counts.getOrElse("low_quality", 0L)))
         .toDF("lineage", "batch_id", "n_in", "n_admitted", "n_near_dup",
-          "n_span_dup", "n_semantic_dup", "n_image_dup", "n_audio_dup",
+          "n_span_dup", "n_semantic_dup", "n_image_dup", "n_image_shift_dup",
+          "n_audio_dup",
           "n_audio_near_dup", "n_audio_shift_dup", "n_video_dup",
           "n_video_near_dup", "n_video_shift_dup",
           "n_contaminated", "n_low_quality")
@@ -533,6 +604,7 @@ object CurationStream {
         StructField("n_near_dup", LongType), StructField("n_span_dup", LongType),
         StructField("n_semantic_dup", LongType),
         StructField("n_image_dup", LongType),
+        StructField("n_image_shift_dup", LongType),
         StructField("n_audio_dup", LongType),
         StructField("n_audio_near_dup", LongType),
         StructField("n_audio_shift_dup", LongType),
@@ -543,7 +615,8 @@ object CurationStream {
         StructField("n_low_quality", LongType),
         StructField("batch", StringType)))
     spark.read.schema(schema).parquet(s"$outDir/metrics")
-      .na.fill(0L, Seq("n_image_dup", "n_audio_dup", "n_audio_near_dup",
+      .na.fill(0L, Seq("n_image_dup", "n_image_shift_dup", "n_audio_dup",
+        "n_audio_near_dup",
         "n_audio_shift_dup", "n_video_dup", "n_video_near_dup",
         "n_video_shift_dup"))
       .drop("batch").orderBy("lineage", "batch_id")
@@ -562,7 +635,8 @@ object CurationStream {
       imageLens: DedupStream.ImageLens = DedupStream.AHashLens,
       dihedralRung: Boolean = false,
       audioShiftRung: Boolean = false,
-      videoShiftRung: Boolean = false): StreamingQuery = {
+      videoShiftRung: Boolean = false,
+      imageShiftRung: Boolean = false): StreamingQuery = {
     val lineage = IndexSides.lineageOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -575,7 +649,8 @@ object CurationStream {
           threshold, semThreshold, minQuality, lineage = lineage,
           maxCell = maxCell, bloomSizing = bloomSizing, spanRung = spanRung,
           imageLens = imageLens, dihedralRung = dihedralRung,
-          audioShiftRung = audioShiftRung, videoShiftRung = videoShiftRung)
+          audioShiftRung = audioShiftRung, videoShiftRung = videoShiftRung,
+          imageShiftRung = imageShiftRung)
       }
       .start()
   }

@@ -102,6 +102,20 @@ import graft.llm.DedupOps
   *                                          tier served (m3g/m3h): the
   *                                          prepended-intro re-edit
   *                                          caught at its true offset
+  * indexDir/framestridek/batch=<lineage>-<id>/ (framestride schema)
+  *                                          dihedral-CANONICAL stride
+  *                                          prints off the SAME frame
+  *                                          memo — m3i's dihedral∘shift
+  *                                          tier served (m3j/m3k): the
+  *                                          mirrored-AND-prepended
+  *                                          re-edit caught at admission
+  * indexDir/imagetiles/batch=<lineage>-<id>/ (doc_id, tx, ty, h_hi,
+  *                                          h_lo) TILE sub-prints off
+  *                                          the SAME image decode —
+  *                                          m4o's spatial-crop tier
+  *                                          served (m4p/m4q): the
+  *                                          cropped re-upload caught at
+  *                                          its true (dx, dy)
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -112,7 +126,7 @@ import graft.llm.DedupOps
   * outDir/dups/batch=<lineage>-<id>/        (id_a, id_b, jaccard) verdicts
   * outDir/metrics/batch=<lineage>-<id>/     one admission-accounting row
   * }}}
-  * The sixteen always-on index sides (plus the optional imagedhashes
+  * The eighteen always-on index sides (plus the optional imagedhashes
   * under `imageLens = DHashLens | BothLens`, and imagekhashes +
   * videokhashes + framekhashes under `dihedralRung`; the lens/rung pair
   * is STAMPED at the index root on first admission and a mismatch fails
@@ -158,6 +172,10 @@ object DedupStream {
     StructField("doc_id", LongType), StructField("h_hi", LongType),
     StructField("h_lo", LongType), StructField("width", LongType),
     StructField("height", LongType)))
+  private val TileSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("tx", LongType),
+    StructField("ty", LongType), StructField("h_hi", LongType),
+    StructField("h_lo", LongType)))
   private val WinnowSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp", LongType)))
   private val AudioHashSchema = StructType(Seq(
@@ -416,6 +434,21 @@ object DedupStream {
     case BothLens => "both"
   }
 
+  /** The always-on side SET's version, stamped into `mediaconf` beside
+    * the lens/rung pair (r19 advice): "a side is always-on" is only true
+    * for batches admitted at or after the code that writes it — an index
+    * whose earlier batches predate a side has no rows there for that
+    * part of the corpus, and `readSide` cannot distinguish "side not
+    * maintained" from "side missing earlier batches", so a screen over
+    * it silently loses recall forever. Version 1 = the round-20 set
+    * (through audiorwins/framestride/framestridek/imagetiles); a stamp
+    * WITHOUT the column reads 0 — an index admitted under an older side
+    * set. Admission to (and shift/tile-rung screening of) an older-set
+    * index FAILS FAST and routes through a backfill (re-admit into a
+    * fresh index) instead of under-screening silently. Grow the side
+    * set again → bump this. */
+  val MediaSidesVersion: Long = 1L
+
   /** Resolve (and on the index's FIRST admission, stamp) the media PRINT
     * CONFIG — which image lens side(s) the index maintains and whether
     * the dihedral rung's sides (imagekhashes + videokhashes) exist.
@@ -434,42 +467,67 @@ object DedupStream {
     * makes the create-if-absent rename sufficient; a torn stamp on an
     * object store fails loudly on read-back, never admits under two
     * configs. */
+  /** One stamp read shared by the admission and advisory paths: (lens,
+    * rung, side-set version). A stamp written before side-set
+    * versioning (r17–r19) lacks the column and reads version 0 — an
+    * index whose earlier batches predate the newest always-on sides. */
+  private def readMediaConf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[(String, Boolean, Long)] =
+    if (!fs.exists(dir)) None
+    else Some(scala.util.Try {
+      val df = spark.read.parquet(dir.toString)
+      val r = df.select("image_lens", "dihedral_rung").head()
+      val v =
+        if (df.columns.contains("sides_version"))
+          df.select("sides_version").head().getLong(0)
+        else 0L
+      (r.getString(0), r.getBoolean(1), v)
+    }.getOrElse(throw new IllegalStateException(
+      s"unreadable media-config stamp at $dir — repair or remove it " +
+        "(the sides it described are still intact)")))
+
   private def resolveMediaConf(spark: SparkSession, indexDir: String,
       root: String, lens: ImageLens, dihedralRung: Boolean): Unit = {
     val fs = IndexSides.fsOf(spark, root)
     val dir = new Path(s"$root/mediaconf")
-    def readBack(): Option[(String, Boolean)] =
-      if (!fs.exists(dir)) None
-      else Some(scala.util.Try {
-        val r = spark.read.parquet(dir.toString)
-          .select("image_lens", "dihedral_rung").head()
-        (r.getString(0), r.getBoolean(1))
-      }.getOrElse(throw new IllegalStateException(
-        s"unreadable media-config stamp at $dir — repair or remove it " +
-          "(the sides it described are still intact)")))
-    def check(l: String, r: Boolean): Unit =
+    def check(l: String, r: Boolean, v: Long): Unit = {
       require(l == lensName(lens) && r == dihedralRung,
         s"index at $indexDir maintains media print sides under " +
           s"imageLens=$l, dihedralRung=$r; cannot admit with " +
           s"imageLens=${lensName(lens)}, dihedralRung=$dihedralRung — a " +
           "mid-stream lens/rung change would leave print sides partially " +
           "populated and silently lose screen recall; use a new index")
-    readBack() match {
-      case Some((l, r)) => check(l, r)
+      // the side-SET version gate (r19 advice): this build writes sides
+      // the stamped set lacks for every earlier batch — admitting would
+      // leave the new sides partially populated, the exact silent-recall
+      // failure the lens/rung stamp exists to prevent
+      require(v == MediaSidesVersion,
+        s"index at $indexDir was admitted under always-on side-set " +
+          s"version $v; this build maintains version $MediaSidesVersion " +
+          "— its earlier batches lack the newer sides, so further " +
+          "admissions would leave them partially populated and every " +
+          "screen over them would silently lose recall; re-admit the " +
+          "corpus into a fresh index (backfill), or backfill the missing " +
+          "side dirs explicitly and re-stamp by hand")
+    }
+    readMediaConf(spark, fs, dir) match {
+      case Some((l, r, v)) => check(l, r, v)
       case None =>
         import spark.implicits._
         val tmp = new Path(
           s"$root/.mediaconf-tmp-${java.util.UUID.randomUUID}")
-        Seq((lensName(lens), dihedralRung))
-          .toDF("image_lens", "dihedral_rung")
+        Seq((lensName(lens), dihedralRung, MediaSidesVersion))
+          .toDF("image_lens", "dihedral_rung", "sides_version")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         if (!fs.exists(dir)) fs.rename(tmp, dir)
         if (fs.exists(tmp)) fs.delete(tmp, true)
         val nested = new Path(dir, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
-        val (l, r) = readBack().getOrElse(throw new IllegalStateException(
-          s"media-config stamp at $dir unreadable immediately after stamping"))
-        check(l, r)
+        val (l, r, v) = readMediaConf(spark, fs, dir).getOrElse(
+          throw new IllegalStateException(
+            s"media-config stamp at $dir unreadable immediately after stamping"))
+        check(l, r, v)
     }
   }
 
@@ -482,21 +540,30 @@ object DedupStream {
     * absence means "never admitted under a stamped config", not a
     * mismatch. */
   private[streaming] def checkMediaConf(spark: SparkSession,
-      indexDir: String, lens: ImageLens, dihedralRung: Boolean): Unit = {
+      indexDir: String, lens: ImageLens, dihedralRung: Boolean,
+      needsShiftSides: Boolean = false): Unit = {
     val root = liveRoot(spark, indexDir)
     val dir = new Path(s"$root/mediaconf")
-    if (!IndexSides.fsOf(spark, root).exists(dir)) return
-    val r = scala.util.Try {
-      val row = spark.read.parquet(dir.toString)
-        .select("image_lens", "dihedral_rung").head()
-      (row.getString(0), row.getBoolean(1))
-    }.getOrElse(throw new IllegalStateException(
-      s"unreadable media-config stamp at $dir — repair or remove it"))
-    require(r == ((lensName(lens), dihedralRung)),
-      s"index at $indexDir maintains media print sides under " +
-        s"imageLens=${r._1}, dihedralRung=${r._2}; screening with " +
-        s"imageLens=${lensName(lens)}, dihedralRung=$dihedralRung would " +
-        "read sides the index never maintained (silent recall loss)")
+    readMediaConf(spark, IndexSides.fsOf(spark, root), dir).foreach {
+      case (l, r, v) =>
+        require((l, r) == ((lensName(lens), dihedralRung)),
+          s"index at $indexDir maintains media print sides under " +
+            s"imageLens=$l, dihedralRung=$r; screening with " +
+            s"imageLens=${lensName(lens)}, dihedralRung=$dihedralRung would " +
+            "read sides the index never maintained (silent recall loss)")
+        // the shift/tile rungs' sides are always-on, but only for batches
+        // admitted at or after the side existed (r19 advice): a rung
+        // screen against an older-side-set index reads empty for the
+        // pre-upgrade corpus and silently under-screens forever — fail
+        // fast and route through a backfill instead
+        if (needsShiftSides) require(v == MediaSidesVersion,
+          s"index at $indexDir was admitted under always-on side-set " +
+            s"version $v; the shift/tile rungs need version " +
+            s"$MediaSidesVersion sides (audiowins/audiorwins/framestride/" +
+            "framestridek/imagetiles) for EVERY admitted batch — re-admit " +
+            "the corpus into a fresh index (backfill) before enabling " +
+            "these rungs, or run with them off")
+    }
   }
 
   /** Retarget the drift-warning threshold of an EXISTING, stamped index —
@@ -580,9 +647,11 @@ object DedupStream {
       case "audiofps" => AudioFpSchema
       case "audiowins" => AudioWinSchema
       case "audiorwins" => AudioRWinSchema
-      // the stride side shares the windowed-print schema by design (the
+      // the stride sides share the windowed-print schema by design (the
       // one-serving-path-per-schema rule on the frame axis)
       case "framestride" => AudioWinSchema
+      case "framestridek" => AudioWinSchema
+      case "imagetiles" => TileSchema
       case "videohashes" => ImgHashSchema
       case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
@@ -694,6 +763,35 @@ object DedupStream {
   def corpusImageKHashes(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/imagekhashes", ImgHashSchema)
       .drop("batch")
+
+  /** The maintained TILE sub-print side over every ADMITTED doc's
+    * decodable media ([[graft.llm.MultimodalOps.tilePrintsOf]]' rows,
+    * identity fold) — the twenty-second side, the spatial-crop tier's
+    * serving state: a re-upload CROPPED by whole tiles moves every
+    * sample of all three full-frame lenses (a crop is not a dihedral
+    * transform, so even the canonical print misses), while its tile
+    * prints are the corpus's shifted by exactly the cropped tile count.
+    * ≤ (w/16)·(h/16) rows of 16-byte prints per image, capped at
+    * [[graft.llm.MultimodalOps.MaxTilesPerImage]]; rides the SAME
+    * per-admission image decode as the lens sides ([[
+    * graft.llm.MultimodalOps.lensTileFrame]] — one decode, every
+    * family). */
+  def corpusImageTiles(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/imagetiles", TileSchema)
+      .drop("batch")
+
+  /** M4p/m4q over the maintained side: SPATIAL-CROP-robust image
+    * near-dups between a media increment's tile prints and the admitted
+    * corpus's imagetiles side — the cropped re-upload caught at its
+    * true (dx, dy) at admission time. */
+  def screenImageTileDups(spark: SparkSession, indexDir: String,
+      newMedia: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 1, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.imageTileNearDupsServed(
+      corpusImageTiles(spark, indexDir),
+      graft.llm.MultimodalOps.tilePrintFrame(newMedia),
+      newMedia.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
 
   /** The image rung's LENS choice — the spanRung discipline on the image
     * modality: `AHashLens` screens the mean-threshold prints against the
@@ -927,6 +1025,39 @@ object DedupStream {
     readSide(spark, s"${liveRoot(spark, indexDir)}/framestride", AudioWinSchema)
       .drop("batch")
 
+  /** The maintained dihedral-CANONICAL stride-print side over every
+    * ADMITTED doc's video rendition
+    * ([[graft.llm.MultimodalOps.videoStrideKOf]]'s projection of the
+    * same combined decode — the k-print was already computed per
+    * memoized frame, so this side costs 16 bytes per stride row and
+    * ZERO extra decode, identity fold): the twenty-first side, the
+    * dihedral∘shift tier's serving state — a clip recycled MIRRORED (or
+    * rotated) AND intro-prepended keeps every canonical stride print
+    * shifted by exactly the intro count, the composed evasion every
+    * other video rung structurally misses (plain strides differ by
+    * ~half their bits under the mirror; the canonical keyframe/shot
+    * prints live on proportionally-sampled frames that all shift).
+    * Shares the framestride row schema, so the whole windowed serving
+    * machinery runs unchanged. */
+  def corpusFrameKStrides(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/framestridek", AudioWinSchema)
+      .drop("batch")
+
+  /** M3j/m3k over the maintained side: DIHEDRAL∘SHIFT-robust video
+    * near-dups between a media increment's canonical stride prints and
+    * the admitted corpus's framestridek side —
+    * [[graft.llm.MultimodalOps.audioShiftNearDupsServedWins]] VERBATIM
+    * (the one-serving-path-per-schema rule): the mirrored-and-prepended
+    * re-edit is caught at its true offset at admission time. */
+  def screenVideoKStrideDups(spark: SparkSession, indexDir: String,
+      newMedia: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 3, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.audioShiftNearDupsServedWins(
+      corpusFrameKStrides(spark, indexDir),
+      graft.llm.MultimodalOps.frameStrideKPrints(spark, newMedia),
+      newMedia.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
+
   /** M3g/m3h over the maintained side: TIME-SHIFT-robust video near-dups
     * between a media increment's stride prints and the admitted corpus's
     * framestride side — [[graft.llm.MultimodalOps
@@ -1130,7 +1261,9 @@ object DedupStream {
       imageKHashes: Option[DataFrame] = None,
       videoKHashes: Option[DataFrame] = None,
       frameKHashes: Option[DataFrame] = None,
-      frameStrides: Option[DataFrame] = None): Unit = {
+      frameStrides: Option[DataFrame] = None,
+      frameKStrides: Option[DataFrame] = None,
+      imageTiles: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -1248,8 +1381,9 @@ object DedupStream {
         if (((writesA && imageHashes.isEmpty) ||
           (writesD && imageDHashes.isEmpty) ||
           (dihedralRung && imageKHashes.isEmpty) ||
+          imageTiles.isEmpty ||
           videoHashes.isEmpty || frameHashes.isEmpty ||
-          frameStrides.isEmpty ||
+          frameStrides.isEmpty || frameKStrides.isEmpty ||
           (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           graft.llm.MultimodalOps.hasMediaEnvelope(keptOut))
           Some(graft.llm.MultimodalOps.asRenditionMediaTable(keptOut).persist())
@@ -1263,7 +1397,7 @@ object DedupStream {
       // parses twice inside an admission, caller-passed or not.
       val videoFullFallback =
         if ((videoHashes.isEmpty || frameHashes.isEmpty ||
-          frameStrides.isEmpty ||
+          frameStrides.isEmpty || frameKStrides.isEmpty ||
           (dihedralRung && (videoKHashes.isEmpty || frameKHashes.isEmpty))) &&
           mediaFallback.nonEmpty)
           mediaFallback.map(m =>
@@ -1271,21 +1405,24 @@ object DedupStream {
         else None
       val framesFallback =
         videoFullFallback.map(graft.llm.MultimodalOps.videoFramesOf)
-      // when a second/third print side needs a fallback, ONE multi-lens
-      // decode feeds EVERY image side (lensFingerprintFrame — aHash,
-      // dHash and the dihedral-canonical print off the same pixels); the
-      // aHash-only fallback keeps the original single-lens decode
+      // when ANY image-family side needs a fallback, ONE combined decode
+      // feeds EVERY image side (lensTileFrame — aHash, dHash, the
+      // dihedral-canonical print AND the tile sub-prints off the same
+      // pixels): since the imagetiles side is always-on (round 20), a
+      // media batch without caller-passed frames always routes here, and
+      // a pixel never decodes twice inside an admission
       val lensFallback =
-        if (((writesD && imageDHashes.isEmpty) ||
-          (dihedralRung && imageKHashes.isEmpty)) && mediaFallback.nonEmpty)
+        if (((writesA && imageHashes.isEmpty) ||
+          (writesD && imageDHashes.isEmpty) ||
+          (dihedralRung && imageKHashes.isEmpty) ||
+          imageTiles.isEmpty) && mediaFallback.nonEmpty)
           mediaFallback.map(m =>
-            graft.llm.MultimodalOps.lensFingerprintFrame(m).persist())
+            graft.llm.MultimodalOps.lensTileFrame(m).persist())
         else None
       try {
         if (writesA) imageHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(lensFallback.map(graft.llm.MultimodalOps.aHashOf))
-          .orElse(mediaFallback.map(graft.llm.MultimodalOps.fingerprintFrame))
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagehashes/$key"))
         if (writesD) imageDHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
@@ -1295,6 +1432,15 @@ object DedupStream {
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(lensFallback.map(graft.llm.MultimodalOps.dihedralOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagekhashes/$key"))
+        // the twenty-second side: tile sub-prints (m4o's spatial-crop
+        // tier) — the tilesOf projection of the same combined decode, so
+        // a cropped re-upload is caught at its true (dx, dy) at
+        // admission time (the framestride discipline on the x/y axes;
+        // ≤ MaxTilesPerImage rows of 16-byte prints per image)
+        imageTiles
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(lensFallback.map(graft.llm.MultimodalOps.tilesOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/imagetiles/$key"))
         videoHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
@@ -1332,6 +1478,16 @@ object DedupStream {
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(videoFullFallback.map(graft.llm.MultimodalOps.videoStridesOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/framestride/$key"))
+        // the twenty-first side: dihedral-CANONICAL stride prints (m3i's
+        // dihedral∘shift tier) — the videoStrideKOf projection of the
+        // same combined decode: the k-print is already computed per
+        // memoized frame, so the side costs 16 bytes per stride row and
+        // zero extra decode; the mirrored-AND-prepended re-edit is
+        // caught at its true offset at admission time
+        frameKStrides
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(videoFullFallback.map(graft.llm.MultimodalOps.videoStrideKOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/framestridek/$key"))
       } finally {
         lensFallback.foreach(_.unpersist(blocking = false))
         videoFullFallback.foreach(_.unpersist(blocking = false))
@@ -1534,7 +1690,8 @@ object DedupStream {
       videoFramePairs: Option[DataFrame] = None,
       spanRung: SpanRung = SeedsRung,
       audioShiftPairs: Option[DataFrame] = None,
-      videoShiftPairs: Option[DataFrame] = None): DataFrame =
+      videoShiftPairs: Option[DataFrame] = None,
+      imageTilePairs: Option[DataFrame] = None): DataFrame =
     graft.llm.CurationOps.admitIncrement(newDocs,
       DedupOps.incrementalNearDups(DedupOps.shingleArrays(newDocs),
         corpusShingles(spark, indexDir), corpusBands(spark, indexDir), threshold),
@@ -1544,7 +1701,8 @@ object DedupStream {
       DedupOps.contaminationHits(newDocs, benchmark, contamK, contamMinShared),
       minQuality, semPairs, imagePairs, audioPairs, audioFpPairs,
       videoPairs, videoFramePairs,
-      audioShiftPairs = audioShiftPairs, videoShiftPairs = videoShiftPairs)
+      audioShiftPairs = audioShiftPairs, videoShiftPairs = videoShiftPairs,
+      imageTilePairs = imageTilePairs)
 
   /** D8 over the maintained index: screen the ALREADY-ADMITTED corpus
     * against a (new) benchmark without touching corpus text — the
@@ -1597,6 +1755,7 @@ object DedupStream {
     ("imagehashes", ImgHashSchema, identity[DataFrame] _),
     ("imagedhashes", ImgHashSchema, identity[DataFrame] _),
     ("imagekhashes", ImgHashSchema, identity[DataFrame] _),
+    ("imagetiles", TileSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),
@@ -1607,6 +1766,7 @@ object DedupStream {
     ("framehashes", FrameHashSchema, identity[DataFrame] _),
     ("framekhashes", FrameHashSchema, identity[DataFrame] _),
     ("framestride", AudioWinSchema, identity[DataFrame] _),
+    ("framestridek", AudioWinSchema, identity[DataFrame] _),
     ("bloom", BloomSchema, (df: DataFrame) =>
       // OR the foldable partials down to one row PER SHARD (associative,
       // so the carried per-lineage dirs staying partial changes nothing;

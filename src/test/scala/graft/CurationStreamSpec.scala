@@ -151,9 +151,14 @@ class CurationStreamSpec extends SparkSpec {
       s"n_in=5, n_admitted=1: $m")
     // one reject per firing class; 404's low_quality is OUTRANKED by its
     // semantic_dup verdict, so n_low_quality is 0; the text-only fixture
-    // never fires the media rungs (nor the r19 shift rungs)
-    assert((4 to 15).map(m.getLong) ===
-      Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
+    // never fires the media rungs (nor the shift/tile rungs). Read BY
+    // NAME — a positional read broke on the r19 AND r20 schema growth.
+    val rejectCols = Seq("n_near_dup", "n_span_dup", "n_semantic_dup",
+      "n_image_dup", "n_image_shift_dup", "n_audio_dup", "n_audio_near_dup",
+      "n_audio_shift_dup", "n_video_dup", "n_video_near_dup",
+      "n_video_shift_dup", "n_contaminated", "n_low_quality")
+    assert(rejectCols.map(n => m.getLong(m.fieldIndex(n))) ===
+      Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
       m.toString)
 
     // ---- attempt 3: replay after FULL commit stays a no-op rewrite ----
@@ -1073,7 +1078,13 @@ class CurationStreamSpec extends SparkSpec {
     //        46, and the forward-window screen never matches a reversal;
     //   412: doc 8's CLIP behind 2 intro frames — the keyframe rung sees
     //        an intro print (Hamming ~40) and every proportionally
-    //        sampled ordinal lands on a different frame (all > 3).
+    //        sampled ordinal lands on a different frame (all > 3);
+    //   416: doc 8's CLIP MIRRORED behind 2 intro frames (round 20) —
+    //        the COMPOSED re-edit: the prepend shifts every proportional
+    //        ordinal AND the mirror flips the plain stride prints (the
+    //        generative ramp is monotone in x, so ~half the bits move),
+    //        so even the plain-stride rung misses; only the CANONICAL
+    //        stride leg (framestridek side) catches it, at offset 2.
     // Without the rungs each probe therefore ADMITS; with them the
     // window/stride screens catch each at its true offset off the
     // maintained always-on sides, ACROSS start() microbatch boundaries.
@@ -1087,21 +1098,26 @@ class CurationStreamSpec extends SparkSpec {
         Seq((8L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, String, Array[Float], Option[Long],
-          Option[Long], Option[Boolean], Option[Long], Option[Long])]
+          Option[Long], Option[Boolean], Option[Long], Option[Long],
+          Option[Boolean])]
       val q = CurationStream.start(
         stream.toDF().toDF("doc_id", "source", "text", "embedding",
-          "audio_len", "audio_pad", "audio_rev", "video_len", "video_pad"),
+          "audio_len", "audio_pad", "audio_rev", "video_len", "video_pad",
+          "video_mirror"),
         s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
         audioShiftRung = rungs, videoShiftRung = rungs)
       try {
         stream.addData((404L, "src", textOfLen("pads", 370), e(2),
-          Some(335L), Some(2L), None, None, None))
+          Some(335L), Some(2L), None, None, None, None))
         q.processAllAvailable()
         stream.addData((408L, "src", textOfLen("revs", 372), e(3),
-          Some(335L), Some(1L), Some(true), None, None))
+          Some(335L), Some(1L), Some(true), None, None, None))
         q.processAllAvailable()
         stream.addData((412L, "src", textOfLen("vids", 416), e(4),
-          None, None, None, Some(335L), Some(2L)))
+          None, None, None, Some(335L), Some(2L), None))
+        q.processAllAvailable()
+        stream.addData((416L, "src", textOfLen("mirr", 464), e(5),
+          None, None, None, Some(335L), Some(2L), Some(true)))
         q.processAllAvailable()
       } finally q.stop()
       (CurationStream.verdictLog(spark, s"$tmp/out")
@@ -1111,22 +1127,145 @@ class CurationStreamSpec extends SparkSpec {
     }
     val (without, _) = runWith(rungs = false)
     assert(without === Map(404L -> ("admitted", None),
-      408L -> ("admitted", None), 412L -> ("admitted", None)),
+      408L -> ("admitted", None), 412L -> ("admitted", None),
+      416L -> ("admitted", None)),
       without.toString)
     val (withR, tmpK) = runWith(rungs = true)
     assert(withR === Map(
       404L -> ("audio_shift_dup", Some(8L)),
       408L -> ("audio_shift_dup", Some(8L)),
-      412L -> ("video_shift_dup", Some(8L))), withR.toString)
+      412L -> ("video_shift_dup", Some(8L)),
+      416L -> ("video_shift_dup", Some(8L))), withR.toString)
+    // fixture sanity for 416: the PLAIN stride screen alone genuinely
+    // misses the mirrored+prepended rendition — the catch above is the
+    // canonical leg's (framestridek side), not an accident of the plain
+    // one
+    assert(graft.llm.MultimodalOps.audioShiftNearDupsServedWins(
+        DedupStream.corpusFrameStrides(spark, s"$tmpK/text"),
+        graft.llm.MultimodalOps.frameStridePrints(spark,
+          graft.llm.MultimodalOps.asRenditionMediaTable(
+            Seq((416L, "src", textOfLen("mirr", 464), Some(335L), Some(2L),
+              Some(true)))
+              .toDF("doc_id", "source", "text", "video_len", "video_pad",
+                "video_mirror"))),
+        Seq(416L).toDF("doc_id")).collect().isEmpty,
+      "the plain stride screen must genuinely miss the mirrored re-edit")
     // the dual-tier accounting carries the new classes
     val m = CurationStream.metrics(spark, s"$tmpK/out")
     assert(m.agg(sum("n_audio_shift_dup")).head.getLong(0) === 2L)
-    assert(m.agg(sum("n_video_shift_dup")).head.getLong(0) === 1L)
-    // only ADMITTED docs' prints reach the window/stride sides
+    assert(m.agg(sum("n_video_shift_dup")).head.getLong(0) === 2L)
+    // only ADMITTED docs' prints reach the window/stride sides — the
+    // canonical stride side included (round 20)
     assert(DedupStream.corpusAudioRWins(spark, s"$tmpK/text")
       .select("doc_id").distinct().as[Long].collect().toSet === Set(8L))
     assert(DedupStream.corpusFrameStrides(spark, s"$tmpK/text")
       .select("doc_id").distinct().as[Long].collect().toSet === Set(8L))
+    assert(DedupStream.corpusFrameKStrides(spark, s"$tmpK/text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(8L))
+    DedupOps.releaseCaches()
+  }
+
+  test("the tile rung rejects a cropped image re-upload across start() microbatches; without it every full-frame lens admits") {
+    implicit val sqlCtx = spark.sqlContext
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len); sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // corpus doc 9 (an IMAGE id; 9%7=2 so it admits as the lossless BMP
+    // rendition — prints are container-invariant): text length 335 →
+    // 63×57 px, 3×3 whole tiles. Probe 405 re-uploads doc 9's image
+    // CROPPED by one tile column and one tile row (the img_* rendition
+    // envelope), under fresh text/embedding/audio: every full-frame
+    // lens's sample positions move (the generative ramp's aHash/dHash/
+    // dihedral prints all land > Hamming 3), so the lens rung — and
+    // every other rung — admits it; only the TILE rung catches, at its
+    // true (−1, −1) offset, off the maintained imagetiles side.
+    def runWith(rung: Boolean): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_tile_$rung").toString
+      DedupStream.admitBatch(
+        Seq((9L, "src", textOfLen("seed", 335))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((9L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float], Option[Long],
+          Option[Long], Option[Long])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding",
+          "img_len", "img_crop_x", "img_crop_y"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        imageShiftRung = rung)
+      try {
+        stream.addData((405L, "src", textOfLen("crop", 464), e(2),
+          Some(335L), Some(1L), Some(1L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    val (without, _) = runWith(rung = false)
+    assert(without === Map(405L -> ("admitted", None)), without.toString)
+    val (withR, tmpK) = runWith(rung = true)
+    assert(withR === Map(405L -> ("image_shift_dup", Some(9L))),
+      withR.toString)
+    val m = CurationStream.metrics(spark, s"$tmpK/out")
+    assert(m.agg(sum("n_image_shift_dup")).head.getLong(0) === 1L)
+    // only ADMITTED docs' tile prints reach the maintained side
+    assert(DedupStream.corpusImageTiles(spark, s"$tmpK/text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(9L))
+    DedupOps.releaseCaches()
+  }
+
+  test("an index stamped under an older side set fails fast: admission and rung screens route through a backfill") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_sidesver").toString
+    // a LEGACY (r17–r19) media-config stamp: no sides_version column —
+    // the index's earlier batches predate the r20 always-on sides
+    Seq(("ahash", false)).toDF("image_lens", "dihedral_rung")
+      .coalesce(1).write.parquet(s"$tmp/text/mediaconf")
+    // ADMISSION fails fast with the index untouched: further admissions
+    // would leave the newer sides partially populated (the mediaconf
+    // all-or-nothing discipline applied to side-set growth)
+    val e1 = intercept[IllegalArgumentException] {
+      DedupStream.admitBatch(
+        Seq((1L, "src", "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/legacyout", 0.5, "legacy")
+    }
+    assert(e1.getMessage.contains("side-set version 0"), e1.getMessage)
+    assert(e1.getMessage.contains("backfill"), e1.getMessage)
+    assert(!new java.io.File(s"$tmp/text/shingles").exists,
+      "the failed admission must leave the index untouched")
+    // a shift/tile-rung SCREEN fails fast too (the advisory read-only
+    // path): the rungs would read sides the pre-upgrade corpus never
+    // wrote and silently under-screen forever — the exact failure the
+    // r19 advice named
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    VectorStream.build(spark, s"$tmp/vec",
+      Seq((1L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    val probe = Seq((2L, "src", "some fresh probe words here indeed truly"))
+      .toDF("doc_id", "source", "text")
+    val probeVecs = Seq((2L, e(2))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec",
+        probe, probeVecs, bench, audioShiftRung = true)
+    }
+    assert(e2.getMessage.contains("side-set version 0"), e2.getMessage)
+    // with the rungs OFF (the default) the advisory path still serves —
+    // the older side set only starves the rung screens
+    val v = CurationStream.verdicts(spark, s"$tmp/text", s"$tmp/vec",
+      probe, probeVecs, bench)
+    assert(v.count() === 1L)
     DedupOps.releaseCaches()
   }
 

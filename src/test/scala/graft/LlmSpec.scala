@@ -971,6 +971,183 @@ class LlmSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("m3i catches a mirrored-AND-prepended re-edit at its true offset; every other video rung genuinely misses") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{MediaRecord, VideoGen}
+    val rnd = new scala.util.Random(37)
+    def img(): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        i.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      i
+    }
+    def mirror(i: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val o = new java.awt.image.BufferedImage(i.getWidth, i.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until i.getHeight; x <- 0 until i.getWidth)
+        o.setRGB(x, y, i.getRGB(i.getWidth - 1 - x, y))
+      o
+    }
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", out)
+      out.toByteArray
+    }
+    val real = (0 until 4).map(_ => img())
+    val intro = (0 until 2).map(_ => img())
+    val a = MediaRecord(4L, "video/avi", VideoGen.aviOf(32, 24, real.map(png)))
+    // the COMPOSED re-edit: intro spliced ahead, then the whole cut
+    // mirrored — the r19 verdict's remaining video evasion
+    val b = MediaRecord(8L, "video/avi",
+      VideoGen.aviOf(32, 24, (intro ++ real).map(f => png(mirror(f)))))
+    val media = Seq(a, b).toDS().toDF()
+    // miss 1: the proportional shot rung (plain prints) — every sampled
+    // ordinal shifts AND flips
+    assert(MultimodalOps.frameNearDups(
+      MultimodalOps.sampleFrames(spark, media).toDF()).collect().isEmpty,
+      "fixture sanity: the plain shot rung must miss")
+    // miss 2: the DIHEDRAL shot rung — canonical prints neutralize the
+    // mirror but live on proportionally-sampled frames that all shifted
+    assert(MultimodalOps.frameNearDups(
+      MultimodalOps.frameDihedralOf(
+        MultimodalOps.sampleFrameLens(spark, media).toDF()))
+      .collect().isEmpty,
+      "fixture sanity: the dihedral shot rung must miss the prepend")
+    // miss 3: the plain STRIDE tier — ordinals align under the fan but
+    // every plain print flipped ~half its bits
+    assert(MultimodalOps.audioShiftNearDups(
+      MultimodalOps.frameStridePrintsRaw(spark, media)).collect().isEmpty,
+      "fixture sanity: the plain stride tier must miss the mirror")
+    // the composed tier catches at exactly the intro count with every
+    // real frame matched: canonical prints neutralize the mirror, the
+    // stride axis neutralizes the prepend
+    val caught = MultimodalOps.audioShiftNearDups(
+      MultimodalOps.frameStrideKPrintsRaw(spark, media))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(caught === Seq((4L, 8L, 2L, 4L)),
+      s"must catch at the true offset with all 4 real frames: $caught")
+    // kernel invariance: a clip's canonical stride prints are EXACTLY
+    // its mirror's at every ordinal (the dihedralAHash theorem ridden
+    // by the stride rows)
+    val plain = MultimodalOps.frameStrideKPrints(spark,
+      Seq(MediaRecord(4L, "v", VideoGen.aviOf(32, 24, real.map(png))))
+        .toDS().toDF()).collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val mirr = MultimodalOps.frameStrideKPrints(spark,
+      Seq(MediaRecord(4L, "v", VideoGen.aviOf(32, 24, real.map(f => png(mirror(f))))))
+        .toDS().toDF()).collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(plain === mirr, "canonical stride prints must be mirror-invariant")
+    DedupOps.releaseCaches()
+  }
+
+  test("m4o catches a cropped re-upload at its true (dx, dy); all three full-frame lenses genuinely miss") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.MediaRecord
+    val rnd = new scala.util.Random(41)
+    val src = new java.awt.image.BufferedImage(48, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 48)
+      src.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    // the crop recycler: one 16-px tile column off the left
+    val cropped = new java.awt.image.BufferedImage(32, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 32)
+      cropped.setRGB(x, y, src.getRGB(x + 16, y))
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", out)
+      out.toByteArray
+    }
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    // the classic image-dedup evasion besides the mirror flip: a crop
+    // moves EVERY sample position of every full-frame lens — even the
+    // dihedral-canonical print (a crop is not a dihedral transform)
+    assert(ham(MultimodalOps.aHash(src), MultimodalOps.aHash(cropped)) > 3,
+      "fixture sanity: aHash must miss the crop")
+    assert(ham(MultimodalOps.dHash(src), MultimodalOps.dHash(cropped)) > 3,
+      "fixture sanity: dHash must miss the crop")
+    assert(ham(MultimodalOps.dihedralAHash(src),
+      MultimodalOps.dihedralAHash(cropped)) > 3,
+      "fixture sanity: the dihedral-canonical lens must miss the crop")
+    // the tile tier catches: the cropped upload's tile (tx, ty) IS the
+    // original's (tx+1, ty), so every shared tile matches at
+    // (dx, dy) = (−1, 0) — 2×3 = 6 of them
+    val media = Seq(MediaRecord(1L, "image/png", png(src)),
+      MediaRecord(2L, "image/png", png(cropped))).toDS().toDF()
+    val caught = MultimodalOps.imageTileNearDups(
+      MultimodalOps.tilePrintFrameRaw(media))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(caught === Seq((1L, 2L, -1L, 0L, 6L)),
+      s"must catch at (-1, 0) with all 6 shared tiles: $caught")
+    DedupOps.releaseCaches()
+  }
+
+  test("the per-image tile cap and the degenerate-tile drops bound the imagetiles side") {
+    // growth rail: a hostile 1040×1040 upload cuts 65×65 = 4225 whole
+    // tiles; the side stores exactly MaxTilesPerImage rows
+    val big = new java.awt.image.BufferedImage(1040, 1040,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 1040; x <- 0 until 1040)
+      big.setRGB(x, y, ((x * 37 + y * 91) & 0xff) << 8)
+    assert(MultimodalOps.tilePrintsOf(big).size ===
+      MultimodalOps.MaxTilesPerImage)
+    // a CONSTANT tile carries no spatial evidence and drops (the
+    // silence-window rule on pixels); partial right/bottom tiles drop
+    // too (47×17 → one whole 16-px tile per axis beyond the constant)
+    val img = new java.awt.image.BufferedImage(47, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 47)
+      img.setRGB(x, y, if (x < 16) 0x808080 else ((x * 53 + y * 29) & 0xff))
+    val prints = MultimodalOps.tilePrintsOf(img)
+    assert(prints.map(t => (t.tx, t.ty)) === Seq((1L, 0L)),
+      s"only the varying whole tile may print: $prints")
+  }
+
+  test("a stereo→mono downmix lands in the acoustic near tier (the channel-mix boundary pinned)") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, AudioRecord}
+    // the r19 verdict's audio channel-mix ask. For channel-BALANCED
+    // content (L and R carry the same program ± a fixed image offset —
+    // the normal stereo mix), a downmix halves every contour window's
+    // energy EXACTLY: window bounds scale with the stream (here
+    // frame-exactly — nf = 20·65), each window's energy sum doubles
+    // across the two channels, and sign-of-delta is scale-invariant —
+    // so the CONTOUR rung (m5d/m5e) is the downmix catch. The exact
+    // rung misses by design (the PCM stream changed), and the WINDOW
+    // tier's ordinals re-index (a 128-sample window spans twice as many
+    // frames after the downmix), so the shift rung is NOT the catch —
+    // the documented boundary, like the sub-window pad. The fixture's
+    // own mod-65536 sawtooth is deliberately noise-like and does NOT
+    // demonstrate this (its pair-averages wrap unpredictably); real
+    // program material is smooth, which this clip models — the m2b
+    // smooth-rescale precedent on the audio modality.
+    val nf = 1300 // 20×65: contour bounds align frame-exactly
+    def base(f: Int): Int = math.abs((f % 200) - 100) * 50 - 2500
+    val stereo = new Array[Int](2 * nf)
+    for (f <- 0 until nf) {
+      stereo(2 * f) = base(f) + 40
+      stereo(2 * f + 1) = base(f) - 40
+    }
+    val mono = Array.tabulate(nf)(f => (stereo(2 * f) + stereo(2 * f + 1)) / 2)
+    assert(MultimodalOps.acousticFingerprint(stereo) ===
+      MultimodalOps.acousticFingerprint(mono),
+      "a balanced downmix must keep the energy contour exactly")
+    assert(AudioDecoder.pcmHashOfSamples(stereo) !==
+      AudioDecoder.pcmHashOfSamples(mono),
+      "fixture sanity: content identity must NOT survive the downmix")
+    // and through the real WAV round trip: the stereo clip and its mono
+    // downmix pair in the near-dup tier at Hamming 0
+    val both = Seq(
+      AudioRecord(1L, "audio/wav", AudioGen.wavOf(2, stereo)),
+      AudioRecord(2L, "audio/wav", AudioGen.wavOf(1, mono))).toDS().toDF()
+    val pairs = MultimodalOps.imageNearDupsFromHashes(
+      MultimodalOps.audioFingerprintFrame(both))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)), s"downmix must land at Hamming 0: $pairs")
+    DedupOps.releaseCaches()
+  }
+
   test("the per-clip window cap bounds both sub-print families; the b family still anchors the tail") {
     // a hostile (MaxWinsPerClip + 10)-window stream prints exactly the
     // cap per family — the audiowins/audiorwins growth rail — and the

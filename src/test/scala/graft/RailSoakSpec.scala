@@ -94,6 +94,58 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m4o tile-bucket rail binds on a 3000-copy image flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.MediaRecord
+    // 3000 copies of ONE image put the whole flood into every one of its
+    // tiles' (tx, ty, band, key) buckets — without the rail the 2-D
+    // offset fan would multiply ~4.5M Hamming-0 pairs by the 9-cell
+    // square. The genuine content is 10 identical-triplet classes of
+    // RANDOM images (random pixels, unlike the generative ramp whose
+    // tile prints genuinely collide across text lengths — a class whose
+    // prints land in the flood's buckets is absorbed by design, the m5d
+    // flood rule): their buckets are disjoint from the flood's w.h.p.,
+    // so every within-class pair must survive the rail, at (0, 0) with
+    // all 9 whole tiles matched.
+    val rnd = new scala.util.Random(53)
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val floodPng = png()
+    val flood = (10000L until 13000L).map(i =>
+      MediaRecord(i, "image/png", floodPng))
+    val groups = (0 until 10).flatMap { g =>
+      val p = png()
+      (0 until 3).map(j => MediaRecord((g * 3 + j).toLong, "image/png", p))
+    }
+    def tilesOf(rows: Seq[MediaRecord]) =
+      MultimodalOps.tilePrintFrameRaw(rows.toDF())
+    try {
+      // the rail FIRES: the flood collapses a tile bucket far past 100
+      val biggest = tilesOf(flood)
+        .groupBy("tx", "ty", "h_hi", "h_lo").count()
+        .agg(max("count")).head().getLong(0)
+      assert(biggest >= 2000L, s"degenerate tile bucket only $biggest")
+      val railed = MultimodalOps.imageTileNearDups(tilesOf(flood ++ groups))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val reference = MultimodalOps.imageTileNearDups(tilesOf(groups))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      // survivors are exactly the 30 within-class pairs at (0, 0) with
+      // every whole tile matched; the flood contributes none
+      assert(railed.size === 30)
+      assert(railed.forall { case (a, b, dx, dy, n) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 &&
+          dx == 0L && dy == 0L && n == 9L })
+    } finally DedupOps.releaseCaches()
+  }
+
   test("m4g lens-union rails bind on a 3000-image constant flood; railed union equals the small-N run") {
     import graft.llm.MultimodalOps
     // the m4c flood against BOTH lenses at once: 3000 same-length images

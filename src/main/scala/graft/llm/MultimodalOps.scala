@@ -2564,12 +2564,6 @@ object MultimodalOps {
     }
   }
 
-  /** The tracked-persisted dual-family frame table (the sampleFramesRaw
-    * rule: several screens scan it per session). */
-  private[graft] def sampleFrameLensRaw(spark: SparkSession,
-      media: DataFrame, frames: Int = 4): DataFrame =
-    DedupOps.tracked(sampleFrameLens(spark, media, frames).toDF())
-
   /** The plain-aHash projection of a [[FrameLensSample]] frame, in the
     * [[FrameSample]] schema. */
   def frameAHashOf(lensFrames: DataFrame): DataFrame =

@@ -273,6 +273,25 @@ object SparkEntry {
   private def m4Tiles(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.tilesOf(m4Lens(s, dir))
 
+  /** The m4s/m4t MAINTAINED canonical tile table (the imagetilesk
+    * side's rows — 'lt' family only, the stored shape) — the
+    * ktileSideOf projection of the same one decode. */
+  private def m4KTiles(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.ktileSideOf(m4Lens(s, dir))
+
+  /** The m4s/m4t INCREMENT: the increment images' CROP∘TRANSFORM
+    * re-uploads (cropped wherever dims allow AND mirrored/flipped/
+    * rotated by the id % 3 rule — the composed recycler feed that
+    * evades the full-frame lenses AND the plain tile tier
+    * simultaneously) decoded to 4-family canonical tile prints once
+    * per (session, sfDir). */
+  private def m4KTileIncr(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, dir, "m4ktileincr")(
+      MultimodalOps.tileKPrintFrame(
+        MultimodalOps.asCropMirrorIncrementMediaTable(
+          documents(s, dir).filter(col("doc_id") >= 400)
+            .filter(!MultimodalOps.isVideoId(col("doc_id"))))))
+
   /** The m4p/m4q INCREMENT: the increment images' CROPPED re-uploads
     * (one tile column + one tile row off wherever the dims allow — the
     * spatial recycler feed every full-frame lens misses) decoded to
@@ -1443,6 +1462,48 @@ object SparkEntry {
         graft.streaming.DedupStream.corpusImageTiles(s, t21dIndexDir(s, d)),
         m4TileIncr(s, d),
         documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m4r_image_ktile_near_dups" -> ((s, d) =>
+      // CROP∘DIHEDRAL-robust image near-dups (r20 — the composed
+      // evasion the r19 verdict predicted next): a re-upload that crops
+      // whole tiles AND mirrors the footage moves every full-frame
+      // lens sample AND scrambles every plain tile print; here each
+      // tile prints its DIHEDRAL-CANONICAL hash (symmetric sample
+      // grid, min over the 8-orbit — exactly invariant under any
+      // dihedral transform of the tile content) in FOUR anchor
+      // families (the m5m dual-cut-family discipline on both spatial
+      // axes), so whatever axis-preserving transform recycled the
+      // pair, its g-family prints land on the other side's lt prints
+      // at bounded whole-tile offsets. Fixture: the m4o crop rules
+      // composed with the id % 5 transform rule (mirror-x / flip-y /
+      // 180° / plain all in the mix). Prices the inline decode +
+      // 4-family prints
+      MultimodalOps.imageTileKNearDups(
+        MultimodalOps.tileKPrintFrameRaw(
+          MultimodalOps.asCropMirrorMediaTable(
+            documents(s, d).filter(!MultimodalOps.isVideoId(col("doc_id"))))))),
+    "m4s_image_ktile_served" -> ((s, d) =>
+      // the m4r screen SERVED: the increment's composed re-uploads
+      // (crop + mirror/flip/180°) against the session cache's PLAIN
+      // corpus canonical tiles — 'lt' family only on the corpus side
+      // (the stored side never pays the 4-family fan, the 100 TB
+      // asymmetry); caught at their true (dx, dy) with the transform
+      // WITNESS. m4t is the deployment twin off the maintained
+      // twenty-third side — the serve-vs-cache seam, measured
+      MultimodalOps.imageTileKNearDupsServed(
+        m4KTiles(s, d).filter(col("doc_id") < 400),
+        m4KTileIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
+    "m4t_image_ktile_maintained" -> ((s, d) =>
+      // m4s off the STREAMING-MAINTAINED twenty-third side: imagetilesk
+      // parquet a real DedupStream admitBatch wrote off the SAME
+      // combined image decode as every other image side (the
+      // ktileSideOf projection of one lensTileFrame row) — the m5i→m5j
+      // graduation on the canonical spatial tier (same oracle, the
+      // e4/e5 shared-oracle discipline)
+      MultimodalOps.imageTileKNearDupsServed(
+        graft.streaming.DedupStream.corpusImageTileKs(s, t21dIndexDir(s, d)),
+        m4KTileIncr(s, d),
+        documents(s, d).filter(col("doc_id") >= 400).select("doc_id"))),
     "m4c_image_near_dups" -> ((s, d) =>
       // Hamming ≤ 3 pairs via the d3b pigeonhole on the fingerprint's 4
       // disjoint 16-bit bands: equal-band candidates, exact verify on
@@ -1873,6 +1934,7 @@ object SparkEntry {
     m5ShiftIncr(spark, dir).count()
     m5RevIncr(spark, dir).count()
     m4TileIncr(spark, dir).count()
+    m4KTileIncr(spark, dir).count()
     t21CorpusFps(spark, dir).count()
     // the t21d on-disk index (a real DedupStream admitBatch over the
     // corpus): ingest-side state, built here so the t21d row times the

@@ -123,6 +123,34 @@ object MultimodalOps {
       ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    /** The CROP-AND-TRANSFORM rendition — [[pngCropped]] composed with
+      * an axis-preserving dihedral element `g` (0 = identity, 1 =
+      * mirror-x, 2 = flip-y, 3 = 180° rotation): pixel (x, y) reads the
+      * generative formula at the crop-shifted, g-reflected coordinates.
+      * The m4r tier's fixture — a re-upload that BOTH crops whole tiles
+      * AND mirrors the footage, which evades every full-frame lens
+      * (crop moves all their samples) AND the plain tile tier (mirror
+      * scrambles every tile print) simultaneously. */
+    def pngCropT(textLen: Long, cx: Int, cy: Int, g: Int): Array[Byte] = {
+      val (w0, h0) = dims(textLen)
+      val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sx = (if (g == 1 || g == 3) w - 1 - x else x) + 16 * cx
+          val sy = (if (g == 2 || g == 3) h - 1 - y else y) + 16 * cy
+          img.setRGB(x, y, (sx * 31 + sy * 17 + textLen.toInt) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
   }
 
   /** The REAL image decoder: container sniffed from magic bytes, parsed
@@ -2158,10 +2186,13 @@ object MultimodalOps {
     * dihedral-canonical AND tile families, so the admission loop's
     * image sides — imagetiles included — never decode a pixel twice.
     * [[aHashOf]]/[[dHashOf]]/[[dihedralOf]] project unchanged (they
-    * select named columns); [[tilesOf]] explodes the tile rows. */
+    * select named columns); [[tilesOf]] explodes the tile rows;
+    * [[ktilesOf]]/[[ktileSideOf]] the canonical 4-family tile rows
+    * (round 20 — the crop∘dihedral tier rides the same pixels). */
   final case class ImageLensTileHash(doc_id: Long, a_hi: Long, a_lo: Long,
       d_hi: Long, d_lo: Long, k_hi: Long, k_lo: Long,
-      width: Long, height: Long, tiles: Seq[ImageTileNested])
+      width: Long, height: Long, tiles: Seq[ImageTileNested],
+      ktiles: Seq[ImageKTileNested])
 
   /** The bare decode→all-prints+tiles projection (the ingest form). */
   def lensTileFrame(media: DataFrame): DataFrame = {
@@ -2174,7 +2205,8 @@ object MultimodalOps {
           val (dhi, dlo) = dHash(img)
           val (khi, klo) = dihedralAHash(img)
           ImageLensTileHash(r.doc_id, ahi, alo, dhi, dlo, khi, klo,
-            img.getWidth.toLong, img.getHeight.toLong, tilePrintsOf(img))
+            img.getWidth.toLong, img.getHeight.toLong, tilePrintsOf(img),
+            tileKPrintsOf(img))
         }
       }
     }.toDF()
@@ -2191,6 +2223,23 @@ object MultimodalOps {
     frame.select(col("doc_id"), explode(col("tiles")).as("t"))
       .select(col("doc_id"), col("t.tx").as("tx"), col("t.ty").as("ty"),
         col("t.h_hi").as("h_hi"), col("t.h_lo").as("h_lo"))
+
+  /** The 4-FAMILY canonical tile projection of a [[lensTileFrame]] —
+    * the increment/query form the m4s/m4t screens consume (the
+    * [[ImageKTilePrint]] schema). */
+  def ktilesOf(frame: DataFrame): DataFrame =
+    frame.select(col("doc_id"), explode(col("ktiles")).as("t"))
+      .select(col("doc_id"), col("t.fam").as("fam"),
+        col("t.tx").as("tx"), col("t.ty").as("ty"),
+        col("t.h_hi").as("h_hi"), col("t.h_lo").as("h_lo"))
+
+  /** The imagetilesk-SIDE projection: the 'lt' family only, fam
+    * dropped — the stored side keeps the plain tier's row count and
+    * schema; the other three families exist only on the query side
+    * (see [[tileKPrintsOf]]'s algebra for why that loses nothing). */
+  def ktileSideOf(frame: DataFrame): DataFrame =
+    ktilesOf(frame).filter(col("fam") === "lt")
+      .select("doc_id", "tx", "ty", "h_hi", "h_lo")
 
   /** M4o's print table, decode-inline (the measured seam — the served
     * rows read maintained/cached prints instead): decode → every whole
@@ -2398,6 +2447,343 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "dx", "dy")
+  }
+
+  // ---- the image CROP∘DIHEDRAL tier (m4r/m4s/m4t) --------------------------
+
+  /** One DIHEDRAL-CANONICAL tile sub-print, tagged with its anchor
+    * FAMILY: `fam(0)` names the x-anchor ('l' = grid anchored at the
+    * left edge, ordinals counted left→right; 'r' = anchored at the
+    * right edge, ordinals counted right→left), `fam(1)` the y-anchor
+    * ('t'/'b' likewise). The nested form [[ImageLensTileHash.ktiles]]
+    * carries (the imagetilesk side stores the 'lt' family only — see
+    * [[tileKPrintsOf]] for why the other three live on the
+    * increment/query side alone). */
+  final case class ImageKTileNested(fam: String, tx: Long, ty: Long,
+    h_hi: Long, h_lo: Long)
+
+  /** The doc-enveloped row of the m4r print table. */
+  final case class ImageKTilePrint(doc_id: Long, fam: String,
+    tx: Long, ty: Long, h_hi: Long, h_lo: Long)
+
+  /** DIHEDRAL-CANONICAL aHash of ONE [[TileSize]]-square tile anchored
+    * at (x0, y0) — the [[dihedralAHash]] argument applied to the tile's
+    * OWN pixels: the SYMMETRIC 8×8 sample grid (at t = 16 the offsets
+    * are {0,2,4,6} ∪ {9,11,13,15}, mirror-images of each other — the
+    * [[symGray]] rule restricted to the tile, so every dihedral
+    * transform of the tile CONTENT exactly permutes the sampled grid),
+    * mean-threshold bits, then the minimum over the 8 orientations.
+    * Tiles are square, so the full 8-element orbit applies. Constant-
+    * luma tiles drop (the [[tileAHash]] degenerate-bucket rule). */
+  def tileKHash(img: BufferedImage, x0: Int, y0: Int,
+      t: Int = TileSize): Option[(Long, Long)] = {
+    val gray = new Array[Int](64)
+    var k = 0
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var sum = 0
+    def pos(i: Int): Int =
+      if (i < 4) (i * t) / 8 else t - 1 - ((7 - i) * t) / 8
+    while (k < 64) {
+      val v = img.getRGB(x0 + pos(k % 8), y0 + pos(k / 8))
+      val g = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      gray(k) = g
+      if (g < mn) mn = g
+      if (g > mx) mx = g
+      sum += g
+      k += 1
+    }
+    if (mn == mx) None
+    else {
+      val mean = sum / 64
+      val bit = Array.tabulate(8, 8)((y, x) => gray(y * 8 + x) > mean)
+      Some(DihedralMaps.map { f =>
+        var (hi, lo) = (0L, 0L)
+        var j = 0
+        while (j < 64) {
+          val (sx, sy) = f(j % 8, j / 8)
+          if (bit(sy)(sx)) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        (hi, lo)
+      }.min)
+    }
+  }
+
+  /** The CROP∘DIHEDRAL composition — [[tileKHash]]'s canonical argument
+    * applied per tile in FOUR anchor families, the m5m dual-cut-family
+    * discipline on BOTH spatial axes. Why four: a mirrored image maps a
+    * left-anchored tile grid onto the original's RIGHT-anchored grid
+    * (the reflection of [0,16·ntx) in a width-W image is
+    * (W−16·ntx, W] — aligned with W only), misaligned with the left
+    * grid by W mod 16 — exactly the m5m tail-remainder argument on the
+    * x axis, and the same on y for flips. So every image prints each
+    * family once, x-ordinals counted FROM the family's anchor edge:
+    *   lt[tx] starts at 16·tx          (left-anchored)
+    *   rt[tx] starts at W − 16·(tx+1)  (right-anchored, counted from
+    *                                    the right)
+    * (same rule on y for 't'/'b'), all through the canonical
+    * [[tileKHash]]. The algebra that makes the four axis-preserving
+    * recycler compositions ONE search problem (B = g(crop(A)), crop by
+    * whole tiles):
+    *   • g = id:   B.lt[tx,ty]    = A.lt[tx+cx, ty+cy]
+    *   • g = mx:   B.rt[tx,ty]    = mirror-x of A.lt[tx+cx', ty+cy]
+    *   • g = my:   B.lb[tx,ty]    = flip-y  of A.lt[tx+cx, ty+cy']
+    *   • g = r180: B.rb[tx,ty]    = 180°    of A.lt[tx+cx', ty+cy']
+    * — print-equal in every case (the canonical min ranges over the
+    * same orbit), at bounded whole-tile offsets (a LEFT crop shifts
+    * left-anchored ordinals and leaves right-anchored ones fixed, and
+    * vice versa — both within the ±maxOffset fan for bounded crops).
+    * So the search needs only ONE family on the searched/stored side
+    * (lt) and all four on the query side: whatever g transformed the
+    * recycler, its g-family prints land on the original's lt prints.
+    * 90°-rotated crops are OUTSIDE this operator's contract (a
+    * transpose maps the x grid onto the y grid; the full-frame
+    * dihedral lens still catches pure rotations) — the documented
+    * boundary, like the sub-window pad. Per-FAMILY tile count caps at
+    * [[MaxTilesPerImage]] (the growth rail per family, 4× the plain
+    * tier's rows per image on the query side, 1× on the stored side). */
+  def tileKPrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageKTileNested] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ntx, nty) = (w / t, h / t)
+    val out = Vector.newBuilder[ImageKTileNested]
+    for (fx <- Seq('l', 'r'); fy <- Seq('t', 'b')) {
+      val fam = s"$fx$fy"
+      var count = 0
+      var ty = 0
+      while (ty < nty && count < MaxTilesPerImage) {
+        val y0 = if (fy == 't') ty * t else h - t * (ty + 1)
+        var tx = 0
+        while (tx < ntx && count < MaxTilesPerImage) {
+          val x0 = if (fx == 'l') tx * t else w - t * (tx + 1)
+          tileKHash(img, x0, y0, t).foreach { case (hi, lo) =>
+            out += ImageKTileNested(fam, tx.toLong, ty.toLong, hi, lo)
+            count += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The bare decode→4-family canonical tile projection (the
+    * tilePrintFrame form on the canonical family — the m4r fixture
+    * row's inline decode). */
+  def tileKPrintFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      ImageDecoder.image(r.payload).iterator.flatMap { img =>
+        tileKPrintsOf(img).map(t =>
+          ImageKTilePrint(r.doc_id, t.fam, t.tx, t.ty, t.h_hi, t.h_lo))
+      }
+    }.toDF()
+  }
+
+  /** The tracked-persisted form (the tilePrintFrameRaw rule). */
+  private[graft] def tileKPrintFrameRaw(media: DataFrame): DataFrame =
+    DedupOps.tracked(tileKPrintFrame(media))
+
+  /** The fixture's CROP∘TRANSFORM rule, one modulus set shared with the
+    * oracle: `gOf` picks the axis-preserving dihedral element (id %
+    * 5 → 1 = mirror-x, 2 = flip-y, 3 = 180°, else identity — the
+    * 0/4 classes keep plain and crop-only renditions in the mix), the
+    * crop reuses the m4o tile rules ([[cropXOf]]/[[cropYOf]]). */
+  def gOf(id: Long): Int = (id % 5) match {
+    case 1 => 1
+    case 2 => 2
+    case 3 => 3
+    case _ => 0
+  }
+
+  /** Fixture media table under the mixed crop∘transform rule — the
+    * [[asCroppedMediaTable]] discipline with the dihedral element
+    * composed in: a doc's rendition is the generative pixels cropped by
+    * the m4o tile rules AND reflected by [[gOf]]; %5-class-0/4 docs
+    * render plain or crop-only. */
+  def asCropMirrorMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (w, h) = ImageGen.dims(l)
+        val cx = cropXOf(id, w.toLong).toInt
+        val cy = cropYOf(id, h.toLong).toInt
+        val g = gOf(id)
+        if (cx == 0 && cy == 0 && g == 0)
+          MediaRecord(id, "image/png", ImageGen.png(l))
+        else MediaRecord(id, "image/png", ImageGen.pngCropT(l, cx, cy, g))
+      }.toDF()
+  }
+
+  /** Fixture media table of CROP∘TRANSFORM re-uploads of EVERY fed
+    * image doc — the m4s/m4t increment feed
+    * ([[asCropIncrementMediaTable]]'s composed sibling): each image
+    * recycles cropped wherever its dims allow AND reflected by id % 3
+    * (0 = mirror-x, 1 = flip-y, 2 = 180°), against a corpus admitted
+    * plain — every increment doc evades the full-frame lenses AND the
+    * plain tile tier simultaneously. */
+  def asCropMirrorIncrementMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val l = text.length.toLong
+        val (w, h) = ImageGen.dims(l)
+        val cx = if (w / TileSize >= 2) 1 else 0
+        val cy = if (h / TileSize >= 2) 1 else 0
+        val g = (id % 3).toInt + 1
+        MediaRecord(id, "image/png", ImageGen.pngCropT(l, cx, cy, g))
+      }.toDF()
+  }
+
+  /** M4r — CROP∘DIHEDRAL-robust image near-dups: the [[tileKPrintsOf]]
+    * algebra run through the m4o banded machinery. The a side carries
+    * the 'lt' family ONLY (the stored-side shape); the b side carries
+    * all FOUR families and fans across the ±`maxOffset` 2-D offset
+    * square — whatever axis-preserving transform recycled the pair,
+    * and whichever side of the id order it landed on, its g-family
+    * prints meet the other side's lt prints (the kernel's algebra,
+    * symmetric in both directions). Candidates stay keyed
+    * (fam, tx, ty, band, key) — per-family-per-ordinal buckets under
+    * the rail — and only candidates pay the exact bit_count verify.
+    * Output: (id_a, id_b, fam = the b side's matched family — the
+    * transform WITNESS ('lt' = crop only, 'rt' = mirror-x, 'lb' =
+    * flip-y, 'rb' = 180°), dx = tx_b − tx_a, dy, n_matched ≥
+    * `minMatched`). */
+  def imageTileKNearDups(prints: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 1,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    val allBands = prints.select(col("doc_id"), col("fam"), col("tx"),
+      col("ty"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+        col("h_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "key")))
+    val ok = allBands.groupBy("fam", "tx", "ty", "band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+      .select("fam", "tx", "ty", "band", "key")
+    val bands = allBands.join(ok, Seq("fam", "tx", "ty", "band", "key"))
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("fam").as(s"fam_$side"),
+        col("tx").as(s"tx_$side"), col("ty").as(s"ty_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    val aSide = sided(bands.filter(col("fam") === "lt"), "a")
+    val bSide = sided(bands, "b")
+      .withColumn("join_tx",
+        explode(sequence(col("tx_b") - maxOffset, col("tx_b") + maxOffset)))
+      .withColumn("join_ty",
+        explode(sequence(col("ty_b") - maxOffset, col("ty_b") + maxOffset)))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    aSide.join(bSide,
+        col("join_tx") === col("tx_a") && col("join_ty") === col("ty_a") &&
+          col("band_a") === col("band_b") &&
+          col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fam_b"),
+        col("tx_a"), col("ty_a"), col("tx_b"), col("ty_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+        (col("tx_b") - col("tx_a")).as("dx"),
+        (col("ty_b") - col("ty_a")).as("dy"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "fam", "dx", "dy")
+  }
+
+  /** M4s/m4t — [[imageTileKNearDups]] SERVED: an increment's 4-family
+    * canonical tile prints against a MAINTAINED corpus table holding
+    * the 'lt' family ONLY (DedupStream's imagetilesk side — the
+    * stored side never grows past the plain tier's row count; the
+    * 4-family fan lives entirely on the increment, the 100 TB
+    * asymmetry). Combined-population rail per (fam, tx, ty, band,
+    * key), INCREMENT-side 2-D fan-out only, corpus member as id_a
+    * whatever the numeric order, id-level self-exclusion for replay.
+    * The crop-and-mirrored re-upload is caught at admission time with
+    * its transform witness — the evasion that slips the aHash, dHash,
+    * dihedral AND plain-tile rungs simultaneously. Sign rule (the m4p
+    * one): the increment is the b side, so a LEFT/TOP-cropped
+    * increment reports negative offsets on the lt witness. */
+  def imageTileKNearDupsServed(corpusKTiles: DataFrame,
+      incrKTiles: DataFrame, incrIds: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100, maxOffset: Int = 1,
+      minMatched: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 disjoint bands guarantee recall only to Hamming 3 (got $maxHamming)")
+    def bandsOfK(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("fam"), col("tx"), col("ty"),
+        col("h_hi"), col("h_lo"),
+        posexplode(array(
+          col("h_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)),
+          col("h_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band", "key")))
+    val keyCols = Seq("fam", "tx", "ty", "band", "key")
+    val cb = bandsOfK(
+      corpusKTiles.select(col("doc_id"), lit("lt").as("fam"), col("tx"),
+          col("ty"), col("h_hi"), col("h_lo"))
+        .join(broadcast(incrIds), Seq("doc_id"), "left_anti"))
+    val nb = bandsOfK(
+      incrKTiles.select("doc_id", "fam", "tx", "ty", "h_hi", "h_lo"))
+    val ok = nb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nn"))
+      .join(cb.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("nc")),
+        keyCols, "left")
+      .filter(col("nn") + coalesce(col("nc"), lit(0L)) <= maxBucket)
+      .select(keyCols.map(col): _*)
+    val nbp = nb.join(ok, keyCols)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("fam").as(s"fam_$side"),
+        col("tx").as(s"tx_$side"), col("ty").as(s"ty_$side"),
+        col("band").as(s"band_$side"), col("key").as(s"key_$side"),
+        col("doc_id").as(s"id_$side"),
+        col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // the increment (b) side carries all four families and fans across
+    // the 2-D offset square; the a side is the stored 'lt' shape
+    def fanned(df: DataFrame): DataFrame =
+      sided(df, "b")
+        .withColumn("join_tx",
+          explode(sequence(col("tx_b") - maxOffset, col("tx_b") + maxOffset)))
+        .withColumn("join_ty",
+          explode(sequence(col("ty_b") - maxOffset, col("ty_b") + maxOffset)))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("join_tx") === col("tx_a") &&
+        col("join_ty") === col("ty_a") &&
+        col("band_a") === col("band_b") && col("key_a") === col("key_b"))
+    val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+      bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
+    val vsCorpus = joined(sided(cb, "a"), fanned(nbp))
+      .filter(col("id_a") =!= col("id_b"))
+    val vsNew = joined(sided(nbp.filter(col("fam") === "lt"), "a"),
+        fanned(nbp))
+      .filter(col("id_a") < col("id_b"))
+    vsCorpus.unionByName(vsNew)
+      .select(col("id_a"), col("id_b"), col("fam_b"),
+        col("tx_a"), col("ty_a"), col("tx_b"), col("ty_b"),
+        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+        (col("tx_b") - col("tx_a")).as("dx"),
+        (col("ty_b") - col("ty_a")).as("dy"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+      .orderBy("id_a", "id_b", "fam", "dx", "dy")
   }
 
   /** Thumbnail metadata: source dims + the fitted target box. */
@@ -2733,6 +3119,10 @@ object MultimodalOps {
     *   `img_len` — generative image basis, default the text length
     *   `img_crop_x`/`img_crop_y` — whole [[TileSize]]-px tiles cropped
     *     off the left/top ([[ImageGen.pngCropped]])
+    *   `img_g` — an axis-preserving dihedral element applied AFTER the
+    *     crop (1 = mirror-x, 2 = flip-y, 3 = 180° —
+    *     [[ImageGen.pngCropT]]; the composed crop∘dihedral recycler
+    *     when combined with the crop columns)
     * Docs without the columns render byte-identically to
     * [[asMediaTable]]. */
   def asRenditionMediaTable(documents: DataFrame): DataFrame = {
@@ -2753,9 +3143,11 @@ object MultimodalOps {
         (if (cols("img_crop_x")) coalesce(col("img_crop_x"), lit(0L))
         else lit(0L)).as("icx"),
         (if (cols("img_crop_y")) coalesce(col("img_crop_y"), lit(0L))
-        else lit(0L)).as("icy"))
-      .as[(Long, String, String, Long, Long, Boolean, Long, Long, Long)]
-      .map { case (id, source, text, vlen, vpad, vmir, ilen, icx, icy) =>
+        else lit(0L)).as("icy"),
+        (if (cols("img_g")) coalesce(col("img_g"), lit(0L))
+        else lit(0L)).as("ig"))
+      .as[(Long, String, String, Long, Long, Boolean, Long, Long, Long, Long)]
+      .map { case (id, source, text, vlen, vpad, vmir, ilen, icx, icy, ig) =>
         val tl = text.length.toLong
         if (isVideoId(id)) {
           if (vlen == tl && vpad == 0L && !vmir)
@@ -2765,6 +3157,9 @@ object MultimodalOps {
           else MediaRecord(id, s"video/$source",
             VideoGen.aviWithIntro(vlen, vpad.toInt))
         }
+        else if (ig != 0L)
+          MediaRecord(id, "image/png",
+            ImageGen.pngCropT(ilen, icx.toInt, icy.toInt, ig.toInt))
         else if (ilen != tl || icx != 0L || icy != 0L)
           MediaRecord(id, "image/png",
             ImageGen.pngCropped(ilen, icx.toInt, icy.toInt))

@@ -483,6 +483,191 @@ SELECT id_a, id_b, CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
 FROM mpver GROUP BY id_a, id_b, dx, dy HAVING count(*) >= 2
 ORDER BY id_a, id_b, dx, dy"""
 
+  /** m4r/m4s/m4t's CROP∘DIHEDRAL chain: the composed rendition (crop
+    * by whole tiles THEN an axis-preserving dihedral element g — pixel
+    * (x, y) reads the generative formula at the crop-shifted,
+    * g-reflected coordinates), every whole 16-px tile of all FOUR
+    * anchor families ('lt'/'rt'/'lb'/'rb' — x grid anchored left or
+    * right, y grid top or bottom, ordinals counted FROM the anchor)
+    * printed through the DIHEDRAL-CANONICAL tile arithmetic: the
+    * SYMMETRIC 8×8 sample grid within the tile (offsets 2i for i < 4,
+    * 2i+1 for i ≥ 4 — mirror-images of each other at t = 16), integer
+    * luma, strict > against the integer mean, then the HUGEINT `least`
+    * over the 8 orientations of the packed print (the m4k chain per
+    * tile). Constant-luma tiles drop. Exposes `<p>kbits` (doc_id, fam,
+    * tx, ty, h_hi, h_lo). `plainBelow400` renders corpus docs PLAIN
+    * and every increment doc cropped-wherever-dims-allow AND
+    * transformed by the id % 3 rule (the m4s/m4t served split); false
+    * = the m4o crop rules composed with the id % 5 transform rule (the
+    * m4r batch fixture). */
+  private def tileKBitsCtes(p: String, plainBelow400: Boolean): String = {
+    val cxExpr =
+      if (plainBelow400)
+        "CASE WHEN doc_id >= 400 AND w0 // 16 >= 2 THEN 1 ELSE 0 END"
+      else "CASE WHEN doc_id % 2 = 1 AND w0 // 16 >= 2 THEN 1 ELSE 0 END"
+    val cyExpr =
+      if (plainBelow400)
+        "CASE WHEN doc_id >= 400 AND h0 // 16 >= 2 THEN 1 ELSE 0 END"
+      else "CASE WHEN doc_id % 3 = 1 AND h0 // 16 >= 2 THEN 1 ELSE 0 END"
+    val gExpr =
+      if (plainBelow400)
+        "CASE WHEN doc_id >= 400 THEN (doc_id % 3) + 1 ELSE 0 END"
+      else "CASE WHEN doc_id % 5 IN (1, 2, 3) THEN doc_id % 5 ELSE 0 END"
+    val idx = Seq(
+      "k",
+      "(k // 8) * 8 + (7 - (k % 8))",
+      "(7 - (k // 8)) * 8 + (k % 8)",
+      "(7 - (k // 8)) * 8 + (7 - (k % 8))",
+      "(k % 8) * 8 + (k // 8)",
+      "(k % 8) * 8 + (7 - (k // 8))",
+      "(7 - (k % 8)) * 8 + (k // 8)",
+      "(7 - (k % 8)) * 8 + (7 - (k // 8))")
+    val packs = idx.map { m =>
+      s"""CAST(list_sum(list_transform(range(32, 64), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << (k - 32))
+              ELSE 0 END)) AS HUGEINT) * 4294967296
+       + CAST(list_sum(list_transform(range(0, 32), k ->
+         CASE WHEN gray[($m) + 1] > mean THEN (CAST(1 AS BIGINT) << k)
+              ELSE 0 END)) AS HUGEINT)"""
+    }
+    s"""${p}kim AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS l FROM $Docs
+        WHERE doc_id % 4 <> 0),
+${p}kdm AS (SELECT doc_id, l, 16 + l % 48 AS w0, 16 + (l * 7) % 48 AS h0
+           FROM ${p}kim),
+${p}kcr AS (SELECT doc_id, l, $cxExpr AS cx, $cyExpr AS cy, $gExpr AS g,
+           w0, h0 FROM ${p}kdm),
+${p}krd AS (SELECT doc_id, l, cx, cy, g, w0 - 16 * cx AS w, h0 - 16 * cy AS h
+           FROM ${p}kcr),
+${p}kfm AS (SELECT doc_id, l, cx, cy, g, w, h, fam FROM ${p}krd,
+           (SELECT unnest(['lt', 'rt', 'lb', 'rb']) AS fam)),
+${p}kti AS (SELECT doc_id, l, cx, cy, g, w, h, fam,
+           unnest(range(0, (w // 16) * (h // 16))) AS ti FROM ${p}kfm),
+${p}ktl AS (SELECT doc_id, l, cx, cy, g, w, h, fam,
+           ti % (w // 16) AS tx, ti // (w // 16) AS ty,
+           CASE WHEN substr(fam, 1, 1) = 'l' THEN 16 * (ti % (w // 16))
+                ELSE w - 16 * ((ti % (w // 16)) + 1) END AS x0,
+           CASE WHEN substr(fam, 2, 1) = 't' THEN 16 * (ti // (w // 16))
+                ELSE h - 16 * ((ti // (w // 16)) + 1) END AS y0
+           FROM ${p}kti),
+${p}kgr AS (SELECT doc_id, fam, tx, ty,
+         list_transform(
+           list_transform(
+             list_transform(range(0, 64), k -> [
+               x0 + CASE WHEN (k % 8) < 4 THEN 2 * (k % 8)
+                         ELSE 2 * (k % 8) + 1 END,
+               y0 + CASE WHEN (k // 8) < 4 THEN 2 * (k // 8)
+                         ELSE 2 * (k // 8) + 1 END]),
+             xy -> (((CASE WHEN g IN (1, 3) THEN w - 1 - xy[1] ELSE xy[1] END
+                      + 16 * cx) * 31
+                   + (CASE WHEN g IN (2, 3) THEN h - 1 - xy[2] ELSE xy[2] END
+                      + 16 * cy) * 17 + l) & 16777215)),
+           v -> (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+                 + (v & 255) * 114) // 1000) AS gray
+       FROM ${p}ktl),
+${p}knc AS (SELECT doc_id, fam, tx, ty, gray FROM ${p}kgr
+           WHERE list_min(gray) <> list_max(gray)),
+${p}kmn AS (SELECT doc_id, fam, tx, ty, gray, list_sum(gray) // 64 AS mean
+           FROM ${p}knc),
+${p}kcc AS (SELECT doc_id, fam, tx, ty,
+           least(${packs.mkString(",\n  ")}) AS comb FROM ${p}kmn),
+${p}kbits AS (SELECT doc_id, fam, tx, ty,
+       CAST(comb // 4294967296 AS BIGINT) AS h_hi,
+       CAST(comb % 4294967296 AS BIGINT) AS h_lo
+     FROM ${p}kcc)"""
+  }
+
+  /** m4r — the batch self-search over the mixed crop∘transform fixture:
+    * the m4o candidate/verify/count chain with the FAMILY dimension —
+    * the a side restricted to the 'lt' family (the stored-side shape),
+    * the b side all four families inside the ±1 2-D fan; the matched b
+    * family is the transform WITNESS. */
+  private val imageTileKNearDupSql: String = s"""
+WITH ${tileKBitsCtes("mr", plainBelow400 = false)},
+mrbands AS (SELECT doc_id, fam, tx, ty, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM mrkbits, (SELECT unnest(range(0, 4)) AS band)),
+mrok AS (SELECT fam, tx, ty, band, key FROM mrbands
+         GROUP BY fam, tx, ty, band, key HAVING count(*) <= 100),
+mrpr AS (SELECT b.doc_id, b.fam, b.tx, b.ty, b.band, b.key
+         FROM mrbands b JOIN mrok USING (fam, tx, ty, band, key)),
+mrcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  b.fam AS famb,
+                  a.tx AS txa, a.ty AS tya, b.tx AS txb, b.ty AS tyb
+           FROM mrpr a JOIN mrpr b
+             ON a.band = b.band AND a.key = b.key
+            AND a.fam = 'lt'
+            AND a.tx BETWEEN b.tx - 1 AND b.tx + 1
+            AND a.ty BETWEEN b.ty - 1 AND b.ty + 1
+            AND a.doc_id < b.doc_id),
+mrver AS (SELECT c.id_a, c.id_b, c.famb,
+                 c.txb - c.txa AS dx, c.tyb - c.tya AS dy
+          FROM mrcand c
+          JOIN mrkbits x ON x.doc_id = c.id_a AND x.fam = 'lt'
+                        AND x.tx = c.txa AND x.ty = c.tya
+          JOIN mrkbits y ON y.doc_id = c.id_b AND y.fam = c.famb
+                        AND y.tx = c.txb AND y.ty = c.tyb
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, famb AS fam,
+       CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM mrver GROUP BY id_a, id_b, famb, dx, dy HAVING count(*) >= 2
+ORDER BY id_a, id_b, fam, dx, dy"""
+
+  /** m4s/m4t — the served form, ONE definition (the m5e/m5f rule):
+    * plain corpus (< 400, 'lt' family only — the imagetilesk side's
+    * shape) vs the composed increment (≥ 400, all four families),
+    * combined-population rail with only the increment side
+    * prune-joined. */
+  private val imageTileKServedSql: String = s"""
+WITH ${tileKBitsCtes("ms", plainBelow400 = true)},
+mspop AS (SELECT doc_id, fam, tx, ty, h_hi, h_lo FROM mskbits
+          WHERE doc_id >= 400 OR fam = 'lt'),
+msbands AS (SELECT doc_id, fam, tx, ty, band,
+   CASE band WHEN 0 THEN h_lo & 65535
+             WHEN 1 THEN (h_lo >> 16) & 65535
+             WHEN 2 THEN h_hi & 65535
+             ELSE (h_hi >> 16) & 65535 END AS key
+  FROM mspop, (SELECT unnest(range(0, 4)) AS band)),
+msok AS (SELECT fam, tx, ty, band, key FROM msbands
+         GROUP BY fam, tx, ty, band, key HAVING count(*) <= 100),
+msip AS (SELECT b.doc_id, b.fam, b.tx, b.ty, b.band, b.key FROM msbands b
+         JOIN msok USING (fam, tx, ty, band, key) WHERE b.doc_id >= 400),
+mscand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, b.fam AS famb,
+         a.tx AS txa, a.ty AS tya, b.tx AS txb, b.ty AS tyb
+  FROM msbands a JOIN msip b
+    ON a.band = b.band AND a.key = b.key
+   AND a.fam = 'lt'
+   AND a.tx BETWEEN b.tx - 1 AND b.tx + 1
+   AND a.ty BETWEEN b.ty - 1 AND b.ty + 1
+   AND a.doc_id < 400
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, b.fam, a.tx, a.ty, b.tx, b.ty
+  FROM msip a JOIN msip b
+    ON a.band = b.band AND a.key = b.key
+   AND a.fam = 'lt'
+   AND a.tx BETWEEN b.tx - 1 AND b.tx + 1
+   AND a.ty BETWEEN b.ty - 1 AND b.ty + 1
+   AND a.doc_id < b.doc_id),
+msver AS (SELECT c.id_a, c.id_b, c.famb,
+                 c.txb - c.txa AS dx, c.tyb - c.tya AS dy
+          FROM mscand c
+          JOIN mskbits x ON x.doc_id = c.id_a AND x.fam = 'lt'
+                        AND x.tx = c.txa AND x.ty = c.tya
+          JOIN mskbits y ON y.doc_id = c.id_b AND y.fam = c.famb
+                        AND y.tx = c.txb AND y.ty = c.tyb
+          WHERE bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) <= 3)
+SELECT id_a, id_b, famb AS fam,
+       CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM msver GROUP BY id_a, id_b, famb, dx, dy HAVING count(*) >= 2
+ORDER BY id_a, id_b, fam, dx, dy"""
+
   /** m4k/m4l's dihedral-canonical chain: the SYMMETRIC sample grid
     * (x_i = (i·w)//8 for i < 4, w−1−((7−i)·w)//8 for i ≥ 4 — exactly the
     * engine's symGray rule, so dihedral image transforms permute the
@@ -3455,6 +3640,15 @@ FROM tm ORDER BY doc_id""",
     // imagetiles side — one oracle (the m5e/m5f rule).
     "m4p_image_tile_served" -> imageTileServedSql,
     "m4q_image_tile_maintained" -> imageTileServedSql,
+    // m4r: the crop∘dihedral composition — dihedral-CANONICAL tile
+    // prints in four anchor families; the matched family is the
+    // transform witness. m4s is the served form (plain corpus 'lt'
+    // side vs the composed increment's four families); m4t the
+    // maintained-side twin off the twenty-third side — one oracle
+    // (the m5e/m5f rule).
+    "m4r_image_ktile_near_dups" -> imageTileKNearDupSql,
+    "m4s_image_ktile_served" -> imageTileKServedSql,
+    "m4t_image_ktile_maintained" -> imageTileKServedSql,
 
     // m4k: the dihedral-canonical print — the oracle recomputes the
     // symmetric grid and ALL 8 orientations' packed prints from the

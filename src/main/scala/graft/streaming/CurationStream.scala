@@ -124,7 +124,7 @@ object CurationStream {
   private final case class IncrMedia(aHashes: Option[DataFrame],
       dHashes: Option[DataFrame], kHashes: Option[DataFrame],
       frames: DataFrame, strides: DataFrame, kStrides: DataFrame,
-      tiles: DataFrame)
+      tiles: DataFrame, ktiles: DataFrame)
 
   /** The c2b-shaped ADVISORY verdict over both maintained tiers (nothing
     * excluded, nothing committed): what WOULD this increment do under
@@ -197,7 +197,8 @@ object CurationStream {
       imageTilePairs =
         if (!imageShiftRung) None
         else incrMedia.map(im => imageTilePairsOf(im,
-          DedupStream.corpusImageTiles(spark, textIndexDir), ids)))
+          DedupStream.corpusImageTiles(spark, textIndexDir),
+          DedupStream.corpusImageTileKs(spark, textIndexDir), ids)))
   }
 
   /** The audio WINDOW rung's COMPLETE pair frame: the forward-shift
@@ -221,18 +222,26 @@ object CurationStream {
         .select("id_a", "id_b"))
       .distinct()
 
-  /** The image TILE rung's pair frame: the increment's tile sub-prints
-    * (the combined image decode's tiles projection) against the
-    * maintained imagetiles side — the `image_shift_dup` class catching
-    * the CROPPED re-upload all three full-frame lenses structurally
-    * miss (every sample position moves under a crop; a crop is not a
-    * dihedral transform). Offset-(0,0) pairs deliberately included —
-    * the verdict precedence classes them image_dup (the audioShiftPairsOf
-    * rule on the spatial axes). */
+  /** The image TILE rung's COMPLETE pair frame: the PLAIN tile screen
+    * (imagetiles side — the CROPPED re-upload all three full-frame
+    * lenses structurally miss: every sample position moves under a
+    * crop, and a crop is not a dihedral transform) unioned with the
+    * dihedral-CANONICAL tile screen (imagetilesk side — the
+    * crop-AND-mirrored composed re-upload, r20: the evasion that also
+    * scrambles every plain tile print), ONE rung class
+    * (`image_shift_dup`), the videoShiftPairsOf rule on the spatial
+    * axes. Both screens consume projections of the batch's one
+    * combined image decode. Offset-(0,0) pairs deliberately included —
+    * the verdict precedence classes them image_dup (the
+    * audioShiftPairsOf rule). */
   private def imageTilePairsOf(im: IncrMedia, tileSide: => DataFrame,
-      ids: DataFrame): DataFrame =
+      ktileSide: => DataFrame, ids: DataFrame): DataFrame =
     MultimodalOps.imageTileNearDupsServed(tileSide, im.tiles, ids)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .unionByName(MultimodalOps.imageTileKNearDupsServed(
+          ktileSide, im.ktiles, ids)
+        .select("id_a", "id_b"))
+      .distinct()
 
   /** The video STRIDE rung's COMPLETE pair frame: the PLAIN stride
     * screen (framestride side — the prepended-intro re-edit) unioned
@@ -288,7 +297,8 @@ object CurationStream {
           Some(MultimodalOps.dHashOf(lensRaw)) else None,
         if (dihedralRung)
           Some(MultimodalOps.dihedralOf(lensRaw)) else None,
-        frames, strides, kStrides, MultimodalOps.tilesOf(lensRaw)))
+        frames, strides, kStrides, MultimodalOps.tilesOf(lensRaw),
+        MultimodalOps.ktilesOf(lensRaw)))
     } else None
 
   /** The image rung's COMPLETE pair frame: the configured lens screen,
@@ -495,6 +505,7 @@ object CurationStream {
         if (!imageShiftRung) None
         else incrMedia.map(im => imageTilePairsOf(im,
           DedupStream.sideExcluding(spark, textIndexDir, "imagetiles", tag),
+          DedupStream.sideExcluding(spark, textIndexDir, "imagetilesk", tag),
           docs.select("doc_id"))))
       .persist()
     try {
@@ -537,7 +548,10 @@ object CurationStream {
           else None,
         frameStrides = incrMedia.map(_.strides),
         frameKStrides = incrMedia.map(_.kStrides),
-        imageTiles = incrMedia.map(_.tiles))
+        imageTiles = incrMedia.map(_.tiles),
+        imageKTiles = incrMedia.map(im =>
+          im.ktiles.filter(col("fam") === "lt")
+            .select("doc_id", "tx", "ty", "h_hi", "h_lo")))
       if (failAfterTextTier) throw new CrashBetweenTiers
       // ---- phase 3: VECTOR COMMIT -------------------------------------
       VectorStream.admitBatch(

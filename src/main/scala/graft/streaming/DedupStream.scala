@@ -116,6 +116,14 @@ import graft.llm.DedupOps
   *                                          served (m4p/m4q): the
   *                                          cropped re-upload caught at
   *                                          its true (dx, dy)
+  * indexDir/imagetilesk/batch=<lineage>-<id>/ (imagetiles schema)
+  *                                          dihedral-CANONICAL tile
+  *                                          prints, 'lt' anchor family
+  *                                          only, off the SAME decode —
+  *                                          m4r's crop∘dihedral tier
+  *                                          served (m4s/m4t): the
+  *                                          crop-AND-mirrored re-upload
+  *                                          caught at admission
   * indexDir/bloom/batch=<lineage>-<id>/     (bits) one OR-mergeable Bloom
   *                                          bitset partial — d10 serving
   * indexDir/groups/                         (doc_id, group_id) assignment
@@ -440,14 +448,15 @@ object DedupStream {
     * whose earlier batches predate a side has no rows there for that
     * part of the corpus, and `readSide` cannot distinguish "side not
     * maintained" from "side missing earlier batches", so a screen over
-    * it silently loses recall forever. Version 1 = the round-20 set
-    * (through audiorwins/framestride/framestridek/imagetiles); a stamp
-    * WITHOUT the column reads 0 — an index admitted under an older side
-    * set. Admission to (and shift/tile-rung screening of) an older-set
-    * index FAILS FAST and routes through a backfill (re-admit into a
-    * fresh index) instead of under-screening silently. Grow the side
-    * set again → bump this. */
-  val MediaSidesVersion: Long = 1L
+    * it silently loses recall forever. Version 1 = the first round-20
+    * set (through audiorwins/framestride/framestridek/imagetiles);
+    * version 2 adds imagetilesk (the crop∘dihedral canonical tile
+    * side); a stamp WITHOUT the column reads 0 — an index admitted
+    * under an older side set. Admission to (and shift/tile-rung
+    * screening of) an older-set index FAILS FAST and routes through a
+    * backfill (re-admit into a fresh index) instead of under-screening
+    * silently. Grow the side set again → bump this. */
+  val MediaSidesVersion: Long = 2L
 
   /** Resolve (and on the index's FIRST admission, stamp) the media PRINT
     * CONFIG — which image lens side(s) the index maintains and whether
@@ -560,9 +569,9 @@ object DedupStream {
           s"index at $indexDir was admitted under always-on side-set " +
             s"version $v; the shift/tile rungs need version " +
             s"$MediaSidesVersion sides (audiowins/audiorwins/framestride/" +
-            "framestridek/imagetiles) for EVERY admitted batch — re-admit " +
-            "the corpus into a fresh index (backfill) before enabling " +
-            "these rungs, or run with them off")
+            "framestridek/imagetiles/imagetilesk) for EVERY admitted " +
+            "batch — re-admit the corpus into a fresh index (backfill) " +
+            "before enabling these rungs, or run with them off")
     }
   }
 
@@ -652,6 +661,10 @@ object DedupStream {
       case "framestride" => AudioWinSchema
       case "framestridek" => AudioWinSchema
       case "imagetiles" => TileSchema
+      // the canonical tile side shares the plain tile schema by design
+      // (the 'lt' family is stored fam-less — the one-serving-shape
+      // rule on the spatial axes)
+      case "imagetilesk" => TileSchema
       case "videohashes" => ImgHashSchema
       case "framehashes" => FrameHashSchema
       case other => throw new IllegalArgumentException(s"no such side: $other")
@@ -779,6 +792,31 @@ object DedupStream {
   def corpusImageTiles(spark: SparkSession, indexDir: String): DataFrame =
     readSide(spark, s"${liveRoot(spark, indexDir)}/imagetiles", TileSchema)
       .drop("batch")
+
+  /** The CROP∘DIHEDRAL canonical tile side (m4t's serving state): the
+    * 'lt' anchor family's dihedral-canonical tile prints, fam-less —
+    * the SAME row count and schema as imagetiles (the stored side never
+    * pays the 4-family fan; [[graft.llm.MultimodalOps.tileKPrintsOf]]'s
+    * algebra puts the other three families on the increment side).
+    * Rides the same per-admission image decode as every other image
+    * side. */
+  def corpusImageTileKs(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"${liveRoot(spark, indexDir)}/imagetilesk", TileSchema)
+      .drop("batch")
+
+  /** M4s/m4t over the maintained side: CROP∘DIHEDRAL-robust image
+    * near-dups between a media increment's 4-family canonical tile
+    * prints and the admitted corpus's imagetilesk side — the
+    * crop-and-mirrored re-upload caught at its true (dx, dy) with its
+    * transform witness at admission time. */
+  def screenImageTileKDups(spark: SparkSession, indexDir: String,
+      newMedia: DataFrame, maxHamming: Int = 3, maxBucket: Int = 100,
+      maxOffset: Int = 1, minMatched: Int = 2): DataFrame =
+    graft.llm.MultimodalOps.imageTileKNearDupsServed(
+      corpusImageTileKs(spark, indexDir),
+      graft.llm.MultimodalOps.tileKPrintFrame(newMedia),
+      newMedia.select("doc_id"), maxHamming, maxBucket, maxOffset,
+      minMatched)
 
   /** M4p/m4q over the maintained side: SPATIAL-CROP-robust image
     * near-dups between a media increment's tile prints and the admitted
@@ -1263,7 +1301,8 @@ object DedupStream {
       frameKHashes: Option[DataFrame] = None,
       frameStrides: Option[DataFrame] = None,
       frameKStrides: Option[DataFrame] = None,
-      imageTiles: Option[DataFrame] = None): Unit = {
+      imageTiles: Option[DataFrame] = None,
+      imageKTiles: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // trailing empty trigger: no state change
     // resolve the live tree ONCE per batch: appends land beside the reads
@@ -1415,7 +1454,7 @@ object DedupStream {
         if (((writesA && imageHashes.isEmpty) ||
           (writesD && imageDHashes.isEmpty) ||
           (dihedralRung && imageKHashes.isEmpty) ||
-          imageTiles.isEmpty) && mediaFallback.nonEmpty)
+          imageTiles.isEmpty || imageKTiles.isEmpty) && mediaFallback.nonEmpty)
           mediaFallback.map(m =>
             graft.llm.MultimodalOps.lensTileFrame(m).persist())
         else None
@@ -1441,6 +1480,15 @@ object DedupStream {
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(lensFallback.map(graft.llm.MultimodalOps.tilesOf))
           .foreach(_.write.mode("overwrite").parquet(s"$root/imagetiles/$key"))
+        // the twenty-third side: dihedral-CANONICAL tile sub-prints
+        // ('lt' family only — the stored side of the m4r crop∘dihedral
+        // tier), the ktileSideOf projection of the same combined
+        // decode: a re-upload that crops AND mirrors is caught at its
+        // true (dx, dy) with its transform witness at admission time
+        imageKTiles
+          .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
+          .orElse(lensFallback.map(graft.llm.MultimodalOps.ktileSideOf))
+          .foreach(_.write.mode("overwrite").parquet(s"$root/imagetilesk/$key"))
         videoHashes
           .map(_.join(keptOut.select("doc_id"), Seq("doc_id"), "left_semi"))
           .orElse(framesFallback.map(graft.llm.MultimodalOps.keyframeOf))
@@ -1756,6 +1804,7 @@ object DedupStream {
     ("imagedhashes", ImgHashSchema, identity[DataFrame] _),
     ("imagekhashes", ImgHashSchema, identity[DataFrame] _),
     ("imagetiles", TileSchema, identity[DataFrame] _),
+    ("imagetilesk", TileSchema, identity[DataFrame] _),
     ("winnowfps", WinnowSchema, identity[DataFrame] _),
     ("audiohashes", AudioHashSchema, identity[DataFrame] _),
     ("audiofps", AudioFpSchema, identity[DataFrame] _),

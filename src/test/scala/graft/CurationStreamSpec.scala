@@ -1225,6 +1225,64 @@ class CurationStreamSpec extends SparkSpec {
     DedupOps.releaseCaches()
   }
 
+  test("the tile rung rejects a cropped-AND-mirrored re-upload across start() microbatches; without it every rung admits") {
+    implicit val sqlCtx = spark.sqlContext
+    def textOfLen(tag: String, len: Int): String = {
+      val sb = new StringBuilder(tag)
+      var k = 1
+      while (sb.length < len - 24) { sb.append(s" the $tag$k"); k += 1 }
+      val pad = len - sb.length - 1
+      sb.append(" ").append("z" * pad)
+      assert(sb.length === len); sb.toString
+    }
+    def e(i: Int) = Array.tabulate(16)(d => if (d == i % 16) 1f else 0f)
+    val bench = Seq((9000L, "benchmark only words qq ww ee rr")).toDF("doc_id", "text")
+    // the r20 COMPOSED image recycler: probe 405 re-uploads corpus doc
+    // 9's image (335 → 63×57 px) cropped by one tile column and one
+    // tile row AND mirror-x'd (img_g = 1) — the crop moves every
+    // full-frame lens sample, the mirror scrambles every PLAIN tile
+    // print, so the whole image ladder INCLUDING the m4o tile screen
+    // structurally misses; only the canonical-tile leg of the rung
+    // catches, on the 'rt' witness at (−1, −1), off the maintained
+    // imagetilesk side.
+    def runWith(rung: Boolean): (Map[Long, (String, Option[Long])], String) = {
+      val tmp = Files.createTempDirectory(s"graft_curation_ktile_$rung").toString
+      DedupStream.admitBatch(
+        Seq((9L, "src", textOfLen("seed", 335))).toDF("doc_id", "source", "text"),
+        0L, s"$tmp/text", s"$tmp/seedout", 0.5, "seed")
+      DedupOps.releaseCaches()
+      VectorStream.build(spark, s"$tmp/vec",
+        Seq((9L, e(1))).toDF("vec_id", "embedding"), nCells = 1, iterations = 1)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Array[Float], Option[Long],
+          Option[Long], Option[Long], Option[Long])]
+      val q = CurationStream.start(
+        stream.toDF().toDF("doc_id", "source", "text", "embedding",
+          "img_len", "img_crop_x", "img_crop_y", "img_g"),
+        s"$tmp/text", s"$tmp/vec", s"$tmp/out", s"$tmp/ckpt", bench,
+        imageShiftRung = rung)
+      try {
+        stream.addData((405L, "src", textOfLen("mirr", 464), e(2),
+          Some(335L), Some(1L), Some(1L), Some(1L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (CurationStream.verdictLog(spark, s"$tmp/out")
+        .select("doc_id", "verdict", "detail_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap, tmp)
+    }
+    val (without, _) = runWith(rung = false)
+    assert(without === Map(405L -> ("admitted", None)), without.toString)
+    val (withR, tmpK) = runWith(rung = true)
+    assert(withR === Map(405L -> ("image_shift_dup", Some(9L))),
+      withR.toString)
+    // only ADMITTED docs' canonical tile prints reach the side, 'lt'
+    // family rows in the plain tile schema
+    assert(DedupStream.corpusImageTileKs(spark, s"$tmpK/text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(9L))
+    DedupOps.releaseCaches()
+  }
+
   test("an index stamped under an older side set fails fast: admission and rung screens route through a backfill") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_sidesver").toString

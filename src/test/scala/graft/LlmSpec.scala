@@ -1104,6 +1104,116 @@ class LlmSpec extends SparkSpec {
       s"only the varying whole tile may print: $prints")
   }
 
+  test("the canonical tile print is EXACTLY invariant under all 8 dihedral transforms of the tile content") {
+    // the symGray argument restricted to a 16×16 tile: sample offsets
+    // {0,2,4,6} ∪ {9,11,13,15} are mirror-images of each other, so a
+    // dihedral transform of the tile PERMUTES the sampled grid and the
+    // min over the 8-orbit is a class invariant — the m4k exactness
+    // carried to the sub-print level
+    val rnd = new scala.util.Random(47)
+    val t = Array.tabulate(16, 16)((_, _) => rnd.nextInt() & 0xffffff)
+    def imgOf(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, px(x, y))
+      im
+    }
+    val base = MultimodalOps.tileKHash(imgOf((x, y) => t(y)(x)), 0, 0)
+    assert(base.nonEmpty)
+    val transforms: Seq[(Int, Int) => Int] = Seq(
+      (x, y) => t(y)(15 - x), (x, y) => t(15 - y)(x),
+      (x, y) => t(15 - y)(15 - x), (x, y) => t(x)(y),
+      (x, y) => t(x)(15 - y), (x, y) => t(15 - x)(y),
+      (x, y) => t(15 - x)(15 - y))
+    transforms.zipWithIndex.foreach { case (f, i) =>
+      assert(MultimodalOps.tileKHash(imgOf(f), 0, 0) === base,
+        s"transform $i must preserve the canonical tile print")
+    }
+    // and the plain tile print is NOT mirror-invariant (the seam the
+    // canonical family exists to close)
+    assert(MultimodalOps.tileAHash(imgOf((x, y) => t(y)(15 - x)), 0, 0)
+      !== MultimodalOps.tileAHash(imgOf((x, y) => t(y)(x)), 0, 0),
+      "fixture sanity: the plain tile print must move under a mirror")
+  }
+
+  test("m4r catches a cropped-AND-mirrored re-upload with its transform witness; the plain tile tier and every full-frame lens genuinely miss") {
+    import spark.implicits._
+    import graft.llm.MultimodalOps.MediaRecord
+    val rnd = new scala.util.Random(59)
+    // 52×41: both axes carry a mod-16 remainder, so the anchor families
+    // genuinely differ (no grid coincidences to lean on)
+    val src = new java.awt.image.BufferedImage(52, 41,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 41; x <- 0 until 52)
+      src.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    // the COMPOSED recycler: one tile column off the left, THEN mirror-x
+    val comp = new java.awt.image.BufferedImage(36, 41,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 41; x <- 0 until 36)
+      comp.setRGB(x, y, src.getRGB(16 + (35 - x), y))
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", out)
+      out.toByteArray
+    }
+    def ham(p: (Long, Long), q: (Long, Long)) =
+      java.lang.Long.bitCount(p._1 ^ q._1) + java.lang.Long.bitCount(p._2 ^ q._2)
+    // the composition evades EVERY existing image rung: the crop moves
+    // all full-frame sample positions (so even the dihedral-canonical
+    // lens misses — crop∘mirror is not a dihedral transform of the
+    // whole frame), and the mirror scrambles every PLAIN tile print
+    assert(ham(MultimodalOps.aHash(src), MultimodalOps.aHash(comp)) > 3,
+      "fixture sanity: aHash must miss")
+    assert(ham(MultimodalOps.dHash(src), MultimodalOps.dHash(comp)) > 3,
+      "fixture sanity: dHash must miss")
+    assert(ham(MultimodalOps.dihedralAHash(src),
+      MultimodalOps.dihedralAHash(comp)) > 3,
+      "fixture sanity: the full-frame dihedral lens must miss")
+    val media = Seq(MediaRecord(1L, "image/png", png(src)),
+      MediaRecord(2L, "image/png", png(comp))).toDS().toDF()
+    assert(MultimodalOps.imageTileNearDups(
+      MultimodalOps.tilePrintFrameRaw(media)).isEmpty,
+      "the plain tile tier must genuinely miss the composed recycler")
+    // the canonical tier catches: the recycler's RIGHT-anchored grid is
+    // the original's left grid reflected (tile j from the right = the
+    // original's lt tile j+1, mirrored — print-equal under the
+    // canonical min), so all 2×2 shared whole tiles match on the 'rt'
+    // witness at (dx, dy) = (−1, 0)
+    val caught = MultimodalOps.imageTileKNearDups(
+      MultimodalOps.tileKPrintFrameRaw(media))
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(caught === Seq((1L, 2L, "rt", -1L, 0L, 4L)),
+      s"must catch on the rt witness at (-1, 0) with all 4 shared tiles: $caught")
+    DedupOps.releaseCaches()
+  }
+
+  test("the per-family tile cap and degenerate drops bound the ktile side; the stored side is the 'lt' family alone") {
+    // growth rail per FAMILY: a hostile 1040×1040 upload cuts 65×65 =
+    // 4225 whole tiles per anchor family; each family caps at
+    // MaxTilesPerImage independently (4× the plain tier's rows on the
+    // query side — the stored side keeps 1× by taking 'lt' alone)
+    val big = new java.awt.image.BufferedImage(1040, 1040,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 1040; x <- 0 until 1040)
+      big.setRGB(x, y, ((x * 37 + y * 91) & 0xff) << 8)
+    val prints = MultimodalOps.tileKPrintsOf(big)
+    assert(prints.groupBy(_.fam).view.mapValues(_.size).toMap ===
+      Map("lt" -> MultimodalOps.MaxTilesPerImage,
+        "rt" -> MultimodalOps.MaxTilesPerImage,
+        "lb" -> MultimodalOps.MaxTilesPerImage,
+        "rb" -> MultimodalOps.MaxTilesPerImage))
+    // constant tiles drop PER FAMILY (each family's grid samples its
+    // own pixel set, so a flat region drops only where a family's tile
+    // actually lands in it)
+    val img = new java.awt.image.BufferedImage(47, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 47)
+      img.setRGB(x, y, if (x < 16) 0x808080 else ((x * 53 + y * 29) & 0xff))
+    val lt = MultimodalOps.tileKPrintsOf(img).filter(_.fam == "lt")
+    assert(lt.map(t => (t.tx, t.ty)) === Seq((1L, 0L)),
+      s"the lt family must match the plain tier's drop rule: $lt")
+  }
+
   test("a stereo→mono downmix lands in the acoustic near tier (the channel-mix boundary pinned)") {
     import spark.implicits._
     import graft.llm.MultimodalOps.{AudioDecoder, AudioGen, AudioRecord}

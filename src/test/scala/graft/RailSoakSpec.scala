@@ -146,6 +146,51 @@ class RailSoakSpec extends SparkSpec {
     } finally DedupOps.releaseCaches()
   }
 
+  test("m4r ktile rail binds on a 3000-copy image flood; railed pairs equal the small-N run") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.MediaRecord
+    // the m4o flood against the CANONICAL 4-family tile tier: 3000
+    // copies of one image put the whole flood into every one of its
+    // (fam, tx, ty, band, key) buckets — without the rail the 2-D fan
+    // would multiply ~4.5M Hamming-0 pairs by the 9-cell square TIMES
+    // the 4-family b side. Genuine content: 10 identical-triplet
+    // classes of RANDOM 52×41 images (both axes carry a mod-16
+    // remainder, so only the lt↔lt leg aligns for plain copies and the
+    // expected rows are exactly one per pair): within-class pairs must
+    // survive the rail on the 'lt' witness at (0, 0) with all 3×2 = 6
+    // whole tiles matched.
+    val rnd = new scala.util.Random(61)
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(52, 41,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 41; x <- 0 until 52)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val floodPng = png()
+    val flood = (10000L until 13000L).map(i =>
+      MediaRecord(i, "image/png", floodPng))
+    val groups = (0 until 10).flatMap { g =>
+      val p = png()
+      (0 until 3).map(j => MediaRecord((g * 3 + j).toLong, "image/png", p))
+    }
+    def ktilesOf(rows: Seq[MediaRecord]) =
+      MultimodalOps.tileKPrintFrameRaw(rows.toDF())
+    try {
+      val railed = MultimodalOps.imageTileKNearDups(ktilesOf(flood ++ groups))
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+      val reference = MultimodalOps.imageTileKNearDups(ktilesOf(groups))
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+      assert(railed === reference, "railed pairs must equal the small-N run")
+      assert(railed.size === 30)
+      assert(railed.forall { case (a, b, fam, dx, dy, n) =>
+        a / 3 == b / 3 && a < 10000 && b < 10000 &&
+          fam == "lt" && dx == 0L && dy == 0L && n == 6L })
+    } finally DedupOps.releaseCaches()
+  }
+
   test("m4g lens-union rails bind on a 3000-image constant flood; railed union equals the small-N run") {
     import graft.llm.MultimodalOps
     // the m4c flood against BOTH lenses at once: 3000 same-length images

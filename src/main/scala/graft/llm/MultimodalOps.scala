@@ -68,19 +68,30 @@ object MultimodalOps {
     def dims(textLen: Long): (Int, Int) =
       ((16 + textLen % 48).toInt, (16 + (textLen * 7) % 48).toInt)
 
-    private def image(textLen: Long): BufferedImage = {
-      val (w, h) = dims(textLen)
+    /** One bulk-write image fill: the per-pixel setRGB form costs a
+      * method call + bounds check per pixel where one setRGB(rect) call
+      * writes the whole raster — same pixels, measured ~5× cheaper on
+      * the fixture dims (generation runs inside every inline-decode
+      * media row's timing, so its cost is hot). */
+    private[MultimodalOps] def filled(w: Int, h: Int)(pix: (Int, Int) => Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val arr = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, (x * 31 + y * 17 + textLen.toInt) & 0xffffff)
+          arr(y * w + x) = pix(x, y)
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, arr, 0, w)
       img
+    }
+
+    private def image(textLen: Long): BufferedImage = {
+      val (w, h) = dims(textLen)
+      filled(w, h)((x, y) => (x * 31 + y * 17 + textLen.toInt) & 0xffffff)
     }
 
     def png(textLen: Long): Array[Byte] = {
@@ -108,17 +119,8 @@ object MultimodalOps {
     def pngCropped(textLen: Long, cx: Int, cy: Int): Array[Byte] = {
       val (w0, h0) = dims(textLen)
       val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y,
-            ((x + 16 * cx) * 31 + (y + 16 * cy) * 17 + textLen.toInt) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
+      val img = filled(w, h)((x, y) =>
+        ((x + 16 * cx) * 31 + (y + 16 * cy) * 17 + textLen.toInt) & 0xffffff)
       val out = new ByteArrayOutputStream()
       ImageIO.write(img, "png", out)
       out.toByteArray
@@ -135,17 +137,10 @@ object MultimodalOps {
     def pngCropT(textLen: Long, cx: Int, cy: Int, g: Int): Array[Byte] = {
       val (w0, h0) = dims(textLen)
       val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val sx = (if (g == 1 || g == 3) w - 1 - x else x) + 16 * cx
-          val sy = (if (g == 2 || g == 3) h - 1 - y else y) + 16 * cy
-          img.setRGB(x, y, (sx * 31 + sy * 17 + textLen.toInt) & 0xffffff)
-          x += 1
-        }
-        y += 1
+      val img = filled(w, h) { (x, y) =>
+        val sx = (if (g == 1 || g == 3) w - 1 - x else x) + 16 * cx
+        val sy = (if (g == 2 || g == 3) h - 1 - y else y) + 16 * cy
+        (sx * 31 + sy * 17 + textLen.toInt) & 0xffffff
       }
       val out = new ByteArrayOutputStream()
       ImageIO.write(img, "png", out)
@@ -225,24 +220,21 @@ object MultimodalOps {
       ((2 + textLen % 3).toInt, w, h)
     }
 
-    /** Frame `f`'s pixels: the image formula shifted 7 per frame, so
-      * frames within a clip differ deterministically. */
-    def framePng(textLen: Long, f: Int): Array[Byte] = {
+    /** One PNG-encoded frame off the shared bulk fill (the
+      * [[ImageGen.filled]] rule — frame generation runs per frame per
+      * clip inside every inline-decode video row's timing). */
+    private def framePngOf(textLen: Long)(pix: (Int, Int) => Int): Array[Byte] = {
       val (_, w, h) = params(textLen)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y, (x * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
+      ImageIO.write(ImageGen.filled(w, h)(pix), "png", out)
       out.toByteArray
     }
+
+    /** Frame `f`'s pixels: the image formula shifted 7 per frame, so
+      * frames within a clip differ deterministically. */
+    def framePng(textLen: Long, f: Int): Array[Byte] =
+      framePngOf(textLen)((x, y) =>
+        (x * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
 
     private def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -291,23 +283,9 @@ object MultimodalOps {
       * constant (7000 ≫ the nf·7 range real frames span) so the
       * prepended-fixture's intro frames are a distinct generative family
       * the oracle recomputes the same way. */
-    def introPng(textLen: Long, j: Int): Array[Byte] = {
-      val (_, w, h) = params(textLen)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y,
-            (x * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
+    def introPng(textLen: Long, j: Int): Array[Byte] =
+      framePngOf(textLen)((x, y) =>
+        (x * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
 
     /** The PREPENDED-intro re-edit: `pad` intro frames ahead of the
       * clip's real frame sequence — the video recycling the proportional
@@ -322,42 +300,18 @@ object MultimodalOps {
     /** Frame `f`'s pixels MIRRORED (horizontal flip: pixel (x, y) reads
       * the formula at (w−1−x, y)) — the dihedral re-edit's footage. */
     def mirrorFramePng(textLen: Long, f: Int): Array[Byte] = {
-      val (_, w, h) = params(textLen)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y,
-            ((w - 1 - x) * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
+      val (_, w, _) = params(textLen)
+      framePngOf(textLen)((x, y) =>
+        ((w - 1 - x) * 31 + y * 17 + textLen.toInt + f * 7) & 0xffffff)
     }
 
     /** INTRO frame `j`'s pixels MIRRORED — [[mirrorFramePng]]'s sibling
       * on the intro family (the whole re-edit is flipped, intro
       * included). */
     def mirrorIntroPng(textLen: Long, j: Int): Array[Byte] = {
-      val (_, w, h) = params(textLen)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y,
-            ((w - 1 - x) * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
+      val (_, w, _) = params(textLen)
+      framePngOf(textLen)((x, y) =>
+        ((w - 1 - x) * 31 + y * 17 + textLen.toInt + 7000 + j * 7) & 0xffffff)
     }
 
     /** The MIRRORED-and-PREPENDED re-edit — the COMPOSED video evasion
@@ -1166,14 +1120,14 @@ object MultimodalOps {
           col("key_a") === col("key_b") &&
           col("id_a") < col("id_b") &&
           !(col("fam_a") === "b" && col("fam_b") === "b"))
-      .select(col("id_a"), col("id_b"), col("fam_a"), col("fam_b"),
-        col("ord_a"), col("ord_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      // gate BEFORE dedup, dedup on the NARROW key (the served form's
+      // rule): (doc_id, family, ordinal) determines the print
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         concat(col("fam_a"), col("fam_b")).as("orient"),
-        (col("ord_b") - col("ord_a")).as("win_offset"))
+        col("ord_a"), (col("ord_b") - col("ord_a")).as("win_offset"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("orient"), col("win_offset"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "orient", "win_offset")
@@ -1239,15 +1193,18 @@ object MultimodalOps {
       .filter(col("id_a") =!= col("id_b"))
     val vsNew = joined(sided(nbp, "a"), fanned(nbp))
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key (the
+    // audioShiftNearDupsServedWins rule with the family pair in the
+    // key): (doc_id, family, ordinal) determines the print, so the
+    // 6-column key collapses exactly the band multiplicity the wide
+    // 10-column distinct did and no hash crosses the dedup exchange
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"), col("fam_a"), col("fam_b"),
-        col("ord_a"), col("ord_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         concat(col("fam_a"), col("fam_b")).as("orient"),
-        (col("ord_b") - col("ord_a")).as("win_offset"))
+        col("ord_a"), (col("ord_b") - col("ord_a")).as("win_offset"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("orient"), col("win_offset"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "orient", "win_offset")
@@ -1451,12 +1408,15 @@ object MultimodalOps {
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
           col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ord_a"), col("ord_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      // gate BEFORE dedup, dedup on the NARROW key (see the served form
+      // for the argument): (doc_id, ordinal) determines the print, so
+      // the 4-long key collapses the same band multiplicity the wide
+      // 8-column distinct did and the hashes never cross the exchange
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("ord_a"),
         (col("ord_b") - col("ord_a")).as("win_offset"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("win_offset"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "win_offset")
@@ -1522,13 +1482,20 @@ object MultimodalOps {
       .filter(col("id_a") =!= col("id_b"))
     val vsNew = joined(sided(nbp, "a"), fanned(nbp))
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key: the Hamming filter is
+    // a row-deterministic predicate (filter∘distinct ≡ distinct∘filter),
+    // and within each side frame (doc_id, ordinal) determines the print
+    // — so deduping on (ids, ord_a, win_offset) collapses exactly the
+    // band multiplicity the wide 8-column distinct did, while the rows
+    // crossing the dedup exchange carry 4 longs instead of 8 (guide
+    // §2.3: shuffle fewer bytes — the dedup is this search's one big
+    // shuffle; hashes never cross it now)
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"), col("ord_a"), col("ord_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("ord_a"),
         (col("ord_b") - col("ord_a")).as("win_offset"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("win_offset"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "win_offset")
@@ -1656,23 +1623,42 @@ object MultimodalOps {
   final case class ImageHash(doc_id: Long, h_hi: Long, h_lo: Long,
     width: Long, height: Long)
 
-  /** Average-hash (aHash) of a decoded image, the classic perceptual
-    * fingerprint: an 8×8 NEAREST-NEIGHBOR sample grid (integer positions
-    * (i·w)/8, (j·h)/8 — area-interpolated resizes are
-    * implementation-defined, nearest is exactly mirrorable), integer
-    * luma (r·299+g·587+b·114)/1000 per sample, each bit = luma > the
-    * integer mean, packed row-major. Returned as two 32-bit halves in
-    * longs — a single 64-bit pack would put bit 63 in the sign and make
-    * the cross-engine comparison chase two's-complement behavior. */
-  def aHash(img: BufferedImage): (Long, Long) = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    val gray = Array.tabulate(64) { k =>
-      val v = img.getRGB(((k % 8) * w) / 8, ((k / 8) * h) / 8)
-      (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+  /** ONE bulk RGB→integer-luma conversion of a decoded image — the
+    * shared sample source every print family reads (same
+    * (r·299+g·587+b·114)/1000 arithmetic as the per-pixel form):
+    * per-sample `getRGB(x, y)` on the JDK readers' component rasters
+    * allocates a transfer object and converts per CALL, and the tile
+    * families sample thousands of positions per image — one pass over
+    * the raster replaces all of it. */
+  private[graft] def lumaOf(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) {
+      val v = rgb(i)
+      out(i) = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      i += 1
     }
-    val mean = gray.sum / 64
-    var (hi, lo) = (0L, 0L)
+    out
+  }
+
+  /** [[aHash]] over a pre-converted luma plane (identical sampling and
+    * packing arithmetic — the BufferedImage form wraps this). */
+  private[graft] def aHashL(luma: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](64)
+    var sum = 0
     var k = 0
+    while (k < 64) {
+      val g = luma((((k / 8) * h) / 8) * w + ((k % 8) * w) / 8)
+      gray(k) = g
+      sum += g
+      k += 1
+    }
+    val mean = sum / 64
+    var (hi, lo) = (0L, 0L)
+    k = 0
     while (k < 64) {
       if (gray(k) > mean) {
         if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
@@ -1681,6 +1667,17 @@ object MultimodalOps {
     }
     (hi, lo)
   }
+
+  /** Average-hash (aHash) of a decoded image, the classic perceptual
+    * fingerprint: an 8×8 NEAREST-NEIGHBOR sample grid (integer positions
+    * (i·w)/8, (j·h)/8 — area-interpolated resizes are
+    * implementation-defined, nearest is exactly mirrorable), integer
+    * luma (r·299+g·587+b·114)/1000 per sample, each bit = luma > the
+    * integer mean, packed row-major. Returned as two 32-bit halves in
+    * longs — a single 64-bit pack would put bit 63 in the sign and make
+    * the cross-engine comparison chase two's-complement behavior. */
+  def aHash(img: BufferedImage): (Long, Long) =
+    aHashL(lumaOf(img), img.getWidth, img.getHeight)
 
   /** Difference-hash (dHash) — the GRADIENT lens beside [[aHash]]'s
     * mean-threshold lens: a 9×8 nearest-neighbor luma grid (the extra
@@ -1695,22 +1692,28 @@ object MultimodalOps {
     * aHash (nearest sampling at (x·w)/9, (y·h)/8; integer luma), same
     * 64-bit print schema, so every banded consumer can serve dHash
     * tables unchanged. */
-  def dHash(img: BufferedImage): (Long, Long) = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    val gray = Array.tabulate(8, 9) { (y, x) =>
-      val v = img.getRGB((x * w) / 9, (y * h) / 8)
-      (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+  /** [[dHash]] over a pre-converted luma plane (identical 9×8 sampling
+    * and comparison arithmetic). */
+  private[graft] def dHashL(luma: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](72)
+    var k = 0
+    while (k < 72) {
+      gray(k) = luma((((k / 9) * h) / 8) * w + ((k % 9) * w) / 9)
+      k += 1
     }
     var (hi, lo) = (0L, 0L)
-    var k = 0
+    k = 0
     while (k < 64) {
-      if (gray(k / 8)(k % 8 + 1) > gray(k / 8)(k % 8)) {
+      if (gray((k / 8) * 9 + k % 8 + 1) > gray((k / 8) * 9 + k % 8)) {
         if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
       }
       k += 1
     }
     (hi, lo)
   }
+
+  def dHash(img: BufferedImage): (Long, Long) =
+    dHashL(lumaOf(img), img.getWidth, img.getHeight)
 
   /** The SYMMETRIC 8×8 luma sample grid behind the dihedral-canonical
     * print: sample positions are mirror-symmetric by construction —
@@ -1740,6 +1743,50 @@ object MultimodalOps {
     (x, y) => (y, x), (x, y) => (7 - y, x),
     (x, y) => (y, 7 - x), (x, y) => (7 - y, 7 - x))
 
+  /** [[DihedralMaps]] flattened to source-bit index permutations
+    * (perm(o)(j) = the flat 0..63 source index orientation o reads for
+    * target bit j), derived ONCE from the authoritative maps: the
+    * canonical-min orbit runs per TILE per FAMILY in the crop∘dihedral
+    * tier (4 families × up to [[MaxTilesPerImage]] tiles per image, vs
+    * once per image for the full-frame print), so its inner loop must
+    * not allocate — the closure-and-tuple form costs 8×64 tuple
+    * allocations per tile where this table costs none. */
+  private val DihedralPerms: Array[Array[Int]] =
+    DihedralMaps.map { f =>
+      Array.tabulate(64) { j =>
+        val (sx, sy) = f(j % 8, j / 8); sy * 8 + sx
+      }
+    }.toArray
+
+  /** The canonical (min-over-orbit) print of one flat 64-bit
+    * mean-threshold word — bit k of `bits` = sample k exceeded the
+    * mean. Returns the same (hi, lo) pair as mapping the word through
+    * every [[DihedralMaps]] element and taking the tuple min: both
+    * halves carry 32 bits (non-negative longs), so lexicographic
+    * (hi, lo) comparison IS the tuple ordering the Seq form used. */
+  private def dihedralMinOf(bits: Long): (Long, Long) = {
+    var bestHi = Long.MaxValue
+    var bestLo = Long.MaxValue
+    var o = 0
+    while (o < 8) {
+      val perm = DihedralPerms(o)
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < 64) {
+        if (((bits >>> perm(j)) & 1L) != 0L) {
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        j += 1
+      }
+      if (hi < bestHi || (hi == bestHi && lo < bestLo)) {
+        bestHi = hi; bestLo = lo
+      }
+      o += 1
+    }
+    (bestHi, bestLo)
+  }
+
   /** M4k — the DIHEDRAL-CANONICAL perceptual print: the minimum (by the
     * (h_hi, h_lo) pair — both halves carry 32 bits, so natural long
     * ordering is the unsigned order) over the 8 dihedral orientations of
@@ -1750,22 +1797,43 @@ object MultimodalOps {
     * MIRROR-FLIP recycler, the classic image-dedup evasion every plain
     * orientation-sensitive hash misses by ~half its bits. Same 64-bit
     * schema, so the whole banded machinery serves it unchanged. */
-  def dihedralAHash(img: BufferedImage): (Long, Long) = {
-    val g = symGray(img)
-    val mean = g.sum / 64
-    val bit = Array.tabulate(8, 8)((y, x) => g(y * 8 + x) > mean)
-    DihedralMaps.map { f =>
-      var (hi, lo) = (0L, 0L)
-      var k = 0
-      while (k < 64) {
-        val (sx, sy) = f(k % 8, k / 8)
-        if (bit(sy)(sx)) {
-          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-        }
-        k += 1
-      }
-      (hi, lo)
-    }.min
+  /** [[dihedralAHash]] over a pre-converted luma plane (identical
+    * symmetric sampling, mean and orbit arithmetic). */
+  private[graft] def dihedralAHashL(luma: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val gray = new Array[Int](64)
+    var sum = 0
+    var k = 0
+    while (k < 64) {
+      val xi = k % 8
+      val yi = k / 8
+      val x = if (xi < 4) (xi * w) / 8 else w - 1 - ((7 - xi) * w) / 8
+      val y = if (yi < 4) (yi * h) / 8 else h - 1 - ((7 - yi) * h) / 8
+      val g = luma(y * w + x)
+      gray(k) = g
+      sum += g
+      k += 1
+    }
+    val mean = sum / 64
+    var bits = 0L
+    k = 0
+    while (k < 64) {
+      if (gray(k) > mean) bits |= 1L << k
+      k += 1
+    }
+    dihedralMinOf(bits)
+  }
+
+  def dihedralAHash(img: BufferedImage): (Long, Long) =
+    dihedralAHashL(lumaOf(img), img.getWidth, img.getHeight)
+
+  /** aHash + dihedral-canonical print (+ dims) of one decoded frame off
+    * ONE luma conversion — the dual-family video frame sampler's kernel
+    * (every memoized frame pays one raster pass, both families ride
+    * it). */
+  private def dualPrintsOf(img: BufferedImage): ((Long, Long), (Long, Long), Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val luma = lumaOf(img)
+    (aHashL(luma, w, h), dihedralAHashL(luma, w, h), w.toLong, h.toLong)
   }
 
   /** The bare decode→canonical-print projection (the fingerprintFrame
@@ -1831,11 +1899,14 @@ object MultimodalOps {
     media.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
         ImageDecoder.image(r.payload).map { img =>
-          val (ahi, alo) = aHash(img)
-          val (dhi, dlo) = dHash(img)
-          val (khi, klo) = dihedralAHash(img)
+          // ONE luma conversion feeds all three lens families
+          val (w, h) = (img.getWidth, img.getHeight)
+          val luma = lumaOf(img)
+          val (ahi, alo) = aHashL(luma, w, h)
+          val (dhi, dlo) = dHashL(luma, w, h)
+          val (khi, klo) = dihedralAHashL(luma, w, h)
           ImageLensHash(r.doc_id, ahi, alo, dhi, dlo, khi, klo,
-            img.getWidth.toLong, img.getHeight.toLong)
+            w.toLong, h.toLong)
         }
       }
     }.toDF()
@@ -1997,15 +2068,20 @@ object MultimodalOps {
       allBands.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") <= maxBucket).select("band", "key"),
       Seq("band", "key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // gate BEFORE dedup, dedup on the NARROW key: one print per doc_id
+    // in the frame, so (id_a, id_b) determines both hashes and the
+    // hamming — the filter is row-deterministic (filter∘distinct ≡
+    // distinct∘filter) and the dedup exchange carries 3 columns
+    // instead of 6 (guide §2.3)
+    bands.as("a").join(bands.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.h_hi").as("ha_hi"), col("a.h_lo").as("ha_lo"),
         col("b.h_hi").as("hb_hi"), col("b.h_lo").as("hb_lo"))
+      .filter(hammingExpr <= maxHamming)
+      .select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
@@ -2062,12 +2138,13 @@ object MultimodalOps {
       .filter(col("id_a") =!= col("id_b"))
     val vsNew = sided(nbp, "a").join(sided(nbp, "b"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key (the batch form's
+    // rule; the legs' id_a sets are disjoint by the anti-join, so
+    // (id_a, id_b) still determines the hashes across the union)
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      .filter(hammingExpr <= maxHamming)
       .select(col("id_a"), col("id_b"), hammingExpr.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -2124,16 +2201,19 @@ object MultimodalOps {
     * tiles drop (a flat background tile carries no spatial evidence and
     * would cross-match every such image through one degenerate bucket —
     * the silence-window rule on pixels). */
-  def tileAHash(img: BufferedImage, x0: Int, y0: Int,
-      t: Int = TileSize): Option[(Long, Long)] = {
+  /** [[tileAHash]] over a pre-converted luma plane (identical sampling,
+    * degenerate-tile and packing arithmetic — the BufferedImage form
+    * wraps this; the per-image print loops convert luma ONCE and run
+    * every tile over the plane). */
+  private[graft] def tileAHashL(luma: Array[Int], w: Int, x0: Int, y0: Int,
+      t: Int): Option[(Long, Long)] = {
     val gray = new Array[Int](64)
     var k = 0
     var mn = Int.MaxValue
     var mx = Int.MinValue
     var sum = 0
     while (k < 64) {
-      val v = img.getRGB(x0 + ((k % 8) * t) / 8, y0 + ((k / 8) * t) / 8)
-      val g = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      val g = luma((y0 + ((k / 8) * t) / 8) * w + x0 + ((k % 8) * t) / 8)
       gray(k) = g
       if (g < mn) mn = g
       if (g > mx) mx = g
@@ -2155,20 +2235,30 @@ object MultimodalOps {
     }
   }
 
+  def tileAHash(img: BufferedImage, x0: Int, y0: Int,
+      t: Int = TileSize): Option[(Long, Long)] =
+    tileAHashL(lumaOf(img), img.getWidth, x0, y0, t)
+
   /** Every whole tile's sub-print of one decoded image, row-major,
     * capped at [[MaxTilesPerImage]]; the right/bottom partial tiles drop
     * (their dims — and so their prints — depend on total image size, the
     * one thing a crop changes: the tail-partial rule on pixels). */
-  def tilePrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageTileNested] = {
-    val ntx = img.getWidth / t
-    val nty = img.getHeight / t
+  def tilePrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageTileNested] =
+    tilePrintsOfL(lumaOf(img), img.getWidth, img.getHeight, t)
+
+  /** [[tilePrintsOf]] over a pre-converted luma plane — ONE conversion
+    * per image however many tiles print. */
+  private[graft] def tilePrintsOfL(luma: Array[Int], w: Int, h: Int,
+      t: Int = TileSize): Seq[ImageTileNested] = {
+    val ntx = w / t
+    val nty = h / t
     val out = Vector.newBuilder[ImageTileNested]
     var count = 0
     var ty = 0
     while (ty < nty && count < MaxTilesPerImage) {
       var tx = 0
       while (tx < ntx && count < MaxTilesPerImage) {
-        tileAHash(img, tx * t, ty * t, t).foreach { case (hi, lo) =>
+        tileAHashL(luma, w, tx * t, ty * t, t).foreach { case (hi, lo) =>
           out += ImageTileNested(tx.toLong, ty.toLong, hi, lo)
           count += 1
         }
@@ -2201,12 +2291,16 @@ object MultimodalOps {
     media.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
         ImageDecoder.image(r.payload).map { img =>
-          val (ahi, alo) = aHash(img)
-          val (dhi, dlo) = dHash(img)
-          val (khi, klo) = dihedralAHash(img)
+          // ONE luma conversion feeds all five print families (the
+          // decode-once seam carried down to the pixel-sampling level)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val luma = lumaOf(img)
+          val (ahi, alo) = aHashL(luma, w, h)
+          val (dhi, dlo) = dHashL(luma, w, h)
+          val (khi, klo) = dihedralAHashL(luma, w, h)
           ImageLensTileHash(r.doc_id, ahi, alo, dhi, dlo, khi, klo,
-            img.getWidth.toLong, img.getHeight.toLong, tilePrintsOf(img),
-            tileKPrintsOf(img))
+            w.toLong, h.toLong, tilePrintsOfL(luma, w, h),
+            tileKPrintsOfL(luma, w, h))
         }
       }
     }.toDF()
@@ -2250,7 +2344,7 @@ object MultimodalOps {
     import spark.implicits._
     media.as[MediaRecord].flatMap { r =>
       ImageDecoder.image(r.payload).iterator.flatMap { img =>
-        tilePrintsOf(img).map(t =>
+        tilePrintsOfL(lumaOf(img), img.getWidth, img.getHeight).map(t =>
           ImageTilePrint(r.doc_id, t.tx, t.ty, t.h_hi, t.h_lo))
       }
     }.toDF()
@@ -2361,14 +2455,17 @@ object MultimodalOps {
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
           col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
-        col("tx_b"), col("ty_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      // gate BEFORE dedup, dedup on the NARROW key (the audio shift
+      // tier's rule on the spatial axes): (doc_id, tx, ty) determines
+      // the print, so the 6-long key collapses exactly the band
+      // multiplicity the wide 10-column distinct did and no hash
+      // crosses the dedup exchange (guide §2.3)
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
         (col("tx_b") - col("tx_a")).as("dx"),
         (col("ty_b") - col("ty_a")).as("dy"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "dx", "dy")
@@ -2435,15 +2532,16 @@ object MultimodalOps {
       .filter(col("id_a") =!= col("id_b"))
     val vsNew = joined(sided(nbp, "a"), fanned(nbp))
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key (the batch form's
+    // rule; id sets of the two legs are disjoint by the anti-join, so
+    // (doc_id, tx, ty) still determines the print across the union)
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
-        col("tx_b"), col("ty_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("tx_a"), col("ty_a"),
         (col("tx_b") - col("tx_a")).as("dx"),
         (col("ty_b") - col("ty_a")).as("dy"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "dx", "dy")
@@ -2476,17 +2574,24 @@ object MultimodalOps {
     * Tiles are square, so the full 8-element orbit applies. Constant-
     * luma tiles drop (the [[tileAHash]] degenerate-bucket rule). */
   def tileKHash(img: BufferedImage, x0: Int, y0: Int,
-      t: Int = TileSize): Option[(Long, Long)] = {
+      t: Int = TileSize): Option[(Long, Long)] =
+    tileKHashL(lumaOf(img), img.getWidth, x0, y0, t)
+
+  /** [[tileKHash]] over a pre-converted luma plane (identical symmetric
+    * sampling, degenerate rule and canonical-min arithmetic). */
+  private[graft] def tileKHashL(luma: Array[Int], w: Int, x0: Int, y0: Int,
+      t: Int): Option[(Long, Long)] = {
     val gray = new Array[Int](64)
     var k = 0
     var mn = Int.MaxValue
     var mx = Int.MinValue
     var sum = 0
-    def pos(i: Int): Int =
-      if (i < 4) (i * t) / 8 else t - 1 - ((7 - i) * t) / 8
     while (k < 64) {
-      val v = img.getRGB(x0 + pos(k % 8), y0 + pos(k / 8))
-      val g = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) / 1000
+      val xi = k % 8
+      val yi = k / 8
+      val sx = if (xi < 4) (xi * t) / 8 else t - 1 - ((7 - xi) * t) / 8
+      val sy = if (yi < 4) (yi * t) / 8 else t - 1 - ((7 - yi) * t) / 8
+      val g = luma((y0 + sy) * w + x0 + sx)
       gray(k) = g
       if (g < mn) mn = g
       if (g > mx) mx = g
@@ -2496,19 +2601,13 @@ object MultimodalOps {
     if (mn == mx) None
     else {
       val mean = sum / 64
-      val bit = Array.tabulate(8, 8)((y, x) => gray(y * 8 + x) > mean)
-      Some(DihedralMaps.map { f =>
-        var (hi, lo) = (0L, 0L)
-        var j = 0
-        while (j < 64) {
-          val (sx, sy) = f(j % 8, j / 8)
-          if (bit(sy)(sx)) {
-            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-          }
-          j += 1
-        }
-        (hi, lo)
-      }.min)
+      var bits = 0L
+      k = 0
+      while (k < 64) {
+        if (gray(k) > mean) bits |= 1L << k
+        k += 1
+      }
+      Some(dihedralMinOf(bits))
     }
   }
 
@@ -2545,8 +2644,13 @@ object MultimodalOps {
     * boundary, like the sub-window pad. Per-FAMILY tile count caps at
     * [[MaxTilesPerImage]] (the growth rail per family, 4× the plain
     * tier's rows per image on the query side, 1× on the stored side). */
-  def tileKPrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageKTileNested] = {
-    val (w, h) = (img.getWidth, img.getHeight)
+  def tileKPrintsOf(img: BufferedImage, t: Int = TileSize): Seq[ImageKTileNested] =
+    tileKPrintsOfL(lumaOf(img), img.getWidth, img.getHeight, t)
+
+  /** [[tileKPrintsOf]] over a pre-converted luma plane — ONE conversion
+    * per image feeds all four anchor families' tiles. */
+  private[graft] def tileKPrintsOfL(luma: Array[Int], w: Int, h: Int,
+      t: Int = TileSize): Seq[ImageKTileNested] = {
     val (ntx, nty) = (w / t, h / t)
     val out = Vector.newBuilder[ImageKTileNested]
     for (fx <- Seq('l', 'r'); fy <- Seq('t', 'b')) {
@@ -2558,7 +2662,7 @@ object MultimodalOps {
         var tx = 0
         while (tx < ntx && count < MaxTilesPerImage) {
           val x0 = if (fx == 'l') tx * t else w - t * (tx + 1)
-          tileKHash(img, x0, y0, t).foreach { case (hi, lo) =>
+          tileKHashL(luma, w, x0, y0, t).foreach { case (hi, lo) =>
             out += ImageKTileNested(fam, tx.toLong, ty.toLong, hi, lo)
             count += 1
           }
@@ -2578,7 +2682,7 @@ object MultimodalOps {
     import spark.implicits._
     media.as[MediaRecord].flatMap { r =>
       ImageDecoder.image(r.payload).iterator.flatMap { img =>
-        tileKPrintsOf(img).map(t =>
+        tileKPrintsOfL(lumaOf(img), img.getWidth, img.getHeight).map(t =>
           ImageKTilePrint(r.doc_id, t.fam, t.tx, t.ty, t.h_hi, t.h_lo))
       }
     }.toDF()
@@ -2680,7 +2784,18 @@ object MultimodalOps {
         col("band").as(s"band_$side"), col("key").as(s"key_$side"),
         col("doc_id").as(s"id_$side"),
         col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // SHUFFLE_HASH on the candidate join (guide §3.1: pick the strategy
+    // deliberately): the logical size estimates here are badly wrong —
+    // the planner was measured broadcasting the FANNED 4-family b side
+    // (~100 MiB, 5M rows at sf0.1, a single-threaded driver hash build)
+    // while probing with the 8 MiB lt-only a side; 14.2 s → 3.2 s under
+    // the hint on the same rows. The hint is also the honest 100 TB
+    // shape for this BATCH form: both sides are corpus-sized, so no
+    // broadcast is ever right, and a hash join over the exact 4-part
+    // key beats sort-merge (no order needed downstream — the next
+    // operator is a hash dedup).
     val aSide = sided(bands.filter(col("fam") === "lt"), "a")
+      .hint("shuffle_hash")
     val bSide = sided(bands, "b")
       .withColumn("join_tx",
         explode(sequence(col("tx_b") - maxOffset, col("tx_b") + maxOffset)))
@@ -2693,14 +2808,21 @@ object MultimodalOps {
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
           col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fam_b"),
-        col("tx_a"), col("ty_a"), col("tx_b"), col("ty_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      // gate BEFORE dedup, dedup on the NARROW key (the m4o rule with
+      // the family witness in the key): the a side is 'lt'-only, so
+      // (id_a, tx_a, ty_a) determines its print and (id_b, fam_b,
+      // tx_b, ty_b) the b side's — 7 narrow columns collapse exactly
+      // the band multiplicity the wide 11-column distinct did, and no
+      // hash crosses the dedup exchange. On the m4r fixture this
+      // exchange carries the search's whole candidate volume (~10⁷
+      // rows at sf0.1), so the byte halving is the row's main cost.
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+      .select(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+        col("tx_a"), col("ty_a"),
         (col("tx_b") - col("tx_a")).as("dx"),
         (col("ty_b") - col("ty_a")).as("dy"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("fam"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "fam", "dx", "dy")
@@ -2772,15 +2894,17 @@ object MultimodalOps {
     val vsNew = joined(sided(nbp.filter(col("fam") === "lt"), "a"),
         fanned(nbp))
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key (the m4r rule; the
+    // legs' id_a sets are disjoint by the anti-join and both a sides
+    // are 'lt'-only, so the 7-column key still determines the prints)
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"), col("fam_b"),
-        col("tx_a"), col("ty_a"), col("tx_b"), col("ty_b"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
       .filter(ham <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+      .select(col("id_a"), col("id_b"), col("fam_b").as("fam"),
+        col("tx_a"), col("ty_a"),
         (col("tx_b") - col("tx_a")).as("dx"),
         (col("ty_b") - col("ty_a")).as("dy"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"), col("fam"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatched)
       .orderBy("id_a", "id_b", "fam", "dx", "dy")
@@ -2824,16 +2948,23 @@ object MultimodalOps {
     * LlmSpec property pin). */
   def thumbnail(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
     val (w, h) = (img.getWidth, img.getHeight)
-    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    // bulk read + bulk write: per-pixel getRGB/setRGB pays a method
+    // call and a transfer-object allocation per sample (the lumaOf
+    // rule) — same nearest-neighbor arithmetic, same pixels
+    val src = img.getRGB(0, 0, w, h, null, 0, w)
+    val arr = new Array[Int](tw * th)
     var y = 0
     while (y < th) {
+      val sy = (y * h) / th
       var x = 0
       while (x < tw) {
-        out.setRGB(x, y, img.getRGB((x * w) / tw, (y * h) / th))
+        arr(y * tw + x) = src(sy * w + (x * w) / tw)
         x += 1
       }
       y += 1
     }
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, tw, th, arr, 0, tw)
     out
   }
 
@@ -2940,9 +3071,7 @@ object MultimodalOps {
         (0 until frames).iterator.flatMap { i =>
           val fno = i.toLong * nf / frames
           memo.getOrElseUpdate(fno.toInt,
-              ImageDecoder.image(v.frames(fno.toInt)).map(img =>
-                (aHash(img), dihedralAHash(img),
-                  img.getWidth.toLong, img.getHeight.toLong)))
+              ImageDecoder.image(v.frames(fno.toInt)).map(dualPrintsOf))
             .map { case ((hi, lo), (khi, klo), w, h) =>
               FrameLensSample(r.doc_id, i.toLong, fno, w, h, hi, lo, khi, klo) }
         }
@@ -3000,11 +3129,13 @@ object MultimodalOps {
     sided("a").join(sided("b"),
         Seq("frame_idx", "band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("frame_idx"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      // gate BEFORE dedup, dedup on the NARROW key: one print per
+      // (doc_id, frame_idx) in the frame table, so the 3-column key
+      // determines the hashes and the hamming (the
+      // imageNearDupsFromHashes rule with the ordinal in the key)
+      .filter(ham <= maxHamming)
       .select(col("id_a"), col("id_b"), col("frame_idx"), ham.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id_a", "id_b", "frame_idx")
   }
 
@@ -3058,12 +3189,12 @@ object MultimodalOps {
       .filter(col("id_a") =!= col("id_b"))
     val vsNew = sided(nbp, "a").join(sided(nbp, "b"), keyCols)
       .filter(col("id_a") < col("id_b"))
+    // gate BEFORE dedup, dedup on the NARROW key (the batch form's
+    // rule; the legs' id_a sets are disjoint by the anti-join)
     vsCorpus.unionByName(vsNew)
-      .select(col("id_a"), col("id_b"), col("frame_idx"),
-        col("ha_hi"), col("ha_lo"), col("hb_hi"), col("hb_lo"))
-      .distinct()
+      .filter(ham <= maxHamming)
       .select(col("id_a"), col("id_b"), col("frame_idx"), ham.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id_a", "id_b", "frame_idx")
   }
 
@@ -3311,9 +3442,7 @@ object MultimodalOps {
         val memo = scala.collection.mutable
           .HashMap.empty[Int, Option[((Long, Long), (Long, Long), Long, Long)]]
         def dec(fno: Int) = memo.getOrElseUpdate(fno,
-          ImageDecoder.image(v.frames(fno)).map(img =>
-            (aHash(img), dihedralAHash(img),
-              img.getWidth.toLong, img.getHeight.toLong)))
+          ImageDecoder.image(v.frames(fno)).map(dualPrintsOf))
         val sampled = (0 until frames).flatMap { i =>
           val fno = i.toLong * nf / frames
           dec(fno.toInt).map { case ((hi, lo), (khi, klo), w, h) =>

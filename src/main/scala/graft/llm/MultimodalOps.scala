@@ -94,11 +94,72 @@ object MultimodalOps {
       filled(w, h)((x, y) => (x * 31 + y * 17 + textLen.toInt) & 0xffffff)
     }
 
-    def png(textLen: Long): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(image(textLen), "png", out)
+    /** Minimal spec-compliant PNG encoder (8-bit truecolor, filter 0,
+      * one zlib IDAT at BEST_SPEED) for the fixture generators:
+      * `ImageIO.write` pays writer lookup + ImageOutputStream plumbing
+      * + default-level deflate per call (~15 ms for a 63-px image),
+      * and generation runs inside every inline-decode media row's
+      * timing. The DECODE side stays `javax.imageio` — the engine now
+      * parses PNG bytes produced by an INDEPENDENT encoder, which
+      * strengthens the round-trip claim rather than weakening it
+      * (LlmSpec's container tests and every m-tier oracle hash gate
+      * pixel identity). */
+    private[MultimodalOps] def fastPng(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var p = 0
+      var i = 0
+      var y = 0
+      while (y < h) {
+        raw(p) = 0 // filter type None per scanline
+        p += 1
+        var x = 0
+        while (x < w) {
+          val v = rgb(i); i += 1
+          raw(p) = ((v >> 16) & 255).toByte
+          raw(p + 1) = ((v >> 8) & 255).toByte
+          raw(p + 2) = (v & 255).toByte
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED) // zlib-wrapped (PNG requires it)
+      deflater.setInput(raw)
+      deflater.finish()
+      val zOut = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished())
+        zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val idat = zOut.toByteArray
+      val out = new ByteArrayOutputStream(idat.length + 64)
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, 8)
+      def be32(v: Int): Array[Byte] =
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length), 0, 4)
+        val t = typ.getBytes("US-ASCII")
+        out.write(t, 0, 4)
+        out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t)
+        crc.update(data)
+        out.write(be32(crc.getValue.toInt), 0, 4)
+      }
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, none, no interlace
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
       out.toByteArray
     }
+
+    def png(textLen: Long): Array[Byte] = fastPng(image(textLen))
 
     /** BMP rendition of the same generative pixels — 24-bit BMP is
       * LOSSLESS, so the cross-container image dup (identical prints
@@ -119,11 +180,8 @@ object MultimodalOps {
     def pngCropped(textLen: Long, cx: Int, cy: Int): Array[Byte] = {
       val (w0, h0) = dims(textLen)
       val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
-      val img = filled(w, h)((x, y) =>
-        ((x + 16 * cx) * 31 + (y + 16 * cy) * 17 + textLen.toInt) & 0xffffff)
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
+      fastPng(filled(w, h)((x, y) =>
+        ((x + 16 * cx) * 31 + (y + 16 * cy) * 17 + textLen.toInt) & 0xffffff))
     }
 
     /** The CROP-AND-TRANSFORM rendition — [[pngCropped]] composed with
@@ -137,14 +195,11 @@ object MultimodalOps {
     def pngCropT(textLen: Long, cx: Int, cy: Int, g: Int): Array[Byte] = {
       val (w0, h0) = dims(textLen)
       val (w, h) = (w0 - 16 * cx, h0 - 16 * cy)
-      val img = filled(w, h) { (x, y) =>
+      fastPng(filled(w, h) { (x, y) =>
         val sx = (if (g == 1 || g == 3) w - 1 - x else x) + 16 * cx
         val sy = (if (g == 2 || g == 3) h - 1 - y else y) + 16 * cy
         (sx * 31 + sy * 17 + textLen.toInt) & 0xffffff
-      }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
+      })
     }
   }
 
@@ -225,9 +280,7 @@ object MultimodalOps {
       * clip inside every inline-decode video row's timing). */
     private def framePngOf(textLen: Long)(pix: (Int, Int) => Int): Array[Byte] = {
       val (_, w, h) = params(textLen)
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(ImageGen.filled(w, h)(pix), "png", out)
-      out.toByteArray
+      ImageGen.fastPng(ImageGen.filled(w, h)(pix))
     }
 
     /** Frame `f`'s pixels: the image formula shifted 7 per frame, so

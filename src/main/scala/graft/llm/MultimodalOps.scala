@@ -2944,8 +2944,14 @@ object MultimodalOps {
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
     val vsCorpus = joined(sided(cb, "a"), fanned(nbp))
       .filter(col("id_a") =!= col("id_b"))
-    val vsNew = joined(sided(nbp.filter(col("fam") === "lt"), "a"),
-        fanned(nbp))
+    // the new-vs-new leg joins increment×increment — BOTH sides bounded
+    // by the batch, so a shuffled-hash hint is scale-safe (the m4r
+    // batch-form measurement: the planner broadcasts the fanned
+    // 4-family side from bad estimates); the vs-corpus leg stays
+    // planner-decided — its corpus side is unbounded at deployment and
+    // AQE's size-based broadcast of the increment is right there
+    val vsNew = joined(sided(nbp.filter(col("fam") === "lt"), "a")
+        .hint("shuffle_hash"), fanned(nbp))
       .filter(col("id_a") < col("id_b"))
     // gate BEFORE dedup, dedup on the NARROW key (the m4r rule; the
     // legs' id_a sets are disjoint by the anti-join and both a sides

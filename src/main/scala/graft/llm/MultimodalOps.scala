@@ -1163,8 +1163,12 @@ object MultimodalOps {
         col("band").as(s"band_$side"), col("key").as(s"key_$side"),
         col("doc_id").as(s"id_$side"),
         col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
+    // SHUFFLE_HASH (the m4r rule): both sides of this BATCH self-join
+    // are corpus-sized at deployment — no broadcast is ever right, and
+    // the next operator is a hash dedup (no sort order needed)
     val aSide = sided("a").withColumn("join_ord",
       explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
+      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
     aSide.join(sided("b"),
@@ -1452,8 +1456,12 @@ object MultimodalOps {
     // the b side's exact (ordinal, band, key). Explicit per-side column
     // names — a self-join of one lineage must never rely on df("col")
     // disambiguation.
+    // SHUFFLE_HASH (the m4r rule): both sides of this BATCH self-join
+    // are corpus-sized at deployment — no broadcast is ever right, and
+    // the next operator is a hash dedup (no sort order needed)
     val aSide = sided("a").withColumn("join_ord",
       explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
+      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
     aSide.join(sided("b"),
@@ -2495,12 +2503,16 @@ object MultimodalOps {
         col("doc_id").as(s"id_$side"),
         col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
     // the a side fans across the 2-D offset square; the join key is the
-    // b side's exact (tx, ty, band, key)
+    // b side's exact (tx, ty, band, key). SHUFFLE_HASH (the m4r rule):
+    // both sides of this BATCH self-join are corpus-sized at deployment,
+    // so no broadcast is ever right, and no downstream operator needs
+    // sort order (the next step is a hash dedup)
     val aSide = sided("a")
       .withColumn("join_tx",
         explode(sequence(col("tx_a") - maxOffset, col("tx_a") + maxOffset)))
       .withColumn("join_ty",
         explode(sequence(col("ty_a") - maxOffset, col("ty_a") + maxOffset)))
+      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
     aSide.join(sided("b"),

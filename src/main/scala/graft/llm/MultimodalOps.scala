@@ -1165,13 +1165,15 @@ object MultimodalOps {
         col("h_hi").as(s"h${side}_hi"), col("h_lo").as(s"h${side}_lo"))
     // SHUFFLE_HASH (the m4r rule): both sides of this BATCH self-join
     // are corpus-sized at deployment — no broadcast is ever right, and
-    // the next operator is a hash dedup (no sort order needed)
+    // the next operator is a hash dedup (no sort order needed). The
+    // hint sits on the UN-FANNED b side (guide §3.1: build the hash map
+    // on the smaller relation — the a side is the ±maxOffset-exploded
+    // one, 7× the rows per partition)
     val aSide = sided("a").withColumn("join_ord",
       explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
-      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
-    aSide.join(sided("b"),
+    aSide.join(sided("b").hint("shuffle_hash"),
         col("join_ord") === col("ord_b") &&
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
@@ -1458,13 +1460,15 @@ object MultimodalOps {
     // disambiguation.
     // SHUFFLE_HASH (the m4r rule): both sides of this BATCH self-join
     // are corpus-sized at deployment — no broadcast is ever right, and
-    // the next operator is a hash dedup (no sort order needed)
+    // the next operator is a hash dedup (no sort order needed). The
+    // hint sits on the UN-FANNED b side (guide §3.1: build the hash map
+    // on the smaller relation — the a side is the ±maxOffset-exploded
+    // one, 7× the rows per partition)
     val aSide = sided("a").withColumn("join_ord",
       explode(sequence(col("ord_a") - maxOffset, col("ord_a") + maxOffset)))
-      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
-    aSide.join(sided("b"),
+    aSide.join(sided("b").hint("shuffle_hash"),
         col("join_ord") === col("ord_b") &&
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&
@@ -2506,16 +2510,18 @@ object MultimodalOps {
     // b side's exact (tx, ty, band, key). SHUFFLE_HASH (the m4r rule):
     // both sides of this BATCH self-join are corpus-sized at deployment,
     // so no broadcast is ever right, and no downstream operator needs
-    // sort order (the next step is a hash dedup)
+    // sort order (the next step is a hash dedup). The hint sits on the
+    // UN-FANNED b side (guide §3.1: build the hash map on the smaller
+    // relation — the a side is the (2·maxOffset+1)²-exploded one, 9×
+    // the rows per partition)
     val aSide = sided("a")
       .withColumn("join_tx",
         explode(sequence(col("tx_a") - maxOffset, col("tx_a") + maxOffset)))
       .withColumn("join_ty",
         explode(sequence(col("ty_a") - maxOffset, col("ty_a") + maxOffset)))
-      .hint("shuffle_hash")
     val ham = (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
       bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long")
-    aSide.join(sided("b"),
+    aSide.join(sided("b").hint("shuffle_hash"),
         col("join_tx") === col("tx_b") && col("join_ty") === col("ty_b") &&
           col("band_a") === col("band_b") &&
           col("key_a") === col("key_b") &&

@@ -165,11 +165,51 @@ object MultimodalOps {
       * LOSSLESS, so the cross-container image dup (identical prints
       * under a byte-different container) is testable exactly; GIF's
       * palette quantization and JPEG's DCT are not oracle-predictable
-      * and stay spec-exercised only. */
-    def bmp(textLen: Long): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(image(textLen), "bmp", out)
-      out.toByteArray
+      * and stay spec-exercised only. Hand-written like [[fastPng]]
+      * (the ~1/7 of image rows on this container paid the same
+      * `ImageIO.write` writer-lookup + stream-plumbing overhead); the
+      * DECODE side stays `javax.imageio`, so the round-trip still
+      * crosses two independent codec implementations. */
+    def bmp(textLen: Long): Array[Byte] = fastBmp(image(textLen))
+
+    /** Minimal spec-compliant 24-bit bottom-up BMP (BITMAPFILEHEADER +
+      * BITMAPINFOHEADER, BGR rows padded to 4 bytes, BI_RGB). */
+    private[MultimodalOps] def fastBmp(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val rowBytes = (w * 3 + 3) & ~3
+      val dataSize = rowBytes * h
+      val out = new Array[Byte](54 + dataSize)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+        out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      le32(2, out.length) // file size
+      le32(10, 54) // pixel-data offset
+      le32(14, 40) // BITMAPINFOHEADER size
+      le32(18, w)
+      le32(22, h) // positive height = bottom-up rows
+      out(26) = 1 // planes
+      out(28) = 24 // bits per pixel
+      le32(34, dataSize) // compression stays 0 = BI_RGB
+      var y = 0
+      while (y < h) {
+        var p = 54 + (h - 1 - y) * rowBytes // bottom-up
+        var i = y * w
+        var x = 0
+        while (x < w) {
+          val v = rgb(i); i += 1
+          out(p) = (v & 255).toByte // BGR order
+          out(p + 1) = ((v >> 8) & 255).toByte
+          out(p + 2) = ((v >> 16) & 255).toByte
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
     /** The CROPPED re-upload rendition: `cx` whole tiles off the left,

@@ -581,6 +581,18 @@ class LlmSpec extends SparkSpec {
     }
     val (png, bmp, gif) = (enc(img, "png"), enc(img, "bmp"), enc(img, "gif"))
     assert(ImageDecoder.sniff(gif) === Some("gif"))
+    // the hand-written BMP encoder round-trips pixel-identically through
+    // the INDEPENDENT javax.imageio reader (the fastPng discipline on
+    // the second lossless container), across odd widths that exercise
+    // the 4-byte row padding
+    Seq(30L, 41L, 46L, 77L).foreach { l =>
+      val got = ImageDecoder.image(ImageGen.bmp(l)).get
+      val (w, h) = ImageGen.dims(l)
+      assert((got.getWidth, got.getHeight) === ((w, h)), s"bmp dims, len=$l")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((got.getRGB(x, y) & 0xffffff) ===
+          ((x * 31 + y * 17 + l.toInt) & 0xffffff), s"bmp pixel ($x,$y), len=$l")
+    }
     // container-INVARIANCE on the lossless paths: byte-different
     // payloads, identical decoded pixels, identical prints → ONE m4b
     // group across three containers (the WAV/AIFF/AU trick on pixels)

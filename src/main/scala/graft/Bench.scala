@@ -130,10 +130,26 @@ object Bench {
     }
     val minsSum = covered.map(_._2).sum
     load > noisyLoadThreshold(procs) ||
-      covered.exists { case (v, m) => v > 2.5 * m + 0.2 } ||
+      regressions(results, mins).nonEmpty ||
       (minsSum >= TotalSignalMinSum &&
         covered.map(_._1).sum > TotalNoisyRatio * minsSum)
   }
+
+  /** The rows a run measured beyond 2.5× their committed protocol floor
+    * (+0.2 s jitter guard) — the per-row noisy signal, exposed as a list
+    * so the closing protocol can FAIL on a quiet-launch regression
+    * instead of only flagging the artifact (the r20 lesson: a floor-
+    * preserving min() merge cannot surface a regression by construction,
+    * which is exactly how a warm-evidence-only hint shipped 8× slow at
+    * the driver). Returns (name, measured, floor). */
+  def regressions(results: Seq[(String, Double)],
+      mins: Map[String, Double] = BenchProtocol.mins)
+      : Seq[(String, Double, Double)] =
+    results.flatMap { case (name, v) =>
+      if (v < 0) None
+      else mins.get(name).filter(_ >= FastFloor)
+        .filter(m => v > 2.5 * m + 0.2).map(m => (name, v, m))
+    }
 
   /** The ONE parseable stdout line (format v2). The harness keeps only
     * the LAST ~2000 characters of output, and sbt appends a ~70-char

@@ -107,6 +107,26 @@ class DriverSurfaceSpec extends SparkSpec {
     assert(!errd.get("noisy").asBoolean)
   }
 
+  test("protocol gate lists exactly the rows beyond 2.5x floor and parses the full-names line") {
+    // the r20 ask: the closing protocol must FAIL on a quiet-launch
+    // regression, not just flag the artifact — Bench.regressions is the
+    // list the gate exits nonzero on (tools/bench_protocol.sh →
+    // graft.ProtocolGate). Same threshold semantics as the noisy row
+    // signal: 2.5x a ledger-visible floor + 0.2 s; errored rows,
+    // sub-floor floors and unrecorded rows never gate.
+    val mins = Map("g1_good" -> 1.0, "b2_bad" -> 2.0, "t9_tiny" -> 0.05)
+    val regs = Bench.regressions(
+      Seq("g1_good" -> 2.69, "b2_bad" -> 5.3, "t9_tiny" -> 9.0,
+        "z9_new" -> 50.0, "e1_err" -> -1.0), mins)
+    assert(regs === Seq(("b2_bad", 5.3, 2.0)))
+    // the gate reads the stderr full-names line (the stdout ledger
+    // elides fast rows and shortens ids — full coverage lives here)
+    val parsed = ProtocolGate.parseFullNames(
+      """[bench full names] {"queries":{"g1_good":1.00,"b2_bad":5.30,"e1_err":-1.00}}""")
+    assert(parsed === Seq("g1_good" -> 1.0, "b2_bad" -> 5.3, "e1_err" -> -1.0))
+    assert(Bench.regressions(parsed, mins) === Seq(("b2_bad", 5.3, 2.0)))
+  }
+
   test("total-level noisy signal catches uniform inflation no row test sees") {
     // the r18 judge's run-4 shape: EVERY covered row inflated ~1.5x by
     // machine-wide load — each row sits under 2.5x·min + 0.2 (no row

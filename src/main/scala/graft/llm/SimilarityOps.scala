@@ -28,14 +28,26 @@ object SimilarityOps {
 
   private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
 
+  /** `a / (na · nb)` over PRECOMPUTED norm columns: every pair/scan site
+    * used to inline `normExpr` on both sides, recomputing each vector's
+    * norm once per PAIR (up to maxCell−1 times per vector in the
+    * quadratic stages — three dim-length dot products per pair where one
+    * suffices). Precomputing the norm per ROW before the join is the
+    * identical double arithmetic in the identical order
+    * (dot / (sqrt(dot_aa) · sqrt(dot_bb))), so scores — and the 6-dp
+    * rounded values the oracles compare — are bit-identical. */
+  private def cosOver(a: String, b: String, na: String, nb: String): String =
+    s"${dotExpr(a, b)} / ($na * $nb)"
+
   /** E1 — exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by neighbor id. */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val joined = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(
-        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+      .withColumn("q_norm", expr(normExpr("q_emb")))
+    val joined = embeddings.withColumn("e_norm", expr(normExpr("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosOver("q_emb", "embedding", "q_norm", "e_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -173,10 +185,11 @@ object SimilarityOps {
       .withColumn("bucket", explode(expr(
         s"array(home, ${(0 until nPlanes).map(j => s"home ^ ${1 << j}").mkString(", ")})")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val joined = bucketed.join(broadcast(q), Seq("bucket"))
+      .withColumn("q_norm", expr(normExpr("q_emb")))
+    val joined = bucketed.withColumn("e_norm", expr(normExpr("embedding")))
+      .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(
-        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"))
+      .withColumn("cos", expr(cosOver("q_emb", "embedding", "q_norm", "e_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -340,12 +353,14 @@ object SimilarityOps {
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(probesCol))
-    val joined = index.cells.join(broadcast(q), Seq("cell"))
+      .withColumn("q_norm", expr(normExpr("q_emb")))
+    val joined = index.cells.withColumn("e_norm", expr(normExpr("embedding")))
+      .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       // 6-dp rounded so the final ranking breaks ties on values identical
       // to the oracle's, not on engine-dependent float summation order
       .withColumn("cos", round(expr(
-        s"${dotExpr("q_emb", "embedding")} / (${normExpr("q_emb")} * ${normExpr("embedding")})"), 6))
+        cosOver("q_emb", "embedding", "q_norm", "e_norm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -429,11 +444,14 @@ object SimilarityOps {
     val okCells = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
       .filter(col("n_cell") <= maxCell).select("cell")
     val paired = cells.join(broadcast(okCells), Seq("cell"))
-    val a = paired.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = paired.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm", expr(normExpr("embedding")))
+    val a = paired.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = paired.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(expr(
-        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+        cosOver("emb_a", "emb_b", "norm_a", "norm_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b")
     val groups = DedupOps.nearDupGroups(
@@ -485,20 +503,22 @@ object SimilarityOps {
       .filter(coalesce(col("nc"), lit(0L)) + coalesce(col("nn"), lit(0L)) <= maxCell)
       .select("cell")
     val cp = corpus.join(broadcast(okCells), Seq("cell"))
+      .withColumn("nrm", expr(normExpr("embedding")))
     val nc = newCells.join(broadcast(okCells), Seq("cell"))
-    val vsCorpus = cp
-      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      .join(nc.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")),
-        Seq("cell"))
+      .withColumn("nrm", expr(normExpr("embedding")))
+    def sideA(df: DataFrame): DataFrame = df.select(col("cell"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("norm_a"))
+    def sideB(df: DataFrame): DataFrame = df.select(col("cell"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("norm_b"))
+    val vsCorpus = sideA(cp).join(sideB(nc), Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-    val vsNew = nc
-      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      .join(nc.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b")),
-        Seq("cell"))
+    val vsNew = sideA(nc).join(sideB(nc), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
     vsCorpus.unionByName(vsNew)
       .withColumn("cos", round(expr(
-        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+        cosOver("emb_a", "emb_b", "norm_a", "norm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -547,10 +567,12 @@ object SimilarityOps {
       .filter(coalesce(col("nc"), lit(0L)) + coalesce(col("nb"), lit(0L)) <= maxCell)
       .select("cell")
     corpus.join(broadcast(okCells), Seq("cell"))
-      .join(bench.join(broadcast(okCells), Seq("cell")), Seq("cell"))
+      .withColumn("norm_a", expr(normExpr("emb_a")))
+      .join(bench.join(broadcast(okCells), Seq("cell"))
+        .withColumn("norm_b", expr(normExpr("emb_b"))), Seq("cell"))
       .filter(col("doc_id") =!= col("bench_id"))
       .withColumn("cos", round(expr(
-        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 6))
+        cosOver("emb_a", "emb_b", "norm_a", "norm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("doc_id"), col("bench_id"), col("cos"))
       .orderBy("doc_id", "bench_id")
@@ -796,13 +818,16 @@ object SimilarityOps {
     val bucketed = embeddings
       .withColumn("bucket", bucketCol(col("embedding"), nPlanes, dim))
       .select(col("bucket"), col("vec_id"), col("embedding"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm", expr(normExpr("embedding")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       // filter on the ROUNDED score (the output value) so the threshold
       // boundary is identical to the oracle's
       .withColumn("cos", round(expr(
-        s"${dotExpr("emb_a", "emb_b")} / (${normExpr("emb_a")} * ${normExpr("emb_b")})"), 4))
+        cosOver("emb_a", "emb_b", "norm_a", "norm_b")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")

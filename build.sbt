@@ -31,3 +31,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Run the test suites as FOUR forked JVM groups in parallel: the three
+// streaming suites dominate the suite wall-clock (measured 970 s
+// CurationStream split in two + 544 s StreamingSpec of a 2096 s total at
+// one JVM), and the process-global seams (DedupOps.releaseCaches, the
+// tracked-persist registry, onDiskState memos) make suites unsafe to
+// parallelize INSIDE one JVM — separate JVMs give each group its own
+// SparkSession and globals, so the suites themselves stay untouched.
+// Wall-clock ≈ the largest group (~9-10 min) instead of the sum.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val groupOf: String => String = {
+    case "graft.StreamingSpec"         => "stream"
+    case "graft.CurationStreamSpec"    => "curation-core"
+    case "graft.CurationMediaRungSpec" => "curation-media"
+    case _                             => "rest"
+  }
+  (Test / definedTests).value.groupBy(t => groupOf(t.name)).map {
+    case (name, ts) => Tests.Group(name, ts, Tests.SubProcess(opts))
+  }.toSeq
+}
+// sbt limits forked test groups to 1 by default; allow the four groups
+// to run concurrently (4 JVMs × local[4] = 16 cores on the 32-core box).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4), Tags.limitAll(16))

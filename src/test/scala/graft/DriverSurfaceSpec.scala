@@ -58,15 +58,26 @@ class DriverSurfaceSpec extends SparkSpec {
     // the r19 advice item: a loaded-window re-record silently RAISED two
     // floors, loosening their 2.5x noisy thresholds. The previous
     // committed record is kept verbatim in prevMins; every carried key's
-    // current floor must be <= its previous one (merge-min semantics).
+    // current floor must be <= its previous one (merge-min semantics) —
+    // EXCEPT the explicitly documented rebased rows (r20 verdict item 9:
+    // the audio family's carried minima described a state the driver
+    // could not reproduce; their floors are this round's protocol minima
+    // verbatim, raise allowed ONCE and confined to the m5 family).
     val raised = BenchProtocol.prevMins.keySet
       .intersect(BenchProtocol.mins.keySet)
+      .diff(BenchProtocol.rebased)
       .filter(q => BenchProtocol.mins(q) > BenchProtocol.prevMins(q) + 1e-9)
     assert(raised.isEmpty,
       s"floors RAISED vs the previous record (merge-min violated): " +
         raised.toSeq.sorted.map(q =>
           s"$q ${BenchProtocol.prevMins(q)} -> ${BenchProtocol.mins(q)}")
           .mkString(", "))
+    // the rebase exemption cannot become a loophole: it is confined to
+    // the verdict-cited audio family, and every rebased row still exists
+    // in the record (a rebase can't drop coverage)
+    assert(BenchProtocol.rebased.forall(_.startsWith("m5")),
+      s"rebased rows outside the documented m5 family: ${BenchProtocol.rebased}")
+    assert(BenchProtocol.rebased.subsetOf(BenchProtocol.mins.keySet))
     // floors are physical times: positive, and at/above the ledger's
     // fast-floor granularity they remain meaningful thresholds
     assert(BenchProtocol.mins.values.forall(_ > 0.0))
